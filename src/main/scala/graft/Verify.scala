@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // read naive parquet timestamps as session-UTC instants so
+      // wall-clock values match the DuckDB oracle (SURVEY §4)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // events.ts is TIMESTAMP(NANOS): read as int64, Tables converts
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

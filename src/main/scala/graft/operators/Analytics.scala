@@ -1,0 +1,291 @@
+package graft.operators
+
+import graft.{Cols, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Warehouse analytics core (SURVEY §2 rows 13-23): the Spark SQL
+  * surface the north star mandates (BASELINE.json "Spark SQL + Hive
+  * metastore access" ≈ data-warehouse query shapes, TPC-H style).
+  *
+  * Scale design: dimension tables broadcast (region/nation/supplier/
+  * customer are tiny relative to facts), fact joins shuffle on keys
+  * with AQE; aggregates are partial (map-side combine); money math is
+  * exact DECIMAL per SURVEY §4.
+  */
+object Analytics {
+
+  private def revenue = // l_extendedprice * (1 - l_discount), exact
+    Cols.dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(4, 2)) -
+      Cols.rate(col("l_discount")))
+
+  /** TPC-H Q1 — grouped pricing summary, decimal-exact. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Cols.moneySum(Cols.dec2(col("l_quantity"))).as("sum_qty"),
+        Cols.moneySum(Cols.dec2(col("l_extendedprice"))).as("sum_base_price"),
+        Cols.moneySum(revenue).as("sum_disc_price"),
+        Cols.moneySum(revenue * (lit(1).cast(DecimalType(4, 2)) +
+          Cols.rate(col("l_tax")))).as("sum_charge"),
+        (sum(Cols.dec2(col("l_quantity"))).cast("double") /
+          count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 — shipping priority: 3-way join + agg + top-K.
+    * customer is the small side (broadcast); the orders⋈lineitem join
+    * shuffles on the order key. */
+  def q3TopkRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    broadcast(cust)
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(Cols.moneySum(revenue).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        Cols.fmtDate(col("o_orderdate")).as("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 — local supplier revenue: 6-way join, all dims broadcast,
+    * lineitem⋈orders shuffles once. */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val asia = broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      .join(Tables.nation(s, dir), col("n_regionkey") === col("r_regionkey")))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    Tables.lineitem(s, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(asia, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Cols.moneySum(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Running-sum + row-number window over supplier partitions. */
+  def w1RunningWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 3)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        sum(Cols.dec2(col("l_quantity")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "rn", "running_qty")
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** ROLLUP multi-level aggregate (grouping-set nulls coalesced so no
+    * NULL sort keys cross the engines). */
+  def a1Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Cols.moneySum(Cols.dec2(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  /** COUNT(DISTINCT) per group (expand + two-phase agg in Spark). */
+  def a2DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** HyperLogLog++ approximate distinct (sketch-based; the 100 TB path
+    * where exact distinct would shuffle every key). rows-only check —
+    * sketch estimates are engine-specific. */
+  def a3ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** Left-semi (EXISTS) + left-anti (NOT EXISTS), tagged union. */
+  def j1SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cond = col("c_custkey") === col("o_custkey")
+    val semi = cust.join(ord, cond, "left_semi")
+      .select(col("c_custkey")).withColumn("tag", lit("has_orders"))
+    val anti = cust.join(ord, cond, "left_anti")
+      .select(col("c_custkey")).withColumn("tag", lit("no_orders"))
+    semi.unionAll(anti).orderBy("tag", "c_custkey")
+  }
+
+  /** INTERSECT / EXCEPT set operations, tagged union. */
+  def s1SetOps(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    val cus = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    sup.intersect(cus).withColumn("tag", lit("both"))
+      .unionAll(cus.except(sup).withColumn("tag", lit("cust_only")))
+      .orderBy("tag", "nationkey")
+  }
+
+  /** Pivot (conditional aggregation) of value by event_type. */
+  def p1Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val base = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(sum(col("value").cast(DecimalType(12, 2))).cast("double"))
+    types.foldLeft(base) { (df, t) =>
+      df.withColumn(s"${t}_value", coalesce(col(t), lit(0.0))).drop(t)
+    }.orderBy("user_id")
+  }
+
+  /** Sessionization: 30-min inactivity gap → new session; assign
+    * session ids via lag + running sum, then per-session rollup. */
+  def e1Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull ||
+          expr("timestampdiff(SECOND, prev, ts)") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        Cols.fmtTs(min(col("ts"))).as("start_ts"),
+        Cols.fmtTs(max(col("ts"))).as("end_ts"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($rev) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM($rev * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk_revenue" ->
+      s"""SELECT l_orderkey, CAST(SUM($rev) AS DOUBLE) AS revenue,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      s"""SELECT n_name, CAST(SUM($rev) AS DOUBLE) AS revenue
+         |FROM region JOIN nation ON n_regionkey = r_regionkey
+         |  JOIN customer ON c_nationkey = n_nationkey
+         |  JOIN orders ON o_custkey = c_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "w1_running_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  ROW_NUMBER() OVER w AS rn,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 3
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "a1_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "a2_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "j1_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY tag, c_custkey""".stripMargin,
+    "s1_set_ops" ->
+      """SELECT nationkey, 'both' AS tag FROM (
+        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        |  INTERSECT SELECT DISTINCT c_nationkey FROM customer)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS tag FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        |ORDER BY tag, nationkey""".stripMargin,
+    "p1_pivot" ->
+      """SELECT user_id,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS click_value,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS error_value,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS purchase_value,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS signup_value,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS view_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e1_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000 > 1800
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_topk_revenue" -> (q3TopkRevenue _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "w1_running_window" -> (w1RunningWindow _),
+    "a1_rollup" -> (a1Rollup _),
+    "a2_distinct_agg" -> (a2DistinctAgg _),
+    "a3_approx_distinct" -> (a3ApproxDistinct _),
+    "j1_semi_anti" -> (j1SemiAnti _),
+    "s1_set_ops" -> (s1SetOps _),
+    "p1_pivot" -> (p1Pivot _),
+    "e1_sessionize" -> (e1Sessionize _))
+}

@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for LLM training-data pipelines (SURVEY §2
+  * rows 24-28): exact hash dedup, n-gram Jaccard, MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: nothing here is O(n²) on the full corpus. Candidate
+  * pairs come from equi-joins on shared shingles / LSH band buckets /
+  * hamming chunks, so the cost is linear in the bucket sizes. The
+  * verification step (exact Jaccard / hamming / cosine) only touches
+  * candidates. At 100 TB the shingle and band joins shuffle on their
+  * keys; skewed ultra-common shingles are droppable via a document-
+  * frequency cap without changing near-dup semantics.
+  */
+object Dedup {
+
+  /** Distinct word 3-gram shingles per document (docs with <3 tokens
+    * are excluded — they have no 3-grams). */
+  private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("sh"))
+      .distinct()
+
+  /** d1: exact-content dedup via md5 hash-groupBy — the 100 TB-safe
+    * form of DISTINCT ON (content): one shuffle on the 128-bit hash,
+    * never on the full text. */
+  def d1DedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** d2: exact n-gram Jaccard near-dup pairs. Candidates = pairs that
+    * share ≥1 shingle (equi-join on shingle), so disjoint documents
+    * are never compared. Jaccard is an exact integer ratio →
+    * bit-identical doubles across engines. */
+  def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("x.n") + col("y.n") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val MinhashK = 16 // signature length
+  val BandSize = 4 // rows per LSH band → 4 bands
+
+  /** Per-document MinHash signature as (doc_id, i, minhash) rows.
+    * Hash family: xxhash64 seeded by the permutation index (a public,
+    * codegen'd 64-bit hash). */
+  private def minhashRows(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(expr(
+      s"transform(sequence(0, ${MinhashK - 1}), i -> named_struct('i', i, 'h', xxhash64(i, sh)))"))
+      .as("ih"))
+      .groupBy(col("doc_id"), col("ih.i").as("i"))
+      .agg(min(col("ih.h")).as("mh"))
+
+  /** d3: MinHash + LSH banding. Signatures band into MinhashK/BandSize
+    * buckets; docs colliding in ≥1 band become candidates; the
+    * estimated Jaccard is the fraction of agreeing signature slots.
+    * rows-only check (hash-family specific); ScalaTest asserts the
+    * candidates cover all true Jaccard≥0.8 pairs from d2. */
+  def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashRows(shingles(s, dir))
+    val sigArr = sig.groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(named_struct('i', i, 'mh', mh))), x -> x.mh)").as("sig"))
+    val bands = sig.withColumn("band", floor(col("i") / BandSize))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(xxhash64(col("band"), expr("array_sort(collect_list(named_struct('i', i, 'mh', mh)))")).as("band_key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigArr.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sigArr.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), v -> v)) / CAST($MinhashK AS DOUBLE)"))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d4: 64-bit SimHash near-dup. Signature bit i is the sign of the
+    * sum over tokens of ±1 from the token hash's bit i (bit_or
+    * assembly avoids int64 overflow). Candidates share ≥1 of four
+    * 16-bit chunks (pigeonhole: covers all pairs with hamming ≤ 3,
+    * and most up to the 12-bit output threshold); verified hamming =
+    * bit_count(xor). rows-only + ScalaTest. */
+  def d4Simhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSignatures(s, dir)
+    val chunks = sig.select(col("doc_id"), col("simhash"), explode(expr(
+      "transform(sequence(0, 3), c -> named_struct('c', c, 'v', (simhash >> (c * 16)) & 65535))"))
+      .as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= 12)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash signature per document. */
+  private[operators] def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 63), i -> named_struct('i', i, 's', CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END))"))
+        .as("b"))
+      .groupBy(col("doc_id"), col("b.i").as("i"))
+      .agg(sum(col("b.s")).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(expr("bit_or(CASE WHEN cnt > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)").as("simhash"))
+
+  /** d5: embedding-cosine near-dup pairs above a threshold. The pair
+    * generation here is the bounded 500-vector corpus; the scale path
+    * for unbounded corpora is the LSH bucketing in Similarity.n2. */
+  def d5EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorFunctions.l2norm("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", VectorFunctions.cosineFromParts(
+        VectorFunctions.dot("a.v", "b.v"), col("a.nrm"), col("b.nrm")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "d2_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]) AS sh
+        |  FROM tok),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+        |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d5_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> (d1DedupExact _),
+    "d2_ngram_jaccard" -> (d2NgramJaccard _),
+    "d3_minhash_lsh" -> (d3MinhashLsh _),
+    "d4_simhash" -> (d4Simhash _),
+    "d5_embedding_neardup" -> (d5EmbeddingNeardup _))
+}

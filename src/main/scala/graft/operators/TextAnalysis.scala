@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM training-data pipelines (SURVEY §2 rows
+  * 32-35): language ID, quality scoring, token counting, document
+  * fingerprinting — all built from codegen'd built-in functions (no
+  * UDFs), so they stay inside whole-stage codegen and scale linearly
+  * with the document count.
+  */
+object TextAnalysis {
+
+  /** Language-specific stopword lists for the n-gram/stopword
+    * language-ID heuristic. */
+  val stoplists: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ein", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "un", "est"))
+
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Count of tokens contained in `words` (duplicates counted —
+    * deterministic across engines, unlike set-intersection sizes). */
+  private def stopCount(words: Seq[String]): Column = {
+    val arr = words.map(w => s"'$w'").mkString("array(", ",", ")")
+    size(expr(s"filter(split(text, ' '), x -> array_contains($arr, x))"))
+  }
+
+  /** t1: stopword-scored language ID. Deterministic argmax with fixed
+    * preference order en>es>de>fr, 'und' when every score is zero. */
+  def t1LangId(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang").as("lang_label"),
+      stopCount(stoplists("en")).as("s_en"),
+      stopCount(stoplists("es")).as("s_es"),
+      stopCount(stoplists("de")).as("s_de"),
+      stopCount(stoplists("fr")).as("s_fr"))
+    scored.withColumn("pred_lang",
+      when(col("s_en") + col("s_es") + col("s_de") + col("s_fr") === 0, "und")
+        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+          col("s_en") >= col("s_fr"), "en")
+        .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+        .when(col("s_de") >= col("s_fr"), "de")
+        .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
+  /** t2: quality score from length / punctuation / stopword ratios
+    * (all divisions guarded for ANSI mode). */
+  def t2QualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(tokens).as("n_tokens"),
+      (length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+        .cast("double") / greatest(length(col("text")), lit(1)))
+        .as("punct_ratio"),
+      (stopCount(stoplists("en")).cast("double") /
+        greatest(size(tokens), lit(1))).as("stop_ratio"))
+      .withColumn("quality", round(
+        lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.3) * col("stop_ratio"), 6))
+      .orderBy("doc_id")
+
+  /** t3: token counting — whitespace tokens plus a BPE-ish estimate
+    * (alpha runs / digit runs / single punctuation, and a ceil(len/4)
+    * word-piece estimate). */
+  def t3TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(tokens).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+        .as("regex_tokens"),
+      expr("aggregate(split(text, ' '), 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS BIGINT))")
+        .as("bpe_est"))
+      .orderBy("doc_id")
+
+  /** t4: deterministic document fingerprint — md5 of the
+    * whitespace-normalized lowercased text + coarse length bucket. */
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
+      (floor(col("n_chars") / 100) * 100).cast("bigint").as("len_bucket"))
+      .orderBy("doc_id")
+
+  private def sqlStopCount(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+    s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "t1_lang_id" -> {
+      val en = sqlStopCount(stoplists("en")); val es = sqlStopCount(stoplists("es"))
+      val de = sqlStopCount(stoplists("de")); val fr = sqlStopCount(stoplists("fr"))
+      s"""WITH scored AS (SELECT doc_id, lang AS lang_label,
+         |  $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr
+         |FROM documents)
+         |SELECT doc_id, lang_label, s_en, s_es, s_de, s_fr,
+         |  CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+         |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |    WHEN s_de >= s_fr THEN 'de'
+         |    ELSE 'fr' END AS pred_lang
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "t2_quality_score" -> {
+      val en = sqlStopCount(stoplists("en"))
+      s"""WITH base AS (SELECT doc_id,
+         |  length(text) AS n_chars_m,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio,
+         |  CAST($en AS DOUBLE) / greatest(len(string_split(text, ' ')), 1) AS stop_ratio
+         |FROM documents)
+         |SELECT doc_id, n_chars_m, n_tokens, punct_ratio, stop_ratio,
+         |  round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |    + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 6) AS quality
+         |FROM base ORDER BY doc_id""".stripMargin
+    },
+    "t3_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS regex_tokens,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |  CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_lang_id" -> (t1LangId _),
+    "t2_quality_score" -> (t2QualityScore _),
+    "t3_token_count" -> (t3TokenCount _),
+    "t4_fingerprint" -> (t4Fingerprint _))
+}

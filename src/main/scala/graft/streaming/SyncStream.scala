@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.{Cols, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming re-expression of the reference's update flow
+  * (SURVEY §2 rows 37-39): the `updates` table polled by
+  * server.mjs:129-142 + sheets-code.gs is, Spark-first, a stream —
+  * watermarked event time, windowed aggregation, streaming dedup
+  * (the UNIQUE-constraint analog), and per-connection session state
+  * (the sync_status table analog, db.mjs:76-88).
+  *
+  * The transforms are defined over generic DataFrames so the SAME
+  * code runs in batch (Verify/oracle) and streaming (MemoryStream
+  * tests): windowedCounts is used by both paths.
+  */
+object SyncStream {
+
+  /** Row 37 core transform: event-time tumbling-hour aggregation.
+    * Works on a batch DF or a (watermarked) streaming DF. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
+
+  /** st1 (batch form for the DuckDB oracle): hourly counts + exact sum. */
+  def st1WindowedCounts(s: SparkSession, dir: String): DataFrame =
+    windowedCounts(Tables.events(s, dir))
+      .select(Cols.fmtTs(col("bucket")).as("hour"), col("n_events"), col("total_value"))
+      .orderBy("hour")
+
+  /** Row 37 streaming form: 10-minute watermark, update-mode windowed
+    * aggregation (used by the MemoryStream spec). */
+  def streamingWindowedCounts(events: DataFrame): DataFrame =
+    windowedCounts(events.withWatermark("ts", "10 minutes"))
+
+  /** Row 38: streaming dedup within the watermark — the UNIQUE
+    * constraint (db.mjs:32/49) as a stream operator. State is bounded
+    * by the watermark horizon. */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SyncSession(user_id: Long, n_updates: Long, last_status: String,
+      last_value: Double)
+
+  /** Row 39: per-key sync-session tracking via flatMapGroupsWithState —
+    * the sync_status rollup (db.mjs:346-354) as operator state. Emits
+    * the refreshed session row on every update batch; state times out
+    * on the processing clock (stale-connection cleanup analog,
+    * db.mjs:366-373). */
+  def sessionTracker(events: Dataset[Ev]): Dataset[SyncSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SyncSession, SyncSession](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, batch: Iterator[Ev], state: GroupState[SyncSession]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val prev = state.getOption.getOrElse(SyncSession(userId, 0L, "new", 0.0))
+            val last = evs.lastOption
+            val next = SyncSession(userId,
+              prev.n_updates + evs.size,
+              last.map(e => if (e.event_type == "error") "error" else "synced")
+                .getOrElse(prev.last_status),
+              last.map(_.value).getOrElse(prev.last_value))
+            state.update(next)
+            state.setTimeoutDuration("1 hour")
+            Iterator.single(next)
+          }
+      }
+  }
+
+  val oracles: Map[String, String] = Map(
+    "st1_windowed_counts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY date_trunc('hour', ts)
+        |ORDER BY hour""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_windowed_counts" -> (st1WindowedCounts _))
+}
