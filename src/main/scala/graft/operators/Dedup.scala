@@ -60,8 +60,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val MinhashK = 16 // signature length
-  val BandSize = 4 // rows per LSH band → 4 bands
+  val MinhashK = 32 // signature length
+  val BandSize = 4 // rows per LSH band → 8 bands: P(miss a 0.8-Jaccard
+  // pair) = (1 - 0.8^4)^8 ≈ 1.5%, vs 12% at 4 bands
 
   /** Per-document MinHash signature as (doc_id, i, minhash) rows.
     * Hash family: xxhash64 seeded by the permutation index (a public,

@@ -49,41 +49,57 @@ object Similarity {
     rankTopK(pairs)
   }
 
-  val LshPlanes = 12
+  val LshTables = 8 // independent hash tables (union of candidates)
+  val LshBits = 4 // hyperplanes per table → 16 buckets/table
 
-  /** Deterministic pseudo-random hyperplane weights: plane p, dim j →
-    * xxhash64(p*1024+j) folded into [-0.5, 0.5]. Computed inline with
-    * higher-order functions (codegen'd; no driver-side plane matrix,
-    * so the same expression works on a 1000-executor cluster). */
-  private def lshBucket(vCol: String): org.apache.spark.sql.Column =
+  /** Multi-table random-hyperplane LSH: LshTables independent tables of
+    * LshBits sign bits each; a vector lands in one bucket per table and
+    * candidate pairs share (table, bucket). Deterministic pseudo-random
+    * plane weights: plane p, dim j → xxhash64(p*1024+j) folded into
+    * [-0.5, 0.5], computed inline with higher-order functions
+    * (codegen'd; no driver-side plane matrix, so the same expression
+    * works unchanged on a 1000-executor cluster). Multiple small tables
+    * beat one wide code: recall compounds as 1-(1-p^b)^L while bucket
+    * sizes stay ~n/2^b, keeping the candidate join linear. */
+  private def lshBuckets(vCol: String): org.apache.spark.sql.Column =
     expr(
-      s"""aggregate(
-         |  transform(sequence(0, ${LshPlanes - 1}), p ->
-         |    CASE WHEN aggregate(
-         |      zip_with($vCol, transform(sequence(0, size($vCol) - 1), j ->
-         |        CAST(pmod(xxhash64(p * 1024 + j), 1000003) AS DOUBLE) / 1000003.0 - 0.5),
-         |      (x, w) -> x * w), CAST(0 AS DOUBLE), (acc, t) -> acc + t) > 0
-         |    THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END),
-         |  CAST(0 AS BIGINT), (acc, b) -> acc + b)""".stripMargin)
+      s"""transform(sequence(0, ${LshTables - 1}), t -> named_struct(
+         |  'tbl', t,
+         |  'bkt', aggregate(
+         |    transform(sequence(0, ${LshBits - 1}), p ->
+         |      CASE WHEN aggregate(
+         |        zip_with($vCol, transform(sequence(0, size($vCol) - 1), j ->
+         |          CAST(pmod(xxhash64((t * ${LshBits} + p) * 1024 + j), 1000003) AS DOUBLE) / 1000003.0 - 0.5),
+         |        (x, w) -> x * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0
+         |      THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END),
+         |    CAST(0 AS BIGINT), (acc, b) -> acc + b)))""".stripMargin)
 
-  /** n2: LSH-bucketed ANN — same-bucket candidates ranked by exact
-    * cosine. rows-only; ScalaTest checks recall ≥ 0.5 vs n1. */
+  /** n2: LSH-bucketed ANN — candidates from any shared (table, bucket),
+    * deduped, then ranked by exact cosine. rows-only; ScalaTest checks
+    * recall ≥ 0.5 vs n1. */
   def n2AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = corpus(s, dir).withColumn("bucket", lshBucket("v"))
+    val e = corpus(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(lshBuckets("v")).as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket"))
+        col("nrm").as("qn"), col("tbl"), col("bkt"))
     val pairs = broadcast(q)
-      .join(e, Seq("bucket"))
+      .join(e, Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos_raw", VectorFunctions.cosineFromParts(
         VectorFunctions.dot("qv", "v"), col("qn"), col("nrm")))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_raw"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_raw"))
     rankTopK(pairs)
   }
 
   val IvfCells = 10
-  val IvfProbes = 3
+  val IvfProbes = 5
 
   /** n3: IVF — fixed seed centroids (every 50th vector), each corpus
     * vector assigned to its nearest centroid cell; queries probe the

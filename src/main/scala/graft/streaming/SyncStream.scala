@@ -55,11 +55,14 @@ object SyncStream {
     * the refreshed session row on every update batch; state times out
     * on the processing clock (stale-connection cleanup analog,
     * db.mjs:366-373). */
-  def sessionTracker(events: Dataset[Ev]): Dataset[SyncSession] = {
+  def sessionTracker(events: Dataset[Ev],
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+      : Dataset[SyncSession] = {
     import events.sparkSession.implicits._
+    val timed = timeout == GroupStateTimeout.ProcessingTimeTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SyncSession, SyncSession](
-        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Update(), timeout) {
         (userId: Long, batch: Iterator[Ev], state: GroupState[SyncSession]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -74,7 +77,7 @@ object SyncStream {
                 .getOrElse(prev.last_status),
               last.map(_.value).getOrElse(prev.last_value))
             state.update(next)
-            state.setTimeoutDuration("1 hour")
+            if (timed) state.setTimeoutDuration("1 hour")
             Iterator.single(next)
           }
       }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup-family checks (rows 24-28). d3/d4 have no SQL oracle — the
+  * assertions here ARE their correctness contract: LSH candidates
+  * must cover the high-similarity pairs found exactly, signatures
+  * must be deterministic.
+  */
+class DedupSpec extends GraftSpec {
+
+  test("d1 keeps one representative per distinct content") {
+    val docs = Tables.documents(spark, sf).count()
+    val d1 = Dedup.d1DedupExact(spark, sf)
+    assert(d1.agg(sum("n_copies")).collect().head.getLong(0) == docs)
+    assert(d1.select("content_hash").distinct().count() == d1.count())
+  }
+
+  test("d3 minhash-LSH recovers all exact-Jaccard >= 0.8 pairs") {
+    val exact = Dedup.d2NgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.d3MinhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed true near-dups: $missed")
+  }
+
+  test("d3 estimated jaccard within 0.35 of exact on shared pairs") {
+    val exact = Dedup.d2NgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = Dedup.d3MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = exact.keySet intersect est.keySet
+    assert(shared.nonEmpty)
+    shared.foreach { k =>
+      assert(math.abs(exact(k) - est(k)) <= 0.35,
+        s"pair $k exact=${exact(k)} est=${est(k)}")
+    }
+  }
+
+  test("d4 simhash signature is deterministic and near-dups have small hamming") {
+    val a = Dedup.d4Simhash(spark, sf).collect()
+    val b = Dedup.d4Simhash(spark, sf).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    a.foreach(r => assert(r.getAs[Int]("hamming") <= 12))
+  }
+
+  test("d4 finds the exact duplicate pairs (hamming 0)") {
+    // exact content dups (d1 n_copies > 1) must appear with hamming 0
+    val dupGroups = Dedup.d1DedupExact(spark, sf)
+      .filter(col("n_copies") > 1).count()
+    if (dupGroups > 0) {
+      val zero = Dedup.d4Simhash(spark, sf)
+        .filter(col("hamming") === 0).count()
+      assert(zero > 0)
+    }
+  }
+
+  test("d5 cosine near-dup pairs are symmetric-free and above threshold") {
+    val rows = Dedup.d5EmbeddingNeardup(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.SyncStream
+import graft.streaming.SyncStream.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming specs (SURVEY §2 rows 37-39) driven through
+  * MemoryStream — watermarked windowed aggregation, in-watermark
+  * dedup, and flatMapGroupsWithState session tracking.
+  */
+class StreamingSpec extends GraftSpec {
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  private def ev(id: Long, min: Int, user: Long, typ: String = "click",
+      value: Double = 1.0): Ev = Ev(id, ts(min), user, typ, value)
+
+  test("row 37: streaming windowed counts match the batch transform") {
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = SyncStream.streamingWindowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win").outputMode("update").start()
+    try {
+      input.addData(ev(1, 0, 1), ev(2, 10, 1), ev(3, 70, 2, value = 2.5))
+      q.processAllAvailable()
+      val rows = spark.table("win")
+        .groupBy("bucket").agg(max("n_events").as("n_events"))
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(rows.values.sum == 3 && rows.size == 2)
+    } finally q.stop()
+  }
+
+  test("row 38: duplicate event_ids within the watermark collapse to one") {
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = SyncStream.streamingDedup(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(ev(1, 0, 1), ev(1, 1, 1), ev(2, 2, 1), ev(1, 3, 1))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0))
+      assert(ids.sorted.sameElements(Array(1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("row 39: session tracker accumulates per-user state across batches") {
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    // NoTimeout in the test: ProcessingTimeTimeout makes the
+    // micro-batch engine re-run batches continuously to evaluate
+    // timeouts, which never settles under processAllAvailable.
+    val q = SyncStream.sessionTracker(input.toDS(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("sess").outputMode("update").start()
+    try {
+      input.addData(ev(1, 0, 7), ev(2, 1, 7, value = 5.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 2, 7, typ = "error", value = 9.0), ev(4, 2, 8))
+      q.processAllAvailable()
+      val byUser = spark.table("sess").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+      // user 7: second emission sees cumulative 3 updates, error status
+      val u7 = byUser(7L).maxBy(_.getAs[Long]("n_updates"))
+      assert(u7.getAs[Long]("n_updates") == 3)
+      assert(u7.getAs[String]("last_status") == "error")
+      assert(u7.getAs[Double]("last_value") == 9.0)
+      val u8 = byUser(8L).head
+      assert(u8.getAs[Long]("n_updates") == 1)
+      assert(u8.getAs[String]("last_status") == "synced")
+    } finally q.stop()
+  }
+}

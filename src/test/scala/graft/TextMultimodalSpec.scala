@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis invariants (rows 32-35) + multimodal plumbing (36). */
+class TextMultimodalSpec extends GraftSpec {
+
+  test("t1 predicts a valid language, 'und' iff no stopword hits") {
+    // note: the fixture's `lang` column is random (uncorrelated with
+    // the text), so accuracy-vs-label is meaningless; the contract is
+    // the scoring rule itself.
+    val rows = TextAnalysis.t1LangId(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scores = Seq("s_en", "s_es", "s_de", "s_fr").map(r.getAs[Int])
+      val pred = r.getAs[String]("pred_lang")
+      assert(Set("en", "es", "de", "fr", "und").contains(pred))
+      if (scores.sum == 0) assert(pred == "und")
+      else {
+        val best = Map("en" -> scores(0), "es" -> scores(1),
+          "de" -> scores(2), "fr" -> scores(3))
+        assert(best(pred) == scores.max, s"pred $pred not argmax in $best")
+      }
+    }
+  }
+
+  test("t2 quality score stays in [0, 1]") {
+    TextAnalysis.t2QualityScore(spark, sf).collect().foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("t3 token counts are consistent (regex >= whitespace on clean text)") {
+    val rows = TextAnalysis.t3TokenCount(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("ws_tokens") > 0)
+      assert(r.getAs[Long]("bpe_est") >= r.getAs[Int]("ws_tokens"),
+        "ceil(len/4) per word is >= 1 token per word")
+    }
+  }
+
+  test("t4 fingerprint is whitespace-insensitive") {
+    import spark.implicits._
+    val base = TextAnalysis.t4Fingerprint(spark, sf)
+      .select("doc_id", "fp").as[(Long, String)].collect().toMap
+    // same text with doubled spaces must produce the same fingerprint
+    val doubled = Tables.documents(spark, sf)
+      .withColumn("text", regexp_replace(col("text"), " ", "  "))
+    val fp2 = doubled.select(col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(base == fp2)
+  }
+
+  test("m1 decode is deterministic and covers every document") {
+    val a = Multimodal.m1MultimodalMeta(spark, sf).collect()
+    val b = Multimodal.m1MultimodalMeta(spark, sf).collect()
+    assert(a.length == Tables.documents(spark, sf).count())
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    a.foreach { r =>
+      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 640)
+      assert(r.getAs[Int]("height") >= 1 && r.getAs[Int]("height") <= 480)
+      assert(r.getAs[Int]("n_bytes") > 0)
+    }
+  }
+}
