@@ -126,18 +126,25 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash signature per document. */
-  private[operators] def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+  /** 64-bit SimHash signature per document: one explode to token-hash
+    * rows (linear, no ×64 blow-up), then a single 64-column hash
+    * aggregate (±1 vote per bit — fully codegen'd, partial agg
+    * map-side, one shuffle on doc_id), then one projection assembling
+    * the sign bits. Deliberately avoids higher-order-function lambdas,
+    * which Spark evaluates interpreted per element. */
+  private[operators] def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val votes = (0 until 64).map(i =>
+      sum(when(expr(s"((h >> $i) & 1) = 1"), 1).otherwise(-1)).as(s"b$i"))
+    val assemble = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _) // bits are disjoint → sum == bitwise OR
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 63), i -> named_struct('i', i, 's', CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END))"))
-        .as("b"))
-      .groupBy(col("doc_id"), col("b.i").as("i"))
-      .agg(sum(col("b.s")).as("cnt"))
+      .select(col("doc_id"),
+        explode(expr("transform(split(text, ' '), t -> xxhash64(t))")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(expr("bit_or(CASE WHEN cnt > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)").as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), assemble.as("simhash"))
+  }
 
   /** d5: embedding-cosine near-dup pairs above a threshold. The pair
     * generation here is the bounded 500-vector corpus; the scale path
