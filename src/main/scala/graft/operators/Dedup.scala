@@ -64,38 +64,41 @@ object Dedup {
   val BandSize = 4 // rows per LSH band → 8 bands: P(miss a 0.8-Jaccard
   // pair) = (1 - 0.8^4)^8 ≈ 1.5%, vs 12% at 4 bands
 
-  /** Per-document MinHash signature as (doc_id, i, minhash) rows.
+  /** Per-document MinHash signature as ONE wide row (doc_id, mh0..mh31).
     * Hash family: xxhash64 seeded by the permutation index (a public,
-    * codegen'd 64-bit hash). */
-  private def minhashRows(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), explode(expr(
-      s"transform(sequence(0, ${MinhashK - 1}), i -> named_struct('i', i, 'h', xxhash64(i, sh)))"))
-      .as("ih"))
-      .groupBy(col("doc_id"), col("ih.i").as("i"))
-      .agg(min(col("ih.h")).as("mh"))
+    * codegen'd 64-bit hash). A single groupBy with MinhashK min
+    * aggregates — no ×K row blow-up, no interpreted lambdas, map-side
+    * partial aggregation, one shuffle on doc_id. */
+  private def minhashWide(sh: DataFrame): DataFrame = {
+    val mins = (0 until MinhashK).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
 
   /** d3: MinHash + LSH banding. Signatures band into MinhashK/BandSize
     * buckets; docs colliding in ≥1 band become candidates; the
     * estimated Jaccard is the fraction of agreeing signature slots.
+    * The band index is mixed into each band key, so cross-band key
+    * collisions are vanishing and one equi-join on band_key suffices.
     * rows-only check (hash-family specific); ScalaTest asserts the
     * candidates cover all true Jaccard≥0.8 pairs from d2. */
   def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashRows(shingles(s, dir))
-    val sigArr = sig.groupBy(col("doc_id"))
-      .agg(expr("transform(array_sort(collect_list(named_struct('i', i, 'mh', mh))), x -> x.mh)").as("sig"))
-    val bands = sig.withColumn("band", floor(col("i") / BandSize))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(xxhash64(col("band"), expr("array_sort(collect_list(named_struct('i', i, 'mh', mh)))")).as("band_key"))
+    val wide = minhashWide(shingles(s, dir)).cache()
+    val bandKeys = array((0 until MinhashK / BandSize).map(b =>
+      xxhash64((lit(b) +: (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))): _*)): _*)
+    val bands = wide.select(col("doc_id"), explode(bandKeys).as("band_key"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val agree = (0 until MinhashK)
+      .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
     cand
-      .join(sigArr.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sigArr.as("y"), col("doc_b") === col("y.doc_id"))
-      .withColumn("est_jaccard",
-        expr(s"size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), v -> v)) / CAST($MinhashK AS DOUBLE)"))
+      .join(wide.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(wide.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("est_jaccard", agree.cast("double") / MinhashK)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -146,16 +149,19 @@ object Dedup {
       .select(col("doc_id"), assemble.as("simhash"))
   }
 
-  /** d5: embedding-cosine near-dup pairs above a threshold. The pair
-    * generation here is the bounded 500-vector corpus; the scale path
-    * for unbounded corpora is the LSH bucketing in Similarity.n2. */
+  /** d5: embedding-cosine near-dup pairs above a threshold. The
+    * all-pairs join here is the bounded-corpus form; the scale path
+    * for unbounded corpora is the LSH bucketing in Similarity.n2. The
+    * dot product is a native codegen'd kernel (a flat primitive loop,
+    * see [[org.apache.spark.sql.graft.DotProduct]]) so the O(n²)
+    * verification pays no per-element expression overhead. */
   def d5EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", VectorFunctions.l2norm("v"))
+      .withColumn("nrm", VectorFunctions.l2normNative("v"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine", VectorFunctions.cosineFromParts(
-        VectorFunctions.dot("a.v", "b.v"), col("a.nrm"), col("b.nrm")))
+        VectorFunctions.dotNative("a.v", "b.v"), col("a.nrm"), col("b.nrm")))
       .filter(col("cosine") >= 0.4)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cosine"), 6).as("cosine"))

@@ -23,7 +23,7 @@ object Similarity {
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", VectorFunctions.l2norm("v"))
+      .withColumn("nrm", VectorFunctions.l2normNative("v"))
 
   private def rankTopK(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -44,7 +44,7 @@ object Similarity {
     val pairs = broadcast(q)
       .join(e, col("query_id") =!= col("vec_id"))
       .withColumn("cos_raw", VectorFunctions.cosineFromParts(
-        VectorFunctions.dot("qv", "v"), col("qn"), col("nrm")))
+        VectorFunctions.dotNative("qv", "v"), col("qn"), col("nrm")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_raw"))
     rankTopK(pairs)
   }
@@ -93,7 +93,7 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos_raw", VectorFunctions.cosineFromParts(
-        VectorFunctions.dot("qv", "v"), col("qn"), col("nrm")))
+        VectorFunctions.dotNative("qv", "v"), col("qn"), col("nrm")))
       .select(col("query_id"), col("neighbor_id"), col("cos_raw"))
     rankTopK(pairs)
   }
@@ -114,7 +114,7 @@ object Similarity {
       .orderBy(col("ccos").desc, col("cell_id").asc)
     val assigned = e.crossJoin(broadcast(centroids))
       .withColumn("ccos", VectorFunctions.cosineFromParts(
-        VectorFunctions.dot("v", "cv"), col("nrm"), col("cn")))
+        VectorFunctions.dotNative("v", "cv"), col("nrm"), col("cn")))
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"))
@@ -125,7 +125,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       .crossJoin(broadcast(centroids))
       .withColumn("ccos", VectorFunctions.cosineFromParts(
-        VectorFunctions.dot("qv", "cv"), col("qn"), col("cn")))
+        VectorFunctions.dotNative("qv", "cv"), col("qn"), col("cn")))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= IvfProbes)
       .select(col("query_id"), col("qv"), col("qn"), col("cell_id"))
@@ -133,7 +133,7 @@ object Similarity {
       .join(assigned, Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos_raw", VectorFunctions.cosineFromParts(
-        VectorFunctions.dot("qv", "v"), col("qn"), col("nrm")))
+        VectorFunctions.dotNative("qv", "v"), col("qn"), col("nrm")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_raw"))
     rankTopK(pairs)
   }
