@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.graft.DotProduct
+
+/** `SparkSessionExtensions` hook registering graft's native Catalyst
+  * expressions as SQL functions, so `spark.sql` users get the same
+  * codegen'd kernels as the DataFrame API:
+  *
+  * {{{
+  *   SELECT graft_dot(a.embedding, b.embedding) FROM ...
+  * }}}
+  *
+  * Installed automatically by [[GraftSession]] via
+  * `spark.sql.extensions`; any externally-built session can add it the
+  * same way.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_dot expects exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Analytics, Dedup, Relational}
+import graft.sources.Sources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audit (SURVEY §5): asserts the scale-critical plan
+  * properties directly, so a regression that silently de-optimizes a
+  * plan (lost pushdown, broadcast falling back to shuffle, partition
+  * pruning dropped) fails CI rather than only showing up as a 100 TB
+  * incident.
+  */
+class PlanAuditSpec extends GraftSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("r1: filter and projection reach the parquet scan") {
+    val plan = planOf(Relational.r1FilteredScan(spark, sf))
+    assert(plan.contains("PushedFilters:"), "expected scan pushdown section")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(event_type,error\\).*"),
+      s"event_type filter not pushed:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(value,100.*"),
+      s"value filter not pushed:\n$plan")
+    // column pruning: the scan must not read the unused props column
+    assert(!plan.contains("props"), s"scan reads unused column 'props':\n$plan")
+  }
+
+  test("q5: every dimension joins as a broadcast, fact join is the only shuffle join") {
+    val plan = planOf(Analytics.q5RegionRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast joins in q5:\n$plan")
+    // the only non-broadcast join allowed is lineitem ⋈ orders
+    val sortMerge = "SortMergeJoin".r.findAllIn(plan).size
+    val shuffledHash = "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(sortMerge + shuffledHash <= 1,
+      s"expected at most one shuffle join (lineitem-orders), got ${sortMerge + shuffledHash}:\n$plan")
+  }
+
+  test("r2: orderBy+limit compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Relational.r2PriorityTopk(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-K not TakeOrderedAndProject:\n$plan")
+  }
+
+  test("d5/n1 hot path uses the native graft_dot kernel inside codegen") {
+    val df = Dedup.d5EmbeddingNeardup(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("graft_dot"), s"native dot kernel missing from d5 plan:\n$plan")
+    // codegen explain compiles the stages even before execution (the
+    // formatted plan under AQE shows isFinalPlan=false and no spans)
+    val codegen = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"), s"no whole-stage codegen in d5 plan:\n$codegen")
+  }
+
+  test("partitioned sink: read-side filter on the partition column prunes partitions") {
+    Sources.k1PartitionedSink(spark, sf).collect() // materialize the sink
+    val path = s"${sys.props("java.io.tmpdir")}/graft_sources/k1_part"
+    val pruned = spark.read.parquet(path).filter(col("event_type") === "click")
+    val plan = planOf(pruned)
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"),
+      s"partition filter not applied at scan:\n$plan")
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val plan = planOf(Analytics.q1PricingSummary(spark, sf))
+    // formatted explain lists two HashAggregate nodes per agg: partial + final
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$plan")
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.sources.Sources
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends GraftSpec {
+
+  test("src1: csv round-trip aggregate equals direct parquet aggregate") {
+    val viaCsv = Sources.src1CsvRoundtrip(spark, sf).collect()
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_orderkey"),
+        max(col("l_linenumber")).as("max_linenumber"))
+      .orderBy("l_returnflag", "l_linestatus").collect()
+    assert(viaCsv.toSeq == direct.toSeq)
+  }
+
+  test("src2: json round-trip aggregate equals direct parquet aggregate") {
+    val viaJson = Sources.src2JsonRoundtrip(spark, sf).collect()
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"))
+      .orderBy("event_type").collect()
+    assert(viaJson.toSeq == direct.toSeq)
+  }
+
+  test("k1: partitioned sink preserves every row and partition values") {
+    val viaSink = Sources.k1PartitionedSink(spark, sf).collect()
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event"))
+      .orderBy("event_type").collect()
+    assert(viaSink.toSeq == direct.toSeq)
+  }
+
+  test("graft_dot is callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .head.getDouble(0)
+    assert(r == 32.0)
+  }
+}
