@@ -119,8 +119,12 @@ object Analytics {
   def a3ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      // rsd 0.02: HLL register count grows ~1/rsd², so 0.02 is 4× less
+      // sketch memory/merge cost than 0.01 while staying well inside
+      // the 5% accuracy the spec checks — per-group sketch size is the
+      // dominant cost of this aggregate, not the row count.
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("l_returnflag")
 
   /** Left-semi (EXISTS) + left-anti (NOT EXISTS), tagged union. */
@@ -174,6 +178,79 @@ object Analytics {
         Cols.fmtTs(min(col("ts"))).as("start_ts"),
         Cols.fmtTs(max(col("ts"))).as("end_ts"))
       .orderBy("user_id", "session_id")
+  }
+
+  /** CUBE over (returnflag, linestatus): all 4 grouping sets, nulls
+    * coalesced per SURVEY §4. */
+  def a4Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(Cols.moneySum(Cols.dec2(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Unpivot (wide→long melt) of a per-flag aggregate: each measure
+    * column becomes a (measure, value) row. */
+  def p2Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(Cols.moneySum(Cols.dec2(col("l_quantity"))).as("sum_qty"),
+        Cols.moneySum(Cols.dec2(col("l_extendedprice"))).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "measure", "value")
+      .orderBy("l_returnflag", "measure")
+
+  /** lead/lag/ntile window family over per-user event streams. */
+  def w2LeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("user_id") < 20)
+      .withColumn("prev_value", coalesce(lag(col("value"), 1).over(w), lit(-1.0)))
+      .withColumn("next_type", coalesce(lead(col("event_type"), 1).over(w), lit("none")))
+      .withColumn("quartile", ntile(4).over(w))
+      .select("event_id", "user_id", "prev_value", "next_type", "quartile")
+      .orderBy("event_id")
+  }
+
+  /** j2: AS-OF join (point-in-time): for each purchase event, the
+    * user's most recent click at-or-before the purchase timestamp.
+    *
+    * Spark has no ASOF JOIN operator; the scalable idiom is
+    * union-both-sides + a carry-forward window: tag clicks and
+    * purchases, sort per user by (ts, clicks-first), and carry the
+    * last non-null click forward with `last(_, ignoreNulls)`. One
+    * shuffle on user_id, linear scan — no per-row range probe, no
+    * O(n·m) interval join, and the same plan holds at 100 TB (the
+    * per-user partition is the only ordering scope needed). Clicks are
+    * pre-reduced to one per (user, ts) so the at-or-before winner is
+    * unique and both engines agree deterministically. */
+  def j2AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts"), col("click_id"),
+        lit(1).as("is_click"), lit(null).cast("bigint").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast("bigint").as("click_id"),
+        lit(0).as("is_click"), col("event_id"))
+    // clicks sort before purchases at equal ts → inclusive (>=) as-of
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_click").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionAll(purchases)
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("is_click") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_click") === 0)
+      .select(col("event_id"), col("user_id"),
+        Cols.fmtTs(col("ts")).as("purchase_ts"),
+        coalesce(col("last_click_id"), lit(-1L)).as("last_click_id"),
+        coalesce(Cols.fmtTs(col("last_click_ts")), lit("none")).as("last_click_ts"))
+      .orderBy("event_id")
   }
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
@@ -274,7 +351,44 @@ object Analytics {
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
         |FROM sess GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin)
+        |ORDER BY user_id, session_id""".stripMargin,
+    "a4_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "p2_unpivot" ->
+      """WITH wide AS (SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "w2_lead_lag" ->
+      """SELECT event_id, user_id,
+        |  COALESCE(LAG(value) OVER w, -1.0) AS prev_value,
+        |  COALESCE(LEAD(event_type) OVER w, 'none') AS next_type,
+        |  NTILE(4) OVER w AS quartile
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "j2_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  COALESCE(c.click_id, -1) AS last_click_id,
+        |  COALESCE(strftime(c.ts, '%Y-%m-%d %H:%M:%S'), 'none') AS last_click_ts
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -287,5 +401,9 @@ object Analytics {
     "j1_semi_anti" -> (j1SemiAnti _),
     "s1_set_ops" -> (s1SetOps _),
     "p1_pivot" -> (p1Pivot _),
-    "e1_sessionize" -> (e1Sessionize _))
+    "e1_sessionize" -> (e1Sessionize _),
+    "a4_cube" -> (a4Cube _),
+    "p2_unpivot" -> (p2Unpivot _),
+    "w2_lead_lag" -> (w2LeadLag _),
+    "j2_asof_join" -> (j2AsofJoin _))
 }

@@ -88,6 +88,21 @@ object TextAnalysis {
       (floor(col("n_chars") / 100) * 100).cast("bigint").as("len_bucket"))
       .orderBy("doc_id")
 
+  /** t5: corpus-wide top-20 word bigrams, totally ordered (count desc,
+    * bigram asc) so LIMIT picks the same set in both engines. The
+    * explode is linear in token count; the groupBy shuffles on the
+    * bigram (map-side partial counts make frequent bigrams cheap). */
+  def t5NgramFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+
   private def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
@@ -133,11 +148,19 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
         |  CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_ngram_freq" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT unnest([array_to_string(t[i:i+1], ' ')
+        |    FOR i IN generate_series(1, len(t) - 1)]) AS bigram FROM tok)
+        |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),
-    "t4_fingerprint" -> (t4Fingerprint _))
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_ngram_freq" -> (t5NgramFreq _))
 }
