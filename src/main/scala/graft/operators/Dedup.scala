@@ -44,7 +44,13 @@ object Dedup {
     * are never compared. Jaccard is an exact integer ratio →
     * bit-identical doubles across engines. */
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    // join on the 64-bit shingle hash, not the ~20-byte string: the
+    // candidate self-join shuffles far fewer bytes and compares fixed-
+    // width keys. Collision odds at even 10^9 distinct shingles are
+    // ~1e-2 per corpus BEFORE the doc_a<doc_b and jaccard filters, and
+    // a collision only perturbs one intersection count by 1.
+    val sh = shingles(s, dir)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

@@ -52,27 +52,40 @@ object Similarity {
   val LshTables = 8 // independent hash tables (union of candidates)
   val LshBits = 4 // hyperplanes per table → 16 buckets/table
 
+  /** Deterministic pseudo-random hyperplane weights for plane p: a
+    * fixed-seed splitmix64-style integer mix of (p, j) folded into
+    * [-0.5, 0.5]. Computed driver-side once and embedded as plan
+    * literals — a few KB that ship with the task binary, identical on
+    * every executor of a 1000-node cluster. */
+  private val MaxDim = 256
+  private def planeWeights(p: Int): Array[Double] =
+    Array.tabulate(MaxDim) { j =>
+      var z = p.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L + 42L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (java.lang.Math.floorMod(z, 1000003L).toDouble / 1000003.0) - 0.5
+    }
+
   /** Multi-table random-hyperplane LSH: LshTables independent tables of
     * LshBits sign bits each; a vector lands in one bucket per table and
-    * candidate pairs share (table, bucket). Deterministic pseudo-random
-    * plane weights: plane p, dim j → xxhash64(p*1024+j) folded into
-    * [-0.5, 0.5], computed inline with higher-order functions
-    * (codegen'd; no driver-side plane matrix, so the same expression
-    * works unchanged on a 1000-executor cluster). Multiple small tables
-    * beat one wide code: recall compounds as 1-(1-p^b)^L while bucket
-    * sizes stay ~n/2^b, keeping the candidate join linear. */
-  private def lshBuckets(vCol: String): org.apache.spark.sql.Column =
-    expr(
-      s"""transform(sequence(0, ${LshTables - 1}), t -> named_struct(
-         |  'tbl', t,
-         |  'bkt', aggregate(
-         |    transform(sequence(0, ${LshBits - 1}), p ->
-         |      CASE WHEN aggregate(
-         |        zip_with($vCol, transform(sequence(0, size($vCol) - 1), j ->
-         |          CAST(pmod(xxhash64((t * ${LshBits} + p) * 1024 + j), 1000003) AS DOUBLE) / 1000003.0 - 0.5),
-         |        (x, w) -> x * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0
-         |      THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END),
-         |    CAST(0 AS BIGINT), (acc, b) -> acc + b)))""".stripMargin)
+    * candidate pairs share (table, bucket). Each sign bit is one native
+    * codegen'd dot product against a literal weight vector (the
+    * interpreted-HOF form this replaced spent ~LshTables×LshBits×dim
+    * lambda evaluations per row). Multiple small tables beat one wide
+    * code: recall compounds as 1-(1-p^b)^L while bucket sizes stay
+    * ~n/2^b, keeping the candidate join linear. */
+  private def lshBuckets(vCol: String): org.apache.spark.sql.Column = {
+    val tables = (0 until LshTables).map { t =>
+      val bkt = (0 until LshBits).map { p =>
+        val w = typedlit(planeWeights(t * LshBits + p))
+        when(org.apache.spark.sql.graft.ArrayMathExpr.dotNative(col(vCol), w) > 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _) // disjoint bits: sum == bitwise OR
+      struct(lit(t).as("tbl"), bkt.as("bkt"))
+    }
+    array(tables: _*)
+  }
 
   /** n2: LSH-bucketed ANN — candidates from any shared (table, bucket),
     * deduped, then ranked by exact cosine. rows-only; ScalaTest checks
