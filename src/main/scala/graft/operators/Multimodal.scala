@@ -53,8 +53,41 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** A sampled frame with its (stubbed) feature vector. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int,
+      f0: Double, f1: Double)
+
+  /** m2: frame sampling — the 1→N batched transform shape (video →
+    * frames, audio → windows). Each payload yields up to 4 frames,
+    * each with a stubbed fixed-width feature vector; per-partition
+    * iterator semantics keep memory at one batch regardless of corpus
+    * size, and the output partitioning inherits the input's (no
+    * shuffle until the downstream aggregate). */
+  def m2FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bin = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        val nFrames = math.min(4, payload.length / 256 + 1)
+        (0 until nFrames).iterator.map { i =>
+          val from = i * payload.length / nFrames
+          val until = (i + 1) * payload.length / nFrames
+          val crc = new java.util.zip.CRC32
+          crc.update(payload, from, until - from)
+          val c = crc.getValue
+          // stub feature extraction: two deterministic pseudo-features
+          Frame(id, i, until - from,
+            (c % 1000L).toDouble / 1000.0, ((c >> 20) % 1000L).toDouble / 1000.0)
+        }
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
   val oracles: Map[String, String] = Map.empty // rows-only: binary plumbing
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m1_multimodal_meta" -> (m1MultimodalMeta _))
+    "m1_multimodal_meta" -> (m1MultimodalMeta _),
+    "m2_frame_sample" -> (m2FrameSample _))
 }

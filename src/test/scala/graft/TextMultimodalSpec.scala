@@ -65,4 +65,18 @@ class TextMultimodalSpec extends GraftSpec {
       assert(r.getAs[Int]("n_bytes") > 0)
     }
   }
+
+  test("m2 frame sampling emits 1..4 deterministic frames per document") {
+    val frames = Multimodal.m2FrameSample(spark, sf).collect()
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size == Tables.documents(spark, sf).count())
+    byDoc.values.foreach { fs =>
+      assert(fs.length >= 1 && fs.length <= 4)
+      assert(fs.map(_.getAs[Int]("frame_idx")).sorted.toSeq == fs.indices.toSeq)
+      // frame byte counts must partition the payload (no gaps/overlap)
+      assert(fs.forall(_.getAs[Int]("frame_bytes") > 0))
+    }
+    val again = Multimodal.m2FrameSample(spark, sf).collect()
+    assert(frames.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }
