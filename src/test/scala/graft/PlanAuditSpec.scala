@@ -62,6 +62,17 @@ class PlanAuditSpec extends GraftSpec {
       s"partition filter not applied at scan:\n$plan")
   }
 
+  test("k2: bucketed fact join needs no shuffle or sort below the join") {
+    Sources.k2BucketedJoin(spark, sf).collect() // materialize bucketed tables
+    val joined = spark.table("graft_lineitem_b").hint("merge")
+      .join(spark.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("o_orderpriority"))
+    val plan = planOf(joined)
+    assert(plan.contains("SortMergeJoin"), s"expected SortMergeJoin:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should read co-located buckets with no shuffle:\n$plan")
+  }
+
   test("q1: aggregation is partial (map-side combine) before the shuffle") {
     val plan = planOf(Analytics.q1PricingSummary(spark, sf))
     // formatted explain lists two HashAggregate nodes per agg: partial + final
