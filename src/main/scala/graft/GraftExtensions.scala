@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.DotProduct
+import org.apache.spark.sql.graft.{DotProduct, WordNgrams}
 
 /** `SparkSessionExtensions` hook registering graft's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -25,6 +25,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "graft_dot expects exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2 && children(1).foldable,
+          "graft_word_ngrams expects (text, constant n)")
+        val n = children(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_word_ngrams: n must be an integer literal, got $other")
+        }
+        WordNgrams(children.head, n)
       }))
   }
 }

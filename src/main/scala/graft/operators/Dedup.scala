@@ -19,14 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word 3-gram shingles per document (docs with <3 tokens
-    * are excluded — they have no 3-grams). */
+  /** Distinct word 3-gram shingles per document. Native WordNgrams
+    * expression: one compiled call per row (docs with <3 tokens yield
+    * an empty array, which explode drops). */
   private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 3))
         .as("sh"))
       .distinct()
 
@@ -148,8 +147,10 @@ object Dedup {
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _) // bits are disjoint → sum == bitwise OR
     Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(expr("transform(split(text, ' '), t -> xxhash64(t))")).as("h"))
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 1))
+        .as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
       .groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), assemble.as("simhash"))

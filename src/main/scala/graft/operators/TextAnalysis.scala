@@ -94,10 +94,8 @@ object TextAnalysis {
     * bigram (map-side partial counts make frequent bigrams cheap). */
   def t5NgramFreq(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"))
+      .select(explode(
+        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 2))
         .as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)

@@ -41,4 +41,13 @@ class SourcesSpec extends GraftSpec {
       .head.getDouble(0)
     assert(r == 32.0)
   }
+
+  test("graft_word_ngrams is callable from SQL and handles short texts") {
+    val r = spark.sql("SELECT graft_word_ngrams('a b c d', 3) AS g")
+      .head.getSeq[String](0)
+    assert(r == Seq("a b c", "b c d"))
+    val short = spark.sql("SELECT graft_word_ngrams('a b', 3) AS g")
+      .head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
 }
