@@ -74,4 +74,31 @@ class StreamingSpec extends GraftSpec {
       assert(u8.getAs[String]("last_status") == "synced")
     } finally q.stop()
   }
+
+  test("file-source end-to-end: parquet stream + AvailableNow equals batch") {
+    // the production shape: readStream over a parquet directory,
+    // process everything currently present, terminate (AvailableNow)
+    val srcDir = s"${sys.props("java.io.tmpdir")}/graft_stream_src"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_${System.nanoTime()}"
+    val batchEvents = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batchEvents.write.mode("overwrite").parquet(srcDir)
+    val streamed = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(srcDir)
+    val q = SyncStream.streamingWindowedCounts(streamed)
+      .writeStream.format("memory").queryName("filewin")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000L)
+      val got = spark.table("filewin")
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      val want = SyncStream.windowedCounts(batchEvents)
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
 }
