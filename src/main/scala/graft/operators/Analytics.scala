@@ -253,6 +253,19 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** s2: seeded stratified sampling (per-stratum Bernoulli) — the
+    * debug/eval-set carve-out every training pipeline needs. One pass,
+    * no shuffle (the sample predicate evaluates at the scan); fraction
+    * accuracy and determinism are ScalaTest-checked (engine-specific
+    * RNG ⇒ rows-only for the driver). */
+  def s2StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .stat.sampleBy("event_type",
+        Map("click" -> 0.1, "view" -> 0.1, "purchase" -> 0.5,
+          "error" -> 1.0, "signup" -> 1.0), seed = 42L)
+      .select(col("event_id"), col("event_type"))
+      .orderBy("event_id")
+
   private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracles: Map[String, String] = Map(
@@ -405,5 +418,6 @@ object Analytics {
     "a4_cube" -> (a4Cube _),
     "p2_unpivot" -> (p2Unpivot _),
     "w2_lead_lag" -> (w2LeadLag _),
-    "j2_asof_join" -> (j2AsofJoin _))
+    "j2_asof_join" -> (j2AsofJoin _),
+    "s2_stratified_sample" -> (s2StratifiedSample _))
 }

@@ -115,6 +115,32 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
+  /** k3: partition-level retention delete — the reference's
+    * cleanupStaleData (db.mjs:387-408) re-expressed as data lifecycle
+    * management: events land partitioned by day, and retention drops
+    * whole partition directories (a METADATA-level delete — no row
+    * rewrite, no scan of surviving data; at 100 TB this is the only
+    * viable retention mechanism). The read-back aggregate proves only
+    * in-retention partitions remain. */
+  def k3RetentionDelete(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("k3_events_by_day")
+    val cutoff = "2024-01-15"
+    Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName // day=YYYY-MM-DD
+      if (name.startsWith("day=") && name.stripPrefix("day=") < cutoff)
+        fs.delete(st.getPath, true)
+    }
+    s.read.parquet(path)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event"))
+      .orderBy("day")
+  }
+
   val oracles: Map[String, String] = Map(
     "src1_csv_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -131,11 +157,17 @@ object Sources {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k3_retention_delete" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+        |  SUM(event_id) AS sum_event
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-15'
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src1_csv_roundtrip" -> (src1CsvRoundtrip _),
     "src2_json_roundtrip" -> (src2JsonRoundtrip _),
     "k1_partitioned_sink" -> (k1PartitionedSink _),
-    "k2_bucketed_join" -> (k2BucketedJoin _))
+    "k2_bucketed_join" -> (k2BucketedJoin _),
+    "k3_retention_delete" -> (k3RetentionDelete _))
 }

@@ -72,6 +72,21 @@ class AnalyticsSpec extends GraftSpec {
     assert(rows.forall(r => (1 to 4).contains(r.getAs[Int]("quartile"))))
   }
 
+  test("s2 stratified sample honors per-stratum fractions and is deterministic") {
+    val totals = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Analytics.s2StratifiedSample(spark, sf).collect()
+    val byType = sampled.groupBy(_.getString(1)).view.mapValues(_.length.toLong)
+    // full-fraction strata must be exact
+    assert(byType.getOrElse("error", 0L) == totals.getOrElse("error", 0L))
+    assert(byType.getOrElse("signup", 0L) == totals.getOrElse("signup", 0L))
+    // Bernoulli strata within generous tolerance at sf0.001 sizes
+    val clicks = byType.getOrElse("click", 0L).toDouble / totals("click")
+    assert(clicks > 0.0 && clicks < 0.35, s"click fraction $clicks")
+    val again = Analytics.s2StratifiedSample(spark, sf).collect()
+    assert(sampled.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("j2 as-of join: each purchase matched to latest click at-or-before it") {
     val ev = Tables.events(spark, sf)
       .select("event_id", "user_id", "ts", "event_type").collect()
