@@ -253,6 +253,31 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** a5: exact percentiles per group (quartiles + p90). Both engines
+    * use the standard linear-interpolation definition over the sorted
+    * values; rounding to 4 decimals absorbs any sub-ulp divergence. */
+  def a5Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .orderBy("l_returnflag")
+
+  /** a6: second-moment statistics per group (stddev, correlation,
+    * covariance). Merge-order float effects are absorbed by rounding
+    * to 4 decimals. */
+  def a6Stats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
+      .orderBy("l_returnflag")
+
   /** s2: seeded stratified sampling (per-stratum Bernoulli) — the
     * debug/eval-set carve-out every training pipeline needs. One pass,
     * no shuffle (the sample predicate evaluates at the scan); fraction
@@ -389,6 +414,19 @@ object Analytics {
         |FROM events WHERE user_id < 20
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "a5_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a6_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "j2_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, MAX(event_id) AS click_id
@@ -419,5 +457,7 @@ object Analytics {
     "p2_unpivot" -> (p2Unpivot _),
     "w2_lead_lag" -> (w2LeadLag _),
     "j2_asof_join" -> (j2AsofJoin _),
-    "s2_stratified_sample" -> (s2StratifiedSample _))
+    "s2_stratified_sample" -> (s2StratifiedSample _),
+    "a5_percentiles" -> (a5Percentiles _),
+    "a6_stats" -> (a6Stats _))
 }
