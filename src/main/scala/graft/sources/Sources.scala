@@ -141,6 +141,30 @@ object Sources {
       .orderBy("day")
   }
 
+  /** k4: dynamic partition overwrite — the reference's INSERT OR
+    * REPLACE upsert (db.mjs:270-278) as an incremental batch pattern:
+    * a base load partitioned by day, then an update batch that
+    * atomically replaces ONLY the partitions it contains rows for
+    * (here: recent days reduced to purchases). Untouched partitions
+    * are never read or rewritten — the 100 TB incremental refresh
+    * idiom. */
+  def k4DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("k4_events_dyn")
+    val cutoff = "2024-01-20"
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    ev.write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
+    ev.filter(col("day") >= cutoff && col("event_type") === "purchase")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
+    s.read.parquet(path)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event"))
+      .orderBy("day")
+  }
+
   val oracles: Map[String, String] = Map(
     "src1_csv_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -162,12 +186,25 @@ object Sources {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
         |  SUM(event_id) AS sum_event
         |FROM events WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-15'
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k4_dynamic_overwrite" ->
+      """WITH base AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_id
+        |    FROM events),
+        |upd AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_id
+        |    FROM events WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-20'
+        |      AND event_type = 'purchase'),
+        |final AS (
+        |  SELECT * FROM base
+        |  WHERE day NOT IN (SELECT DISTINCT day FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT day, COUNT(*) AS n, SUM(event_id) AS sum_event
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src1_csv_roundtrip" -> (src1CsvRoundtrip _),
     "src2_json_roundtrip" -> (src2JsonRoundtrip _),
     "k1_partitioned_sink" -> (k1PartitionedSink _),
     "k2_bucketed_join" -> (k2BucketedJoin _),
-    "k3_retention_delete" -> (k3RetentionDelete _))
+    "k3_retention_delete" -> (k3RetentionDelete _),
+    "k4_dynamic_overwrite" -> (k4DynamicOverwrite _))
 }
