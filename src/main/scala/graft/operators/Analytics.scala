@@ -253,17 +253,20 @@ object Analytics {
       .orderBy("event_id")
   }
 
-  /** a5: exact percentiles per group (quartiles + p90). Both engines
-    * use the standard linear-interpolation definition over the sorted
-    * values; rounding to 4 decimals absorbs any sub-ulp divergence. */
+  /** a5: exact percentiles per group (quartiles + p90). ONE percentile
+    * aggregate taking the full percentage array, so the per-group
+    * value buffer is built and sorted once, not once per percentile.
+    * Both engines use linear interpolation over the sorted values;
+    * rounding to 4 decimals absorbs any sub-ulp divergence. (Exact
+    * percentiles buffer each group — the unbounded-cardinality scale
+    * path is approx_percentile, same shape as a3's HLL.) */
   def a5Percentiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ps"))
+      .select(col("l_returnflag"),
+        round(col("ps")(0), 4).as("p25"), round(col("ps")(1), 4).as("p50"),
+        round(col("ps")(2), 4).as("p75"), round(col("ps")(3), 4).as("p90"))
       .orderBy("l_returnflag")
 
   /** a6: second-moment statistics per group (stddev, correlation,
@@ -277,6 +280,35 @@ object Analytics {
         round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
         round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
       .orderBy("l_returnflag")
+
+  /** w3: rolling 1-hour event count/sum per user — a RANGE window
+    * frame over event time (expressed in epoch µs so both engines
+    * frame identically; Spark's rangeBetween needs a numeric order
+    * key anyway). */
+  def w3RollingHour(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0)
+    Tables.events(s, dir)
+      .filter(col("user_id") < 20)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .withColumn("sum_last_hour",
+        sum(col("value").cast(DecimalType(12, 2))).over(w).cast("double"))
+      .select("event_id", "user_id", "n_last_hour", "sum_last_hour")
+      .orderBy("event_id")
+  }
+
+  /** s3: ordered group concatenation (the debugging-friendly
+    * "summarize group members" aggregate). Sorted distinct values
+    * joined to one string → deterministic across engines. */
+  def s3GroupConcat(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+        .as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
 
   /** s2: seeded stratified sampling (per-stratum Bernoulli) — the
     * debug/eval-set carve-out every training pipeline needs. One pass,
@@ -414,6 +446,19 @@ object Analytics {
         |FROM events WHERE user_id < 20
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "w3_rolling_hour" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_last_hour,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_last_hour
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "s3_group_concat" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "a5_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
@@ -459,5 +504,7 @@ object Analytics {
     "j2_asof_join" -> (j2AsofJoin _),
     "s2_stratified_sample" -> (s2StratifiedSample _),
     "a5_percentiles" -> (a5Percentiles _),
-    "a6_stats" -> (a6Stats _))
+    "a6_stats" -> (a6Stats _),
+    "w3_rolling_hour" -> (w3RollingHour _),
+    "s3_group_concat" -> (s3GroupConcat _))
 }
