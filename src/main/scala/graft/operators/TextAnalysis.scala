@@ -101,6 +101,20 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)
 
+  /** t6: winnowing rolling-hash fingerprints (k=8 char-grams, window
+    * w=4) — the locality-preserving fingerprint (common substrings ≥
+    * w+k-1 chars ⇒ shared fingerprints). Native expression, one
+    * compiled call per row; rows-only + ScalaTest (no SQL analog). */
+  def t6WinnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.RollingFingerprintExpr
+          .fingerprints(col("text"), 8, 4).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        coalesce(array_min(col("fps")), lit(0L)).as("fp_min"),
+        coalesce(array_max(col("fps")), lit(0L)).as("fp_max"))
+      .orderBy("doc_id")
+
   private def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
@@ -160,5 +174,6 @@ object TextAnalysis {
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),
     "t4_fingerprint" -> (t4Fingerprint _),
-    "t5_ngram_freq" -> (t5NgramFreq _))
+    "t5_ngram_freq" -> (t5NgramFreq _),
+    "t6_winnow_fingerprint" -> (t6WinnowFingerprint _))
 }

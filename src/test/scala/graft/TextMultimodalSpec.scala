@@ -79,4 +79,29 @@ class TextMultimodalSpec extends GraftSpec {
     val again = Multimodal.m2FrameSample(spark, sf).collect()
     assert(frames.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("t6 winnowing: deterministic, and shared substrings share fingerprints") {
+    val rows = TextAnalysis.t6WinnowFingerprint(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall(_.getAs[Int]("n_fp") >= 1))
+    // winnowing guarantee: a common substring of length >= w+k-1 (11)
+    // yields at least one shared fingerprint between two documents
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog"
+    val fpsOf = Seq(
+      s"PREFIX ONE $common SUFFIX ALPHA",
+      s"totally different opening $common and another ending").toDF("text")
+      .select(org.apache.spark.sql.graft.RollingFingerprintExpr
+        .fingerprints(col("text"), 8, 4).as("fps"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(fpsOf(0).intersect(fpsOf(1)).nonEmpty,
+      "documents sharing a long substring must share a fingerprint")
+    // and two unrelated strings should (overwhelmingly) not collide
+    val unrelated = Seq("aaaaaaaaaaaaaaaaaaaaaa", "zzzzzzzzzzzzzzzzzzzzzz")
+      .toDF("text")
+      .select(org.apache.spark.sql.graft.RollingFingerprintExpr
+        .fingerprints(col("text"), 8, 4).as("fps"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(unrelated(0).intersect(unrelated(1)).isEmpty)
+  }
 }
