@@ -310,6 +310,32 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** j3: range (interval) join — for each probe order, count other
+    * orders placed within ±3 days. A naive range join is O(n·m); the
+    * scale idiom is BINNING: each probe explodes to the 7 day-bins its
+    * interval covers, the build side carries its single day-bin, and
+    * the join becomes an equi-join on the bin (each build row lands in
+    * exactly one bin ⇒ no dedup needed), with the exact range
+    * predicate re-checked after. Probe side is bounded ⇒ broadcast. */
+  def j3RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val probes = Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey").as("p_key"), col("o_orderdate").as("p_date"))
+      .withColumn("off", explode(expr("sequence(-3, 3)")))
+      .select(col("p_key"), col("p_date"),
+        date_format(date_add(col("p_date").cast("date"), col("off")), "yyyy-MM-dd").as("bin"))
+    val build = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("bin"))
+    broadcast(probes)
+      .join(build, Seq("bin"))
+      .filter(col("o_orderkey") =!= col("p_key") &&
+        abs(datediff(col("o_orderdate").cast("date"), col("p_date").cast("date"))) <= 3)
+      .groupBy(col("p_key"))
+      .agg(count(lit(1)).as("n_nearby"))
+      .orderBy("p_key")
+  }
+
   /** s2: seeded stratified sampling (per-stratum Bernoulli) — the
     * debug/eval-set carve-out every training pipeline needs. One pass,
     * no shuffle (the sample predicate evaluates at the scan); fraction
@@ -446,6 +472,12 @@ object Analytics {
         |FROM events WHERE user_id < 20
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "j3_range_join" ->
+      """SELECT p.o_orderkey AS p_key, COUNT(*) AS n_nearby
+        |FROM orders p JOIN orders o
+        |  ON p.o_orderkey < 100 AND o.o_orderkey <> p.o_orderkey
+        |  AND abs(date_diff('day', p.o_orderdate, o.o_orderdate)) <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "w3_rolling_hour" ->
       """SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_last_hour,
@@ -506,5 +538,6 @@ object Analytics {
     "a5_percentiles" -> (a5Percentiles _),
     "a6_stats" -> (a6Stats _),
     "w3_rolling_hour" -> (w3RollingHour _),
-    "s3_group_concat" -> (s3GroupConcat _))
+    "s3_group_concat" -> (s3GroupConcat _),
+    "j3_range_join" -> (j3RangeJoin _))
 }
