@@ -336,6 +336,20 @@ object Analytics {
       .orderBy("p_key")
   }
 
+  /** a7: approximate percentiles (Greenwald-Khanna sketch) — the
+    * bounded-memory scale path for a5: the sketch is a few KB per
+    * group regardless of group cardinality, and merges associatively
+    * (map-side partial aggregation works). rows-only; ScalaTest bounds
+    * the rank error vs the exact a5 values. */
+  def a7ApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D), 1000)").as("ps"))
+      .select(col("l_returnflag"),
+        col("ps")(0).as("p25"), col("ps")(1).as("p50"),
+        col("ps")(2).as("p75"), col("ps")(3).as("p90"))
+      .orderBy("l_returnflag")
+
   /** s2: seeded stratified sampling (per-stratum Bernoulli) — the
     * debug/eval-set carve-out every training pipeline needs. One pass,
     * no shuffle (the sample predicate evaluates at the scan); fraction
@@ -539,5 +553,6 @@ object Analytics {
     "a6_stats" -> (a6Stats _),
     "w3_rolling_hour" -> (w3RollingHour _),
     "s3_group_concat" -> (s3GroupConcat _),
-    "j3_range_join" -> (j3RangeJoin _))
+    "j3_range_join" -> (j3RangeJoin _),
+    "a7_approx_quantile" -> (a7ApproxQuantile _))
 }

@@ -115,6 +115,29 @@ object TextAnalysis {
         coalesce(array_max(col("fps")), lit(0L)).as("fp_max"))
       .orderBy("doc_id")
 
+  /** t7: Count-Min-Sketch heavy hitters. The CMS is built
+    * distributedly (mergeable sketch, one pass, fixed memory) with a
+    * fixed seed; the candidate set is the exact top-20 tokens, and the
+    * output pairs each candidate with its CMS estimate. CMS guarantees
+    * estimate ≥ true count, within εN with high probability — the
+    * ScalaTest asserts both bounds. rows-only (sketch internals are
+    * engine-specific). */
+  def t7HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(
+        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 1))
+        .as("tok"))
+    val cms = toks.stat.countMinSketch(col("tok"), eps = 0.0005,
+      confidence = 0.99, seed = 42)
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    top.map { case (t, n) => (t, n, cms.estimateCount(t)) }.toSeq
+      .toDF("tok", "exact_n", "cms_est")
+      .orderBy(col("exact_n").desc, col("tok").asc)
+  }
+
   private def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
@@ -175,5 +198,6 @@ object TextAnalysis {
     "t3_token_count" -> (t3TokenCount _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_ngram_freq" -> (t5NgramFreq _),
-    "t6_winnow_fingerprint" -> (t6WinnowFingerprint _))
+    "t6_winnow_fingerprint" -> (t6WinnowFingerprint _),
+    "t7_heavy_hitters" -> (t7HeavyHitters _))
 }

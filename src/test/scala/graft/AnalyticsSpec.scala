@@ -87,6 +87,19 @@ class AnalyticsSpec extends GraftSpec {
     assert(sampled.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("a7 approx quantiles within 5% of exact per group") {
+    val exact = Analytics.a5Percentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    Analytics.a7ApproxQuantile(spark, sf).collect().foreach { r =>
+      val e = exact(r.getString(0))
+      Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        .zip(e).foreach { case (approx, ex) =>
+          assert(math.abs(approx - ex) / ex < 0.05, s"approx $approx vs exact $ex")
+        }
+    }
+  }
+
   test("j2 as-of join: each purchase matched to latest click at-or-before it") {
     val ev = Tables.events(spark, sf)
       .select("event_id", "user_id", "ts", "event_type").collect()

@@ -80,6 +80,19 @@ class TextMultimodalSpec extends GraftSpec {
     assert(frames.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("t7 CMS estimates dominate exact counts within the epsilon bound") {
+    val rows = TextAnalysis.t7HeavyHitters(spark, sf).collect()
+    assert(rows.length == 20)
+    val totalTokens = TextAnalysis.t3TokenCount(spark, sf)
+      .agg(sum("ws_tokens")).collect().head.getLong(0)
+    rows.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2)
+      assert(est >= exact, s"CMS must overestimate: $est < $exact")
+      assert(est <= exact + (0.0005 * 4 * totalTokens).toLong,
+        s"CMS estimate $est too far above exact $exact")
+    }
+  }
+
   test("t6 winnowing: deterministic, and shared substrings share fingerprints") {
     val rows = TextAnalysis.t6WinnowFingerprint(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
