@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{DotProduct, WordNgrams}
+import org.apache.spark.sql.graft.{DotProduct, RollingFingerprint, WordNgrams}
 
 /** `SparkSessionExtensions` hook registering graft's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -39,6 +39,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_word_ngrams: n must be an integer literal, got $other")
         }
         WordNgrams(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fingerprints"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprints"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3 && children(1).foldable && children(2).foldable,
+          "graft_fingerprints expects (text, constant k, constant w)")
+        def toInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+          e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_fingerprints: expected integer literal, got $other")
+          }
+        RollingFingerprint(children.head, toInt(children(1)), toInt(children(2)))
       }))
   }
 }

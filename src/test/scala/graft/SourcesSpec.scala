@@ -50,4 +50,11 @@ class SourcesSpec extends GraftSpec {
       .head.getSeq[String](0)
     assert(short.isEmpty)
   }
+
+  test("graft_fingerprints is callable from SQL") {
+    val fps = spark.sql(
+      "SELECT graft_fingerprints('the quick brown fox jumps', 8, 4) AS f")
+      .head.getSeq[Long](0)
+    assert(fps.nonEmpty)
+  }
 }
