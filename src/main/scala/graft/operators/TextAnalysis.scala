@@ -30,14 +30,21 @@ object TextAnalysis {
   }
 
   /** t1: stopword-scored language ID. Deterministic argmax with fixed
-    * preference order en>es>de>fr, 'und' when every score is zero. */
+    * preference order en>es>de>fr, 'und' when every score is zero.
+    * One token explode + four codegen'd conditional sums (exact token
+    * equality, same as the per-row `filter` lambdas this replaced —
+    * which Spark evaluated interpreted per token per language). Every
+    * text yields ≥1 token (even "" → [""]), so no document is lost. */
   def t1LangId(s: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.documents(s, dir).select(
-      col("doc_id"), col("lang").as("lang_label"),
-      stopCount(stoplists("en")).as("s_en"),
-      stopCount(stoplists("es")).as("s_es"),
-      stopCount(stoplists("de")).as("s_de"),
-      stopCount(stoplists("fr")).as("s_fr"))
+    def scoreOf(lang: String): org.apache.spark.sql.Column =
+      sum(when(col("tok").isin(stoplists(lang): _*), 1).otherwise(0))
+        .cast("int").as(s"s_$lang") // int, like the size(filter()) it replaced
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("lang_label"), explode(
+        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 1))
+        .as("tok"))
+      .groupBy(col("doc_id"), col("lang_label"))
+      .agg(scoreOf("en"), scoreOf("es"), scoreOf("de"), scoreOf("fr"))
     scored.withColumn("pred_lang",
       when(col("s_en") + col("s_es") + col("s_de") + col("s_fr") === 0, "und")
         .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
