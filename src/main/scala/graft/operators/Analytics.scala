@@ -350,6 +350,35 @@ object Analytics {
         col("ps")(2).as("p75"), col("ps")(3).as("p90"))
       .orderBy("l_returnflag")
 
+  val SaltBuckets = 8
+
+  /** j4: salted join for skewed keys. events.event_type has only 5
+    * values, so a plain shuffle join lands everything on 5 reducers;
+    * salting splits each hot key into SaltBuckets sub-keys — the fact
+    * side salts DETERMINISTICALLY (hash of its unique id, not rand(),
+    * so replays/retries produce identical partitions) and the dim side
+    * replicates across all salt values. This is the pattern for when
+    * BOTH sides are too big to broadcast; with a genuinely small dim,
+    * broadcast (q5) is still the first choice. */
+  def j4SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // "above average" as value*n > sum in exact DECIMAL — no float
+    // boundary can flip between engines (SURVEY §4)
+    val typeStats = ev.groupBy(col("event_type"))
+      .agg(sum(Cols.dec2(col("value"))).as("type_sum"),
+        count(lit(1)).as("type_n"))
+    val dimSalted = typeStats
+      .withColumn("salt", explode(expr(s"sequence(0, ${SaltBuckets - 1})")))
+    val factSalted = ev
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(SaltBuckets)).cast("int"))
+    factSalted.join(dimSalted, Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(Cols.dec2(col("value")) * col("type_n") > col("type_sum"), 1)
+          .otherwise(0)).as("n_above_avg"))
+      .orderBy("event_type")
+  }
+
   /** s2: seeded stratified sampling (per-stratum Bernoulli) — the
     * debug/eval-set carve-out every training pipeline needs. One pass,
     * no shuffle (the sample predicate evaluates at the scan); fraction
@@ -486,6 +515,16 @@ object Analytics {
         |FROM events WHERE user_id < 20
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "j4_salted_join" ->
+      """WITH ts AS (SELECT event_type,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS type_sum,
+        |    COUNT(*) AS type_n
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  SUM(CASE WHEN CAST(e.value AS DECIMAL(12,2)) * ts.type_n > ts.type_sum
+        |    THEN 1 ELSE 0 END) AS n_above_avg
+        |FROM events e JOIN ts USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j3_range_join" ->
       """SELECT p.o_orderkey AS p_key, COUNT(*) AS n_nearby
         |FROM orders p JOIN orders o
@@ -554,5 +593,6 @@ object Analytics {
     "w3_rolling_hour" -> (w3RollingHour _),
     "s3_group_concat" -> (s3GroupConcat _),
     "j3_range_join" -> (j3RangeJoin _),
-    "a7_approx_quantile" -> (a7ApproxQuantile _))
+    "a7_approx_quantile" -> (a7ApproxQuantile _),
+    "j4_salted_join" -> (j4SaltedJoin _))
 }
