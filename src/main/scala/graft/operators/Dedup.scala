@@ -175,6 +175,40 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** d6: near-dup clustering — connected components over the d2 pair
+    * graph, so each duplicate group gets one canonical cluster_id
+    * (the min doc_id reachable). Iterative min-label propagation:
+    * each round joins labels across edges and keeps the per-node min;
+    * rounds needed = graph diameter (near-dup clusters are shallow),
+    * and each round is one shuffle — the driver loop only checks the
+    * converged count, it never holds data. At 100 TB scale the same
+    * loop runs with per-round checkpointing to truncate lineage
+    * (alternating small-star/large-star halves the round count but
+    * not the per-round cost). */
+  def d6DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d2NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val propagated = edges.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionAll(propagated)
+        .groupBy("id").agg(min("label").as("label")).cache()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
@@ -195,6 +229,27 @@ object Dedup {
         |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d6_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]) AS sh
+        |  FROM tok),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        |SELECT a AS doc_id, MIN(b) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "d5_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -210,5 +265,6 @@ object Dedup {
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash" -> (d4Simhash _),
-    "d5_embedding_neardup" -> (d5EmbeddingNeardup _))
+    "d5_embedding_neardup" -> (d5EmbeddingNeardup _),
+    "d6_dedup_clusters" -> (d6DedupClusters _))
 }

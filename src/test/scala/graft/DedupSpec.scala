@@ -61,6 +61,20 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("d6 clusters: both ends of every near-dup pair share a cluster, id = min member") {
+    val pairs = Dedup.d2NgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = Dedup.d6DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    cluster.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"cluster $cid is not its min member")
+    }
+  }
+
   test("d5 cosine near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.d5EmbeddingNeardup(spark, sf).collect()
     rows.foreach { r =>
