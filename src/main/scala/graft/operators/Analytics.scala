@@ -379,6 +379,24 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** s4: nested-data round-trip — lineitems nested per order as a
+    * sorted array of structs (the denormalized document layout), then
+    * exploded back and aggregated. Proves the nest/unnest path
+    * (collect_list(struct) ↔ explode) is lossless; the oracle
+    * aggregates the flat table directly. */
+  def s4NestedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val nested = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))).as("items"))
+    nested
+      .select(col("l_orderkey"), explode(col("items")).as("it"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        Cols.moneySum(Cols.dec2(col("it.l_quantity"))).as("sum_qty"))
+      .orderBy("l_orderkey")
+  }
+
   /** s2: seeded stratified sampling (per-stratum Bernoulli) — the
     * debug/eval-set carve-out every training pipeline needs. One pass,
     * no shuffle (the sample predicate evaluates at the scan); fraction
@@ -515,6 +533,10 @@ object Analytics {
         |FROM events WHERE user_id < 20
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "s4_nested_roundtrip" ->
+      """SELECT l_orderkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "j4_salted_join" ->
       """WITH ts AS (SELECT event_type,
         |    SUM(CAST(value AS DECIMAL(12,2))) AS type_sum,
@@ -594,5 +616,6 @@ object Analytics {
     "s3_group_concat" -> (s3GroupConcat _),
     "j3_range_join" -> (j3RangeJoin _),
     "a7_approx_quantile" -> (a7ApproxQuantile _),
-    "j4_salted_join" -> (j4SaltedJoin _))
+    "j4_salted_join" -> (j4SaltedJoin _),
+    "s4_nested_roundtrip" -> (s4NestedRoundtrip _))
 }
