@@ -202,11 +202,17 @@ object Dedup {
       changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist() // superseded generation — at scale these are big
       labels = next
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val out = labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
+      .localCheckpoint() // cut the iterative lineage before downstream use
+    labels.unpersist()
+    edges.unpersist()
+    out
   }
 
   val oracles: Map[String, String] = Map(

@@ -83,6 +83,27 @@ object SyncStream {
       }
   }
 
+  /** Row 64: stream-stream interval join — each purchase joined to
+    * clicks by the same user within the preceding 30 minutes. Both
+    * sides carry watermarks, and the time-bound join condition lets
+    * the engine expire click state once the watermark passes the
+    * interval — bounded state, the streaming analog of the batch
+    * as-of join (j2). */
+  def streamingIntervalJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = clicks.withWatermark("ts", "40 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   val oracles: Map[String, String] = Map(
     "st1_windowed_counts" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

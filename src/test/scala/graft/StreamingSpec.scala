@@ -75,6 +75,27 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("row 64: stream-stream interval join matches the batch equivalent") {
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = SyncStream.streamingIntervalJoin(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("sjoin").outputMode("append").start()
+    try {
+      clicks.addData(ev(1, 0, 1), ev(2, 25, 1), ev(3, 100, 1), ev(4, 10, 2))
+      purchases.addData(ev(10, 30, 1), ev(11, 120, 1), ev(12, 50, 2))
+      q.processAllAvailable()
+      val got = spark.table("sjoin")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // purchase 10 (t=30, user 1): clicks at 0 (30 min before, inclusive) and 25
+      // purchase 11 (t=120, user 1): click at 100
+      // purchase 12 (t=50, user 2): click at 10 is 40 min before -> excluded
+      assert(got == Set((10L, 1L), (10L, 2L), (11L, 3L)))
+    } finally q.stop()
+  }
+
   test("file-source end-to-end: parquet stream + AvailableNow equals batch") {
     // the production shape: readStream over a parquet directory,
     // process everything currently present, terminate (AvailableNow)
