@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      SyncStream.queries ++ Sources.queries
+      SyncStream.queries ++ Sources.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops,
@@ -29,5 +29,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      SyncStream.oracles ++ Sources.oracles
+      SyncStream.oracles ++ Sources.oracles ++ Pipeline.oracles
 }
