@@ -145,6 +145,26 @@ object TextAnalysis {
       .orderBy(col("exact_n").desc, col("tok").asc)
   }
 
+  val ChunkLen = 50 // tokens per chunk
+  val ChunkStride = 40 // 10-token overlap between consecutive chunks
+
+  /** t8: document chunking — fixed-size token windows with overlap,
+    * the pre-tokenization step for sequence packing. One row per
+    * (doc, chunk); `slice` is a codegen'd builtin and the per-doc
+    * chunk-index explode is tiny (~n_tokens/stride rows), so the op
+    * scales linearly with corpus token count. */
+  def t8Chunking(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"), explode(expr(
+        s"sequence(0, CAST(ceil(size(t) / $ChunkStride.0) AS INT) - 1)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"slice(t, chunk_idx * $ChunkStride + 1, $ChunkLen)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tok"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
   private def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
@@ -191,6 +211,15 @@ object TextAnalysis {
         |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
         |  CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t8_chunking" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |c AS (SELECT doc_id, t,
+         |    unnest(generate_series(0, CAST(ceil(len(t) / $ChunkStride.0) AS INT) - 1)) AS chunk_idx
+         |  FROM tok)
+         |SELECT doc_id, chunk_idx,
+         |  len(t[chunk_idx * $ChunkStride + 1 : least(chunk_idx * $ChunkStride + $ChunkLen, len(t))]) AS n_tok,
+         |  md5(array_to_string(t[chunk_idx * $ChunkStride + 1 : least(chunk_idx * $ChunkStride + $ChunkLen, len(t))], ' ')) AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "t5_ngram_freq" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2),
@@ -206,5 +235,6 @@ object TextAnalysis {
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_ngram_freq" -> (t5NgramFreq _),
     "t6_winnow_fingerprint" -> (t6WinnowFingerprint _),
-    "t7_heavy_hitters" -> (t7HeavyHitters _))
+    "t7_heavy_hitters" -> (t7HeavyHitters _),
+    "t8_chunking" -> (t8Chunking _))
 }
