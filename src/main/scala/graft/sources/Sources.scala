@@ -99,7 +99,9 @@ object Sources {
     val buckets = 8
     dropManaged(s, "graft_orders_b")
     dropManaged(s, "graft_lineitem_b")
-    Tables.orders(s, dir).write.mode(SaveMode.Overwrite)
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderpriority") // prune before the layout write
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("graft_orders_b")
     Tables.lineitem(s, dir)

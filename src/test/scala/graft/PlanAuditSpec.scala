@@ -73,6 +73,30 @@ class PlanAuditSpec extends GraftSpec {
       s"bucketed join should read co-located buckets with no shuffle:\n$plan")
   }
 
+  test("j3: binned range join broadcasts the probe side, no cartesian product") {
+    val plan = planOf(Analytics.j3RangeJoin(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to an O(n*m) join:\n$plan")
+  }
+
+  test("d3: LSH candidate generation is an equi-join, never a cartesian product") {
+    val plan = planOf(Dedup.d3MinhashLsh(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"band join degenerated to a cartesian product:\n$plan")
+  }
+
+  test("j2: as-of join is one shuffle on the key plus the output sort") {
+    val plan = planOf(Analytics.j2AsofJoin(spark, sf))
+    // count physical Exchange NODES (the formatted text lists each node
+    // twice: once in the tree, once in the details section)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 3, // clicks-dedup agg + shared window shuffle + output sort
+      s"as-of join shuffles more than expected ($exchanges):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"as-of should be a window carry-forward, not a join:\n$plan")
+  }
+
   test("q1: aggregation is partial (map-side combine) before the shuffle") {
     val plan = planOf(Analytics.q1PricingSummary(spark, sf))
     // formatted explain lists two HashAggregate nodes per agg: partial + final
