@@ -151,7 +151,37 @@ object Similarity {
     rankTopK(pairs)
   }
 
+  /** n5: per-group embedding centroids via the native VectorSumAgg
+    * aggregate — one pass + one shuffle of dim-length buffers (the
+    * posexplode alternative blows rows up dim× and shuffles them
+    * all). Emits the first four centroid dimensions (rounded: sum
+    * order across partitions differs from the oracle's) plus the
+    * group size. */
+  def n5Centroids(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(pmod(col("vec_id"), lit(10)).as("grp"),
+        col("embedding").cast("array<double>").as("v"))
+    e.groupBy(col("grp"))
+      .agg(org.apache.spark.sql.graft.VectorSumAggExpr.vectorSum(col("v")).as("vs"),
+        count(lit(1)).as("n"))
+      .select(col("grp"), col("n"),
+        round(col("vs")(0) / col("n"), 6).as("c0"),
+        round(col("vs")(1) / col("n"), 6).as("c1"),
+        round(col("vs")(2) / col("n"), 6).as("c2"),
+        round(col("vs")(3) / col("n"), 6).as("c3"))
+      .orderBy("grp")
+  }
+
   val oracles: Map[String, String] = Map(
+    "n5_centroids" ->
+      """WITH e AS (SELECT vec_id % 10 AS grp, embedding::DOUBLE[] AS v
+        |  FROM embeddings)
+        |SELECT grp, COUNT(*) AS n,
+        |  round(SUM(v[1]) / COUNT(*), 6) AS c0,
+        |  round(SUM(v[2]) / COUNT(*), 6) AS c1,
+        |  round(SUM(v[3]) / COUNT(*), 6) AS c2,
+        |  round(SUM(v[4]) / COUNT(*), 6) AS c3
+        |FROM e GROUP BY grp ORDER BY grp""".stripMargin,
     "n1_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -168,5 +198,6 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_cosine_topk" -> (n1CosineTopk _),
     "n2_ann_lsh" -> (n2AnnLsh _),
-    "n3_ivf_ann" -> (n3IvfAnn _))
+    "n3_ivf_ann" -> (n3IvfAnn _),
+    "n5_centroids" -> (n5Centroids _))
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.{RollingFingerprintUtil, WordNgramsUtil}
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Test => SCTest}
@@ -58,6 +60,31 @@ class KernelPropertySpec extends AnyFunSuite {
   test("winnowing fingerprints are deterministic") {
     check(Prop.forAll(text) { (t: String) =>
       fingerprintSet(t, 8, 4) == fingerprintSet(t, 8, 4)
+    })
+  }
+
+  test("VectorSumAgg update/merge equals the per-dimension reference sum") {
+    val vecs = Gen.listOf(Gen.listOfN(8, Gen.choose(-10.0, 10.0)))
+    check(Prop.forAll(vecs) { (vs: List[List[Double]]) =>
+      val agg = org.apache.spark.sql.graft.VectorSumAgg(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = true))
+      // split input across two "partitions", update each, then merge
+      val (l, r) = vs.splitAt(vs.length / 2)
+      def fold(part: List[List[Double]]) = part.foldLeft(agg.createAggregationBuffer()) {
+        (buf, v) => agg.update(buf, InternalRow(new GenericArrayData(v.toArray)))
+      }
+      val merged = agg.merge(fold(l), fold(r))
+      // reference: elementwise sum, ragged vectors padded (the agg's
+      // documented semantics: the buffer grows to the longest vector)
+      val maxLen = if (vs.isEmpty) 0 else vs.map(_.length).max
+      val want = Array.fill(maxLen)(0.0)
+      vs.foreach(_.zipWithIndex.foreach { case (x, i) => want(i) += x })
+      // two-partition merge reassociates the float sums => tolerance
+      merged.length == want.length && merged.zip(want).forall {
+        case (g, w) => math.abs(g - w) <= 1e-9 * math.max(1.0, math.abs(w))
+      }
     })
   }
 
