@@ -114,14 +114,30 @@ object Similarity {
   val IvfCells = 10
   val IvfProbes = 5
 
-  /** n3: IVF — fixed seed centroids (every 50th vector), each corpus
-    * vector assigned to its nearest centroid cell; queries probe the
-    * IvfProbes nearest cells. rows-only + recall ScalaTest. */
+  /** n3: IVF — seed centroids (every 50th vector) refined by one
+    * Lloyd iteration (assign → per-cell mean via the native
+    * VectorSumAgg — one pass, no dim× explode), then each corpus
+    * vector is assigned to its nearest refined cell and queries probe
+    * the IvfProbes nearest cells. rows-only + recall ScalaTest. */
   def n3IvfAnn(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
-    val centroids = e.filter(pmod(col("vec_id"), lit(50)) === 0 &&
+    val seeds = e.filter(pmod(col("vec_id"), lit(50)) === 0 &&
         col("vec_id") < IvfCells * 50)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // one refinement: assign to seeds, recompute each cell's mean
+    val wSeed = Window.partitionBy(col("vec_id"))
+      .orderBy(col("scos").desc, col("cell_id").asc)
+    val centroids = e.crossJoin(broadcast(seeds))
+      .withColumn("scos", VectorFunctions.cosineFromParts(
+        VectorFunctions.dotNative("v", "cv"), col("nrm"), col("cn")))
+      .withColumn("srn", row_number().over(wSeed))
+      .filter(col("srn") === 1)
+      .groupBy(col("cell_id"))
+      .agg(org.apache.spark.sql.graft.VectorSumAggExpr.vectorSum(col("v")).as("vs"),
+        count(lit(1)).as("cnt"))
+      .select(col("cell_id"),
+        expr("transform(vs, x -> x / cnt)").as("cv")) // 10 rows: HOF cost nil
+      .withColumn("cn", VectorFunctions.l2normNative("cv"))
     // nearest-cell assignment for every corpus vector (argmax cosine)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cell_id").asc)
