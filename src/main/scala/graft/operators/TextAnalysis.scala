@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for LLM training-data pipelines (SURVEY §2 rows
@@ -165,6 +166,28 @@ object TextAnalysis {
         md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
 
+  val PackBudget = 2048 // tokens per packed sequence
+
+  /** t9: sequence packing — assign t8's chunks to fixed token-budget
+    * bins. Packing is inherently sequential, so it shards first
+    * (pmod(doc_id, 32)) and packs greedily WITHIN each shard via a
+    * running token sum: bin = floor(tokens_before / budget). Each
+    * shard's window is independent — 32-way parallel, no global
+    * order — which is the scalable form of packing (a global pack
+    * would serialize the corpus through one partition). */
+  def t9SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t8Chunking(s, dir)
+      .withColumn("shard", pmod(col("doc_id"), lit(32)))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("cum_tok") - col("n_tok")) / PackBudget))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("shard", "bin")
+  }
+
   private def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
@@ -211,6 +234,22 @@ object TextAnalysis {
         |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
         |  CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t9_sequence_packing" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |c AS (SELECT doc_id, t,
+         |    unnest(generate_series(0, CAST(ceil(len(t) / $ChunkStride.0) AS INT) - 1)) AS chunk_idx
+         |  FROM tok),
+         |ch AS (SELECT doc_id, chunk_idx, doc_id % 32 AS shard,
+         |    len(t[chunk_idx * $ChunkStride + 1 : least(chunk_idx * $ChunkStride + $ChunkLen, len(t))]) AS n_tok
+         |  FROM c),
+         |binned AS (SELECT shard,
+         |    CAST(floor((SUM(n_tok) OVER (PARTITION BY shard
+         |      ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING) - n_tok)
+         |      / $PackBudget) AS BIGINT) AS bin,
+         |    n_tok
+         |  FROM ch)
+         |SELECT shard, bin, COUNT(*) AS n_chunks, SUM(n_tok) AS n_tokens
+         |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t8_chunking" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |c AS (SELECT doc_id, t,
@@ -236,5 +275,6 @@ object TextAnalysis {
     "t5_ngram_freq" -> (t5NgramFreq _),
     "t6_winnow_fingerprint" -> (t6WinnowFingerprint _),
     "t7_heavy_hitters" -> (t7HeavyHitters _),
-    "t8_chunking" -> (t8Chunking _))
+    "t8_chunking" -> (t8Chunking _),
+    "t9_sequence_packing" -> (t9SequencePacking _))
 }
