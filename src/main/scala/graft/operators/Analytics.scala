@@ -500,9 +500,9 @@ object Analytics {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
-        |  SELECT user_id, ts, SUM(is_new) OVER (
+        |  SELECT user_id, ts, CAST(SUM(is_new) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
@@ -543,8 +543,8 @@ object Analytics {
         |    COUNT(*) AS type_n
         |  FROM events GROUP BY 1)
         |SELECT e.event_type, COUNT(*) AS n,
-        |  SUM(CASE WHEN CAST(e.value AS DECIMAL(12,2)) * ts.type_n > ts.type_sum
-        |    THEN 1 ELSE 0 END) AS n_above_avg
+        |  CAST(SUM(CASE WHEN CAST(e.value AS DECIMAL(12,2)) * ts.type_n > ts.type_sum
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
         |FROM events e JOIN ts USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j3_range_join" ->

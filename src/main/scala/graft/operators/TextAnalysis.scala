@@ -248,7 +248,8 @@ object TextAnalysis {
          |      / $PackBudget) AS BIGINT) AS bin,
          |    n_tok
          |  FROM ch)
-         |SELECT shard, bin, COUNT(*) AS n_chunks, SUM(n_tok) AS n_tokens
+         |SELECT shard, bin, COUNT(*) AS n_chunks,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t8_chunking" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

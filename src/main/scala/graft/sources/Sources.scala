@@ -170,14 +170,16 @@ object Sources {
   val oracles: Map[String, String] = Map(
     "src1_csv_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  SUM(l_orderkey) AS sum_orderkey,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
         |  MAX(l_linenumber) AS max_linenumber
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "src2_json_roundtrip" ->
-      """SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_user
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_user
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "k1_partitioned_sink" ->
-      """SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_event
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_event
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "k2_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
@@ -186,7 +188,7 @@ object Sources {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "k3_retention_delete" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
-        |  SUM(event_id) AS sum_event
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_event
         |FROM events WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-15'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "k4_dynamic_overwrite" ->
@@ -199,7 +201,7 @@ object Sources {
         |  SELECT * FROM base
         |  WHERE day NOT IN (SELECT DISTINCT day FROM upd)
         |  UNION ALL SELECT * FROM upd)
-        |SELECT day, COUNT(*) AS n, SUM(event_id) AS sum_event
+        |SELECT day, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_event
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
