@@ -14,10 +14,33 @@ import org.apache.spark.sql.functions._
   * hamming chunks, so the cost is linear in the bucket sizes. The
   * verification step (exact Jaccard / hamming / cosine) only touches
   * candidates. At 100 TB the shingle and band joins shuffle on their
-  * keys; skewed ultra-common shingles are droppable via a document-
-  * frequency cap without changing near-dup semantics.
+  * keys; ultra-common shingles are dropped by the document-frequency
+  * cap below, which is what keeps the candidate join linear — a
+  * within-bucket pair explosion cannot be fixed by AQE skew splitting
+  * because every pair in the bucket is a real join output.
   */
 object Dedup {
+
+  /** Max documents a shingle may appear in and still generate
+    * candidates. A shingle shared by k documents emits k(k-1)/2
+    * candidate pairs, so one corpus-common trigram ("terms of
+    * service") turns the candidate join quadratic; shingles this
+    * common carry no near-dup signal. Jaccard is computed over the
+    * capped shingle space on BOTH engines (intersections AND sizes),
+    * so the oracle semantics stay exactly comparable. */
+  val ShingleDfCap = 100
+
+  /** Drop shingles whose document frequency exceeds [[ShingleDfCap]].
+    * One aggregate on the shingle key (map-side partial counts), then
+    * a broadcast anti-join: the hot set is tiny BY CONSTRUCTION (at
+    * most n_shingles/cap shingles can exceed the cap), so no second
+    * corpus-wide shuffle. */
+  private[graft] def capByDf(sh: DataFrame): DataFrame = {
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .select(col("sh"))
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
 
   /** Distinct word 3-gram shingles per document. Native WordNgrams
     * expression: one compiled call per row (docs with <3 tokens yield
@@ -39,17 +62,18 @@ object Dedup {
       .orderBy("keep_id")
 
   /** d2: exact n-gram Jaccard near-dup pairs. Candidates = pairs that
-    * share ≥1 shingle (equi-join on shingle), so disjoint documents
-    * are never compared. Jaccard is an exact integer ratio →
-    * bit-identical doubles across engines. */
+    * share ≥1 surviving (DF-capped) shingle (equi-join on shingle),
+    * so disjoint documents are never compared and hot shingles never
+    * go quadratic. Jaccard is an exact integer ratio → bit-identical
+    * doubles across engines. */
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // join on the 64-bit shingle hash, not the ~20-byte string: the
     // candidate self-join shuffles far fewer bytes and compares fixed-
     // width keys. Collision odds at even 10^9 distinct shingles are
     // ~1e-2 per corpus BEFORE the doc_a<doc_b and jaccard filters, and
     // a collision only perturbs one intersection count by 1.
-    val sh = shingles(s, dir)
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
+    val sh = capByDf(shingles(s, dir)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))).cache()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -178,13 +202,15 @@ object Dedup {
   /** d6: near-dup clustering — connected components over the d2 pair
     * graph, so each duplicate group gets one canonical cluster_id
     * (the min doc_id reachable). Iterative min-label propagation:
-    * each round joins labels across edges and keeps the per-node min;
-    * rounds needed = graph diameter (near-dup clusters are shallow),
-    * and each round is one shuffle — the driver loop only checks the
-    * converged count, it never holds data. At 100 TB scale the same
-    * loop runs with per-round checkpointing to truncate lineage
-    * (alternating small-star/large-star halves the round count but
-    * not the per-round cost). */
+    * each round unions the old assignment (tagged is_old) with the
+    * labels propagated across edges and takes the per-node min — the
+    * SAME aggregate also carries the old label out, so convergence
+    * ("did any node's label change?") is a filter+count on the cached
+    * round output, not a second corpus-wide join. Rounds needed =
+    * graph diameter (near-dup clusters are shallow), one shuffle per
+    * round; the driver loop only reads the converged count, it never
+    * holds data. At 100 TB scale the same loop runs with per-round
+    * checkpointing to truncate lineage. */
   def d6DedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = d2NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs
@@ -192,25 +218,32 @@ object Dedup {
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
+    var gen = labels // handle to the cached generation, for unpersist
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
-      val propagated = edges.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("label"))
-      val next = labels.unionAll(propagated)
-        .groupBy("id").agg(min("label").as("label")).cache()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist() // superseded generation — at scale these are big
-      labels = next
+      val propagated = edges
+        .join(labels.select(col("id"), col("label")), col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"), lit(0).as("is_old"))
+      val next = labels.select(col("id"), col("label"), lit(1).as("is_old"))
+        .unionAll(propagated)
+        .groupBy("id")
+        // old label rides along as a second agg column: each id has
+        // exactly one is_old=1 row, so min(when(is_old,label)) IS it
+        .agg(min("label").as("label"),
+          min(when(col("is_old") === 1, col("label"))).as("old_label"))
+        .cache()
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      gen.unpersist() // superseded generation — at scale these are big
+      gen = next
+      labels = next.drop("old_label")
       iter += 1
     }
     val out = labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
       .localCheckpoint() // cut the iterative lineage before downstream use
-    labels.unpersist()
+    gen.unpersist()
     edges.unpersist()
     out
   }
@@ -221,11 +254,13 @@ object Dedup {
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "d2_ngram_jaccard" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id,
+        |sh0 AS (SELECT DISTINCT doc_id,
         |    unnest([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]) AS sh
         |  FROM tok),
+        |sh AS (SELECT doc_id, sh FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= $ShingleDfCap),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -236,11 +271,13 @@ object Dedup {
         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "d6_dedup_clusters" ->
-      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id,
+        |sh0 AS (SELECT DISTINCT doc_id,
         |    unnest([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]) AS sh
         |  FROM tok),
+        |sh AS (SELECT doc_id, sh FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= $ShingleDfCap),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

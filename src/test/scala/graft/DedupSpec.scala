@@ -75,6 +75,28 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("DF cap keeps candidate counts linear when a hot shingle is injected") {
+    import spark.implicits._
+    val n = 3 * Dedup.ShingleDfCap // hot shingle df = 3x over the cap
+    // every doc carries hot shingle 0 plus two private shingles — the
+    // hot bucket alone would emit n(n-1)/2 candidate pairs un-capped
+    val sh = (0 until n).flatMap { d =>
+      Seq((d.toLong, 0L), (d.toLong, 100L + 2 * d), (d.toLong, 101L + 2 * d))
+    }.toDF("doc_id", "sh")
+    val capped = Dedup.capByDf(sh)
+    assert(capped.filter(col("sh") === 0L).count() == 0, "hot shingle must be dropped")
+    assert(capped.count() == 2L * n, "private shingles must survive")
+    val candidates = capped.as("a")
+      .join(capped.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    assert(candidates == 0,
+      s"hot-shingle bucket leaked $candidates quadratic candidate pairs")
+    // below-cap shingles are untouched
+    val small = Seq((1L, 7L), (2L, 7L), (3L, 8L)).toDF("doc_id", "sh")
+    assert(Dedup.capByDf(small).count() == 3)
+  }
+
   test("d5 cosine near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.d5EmbeddingNeardup(spark, sf).collect()
     rows.foreach { r =>
