@@ -20,7 +20,7 @@ object Similarity {
   val TopK = 5
   val NumQueries = 10 // query set: vec_id < 10
 
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", VectorFunctions.l2normNative("v"))
@@ -49,7 +49,11 @@ object Similarity {
     rankTopK(pairs)
   }
 
-  val LshTables = 8 // independent hash tables (union of candidates)
+  val LshTables = 16 // independent hash tables (union of candidates):
+  // recall compounds as 1-(1-p^bits)^tables, so tables is the recall
+  // knob — 16 tables measured 0.90/0.90 recall at sf0.001/sf0.01 vs
+  // 0.70/0.58 at 8. Cost is linear in tables (candidate rows + literal
+  // dot products per row) while bucket sizes stay ~n/2^bits.
   val LshBits = 4 // hyperplanes per table → 16 buckets/table
 
   /** Deterministic pseudo-random hyperplane weights for plane p: a
@@ -114,47 +118,81 @@ object Similarity {
   val IvfCells = 10
   val IvfProbes = 5
 
-  /** n3: IVF — seed centroids (every 50th vector) refined by one
-    * Lloyd iteration (assign → per-cell mean via the native
-    * VectorSumAgg — one pass, no dim× explode), then each corpus
-    * vector is assigned to its nearest refined cell and queries probe
-    * the IvfProbes nearest cells. rows-only + recall ScalaTest. */
+  /** Per-row nearest-cell argmax over literal centroids: greatest()
+    * over (cosine, -cell_id) structs — struct ordering gives max
+    * cosine with min-cell_id tie-break, each cosine one native
+    * codegen'd dot against a plan-literal vector. Zero shuffle: the
+    * window-argmax this replaced paid a full-corpus Exchange on
+    * vec_id just to pick the best of ≤IvfCells broadcast rows. */
+  private def nearestCellExpr(cells: Seq[(Long, Array[Double], Double)],
+      v: org.apache.spark.sql.Column,
+      nrm: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scored = cells.map { case (id, cv, cn) =>
+      struct(
+        VectorFunctions.cosineFromParts(
+          org.apache.spark.sql.graft.ArrayMathExpr.dotNative(v, typedlit(cv)),
+          nrm, lit(cn)).as("c"),
+        lit(-id).as("nid"))
+    }
+    if (scored.size == 1) lit(cells.head._1)
+    else -greatest(scored: _*).getField("nid")
+  }
+
+  /** Corpus-side cell assignment: scan + per-row argmax projection,
+    * zero Exchange (PlanAuditSpec pins this). */
+  private[graft] def n3Assign(e: DataFrame,
+      cells: Seq[(Long, Array[Double], Double)]): DataFrame =
+    e.withColumn("cell_id", nearestCellExpr(cells, col("v"), col("nrm")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"))
+
+  /** n3: IVF — seed centroids (every 50th vector, ≤IvfCells of them)
+    * refined by one Lloyd iteration, then every corpus vector is
+    * assigned to its nearest refined cell via the zero-shuffle per-row
+    * argmax above. The centroids are bounded driver-side data
+    * (IvfCells × dim doubles, a few KB — the same bounded-collect
+    * pattern as t7's top-20) embedded as plan literals, identical on
+    * every executor of a 1000-node cluster; the corpus itself is never
+    * shuffled until the final probe equi-join. The Lloyd refinement is
+    * one ≤IvfCells-key vector-sum aggregate (map-side partials). The
+    * probe ranking touches only NumQueries × IvfCells rows — query-
+    * set-sized, never corpus-sized. rows-only + recall ScalaTest. */
   def n3IvfAnn(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
-    val seeds = e.filter(pmod(col("vec_id"), lit(50)) === 0 &&
-        col("vec_id") < IvfCells * 50)
-      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cn"))
-    // one refinement: assign to seeds, recompute each cell's mean
-    val wSeed = Window.partitionBy(col("vec_id"))
-      .orderBy(col("scos").desc, col("cell_id").asc)
-    val centroids = e.crossJoin(broadcast(seeds))
-      .withColumn("scos", VectorFunctions.cosineFromParts(
-        VectorFunctions.dotNative("v", "cv"), col("nrm"), col("cn")))
-      .withColumn("srn", row_number().over(wSeed))
-      .filter(col("srn") === 1)
-      .groupBy(col("cell_id"))
-      .agg(org.apache.spark.sql.graft.VectorSumAggExpr.vectorSum(col("v")).as("vs"),
-        count(lit(1)).as("cnt"))
-      .select(col("cell_id"),
-        expr("transform(vs, x -> x / cnt)").as("cv")) // 10 rows: HOF cost nil
-      .withColumn("cn", VectorFunctions.l2normNative("cv"))
-    // nearest-cell assignment for every corpus vector (argmax cosine)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cell_id").asc)
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("ccos", VectorFunctions.cosineFromParts(
-        VectorFunctions.dotNative("v", "cv"), col("nrm"), col("cn")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"))
-    // queries probe their IvfProbes nearest cells
+    def collectCells(df: DataFrame): Seq[(Long, Array[Double], Double)] =
+      df.collect().toSeq.map(r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val seeds = collectCells(
+      e.filter(pmod(col("vec_id"), lit(50)) === 0 &&
+          col("vec_id") < IvfCells * 50)
+        .select(col("vec_id").as("cell_id"), col("v"), col("nrm")))
+    // one Lloyd refinement: zero-shuffle assignment to seed cells, then
+    // per-cell mean via the native VectorSumAgg (one pass, no explode)
+    val refined = collectCells(
+      n3Assign(e, seeds)
+        .groupBy(col("cell_id"))
+        .agg(org.apache.spark.sql.graft.VectorSumAggExpr.vectorSum(col("v")).as("vs"),
+          count(lit(1)).as("cnt"))
+        .select(col("cell_id"),
+          expr("transform(vs, x -> x / cnt)").as("cv")) // ≤10 rows: HOF cost nil
+        .select(col("cell_id"), col("cv"),
+          VectorFunctions.l2normNative("cv").as("cn")))
+    val assigned = n3Assign(e, refined)
+    // queries probe their IvfProbes nearest cells (bounded query set ×
+    // literal cell array — the window here is query-set-sized)
+    val cellArr = array(refined.map { case (id, cv, cn) =>
+      struct(lit(id).as("cell_id"), typedlit(cv).as("cv"), lit(cn).as("cn"))
+    }: _*)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell_id").asc)
     val probes = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("ccos", VectorFunctions.cosineFromParts(
-        VectorFunctions.dotNative("qv", "cv"), col("qn"), col("cn")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(cellArr).as("cell"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("cell.cell_id").as("cell_id"),
+        VectorFunctions.cosineFromParts(
+          org.apache.spark.sql.graft.ArrayMathExpr.dotNative(
+            col("qv"), col("cell.cv")),
+          col("qn"), col("cell.cn")).as("ccos"))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= IvfProbes)
       .select(col("query_id"), col("qv"), col("qn"), col("cell_id"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Dedup, Relational}
+import graft.operators.{Analytics, Dedup, Relational, Similarity}
 import graft.sources.Sources
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
@@ -95,6 +95,23 @@ class PlanAuditSpec extends GraftSpec {
       s"as-of join shuffles more than expected ($exchanges):\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
       s"as-of should be a window carry-forward, not a join:\n$plan")
+  }
+
+  test("n3: corpus cell assignment is a zero-Exchange projection") {
+    val e = Similarity.corpus(spark, sf)
+    val dim = e.select(size(col("v"))).head.getInt(0)
+    val cells = Seq((0L, Array.fill(dim)(0.1), 1.0),
+      (1L, Array.fill(dim)(-0.1), 1.0))
+    val plan = planOf(Similarity.n3Assign(e, cells))
+    assert(!plan.contains("Exchange"),
+      s"per-row argmax assignment must not shuffle the corpus:\n$plan")
+    assert(plan.contains("graft_dot"), s"argmax should use the native dot kernel:\n$plan")
+  }
+
+  test("n3: full IVF plan never shuffles on vec_id (corpus stays unshuffled until the probe join)") {
+    val plan = planOf(Similarity.n3IvfAnn(spark, sf))
+    assert(!plan.matches("(?s).*Exchange hashpartitioning\\(vec_id.*"),
+      s"corpus-wide shuffle on vec_id crept back into n3:\n$plan")
   }
 
   test("q1: aggregation is partial (map-side combine) before the shuffle") {
