@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.{Cols, Tables}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Source/sink surface (SURVEY §2 rows 40-42): CSV and JSON ingest and
@@ -167,6 +168,60 @@ object Sources {
       .orderBy("day")
   }
 
+  /** k5: row-level MERGE (upsert) — the reference's INSERT OR REPLACE
+    * keyed on (user_id, event_type) (db.mjs:270-278) as a batch merge.
+    * Plain OSS parquet has no MERGE INTO, so this is the engine's
+    * official upsert idiom — partition-scoped read-modify-write:
+    *   1. the target table lives keyed-latest, partitioned by
+    *      event_type;
+    *   2. the update batch names the partitions it touches (distinct
+    *      partition keys — bounded metadata, collected driver-side);
+    *   3. ONLY those partitions are read (pruned scan); matched keys
+    *      are replaced and new keys inserted via anti-join + union;
+    *   4. dynamic partition overwrite atomically swaps exactly those
+    *      partitions.
+    * Untouched partitions are never read or rewritten, so at 100 TB
+    * the merge cost scales with the touched partitions plus the
+    * update batch, not with the table. (A Delta/Iceberg MERGE INTO
+    * would express steps 2-4 declaratively; those deps aren't in this
+    * build, and the physical plan is the same shape.) */
+  def k5MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("k5_merge")
+    val cutoff = "2024-01-20"
+    // latest row per key; unique event_id makes the winner unambiguous
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+    }
+    val ev = Tables.events(s, dir)
+    latest(ev.filter(col("ts") < lit(cutoff).cast("timestamp")))
+      .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(path)
+    val upd = latest(ev.filter(col("ts") >= lit(cutoff).cast("timestamp"))).cache()
+    val touched = upd.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSeq // bounded by the partition count
+    val survivors = s.read.parquet(path)
+      .filter(col("event_type").isin(touched: _*)) // partition-pruned scan
+      .join(upd.select("user_id", "event_type"),
+        Seq("user_id", "event_type"), "left_anti")
+    // localCheckpoint materializes only the touched partitions' merged
+    // rows so the dynamic overwrite below can rewrite the same path it
+    // read (a staging dir / table format plays this role on a cluster)
+    val merged = upd.unionByName(survivors).localCheckpoint()
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(path)
+    upd.unpersist()
+    s.read.parquet(path)
+      .groupBy(col("event_type").cast("string").as("event_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("user_id")).as("sum_user"),
+        sum(Cols.dec2(col("value"))).cast("double").as("sum_value"),
+        Cols.fmtTs(max(col("ts"))).as("max_ts"))
+      .orderBy("event_type")
+  }
+
   val oracles: Map[String, String] = Map(
     "src1_csv_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -202,7 +257,28 @@ object Sources {
         |  WHERE day NOT IN (SELECT DISTINCT day FROM upd)
         |  UNION ALL SELECT * FROM upd)
         |SELECT day, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_event
-        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k5_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, value, ts FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-20'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |upd AS (
+        |  SELECT user_id, event_type, value, ts FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |merged AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT b.* FROM base b ANTI JOIN upd u
+        |    ON b.user_id = u.user_id AND b.event_type = u.event_type)
+        |SELECT event_type, COUNT(*) AS n_keys,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_user,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src1_csv_roundtrip" -> (src1CsvRoundtrip _),
@@ -210,5 +286,6 @@ object Sources {
     "k1_partitioned_sink" -> (k1PartitionedSink _),
     "k2_bucketed_join" -> (k2BucketedJoin _),
     "k3_retention_delete" -> (k3RetentionDelete _),
-    "k4_dynamic_overwrite" -> (k4DynamicOverwrite _))
+    "k4_dynamic_overwrite" -> (k4DynamicOverwrite _),
+    "k5_merge_upsert" -> (k5MergeUpsert _))
 }

@@ -35,6 +35,30 @@ class SourcesSpec extends GraftSpec {
     assert(viaSink.toSeq == direct.toSeq)
   }
 
+  test("k5 merge: update rows win, unmatched base rows survive, keys unique") {
+    Sources.k5MergeUpsert(spark, sf).collect() // materialize the merge
+    val path = s"${sys.props("java.io.tmpdir")}/graft_sources/k5_merge"
+    val merged = spark.read.parquet(path)
+      .select("user_id", "event_type", "value", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getDouble(2), r.getTimestamp(3))).toMap
+    // recompute the expected upsert directly from the raw events
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_type", "value", "ts", "event_id").collect()
+    def latest(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(r => (r.getLong(0), r.getString(1))).map { case (k, rs) =>
+        val b = rs.maxBy(r => (r.getTimestamp(3).getTime, r.getLong(4)))
+        k -> (b.getDouble(2), b.getTimestamp(3))
+      }
+    val base = latest(ev.filter(_.getTimestamp(3).before(cutoff)))
+    val upd = latest(ev.filterNot(_.getTimestamp(3).before(cutoff)))
+    assert(upd.nonEmpty && base.nonEmpty, "fixture must populate both periods")
+    val expected = base ++ upd // update rows replace matched base keys
+    assert(merged.size == expected.size, "merged table must have one row per key")
+    assert(merged == expected)
+  }
+
   test("graft_dot is callable from SQL via GraftExtensions") {
     val r = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
