@@ -188,6 +188,26 @@ object TextAnalysis {
       .orderBy("shard", "bin")
   }
 
+  /** t10: REAL subword tokenization — the trained-BPE counterpart of
+    * t3's heuristic estimate. `graft_bpe_tokens` applies the frozen
+    * merge table (trained to convergence on this corpus with the
+    * public BPE algorithm — see
+    * [[org.apache.spark.sql.graft.BpeVocab]]) in one compiled call per
+    * row, so real token budgets cost the same as the heuristic ones.
+    * Greedy iterative merging has no SQL analog → rows-only for the
+    * driver; the ScalaTest contract checks every document against an
+    * independent reference encoder plus the lossless-ness invariant
+    * (units concatenate back to the exact word). */
+  def t10BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val units = org.apache.spark.sql.graft.BpeTokensExpr.bpeTokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(tokens).as("ws_tokens"),
+      size(units).as("bpe_tokens"),
+      md5(concat_ws(" ", units)).as("bpe_hash"))
+      .orderBy("doc_id")
+  }
+
   private def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
@@ -277,5 +297,6 @@ object TextAnalysis {
     "t6_winnow_fingerprint" -> (t6WinnowFingerprint _),
     "t7_heavy_hitters" -> (t7HeavyHitters _),
     "t8_chunking" -> (t8Chunking _),
-    "t9_sequence_packing" -> (t9SequencePacking _))
+    "t9_sequence_packing" -> (t9SequencePacking _),
+    "t10_bpe_tokens" -> (t10BpeTokens _))
 }

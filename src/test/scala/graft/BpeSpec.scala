@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{BpeTokensExpr, BpeUtil, BpeVocab}
+
+/** Contract for the trained-BPE tokenizer (row 70). Greedy merge
+  * application has no SQL analog, so these assertions ARE the
+  * correctness gate: agreement with an independent reference encoder
+  * on every corpus document, losslessness, and determinism.
+  */
+class BpeSpec extends GraftSpec {
+
+  /** Independent reference BPE encoder: straightforward immutable-list
+    * implementation of the same published algorithm, sharing only the
+    * merge table with the kernel under test. */
+  private val refRanks: Map[(String, String), Int] =
+    BpeVocab.merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+
+  private def refEncodeWord(w: String): List[String] = {
+    if (w.isEmpty) return Nil
+    val cps = w.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp)))
+    var units = cps.init :+ (cps.last + "</w>")
+    var done = false
+    while (!done && units.length > 1) {
+      val candidates = units.zip(units.tail).flatMap(p => refRanks.get(p).map(p -> _))
+      if (candidates.isEmpty) done = true
+      else {
+        val (a, b) = candidates.minBy(_._2)._1
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var rest = units
+        while (rest.nonEmpty) rest match {
+          case x :: y :: tl if x == a && y == b => out += (a + b); rest = tl
+          case x :: tl => out += x; rest = tl
+          case Nil =>
+        }
+        units = out.toList
+      }
+    }
+    units
+  }
+
+  private def refEncode(text: String): List[String] =
+    text.split(" ", -1).toList.flatMap(refEncodeWord)
+
+  test("kernel agrees with the reference encoder on every corpus document") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    assert(docs.nonEmpty)
+    val kernel = Tables.documents(spark, sf)
+      .select(col("doc_id"), BpeTokensExpr.bpeTokens(col("text")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    docs.foreach { r =>
+      val expect = refEncode(r.getString(1))
+      assert(kernel(r.getLong(0)) == expect,
+        s"doc ${r.getLong(0)}: kernel=${kernel(r.getLong(0)).take(8)} ref=${expect.take(8)}")
+    }
+  }
+
+  test("tokenization is lossless: units concatenate back to each word + </w>") {
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      r.getString(0).split(" ", -1).filter(_.nonEmpty).foreach { w =>
+        val joined = BpeUtil.encodeWord(w).mkString
+        assert(joined == w + "</w>", s"word '$w' round-tripped to '$joined'")
+      }
+    }
+  }
+
+  test("edge cases: empty text, lone/double spaces, unseen unicode word") {
+    assert(BpeUtil.encodeWord("").isEmpty)
+    assert(refEncode("") == Nil)
+    assert(refEncode("  ") == Nil) // doubled space → empty words → nothing
+    // unseen script falls back to one unit per codepoint (+ </w> tail)
+    val units = BpeUtil.encodeWord("日本語")
+    assert(units.toList == List("日", "本", "語</w>"))
+  }
+
+  test("t10 is deterministic and counts match unit arrays") {
+    val a = TextAnalysis.t10BpeTokens(spark, sf).collect()
+    val b = TextAnalysis.t10BpeTokens(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    // spot-check: bpe_tokens of a known merged word
+    val n = spark.sql("SELECT size(graft_bpe_tokens('stream stream xyz')) AS n")
+      .head.getInt(0)
+    // 'stream' is a trained single token; 'xyz' has no merges → 3 units
+    assert(n == 1 + 1 + 3, s"got $n")
+  }
+}
