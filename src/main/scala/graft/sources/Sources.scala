@@ -185,34 +185,56 @@ object Sources {
     * update batch, not with the table. (A Delta/Iceberg MERGE INTO
     * would express steps 2-4 declaratively; those deps aren't in this
     * build, and the physical plan is the same shape.) */
+  /** The merge core shared by k5 (batch) and the streaming upsert sink
+    * (SyncStream.streamingUpsert): reduce the update batch to its
+    * latest row per (user_id, event_type) — unique event_id makes the
+    * winner unambiguous — then merge into the parquet target
+    * partitioned by event_type. First batch bootstraps the target;
+    * afterwards only the partitions the batch touches are read
+    * (pruned scan) or rewritten (dynamic overwrite). */
+  private[graft] def mergeIntoTarget(s: SparkSession, updates: DataFrame,
+      path: String): Unit = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = updates
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .cache()
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) {
+      latest.write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(path)
+    } else {
+      val touched = latest.select("event_type").distinct()
+        .collect().map(_.getString(0)).toSeq // bounded by the partition count
+      val survivors = s.read.parquet(path)
+        .filter(col("event_type").isin(touched: _*)) // partition-pruned scan
+        .join(latest.select("user_id", "event_type"),
+          Seq("user_id", "event_type"), "left_anti")
+      // localCheckpoint materializes only the touched partitions'
+      // merged rows so the dynamic overwrite below can rewrite the
+      // same path it read (a staging dir / table format plays this
+      // role on a cluster)
+      val merged = latest.unionByName(survivors.select(
+        col("user_id"), col("event_type"), col("value"), col("ts")))
+        .localCheckpoint()
+      merged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(path)
+    }
+    latest.unpersist()
+  }
+
   def k5MergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val path = tmp("k5_merge")
     val cutoff = "2024-01-20"
-    // latest row per key; unique event_id makes the winner unambiguous
-    def latest(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type"), col("value"), col("ts"))
-    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true) // fresh target per run
     val ev = Tables.events(s, dir)
-    latest(ev.filter(col("ts") < lit(cutoff).cast("timestamp")))
-      .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(path)
-    val upd = latest(ev.filter(col("ts") >= lit(cutoff).cast("timestamp"))).cache()
-    val touched = upd.select("event_type").distinct()
-      .collect().map(_.getString(0)).toSeq // bounded by the partition count
-    val survivors = s.read.parquet(path)
-      .filter(col("event_type").isin(touched: _*)) // partition-pruned scan
-      .join(upd.select("user_id", "event_type"),
-        Seq("user_id", "event_type"), "left_anti")
-    // localCheckpoint materializes only the touched partitions' merged
-    // rows so the dynamic overwrite below can rewrite the same path it
-    // read (a staging dir / table format plays this role on a cluster)
-    val merged = upd.unionByName(survivors).localCheckpoint()
-    merged.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("event_type").parquet(path)
-    upd.unpersist()
+    // bootstrap load, then the merge batch — both through the shared core
+    mergeIntoTarget(s, ev.filter(col("ts") < lit(cutoff).cast("timestamp")), path)
+    mergeIntoTarget(s, ev.filter(col("ts") >= lit(cutoff).cast("timestamp")), path)
     s.read.parquet(path)
       .groupBy(col("event_type").cast("string").as("event_type"))
       .agg(count(lit(1)).as("n_keys"),

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.{Cols, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming re-expression of the reference's update flow
@@ -103,6 +103,27 @@ object SyncStream {
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"))
   }
+
+  /** Row 71: streaming upsert sink — the reference's core sync loop
+    * (poll updates → INSERT OR REPLACE keyed rows, server.mjs:129-142
+    * driving db.mjs:270-278) as a streaming pipeline. Each micro-batch
+    * merges into the keyed parquet target through `foreachBatch` (the
+    * OSS idiom for MERGE sinks; table formats hang their streaming
+    * upsert off the same hook), reusing the k5 merge core: latest row
+    * per (user_id, event_type) wins, only the partitions the batch
+    * touches are read or rewritten. The target is thus always the
+    * latest-state table the reference keeps in SQLite — but arriving
+    * continuously and scaling with batch size, not table size. */
+  def streamingUpsert(events: DataFrame, targetPath: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.sources.Sources.mergeIntoTarget(
+          batch.sparkSession, batch.toDF(), targetPath)
+      }
+      .start()
 
   val oracles: Map[String, String] = Map(
     "st1_windowed_counts" ->

@@ -96,6 +96,30 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("row 71: streaming upsert target always holds the latest row per key") {
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_upsert_${System.nanoTime()}"
+    val input = MemoryStream[Ev]
+    val q = SyncStream.streamingUpsert(input.toDF(), base, base + "_ckpt")
+    try {
+      // batch 1 bootstraps; includes an in-batch duplicate key (user 1
+      // click at t=0 and t=3 — the later row must win)
+      input.addData(ev(1, 0, 1, "click", 1.0), ev(2, 1, 1, "view", 2.0),
+        ev(3, 2, 2, "click", 3.0), ev(6, 3, 1, "click", 7.5))
+      q.processAllAvailable()
+      // batch 2: update an existing key and insert a brand-new one
+      input.addData(ev(4, 5, 1, "click", 9.0), ev(5, 6, 3, "view", 4.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(base)
+        .select("user_id", "event_type", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(got == Map(
+        (1L, "click") -> 9.0, (1L, "view") -> 2.0,
+        (2L, "click") -> 3.0, (3L, "view") -> 4.0))
+    } finally q.stop()
+  }
+
   test("file-source end-to-end: parquet stream + AvailableNow equals batch") {
     // the production shape: readStream over a parquet directory,
     // process everything currently present, terminate (AvailableNow)

@@ -80,6 +80,26 @@ class TextMultimodalSpec extends GraftSpec {
     assert(frames.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("media codec is swappable: a custom backend flows through the same plumbing") {
+    object FixedCodec extends graft.operators.MediaCodec {
+      var opened = false // driver-side copy won't see executor state; just exercise the hook
+      override def open(): Unit = { opened = true }
+      override def decode(id: Long, kind: String, payload: Array[Byte]) =
+        graft.operators.MediaFeature(id, kind, payload.length, 7, 9, "fixed")
+      override def sampleFrames(id: Long, payload: Array[Byte]) =
+        Iterator.single(graft.operators.Frame(id, 0, payload.length, 0.5, 0.25))
+    }
+    val m1 = Multimodal.m1MultimodalMeta(spark, sf, FixedCodec).collect()
+    assert(m1.nonEmpty)
+    m1.foreach { r =>
+      assert(r.getAs[Int]("width") == 7 && r.getAs[Int]("height") == 9)
+      assert(r.getAs[String]("checksum") == "fixed")
+    }
+    val m2 = Multimodal.m2FrameSample(spark, sf, FixedCodec).collect()
+    assert(m2.length == Tables.documents(spark, sf).count()) // exactly 1 frame/doc
+    m2.foreach(r => assert(r.getAs[Double]("f0") == 0.5))
+  }
+
   test("t7 CMS estimates dominate exact counts within the epsilon bound") {
     val rows = TextAnalysis.t7HeavyHitters(spark, sf).collect()
     assert(rows.length == 20)
