@@ -149,18 +149,22 @@ object TextAnalysis {
   val ChunkLen = 50 // tokens per chunk
   val ChunkStride = 40 // 10-token overlap between consecutive chunks
 
-  /** t8: document chunking — fixed-size token windows with overlap,
-    * the pre-tokenization step for sequence packing. One row per
-    * (doc, chunk); `slice` is a codegen'd builtin and the per-doc
-    * chunk-index explode is tiny (~n_tokens/stride rows), so the op
+  /** The shared chunk stream: one row per (doc, chunk) with the token
+    * window itself. `slice` is a codegen'd builtin and the per-doc
+    * chunk-index explode is tiny (~n_tokens/stride rows), so this
     * scales linearly with corpus token count. */
-  def t8Chunking(s: SparkSession, dir: String): DataFrame =
+  private def chunkStream(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("t"), explode(expr(
         s"sequence(0, CAST(ceil(size(t) / $ChunkStride.0) AS INT) - 1)")).as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),
         expr(s"slice(t, chunk_idx * $ChunkStride + 1, $ChunkLen)").as("chunk"))
+
+  /** t8: document chunking — fixed-size token windows with overlap,
+    * the pre-tokenization step for sequence packing. */
+  def t8Chunking(s: SparkSession, dir: String): DataFrame =
+    chunkStream(s, dir)
       .select(col("doc_id"), col("chunk_idx"),
         size(col("chunk")).as("n_tok"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
@@ -175,11 +179,13 @@ object TextAnalysis {
     * shard's window is independent — 32-way parallel, no global
     * order — which is the scalable form of packing (a global pack
     * would serialize the corpus through one partition). */
-  def t9SequencePacking(s: SparkSession, dir: String): DataFrame = {
+  /** The shared sharded greedy packer: expects (doc_id, chunk_idx,
+    * n_tok) and bins by running token sum within each of 32 shards. */
+  private def packBins(chunks: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("doc_id"), col("chunk_idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t8Chunking(s, dir)
+    chunks
       .withColumn("shard", pmod(col("doc_id"), lit(32)))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       .withColumn("bin", floor((col("cum_tok") - col("n_tok")) / PackBudget))
@@ -187,6 +193,24 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"))
       .orderBy("shard", "bin")
   }
+
+  def t9SequencePacking(s: SparkSession, dir: String): DataFrame =
+    packBins(t8Chunking(s, dir))
+
+  /** t11: sequence packing with REAL token budgets — the same sharded
+    * greedy packer, but each chunk's cost is its trained-BPE subword
+    * count (`graft_bpe_tokens`, see t10) instead of the whitespace
+    * word count, so bins track what a model actually consumes. The
+    * subword count is one compiled call per chunk inside the same
+    * projection — no extra pass, no shuffle beyond t9's. Greedy
+    * iterative merging has no SQL analog → rows-only for the driver;
+    * the ScalaTest contract checks token conservation against an
+    * independently computed total and bin contiguity per shard. */
+  def t11BpePacking(s: SparkSession, dir: String): DataFrame =
+    packBins(chunkStream(s, dir)
+      .select(col("doc_id"), col("chunk_idx"),
+        size(org.apache.spark.sql.graft.BpeTokensExpr
+          .bpeTokens(concat_ws(" ", col("chunk")))).as("n_tok")))
 
   /** t10: REAL subword tokenization — the trained-BPE counterpart of
     * t3's heuristic estimate. `graft_bpe_tokens` applies the frozen
@@ -298,5 +322,6 @@ object TextAnalysis {
     "t7_heavy_hitters" -> (t7HeavyHitters _),
     "t8_chunking" -> (t8Chunking _),
     "t9_sequence_packing" -> (t9SequencePacking _),
-    "t10_bpe_tokens" -> (t10BpeTokens _))
+    "t10_bpe_tokens" -> (t10BpeTokens _),
+    "t11_bpe_packing" -> (t11BpePacking _))
 }

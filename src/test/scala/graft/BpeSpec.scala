@@ -74,6 +74,29 @@ class BpeSpec extends GraftSpec {
     assert(units.toList == List("日", "本", "語</w>"))
   }
 
+  test("t11 BPE packing conserves tokens and keeps shard bins contiguous") {
+    val bins = TextAnalysis.t11BpePacking(spark, sf).collect()
+    // token conservation: bin totals must equal the independently
+    // computed BPE token count of every chunk
+    val binTotal = bins.map(_.getAs[Long]("n_tokens")).sum
+    val docs = Tables.documents(spark, sf).select("text").collect()
+    val expectTotal = docs.map { r =>
+      val t = r.getString(0).split(" ", -1)
+      val nChunks = math.ceil(t.length / TextAnalysis.ChunkStride.toDouble).toInt
+      (0 until nChunks).map { i =>
+        val chunk = t.slice(i * TextAnalysis.ChunkStride,
+          i * TextAnalysis.ChunkStride + TextAnalysis.ChunkLen)
+        refEncode(chunk.mkString(" ")).size.toLong
+      }.sum
+    }.sum
+    assert(binTotal == expectTotal, s"bin total $binTotal != chunk total $expectTotal")
+    // bins within a shard are contiguous from 0 (greedy running sum)
+    bins.groupBy(_.getAs[Long]("shard")).values.foreach { rs =>
+      val ids = rs.map(_.getAs[Long]("bin")).sorted
+      assert(ids.head == 0L && ids.sameElements(ids.head to ids.last))
+    }
+  }
+
   test("t10 is deterministic and counts match unit arrays") {
     val a = TextAnalysis.t10BpeTokens(spark, sf).collect()
     val b = TextAnalysis.t10BpeTokens(spark, sf).collect()
