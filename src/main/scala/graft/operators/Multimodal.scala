@@ -36,20 +36,29 @@ trait MediaCodec extends Serializable {
 
 /** Deterministic STUB codec — this container ships no image/audio
   * libraries, so the default backend fakes the decode with
-  * content-derived values (CRC32), keeping tests and the driver's
-  * rows-only check stable. Every other part of the pipeline is real.
+  * content-derived values. Every other part of the pipeline is real.
+  * The fakes are md5-based (not an arbitrary JVM hash) so the DuckDB
+  * oracle can reproduce them exactly and m1/m2 get the FULL
+  * rows+schema+hash check instead of a rows-only pass.
   */
 object StubCodec extends MediaCodec {
 
+  private def md5hex(bytes: Array[Byte], from: Int, until: Int): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.update(bytes, from, until - from)
+    d.digest().map("%02x".format(_)).mkString
+  }
+
+  private def hex6(h: String, at: Int): Long =
+    java.lang.Long.parseLong(h.substring(at, at + 6), 16)
+
   override def decode(docId: Long, kind: String, payload: Array[Byte]): MediaFeature = {
-    val crc = new java.util.zip.CRC32
-    crc.update(payload)
-    val c = crc.getValue
+    val h = md5hex(payload, 0, payload.length)
     // fake "dimensions" derived from content, as a real decoder would
     MediaFeature(docId, kind, payload.length,
-      width = (c % 640).toInt + 1,
-      height = ((c >> 16) % 480).toInt + 1,
-      checksum = java.lang.Long.toHexString(c))
+      width = (hex6(h, 0) % 640).toInt + 1,
+      height = (hex6(h, 6) % 480).toInt + 1,
+      checksum = h)
   }
 
   override def sampleFrames(docId: Long, payload: Array[Byte]): Iterator[Frame] = {
@@ -57,12 +66,11 @@ object StubCodec extends MediaCodec {
     (0 until nFrames).iterator.map { i =>
       val from = i * payload.length / nFrames
       val until = (i + 1) * payload.length / nFrames
-      val crc = new java.util.zip.CRC32
-      crc.update(payload, from, until - from)
-      val c = crc.getValue
+      val h = md5hex(payload, from, until)
       // stub feature extraction: two deterministic pseudo-features
       Frame(docId, i, until - from,
-        (c % 1000L).toDouble / 1000.0, ((c >> 20) % 1000L).toDouble / 1000.0)
+        (hex6(h, 0) % 1000L).toDouble / 1000.0,
+        (hex6(h, 6) % 1000L).toDouble / 1000.0)
     }
   }
 }
@@ -111,7 +119,36 @@ object Multimodal {
     }.toDF().orderBy("doc_id", "frame_idx")
   }
 
-  val oracles: Map[String, String] = Map.empty // rows-only: binary plumbing
+  /** Both oracles reproduce the md5-based stub exactly. The documents
+    * corpus is ASCII, so DuckDB's character offsets (substr) equal the
+    * codec's UTF-8 byte offsets and strlen(text) equals the payload
+    * byte length — asserted implicitly by the hash comparison. */
+  val oracles: Map[String, String] = Map(
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  CAST(('0x' || substr(md5(text), 1, 6))::BIGINT % 640 + 1 AS INT) AS width,
+        |  CAST(('0x' || substr(md5(text), 7, 6))::BIGINT % 480 + 1 AS INT) AS height,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m2_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS len,
+        |    LEAST(4, strlen(text) // 256 + 1) AS n FROM documents),
+        |f AS (SELECT doc_id, text, len, n,
+        |    unnest(generate_series(0, CAST(n - 1 AS INT))) AS frame_idx
+        |  FROM d),
+        |fr AS (SELECT doc_id, frame_idx,
+        |    (frame_idx * len) // n AS f_from,
+        |    ((frame_idx + 1) * len) // n AS f_until,
+        |    md5(substr(text, CAST((frame_idx * len) // n + 1 AS INT),
+        |      CAST(((frame_idx + 1) * len) // n - (frame_idx * len) // n AS INT))) AS h
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(f_until - f_from AS INT) AS frame_bytes,
+        |  CAST(('0x' || substr(h, 1, 6))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS f0,
+        |  CAST(('0x' || substr(h, 7, 6))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS f1
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> ((s: SparkSession, d: String) => m1MultimodalMeta(s, d)),
