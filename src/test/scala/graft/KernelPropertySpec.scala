@@ -88,6 +88,28 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("BpeUtil: random texts tokenize losslessly and deterministically") {
+    // beyond the in-vocab corpus: random words exercise the
+    // no-merge-applies and partial-merge paths
+    val anyWord = Gen.nonEmptyStringOf(
+      Gen.frequency(8 -> Gen.alphaLowerChar, 1 -> Gen.numChar,
+        1 -> Gen.oneOf('é', 'ß', '中'))).map(_.take(10))
+    val anyText = Gen.listOf(anyWord).map(_.mkString(" "))
+    check(Prop.forAll(anyText) { (t: String) =>
+      val words = t.split(" ", -1).filter(_.nonEmpty)
+      val lossless = words.forall { w =>
+        org.apache.spark.sql.graft.BpeUtil.encodeWord(w).mkString == w + "</w>"
+      }
+      val a = org.apache.spark.sql.graft.BpeUtil.tokens(UTF8String.fromString(t))
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString)
+      val b = org.apache.spark.sql.graft.BpeUtil.tokens(UTF8String.fromString(t))
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString)
+      lossless && a.sameElements(b) &&
+        a.length == words.map(
+          org.apache.spark.sql.graft.BpeUtil.encodeWord(_).length).sum
+    })
+  }
+
   test("DotProduct eval matches a sequential reference sum bit-for-bit") {
     val vec = Gen.listOfN(16, Gen.choose(-100.0, 100.0))
     check(Prop.forAll(vec, vec) { (a: List[Double], b: List[Double]) =>
