@@ -43,10 +43,20 @@ trait MediaCodec extends Serializable {
   */
 object StubCodec extends MediaCodec {
 
+  private val hexChars = "0123456789abcdef".toCharArray
+
   private def md5hex(bytes: Array[Byte], from: Int, until: Int): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
     d.update(bytes, from, until - from)
-    d.digest().map("%02x".format(_)).mkString
+    val dig = d.digest()
+    val out = new Array[Char](dig.length * 2)
+    var i = 0
+    while (i < dig.length) {
+      out(i * 2) = hexChars((dig(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(dig(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   private def hex6(h: String, at: Int): Long =
