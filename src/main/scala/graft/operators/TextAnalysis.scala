@@ -232,6 +232,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t12: text normalization — the first step of every dedup/prep
+    * pipeline: lowercase, collapse runs of whitespace, trim. Pure
+    * codegen'd builtins, linear scan, no shuffle; emitting both the
+    * normalized text and a content hash makes the op chainable into
+    * d1 without re-normalizing. */
+  def t12Normalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")))
+      .withColumn("norm_hash", md5(col("norm_text")))
+      .orderBy("doc_id")
+
+  /** Redaction patterns shared with the oracle: RE2-safe (no
+    * backreferences/lookarounds), so Java regex and DuckDB agree. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val LongNumPattern = "[0-9]{6,}"
+
+  /** t13: PII-style redaction — emails and long digit runs replaced
+    * with typed placeholder tokens, with per-document match counts so
+    * a pipeline can quarantine high-PII documents. Counting happens on
+    * the ORIGINAL text (before masking) so the two patterns can't
+    * shadow each other. The synthetic corpus contains no PII, so the
+    * corpus run proves the no-op path; pattern behavior is covered by
+    * ScalaTest on synthetic strings. */
+  def t13Redact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        LongNumPattern, "<NUM>").as("redacted"),
+      // lit-column patterns, NOT expr(): a SQL string literal would
+      // swallow the backslash in \. during parsing
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(LongNumPattern), lit(0))).as("n_longnums"))
+      .orderBy("doc_id")
+
   private def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
@@ -304,6 +340,22 @@ object TextAnalysis {
          |  len(t[chunk_idx * $ChunkStride + 1 : least(chunk_idx * $ChunkStride + $ChunkLen, len(t))]) AS n_tok,
          |  md5(array_to_string(t[chunk_idx * $ChunkStride + 1 : least(chunk_idx * $ChunkStride + $ChunkLen, len(t))], ' ')) AS chunk_hash
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "t12_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+        |  length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_chars_norm,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t13_redact" -> {
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val num = "[0-9]{6,}"
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |    '$num', '<NUM>', 'g') AS redacted,
+         |  len(regexp_extract_all(text, '$email')) AS n_emails,
+         |  len(regexp_extract_all(text, '$num')) AS n_longnums
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "t5_ngram_freq" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2),
@@ -323,5 +375,7 @@ object TextAnalysis {
     "t8_chunking" -> (t8Chunking _),
     "t9_sequence_packing" -> (t9SequencePacking _),
     "t10_bpe_tokens" -> (t10BpeTokens _),
-    "t11_bpe_packing" -> (t11BpePacking _))
+    "t11_bpe_packing" -> (t11BpePacking _),
+    "t12_normalize" -> (t12Normalize _),
+    "t13_redact" -> (t13Redact _))
 }

@@ -100,6 +100,48 @@ class TextMultimodalSpec extends GraftSpec {
     m2.foreach(r => assert(r.getAs[Double]("f0") == 0.5))
   }
 
+  test("t12 normalization is idempotent and chainable into exact dedup") {
+    import spark.implicits._
+    val n1 = TextAnalysis.t12Normalize(spark, sf)
+    // idempotent: normalizing the normalized text is the identity
+    val again = n1.select(col("doc_id"),
+      trim(regexp_replace(lower(col("norm_text")), "\\s+", " ")).as("t2"))
+    val diff = n1.join(again, "doc_id")
+      .filter(col("norm_text") =!= col("t2")).count()
+    assert(diff == 0)
+    // hash column matches an md5 recomputed from norm_text
+    assert(n1.filter(md5(col("norm_text")) =!= col("norm_hash")).count() == 0)
+    // synthetic: case and whitespace variants collapse to one hash
+    val synth = Seq("Hello  World", "hello world", " HELLO\tWORLD ")
+      .toDF("text").select(
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("h"))
+    assert(synth.distinct().count() == 1)
+  }
+
+  test("t13 redaction masks emails and long digit runs, counts on original text") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "contact me at jane.doe+x@example.org or call 1234567"),
+      (2L, "ids 123 and 12345 stay, 999999 goes"),
+      (3L, "no pii here")).toDF("doc_id", "text")
+    val out = synth.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), TextAnalysis.EmailPattern, "<EMAIL>"),
+        TextAnalysis.LongNumPattern, "<NUM>").as("redacted"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.LongNumPattern), lit(0))).as("n_longnums"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) == ("contact me at <EMAIL> or call <NUM>", 1, 1))
+    assert(out(2L) == ("ids 123 and 12345 stay, <NUM> goes", 0, 1))
+    assert(out(3L) == ("no pii here", 0, 0))
+    // corpus run: deterministic, and counts are non-negative
+    val corpus = TextAnalysis.t13Redact(spark, sf).collect()
+    assert(corpus.length == Tables.documents(spark, sf).count())
+    corpus.foreach(r =>
+      assert(r.getAs[Int]("n_emails") >= 0 && r.getAs[Int]("n_longnums") >= 0))
+  }
+
   test("t7 CMS estimates dominate exact counts within the epsilon bound") {
     val rows = TextAnalysis.t7HeavyHitters(spark, sf).collect()
     assert(rows.length == 20)
