@@ -268,6 +268,69 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(LongNumPattern), lit(0))).as("n_longnums"))
       .orderBy("doc_id")
 
+  /** t14: repetition signals (the Gopher/C4 quality-filter family) —
+    * duplicate-word fraction, most-frequent-word coverage, and
+    * most-frequent-bigram coverage per document. High values flag
+    * boilerplate / spam / degenerate generations. Two linear explodes
+    * with partial aggregation; both shuffles key on doc_id(+gram), so
+    * the plan scales with corpus token count, never pairs. */
+  def t14Repetition(s: SparkSession, dir: String): DataFrame = {
+    def gramStats(n: Int, total: String, distinct: String, top: String) =
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(
+          org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), n))
+          .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as(total), count(lit(1)).as(distinct),
+          max(col("n")).as(top))
+    val words = gramStats(1, "n_words", "n_distinct", "max_wc")
+    val bigrams = gramStats(2, "n_bigrams", "nd_b", "max_bc")
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_words"), 6).as("dup_word_ratio"),
+        round(col("max_wc") / col("n_words"), 6).as("top_word_ratio"),
+        round(coalesce(col("max_bc") / col("n_bigrams"), lit(0.0)), 6)
+          .as("top_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val DecontamN = 4 // shingle length for eval-overlap detection
+  val EvalHoldoutMod = 50 // doc_id % mod == 0 ⇒ eval-set document
+
+  /** t15 core on an arbitrary (doc_id, text) frame — see
+    * [[t15Decontaminate]]; factored out so the spec can drive it with
+    * synthetic documents. */
+  private[graft] def decontaminate(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), DecontamN))
+        .as("g"))
+      // join on the 64-bit shingle hash, not the string (same width
+      // argument as d2 — a collision perturbs one overlap count by 1)
+      .select(col("doc_id"), xxhash64(col("g")).as("sh"))
+    val ev = sh.filter(pmod(col("doc_id"), lit(EvalHoldoutMod)) === 0)
+      .select(col("doc_id").as("eval_id"), col("sh")).distinct()
+    sh.filter(pmod(col("doc_id"), lit(EvalHoldoutMod)) =!= 0)
+      .join(broadcast(ev), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_shared_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** t15: training/eval decontamination — find corpus documents that
+    * share a word [[DecontamN]]-gram with any eval-holdout document
+    * (doc_id % [[EvalHoldoutMod]] == 0 stands in for the benchmark
+    * set). The eval side is small BY CONSTRUCTION (it's a holdout), so
+    * its deduped shingle set broadcasts and the corpus side is never
+    * shuffled until the final per-doc aggregate: scan → hash → bcast
+    * join → agg. Join fan-out is bounded by the eval set size per
+    * shingle. Emits overlap breadth (distinct shared shingles) and
+    * reach (distinct eval docs hit) per contaminated document. */
+  def t15Decontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(s, dir))
+
   private def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
@@ -362,7 +425,39 @@ object TextAnalysis {
         |bg AS (SELECT unnest([array_to_string(t[i:i+1], ' ')
         |    FOR i IN generate_series(1, len(t) - 1)]) AS bigram FROM tok)
         |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
-        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin)
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    "t14_repetition" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+        |    COUNT(*) AS n_distinct, MAX(n) AS max_wc FROM wc GROUP BY 1),
+        |bg0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |    WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+        |    FOR i IN generate_series(1, len(t) - 1)]) AS b FROM bg0),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |    MAX(n) AS max_bc FROM bc GROUP BY 1)
+        |SELECT ws.doc_id, n_words, n_distinct,
+        |  round(1.0 - n_distinct / n_words, 6) AS dup_word_ratio,
+        |  round(max_wc / n_words, 6) AS top_word_ratio,
+        |  round(coalesce(max_bc / n_bigrams, 0.0), 6) AS top_bigram_ratio
+        |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        |ORDER BY ws.doc_id""".stripMargin,
+    "t15_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |    WHERE len(string_split(text, ' ')) >= $DecontamN),
+         |sh AS (SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(t[i:i+${DecontamN - 1}], ' ')
+         |      FOR i IN generate_series(1, len(t) - ${DecontamN - 1})]) AS sh
+         |  FROM tok),
+         |ev AS (SELECT doc_id AS eval_id, sh FROM sh
+         |    WHERE doc_id % $EvalHoldoutMod = 0),
+         |co AS (SELECT doc_id, sh FROM sh WHERE doc_id % $EvalHoldoutMod <> 0)
+         |SELECT co.doc_id, COUNT(DISTINCT co.sh) AS n_shared_shingles,
+         |  COUNT(DISTINCT eval_id) AS n_eval_docs
+         |FROM co JOIN ev USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
@@ -377,5 +472,7 @@ object TextAnalysis {
     "t10_bpe_tokens" -> (t10BpeTokens _),
     "t11_bpe_packing" -> (t11BpePacking _),
     "t12_normalize" -> (t12Normalize _),
-    "t13_redact" -> (t13Redact _))
+    "t13_redact" -> (t13Redact _),
+    "t14_repetition" -> (t14Repetition _),
+    "t15_decontaminate" -> (t15Decontaminate _))
 }

@@ -142,6 +142,47 @@ class TextMultimodalSpec extends GraftSpec {
       assert(r.getAs[Int]("n_emails") >= 0 && r.getAs[Int]("n_longnums") >= 0))
   }
 
+  test("t14 repetition ratios hit known values on degenerate text and stay in [0,1]") {
+    import spark.implicits._
+    val corpus = TextAnalysis.t14Repetition(spark, sf).collect()
+    assert(corpus.length == Tables.documents(spark, sf).count())
+    corpus.foreach { r =>
+      Seq("dup_word_ratio", "top_word_ratio", "top_bigram_ratio").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v out of range")
+      }
+    }
+    // cross-check one corpus row against an independent computation
+    val doc0 = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select(col("text")).collect().head.getString(0)
+    val words = doc0.split(" ")
+    val expDup = BigDecimal(1.0 - words.distinct.length.toDouble / words.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r0 = corpus.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(1) == words.length)
+    assert(r0.getAs[Double]("dup_word_ratio") == expDup)
+  }
+
+  test("t15 decontamination flags exactly the corpus docs sharing a 4-gram with an eval doc") {
+    import spark.implicits._
+    // doc 0 is eval (0 % 50 == 0); doc 1 shares its 4-gram, docs 2-3 don't
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "x alpha beta gamma delta y"),
+      (2L, "alpha beta gamma zeta"), // only a 3-gram in common
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == ((1L, 1L))) // one shared shingle ("alpha beta gamma delta"), one eval doc
+    // corpus run matches the DuckDB prototype count shape: every flagged
+    // doc shares ≥1 shingle with ≥1 eval doc
+    val corpus = TextAnalysis.t15Decontaminate(spark, sf).collect()
+    corpus.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1)
+    }
+  }
+
   test("t7 CMS estimates dominate exact counts within the epsilon bound") {
     val rows = TextAnalysis.t7HeavyHitters(spark, sf).collect()
     assert(rows.length == 20)
