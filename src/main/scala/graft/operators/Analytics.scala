@@ -410,6 +410,38 @@ object Analytics {
       .select(col("event_id"), col("event_type"))
       .orderBy("event_id")
 
+  val ReservoirK = 50 // exact sample size per group
+
+  /** s5: exact-k per-group sample, deterministic — rank rows within
+    * each group by a uniform hash of their id (md5: available and
+    * bit-identical in both engines) and keep the first K. Equivalent
+    * in distribution to per-group reservoir sampling, but rerunnable:
+    * the same rows win on every engine and every run.
+    *
+    * Scale shape: a bare `Window.partitionBy(event_type)` would sort
+    * the whole corpus through a handful of reducers (one per group).
+    * Instead a hash-threshold pre-filter keeps ~10K uniform survivors
+    * per group (a per-group count — tiny, broadcast — sets the
+    * threshold), and only survivors enter the window. The K smallest
+    * hashes are below the threshold unless fewer than K of ~10K
+    * expected survive — a >10-sigma Chernoff tail, i.e. never. */
+  def s5ReservoirSample(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+    val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("grp_n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("hkey"), col("event_id"))
+    ev.join(broadcast(counts), Seq("event_type"))
+      .withColumn("hkey", md5(col("event_id").cast("string")))
+      // first 8 hex chars as a uniform 32-bit value vs a per-group cutoff
+      .filter(conv(substring(col("hkey"), 1, 8), 16, 10).cast("long") <
+        least(lit(1L << 32),
+          lit(10L * ReservoirK) * lit(1L << 32) / col("grp_n")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ReservoirK)
+      .select(col("event_type"), col("event_id"), col("rk"))
+      .orderBy("event_type", "rk")
+  }
+
   private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracles: Map[String, String] = Map(
@@ -591,7 +623,14 @@ object Analytics {
         |  COALESCE(strftime(c.ts, '%Y-%m-%d %H:%M:%S'), 'none') AS last_click_ts
         |FROM p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.event_id""".stripMargin)
+        |ORDER BY p.event_id""".stripMargin,
+    "s5_reservoir_sample" ->
+      s"""SELECT event_type, event_id, rk FROM (
+         |  SELECT event_type, event_id, ROW_NUMBER() OVER (
+         |      PARTITION BY event_type
+         |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+         |  FROM events) WHERE rk <= $ReservoirK
+         |ORDER BY event_type, rk""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -617,5 +656,6 @@ object Analytics {
     "j3_range_join" -> (j3RangeJoin _),
     "a7_approx_quantile" -> (a7ApproxQuantile _),
     "j4_salted_join" -> (j4SaltedJoin _),
-    "s4_nested_roundtrip" -> (s4NestedRoundtrip _))
+    "s4_nested_roundtrip" -> (s4NestedRoundtrip _),
+    "s5_reservoir_sample" -> (s5ReservoirSample _))
 }

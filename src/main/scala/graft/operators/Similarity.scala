@@ -156,8 +156,13 @@ object Similarity {
     * one ≤IvfCells-key vector-sum aggregate (map-side partials). The
     * probe ranking touches only NumQueries × IvfCells rows — query-
     * set-sized, never corpus-sized. rows-only + recall ScalaTest. */
-  def n3IvfAnn(s: SparkSession, dir: String): DataFrame = {
-    val e = corpus(s, dir)
+  /** Seed-and-refine IVF centroids: every 50th vector seeds a cell,
+    * one Lloyd iteration refines (zero-shuffle assignment + one
+    * ≤IvfCells-key VectorSumAgg pass). Returns the bounded driver-side
+    * (cell_id, centroid, norm) set — IvfCells × dim doubles, a few KB
+    * embedded as plan literals. Shared by n3 (ANN probe) and n6
+    * (semantic dedup). */
+  private[graft] def ivfCentroids(e: DataFrame): Seq[(Long, Array[Double], Double)] = {
     def collectCells(df: DataFrame): Seq[(Long, Array[Double], Double)] =
       df.collect().toSeq.map(r =>
         (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
@@ -167,7 +172,7 @@ object Similarity {
         .select(col("vec_id").as("cell_id"), col("v"), col("nrm")))
     // one Lloyd refinement: zero-shuffle assignment to seed cells, then
     // per-cell mean via the native VectorSumAgg (one pass, no explode)
-    val refined = collectCells(
+    collectCells(
       n3Assign(e, seeds)
         .groupBy(col("cell_id"))
         .agg(org.apache.spark.sql.graft.VectorSumAggExpr.vectorSum(col("v")).as("vs"),
@@ -176,6 +181,11 @@ object Similarity {
           expr("transform(vs, x -> x / cnt)").as("cv")) // ≤10 rows: HOF cost nil
         .select(col("cell_id"), col("cv"),
           VectorFunctions.l2normNative("cv").as("cn")))
+  }
+
+  def n3IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val refined = ivfCentroids(e)
     val assigned = n3Assign(e, refined)
     // queries probe their IvfProbes nearest cells (bounded query set ×
     // literal cell array — the window here is query-set-sized)
@@ -203,6 +213,43 @@ object Similarity {
         VectorFunctions.dotNative("qv", "v"), col("qn"), col("nrm")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_raw"))
     rankTopK(pairs)
+  }
+
+  val SemDedupTau = 0.4 // cosine threshold for "semantic duplicate"
+
+  /** n6: semantic deduplication (the SemDeDup recipe, Abbas et al.
+    * 2023, arXiv:2303.09540): cluster embeddings into IVF cells, then
+    * drop any vector with a lower-id near-duplicate (cosine ≥
+    * [[SemDedupTau]]) in the SAME cell — pairwise comparison never
+    * crosses cell boundaries, which is what makes semantic dedup
+    * tractable at corpus scale. Plan shape: zero-shuffle cell
+    * assignment (plan-literal centroids, same as n3), then a
+    * cell-keyed self-join whose cost is quadratic only within a cell
+    * — at scale the cell count grows with the corpus (n/cells stays
+    * bounded), here IvfCells=10. Emits one row per vector: keep flag,
+    * and for drops the min-id duplicate it collapses into and the
+    * strongest cosine. rows-only (centroids are
+    * engine-specific); the ScalaTest recomputes within-cell pairs
+    * brute-force and checks the keep set exactly. */
+  def n6SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val assigned = n3Assign(e, ivfCentroids(e))
+    val dups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell_id") === col("b.cell_id") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", VectorFunctions.cosineFromParts(
+        VectorFunctions.dotNative("a.v", "b.v"), col("a.nrm"), col("b.nrm")))
+      .filter(col("cosine") >= SemDedupTau)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_of"),
+        round(max(col("cosine")), 6).as("max_cos"))
+    assigned.select(col("vec_id"), col("cell_id"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        col("dup_of").isNull.as("keep"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cos"))
+      .orderBy("vec_id")
   }
 
   /** n5: per-group embedding centroids via the native VectorSumAgg
@@ -253,5 +300,6 @@ object Similarity {
     "n1_cosine_topk" -> (n1CosineTopk _),
     "n2_ann_lsh" -> (n2AnnLsh _),
     "n3_ivf_ann" -> (n3IvfAnn _),
-    "n5_centroids" -> (n5Centroids _))
+    "n5_centroids" -> (n5Centroids _),
+    "n6_semantic_dedup" -> (n6SemanticDedup _))
 }

@@ -87,6 +87,27 @@ class AnalyticsSpec extends GraftSpec {
     assert(sampled.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("s5 reservoir sample is exactly K per group and matches the unfiltered ranking") {
+    val out = Analytics.s5ReservoirSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val byType = out.groupBy(_._1)
+    byType.values.foreach(rs =>
+      assert(rs.map(_._3).sorted.sameElements(1 to Analytics.ReservoirK)))
+    // brute-force expected winners: md5-order ALL rows per group (no
+    // pre-filter) — proves the hash-threshold pre-filter lost nothing
+    def md5hex(v: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(v.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val all = Tables.events(spark, sf).select("event_type", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    all.groupBy(_._1).foreach { case (t, rs) =>
+      val expect = rs.map(_._2).sortBy(id => (md5hex(id.toString), id))
+        .take(Analytics.ReservoirK)
+      val got = out.filter(_._1 == t).sortBy(_._3).map(_._2)
+      assert(got.sameElements(expect), s"group $t winners differ")
+    }
+  }
+
   test("a7 approx quantiles within 5% of exact per group") {
     val exact = Analytics.a5Percentiles(spark, sf).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),

@@ -40,4 +40,38 @@ class SimilaritySpec extends GraftSpec {
     }.sum / exact.size
     assert(recall >= 0.75, s"n3 recall=$recall")
   }
+
+  test("n6 semantic dedup matches a brute-force within-cell recompute") {
+    val out = Similarity.n6SemanticDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    val vecs = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(out.keySet == vecs.keySet) // one verdict per vector
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cells = out.toSeq.groupBy(_._2._1)
+    cells.foreach { case (_, members) =>
+      val ids = members.map(_._1).sorted
+      ids.foreach { b =>
+        val hits = ids.filter(_ < b)
+          .map(a => (a, cos(vecs(a), vecs(b)))).filter(_._2 >= Similarity.SemDedupTau)
+        val (_, keep, dupOf, maxCos) = out(b)
+        if (hits.isEmpty) assert(keep && dupOf == -1L)
+        else {
+          assert(!keep)
+          assert(dupOf == hits.map(_._1).min)
+          assert(math.abs(maxCos - hits.map(_._2).max) < 1e-4)
+        }
+      }
+    }
+    // invariant: no two KEPT vectors in the same cell are near-dups
+    cells.foreach { case (_, members) =>
+      val kept = members.filter(_._2._2).map(_._1)
+      for (a <- kept; b <- kept if a < b)
+        assert(cos(vecs(a), vecs(b)) < Similarity.SemDedupTau)
+    }
+  }
 }
