@@ -244,6 +244,61 @@ object Sources {
       .orderBy("event_type")
   }
 
+  /** src3: schema evolution — a sink whose schema widened between
+    * batches (batch 1 lacks `value`; batch 2 adds it), read back as
+    * ONE dataset via parquet schema merging (union-by-name; missing
+    * columns are null). This is how a 100 TB archive ingests a schema
+    * change without rewriting history: old files stay untouched, the
+    * merged read reconciles. The aggregate proves both the row union
+    * and the null semantics of the absent column. */
+  def src3SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("src3_evo")
+    val cutoff = "2024-01-15"
+    val ev = Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.filter(col("day") < cutoff)
+      .select(col("event_id"), col("user_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/batch=1")
+    ev.filter(col("day") >= cutoff)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/batch=2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$path/batch=1", s"$path/batch=2")
+      .agg(count(lit(1)).as("n"),
+        sum(col("user_id")).as("sum_user"),
+        count(col("value")).as("n_with_value"),
+        sum(Cols.dec2(col("value"))).cast("double").as("sum_value"))
+  }
+
+  /** k6: small-file compaction — the table-maintenance pass every
+    * long-lived 100 TB dataset needs: streaming/incremental writers
+    * leave many small files per partition (here: 32 tasks × 5
+    * partition dirs), and reading them back pays per-file open/footer
+    * cost and starves scan parallelism of batch size. Compaction
+    * rewrites each partition's files into one (repartition BY the
+    * partition column routes every row of a partition to one task —
+    * `maxRecordsPerFile` is the knob that re-splits if a partition
+    * outgrows a single file). The aggregate through the compacted copy
+    * proves the rewrite was lossless; the ScalaTest asserts the
+    * per-partition file counts actually collapsed. */
+  def k6Compaction(s: SparkSession, dir: String): DataFrame = {
+    val small = tmp("k6_small")
+    val compacted = tmp("k6_compacted")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .repartition(32) // simulate an incremental writer's fragmentation
+      .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(small)
+    s.read.parquet(small)
+      .repartition(col("event_type"))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", 10 * 1000 * 1000)
+      .partitionBy("event_type").parquet(compacted)
+    s.read.parquet(compacted)
+      .groupBy(col("event_type").cast("string").as("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event"))
+      .orderBy("event_type")
+  }
+
   val oracles: Map[String, String] = Map(
     "src1_csv_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -253,6 +308,18 @@ object Sources {
     "src2_json_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(user_id) AS BIGINT) AS sum_user
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src3_schema_evolution" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_user,
+        |  COUNT(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-15'
+        |    THEN 1 END) AS n_with_value,
+        |  CAST(SUM(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-15'
+        |    THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin,
+    "k6_compaction" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_event
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "k1_partitioned_sink" ->
       """SELECT event_type, COUNT(*) AS n,
@@ -305,6 +372,8 @@ object Sources {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src1_csv_roundtrip" -> (src1CsvRoundtrip _),
     "src2_json_roundtrip" -> (src2JsonRoundtrip _),
+    "src3_schema_evolution" -> (src3SchemaEvolution _),
+    "k6_compaction" -> (k6Compaction _),
     "k1_partitioned_sink" -> (k1PartitionedSink _),
     "k2_bucketed_join" -> (k2BucketedJoin _),
     "k3_retention_delete" -> (k3RetentionDelete _),

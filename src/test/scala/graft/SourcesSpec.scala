@@ -35,6 +35,40 @@ class SourcesSpec extends GraftSpec {
     assert(viaSink.toSeq == direct.toSeq)
   }
 
+  test("src3: merged-schema read unions batches and nulls the absent column") {
+    val row = Sources.src3SchemaEvolution(spark, sf).collect().head
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    val withValue = ev.filter(
+      date_format(col("ts"), "yyyy-MM-dd") >= "2024-01-15").count()
+    assert(row.getAs[Long]("n") == total)
+    assert(row.getAs[Long]("n_with_value") == withValue)
+    assert(withValue > 0 && withValue < total) // both batches non-trivial
+  }
+
+  test("k6: compaction collapses per-partition file counts and loses no rows") {
+    val viaCompacted = Sources.k6Compaction(spark, sf).collect()
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type").cast("string").as("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event"))
+      .orderBy("event_type").collect()
+    assert(viaCompacted.toSeq == direct.toSeq)
+    def filesPerPartition(path: String): Map[String, Int] = {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("event_type="))
+        .map(d => d.getPath.getName ->
+          fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")))
+        .toMap
+    }
+    val tmpRoot = s"${sys.props("java.io.tmpdir")}/graft_sources"
+    val before = filesPerPartition(s"$tmpRoot/k6_small")
+    val after = filesPerPartition(s"$tmpRoot/k6_compacted")
+    assert(before.keySet == after.keySet)
+    assert(before.values.forall(_ > 1), s"expected fragmentation, got $before")
+    assert(after.values.forall(_ == 1), s"expected 1 file/partition, got $after")
+  }
+
   test("k5 merge: update rows win, unmatched base rows survive, keys unique") {
     Sources.k5MergeUpsert(spark, sf).collect() // materialize the merge
     val path = s"${sys.props("java.io.tmpdir")}/graft_sources/k5_merge"
