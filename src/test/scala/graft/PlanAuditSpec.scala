@@ -120,4 +120,32 @@ class PlanAuditSpec extends GraftSpec {
     val aggs = "HashAggregate".r.findAllIn(plan).size
     assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$plan")
   }
+
+  test("t15: the eval-holdout side broadcasts; the corpus is never hash-join-shuffled") {
+    val plan = planOf(graft.operators.TextAnalysis.t15Decontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingle set should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus side must not shuffle for the join:\n$plan")
+  }
+
+  test("s5: the hash-threshold pre-filter sits below the per-group window sort") {
+    val plan = planOf(Analytics.s5ReservoirSample(spark, sf))
+    // the window operator must consume the FILTERED side: the plan has a
+    // Filter on the conv(substring(hkey..)) predicate feeding the sort
+    assert(plan.contains("Window"), s"expected a window operator:\n$plan")
+    assert(plan.matches("(?s).*Filter.*conv\\(substring\\(.*Window.*") ||
+      plan.matches("(?s).*Window.*Filter.*conv\\(substring\\(.*"),
+      s"hash-threshold pre-filter missing:\n$plan")
+    // group-count side is a broadcast, not a corpus shuffle join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-group count should broadcast:\n$plan")
+  }
+
+  test("n6: semantic-dedup candidate pairs come from a cell equi-join, not a cartesian product") {
+    val plan = planOf(Similarity.n6SemanticDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pairing must be an equi-join on cell_id:\n$plan")
+  }
 }
