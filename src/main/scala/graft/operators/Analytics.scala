@@ -410,6 +410,38 @@ object Analytics {
       .select(col("event_id"), col("event_type"))
       .orderBy("event_id")
 
+  /** e2: ordered funnel — signup → first click at-or-after it → first
+    * purchase at-or-after that, per user (the reference's polling
+    * pipeline generalized to multi-stage conversion). Each stage is a
+    * filtered aggregate equi-joined on user_id; Catalyst keys all
+    * three shuffles on the same user_id partitioning, so AQE reuses
+    * the exchange instead of re-shuffling per stage. Output is one row
+    * per signed-up user with the stage timestamps (formatted; 'none'
+    * when the funnel broke) and the stage reached. */
+  def e2Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        Cols.fmtTs(col("t1")).as("signup_ts"),
+        coalesce(Cols.fmtTs(col("t2")), lit("none")).as("click_ts"),
+        coalesce(Cols.fmtTs(col("t3")), lit("none")).as("purchase_ts"),
+        (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+          + when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
+      .orderBy("user_id")
+  }
+
   val ReservoirK = 50 // exact sample size per group
 
   /** s5: exact-k per-group sample, deterministic — rank rows within
@@ -624,6 +656,22 @@ object Analytics {
         |FROM p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "e2_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |    WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |    JOIN s1 USING (user_id)
+        |    WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |    JOIN s2 USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+        |SELECT s1.user_id,
+        |  strftime(t1, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+        |  COALESCE(strftime(t2, '%Y-%m-%d %H:%M:%S'), 'none') AS click_ts,
+        |  COALESCE(strftime(t3, '%Y-%m-%d %H:%M:%S'), 'none') AS purchase_ts,
+        |  1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) AS stage
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
     "s5_reservoir_sample" ->
       s"""SELECT event_type, event_id, rk FROM (
          |  SELECT event_type, event_id, ROW_NUMBER() OVER (
@@ -657,5 +705,6 @@ object Analytics {
     "a7_approx_quantile" -> (a7ApproxQuantile _),
     "j4_salted_join" -> (j4SaltedJoin _),
     "s4_nested_roundtrip" -> (s4NestedRoundtrip _),
-    "s5_reservoir_sample" -> (s5ReservoirSample _))
+    "s5_reservoir_sample" -> (s5ReservoirSample _),
+    "e2_funnel" -> (e2Funnel _))
 }

@@ -29,6 +29,31 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  val Pipe2MaxDupRatio = 0.55 // repetition ceiling (keeps ~half the corpus)
+
+  /** pipe2: the full LLM-corpus prep chain over the round's new
+    * operators — normalize → exact-dedup on the NORMALIZED hash
+    * (case/whitespace variants collapse, stronger than d1) →
+    * repetition ceiling (t14) → decontamination (drop the eval
+    * holdout AND every corpus doc sharing a 4-gram with it, t15).
+    * One declarative plan: every stage is an equi-join or aggregate
+    * on doc_id/hash keys, so Catalyst fuses the chain over one scan
+    * lineage and each join keys on the same doc_id partitioning. */
+  def pipe2LlmCorpus(s: SparkSession, dir: String): DataFrame = {
+    val keep = TextAnalysis.t12Normalize(s, dir)
+      .groupBy(col("norm_hash")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val rep = TextAnalysis.t14Repetition(s, dir)
+      .filter(col("dup_word_ratio") <= Pipe2MaxDupRatio)
+      .select(col("doc_id"), col("n_words"), col("dup_word_ratio"))
+    val contaminated = TextAnalysis.t15Decontaminate(s, dir)
+      .select(col("doc_id"))
+    rep.join(keep, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(pmod(col("doc_id"), lit(TextAnalysis.EvalHoldoutMod)) =!= 0)
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
     "pipe1_data_prep" -> {
       val en = TextAnalysis.stoplists("en").map(w => s"'$w'").mkString("[", ",", "]")
@@ -59,8 +84,41 @@ object Pipeline {
          |JOIN lang l ON l.doc_id = q.doc_id
          |WHERE q.quality >= 0.5
          |ORDER BY q.doc_id""".stripMargin
-    })
+    },
+    "pipe2_llm_corpus" -> pipe2Oracle)
+
+  private def pipe2Oracle: String = {
+    val n = TextAnalysis.DecontamN
+    s"""WITH norm AS (SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+       |  FROM documents),
+       |keep AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(nt)),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |wc AS (SELECT doc_id, w, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+       |ws AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+       |    COUNT(*) AS n_distinct FROM wc GROUP BY 1),
+       |rep AS (SELECT doc_id, n_words,
+       |    round(1.0 - n_distinct / n_words, 6) AS dup_word_ratio FROM ws),
+       |tok4 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |    WHERE len(string_split(text, ' ')) >= $n),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    unnest([array_to_string(t[i:i+${n - 1}], ' ')
+       |      FOR i IN generate_series(1, len(t) - ${n - 1})]) AS sh
+       |  FROM tok4),
+       |ev AS (SELECT sh FROM sh WHERE doc_id % ${TextAnalysis.EvalHoldoutMod} = 0),
+       |bad AS (SELECT DISTINCT doc_id FROM sh
+       |  WHERE doc_id % ${TextAnalysis.EvalHoldoutMod} <> 0
+       |    AND sh IN (SELECT sh FROM ev))
+       |SELECT r.doc_id, r.n_words, r.dup_word_ratio
+       |FROM rep r JOIN keep k USING (doc_id)
+       |WHERE r.dup_word_ratio <= $Pipe2MaxDupRatio
+       |  AND r.doc_id % ${TextAnalysis.EvalHoldoutMod} <> 0
+       |  AND r.doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY r.doc_id""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipe1_data_prep" -> (pipe1DataPrep _))
+    "pipe1_data_prep" -> (pipe1DataPrep _),
+    "pipe2_llm_corpus" -> (pipe2LlmCorpus _))
 }

@@ -331,6 +331,36 @@ object TextAnalysis {
   def t15Decontaminate(s: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(s, dir))
 
+  val TfidfTopK = 3 // characteristic terms per document
+
+  /** t16: TF-IDF characteristic terms — the top-[[TfidfTopK]] terms
+    * per document by tf·idf, the classic keyword/topic signal for
+    * corpus exploration and per-doc routing. Document frequencies are
+    * one corpus-wide aggregate on the term key (map-side combined;
+    * the distinct term set is vocabulary-sized, so it broadcasts back
+    * to the per-doc side). Unrounded scores order the ranking (term
+    * asc tiebreak) in BOTH engines; the emitted score is rounded. */
+  def t16TfIdf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count() // bounded metadata: one count, a plan literal
+    val tf = docs
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 1))
+        .as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_raw").desc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("tfidf_raw",
+        col("tf") * log((lit(nDocs) + 1.0) / (col("df") + lit(1.0))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("tfidf_raw"), 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   private def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
@@ -445,6 +475,19 @@ object TextAnalysis {
         |  round(coalesce(max_bc / n_bigrams, 0.0), 6) AS top_bigram_ratio
         |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
         |ORDER BY ws.doc_id""".stripMargin,
+    "t16_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS nd FROM documents),
+         |scored AS (SELECT doc_id, term,
+         |    tf * ln((nd + 1.0) / (df + 1.0)) AS tfidf_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY tf * ln((nd + 1.0) / (df + 1.0)) DESC, term ASC) AS rank
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, rank, term, round(tfidf_raw, 6) AS tfidf
+         |FROM scored WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
     "t15_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
          |    WHERE len(string_split(text, ' ')) >= $DecontamN),
@@ -474,5 +517,6 @@ object TextAnalysis {
     "t12_normalize" -> (t12Normalize _),
     "t13_redact" -> (t13Redact _),
     "t14_repetition" -> (t14Repetition _),
-    "t15_decontaminate" -> (t15Decontaminate _))
+    "t15_decontaminate" -> (t15Decontaminate _),
+    "t16_tfidf" -> (t16TfIdf _))
 }

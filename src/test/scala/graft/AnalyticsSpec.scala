@@ -108,6 +108,35 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("e2 funnel stages are ordered and 'none' markers match the stage number") {
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    val rows = Analytics.e2Funnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (su, cl, pu) = (r.getString(1), r.getString(2), r.getString(3))
+      val stage = r.getInt(4)
+      assert((1 to 3).contains(stage))
+      assert(su != "none") // every row is a signed-up user
+      assert((cl == "none") == (stage < 2))
+      assert((pu == "none") == (stage < 3))
+      if (cl != "none") assert(!fmt.parse(cl).before(fmt.parse(su)))
+      if (pu != "none") assert(!fmt.parse(pu).before(fmt.parse(cl)))
+    }
+    // the funnel narrows
+    val byStage = rows.groupBy(_.getInt(4)).view.mapValues(_.size)
+    assert(byStage.getOrElse(3, 0) <= rows.length)
+  }
+
+  test("pipe2 keeps no eval-holdout docs and respects the repetition ceiling") {
+    val out = graft.operators.Pipeline.pipe2LlmCorpus(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % graft.operators.TextAnalysis.EvalHoldoutMod != 0)
+      assert(r.getAs[Double]("dup_word_ratio") <=
+        graft.operators.Pipeline.Pipe2MaxDupRatio)
+    }
+  }
+
   test("a7 approx quantiles within 5% of exact per group") {
     val exact = Analytics.a5Percentiles(spark, sf).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),

@@ -183,6 +183,25 @@ class TextMultimodalSpec extends GraftSpec {
     }
   }
 
+  test("t16 tf-idf ranks match a driver-side recompute for every document") {
+    val out = TextAnalysis.t16TfIdf(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = texts.size
+    val tf = texts.map { case (id, t) =>
+      id -> t.split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }
+    val df = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size.toLong)
+    texts.keys.foreach { id =>
+      val expect = tf(id).map { case (term, f) =>
+        (term, f * math.log((n + 1.0) / (df(term) + 1.0)))
+      }.toSeq.sortBy { case (term, s) => (-s, term) }.take(TextAnalysis.TfidfTopK)
+      val got = out(id).sortBy(_.getInt(1)).map(r => r.getString(2))
+      assert(got.sameElements(expect.map(_._1)), s"doc $id: $got vs $expect")
+    }
+  }
+
   test("t7 CMS estimates dominate exact counts within the epsilon bound") {
     val rows = TextAnalysis.t7HeavyHitters(spark, sf).collect()
     assert(rows.length == 20)
