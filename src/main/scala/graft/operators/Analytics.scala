@@ -410,6 +410,28 @@ object Analytics {
       .select(col("event_id"), col("event_type"))
       .orderBy("event_id")
 
+  /** w4: daily active users, new users, and cumulative user count —
+    * the standing growth dashboard. Heavy lifting is two corpus-keyed
+    * aggregates (distinct (day,user), first-seen day per user); the
+    * cumulative window then runs over the DAY-level aggregate — a
+    * rows-per-day frame, bounded metadata, so the unpartitioned
+    * window is deliberate and safe (it never sees corpus-sized
+    * input). */
+  def w4ActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .distinct()
+    val dau = ev.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val newU = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(newU, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy("day")
+  }
+
   /** e2: ordered funnel — signup → first click at-or-after it → first
     * purchase at-or-after that, per user (the reference's polling
     * pipeline generalized to multi-stage conversion). Each stage is a
@@ -656,6 +678,17 @@ object Analytics {
         |FROM p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "w4_active_users" ->
+      """WITH ev AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+        |    FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ev GROUP BY 1),
+        |fd AS (SELECT user_id, MIN(day) AS day FROM ev GROUP BY 1),
+        |nu AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY 1)
+        |SELECT dau.day, dau,
+        |  CAST(COALESCE(new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(SUM(COALESCE(new_users, 0)) OVER (
+        |    ORDER BY dau.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM dau LEFT JOIN nu USING (day) ORDER BY dau.day""".stripMargin,
     "e2_funnel" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
         |    WHERE event_type = 'signup' GROUP BY 1),
@@ -706,5 +739,6 @@ object Analytics {
     "j4_salted_join" -> (j4SaltedJoin _),
     "s4_nested_roundtrip" -> (s4NestedRoundtrip _),
     "s5_reservoir_sample" -> (s5ReservoirSample _),
-    "e2_funnel" -> (e2Funnel _))
+    "e2_funnel" -> (e2Funnel _),
+    "w4_active_users" -> (w4ActiveUsers _))
 }

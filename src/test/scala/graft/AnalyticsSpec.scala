@@ -137,6 +137,19 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("w4 cumulative users is monotone and ends at the distinct user count") {
+    val rows = Analytics.w4ActiveUsers(spark, sf).collect()
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.last.getAs[Long]("cum_users") == totalUsers)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("cum_users") <= b.getAs[Long]("cum_users"))
+        assert(a.getString(0) < b.getString(0))
+      case _ =>
+    }
+    assert(rows.map(_.getAs[Long]("new_users")).sum == totalUsers)
+  }
+
   test("a7 approx quantiles within 5% of exact per group") {
     val exact = Analytics.a5Percentiles(spark, sf).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
