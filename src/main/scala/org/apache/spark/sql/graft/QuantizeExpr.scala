@@ -54,7 +54,7 @@ case class QuantizeI8(child: Expression)
        """.stripMargin
     })
 
-  override protected def withNewChildrenInternal(newChild: Expression): Expression =
+  override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
