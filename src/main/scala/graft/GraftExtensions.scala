@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{BpeTokens, DotProduct, RollingFingerprint, WordNgrams}
+import org.apache.spark.sql.graft.{BpeTokens, DotProduct, QuantizeI8, RollingFingerprint, WordNgrams}
 
 /** `SparkSessionExtensions` hook registering graft's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -54,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"graft_fingerprints: expected integer literal, got $other")
           }
         RollingFingerprint(children.head, toInt(children(1)), toInt(children(2)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "graft_quantize_i8"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "graft_quantize_i8 expects exactly 1 argument")
+        QuantizeI8(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bpe_tokens"),

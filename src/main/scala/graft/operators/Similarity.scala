@@ -252,6 +252,30 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** n7: symmetric int8 quantization of every corpus embedding via the
+    * native [[org.apache.spark.sql.graft.QuantizeI8]] kernel — one
+    * codegen'd pass per vector produces the scale, the int8 codes, and
+    * the audit digests (sum/min/max of codes, sequential L2
+    * reconstruction error). This is the storage-compression step of an
+    * embedding pipeline: int8 cuts vector bytes 8× vs float64, and the
+    * plan is a pure scan+project (zero shuffle, zero aggregation — the
+    * per-vector digests come out of the same struct as the codes, so no
+    * second pass). The digests are SQL-reproducible, so unlike the
+    * sketch ops this gets the full hash oracle. */
+  def n7QuantizeI8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.select(col("vec_id"),
+        org.apache.spark.sql.graft.QuantizeI8.quantizeI8(col("v")).as("qz"))
+      .select(col("vec_id"),
+        round(col("qz.scale"), 6).as("scale"),
+        col("qz.sum_q").as("sum_q"),
+        col("qz.min_q").as("min_q"),
+        col("qz.max_q").as("max_q"),
+        round(col("qz.err"), 6).as("err"))
+      .orderBy("vec_id")
+  }
+
   /** n5: per-group embedding centroids via the native VectorSumAgg
     * aggregate — one pass + one shuffle of dim-length buffers (the
     * posexplode alternative blows rows up dim× and shuffles them
@@ -274,6 +298,22 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "n7_quantize_i8" ->
+      // mirror of the kernel: scale = max |x|, q = round-half-away
+      // (DuckDB round() semantics), err = L2 of reconstruction deltas.
+      // Integer digests are exact; scale/err rounded like the float aggs.
+      """WITH ex AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, MAX(abs(x)) AS scale FROM ex GROUP BY vec_id),
+        |q AS (SELECT ex.vec_id, s.scale, ex.x,
+        |    CAST(round(ex.x * 127.0 / s.scale) AS BIGINT) AS qi
+        |  FROM ex JOIN s USING (vec_id))
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(SUM(qi) AS BIGINT) AS sum_q,
+        |  CAST(MIN(qi) AS INTEGER) AS min_q,
+        |  CAST(MAX(qi) AS INTEGER) AS max_q,
+        |  round(sqrt(SUM((x - qi * scale / 127.0) * (x - qi * scale / 127.0))), 6) AS err
+        |FROM q GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin,
     "n5_centroids" ->
       """WITH e AS (SELECT vec_id % 10 AS grp, embedding::DOUBLE[] AS v
         |  FROM embeddings)
@@ -301,5 +341,6 @@ object Similarity {
     "n2_ann_lsh" -> (n2AnnLsh _),
     "n3_ivf_ann" -> (n3IvfAnn _),
     "n5_centroids" -> (n5Centroids _),
-    "n6_semantic_dedup" -> (n6SemanticDedup _))
+    "n6_semantic_dedup" -> (n6SemanticDedup _),
+    "n7_quantize_i8" -> (n7QuantizeI8 _))
 }

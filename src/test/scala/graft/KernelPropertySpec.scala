@@ -110,6 +110,68 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  private def quantize(v: Array[Double]): (Double, Array[Byte], Long, Int, Int, Double) = {
+    val out = org.apache.spark.sql.graft.QuantizeI8.quantizeJava(
+      new GenericArrayData(v))
+    (out(0).asInstanceOf[Double],
+      out(1).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toByteArray(),
+      out(2).asInstanceOf[java.lang.Long].longValue(),
+      out(3).asInstanceOf[java.lang.Integer].intValue(),
+      out(4).asInstanceOf[java.lang.Integer].intValue(),
+      out(5).asInstanceOf[java.lang.Double].doubleValue())
+  }
+
+  test("QuantizeI8 codes match a BigDecimal HALF_UP reference; digests are consistent") {
+    val vec = Gen.listOf(Gen.choose(-100.0, 100.0)).map(_.take(32))
+    check(Prop.forAll(vec) { (v: List[Double]) =>
+      val (scale, q, sumQ, minQ, maxQ, err) = quantize(v.toArray)
+      val wantScale = if (v.isEmpty) 0.0 else v.map(math.abs).max
+      // independent rounding reference: BigDecimal HALF_UP is
+      // half-away-from-zero on the exact decimal value
+      val wantQ = v.map { x =>
+        if (wantScale == 0.0) 0
+        else new java.math.BigDecimal(x * 127.0 / wantScale)
+          .setScale(0, java.math.RoundingMode.HALF_UP).intValueExact()
+      }
+      var errSq = 0.0
+      v.zip(wantQ).foreach { case (x, qi) =>
+        val d = x - (if (wantScale == 0.0) 0.0 else qi * wantScale / 127.0)
+        errSq += d * d
+      }
+      scale == wantScale &&
+        q.toSeq == wantQ.map(_.toByte) &&
+        sumQ == wantQ.map(_.toLong).sum &&
+        minQ == (if (v.isEmpty) 0 else wantQ.min) &&
+        maxQ == (if (v.isEmpty) 0 else wantQ.max) &&
+        err == math.sqrt(errSq) &&
+        wantQ.forall(qi => qi >= -127 && qi <= 127)
+    })
+  }
+
+  test("QuantizeI8 handles empty and all-zero vectors") {
+    val (s0, q0, sum0, min0, max0, e0) = quantize(Array.empty[Double])
+    assert(s0 == 0.0 && q0.isEmpty && sum0 == 0L && min0 == 0 && max0 == 0 && e0 == 0.0)
+    val (s1, q1, sum1, min1, max1, e1) = quantize(Array(0.0, 0.0, 0.0))
+    assert(s1 == 0.0 && q1.toSeq == Seq[Byte](0, 0, 0) &&
+      sum1 == 0L && min1 == 0 && max1 == 0 && e1 == 0.0)
+  }
+
+  test("QuantizeI8 interpreted eval equals the shared kernel output") {
+    val vec = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+    check(Prop.forAll(vec) { (v: List[Double]) =>
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+        new GenericArrayData(v.toArray), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+      val row = org.apache.spark.sql.graft.QuantizeI8(lit).eval(null)
+        .asInstanceOf[InternalRow]
+      val (scale, q, sumQ, minQ, maxQ, err) = quantize(v.toArray)
+      row.getDouble(0) == scale &&
+        row.getArray(1).toByteArray().toSeq == q.toSeq &&
+        row.getLong(2) == sumQ && row.getInt(3) == minQ &&
+        row.getInt(4) == maxQ && row.getDouble(5) == err
+    })
+  }
+
   test("DotProduct eval matches a sequential reference sum bit-for-bit") {
     val vec = Gen.listOfN(16, Gen.choose(-100.0, 100.0))
     check(Prop.forAll(vec, vec) { (a: List[Double], b: List[Double]) =>

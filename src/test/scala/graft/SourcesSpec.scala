@@ -115,4 +115,15 @@ class SourcesSpec extends GraftSpec {
       .head.getSeq[Long](0)
     assert(fps.nonEmpty)
   }
+
+  test("graft_quantize_i8 is callable from SQL and quantizes half-away-from-zero") {
+    val r = spark.sql(
+      "SELECT graft_quantize_i8(array(0.5D, -1.0D, 0.25D)) AS qz")
+      .selectExpr("qz.scale", "qz.q", "qz.sum_q", "qz.min_q", "qz.max_q")
+      .head
+    assert(r.getDouble(0) == 1.0)
+    // 0.5*127 = 63.5 rounds AWAY to 64 (not Math.round's toward +inf only)
+    assert(r.getSeq[Byte](1) == Seq[Byte](64, -127, 32))
+    assert(r.getLong(2) == -31L && r.getInt(3) == -127 && r.getInt(4) == 64)
+  }
 }
