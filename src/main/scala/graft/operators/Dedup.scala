@@ -180,24 +180,95 @@ object Dedup {
       .select(col("doc_id"), assemble.as("simhash"))
   }
 
-  /** d5: embedding-cosine near-dup pairs above a threshold. The
-    * all-pairs join here is the bounded-corpus form; the scale path
-    * for unbounded corpora is the LSH bucketing in Similarity.n2. The
-    * dot product is a native codegen'd kernel (a flat primitive loop,
-    * see [[org.apache.spark.sql.graft.DotProduct]]) so the O(n²)
-    * verification pays no per-element expression overhead. */
-  def d5EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", VectorFunctions.l2normNative("v"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+  val NeardupTau = 0.4 // cosine threshold for d5 near-dup pairs
+
+  /** Candidate cell pairs under the exact angular triangle-inequality
+    * bound: for vectors a∈cell i, b∈cell j,
+    * θ(a,b) ≥ θ(cᵢ,cⱼ) − rᵢ − rⱼ (rᵢ = max angle of a member to its
+    * centroid), so any cell pair with θ(cᵢ,cⱼ) > rᵢ + rⱼ + θ_τ cannot
+    * contain a qualifying pair and is pruned with NO recall loss.
+    * Pure driver-side math over the bounded centroid set (≤IvfCells²
+    * comparisons on a few KB). Emits ordered pairs both ways plus
+    * (i,i), so each unordered vector pair matches exactly one entry. */
+  private[graft] def cellPairCandidates(
+      cells: Seq[(Long, Array[Double], Double)],
+      radii: Map[Long, Double],
+      thetaTau: Double): Seq[(Long, Long)] = {
+    def angle(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double = {
+      var d = 0.0
+      var i = 0
+      val n = math.min(a._2.length, b._2.length)
+      while (i < n) { d += a._2(i) * b._2(i); i += 1 }
+      math.acos(math.max(-1.0, math.min(1.0, d / (a._3 * b._3))))
+    }
+    for {
+      a <- cells
+      b <- cells
+      if angle(a, b) <=
+        radii.getOrElse(a._1, 0.0) + radii.getOrElse(b._1, 0.0) + thetaTau
+    } yield (a._1, b._1)
+  }
+
+  /** d5 core over an arbitrary (vec_id, v, nrm) corpus: EXACT
+    * cosine-threshold self-join, shaped for a cluster. Why not LSH
+    * candidates: at τ=0.4 a random-hyperplane bit agrees with
+    * probability 1−θ_τ/π ≈ 0.63, so a 4-bit table catches a
+    * borderline pair with p⁴ ≈ 0.16 and even 16 tables miss ~6% of
+    * them — measured on this corpus every qualifying pair lies in
+    * cosine 0.40–0.51, so approximate candidates can never match the
+    * exact oracle; ~78 tables would be needed for reliable full
+    * recall. Exact pruning instead: vectors get the zero-shuffle IVF
+    * cell assignment shared with n3, per-cell angular radii are one
+    * bounded aggregate, and [[cellPairCandidates]] drops every cell
+    * pair the triangle inequality proves empty. The surviving pairs
+    * flow through an EQUI-join on the cell key — a shuffled hash
+    * join with per-task memory bounded by cell size, never a
+    * BroadcastNestedLoopJoin of the corpus (PlanAuditSpec pins
+    * this). On clustered corpora (the realistic near-dup setting)
+    * pruning is super-linear; on uniform data it degrades to a
+    * blocked, evenly-partitioned all-pairs — the unavoidable cost of
+    * EXACT threshold semantics, with cell count as the parallelism
+    * knob. The approximate scale paths remain n2 (LSH) and n6
+    * (SemDeDup). */
+  private[graft] def neardupPairs(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    val cents = Similarity.ivfCentroids(e)
+    val assigned = Similarity.n3Assign(e, cents).cache()
+    // cosine of each vector to its OWN centroid: codegen'd when-chain
+    // over the ≤IvfCells literal centroids (CaseWhen short-circuits)
+    val ownCos = cents.foldLeft(lit(1.0)) { case (acc, (id, cv, cn)) =>
+      when(col("cell_id") === id,
+        VectorFunctions.cosineFromParts(
+          org.apache.spark.sql.graft.ArrayMathExpr.dotNative(col("v"), typedlit(cv)),
+          col("nrm"), lit(cn))).otherwise(acc)
+    }
+    val radii = assigned
+      .withColumn("theta", acos(greatest(lit(-1.0), least(lit(1.0), ownCos))))
+      .groupBy(col("cell_id")).agg(max(col("theta")).as("r"))
+      .collect() // bounded: ≤IvfCells rows
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cand = cellPairCandidates(cents, radii, math.acos(NeardupTau))
+    val cp = cand.toDF("ca", "cb")
+    val a = assigned.select(col("vec_id").as("vec_a"), col("v").as("av"),
+      col("nrm").as("an"), col("cell_id").as("ca"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("v").as("bv"),
+      col("nrm").as("bn"), col("cell_id").as("cb"))
+    a.join(broadcast(cp), Seq("ca"))
+      .join(b, Seq("cb"))
+      .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine", VectorFunctions.cosineFromParts(
-        VectorFunctions.dotNative("a.v", "b.v"), col("a.nrm"), col("b.nrm")))
-      .filter(col("cosine") >= 0.4)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(col("cosine"), 6).as("cosine"))
+        org.apache.spark.sql.graft.ArrayMathExpr.dotNative(col("av"), col("bv")),
+        col("an"), col("bn")))
+      .filter(col("cosine") >= NeardupTau)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** d5: embedding-cosine near-dup pairs above [[NeardupTau]] — exact
+    * semantics (full hash oracle) with the cell-pruned equi-join plan
+    * of [[neardupPairs]]. */
+  def d5EmbeddingNeardup(s: SparkSession, dir: String): DataFrame =
+    neardupPairs(s, Similarity.corpus(s, dir))
 
   /** d6: near-dup clustering — connected components over the d2 pair
     * graph, so each duplicate group gets one canonical cluster_id

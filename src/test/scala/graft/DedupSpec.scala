@@ -104,4 +104,48 @@ class DedupSpec extends GraftSpec {
       assert(r.getDouble(2) >= 0.4)
     }
   }
+
+  test("d5 triangle-inequality bound prunes separated cell pairs, keeps near ones") {
+    // two tight clusters on orthogonal axes: θ(c0,c1) = π/2 ≈ 1.571
+    val c0 = (0L, Array(1.0, 0.0, 0.0), 1.0)
+    val c1 = (1L, Array(0.0, 1.0, 0.0), 1.0)
+    val radii = Map(0L -> 0.1, 1L -> 0.1)
+    // τ=0.9 → θ_τ ≈ 0.451: 0.1+0.1+0.451 < π/2 → cross pair provably empty
+    val tight = Dedup.cellPairCandidates(Seq(c0, c1), radii, math.acos(0.9)).toSet
+    assert(tight == Set((0L, 0L), (1L, 1L)), s"expected cross-cell prune, got $tight")
+    // τ=0 → θ_τ = π/2: 0.1+0.1+π/2 > π/2, bound can't exclude the cross pair
+    val loose = Dedup.cellPairCandidates(Seq(c0, c1), radii, math.acos(0.0)).toSet
+    assert(loose == Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
+  }
+
+  test("d5 cell-pruned plan equals the all-pairs brute force on a clustered corpus") {
+    // 120 vectors in two tight clusters (deterministic noise); the
+    // retired corpus² BNLJ form survives here as the recall reference
+    val vecs = (0 until 120).map { i =>
+      val base = if (i % 2 == 0) Array(1.0, 0.0, 0.0, 0.0) else Array(0.0, 1.0, 0.0, 0.0)
+      val noise = Array.tabulate(4)(j => (((i * 31 + j * 7) % 13) - 6) * 0.01)
+      (i.toLong, base.zip(noise).map { case (b, n) => b + n })
+    }
+    import spark.implicits._
+    val e = vecs.toSeq.toDF("vec_id", "v")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2normNative("v"))
+    val got = Dedup.neardupPairs(spark, e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      na = math.sqrt(va.map(x => x * x).sum)
+      nb = math.sqrt(vb.map(x => x * x).sum)
+      cos = dot / (na * nb) if cos >= Dedup.NeardupTau
+    } yield (ia, ib, BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(want.nonEmpty, "clustered fixture must contain qualifying pairs")
+    assert(got.map(p => (p._1, p._2)) == want.map(p => (p._1, p._2)),
+      s"pair sets differ: missing=${want.map(p => (p._1, p._2)) -- got.map(p => (p._1, p._2))} " +
+        s"extra=${got.map(p => (p._1, p._2)) -- want.map(p => (p._1, p._2))}")
+    // cosines agree to the rounded precision
+    val gotMap = got.map(p => (p._1, p._2) -> p._3).toMap
+    want.foreach { case (a, b, c) =>
+      assert(math.abs(gotMap((a, b)) - c) <= 1e-6, s"cosine mismatch for ($a,$b)")
+    }
+  }
 }

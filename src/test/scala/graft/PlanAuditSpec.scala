@@ -53,6 +53,14 @@ class PlanAuditSpec extends GraftSpec {
     assert(codegen.contains("WholeStageCodegen"), s"no whole-stage codegen in d5 plan:\n$codegen")
   }
 
+  test("d5: pairwise compute is a cell equi-join — no nested-loop or cartesian corpus join") {
+    val plan = planOf(Dedup.d5EmbeddingNeardup(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"d5 fell back to a corpus nested-loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"d5 plan contains a cartesian product:\n$plan")
+  }
+
   test("partitioned sink: read-side filter on the partition column prunes partitions") {
     Sources.k1PartitionedSink(spark, sf).collect() // materialize the sink
     val path = s"${sys.props("java.io.tmpdir")}/graft_sources/k1_part"
