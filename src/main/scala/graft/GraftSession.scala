@@ -28,19 +28,33 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Builder with graft's engine settings; callers may override. */
-  def builder(cores: Int): SparkSession.Builder =
+  /** Root for the DURABLE catalog state: the embedded-Derby Hive
+    * metastore and the managed-table warehouse. Both outlive the
+    * session, so `saveAsTable` + restart + `spark.table(...)` round-
+    * trips — the reference's whole value is a persistent store
+    * (hive-backend db.mjs:17-89), and a catalog that forgets its
+    * tables on restart has no analog of it. On a cluster this would
+    * be a shared metastore service (or Unity/Glue) + object-store
+    * warehouse; embedded Derby is the single-node stand-in. */
+  def defaultStateDir: String = s"${sys.props("java.io.tmpdir")}/graft_state"
+
+  /** Builder with graft's engine settings; callers may override.
+    * `stateDir` holds the Derby metastore + warehouse (see
+    * [[defaultStateDir]]); point it elsewhere for an isolated
+    * catalog (the restart spec does). */
+  def builder(cores: Int, stateDir: String = defaultStateDir): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
+      .enableHiveSupport() // durable catalog: Hive metastore on Derby
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
-      // managed tables (bucketed sinks) go to tmp, not the repo cwd
-      .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft_warehouse")
+      .config("spark.sql.warehouse.dir", s"$stateDir/warehouse")
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$stateDir/metastore_db;create=true")
       .config("spark.ui.enabled", "false")
 
   /** Standard local session (the driver mains and tests use this). */
