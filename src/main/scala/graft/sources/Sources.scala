@@ -244,6 +244,97 @@ object Sources {
       .orderBy("event_type")
   }
 
+  /** Column-level conditional UPDATE merge — the missing flavor between
+    * k4 (partition replace) and k5 (row replace): new column values are
+    * COMPUTED FROM THE MATCHED OLD ROW (increment a counter, flip a
+    * status, keep a running total), the reference's most common mutation
+    * (db.mjs:307-320: `retry_count = CASE WHEN ? = 'error' THEN
+    * retry_count + 1 ...`). `set` gives each output column as an
+    * expression over aliases `t` (old row) and `u` (update row);
+    * `insert` gives the values for keys new to the target (over `u`
+    * only); keys absent from the batch carry their old row unchanged.
+    * Plan shape: one full-outer equi-join on the key — at 100 TB the
+    * target is bucketed on the key so the join co-locates, and the
+    * batch side is the small one; cost tracks the batch + touched
+    * buckets, never a table rewrite of untouched columns' history. */
+  private[graft] def mergeWithExpressions(s: SparkSession, path: String,
+      updates: DataFrame, keyCols: Seq[String],
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      insert: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+    require(set.map(_._1) == insert.map(_._1),
+      "set and insert must cover the same columns in the same order")
+    val t = s.read.parquet(path).as("t")
+    val u = updates.as("u")
+    val cond = keyCols.map(k => col(s"t.$k") === col(s"u.$k")).reduce(_ && _)
+    val tKey = col(s"t.${keyCols.head}")
+    val uKey = col(s"u.${keyCols.head}")
+    val insMap = insert.toMap
+    val outCols = keyCols.map(k => coalesce(col(s"t.$k"), col(s"u.$k")).as(k)) ++
+      set.map { case (c, expr) =>
+        when(tKey.isNull, insMap(c)) // new key: INSERT values
+          .when(uKey.isNull, col(s"t.$c")) // untouched key: carry old row
+          .otherwise(expr).as(c) // matched: conditional UPDATE expression
+      }
+    // localCheckpoint: the overwrite below rewrites the path being read
+    t.join(u, cond, "full_outer").select(outCols: _*).localCheckpoint()
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Per-user sync state digest of an event slice: status of the
+    * LATEST event (error|synced), error count, last activity, value
+    * total — the state table k7's merge maintains. */
+  private def syncState(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        when(col("event_type") === "error", lit("error"))
+          .otherwise(lit("synced")).as("status"))
+    ev.groupBy(col("user_id"))
+      .agg(count(when(col("event_type") === "error", 1)).as("retry_count"),
+        max(col("ts")).as("last_seen"),
+        sum(Cols.dec2(col("value"))).as("total_value"))
+      .join(latest, Seq("user_id"))
+  }
+
+  /** k7: the reference's conditional-update upsert end-to-end —
+    * bootstrap a per-user state table from history, then merge the
+    * next batch with column expressions evaluated against the matched
+    * old row: errors INCREMENT the old retry_count, a successful
+    * latest event RESETS it, last_seen refreshes, the value total
+    * accumulates. Exactly db.mjs:307-320's semantics, batch-shaped. */
+  def k7ConditionalUpdate(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("k7_state")
+    val cutoff = lit("2024-01-20").cast("timestamp")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true) // fresh target per run
+    val ev = Tables.events(s, dir)
+    syncState(ev.filter(col("ts") < cutoff))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    mergeWithExpressions(s, path,
+      updates = syncState(ev.filter(col("ts") >= cutoff)),
+      keyCols = Seq("user_id"),
+      set = Seq(
+        "status" -> col("u.status"),
+        "retry_count" -> when(col("u.status") === "error",
+          col("t.retry_count") + col("u.retry_count")).otherwise(lit(0L)),
+        "last_seen" -> greatest(col("t.last_seen"), col("u.last_seen")),
+        "total_value" -> (col("t.total_value") + col("u.total_value"))),
+      insert = Seq(
+        "status" -> col("u.status"),
+        "retry_count" -> when(col("u.status") === "error",
+          col("u.retry_count")).otherwise(lit(0L)),
+        "last_seen" -> col("u.last_seen"),
+        "total_value" -> col("u.total_value")))
+    s.read.parquet(path)
+      .select(col("user_id"), col("status"), col("retry_count"),
+        Cols.fmtTs(col("last_seen")).as("last_seen"),
+        col("total_value").cast("double").as("total_value"))
+      .orderBy("user_id")
+  }
+
   /** src3: schema evolution — a sink whose schema widened between
     * batches (batch 1 lacks `value`; batch 2 adds it), read back as
     * ONE dataset via parquet schema merging (union-by-name; missing
@@ -347,6 +438,50 @@ object Sources {
         |  UNION ALL SELECT * FROM upd)
         |SELECT day, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_event
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k7_conditional_update" ->
+      """WITH hist AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20'),
+        |batch AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-20'),
+        |hl AS (SELECT user_id,
+        |    CASE WHEN event_type = 'error' THEN 'error' ELSE 'synced' END AS status
+        |  FROM hist QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |hs AS (SELECT user_id,
+        |    COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS retry_count,
+        |    MAX(ts) AS last_seen,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS total_value
+        |  FROM hist GROUP BY 1),
+        |hstate AS (SELECT hs.*, hl.status FROM hs JOIN hl USING (user_id)),
+        |bl AS (SELECT user_id,
+        |    CASE WHEN event_type = 'error' THEN 'error' ELSE 'synced' END AS status
+        |  FROM batch QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |bs AS (SELECT user_id,
+        |    COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS retry_count,
+        |    MAX(ts) AS last_seen,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS total_value
+        |  FROM batch GROUP BY 1),
+        |bstate AS (SELECT bs.*, bl.status FROM bs JOIN bl USING (user_id)),
+        |merged AS (
+        |  SELECT COALESCE(t.user_id, u.user_id) AS user_id,
+        |    CASE WHEN t.user_id IS NULL THEN u.status
+        |         WHEN u.user_id IS NULL THEN t.status
+        |         ELSE u.status END AS status,
+        |    CASE WHEN t.user_id IS NULL THEN
+        |           CASE WHEN u.status = 'error' THEN u.retry_count ELSE 0 END
+        |         WHEN u.user_id IS NULL THEN t.retry_count
+        |         WHEN u.status = 'error' THEN t.retry_count + u.retry_count
+        |         ELSE 0 END AS retry_count,
+        |    CASE WHEN t.user_id IS NULL THEN u.last_seen
+        |         WHEN u.user_id IS NULL THEN t.last_seen
+        |         ELSE GREATEST(t.last_seen, u.last_seen) END AS last_seen,
+        |    CASE WHEN t.user_id IS NULL THEN u.total_value
+        |         WHEN u.user_id IS NULL THEN t.total_value
+        |         ELSE t.total_value + u.total_value END AS total_value
+        |  FROM hstate t FULL OUTER JOIN bstate u ON t.user_id = u.user_id)
+        |SELECT user_id, status, CAST(retry_count AS BIGINT) AS retry_count,
+        |  strftime(last_seen, '%Y-%m-%d %H:%M:%S') AS last_seen,
+        |  CAST(total_value AS DOUBLE) AS total_value
+        |FROM merged ORDER BY user_id""".stripMargin,
     "k5_merge_upsert" ->
       """WITH base AS (
         |  SELECT user_id, event_type, value, ts FROM events
@@ -378,5 +513,6 @@ object Sources {
     "k2_bucketed_join" -> (k2BucketedJoin _),
     "k3_retention_delete" -> (k3RetentionDelete _),
     "k4_dynamic_overwrite" -> (k4DynamicOverwrite _),
-    "k5_merge_upsert" -> (k5MergeUpsert _))
+    "k5_merge_upsert" -> (k5MergeUpsert _),
+    "k7_conditional_update" -> (k7ConditionalUpdate _))
 }

@@ -93,6 +93,39 @@ class SourcesSpec extends GraftSpec {
     assert(merged == expected)
   }
 
+  test("k7 conditional update: errors increment retry, success resets, state accumulates") {
+    val got = Sources.k7ConditionalUpdate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+    val byUser = ev.groupBy(_.getLong(0))
+    assert(byUser.nonEmpty)
+    var sawIncrement = false
+    var sawReset = false
+    byUser.foreach { case (uid, rs) =>
+      val hist = rs.filter(_.getTimestamp(2).before(cutoff))
+      val batch = rs.filterNot(_.getTimestamp(2).before(cutoff))
+      val latestOf = (part: Array[org.apache.spark.sql.Row]) =>
+        part.maxBy(r => (r.getTimestamp(2).getTime, r.getLong(3)))
+      val latest = latestOf(if (batch.nonEmpty) batch else hist)
+      val wantStatus = if (latest.getString(1) == "error") "error" else "synced"
+      val histErr = hist.count(_.getString(1) == "error").toLong
+      val batchErr = batch.count(_.getString(1) == "error").toLong
+      val wantRetry =
+        if (batch.isEmpty) histErr // untouched key carries its old row
+        else if (wantStatus != "error") 0L // success resets the counter
+        else if (hist.isEmpty) batchErr // fresh key inserts batch errors
+        else histErr + batchErr // matched error INCREMENTS the old count
+      if (batch.nonEmpty && wantStatus == "error" && hist.nonEmpty) sawIncrement = true
+      if (batch.nonEmpty && wantStatus != "error" && histErr > 0) sawReset = true
+      assert(got(uid) == ((wantStatus, wantRetry)),
+        s"user $uid: got ${got(uid)}, want ($wantStatus, $wantRetry)")
+    }
+    assert(sawIncrement, "fixture must exercise the increment branch")
+    assert(sawReset, "fixture must exercise the reset branch")
+  }
+
   test("graft_dot is callable from SQL via GraftExtensions") {
     val r = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
