@@ -153,7 +153,7 @@ object TextAnalysis {
     * window itself. `slice` is a codegen'd builtin and the per-doc
     * chunk-index explode is tiny (~n_tokens/stride rows), so this
     * scales linearly with corpus token count. */
-  private def chunkStream(s: SparkSession, dir: String): DataFrame =
+  private[graft] def chunkStream(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("t"), explode(expr(
@@ -179,6 +179,19 @@ object TextAnalysis {
     * shard's window is independent — 32-way parallel, no global
     * order — which is the scalable form of packing (a global pack
     * would serialize the corpus through one partition). */
+  /** THE packing API: bin [[chunkStream]]'s windows under
+    * [[PackBudget]] with an arbitrary per-chunk COST expression.
+    * t9 = cost in whitespace tokens (`size(chunk)`, SQL-reproducible
+    * → full hash oracle); t11 = cost in trained-BPE subwords (what a
+    * model actually consumes; no SQL analog → rows-only + spec). Any
+    * other budget (chars, bytes, a learned length estimate) is one
+    * more cost expression — the packer itself never changes, which
+    * PackingSpec pins by re-deriving t9 from the t11 path with the
+    * whitespace cost. */
+  private[graft] def packByCost(chunks: DataFrame,
+      cost: org.apache.spark.sql.Column): DataFrame =
+    packBins(chunks.select(col("doc_id"), col("chunk_idx"), cost.as("n_tok")))
+
   /** The shared sharded greedy packer: expects (doc_id, chunk_idx,
     * n_tok) and bins by running token sum within each of 32 shards. */
   private def packBins(chunks: DataFrame): DataFrame = {
@@ -195,7 +208,7 @@ object TextAnalysis {
   }
 
   def t9SequencePacking(s: SparkSession, dir: String): DataFrame =
-    packBins(t8Chunking(s, dir))
+    packByCost(chunkStream(s, dir), size(col("chunk")))
 
   /** t11: sequence packing with REAL token budgets — the same sharded
     * greedy packer, but each chunk's cost is its trained-BPE subword
@@ -207,10 +220,9 @@ object TextAnalysis {
     * the ScalaTest contract checks token conservation against an
     * independently computed total and bin contiguity per shard. */
   def t11BpePacking(s: SparkSession, dir: String): DataFrame =
-    packBins(chunkStream(s, dir)
-      .select(col("doc_id"), col("chunk_idx"),
-        size(org.apache.spark.sql.graft.BpeTokensExpr
-          .bpeTokens(concat_ws(" ", col("chunk")))).as("n_tok")))
+    packByCost(chunkStream(s, dir),
+      size(org.apache.spark.sql.graft.BpeTokensExpr
+        .bpeTokens(concat_ws(" ", col("chunk")))))
 
   /** t10: REAL subword tokenization — the trained-BPE counterpart of
     * t3's heuristic estimate. `graft_bpe_tokens` applies the frozen

@@ -97,6 +97,17 @@ class BpeSpec extends GraftSpec {
     }
   }
 
+  test("the packing API is one implementation: t11's path with whitespace cost IS t9") {
+    import org.apache.spark.sql.functions._
+    val viaApi = TextAnalysis.packByCost(
+      TextAnalysis.chunkStream(spark, sf), size(col("chunk")))
+      .collect().map(_.toString).toSeq
+    val t9 = TextAnalysis.t9SequencePacking(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(viaApi == t9,
+      "packByCost(whitespace) must reproduce t9 bin-for-bin")
+  }
+
   test("t10 is deterministic and counts match unit arrays") {
     val a = TextAnalysis.t10BpeTokens(spark, sf).collect()
     val b = TextAnalysis.t10BpeTokens(spark, sf).collect()
