@@ -120,6 +120,39 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("row 71: upsert restarted from checkpoint neither loses nor duplicates keys") {
+    // the reference's poll loop survives process restarts
+    // (server.mjs:129-142); the streaming upsert must too: stop the
+    // query, let data arrive while it is down, restart from the SAME
+    // checkpoint, and the target must converge to exactly the
+    // latest-row-per-key state with no replayed duplicates.
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_restart_${System.nanoTime()}"
+    val input = MemoryStream[Ev]
+    val q1 = SyncStream.streamingUpsert(input.toDF(), base, base + "_ckpt")
+    try {
+      input.addData(ev(1, 0, 1, "click", 1.0), ev(2, 1, 2, "view", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop() // planned or unplanned, the checkpoint is the truth
+    // arrives while the pipeline is down: an update and a new key
+    input.addData(ev(3, 5, 1, "click", 8.0), ev(4, 6, 3, "view", 4.0))
+    val q2 = SyncStream.streamingUpsert(input.toDF(), base, base + "_ckpt")
+    try {
+      q2.processAllAvailable()
+      // one more live batch after the restart
+      input.addData(ev(5, 9, 2, "view", 6.0))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(base)
+        .select("user_id", "event_type", "value").collect()
+      val got = rows.map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(rows.length == got.size, "restart produced duplicate keys")
+      assert(got == Map(
+        (1L, "click") -> 8.0, (2L, "view") -> 6.0, (3L, "view") -> 4.0),
+        s"state after restart diverged: $got")
+    } finally q2.stop()
+  }
+
   test("file-source end-to-end: parquet stream + AvailableNow equals batch") {
     // the production shape: readStream over a parquet directory,
     // process everything currently present, terminate (AvailableNow)
