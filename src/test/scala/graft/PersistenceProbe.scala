@@ -11,6 +11,7 @@ package graft
 object PersistenceProbe {
 
   val TableName = "graft_persist_roundtrip"
+  val BucketedName = "graft_persist_bucketed"
 
   def main(args: Array[String]): Unit = {
     val Array(mode, stateDir) = args
@@ -25,11 +26,29 @@ object PersistenceProbe {
             .toDF("id", "k", "v")
             .write.mode("overwrite").format("parquet")
             .saveAsTable(TableName)
+          // bucketed layout: the metadata that made k2's join
+          // 0-Exchange must survive the restart too
+          Seq((1L, 100.0), (2L, 200.0), (3L, 300.0))
+            .toDF("id", "amount")
+            .write.mode("overwrite")
+            .bucketBy(4, "id").sortBy("id")
+            .saveAsTable(BucketedName)
         case "read" =>
           val rows = s.table(TableName).collect()
           println(s"[probe] rows=${rows.length}")
           if (rows.length != 3 || rows.map(_.getLong(0)).sorted.toSeq != Seq(1L, 2L, 3L))
             sys.exit(3)
+          // the reopened catalog must still know the bucket spec: a
+          // sort-merge self-join on the bucket key plans with ZERO
+          // shuffle Exchange (broadcast is suppressed via the merge
+          // hint so the bucketing is what's exercised)
+          val b = s.table(BucketedName)
+          val joined = b.as("x").hint("merge").join(b.as("y"), "id")
+          val plan = joined.queryExecution.executedPlan.toString
+          val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+          println(s"[probe] bucketed_join_shuffles=$shuffles")
+          if (shuffles != 0) sys.exit(4)
+          if (joined.count() != 3) sys.exit(5)
       }
     } finally s.stop()
   }

@@ -32,10 +32,12 @@ class PersistenceSpec extends AnyFunSuite {
     p.exitValue()
   }
 
-  test("managed table survives a full restart: fresh JVM reads it via spark.table") {
+  test("managed + bucketed tables survive a full restart: fresh JVM reads them back") {
     val stateDir = Files.createTempDirectory("graft_persist_state").toString
     assert(runProbe("create", stateDir) == 0, "create probe failed")
+    // the read probe also asserts the restored bucket spec still plans
+    // a 0-Exchange join (exit 4 = bucket metadata lost)
     assert(runProbe("read", stateDir) == 0,
-      "restarted engine could not read the table back from the metastore")
+      "restarted engine could not read the tables back from the metastore")
   }
 }
