@@ -32,6 +32,11 @@ trait MediaCodec extends Serializable {
   /** Sample frames/windows from one payload (video → frames, audio →
     * windows): the 1→N transform shape. */
   def sampleFrames(docId: Long, payload: Array[Byte]): Iterator[Frame]
+
+  /** Extract a fixed-dimension feature embedding from one payload —
+    * the media→vector bridge (a real backend runs an image/audio
+    * encoder model here; weights belong in [[open]]). */
+  def embed(docId: Long, payload: Array[Byte]): Array[Double]
 }
 
 /** Deterministic STUB codec — this container ships no image/audio
@@ -69,6 +74,24 @@ object StubCodec extends MediaCodec {
       width = (hex6(h, 0) % 640).toInt + 1,
       height = (hex6(h, 6) % 480).toInt + 1,
       checksum = h)
+  }
+
+  val EmbedDim = 8
+
+  /** Stub "encoder": 8 deterministic pseudo-features in [0,1) from two
+    * md5 passes (plain + 'g'-salted), so the DuckDB oracle reproduces
+    * the embedding bit-for-bit (k/1000.0 divides identically in both
+    * engines). */
+  override def embed(docId: Long, payload: Array[Byte]): Array[Double] = {
+    val h1 = md5hex(payload, 0, payload.length)
+    val salted = new Array[Byte](payload.length + 1)
+    salted(0) = 'g'.toByte
+    System.arraycopy(payload, 0, salted, 1, payload.length)
+    val h2 = md5hex(salted, 0, salted.length)
+    Array.tabulate(EmbedDim) { i =>
+      val h = if (i < 4) h1 else h2
+      (hex6(h, (i % 4) * 6) % 1000L).toDouble / 1000.0
+    }
   }
 
   override def sampleFrames(docId: Long, payload: Array[Byte]): Iterator[Frame] = {
@@ -129,11 +152,56 @@ object Multimodal {
     }.toDF().orderBy("doc_id", "frame_idx")
   }
 
+  /** The media→vector bridge: per-partition batched feature
+    * extraction into an `array<double>` embedding column — the output
+    * is exactly the shape the similarity/dedup/quantization operators
+    * (n1/n2/n7/d5) consume, closing the loop from raw media bytes to
+    * ANN-ready vectors. Same iterator/batch semantics as m1/m2;
+    * codec-agnostic (a real encoder model loads in `open()`). */
+  def mediaEmbeddings(s: SparkSession, dir: String,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    import s.implicits._
+    val bin = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { it =>
+      codec.open()
+      it.map { case (id, payload) => (id, codec.embed(id, payload)) }
+    }.toDF("doc_id", "embedding")
+  }
+
+  /** m3 query form: SQL-reproducible digests of the embedding (three
+    * probe dimensions + the L2 norm computed through the same native
+    * kernel the vector ops use). */
+  def m3MediaEmbedding(s: SparkSession, dir: String,
+      codec: MediaCodec = StubCodec): DataFrame =
+    mediaEmbeddings(s, dir, codec)
+      .select(col("doc_id"),
+        col("embedding")(0).as("e0"),
+        col("embedding")(3).as("e3"),
+        col("embedding")(7).as("e7"),
+        round(graft.functions.VectorFunctions.l2normNative("embedding"), 6).as("nrm"))
+      .orderBy("doc_id")
+
   /** Both oracles reproduce the md5-based stub exactly. The documents
     * corpus is ASCII, so DuckDB's character offsets (substr) equal the
     * codec's UTF-8 byte offsets and strlen(text) equals the payload
     * byte length — asserted implicitly by the hash comparison. */
   val oracles: Map[String, String] = Map(
+    "m3_media_embedding" ->
+      """WITH e AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 6))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS e0,
+        |    CAST(('0x' || substr(md5(text), 7, 6))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS e1,
+        |    CAST(('0x' || substr(md5(text), 13, 6))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS e2,
+        |    CAST(('0x' || substr(md5(text), 19, 6))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS e3,
+        |    CAST(('0x' || substr(md5('g' || text), 1, 6))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS e4,
+        |    CAST(('0x' || substr(md5('g' || text), 7, 6))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS e5,
+        |    CAST(('0x' || substr(md5('g' || text), 13, 6))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS e6,
+        |    CAST(('0x' || substr(md5('g' || text), 19, 6))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS e7
+        |  FROM documents)
+        |SELECT doc_id, e0, e3, e7,
+        |  round(sqrt(e0*e0 + e1*e1 + e2*e2 + e3*e3 + e4*e4 + e5*e5 + e6*e6 + e7*e7), 6) AS nrm
+        |FROM e ORDER BY doc_id""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
@@ -162,5 +230,6 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> ((s: SparkSession, d: String) => m1MultimodalMeta(s, d)),
-    "m2_frame_sample" -> ((s: SparkSession, d: String) => m2FrameSample(s, d)))
+    "m2_frame_sample" -> ((s: SparkSession, d: String) => m2FrameSample(s, d)),
+    "m3_media_embedding" -> ((s: SparkSession, d: String) => m3MediaEmbedding(s, d)))
 }

@@ -88,6 +88,7 @@ class TextMultimodalSpec extends GraftSpec {
         graft.operators.MediaFeature(id, kind, payload.length, 7, 9, "fixed")
       override def sampleFrames(id: Long, payload: Array[Byte]) =
         Iterator.single(graft.operators.Frame(id, 0, payload.length, 0.5, 0.25))
+      override def embed(id: Long, payload: Array[Byte]) = Array(1.0, 0.0)
     }
     val m1 = Multimodal.m1MultimodalMeta(spark, sf, FixedCodec).collect()
     assert(m1.nonEmpty)
@@ -98,6 +99,32 @@ class TextMultimodalSpec extends GraftSpec {
     val m2 = Multimodal.m2FrameSample(spark, sf, FixedCodec).collect()
     assert(m2.length == Tables.documents(spark, sf).count()) // exactly 1 frame/doc
     m2.foreach(r => assert(r.getAs[Double]("f0") == 0.5))
+    val m3 = Multimodal.mediaEmbeddings(spark, sf, FixedCodec).collect()
+    m3.foreach(r => assert(r.getSeq[Double](1) == Seq(1.0, 0.0)))
+  }
+
+  test("m3 embeddings are deterministic, in [0,1), and feed the vector kernels") {
+    val a = Multimodal.mediaEmbeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = Multimodal.mediaEmbeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b, "embedding extraction must be deterministic")
+    assert(a.nonEmpty)
+    a.values.foreach { e =>
+      assert(e.length == graft.operators.StubCodec.EmbedDim)
+      e.foreach(x => assert(x >= 0.0 && x < 1.0))
+    }
+    // the bridge: the embedding column flows into the same native
+    // kernels the similarity ops use — self-cosine is exactly 1
+    import spark.implicits._
+    val self = Multimodal.mediaEmbeddings(spark, sf)
+      .filter(col("doc_id") < 10)
+      .withColumn("nrm", graft.functions.VectorFunctions.l2normNative("embedding"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineFromParts(
+        graft.functions.VectorFunctions.dotNative("embedding", "embedding"),
+        col("nrm"), col("nrm")))
+      .select("cos").as[Double].collect()
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
   }
 
   test("t12 normalization is idempotent and chainable into exact dedup") {
