@@ -38,6 +38,35 @@ object SyncStream {
   def streamingWindowedCounts(events: DataFrame): DataFrame =
     windowedCounts(events.withWatermark("ts", "10 minutes"))
 
+  val SessionGap = "30 minutes"
+
+  /** st2 core: per-user gap-based sessions via Spark's native
+    * `session_window` — the streaming-capable counterpart of e1's
+    * lag+cumsum sessionization (identical session semantics: a new
+    * session starts when the gap since the previous event exceeds
+    * [[SessionGap]]). In batch this is one shuffle on (user_id) with
+    * session merging inside the aggregate; under a watermark the SAME
+    * expression runs incrementally with state expiring as sessions
+    * close — which lag+cumsum cannot do. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), SessionGap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("session_value"))
+
+  /** st2 (batch form for the DuckDB oracle): session digests. */
+  def st2SessionWindow(s: SparkSession, dir: String): DataFrame =
+    sessionWindows(Tables.events(s, dir))
+      .select(col("user_id"),
+        Cols.fmtTs(col("sw.start")).as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Row 89 streaming form: watermarked session windows (MemoryStream
+    * spec asserts stream == batch on closed sessions). */
+  def streamingSessionWindows(events: DataFrame): DataFrame =
+    sessionWindows(events.withWatermark("ts", "10 minutes"))
+
   /** Row 38: streaming dedup within the watermark — the UNIQUE
     * constraint (db.mjs:32/49) as a stream operator. State is bounded
     * by the watermark horizon. */
@@ -126,6 +155,26 @@ object SyncStream {
       .start()
 
   val oracles: Map[String, String] = Map(
+    "st2_session_window" ->
+      // gap sessionization; >= mirrors Spark's half-open [start,
+      // last+gap) window (an event exactly gap-distant starts a NEW
+      // session)
+      """WITH x AS (SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "st1_windowed_counts" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  COUNT(*) AS n_events,
@@ -134,5 +183,6 @@ object SyncStream {
         |ORDER BY hour""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st1_windowed_counts" -> (st1WindowedCounts _))
+    "st1_windowed_counts" -> (st1WindowedCounts _),
+    "st2_session_window" -> (st2SessionWindow _))
 }

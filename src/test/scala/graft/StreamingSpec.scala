@@ -33,6 +33,42 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("row 89: streaming session windows merge and close like the batch form") {
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    // session-window streaming aggregation supports APPEND: a session
+    // row is emitted once, when the watermark passes its end
+    val q = SyncStream.streamingSessionWindows(input.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min
+      // gap (> SessionGap=30) opens a SECOND session; user 2: one event
+      input.addData(ev(1, 0, 1), ev(2, 10, 1, value = 2.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 50, 1, value = 4.0), ev(4, 5, 2, value = 8.0))
+      q.processAllAvailable()
+      // sentinel far in the future closes every real session (its own
+      // session stays open and is never emitted)
+      input.addData(ev(99, 200, 99))
+      q.processAllAvailable()
+      val got = spark.table("sess")
+        .collect().map(r => (r.getLong(0), r.getStruct(1).getTimestamp(0)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(got == Map(
+        (1L, ts(0)) -> ((2L, 3.0)), // merged session: events at 0 and 10
+        (1L, ts(50)) -> ((1L, 4.0)), // new session after the 40-min gap
+        (2L, ts(5)) -> ((1L, 8.0))), s"got $got")
+      // batch equivalence on the same (non-sentinel) events
+      val batch = SyncStream.sessionWindows(
+        Seq(ev(1, 0, 1), ev(2, 10, 1, value = 2.0),
+          ev(3, 50, 1, value = 4.0), ev(4, 5, 2, value = 8.0)).toDF())
+        .collect().map(r => (r.getLong(0), r.getStruct(1).getTimestamp(0)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(batch == got, "stream state diverged from the batch transform")
+    } finally q.stop()
+  }
+
   test("row 38: duplicate event_ids within the watermark collapse to one") {
     implicit val sqlc = spark.sqlContext
     import spark.implicits._
