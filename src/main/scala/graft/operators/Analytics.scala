@@ -464,6 +464,32 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** e3: cohort retention — users cohorted by their first-activity
+    * day; for each (cohort, day-offset) the cohort fraction active
+    * that day (the product-analytics retention matrix). Plan: the
+    * user→cohort map and the distinct (user, day) activity set are
+    * both user_id-keyed aggregates — Catalyst keys their join on the
+    * same partitioning, so the corpus shuffles once on user_id; the
+    * (cohort, offset) re-aggregation and the cohort-size join run on
+    * day-level rows (bounded metadata: days × offsets, never
+    * corpus-sized). */
+  def e3RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    act.join(cohort, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active")) // act is distinct (user, day)
+      .join(sizes, Seq("cohort_day"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val ReservoirK = 50 // exact sample size per group
 
   /** s5: exact-k per-group sample, deterministic — rank rows within
@@ -705,6 +731,19 @@ object Analytics {
         |  1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) AS stage
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY s1.user_id""".stripMargin,
+    "e3_retention_cohorts" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1),
+        |sz AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM c GROUP BY 1),
+        |r AS (SELECT c.cohort_day, act.day - c.cohort_day AS day_offset,
+        |    COUNT(*) AS n_active
+        |  FROM act JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(day_offset AS INT) AS day_offset, n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM r JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "s5_reservoir_sample" ->
       s"""SELECT event_type, event_id, rk FROM (
          |  SELECT event_type, event_id, ROW_NUMBER() OVER (
@@ -740,5 +779,6 @@ object Analytics {
     "s4_nested_roundtrip" -> (s4NestedRoundtrip _),
     "s5_reservoir_sample" -> (s5ReservoirSample _),
     "e2_funnel" -> (e2Funnel _),
+    "e3_retention_cohorts" -> (e3RetentionCohorts _),
     "w4_active_users" -> (w4ActiveUsers _))
 }

@@ -150,6 +150,27 @@ class AnalyticsSpec extends GraftSpec {
     assert(rows.map(_.getAs[Long]("new_users")).sum == totalUsers)
   }
 
+  test("e3 cohorts: day-0 retention is 1.0, sizes partition the user base") {
+    val rows = Analytics.e3RetentionCohorts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("day_offset") >= 0)
+      val ret = r.getAs[Double]("retention")
+      assert(ret > 0.0 && ret <= 1.0)
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"))
+    }
+    // every cohort member is active on their first day by construction
+    rows.filter(_.getAs[Int]("day_offset") == 0).foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Double]("retention") == 1.0)
+    }
+    // cohort sizes partition the distinct-user base exactly
+    val sizes = rows.filter(_.getAs[Int]("day_offset") == 0)
+      .map(r => r.getString(0) -> r.getAs[Long]("cohort_size")).toMap
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(sizes.values.sum == totalUsers)
+  }
+
   test("a7 approx quantiles within 5% of exact per group") {
     val exact = Analytics.a5Percentiles(spark, sf).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
