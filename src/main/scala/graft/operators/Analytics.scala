@@ -77,6 +77,36 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** TPC-H Q7 — volume shipping between two nations: the widest join
+    * graph in the surface (lineitem ⋈ supplier ⋈ orders ⋈ customer ⋈
+    * nation ×2). Both nation-tagged dimension sides broadcast with the
+    * nation filter applied BEFORE the join (the fact stream shrinks at
+    * the earliest point); the only shuffle join is lineitem ⋈ orders
+    * on the order key. The year comes from l_shipdate so no second
+    * date dimension is needed. */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val nations = Tables.nation(s, dir)
+      .filter(col("n_name").isin(pair: _*))
+    val sup = broadcast(Tables.supplier(s, dir)
+      .join(nations.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation")), col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation"))
+    val cust = broadcast(Tables.customer(s, dir)
+      .join(nations.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation")), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey", "cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation")) // cross-nation flows only
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Cols.moneySum(revenue).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Running-sum + row-number window over supplier partitions. */
   def w1RunningWindow(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
@@ -557,6 +587,20 @@ object Analytics {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q7_nation_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |  CAST(SUM($rev) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+         |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+         |  AND sn.n_name <> cn.n_name
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "w1_running_window" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  ROW_NUMBER() OVER w AS rn,
@@ -756,6 +800,7 @@ object Analytics {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_topk_revenue" -> (q3TopkRevenue _),
     "q5_region_revenue" -> (q5RegionRevenue _),
+    "q7_nation_volume" -> (q7NationVolume _),
     "w1_running_window" -> (w1RunningWindow _),
     "a1_rollup" -> (a1Rollup _),
     "a2_distinct_agg" -> (a2DistinctAgg _),

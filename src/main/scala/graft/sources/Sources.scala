@@ -257,13 +257,15 @@ object Sources {
     * target is bucketed on the key so the join co-locates, and the
     * batch side is the small one; cost tracks the batch + touched
     * buckets, never a table rewrite of untouched columns' history. */
-  private[graft] def mergeWithExpressions(s: SparkSession, path: String,
-      updates: DataFrame, keyCols: Seq[String],
+  /** The merge frame alone (no write) — also what PlanAuditSpec
+    * inspects: one keyed full-outer join, never a nested loop. */
+  private[graft] def mergedFrame(target: DataFrame, updates: DataFrame,
+      keyCols: Seq[String],
       set: Seq[(String, org.apache.spark.sql.Column)],
-      insert: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+      insert: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(set.map(_._1) == insert.map(_._1),
       "set and insert must cover the same columns in the same order")
-    val t = s.read.parquet(path).as("t")
+    val t = target.as("t")
     val u = updates.as("u")
     val cond = keyCols.map(k => col(s"t.$k") === col(s"u.$k")).reduce(_ && _)
     val tKey = col(s"t.${keyCols.head}")
@@ -275,10 +277,17 @@ object Sources {
           .when(uKey.isNull, col(s"t.$c")) // untouched key: carry old row
           .otherwise(expr).as(c) // matched: conditional UPDATE expression
       }
-    // localCheckpoint: the overwrite below rewrites the path being read
-    t.join(u, cond, "full_outer").select(outCols: _*).localCheckpoint()
-      .write.mode(SaveMode.Overwrite).parquet(path)
+    t.join(u, cond, "full_outer").select(outCols: _*)
   }
+
+  private[graft] def mergeWithExpressions(s: SparkSession, path: String,
+      updates: DataFrame, keyCols: Seq[String],
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      insert: Seq[(String, org.apache.spark.sql.Column)]): Unit =
+    // localCheckpoint: the overwrite below rewrites the path being read
+    mergedFrame(s.read.parquet(path), updates, keyCols, set, insert)
+      .localCheckpoint()
+      .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Per-user sync state digest of an event slice: status of the
     * LATEST event (error|synced), error count, last activity, value

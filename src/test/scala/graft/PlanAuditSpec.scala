@@ -53,6 +53,33 @@ class PlanAuditSpec extends GraftSpec {
     assert(codegen.contains("WholeStageCodegen"), s"no whole-stage codegen in d5 plan:\n$codegen")
   }
 
+  test("q7: nation-tagged dims broadcast; lineitem-orders is the only shuffle join") {
+    val plan = planOf(Analytics.q7NationVolume(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast joins in q7:\n$plan")
+    val shuffleJoins = "SortMergeJoin".r.findAllIn(plan).size +
+      "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(shuffleJoins <= 1,
+      s"expected at most one shuffle join (lineitem-orders), got $shuffleJoins:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("k7: the conditional-update merge is a keyed full-outer join, never a nested loop") {
+    import spark.implicits._
+    val target = Seq((1L, "ok", 0L), (2L, "error", 2L)).toDF("user_id", "status", "retry_count")
+    val updates = Seq((2L, "error", 1L), (3L, "ok", 0L)).toDF("user_id", "status", "retry_count")
+    val merged = Sources.mergedFrame(target, updates, Seq("user_id"),
+      set = Seq("status" -> col("u.status"),
+        "retry_count" -> (col("t.retry_count") + col("u.retry_count"))),
+      insert = Seq("status" -> col("u.status"), "retry_count" -> col("u.retry_count")))
+    val plan = planOf(merged)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"k7 merge plan degraded to a nested loop:\n$plan")
+    assert(plan.contains("FullOuter"), s"expected a keyed full-outer join:\n$plan")
+    // and the semantics hold on this tiny fixture
+    val got = merged.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (("ok", 0L)), 2L -> (("error", 3L)), 3L -> (("ok", 0L))))
+  }
+
   test("d5: pairwise compute is a cell equi-join — no nested-loop or cartesian corpus join") {
     val plan = planOf(Dedup.d5EmbeddingNeardup(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin"),
