@@ -54,7 +54,67 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** pipe3: the corpus RELEASE step — pipe2's cleaned corpus and its
+    * summary stats published as ONE transaction via
+    * [[graft.sources.AtomicPublish]] (staging version + atomic
+    * pointer swap; a crash between the two writes leaves readers on
+    * the previous consistent pair). The emitted digest is read BACK
+    * through the committed pointer, so the oracle hash also proves
+    * the publish round-trip was lossless. */
+  def pipe3PublishCorpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.AtomicPublish
+    val root = s"${sys.props("java.io.tmpdir")}/graft_pipe3_release"
+    val corpus = pipe2LlmCorpus(s, dir).cache() // reused by both outputs
+    val stats = corpus.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words")).as("total_words"),
+      round(avg(col("dup_word_ratio")), 6).as("avg_dup_ratio"))
+    AtomicPublish.publish(s, root, Seq("corpus" -> corpus, "stats" -> stats))
+    AtomicPublish.vacuum(s, root) // GC superseded versions from prior runs
+    val c = AtomicPublish.readOutput(s, root, "corpus")
+    val st = AtomicPublish.readOutput(s, root, "stats")
+    c.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .crossJoin(st.select(col("avg_dup_ratio"))) // 1×1 rows
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipe3_publish_corpus" -> {
+      val n = TextAnalysis.DecontamN
+      s"""WITH norm AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+         |  FROM documents),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(nt)),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |wc AS (SELECT doc_id, w, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+         |ws AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+         |    COUNT(*) AS n_distinct FROM wc GROUP BY 1),
+         |rep AS (SELECT doc_id, n_words,
+         |    round(1.0 - n_distinct / n_words, 6) AS dup_word_ratio FROM ws),
+         |tok4 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |    WHERE len(string_split(text, ' ')) >= $n),
+         |sh AS (SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(t[i:i+${n - 1}], ' ')
+         |      FOR i IN generate_series(1, len(t) - ${n - 1})]) AS sh
+         |  FROM tok4),
+         |ev AS (SELECT sh FROM sh WHERE doc_id % ${TextAnalysis.EvalHoldoutMod} = 0),
+         |bad AS (SELECT DISTINCT doc_id FROM sh
+         |  WHERE doc_id % ${TextAnalysis.EvalHoldoutMod} <> 0
+         |    AND sh IN (SELECT sh FROM ev)),
+         |corpus AS (SELECT r.doc_id, r.n_words, r.dup_word_ratio
+         |  FROM rep r JOIN keep k USING (doc_id)
+         |  WHERE r.dup_word_ratio <= $Pipe2MaxDupRatio
+         |    AND r.doc_id % ${TextAnalysis.EvalHoldoutMod} <> 0
+         |    AND r.doc_id NOT IN (SELECT doc_id FROM bad))
+         |SELECT COUNT(*) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+         |  round(AVG(dup_word_ratio), 6) AS avg_dup_ratio
+         |FROM corpus""".stripMargin
+    },
     "pipe1_data_prep" -> {
       val en = TextAnalysis.stoplists("en").map(w => s"'$w'").mkString("[", ",", "]")
       val es = TextAnalysis.stoplists("es").map(w => s"'$w'").mkString("[", ",", "]")
@@ -120,5 +180,6 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe1_data_prep" -> (pipe1DataPrep _),
-    "pipe2_llm_corpus" -> (pipe2LlmCorpus _))
+    "pipe2_llm_corpus" -> (pipe2LlmCorpus _),
+    "pipe3_publish_corpus" -> (pipe3PublishCorpus _))
 }
