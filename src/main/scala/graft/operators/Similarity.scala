@@ -230,6 +230,46 @@ object Similarity {
     rankTopK(pairs)
   }
 
+  val RerankFactor = 4 // n8 re-ranks RerankFactor×TopK int8 candidates
+
+  /** n8: quantized top-k — [[org.apache.spark.sql.graft.QuantizeI8]]
+    * put to work for search. Candidate scoring runs ENTIRELY on the
+    * int8 codes via the native integer multiply-accumulate kernel
+    * ([[org.apache.spark.sql.graft.DotI8]]): approx_cos =
+    * scaleA·scaleB·dot_i8 / (127²·nrmA·nrmB). At 100 TB this is the
+    * point of quantization — the scan reads 8× fewer vector bytes
+    * (int8 vs float64) and the hot loop is integer MAC, with the
+    * float vectors touched only for the RerankFactor×TopK survivors
+    * per query, which are then re-ranked by exact cosine. Ties in the
+    * integer scores break on neighbor_id, so the candidate cut is
+    * deterministic. rows-only (ranking internals engine-specific);
+    * SimilaritySpec checks recall vs the exact n1 top-k. */
+  def n8QuantizedTopk(s: SparkSession, dir: String): DataFrame = {
+    val qz = corpus(s, dir).select(col("vec_id"), col("v"), col("nrm"),
+      org.apache.spark.sql.graft.QuantizeI8.quantizeI8(col("v")).as("qz"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("qz.scale").as("scale"), col("qz.q").as("q"))
+    val queries = qz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("scale").as("qscale"), col("q").as("qq"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val candidates = broadcast(queries)
+      .join(qz, col("query_id") =!= col("vec_id"))
+      .withColumn("approx",
+        org.apache.spark.sql.graft.DotI8.dotI8(col("qq"), col("q"))
+          .cast("double") * col("qscale") * col("scale") /
+          (lit(127.0 * 127.0) * col("qn") * col("nrm")))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("approx"))
+      .withColumn("crank", row_number().over(wApprox))
+      .filter(col("crank") <= TopK * RerankFactor)
+    rankTopK(candidates
+      .withColumn("cos_raw", VectorFunctions.cosineFromParts(
+        VectorFunctions.dotNative("qv", "v"), col("qn"), col("nrm")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_raw")))
+  }
+
   val SemDedupTau = 0.4 // cosine threshold for "semantic duplicate"
 
   /** n6: semantic deduplication (the SemDeDup recipe, Abbas et al.
@@ -357,5 +397,6 @@ object Similarity {
     "n3_ivf_ann" -> (n3IvfAnn _),
     "n5_centroids" -> (n5Centroids _),
     "n6_semantic_dedup" -> (n6SemanticDedup _),
-    "n7_quantize_i8" -> (n7QuantizeI8 _))
+    "n7_quantize_i8" -> (n7QuantizeI8 _),
+    "n8_quantized_topk" -> (n8QuantizedTopk _))
 }

@@ -172,6 +172,21 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("DotI8 eval equals a BigInt reference exactly, including extreme codes") {
+    val codes = Gen.listOfN(64, Gen.chooseNum(-127, 127).map(_.toByte))
+    check(Prop.forAll(codes, codes) { (a: List[Byte], b: List[Byte]) =>
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal
+      val tpe = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType)
+      val got = org.apache.spark.sql.graft.DotI8(
+        lit.create(new GenericArrayData(a.toArray), tpe),
+        lit.create(new GenericArrayData(b.toArray), tpe)).eval(null)
+        .asInstanceOf[Long]
+      val want = a.zip(b).map { case (x, y) => BigInt(x.toInt) * BigInt(y.toInt) }.sum
+      BigInt(got) == want
+    })
+  }
+
   test("DotProduct eval matches a sequential reference sum bit-for-bit") {
     val vec = Gen.listOfN(16, Gen.choose(-100.0, 100.0))
     check(Prop.forAll(vec, vec) { (a: List[Double], b: List[Double]) =>

@@ -34,6 +34,14 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.9, s"n2 recall=$recall")
   }
 
+  test("n8 quantized top-k recall >= 0.9 vs exact") {
+    val approx = topkSets(Similarity.n8QuantizedTopk(spark, sf))
+    val recall = exact.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / exact.size
+    assert(recall >= 0.9, s"n8 recall=$recall")
+  }
+
   test("n3 IVF recall >= 0.75 vs exact") {
     val approx = topkSets(Similarity.n3IvfAnn(spark, sf))
     val recall = exact.map { case (q, t) =>
