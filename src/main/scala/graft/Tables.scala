@@ -38,4 +38,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Load any table by name, with the per-table fixups applied
+    * (events' nanosecond timestamp conversion). */
+  def byName(s: SparkSession, d: String, name: String): DataFrame =
+    if (name == "events") events(s, d) else load(s, d, name)
+
+  /** Register every table as a temp view, making the whole engine
+    * drivable from plain `spark.sql` — together with the
+    * GraftExtensions-registered kernels (`graft_dot`,
+    * `graft_bpe_tokens`, `graft_quantize_i8`, ...) a SQL-only user
+    * gets the same codegen'd plans as the DataFrame API. */
+  def registerViews(s: SparkSession, dir: String): Unit =
+    names.foreach(n => byName(s, dir, n).createOrReplaceTempView(n))
 }

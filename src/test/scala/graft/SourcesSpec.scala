@@ -149,6 +149,24 @@ class SourcesSpec extends GraftSpec {
     assert(fps.nonEmpty)
   }
 
+  test("registerViews makes the corpus queryable from plain SQL with the native kernels") {
+    Tables.registerViews(spark, sf)
+    val row = spark.sql(
+      """SELECT count(*) AS n,
+        |  sum(size(graft_bpe_tokens(text))) AS total_bpe
+        |FROM documents""".stripMargin).head
+    assert(row.getLong(0) == Tables.documents(spark, sf).count())
+    assert(row.getLong(1) > 0L)
+    val topPair = spark.sql(
+      """SELECT a.vec_id AS qa, b.vec_id AS qb,
+        |  graft_dot(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |            CAST(b.embedding AS ARRAY<DOUBLE>)) AS dot
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 3 AND b.vec_id < 3
+        |ORDER BY qa, qb""".stripMargin).collect()
+    assert(topPair.length == 3) // pairs (0,1) (0,2) (1,2)
+  }
+
   test("graft_quantize_i8 is callable from SQL and quantizes half-away-from-zero") {
     val r = spark.sql(
       "SELECT graft_quantize_i8(array(0.5D, -1.0D, 0.25D)) AS qz")
