@@ -61,6 +61,25 @@ object Sources {
       .orderBy("event_type")
   }
 
+  /** src4: ORC round-trip — the second columnar format Spark ships
+    * natively (a 100 TB archive often has ORC history from Hive-era
+    * pipelines). Same lossless-ingest proof shape as src1/src2: write
+    * ORC, aggregate THROUGH the ORC read-back, compare to the oracle
+    * reading the original parquet — schema, values, and pushdown all
+    * survive the format hop. */
+  def src4OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("src4_orc")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite).orc(path)
+    s.read.orc(path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("sum_orderkey"),
+        max(col("o_custkey")).as("max_custkey"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Hive-partitioned parquet sink: write events partitioned by
     * event_type, read back with a partition filter, and aggregate.
     * The read-side filter prunes to one directory — verified in
@@ -409,6 +428,11 @@ object Sources {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(user_id) AS BIGINT) AS sum_user
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src4_orc_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+        |  MAX(o_custkey) AS max_custkey
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "src3_schema_evolution" ->
       """SELECT COUNT(*) AS n,
         |  CAST(SUM(user_id) AS BIGINT) AS sum_user,
@@ -516,6 +540,7 @@ object Sources {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src1_csv_roundtrip" -> (src1CsvRoundtrip _),
     "src2_json_roundtrip" -> (src2JsonRoundtrip _),
+    "src4_orc_roundtrip" -> (src4OrcRoundtrip _),
     "src3_schema_evolution" -> (src3SchemaEvolution _),
     "k6_compaction" -> (k6Compaction _),
     "k1_partitioned_sink" -> (k1PartitionedSink _),
