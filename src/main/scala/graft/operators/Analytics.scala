@@ -520,6 +520,44 @@ object Analytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  val AllowedEventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** a9 core over any events-shaped frame: a constraint audit (the
+    * deequ-style data-quality gate every ingest pipeline runs before
+    * publishing). All row-local checks are conditional aggregates in
+    * ONE scan with map-side partials; the primary-key uniqueness
+    * check is the unavoidable second aggregate (distinct count). At
+    * 100 TB this is exactly how you audit: no per-constraint passes,
+    * no row materialization — one pass plus one keyed distinct. */
+  private[graft] def auditEvents(ev: DataFrame): DataFrame = {
+    val agg = ev.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count_distinct(col("event_id"))).as("dup_event_id"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"),
+      sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_value"),
+      sum(when(!col("event_type").isin(AllowedEventTypes: _*), 1L)
+        .otherwise(0L)).as("bad_type"),
+      sum(when(col("ts") < lit("2020-01-01").cast("timestamp") ||
+        col("ts") >= lit("2030-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("ts_out_of_range"))
+    agg.selectExpr(
+      """stack(5,
+        |  'event_id_unique', dup_event_id,
+        |  'event_type_in_domain', bad_type,
+        |  'ts_in_range', ts_out_of_range,
+        |  'user_id_not_null', null_user,
+        |  'value_non_negative', neg_value
+        |) as (check_name, n_violations)""".stripMargin)
+      .withColumn("pass", col("n_violations") === 0)
+      .orderBy("check_name")
+  }
+
+  /** a9: constraint audit of the events table (PK uniqueness, domain,
+    * range, and null checks) — all green on the corpus, and the
+    * violation-injection spec proves each check actually fires. */
+  def a9ConstraintAudit(s: SparkSession, dir: String): DataFrame =
+    auditEvents(Tables.events(s, dir))
+
   val ReservoirK = 50 // exact sample size per group
 
   /** s5: exact-k per-group sample, deterministic — rank rows within
@@ -775,6 +813,25 @@ object Analytics {
         |  1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) AS stage
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY s1.user_id""".stripMargin,
+    "a9_constraint_audit" ->
+      """WITH m AS (SELECT
+        |  COUNT(*) - COUNT(DISTINCT event_id) AS dup_event_id,
+        |  SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
+        |  SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS neg_value,
+        |  SUM(CASE WHEN event_type NOT IN
+        |    ('click','error','purchase','signup','view') THEN 1 ELSE 0 END) AS bad_type,
+        |  SUM(CASE WHEN ts < TIMESTAMP '2020-01-01'
+        |    OR ts >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS ts_out
+        |  FROM events)
+        |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS pass
+        |FROM (
+        |  SELECT 'event_id_unique' AS check_name, dup_event_id AS n_violations FROM m
+        |  UNION ALL SELECT 'event_type_in_domain', bad_type FROM m
+        |  UNION ALL SELECT 'ts_in_range', ts_out FROM m
+        |  UNION ALL SELECT 'user_id_not_null', null_user FROM m
+        |  UNION ALL SELECT 'value_non_negative', neg_value FROM m)
+        |ORDER BY check_name""".stripMargin,
     "e3_retention_cohorts" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
         |  FROM events),
@@ -823,6 +880,7 @@ object Analytics {
     "j4_salted_join" -> (j4SaltedJoin _),
     "s4_nested_roundtrip" -> (s4NestedRoundtrip _),
     "s5_reservoir_sample" -> (s5ReservoirSample _),
+    "a9_constraint_audit" -> (a9ConstraintAudit _),
     "e2_funnel" -> (e2Funnel _),
     "e3_retention_cohorts" -> (e3RetentionCohorts _),
     "w4_active_users" -> (w4ActiveUsers _))

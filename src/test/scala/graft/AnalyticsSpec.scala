@@ -150,6 +150,32 @@ class AnalyticsSpec extends GraftSpec {
     assert(rows.map(_.getAs[Long]("new_users")).sum == totalUsers)
   }
 
+  test("a9 audit: clean corpus passes; injected violations fire the right checks") {
+    val clean = Analytics.a9ConstraintAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(clean.keySet == Set("event_id_unique", "event_type_in_domain",
+      "ts_in_range", "user_id_not_null", "value_non_negative"))
+    clean.values.foreach { case (n, pass) => assert(n == 0L && pass) }
+    // inject one violation per check and prove each fires with count 1
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val bad = java.sql.Timestamp.valueOf("2031-01-01 00:00:00")
+    val dirty = Seq(
+      (1L, t0, Some(10L), "click", 1.0), // ok
+      (1L, t0, Some(11L), "click", 1.0), // dup event_id
+      (2L, t0, None, "click", 1.0), // null user
+      (3L, t0, Some(12L), "click", -5.0), // negative value
+      (4L, t0, Some(13L), "teleport", 1.0), // out-of-domain type
+      (5L, bad, Some(14L), "view", 1.0)) // ts out of range
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Analytics.auditEvents(dirty).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "event_id_unique" -> 1L, "event_type_in_domain" -> 1L,
+      "ts_in_range" -> 1L, "user_id_not_null" -> 1L,
+      "value_non_negative" -> 1L), s"got $got")
+  }
+
   test("e3 cohorts: day-0 retention is 1.0, sizes partition the user base") {
     val rows = Analytics.e3RetentionCohorts(spark, sf).collect()
     assert(rows.nonEmpty)
