@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{BpeTokens, DotProduct, QuantizeI8, RollingFingerprint, WordNgrams}
+import org.apache.spark.sql.graft.{BpeTokens, DotProduct, QuantizeI8, RollingFingerprint, SimHash64, WordNgrams}
 
 /** `SparkSessionExtensions` hook registering graft's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "graft_quantize_i8 expects exactly 1 argument")
         QuantizeI8(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "graft_simhash64 expects exactly 1 argument")
+        SimHash64(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bpe_tokens"),

@@ -158,27 +158,19 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash signature per document: one explode to token-hash
-    * rows (linear, no ×64 blow-up), then a single 64-column hash
-    * aggregate (±1 vote per bit — fully codegen'd, partial agg
-    * map-side, one shuffle on doc_id), then one projection assembling
-    * the sign bits. Deliberately avoids higher-order-function lambdas,
-    * which Spark evaluates interpreted per element. */
-  private[operators] def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val votes = (0 until 64).map(i =>
-      sum(when(expr(s"((h >> $i) & 1) = 1"), 1).otherwise(-1)).as(s"b$i"))
-    val assemble = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _) // bits are disjoint → sum == bitwise OR
+  /** 64-bit SimHash signature per document — ONE compiled call per
+    * row via the native [[org.apache.spark.sql.graft.SimHash64]]
+    * kernel (tokenize → xxhash64-seed-42 per token → 64 votes →
+    * sign-bit assembly, all in a flat loop). SimHash is row-local by
+    * definition, so the signature stage is a zero-shuffle
+    * scan+project; the explode-to-token-rows + 64-column vote
+    * aggregate this replaces shuffled corpus×tokens rows just to
+    * compute a per-document value (DedupSpec pins bit-identical
+    * signatures against that aggregate formulation). */
+  private[operators] def simhashSignatures(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(
-        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 1))
-        .as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), assemble.as("simhash"))
-  }
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.SimHash64.simhash64(col("text")).as("simhash"))
 
   val NeardupTau = 0.4 // cosine threshold for d5 near-dup pairs
 

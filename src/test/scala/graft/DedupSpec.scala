@@ -43,6 +43,31 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("d4 kernel signatures are bit-identical to the explode+vote aggregate form") {
+    import spark.implicits._
+    // the retired formulation survives here as the semantic reference:
+    // explode to token rows, 64 conditional vote sums, sign assembly
+    val votes = (0 until 64).map(i =>
+      sum(when(expr(s"((h >> $i) & 1) = 1"), 1).otherwise(-1)).as(s"b$i"))
+    val assemble = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val reference = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 1))
+        .as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), assemble.as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val kernel = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.SimHash64.simhash64(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(kernel == reference, "kernel signature diverged from the vote aggregate")
+  }
+
   test("d4 simhash signature is deterministic and near-dups have small hamming") {
     val a = Dedup.d4Simhash(spark, sf).collect()
     val b = Dedup.d4Simhash(spark, sf).collect()

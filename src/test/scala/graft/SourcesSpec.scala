@@ -167,6 +167,15 @@ class SourcesSpec extends GraftSpec {
     assert(topPair.length == 3) // pairs (0,1) (0,2) (1,2)
   }
 
+  test("graft_simhash64 is callable from SQL; identical texts share a signature") {
+    val r = spark.sql(
+      """SELECT graft_simhash64('the quick brown fox') AS a,
+        |  graft_simhash64('the quick brown fox') AS b,
+        |  graft_simhash64('a completely different document') AS c""".stripMargin).head
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+  }
+
   test("graft_quantize_i8 is callable from SQL and quantizes half-away-from-zero") {
     val r = spark.sql(
       "SELECT graft_quantize_i8(array(0.5D, -1.0D, 0.25D)) AS qz")
