@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{BpeTokens, DotProduct, QuantizeI8, RollingFingerprint, SimHash64, WordNgrams}
+import org.apache.spark.sql.graft.{BpeTokens, DotProduct, MinHash32, QuantizeI8, RollingFingerprint, SimHash64, WordNgrams}
 
 /** `SparkSessionExtensions` hook registering graft's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -68,6 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "graft_simhash64 expects exactly 1 argument")
         SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash32"),
+      new ExpressionInfo(classOf[MinHash32].getName, "graft_minhash32"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "graft_minhash32 expects exactly 1 argument")
+        MinHash32(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bpe_tokens"),

@@ -93,16 +93,23 @@ object Dedup {
   val BandSize = 4 // rows per LSH band → 8 bands: P(miss a 0.8-Jaccard
   // pair) = (1 - 0.8^4)^8 ≈ 1.5%, vs 12% at 4 bands
 
-  /** Per-document MinHash signature as ONE wide row (doc_id, mh0..mh31).
-    * Hash family: xxhash64 seeded by the permutation index (a public,
-    * codegen'd 64-bit hash). A single groupBy with MinhashK min
-    * aggregates — no ×K row blow-up, no interpreted lambdas, map-side
-    * partial aggregation, one shuffle on doc_id. */
-  private def minhashWide(sh: DataFrame): DataFrame = {
-    val mins = (0 until MinhashK).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
+  /** Per-document MinHash signature as ONE wide row (doc_id,
+    * mh0..mh31) — computed by the native
+    * [[org.apache.spark.sql.graft.MinHash32]] kernel in a single call
+    * per document (in-row shingle dedup + 32 mins, hash family
+    * identical to the SQL `xxhash64(i, sh)` the aggregate form used —
+    * DedupSpec pins bit-equality). MinHash is row-local, so the
+    * signature stage is a zero-shuffle scan+project; the explode +
+    * corpus-wide DISTINCT + 32-min aggregate it replaces paid two
+    * corpus shuffles. Docs with <3 tokens have no shingles and are
+    * dropped, mirroring the aggregate form. */
+  private def minhashWide(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.MinHash32.minhash32(col("text")).as("mh"))
+      .filter(size(col("mh")) === MinhashK)
+      .select((col("doc_id") +:
+        (0 until MinhashK).map(i => col("mh")(i).as(s"mh$i"))): _*)
 
   /** d3: MinHash + LSH banding. Signatures band into MinhashK/BandSize
     * buckets; docs colliding in ≥1 band become candidates; the
@@ -112,7 +119,7 @@ object Dedup {
     * rows-only check (hash-family specific); ScalaTest asserts the
     * candidates cover all true Jaccard≥0.8 pairs from d2. */
   def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val wide = minhashWide(shingles(s, dir)).cache()
+    val wide = minhashWide(s, dir).cache()
     val bandKeys = array((0 until MinhashK / BandSize).map(b =>
       xxhash64((lit(b) +: (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))): _*)): _*)
     val bands = wide.select(col("doc_id"), explode(bandKeys).as("band_key"))

@@ -43,6 +43,28 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("d3 kernel signatures are bit-identical to the explode+distinct+min aggregate form") {
+    import spark.implicits._
+    // the retired formulation as semantic reference: distinct shingle
+    // rows, 32 min(xxhash64(i, sh)) aggregates
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 3))
+        .as("sh"))
+      .distinct()
+    val mins = (0 until Dedup.MinhashK).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+    val reference = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to Dedup.MinhashK).map(r.getLong).toVector).toMap
+    val kernel = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.MinHash32.minhash32(col("text")).as("mh"))
+      .filter(size(col("mh")) === Dedup.MinhashK)
+      .as[(Long, Vector[Long])].collect().toMap
+    assert(kernel == reference, "kernel minhash diverged from the aggregate form")
+  }
+
   test("d4 kernel signatures are bit-identical to the explode+vote aggregate form") {
     import spark.implicits._
     // the retired formulation survives here as the semantic reference:

@@ -167,6 +167,13 @@ class SourcesSpec extends GraftSpec {
     assert(topPair.length == 3) // pairs (0,1) (0,2) (1,2)
   }
 
+  test("graft_minhash32 is callable from SQL; short texts yield no shingles") {
+    val r = spark.sql(
+      """SELECT size(graft_minhash32('one two three four')) AS k,
+        |  size(graft_minhash32('one two')) AS short""".stripMargin).head
+    assert(r.getInt(0) == 32 && r.getInt(1) == 0)
+  }
+
   test("graft_simhash64 is callable from SQL; identical texts share a signature") {
     val r = spark.sql(
       """SELECT graft_simhash64('the quick brown fox') AS a,
