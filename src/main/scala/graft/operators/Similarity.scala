@@ -352,6 +352,58 @@ object Similarity {
       .orderBy("grp")
   }
 
+  val PcaK = 4 // projected dimensions
+
+  /** PCA model from ONE distributed pass: n, the mean vector, and the
+    * top-[[PcaK]] eigenpairs of the covariance C = Σxxᵀ/n − μμᵀ. The
+    * executors reduce the corpus to a d²-double Gram buffer (native
+    * [[org.apache.spark.sql.graft.GramMatrixAgg]], map-side combine —
+    * corpus rows never shuffle) plus the existing VectorSumAgg and a
+    * count, all in the same single-pass aggregate; the driver then
+    * diagonalizes the d×d covariance (microseconds, corpus-size-
+    * independent — the bounded-collect pattern, d²+d+1 doubles). */
+  private[graft] def pcaModel(e: DataFrame): (Long, Array[Double], Seq[(Double, Array[Double])]) = {
+    val r = e.agg(
+      org.apache.spark.sql.graft.GramMatrixAggExpr.gramMatrix(col("v")).as("g"),
+      org.apache.spark.sql.graft.VectorSumAggExpr.vectorSum(col("v")).as("s"),
+      count(lit(1)).as("n")).collect()(0)
+    val g = r.getSeq[Double](0).toArray
+    val sums = r.getSeq[Double](1).toArray
+    val n = r.getLong(2)
+    val d = sums.length
+    val mu = sums.map(_ / n)
+    val cov = new Array[Double](d * d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) { cov(i * d + j) = g(i * d + j) / n - mu(i) * mu(j); j += 1 }
+      i += 1
+    }
+    (n, mu, graft.functions.Eigen.topK(cov, d, PcaK))
+  }
+
+  /** n9: PCA projection of the embedding corpus to [[PcaK]] dims —
+    * the dimensionality-reduction step in front of clustering /
+    * dedup / visualization of a training corpus. Two-phase plan, both
+    * phases scale-safe: (1) the one-pass Gram reduction above; (2) the
+    * projection yⱼ = pⱼ·(x − μ) as a pure map-side select — each
+    * component is a native codegen'd dot against a PLAN-LITERAL
+    * eigenvector with the constant pⱼ·μ folded in, so the projection
+    * adds zero shuffles and ships a few KB of literals to every
+    * executor. rows-only (eigensolves aren't SQL); SimilaritySpec
+    * checks orthonormality, the projected-variance≍eigenvalue
+    * identity, and PCA's variance optimality vs coordinate axes. */
+  def n9PcaProject(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val (_, mu, comps) = pcaModel(e)
+    val projCols = comps.zipWithIndex.map { case ((_, p), j) =>
+      val shift = p.zip(mu).map { case (a, b) => a * b }.sum
+      round(org.apache.spark.sql.graft.ArrayMathExpr.dotNative(
+        col("v"), typedlit(p)) - lit(shift), 6).as(s"pc$j")
+    }
+    e.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
+  }
+
   val oracles: Map[String, String] = Map(
     "n7_quantize_i8" ->
       // mirror of the kernel: scale = max |x|, q = round-half-away
@@ -398,5 +450,6 @@ object Similarity {
     "n5_centroids" -> (n5Centroids _),
     "n6_semantic_dedup" -> (n6SemanticDedup _),
     "n7_quantize_i8" -> (n7QuantizeI8 _),
-    "n8_quantized_topk" -> (n8QuantizedTopk _))
+    "n8_quantized_topk" -> (n8QuantizedTopk _),
+    "n9_pca_project" -> (n9PcaProject _))
 }

@@ -83,4 +83,54 @@ class SimilaritySpec extends GraftSpec {
         assert(cos(vecs(a), vecs(b)) < Similarity.SemDedupTau)
     }
   }
+
+  // --- n9 PCA contracts ---
+
+  private lazy val pca = {
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")
+          .cast("array<double>").as("v"))
+    Similarity.pcaModel(e)
+  }
+
+  test("n9 PCA components are orthonormal with descending positive eigenvalues") {
+    val (_, _, comps) = pca
+    assert(comps.size == Similarity.PcaK)
+    val ls = comps.map(_._1)
+    assert(ls.forall(_ > 0), s"eigenvalues $ls")
+    assert(ls == ls.sortBy(-_), s"not descending: $ls")
+    for (i <- comps.indices; j <- i until comps.size) {
+      val d = comps(i)._2.zip(comps(j)._2).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-8, s"p${i}.p${j} = $d")
+    }
+  }
+
+  test("n9 projected variance per component equals its eigenvalue") {
+    val (n, _, comps) = pca
+    val rows = Similarity.n9PcaProject(spark, sf).collect()
+    assert(rows.length == n)
+    comps.zipWithIndex.foreach { case ((lambda, _), j) =>
+      val xs = rows.map(_.getDouble(j + 1))
+      val mean = xs.sum / n
+      assert(math.abs(mean) < 1e-4, s"pc$j mean $mean") // centered
+      val variance = xs.map(x => (x - mean) * (x - mean)).sum / n
+      assert(math.abs(variance - lambda) < 1e-4 * math.max(1.0, lambda),
+        s"pc$j variance $variance vs eigenvalue $lambda")
+    }
+  }
+
+  test("n9 top eigenvalue dominates every coordinate-axis variance") {
+    val (n, mu, comps) = pca
+    val vecs = graft.Tables.embeddings(spark, sf).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val axisVar = mu.indices.map { j =>
+      vecs.map(v => (v(j) - mu(j)) * (v(j) - mu(j))).sum / n
+    }
+    // PCA optimality: the leading component captures at least as much
+    // variance as the best single coordinate
+    assert(comps.head._1 >= axisVar.max - 1e-9,
+      s"lambda1 ${comps.head._1} < max axis variance ${axisVar.max}")
+  }
 }
