@@ -107,6 +107,31 @@ object Analytics {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** q8: cheapest supplier per part — the TPC-H Q2 correlated-min
+    * shape (min supply cost per part, then the row achieving it)
+    * re-expressed WITHOUT the correlated subquery or a window: one
+    * `min(struct(price, suppkey))` aggregate per part gives the argmin
+    * with a deterministic min-suppkey tie-break. That is partial-
+    * aggregable (map-side combine), so at 100 TB it costs one shuffle
+    * of one small struct per part — a window formulation would sort
+    * every lineitem row inside each partition instead. The part names
+    * attach via broadcast after the fact side has collapsed to one
+    * row per part. */
+  def q8CheapestSupplier(s: SparkSession, dir: String): DataFrame = {
+    val px = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"), revenue.as("price"))
+    px.groupBy(col("l_partkey"))
+      .agg(min(struct(col("price"), col("l_suppkey"))).as("best"))
+      .select(col("l_partkey").as("partkey"),
+        col("best.price").cast("double").as("best_price"),
+        col("best.l_suppkey").as("best_supp"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name").as("part_name"))),
+        col("partkey") === col("p_partkey"))
+      .select("partkey", "part_name", "best_price", "best_supp")
+      .orderBy("partkey")
+  }
+
   /** Running-sum + row-number window over supplier partitions. */
   def w1RunningWindow(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
@@ -222,6 +247,23 @@ object Analytics {
         col("sum_qty"), col("n"))
       .orderBy("returnflag", "linestatus")
 
+  /** a10: explicit GROUPING SETS — the aggregation lattice rollup and
+    * cube CANNOT express: exactly ((returnflag), (linestatus), ()),
+    * i.e. the two one-dimension marginals plus the grand total with no
+    * combined cell. One Expand + one aggregate, same single-shuffle
+    * plan as rollup/cube; grouping-set nulls coalesced per SURVEY §4. */
+  def a10GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(Cols.moneySum(Cols.dec2(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
   /** Unpivot (wide→long melt) of a per-flag aggregate: each measure
     * column becomes a (measure, value) row. */
   def p2Unpivot(s: SparkSession, dir: String): DataFrame =
@@ -242,6 +284,24 @@ object Analytics {
       .withColumn("next_type", coalesce(lead(col("event_type"), 1).over(w), lit("none")))
       .withColumn("quartile", ntile(4).over(w))
       .select("event_id", "user_id", "prev_value", "next_type", "quartile")
+      .orderBy("event_id")
+  }
+
+  /** w6: the rank-function family w2 doesn't cover — dense_rank,
+    * percent_rank, cume_dist — ordered by a key with HEAVY ties
+    * (event_type) on purpose: unlike row_number, all three are
+    * functions of the ordering KEY alone, so results stay
+    * deterministic under ties on both engines (the property that
+    * makes them safe in an oracle-checked pipeline where row order
+    * within a tie is engine-specific). One shuffle on user_id. */
+  def w6RankSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_type"))
+    Tables.events(s, dir)
+      .filter(col("user_id") < 20)
+      .select(col("event_id"), col("user_id"),
+        dense_rank().over(w).as("dr"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
       .orderBy("event_id")
   }
 
@@ -639,6 +699,35 @@ object Analytics {
          |  AND cn.n_name IN ('NATION_1', 'NATION_2')
          |  AND sn.n_name <> cn.n_name
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_cheapest_supplier" ->
+      s"""WITH px AS (SELECT l_partkey, l_suppkey, $rev AS price FROM lineitem),
+         |m AS (SELECT l_partkey, MIN(price) AS best_price
+         |  FROM px GROUP BY l_partkey),
+         |w AS (SELECT px.l_partkey, m.best_price,
+         |    MIN(px.l_suppkey) AS best_supp
+         |  FROM px JOIN m ON px.l_partkey = m.l_partkey
+         |    AND px.price = m.best_price
+         |  GROUP BY px.l_partkey, m.best_price)
+         |SELECT w.l_partkey AS partkey, p.p_name AS part_name,
+         |  CAST(w.best_price AS DOUBLE) AS best_price, w.best_supp
+         |FROM w JOIN part p ON p.p_partkey = w.l_partkey
+         |ORDER BY partkey""".stripMargin,
+    "a10_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "w6_rank_suite" ->
+      """SELECT event_id, user_id,
+        |  DENSE_RANK() OVER w AS dr,
+        |  round(PERCENT_RANK() OVER w, 6) AS pr,
+        |  round(CUME_DIST() OVER w, 6) AS cd
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
+        |ORDER BY event_id""".stripMargin,
     "w1_running_window" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  ROW_NUMBER() OVER w AS rn,
@@ -858,6 +947,9 @@ object Analytics {
     "q3_topk_revenue" -> (q3TopkRevenue _),
     "q5_region_revenue" -> (q5RegionRevenue _),
     "q7_nation_volume" -> (q7NationVolume _),
+    "q8_cheapest_supplier" -> (q8CheapestSupplier _),
+    "a10_grouping_sets" -> (a10GroupingSets _),
+    "w6_rank_suite" -> (w6RankSuite _),
     "w1_running_window" -> (w1RunningWindow _),
     "a1_rollup" -> (a1Rollup _),
     "a2_distinct_agg" -> (a2DistinctAgg _),

@@ -232,4 +232,54 @@ class AnalyticsSpec extends GraftSpec {
       }
     }
   }
+
+  test("q8 argmin-per-part matches a brute-force recompute with min-suppkey ties") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+          (BigDecimal(1) -
+            BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP))))
+    val expect = li.groupBy(_._1).map { case (pk, rows) =>
+      val best = rows.map(_._3).min
+      pk -> (best.toDouble, rows.filter(_._3 == best).map(_._2).min)
+    }
+    val got = Analytics.q8CheapestSupplier(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (pk, (price, supp)) =>
+      assert(math.abs(got(pk)._1 - price) < 1e-9, s"part $pk price")
+      assert(got(pk)._2 == supp, s"part $pk supplier tie-break")
+    }
+  }
+
+  test("a10 grouping sets emit exactly the two marginals plus grand total") {
+    val rows = Analytics.a10GroupingSets(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf).select("l_returnflag", "l_linestatus").collect()
+    val nFlags = li.map(_.getString(0)).distinct.length
+    val nStatus = li.map(_.getString(1)).distinct.length
+    assert(rows.length == nFlags + nStatus + 1)
+    // no combined (flag, status) cells: every row has at least one 'ALL'
+    assert(rows.forall(r => r.getString(0) == "ALL" || r.getString(1) == "ALL"))
+    val total = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(total.length == 1 && total.head.getLong(3) == li.length)
+  }
+
+  test("w6 rank functions are constant within an order-key tie group") {
+    val rows = Analytics.w6RankSuite(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .filter("user_id < 20").select("event_id", "user_id", "event_type").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows.length == ev.size)
+    // all rows of one (user, event_type) tie group share dr/pr/cd
+    rows.groupBy(r => ev(r.getLong(0))).foreach { case (_, grp) =>
+      assert(grp.map(r => (r.getInt(2), r.getDouble(3), r.getDouble(4))).distinct.length == 1)
+    }
+    // per user: dense ranks are 1..#distinct types, max cume_dist is 1.0
+    rows.groupBy(r => ev(r.getLong(0))._1).foreach { case (u, grp) =>
+      val distinctTypes = grp.map(r => ev(r.getLong(0))._2).distinct.length
+      assert(grp.map(_.getInt(2)).max == distinctTypes, s"user $u dense_rank")
+      assert(math.abs(grp.map(_.getDouble(4)).max - 1.0) < 1e-9, s"user $u cume_dist")
+    }
+  }
 }
