@@ -38,7 +38,13 @@ object Bench {
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+    println(line)
+    // Persist the same line: stdout captures have been truncated by the
+    // driver's tail before (round 3 lost its first ~30 queries), and a
+    // bench whose evidence evaporates can't prove the absence of
+    // regressions. bench_last.json in the repo root is the durable copy.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
     spark.stop()
   }
 }

@@ -72,8 +72,13 @@ object Dedup {
     // width keys. Collision odds at even 10^9 distinct shingles are
     // ~1e-2 per corpus BEFORE the doc_a<doc_b and jaccard filters, and
     // a collision only perturbs one intersection count by 1.
+    // localCheckpoint, not cache(): the self-join below reads the capped
+    // shingle set twice, but a cache() here is never released (the
+    // caller owns the terminal action), pinning executor storage for
+    // the session. Checkpoint blocks are freed by the ContextCleaner
+    // once the returned plan is unreachable — reuse without the leak.
     val sh = capByDf(shingles(s, dir)
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))).cache()
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))).localCheckpoint()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -119,7 +124,9 @@ object Dedup {
     * rows-only check (hash-family specific); ScalaTest asserts the
     * candidates cover all true Jaccard≥0.8 pairs from d2. */
   def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val wide = minhashWide(s, dir).cache()
+    // localCheckpoint (not cache) — same reuse-without-leak reasoning
+    // as d2: banding + both verification sides read the signatures.
+    val wide = minhashWide(s, dir).localCheckpoint()
     val bandKeys = array((0 until MinhashK / BandSize).map(b =>
       xxhash64((lit(b) +: (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))): _*)): _*)
     val bands = wide.select(col("doc_id"), explode(bandKeys).as("band_key"))
@@ -232,7 +239,10 @@ object Dedup {
   private[graft] def neardupPairs(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
     val cents = Similarity.ivfCentroids(e)
-    val assigned = Similarity.n3Assign(e, cents).cache()
+    // localCheckpoint (not cache): consumed by the radii collect below
+    // AND both sides of the returned join plan; a cache() would stay
+    // pinned after the caller's terminal action.
+    val assigned = Similarity.n3Assign(e, cents).localCheckpoint()
     // cosine of each vector to its OWN centroid: codegen'd when-chain
     // over the ≤IvfCells literal centroids (CaseWhen short-circuits)
     val ownCos = cents.foldLeft(lit(1.0)) { case (acc, (id, cv, cn)) =>
@@ -281,41 +291,81 @@ object Dedup {
     * round; the driver loop only reads the converged count, it never
     * holds data. At 100 TB scale the same loop runs with per-round
     * checkpointing to truncate lineage. */
-  def d6DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = d2NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+  def d6DedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(d2NgramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+
+  /** Rounds between lineage truncations inside the label-propagation
+    * loop. Each round's plan references the previous round's, so on a
+    * deep graph (diameter > cadence) the plan tree grows linearly in
+    * rounds — caching bounds RE-COMPUTE but not plan size or recovery
+    * lineage. A localCheckpoint every [[CcCheckpointEvery]] rounds
+    * bounds both; near-dup graphs are shallow so the common case pays
+    * zero extra checkpoints. */
+  val CcCheckpointEvery = 8
+
+  /** Max plan-tree depth observed across the generations of the most
+    * recent [[connectedComponents]] run — instrumentation for the
+    * bounded-lineage spec (a diameter-30 chain must not grow a
+    * depth-30 plan). */
+  @volatile private[graft] var ccMaxPlanDepth = 0
+
+  /** Connected components over an undirected pair list (a, b) →
+    * (id, label) with label = min reachable id. One shuffle per round,
+    * rounds = graph diameter; lineage truncated every
+    * [[CcCheckpointEvery]] rounds. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val cols = pairs.columns
     val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .union(pairs.select(col(cols(1)), col(cols(0))))
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
     var gen = labels // handle to the cached generation, for unpersist
     var changed = 1L
     var iter = 0
+    ccMaxPlanDepth = 0
     while (changed > 0 && iter < 50) {
       val propagated = edges
         .join(labels.select(col("id"), col("label")), col("dst") === col("id"))
         .select(col("src").as("id"), col("label"), lit(0).as("is_old"))
-      val next = labels.select(col("id"), col("label"), lit(1).as("is_old"))
+      var next = labels.select(col("id"), col("label"), lit(1).as("is_old"))
         .unionAll(propagated)
         .groupBy("id")
         // old label rides along as a second agg column: each id has
         // exactly one is_old=1 row, so min(when(is_old,label)) IS it
         .agg(min("label").as("label"),
           min(when(col("is_old") === 1, col("label"))).as("old_label"))
-        .cache()
+      // cadence checkpoint: truncate the growing per-round lineage so
+      // plan depth and failure-recovery cost stay O(cadence), not
+      // O(diameter) — required for deep graphs at cluster scale. A
+      // checkpointed generation is already materialized in block
+      // storage, so it doubles as this round's cache.
+      next = if ((iter + 1) % CcCheckpointEvery == 0) next.localCheckpoint()
+             else next.cache()
+      ccMaxPlanDepth = math.max(ccMaxPlanDepth, planDepth(next))
       changed = next.filter(col("label") =!= col("old_label")).count()
       gen.unpersist() // superseded generation — at scale these are big
       gen = next
       labels = next.drop("old_label")
       iter += 1
     }
-    val out = labels
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
-      .localCheckpoint() // cut the iterative lineage before downstream use
+    // materialize the converged labels (cuts the iterative lineage),
+    // THEN release the loop's caches — nothing stays pinned after
+    // return, and the caller gets a shallow LogicalRDD plan
+    val out = labels.select(col("id"), col("label")).localCheckpoint()
     gen.unpersist()
     edges.unpersist()
     out
+  }
+
+  private def planDepth(df: DataFrame): Int = {
+    def depth(p: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Int =
+      1 + (if (p.children.isEmpty) 0
+           else p.children.map(c =>
+             depth(c.asInstanceOf[org.apache.spark.sql.catalyst.trees.TreeNode[_]])).max)
+    depth(df.queryExecution.logical)
   }
 
   val oracles: Map[String, String] = Map(

@@ -70,6 +70,10 @@ object Pipeline {
       sum(col("n_words")).as("total_words"),
       round(avg(col("dup_word_ratio")), 6).as("avg_dup_ratio"))
     AtomicPublish.publish(s, root, Seq("corpus" -> corpus, "stats" -> stats))
+    // publish() was the last consumer of the cached frame — the digest
+    // below reads the COMMITTED files, not this plan — so release the
+    // cache here rather than leaking it into the session.
+    corpus.unpersist()
     AtomicPublish.vacuum(s, root) // GC superseded versions from prior runs
     val c = AtomicPublish.readOutput(s, root, "corpus")
     val st = AtomicPublish.readOutput(s, root, "stats")

@@ -314,16 +314,22 @@ object TextAnalysis {
     * [[t15Decontaminate]]; factored out so the spec can drive it with
     * synthetic documents. */
   private[graft] def decontaminate(docs: DataFrame): DataFrame = {
-    val sh = docs
+    // The holdout split happens BEFORE the explode: each branch
+    // shingles only its own documents, so the corpus is shingled
+    // exactly once across the two branches. (Filtering a shared
+    // post-explode frame would recompute the explode — the dominant
+    // cost — for each consumer, since there is no shuffle boundary
+    // between scan and explode to reuse.)
+    def shingleOf(d: DataFrame): DataFrame = d
       .select(col("doc_id"), explode(
         org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), DecontamN))
         .as("g"))
       // join on the 64-bit shingle hash, not the string (same width
       // argument as d2 — a collision perturbs one overlap count by 1)
       .select(col("doc_id"), xxhash64(col("g")).as("sh"))
-    val ev = sh.filter(pmod(col("doc_id"), lit(EvalHoldoutMod)) === 0)
+    val ev = shingleOf(docs.filter(pmod(col("doc_id"), lit(EvalHoldoutMod)) === 0))
       .select(col("doc_id").as("eval_id"), col("sh")).distinct()
-    sh.filter(pmod(col("doc_id"), lit(EvalHoldoutMod)) =!= 0)
+    shingleOf(docs.filter(pmod(col("doc_id"), lit(EvalHoldoutMod)) =!= 0))
       .join(broadcast(ev), Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("sh")).as("n_shared_shingles"),
@@ -350,22 +356,36 @@ object TextAnalysis {
     * corpus exploration and per-doc routing. Document frequencies are
     * one corpus-wide aggregate on the term key (map-side combined;
     * the distinct term set is vocabulary-sized, so it broadcasts back
-    * to the per-doc side). Unrounded scores order the ranking (term
-    * asc tiebreak) in BOTH engines; the emitted score is rounded. */
-  def t16TfIdf(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val nDocs = docs.count() // bounded metadata: one count, a plan literal
-    val tf = docs
+    * to the per-doc side). N (the IDF corpus size — documents
+    * contributing ≥1 term) is derived INSIDE the lineage from the same
+    * tf aggregate as a broadcast 1-row crossJoin, not a separate
+    * `docs.count()` action. The tf frame is materialized ONCE
+    * (localCheckpoint — GC-released, not a pinned cache): its three
+    * consumers prune different columns, so as plain lineage they would
+    * each recompute the scan+explode (the dominant cost) rather than
+    * share an exchange. PlanAuditSpec asserts the tf job has exactly
+    * one `documents` scan and the final plan has none. Unrounded
+    * scores order the ranking (term asc tiebreak) in BOTH engines;
+    * the emitted score is rounded. */
+  /** The shared (doc_id, term, tf) aggregate — one scan + explode +
+    * one shuffle on (doc_id, term). */
+  private[graft] def t16TermFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), explode(
         org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 1))
         .as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  def t16TfIdf(s: SparkSession, dir: String): DataFrame = {
+    val tf = t16TermFreq(s, dir).localCheckpoint()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf_raw").desc, col("term").asc)
     tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nd)) // 1-row bounded metadata, in-lineage
       .withColumn("tfidf_raw",
-        col("tf") * log((lit(nDocs) + 1.0) / (col("df") + lit(1.0))))
+        col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TfidfTopK)
       .select(col("doc_id"), col("rank"), col("term"),
@@ -492,7 +512,7 @@ object TextAnalysis {
          |    FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
          |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |n AS (SELECT COUNT(*) AS nd FROM documents),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
          |scored AS (SELECT doc_id, term,
          |    tf * ln((nd + 1.0) / (df + 1.0)) AS tfidf_raw,
          |    ROW_NUMBER() OVER (PARTITION BY doc_id

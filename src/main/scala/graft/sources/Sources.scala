@@ -115,20 +115,43 @@ object Sources {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** Create a bucketed managed table only if it doesn't already hold
+    * this source dir's data (recorded in a `graft.src` table
+    * property). Bucketing is a pay-once-at-ingest layout: re-building
+    * the table on every query would charge the ingest cost to each
+    * join and hide the capability being measured (the 0-Exchange
+    * join). A dir change (sf0.01 verify vs sf0.1 bench) invalidates
+    * and rebuilds. */
+  private def ensureBucketed(s: SparkSession, table: String, dir: String)(
+      build: => Unit): Unit = {
+    val current =
+      if (!s.catalog.tableExists(table)) None
+      else s.sql(s"SHOW TBLPROPERTIES $table")
+        .filter(col("key") === "graft.src")
+        .collect().headOption.map(_.getString(1))
+    if (!current.contains(dir)) {
+      dropManaged(s, table)
+      build
+      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES('graft.src'='$dir')")
+    }
+  }
+
   def k2BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val buckets = 8
-    dropManaged(s, "graft_orders_b")
-    dropManaged(s, "graft_lineitem_b")
-    Tables.orders(s, dir)
-      .select("o_orderkey", "o_orderpriority") // prune before the layout write
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_orders_b")
-    Tables.lineitem(s, dir)
-      .select("l_orderkey", "l_extendedprice")
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_lineitem_b")
+    ensureBucketed(s, "graft_orders_b", dir) {
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority") // prune before the layout write
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_b")
+    }
+    ensureBucketed(s, "graft_lineitem_b", dir) {
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice")
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_b")
+    }
     s.table("graft_lineitem_b").hint("merge")
       .join(s.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))

@@ -122,6 +122,24 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("d6 core: a diameter-30 chain converges with checkpoint-bounded plan depth") {
+    import spark.implicits._
+    // path graph 1-2-...-30: min-label propagation needs ~29 rounds —
+    // deep enough to cross the checkpoint cadence several times
+    val pairs = (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 30, s"expected 30 nodes, got ${labels.size}")
+    assert(labels.values.forall(_ == 1L),
+      s"chain should collapse to cluster 1: $labels")
+    // without the cadence checkpoint the per-round plan grows ~6 nodes
+    // per round (~180 deep by convergence); with it, depth stays
+    // O(cadence) — the property that keeps recovery lineage bounded on
+    // deep graphs at cluster scale
+    assert(Dedup.ccMaxPlanDepth <= 80,
+      s"plan depth grew with rounds, lineage unbounded: ${Dedup.ccMaxPlanDepth}")
+  }
+
   test("DF cap keeps candidate counts linear when a hot shingle is injected") {
     import spark.implicits._
     val n = 3 * Dedup.ShingleDfCap // hot shingle df = 3x over the cap

@@ -164,6 +164,20 @@ class PlanAuditSpec extends GraftSpec {
       s"corpus side must not shuffle for the join:\n$plan")
   }
 
+  test("t16: documents is scanned exactly once — tf materialized, consumers read it") {
+    // the tf job itself: ONE documents scan (each physical scan node
+    // prints its Location once in the formatted plan)
+    val tfPlan = planOf(graft.operators.TextAnalysis.t16TermFreq(spark, sf))
+    assert("documents\\.parquet".r.findAllIn(tfPlan).size == 1,
+      s"tf job should scan documents once:\n$tfPlan")
+    // the full query: ZERO further documents scans — tf's three
+    // differently-pruned consumers (join side, df, N) all read the
+    // materialized frame instead of re-running scan+explode
+    val plan = planOf(graft.operators.TextAnalysis.t16TfIdf(spark, sf))
+    assert(!plan.contains("documents.parquet"),
+      s"a consumer re-scans documents instead of reusing tf:\n$plan")
+  }
+
   test("s5: the hash-threshold pre-filter sits below the per-group window sort") {
     val plan = planOf(Analytics.s5ReservoirSample(spark, sf))
     // the window operator must consume the FILTERED side: the plan has a

@@ -215,10 +215,10 @@ class TextMultimodalSpec extends GraftSpec {
       .groupBy(_.getLong(0))
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val n = texts.size
     val tf = texts.map { case (id, t) =>
       id -> t.split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap
     }
+    val n = tf.count(_._2.nonEmpty) // N = docs contributing >=1 term (in-lineage)
     val df = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size.toLong)
     texts.keys.foreach { id =>
       val expect = tf(id).map { case (term, f) =>
