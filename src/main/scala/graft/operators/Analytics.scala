@@ -650,6 +650,99 @@ object Analytics {
       .orderBy("event_type", "rk")
   }
 
+  /** sc1: SCD Type-2 history build — the warehouse idiom for "keep
+    * every state an entity passed through, with validity intervals"
+    * (the reference's app_states upsert, db.mjs:270-278, keeps only
+    * the LAST state; SCD2 is what a warehouse does instead). From the
+    * event log: per user, consecutive runs of the same event_type
+    * collapse to one version row with [valid_from, valid_to) interval
+    * (half-open: valid_to = next version's valid_from) and is_current
+    * on the open row.
+    *
+    * Scale shape: ONE shuffle on user_id serves the run-detection
+    * window, the per-(user, version) aggregate (hash-partitioning on
+    * user_id already clusters the finer key), and the valid_to lead
+    * window — Spark reuses the exchange across all three. */
+  def sc1Scd2History(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    Tables.events(s, dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_type").as("status"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("chg",
+        when(lag(col("status"), 1).over(wOrd).isNull ||
+          lag(col("status"), 1).over(wOrd) =!= col("status"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(wOrd))
+      .groupBy(col("user_id"), col("version"), col("status"))
+      .agg(min(col("ts_us")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("version"), col("status"),
+        col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** j5: bloom-prefiltered join — the runtime-filter idiom for a
+    * selective dim predicate whose key set is too big to broadcast as
+    * a hash set but whose BLOOM FILTER is a few KB: build the filter
+    * from the filtered orders side (driver-side, bounded: the sketch
+    * is fixed-size regardless of row count), embed it as a literal,
+    * and drop non-matching lineitem rows AT THE SCAN, before they pay
+    * the shuffle. False positives don't affect correctness — the real
+    * equi-join still runs (so the full SQL oracle applies); they only
+    * cost a little shuffle volume. At 100 TB this turns a
+    * shuffle-everything join into a shuffle-3% join whenever the dim
+    * predicate is selective (here: 1-URGENT ≈ 1/5 of orders).
+    * PlanAuditSpec pins might_contain below the join's exchange. */
+  def j5BloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    // fixed-size sketch of the filtered key set: bounded driver-side
+    // metadata (~few hundred KB at 1% fpp), NOT the key set itself
+    val bloom = urgent.stat.bloomFilter("o_orderkey", 200000, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val prefiltered = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(org.apache.spark.sql.graft.BloomFilters.mightContain(
+        bos.toByteArray, col("l_orderkey")))
+    prefiltered.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+        Cols.moneySum(Cols.dec2(col("l_extendedprice"))).as("sum_price"))
+      .filter(col("n_items") >= 8)
+      .orderBy("o_custkey")
+  }
+
+  val SketchDays = 7 // rollup window for a11
+
+  /** a11: sketch rollup table — the incremental-aggregation idiom for
+    * COUNT(DISTINCT) over arbitrary windows: materialize ONE tiny HLL
+    * sketch per day (mergeable, fixed-size), then answer any date
+    * range by UNIONING sketches instead of rescanning events. At
+    * 100 TB the daily build is the only full scan ever paid; every
+    * range query after that reads KB-sized sketch rows. Weekly
+    * distinct users here = union of 7 daily sketches; the ScalaTest
+    * pins estimates within HLL error of exact. rows-only (DuckDB has
+    * no compatible sketch format). */
+  def a11SketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+    daily
+      .withColumn("week", date_trunc("week", col("day")))
+      .groupBy(col("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+        sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_days"))
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("est_users"), col("n_events"), col("n_days"))
+      .orderBy("week")
+  }
+
   private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracles: Map[String, String] = Map(
@@ -940,7 +1033,32 @@ object Analytics {
          |      PARTITION BY event_type
          |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
          |  FROM events) WHERE rk <= $ReservoirK
-         |ORDER BY event_type, rk""".stripMargin)
+         |ORDER BY event_type, rk""".stripMargin,
+    "sc1_scd2_history" ->
+      """WITH ev AS (SELECT user_id, event_type AS status, epoch_us(ts) AS ts_us,
+        |    event_id FROM events WHERE user_id < 50),
+        |runs AS (SELECT user_id, status, ts_us, event_id,
+        |    CASE WHEN LAG(status) OVER w IS NULL
+        |      OR LAG(status) OVER w <> status THEN 1 ELSE 0 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |vers AS (SELECT user_id, status, ts_us,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS BIGINT) AS version
+        |  FROM runs),
+        |hist AS (SELECT user_id, version, status, MIN(ts_us) AS valid_from,
+        |    COUNT(*) AS n_events FROM vers GROUP BY 1, 2, 3)
+        |SELECT user_id, version, status, valid_from,
+        |  LEAD(valid_from) OVER w2 AS valid_to, n_events,
+        |  LEAD(valid_from) OVER w2 IS NULL AS is_current
+        |FROM hist WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
+    "j5_bloom_prefilter" ->
+      """SELECT o_custkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_custkey HAVING COUNT(*) >= 8
+        |ORDER BY o_custkey""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -975,5 +1093,8 @@ object Analytics {
     "a9_constraint_audit" -> (a9ConstraintAudit _),
     "e2_funnel" -> (e2Funnel _),
     "e3_retention_cohorts" -> (e3RetentionCohorts _),
-    "w4_active_users" -> (w4ActiveUsers _))
+    "w4_active_users" -> (w4ActiveUsers _),
+    "sc1_scd2_history" -> (sc1Scd2History _),
+    "j5_bloom_prefilter" -> (j5BloomPrefilter _),
+    "a11_sketch_rollup" -> (a11SketchRollup _))
 }

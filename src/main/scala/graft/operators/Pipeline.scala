@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,7 +85,55 @@ object Pipeline {
       .crossJoin(st.select(col("avg_dup_ratio"))) // 1×1 rows
   }
 
+  val MixTempAlpha = 0.5 // temperature exponent: p_d ∝ n_d^α
+
+  /** mix1: temperature-weighted domain mixing — the LLM-pretraining
+    * step that rebalances a corpus across domains (here: language)
+    * toward p_d ∝ n_d^[[MixTempAlpha]], flattening head domains
+    * without upsampling the tail. Keep rate per domain is
+    * sqrt(n_min/n_d) (α=0.5 via sqrt — IEEE-exact in both engines,
+    * unlike pow): the rarest domain keeps everything, a 100× larger
+    * domain keeps 10%. Sampling is DETERMINISTIC — keep a doc iff its
+    * md5's first 8 hex chars are lexicographically below the domain's
+    * rate threshold (hex-string order IS numeric order at fixed
+    * width) — so the same docs survive on every engine and every run,
+    * and the full SQL oracle applies.
+    *
+    * Scale shape: domain rates are a bounded aggregate (≤#domains
+    * rows) broadcast back; the corpus pays one scan → filter →
+    * project, ZERO shuffles. */
+  def mix1DomainMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_domain"))
+    val nmin = counts.agg(min(col("n_domain")).as("n_min"))
+    val rates = counts.crossJoin(nmin) // both bounded: #domains × 1
+      .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_domain")))
+      .withColumn("thr", when(col("rate") >= 1.0, lit("g")) // 'g' > any hex
+        .otherwise(lpad(lower(hex(
+          floor(col("rate") * lit(4294967296.0)).cast("long"))), 8, "0")))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < col("thr"))
+      .select(col("doc_id"), col("lang"), col("n_domain"),
+        round(col("rate"), 6).as("rate"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "mix1_domain_mixture" ->
+      """WITH counts AS (SELECT lang, COUNT(*) AS n_domain
+        |  FROM documents GROUP BY lang),
+        |rates AS (SELECT lang, n_domain,
+        |    sqrt(CAST(MIN(n_domain) OVER () AS DOUBLE) / n_domain) AS rate
+        |  FROM counts),
+        |thr AS (SELECT lang, n_domain, rate,
+        |    CASE WHEN rate >= 1.0 THEN 'g'
+        |      ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+        |    END AS thr
+        |  FROM rates)
+        |SELECT d.doc_id, d.lang, t.n_domain, round(t.rate, 6) AS rate
+        |FROM documents d JOIN thr t USING (lang)
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+        |ORDER BY d.doc_id""".stripMargin,
     "pipe3_publish_corpus" -> {
       val n = TextAnalysis.DecontamN
       s"""WITH norm AS (SELECT doc_id,
@@ -185,5 +234,6 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe1_data_prep" -> (pipe1DataPrep _),
     "pipe2_llm_corpus" -> (pipe2LlmCorpus _),
-    "pipe3_publish_corpus" -> (pipe3PublishCorpus _))
+    "pipe3_publish_corpus" -> (pipe3PublishCorpus _),
+    "mix1_domain_mixture" -> (mix1DomainMixture _))
 }

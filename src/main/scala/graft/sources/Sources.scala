@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.{Cols, Tables}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -441,7 +441,57 @@ object Sources {
       .orderBy("event_type")
   }
 
+  /** Morton (Z-order) value of two non-negative int columns: bit i of
+    * each operand lands at bits 2i / 2i+1, so range predicates on
+    * EITHER column map to contiguous-ish Z ranges. Pure bitwise
+    * fold — codegen'd, zero extra shuffle beyond the layout's own
+    * range partitioning. */
+  private[graft] def zValue(a: Column, b: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** k8: Z-order clustered layout — multi-dimensional file/row-group
+    * skipping for a table queried by MORE THAN ONE selective column
+    * (here user_id AND event day). A single-column sort clusters only
+    * its own column; Z-ordering interleaves the bits of both, so
+    * parquet min/max stats stay tight on each dimension and a 2-D
+    * predicate prunes most row groups at the SCAN (the spec measures
+    * z-ordered vs unclustered scan output under the same predicate).
+    * At 100 TB this is the layout knob that turns "selective query =
+    * full scan" into "selective query = touched row groups only";
+    * the aggregate itself is layout-independent, which is what the
+    * SQL oracle checks. Small parquet.block.size here mirrors, at
+    * test scale, the many-row-groups-per-file shape a real table has. */
+  def k8ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("k8_events_zorder")
+    Tables.events(s, dir)
+      .withColumn("day_idx",
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")))
+      .withColumn("z", zValue(col("user_id"), col("day_idx")))
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", 64 * 1024)
+      .parquet(path)
+    s.read.parquet(path)
+      .filter(col("user_id").between(10, 20) && col("day_idx").between(5, 15))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event"))
+      .orderBy("event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "k8_zorder_layout" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_event
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 20
+        |  AND CAST(ts AS DATE) - DATE '2024-01-01' BETWEEN 5 AND 15
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "src1_csv_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
@@ -571,5 +621,6 @@ object Sources {
     "k3_retention_delete" -> (k3RetentionDelete _),
     "k4_dynamic_overwrite" -> (k4DynamicOverwrite _),
     "k5_merge_upsert" -> (k5MergeUpsert _),
-    "k7_conditional_update" -> (k7ConditionalUpdate _))
+    "k7_conditional_update" -> (k7ConditionalUpdate _),
+    "k8_zorder_layout" -> (k8ZorderLayout _))
 }

@@ -282,4 +282,64 @@ class AnalyticsSpec extends GraftSpec {
       assert(math.abs(grp.map(_.getDouble(4)).max - 1.0) < 1e-9, s"user $u cume_dist")
     }
   }
+
+  test("sc1 SCD2: per user, versions tile the timeline and adjacent statuses differ") {
+    val rows = graft.operators.Analytics.sc1Scd2History(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, hist0) =>
+      val hist = hist0.sortBy(_._2)
+      assert(hist.head._2 == 1L, s"user $u versions must start at 1")
+      assert(hist.map(_._2).toSeq == (1L to hist.length).toSeq,
+        s"user $u versions must be dense")
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $u: valid_to must equal next valid_from")
+          assert(a._3 != b._3, s"user $u: consecutive versions with equal status")
+          assert(!a._7, s"user $u: non-last version marked current")
+        case _ =>
+      }
+      assert(hist.last._5.isEmpty && hist.last._7,
+        s"user $u: last version must be open and current")
+    }
+    // every event is attributed to exactly one version
+    val nEvents = Tables.events(spark, sf).filter(col("user_id") < 50).count()
+    assert(rows.map(_._6).sum == nEvents, "n_events must partition the event log")
+  }
+
+  test("j5: bloom prefilter changes no results vs the plain join, but prunes before the shuffle") {
+    val withBloom = graft.operators.Analytics.j5BloomPrefilter(spark, sf).collect()
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") >= 8)
+      .count()
+    assert(withBloom.length.toLong == plain,
+      "bloom false positives must be removed by the real join")
+    // the sketch itself: no false negatives on the inserted key set
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val bf = urgent.stat.bloomFilter("o_orderkey", 200000, 0.01)
+    urgent.collect().foreach(r =>
+      assert(bf.mightContainLong(r.getLong(0)), "bloom filter false negative"))
+  }
+
+  test("a11: weekly HLL estimates land within sketch error of exact distinct users") {
+    val est = graft.operators.Analytics.a11SketchRollup(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .groupBy(date_format(date_trunc("week", date_trunc("day", col("ts"))), "yyyy-MM-dd")
+        .as("week"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (w, n) =>
+      assert(math.abs(est(w) - n) <= math.max(2.0, 0.05 * n),
+        s"week $w: est=${est(w)} exact=$n")
+    }
+  }
 }
