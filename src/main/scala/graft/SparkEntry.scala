@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import graft.sources.Sources
+import graft.sources.{Migrations, Sources}
 import graft.streaming.SyncStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      SyncStream.queries ++ Sources.queries ++ Pipeline.queries
+      SyncStream.queries ++ Sources.queries ++ Migrations.queries ++
+      Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops,
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      SyncStream.oracles ++ Sources.oracles ++ Pipeline.oracles
+      SyncStream.oracles ++ Sources.oracles ++ Migrations.oracles ++
+      Pipeline.oracles
 }

@@ -465,26 +465,72 @@ object Sources {
     * the aggregate itself is layout-independent, which is what the
     * SQL oracle checks. Small parquet.block.size here mirrors, at
     * test scale, the many-row-groups-per-file shape a real table has. */
-  def k8ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+  /** Build the z-ordered events layout once per source dir (marker
+    * file records the dir; matching marker skips the rewrite). Like
+    * bucketing, z-ordering is a pay-once-at-ingest layout — every
+    * query that re-paid the write would be measuring ingest, not the
+    * row-group pruning the layout exists for. */
+  private[graft] def ensureZorder(s: SparkSession, dir: String): String = {
     val path = tmp("k8_events_zorder")
-    Tables.events(s, dir)
-      .withColumn("day_idx",
-        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")))
-      .withColumn("z", zValue(col("user_id"), col("day_idx")))
-      .repartitionByRange(8, col("z"))
-      .sortWithinPartitions(col("z"))
-      .drop("z")
-      .write.mode(SaveMode.Overwrite)
-      .option("parquet.block.size", 64 * 1024)
-      .parquet(path)
-    s.read.parquet(path)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_GRAFT_SRC")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val current =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try {
+          val buf = new Array[Byte](4096)
+          val n = in.read(buf)
+          Some(new String(buf, 0, math.max(n, 0), "UTF-8"))
+        } finally in.close()
+      }
+    if (!current.contains(dir)) {
+      Tables.events(s, dir)
+        .withColumn("day_idx",
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")))
+        .withColumn("z", zValue(col("user_id"), col("day_idx")))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions(col("z"))
+        .drop("z")
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(path)
+      val out = fs.create(marker, true)
+      try out.write(dir.getBytes("UTF-8")) finally out.close()
+    }
+    path
+  }
+
+  def k8ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(ensureZorder(s, dir))
       .filter(col("user_id").between(10, 20) && col("day_idx").between(5, 15))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event"))
       .orderBy("event_type")
   }
 
+  /** k9: keyed point lookup against the z-ordered layout — the
+    * reference's `SELECT * FROM connections WHERE id = ?`
+    * (server.mjs:156, 206) run against the SCALE layout instead of a
+    * b-tree. Both equality predicates push to the parquet scan, and
+    * because k8's layout interleaves user_id×day bits, their min/max
+    * stats prune all but a handful of 64 KB row groups — O(row groups
+    * touched), not O(table). SourcesSpec measures exactly that: the
+    * z-ordered scan decodes a small fraction of what an unclustered
+    * layout decodes for the same point predicate. */
+  def k9PointLookup(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureZorder(s, dir))
+      .filter(col("user_id") === 7 && col("day_idx") === 7)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy("event_id")
+
   val oracles: Map[String, String] = Map(
+    "k9_point_lookup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE user_id = 7 AND CAST(ts AS DATE) - DATE '2024-01-01' = 7
+        |ORDER BY event_id""".stripMargin,
     "k8_zorder_layout" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_event
@@ -622,5 +668,6 @@ object Sources {
     "k4_dynamic_overwrite" -> (k4DynamicOverwrite _),
     "k5_merge_upsert" -> (k5MergeUpsert _),
     "k7_conditional_update" -> (k7ConditionalUpdate _),
-    "k8_zorder_layout" -> (k8ZorderLayout _))
+    "k8_zorder_layout" -> (k8ZorderLayout _),
+    "k9_point_lookup" -> (k9PointLookup _))
 }

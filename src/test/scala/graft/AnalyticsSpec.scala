@@ -285,7 +285,7 @@ class AnalyticsSpec extends GraftSpec {
 
   test("sc1 SCD2: per user, versions tile the timeline and adjacent statuses differ") {
     val rows = graft.operators.Analytics.sc1Scd2History(spark, sf).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
         if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5), r.getBoolean(6)))
     assert(rows.nonEmpty)
     rows.groupBy(_._1).foreach { case (u, hist0) =>
@@ -329,7 +329,7 @@ class AnalyticsSpec extends GraftSpec {
 
   test("a11: weekly HLL estimates land within sketch error of exact distinct users") {
     val est = graft.operators.Analytics.a11SketchRollup(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     val exact = Tables.events(spark, sf)
       .filter(col("user_id").isNotNull)
       .groupBy(date_format(date_trunc("week", date_trunc("day", col("ts"))), "yyyy-MM-dd")

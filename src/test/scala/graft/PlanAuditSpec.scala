@@ -191,6 +191,33 @@ class PlanAuditSpec extends GraftSpec {
       s"per-group count should broadcast:\n$plan")
   }
 
+  // Formatted-plan node ids are post-order (a child's id is smaller than
+  // every ancestor's), so "operator X sits below operator Y" is idOf(X) <
+  // idOf(Y) whenever Y is on X's root path.
+  private def detailIds(plan: String, node: String, bodyRe: String): Seq[Int] =
+    s"(?s)\\((\\d+)\\) $node(?: \\[[^\\]]*\\])?\\n.{0,400}?$bodyRe".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+
+  test("j5: the bloom might_contain filter prunes BELOW the join's shuffle exchange") {
+    val plan = planOf(Analytics.j5BloomPrefilter(spark, sf))
+    val bloomFilterIds = detailIds(plan, "Filter", "Condition : .?might_contain")
+    val shuffleIds = detailIds(plan, "Exchange", "Arguments: (?:hash|range)partitioning")
+    assert(bloomFilterIds.nonEmpty, s"no might_contain filter in plan:\n$plan")
+    assert(shuffleIds.nonEmpty, s"no shuffle exchange in plan:\n$plan")
+    assert(bloomFilterIds.min < shuffleIds.min,
+      s"might_contain (node ${bloomFilterIds.min}) must sit below every shuffle " +
+        s"(first at node ${shuffleIds.min}):\n$plan")
+  }
+
+  test("sc1: ONE user_id hash exchange serves both windows and the aggregate; slice filter pushed") {
+    val plan = planOf(Analytics.sc1Scd2History(spark, sf))
+    val hashExchanges = detailIds(plan, "Exchange", "Arguments: hashpartitioning\\(user_id")
+    assert(hashExchanges.size == 1,
+      s"expected exactly one user_id hash exchange, got ${hashExchanges.size}:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*LessThan\\(user_id,50\\).*"),
+      s"user_id < 50 not pushed to the events scan:\n$plan")
+  }
+
   test("n6: semantic-dedup candidate pairs come from a cell equi-join, not a cartesian product") {
     val plan = planOf(Similarity.n6SemanticDedup(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
