@@ -183,6 +183,46 @@ class SourcesSpec extends GraftSpec {
     assert(r.getLong(0) != r.getLong(2))
   }
 
+  test("k9: the z-ordered layout prunes row groups — a 2-D point predicate decodes a small fraction of a linear layout's scan") {
+    // synthetic table with DECORRELATED dims so the linear layout has no
+    // accidental clustering: every 64 KB row group spans the full range
+    // of both columns, so min/max stats prune nothing there
+    val n = 200000L
+    val df = spark.range(n).select(
+      col("id").as("event_id"),
+      (col("id") * 7919 % 500).as("user_id"),
+      (col("id") * 104729 % 64).as("day_idx"))
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test/k9_prune"
+    val zPath = s"$base/zorder"
+    val linPath = s"$base/linear"
+    df.withColumn("z", Sources.zValue(col("user_id"), col("day_idx")))
+      .repartitionByRange(8, col("z")).sortWithinPartitions("z").drop("z")
+      .write.mode("overwrite").option("parquet.block.size", 64 * 1024).parquet(zPath)
+    df.repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id")
+      .write.mode("overwrite").option("parquet.block.size", 64 * 1024).parquet(linPath)
+
+    // decoded = the scan's numOutputRows: rows surviving parquet
+    // row-group/page pruning (AQE off so the scan node is collectable)
+    def decoded(path: String): (Long, Long) = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val q = spark.read.parquet(path)
+          .filter(col("user_id") === 55 && col("day_idx") === 17)
+        val matches = q.collect().length.toLong
+        val scan = q.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.head
+        (matches, scan.metrics("numOutputRows").value)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val (zMatches, zDecoded) = decoded(zPath)
+    val (linMatches, linDecoded) = decoded(linPath)
+    assert(zMatches == 25 && linMatches == 25) // layout never changes results
+    assert(linDecoded > n / 2, s"linear layout should decode ~everything, got $linDecoded")
+    assert(zDecoded * 5 < linDecoded,
+      s"z-order should decode <20% of linear: z=$zDecoded linear=$linDecoded")
+  }
+
   test("graft_quantize_i8 is callable from SQL and quantizes half-away-from-zero") {
     val r = spark.sql(
       "SELECT graft_quantize_i8(array(0.5D, -1.0D, 0.25D)) AS qz")
