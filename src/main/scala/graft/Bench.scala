@@ -16,13 +16,19 @@ object Bench {
     Tables.lineitem(spark, sfDir).limit(1).collect()
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    // min of 2 runs per query: the second run measures steady-state
-    // (code already JIT'd/codegen-cached), halving run-to-run variance.
+    // min of N runs per query (SPARK_GRAFT_RUNS, default 2): the later
+    // runs measure steady-state (code already JIT'd/codegen-cached),
+    // halving run-to-run variance; raise to 5 to adjudicate outliers.
+    // SPARK_GRAFT_ONLY=q1,q2 restricts to a comma-separated subset.
     // A query that throws must NOT silently bench as "fast": its error
     // is recorded and surfaces in the output line.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var err: Option[String] = None
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try run(fn) catch {
           case e: Throwable =>
@@ -44,7 +50,9 @@ object Bench {
     // driver's tail before (round 3 lost its first ~30 queries), and a
     // bench whose evidence evaporates can't prove the absence of
     // regressions. bench_last.json in the repo root is the durable copy.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    // (subset runs don't clobber the durable full-suite evidence)
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
     spark.stop()
   }
 }

@@ -281,29 +281,22 @@ object Dedup {
 
   /** d6: near-dup clustering — connected components over the d2 pair
     * graph, so each duplicate group gets one canonical cluster_id
-    * (the min doc_id reachable). Iterative min-label propagation:
-    * each round unions the old assignment (tagged is_old) with the
-    * labels propagated across edges and takes the per-node min — the
-    * SAME aggregate also carries the old label out, so convergence
-    * ("did any node's label change?") is a filter+count on the cached
-    * round output, not a second corpus-wide join. Rounds needed =
-    * graph diameter (near-dup clusters are shallow), one shuffle per
-    * round; the driver loop only reads the converged count, it never
-    * holds data. At 100 TB scale the same loop runs with per-round
-    * checkpointing to truncate lineage. */
+    * (the min doc_id reachable). Large-star/small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — public algorithm): each round rewires every node
+    * toward its neighborhood minimum, which HALVES component depth
+    * per round, so convergence takes O(log diameter) rounds instead
+    * of plain label propagation's O(diameter) (the DedupSpec chain-30
+    * fixture converges in ≤8 rounds where propagation needed 29).
+    * Both star steps are min-aggregates + a co-partitioned join on
+    * the SAME node key — duplicate-insensitive, no collect_list, so
+    * hot (high-degree) nodes cost one combiner, not one reducer
+    * buffer. The driver loop only compares a (count, hash-sum)
+    * fingerprint per round; it never holds edge data. */
   def d6DedupClusters(s: SparkSession, dir: String): DataFrame =
     connectedComponents(d2NgramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
-
-  /** Rounds between lineage truncations inside the label-propagation
-    * loop. Each round's plan references the previous round's, so on a
-    * deep graph (diameter > cadence) the plan tree grows linearly in
-    * rounds — caching bounds RE-COMPUTE but not plan size or recovery
-    * lineage. A localCheckpoint every [[CcCheckpointEvery]] rounds
-    * bounds both; near-dup graphs are shallow so the common case pays
-    * zero extra checkpoints. */
-  val CcCheckpointEvery = 8
 
   /** Max plan-tree depth observed across the generations of the most
     * recent [[connectedComponents]] run — instrumentation for the
@@ -311,52 +304,92 @@ object Dedup {
     * depth-30 plan). */
   @volatile private[graft] var ccMaxPlanDepth = 0
 
+  /** Rounds the most recent [[connectedComponents]] run took to
+    * converge — instrumentation for the O(log diameter) spec. */
+  @volatile private[graft] var ccRounds = 0
+
+  /** Large-star step: every node connects its STRICTLY LARGER
+    * neighbors to the minimum of its closed neighborhood. Input and
+    * output edges are (u, v) with v < u (min-oriented); the symmetric
+    * view is built inline so one hash exchange on the node key serves
+    * both the min-aggregate and the emit join. */
+  private def largeStar(oriented: DataFrame): DataFrame = {
+    val sym = oriented.unionAll(
+      oriented.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u")
+      .agg(min(least(col("v"), col("u"))).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+  }
+
+  /** Small-star step: every node connects its smaller neighbors (and
+    * itself) to the minimum among them. Min-oriented in, min-oriented
+    * out; the one `distinct` per round bounds duplicate-edge growth. */
+  private def smallStar(oriented: DataFrame): DataFrame = {
+    val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+    oriented.join(mins, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionAll(mins.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
   /** Connected components over an undirected pair list (a, b) →
-    * (id, label) with label = min reachable id. One shuffle per round,
-    * rounds = graph diameter; lineage truncated every
-    * [[CcCheckpointEvery]] rounds. */
+    * (id, label) with label = min reachable id. Alternating
+    * large-star/small-star rounds, O(log diameter) of them; lineage
+    * truncated every round (see the loop comment). */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val cols = pairs.columns
-    val edges = pairs
-      .union(pairs.select(col(cols(1)), col(cols(0))))
-      .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
-    var gen = labels // handle to the cached generation, for unpersist
-    var changed = 1L
+    val a = col(cols(0))
+    val b = col(cols(1))
+    val ids = pairs.select(a.as("id"))
+      .unionAll(pairs.select(b.as("id"))).distinct().cache()
+    // min-orient (larger endpoint first) and drop self-loops/dupes
+    var edges = pairs.where(a =!= b)
+      .select(greatest(a, b).as("u"), least(a, b).as("v"))
+      .distinct().cache()
+    var gen = edges // handle to the cached generation, for unpersist
+    def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+      // decimal sum: overflow-proof under ANSI mode, order-insensitive
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    var fp = fingerprint(edges)
+    var converged = edges.isEmpty
     var iter = 0
     ccMaxPlanDepth = 0
-    while (changed > 0 && iter < 50) {
-      val propagated = edges
-        .join(labels.select(col("id"), col("label")), col("dst") === col("id"))
-        .select(col("src").as("id"), col("label"), lit(0).as("is_old"))
-      var next = labels.select(col("id"), col("label"), lit(1).as("is_old"))
-        .unionAll(propagated)
-        .groupBy("id")
-        // old label rides along as a second agg column: each id has
-        // exactly one is_old=1 row, so min(when(is_old,label)) IS it
-        .agg(min("label").as("label"),
-          min(when(col("is_old") === 1, col("label"))).as("old_label"))
-      // cadence checkpoint: truncate the growing per-round lineage so
-      // plan depth and failure-recovery cost stay O(cadence), not
-      // O(diameter) — required for deep graphs at cluster scale. A
-      // checkpointed generation is already materialized in block
-      // storage, so it doubles as this round's cache.
-      next = if ((iter + 1) % CcCheckpointEvery == 0) next.localCheckpoint()
-             else next.cache()
+    while (!converged && iter < 50) {
+      // per-round checkpoint: the star steps each reference their
+      // input 2-3× (aggregate + emit join), so un-truncated lineage
+      // grows GEOMETRICALLY in rounds — unlike plain propagation's
+      // linear growth, a cadence is not enough. Each round is
+      // materialized by the fingerprint action anyway, so the eager
+      // checkpoint costs no extra pass; it resets the plan to a leaf
+      // and bounds recovery lineage to one round. (On a cluster,
+      // swap localCheckpoint for reliable checkpoint to survive
+      // executor loss.)
+      val next = smallStar(largeStar(edges)).localCheckpoint()
       ccMaxPlanDepth = math.max(ccMaxPlanDepth, planDepth(next))
-      changed = next.filter(col("label") =!= col("old_label")).count()
+      val nfp = fingerprint(next)
+      converged = nfp == fp // fixed point: stars around component minima
+      fp = nfp
       gen.unpersist() // superseded generation — at scale these are big
       gen = next
-      labels = next.drop("old_label")
+      edges = next
       iter += 1
     }
-    // materialize the converged labels (cuts the iterative lineage),
-    // THEN release the loop's caches — nothing stays pinned after
-    // return, and the caller gets a shallow LogicalRDD plan
-    val out = labels.select(col("id"), col("label")).localCheckpoint()
+    ccRounds = iter
+    // converged edges are (member, component-min) stars; roots and
+    // isolated nodes label themselves. Materialize to cut the
+    // iterative lineage, THEN release the loop's caches.
+    val out = ids
+      .join(edges.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("label"))
+      .localCheckpoint()
     gen.unpersist()
-    edges.unpersist()
+    ids.unpersist()
     out
   }
 

@@ -122,20 +122,21 @@ class DedupSpec extends GraftSpec {
     }
   }
 
-  test("d6 core: a diameter-30 chain converges with checkpoint-bounded plan depth") {
+  test("d6 core: a diameter-30 chain converges in O(log diameter) rounds, bounded plan depth") {
     import spark.implicits._
-    // path graph 1-2-...-30: min-label propagation needs ~29 rounds —
-    // deep enough to cross the checkpoint cadence several times
+    // path graph 1-2-...-30: plain min-label propagation needs ~29
+    // rounds; large-star/small-star halves depth per round
     val pairs = (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val labels = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 30, s"expected 30 nodes, got ${labels.size}")
     assert(labels.values.forall(_ == 1L),
       s"chain should collapse to cluster 1: $labels")
-    // without the cadence checkpoint the per-round plan grows ~6 nodes
-    // per round (~180 deep by convergence); with it, depth stays
-    // O(cadence) — the property that keeps recovery lineage bounded on
-    // deep graphs at cluster scale
+    assert(Dedup.ccRounds <= 8,
+      s"star alternation should need ~log2(30) rounds, took ${Dedup.ccRounds}")
+    // without the cadence checkpoint the per-round plan grows with
+    // round count; with it, depth stays O(cadence) — the property that
+    // keeps recovery lineage bounded on deep graphs at cluster scale
     assert(Dedup.ccMaxPlanDepth <= 80,
       s"plan depth grew with rounds, lineage unbounded: ${Dedup.ccMaxPlanDepth}")
   }
