@@ -343,12 +343,16 @@ object Dedup {
     val cols = pairs.columns
     val a = col(cols(0))
     val b = col(cols(1))
-    val ids = pairs.select(a.as("id"))
-      .unionAll(pairs.select(b.as("id"))).distinct().cache()
     // min-orient (larger endpoint first) and drop self-loops/dupes
     var edges = pairs.where(a =!= b)
       .select(greatest(a, b).as("u"), least(a, b).as("v"))
       .distinct().cache()
+    // node set from the CACHED edges, not from `pairs` — the pair
+    // source may be an expensive query (d2), and reading it twice
+    // would recompute it (self-loop-only nodes don't occur: pair
+    // producers emit a < b)
+    val ids = edges.select(col("u").as("id"))
+      .unionAll(edges.select(col("v").as("id"))).distinct().cache()
     var gen = edges // handle to the cached generation, for unpersist
     def fingerprint(e: DataFrame): (Long, BigDecimal) = {
       // decimal sum: overflow-proof under ANSI mode, order-insensitive
@@ -402,6 +406,14 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d8_incremental_dedup" ->
+      """WITH batch AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
+        |    FROM documents WHERE doc_id % 7 = 0 GROUP BY md5(text)),
+        |hist AS (SELECT DISTINCT md5(text) AS h
+        |    FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT doc_id, content_hash FROM batch
+        |WHERE content_hash NOT IN (SELECT h FROM hist)
+        |ORDER BY doc_id""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
@@ -456,7 +468,32 @@ object Dedup {
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin)
 
+  /** d8: incremental ingest dedup — deduplicate a NEW batch against
+    * the corpus HISTORY without rescanning history text. The history
+    * side is only a distinct content-hash index (at 100 TB: a few
+    * percent of corpus bytes, persisted and bucketed by hash once per
+    * publish, so every daily ingest anti-joins against co-located
+    * hash buckets with zero history shuffle); the batch side dedups
+    * within itself (min doc_id per hash) and then anti-joins the
+    * index. A batch row never survives twice across ingests because
+    * surviving hashes append to the index. Here the batch/history
+    * split is a deterministic doc_id slice so the full SQL oracle
+    * applies. */
+  def d8IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val historyIndex = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(md5(col("text")).as("content_hash")).distinct()
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    batch
+      .groupBy("content_hash").agg(min(col("doc_id")).as("doc_id"))
+      .join(historyIndex, Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d8_incremental_dedup" -> (d8IncrementalDedup _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),

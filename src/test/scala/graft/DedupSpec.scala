@@ -17,6 +17,26 @@ class DedupSpec extends GraftSpec {
     assert(d1.select("content_hash").distinct().count() == d1.count())
   }
 
+  test("d8: batch survivors are new to history, unique, and min-id per content") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), md5(col("text")).as("h"))
+    val hist = docs.filter(col("doc_id") % 7 =!= 0).select("h").distinct()
+      .collect().map(_.getString(0)).toSet
+    val batch = docs.filter(col("doc_id") % 7 === 0).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val out = Dedup.d8IncrementalDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(out.nonEmpty)
+    // every survivor is genuinely new and is its hash's min batch id
+    val minPerHash = batch.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).min }
+    out.foreach { case (id, h) =>
+      assert(!hist.contains(h), s"survivor $id duplicates history")
+      assert(minPerHash(h) == id, s"survivor $id is not min doc_id for its content")
+    }
+    assert(out.map(_._2).distinct.length == out.length, "survivor hashes must be unique")
+    // completeness: every new batch hash has exactly one survivor
+    assert(out.length == minPerHash.keySet.diff(hist).size)
+  }
+
   test("d3 minhash-LSH recovers all exact-Jaccard >= 0.8 pairs") {
     val exact = Dedup.d2NgramJaccard(spark, sf)
       .filter(col("jaccard") >= 0.8)
