@@ -746,6 +746,131 @@ object Analytics {
       .orderBy("week")
   }
 
+  /** q4: TPC-H Q4 shape — order-priority checking: count orders per
+    * priority in a quarter where at least one lineitem shipped after
+    * the order date (EXISTS → left-semi join). The semi-join keeps
+    * only the 8-byte key + date from orders until the count, and the
+    * residual `l_shipdate > o_orderdate` predicate rides the same
+    * equi-join — no second pass. The final agg is 5 rows (bounded). */
+  def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q6: TPC-H Q6 — forecast revenue change: pure scan-side
+    * filter + one exact-decimal sum, NO join and NO pre-agg shuffle
+    * (partial sums combine into one row). The point at 100 TB: all
+    * three predicates push to the parquet scan (min/max row-group
+    * pruning on shipdate) and only 3 columns are read —
+    * PlanAuditSpec pins PushedFilters + the 3-column ReadSchema. */
+  def q6RevenueDelta(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(Cols.moneySum(Cols.dec2(col("l_extendedprice")) *
+        Cols.rate(col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** q19: TPC-H Q19 shape — disjunctive predicate join (OR of three
+    * brand/size/quantity conjunctions). part is dim-sized → broadcast;
+    * the part-side conjuncts (brand, size) are pushed below the join
+    * on the build side and the lineitem-side quantity bounds
+    * (1 ≤ qty ≤ 35, the union of the three branches) prune the fact
+    * scan, so the OR only evaluates on rows that already passed both
+    * cheap pushdowns. */
+  def q19DisjunctiveJoin(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+        col("p_size").between(1, 30))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_quantity").between(1, 35))
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val branch =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+        col("l_quantity").between(10, 25)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+        col("l_quantity").between(20, 35))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg(Cols.moneySum(Cols.dec2(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(4, 2)) - Cols.rate(col("l_discount"))))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** w5: sliding event-time windows (1-hour window, 15-minute slide)
+    * — the overlapping-window aggregation tumbling (st1) and session
+    * (st2) windows can't express; each event lands in exactly 4
+    * windows. Spark's `window()` expands rows map-side (no
+    * pre-shuffle blowup beyond the 4× projection, partial aggs still
+    * combine), then ONE shuffle on window start. count(DISTINCT
+    * user_id) re-uses the same window-keyed exchange. */
+  def w5SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(Cols.fmtTs(col("window.start")).as("win_start"),
+        col("n_events"), col("n_users"))
+      .orderBy("win_start")
+
+  /** e4: user-journey transition matrix — per-user consecutive
+    * event-type bigrams (lag over the user timeline) rolled up to
+    * (prev, curr) counts and row-normalized probabilities (the
+    * first-order Markov model of product analytics). ONE user_id
+    * shuffle for the lag window; the transition matrix itself is
+    * #event_types² rows — bounded metadata, so the probability
+    * normalization window costs nothing at any scale. */
+  def e4Transitions(s: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wPrev = Window.partitionBy(col("prev"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wUser))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("curr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(wPrev), 6))
+      .orderBy("prev", "curr")
+  }
+
+  val DriftTrail = 7 // trailing days in the a12 baseline window
+
+  /** a12: volume-drift anomaly detection — the data-quality monitor a
+    * daily ingest needs: per-day event counts scored against the
+    * trailing [[DriftTrail]]-day mean/stddev (current day excluded),
+    * |z| > 2 flagged. The corpus pays ONE day-keyed aggregate; the
+    * z-score windows then run over #days rows — bounded metadata, the
+    * same shape as w4's cumulative window. */
+  def a12VolumeDrift(s: SparkSession, dir: String): DataFrame = {
+    val trail = Window.orderBy(col("day"))
+      .rowsBetween(-DriftTrail, -1)
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("mu", avg(col("n_events")).over(trail))
+      .withColumn("sd", stddev_samp(col("n_events")).over(trail))
+      .withColumn("z", when(col("sd") > 0,
+        round((col("n_events") - col("mu")) / col("sd"), 6)))
+      .select(Cols.fmtDate(col("day")).as("day"), col("n_events"),
+        round(col("mu"), 6).as("trail_mean"), col("z"),
+        coalesce(abs(col("z")) > 2, lit(false)).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracles: Map[String, String] = Map(
@@ -1061,7 +1186,62 @@ object Analytics {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_custkey HAVING COUNT(*) >= 8
-        |ORDER BY o_custkey""".stripMargin)
+        |ORDER BY o_custkey""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q6_revenue_delta" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q19_disjunctive_join" ->
+      s"""SELECT CAST(SUM($rev) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+         |    AND l_quantity BETWEEN 1 AND 15)
+         |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+         |    AND l_quantity BETWEEN 10 AND 25)
+         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+         |    AND l_quantity BETWEEN 20 AND 35))""".stripMargin,
+    "w5_sliding_window" ->
+      """WITH ev AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS b15,
+        |    user_id FROM events),
+        |ex AS (SELECT b15 - k * INTERVAL '15 minutes' AS win_start, user_id
+        |  FROM ev, (SELECT unnest([0, 1, 2, 3]) AS k))
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e4_transitions" ->
+      """WITH t AS (SELECT event_type, LAG(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+        |c AS (SELECT prev, event_type AS curr, COUNT(*) AS n FROM t
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, curr, n,
+        |  round(n / SUM(n) OVER (PARTITION BY prev), 6) AS p
+        |FROM c ORDER BY prev, curr""".stripMargin,
+    "a12_volume_drift" ->
+      s"""WITH d AS (SELECT date_trunc('day', ts) AS day,
+         |    COUNT(*) AS n_events FROM events GROUP BY 1),
+         |s AS (SELECT day, n_events,
+         |    AVG(n_events) OVER w AS mu, STDDEV_SAMP(n_events) OVER w AS sd
+         |  FROM d WINDOW w AS (ORDER BY day
+         |    ROWS BETWEEN $DriftTrail PRECEDING AND 1 PRECEDING))
+         |SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
+         |  round(mu, 6) AS trail_mean,
+         |  CASE WHEN sd > 0 THEN round((n_events - mu) / sd, 6) END AS z,
+         |  COALESCE(abs(CASE WHEN sd > 0
+         |    THEN round((n_events - mu) / sd, 6) END) > 2, false) AS is_anomaly
+         |FROM s ORDER BY day""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -1099,5 +1279,11 @@ object Analytics {
     "w4_active_users" -> (w4ActiveUsers _),
     "sc1_scd2_history" -> (sc1Scd2History _),
     "j5_bloom_prefilter" -> (j5BloomPrefilter _),
-    "a11_sketch_rollup" -> (a11SketchRollup _))
+    "a11_sketch_rollup" -> (a11SketchRollup _),
+    "q4_priority_exists" -> (q4PriorityExists _),
+    "q6_revenue_delta" -> (q6RevenueDelta _),
+    "q19_disjunctive_join" -> (q19DisjunctiveJoin _),
+    "w5_sliding_window" -> (w5SlidingWindow _),
+    "e4_transitions" -> (e4Transitions _),
+    "a12_volume_drift" -> (a12VolumeDrift _))
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Composed end-to-end pipelines (SURVEY §2 row 65): the operators
@@ -118,7 +119,65 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  val TokenBudget = 1500L // per-domain token budget for mix2
+  val PreOversample = 2.0 // prefilter keeps ~2× the budget in expectation
+
+  /** mix2: token-budget curation — fill a fixed per-domain TOKEN
+    * budget (not a doc-count or keep-rate like mix1): docs are taken
+    * in deterministic md5 order until the domain's running token sum
+    * would pass [[TokenBudget]]. The naive form is a per-domain total
+    * order over the corpus — a scale-killer — so it runs in two
+    * phases (the s5 reservoir trick): (1) per-domain token totals
+    * (bounded agg, broadcast back) set a hash threshold keeping
+    * ~[[PreOversample]]× the budget in expectation; (2) the exact
+    * running-sum window then sorts only the ~O(budget) survivors per
+    * domain, never the corpus. The md5-prefix order means the
+    * window's winners are a prefix of the unfiltered order unless the
+    * survivor mass falls below the budget — a multi-sigma tail (the
+    * oracle mirrors the prefilter, so correctness never rests on the
+    * bound). */
+  def mix2TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        substring(md5(col("doc_id").cast("string")), 1, 8).as("hk"))
+    val totals = tok.groupBy(col("lang")).agg(sum(col("n_tokens")).as("total"))
+      .withColumn("rate", lit(PreOversample * TokenBudget) / col("total"))
+      .withColumn("thr", when(col("rate") >= 1.0, lit("g")) // 'g' > any hex
+        .otherwise(lpad(lower(hex(
+          floor(col("rate") * lit(4294967296.0)).cast("long"))), 8, "0")))
+      .select(col("lang"), col("thr"))
+    val wLang = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+    tok.join(broadcast(totals), Seq("lang"))
+      .filter(col("hk") < col("thr"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wLang))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "mix2_token_budget" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+         |  FROM documents),
+         |thr AS (SELECT lang,
+         |    CASE WHEN $PreOversample * $TokenBudget / SUM(n_tokens) >= 1.0 THEN 'g'
+         |      ELSE lpad(lower(to_hex(CAST(floor(
+         |        $PreOversample * $TokenBudget / SUM(n_tokens) * 4294967296.0)
+         |        AS BIGINT))), 8, '0')
+         |    END AS thr
+         |  FROM tok GROUP BY lang),
+         |pre AS (SELECT t.doc_id, t.lang, t.n_tokens, t.hk
+         |  FROM tok t JOIN thr USING (lang) WHERE t.hk < thr),
+         |run AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY hk, doc_id) AS BIGINT) AS cum_tokens
+         |  FROM pre)
+         |SELECT doc_id, lang, n_tokens, cum_tokens FROM run
+         |WHERE cum_tokens <= $TokenBudget
+         |ORDER BY doc_id""".stripMargin,
     "mix1_domain_mixture" ->
       """WITH counts AS (SELECT lang, COUNT(*) AS n_domain
         |  FROM documents GROUP BY lang),
@@ -235,5 +294,6 @@ object Pipeline {
     "pipe1_data_prep" -> (pipe1DataPrep _),
     "pipe2_llm_corpus" -> (pipe2LlmCorpus _),
     "pipe3_publish_corpus" -> (pipe3PublishCorpus _),
-    "mix1_domain_mixture" -> (mix1DomainMixture _))
+    "mix1_domain_mixture" -> (mix1DomainMixture _),
+    "mix2_token_budget" -> (mix2TokenBudget _))
 }

@@ -92,14 +92,31 @@ object AtomicPublish {
     s.read.parquet(s"$root/versions/$v/$name")
   }
 
-  /** GC: drop every version directory except the committed one —
-    * aborted stagings (crash garbage) and superseded versions. */
-  def vacuum(s: SparkSession, root: String): Unit = {
-    val keep = currentVersion(s, root)
+  /** TIME TRAVEL: read one output of a specific RETAINED version (≤
+    * the committed one and not yet vacuumed) — immutable version dirs
+    * mean a historical read needs no locks and never blocks writers.
+    * The caller names the version (from its own ledger or
+    * [[currentVersion]] arithmetic); reading a vacuumed or
+    * never-committed version fails on the missing path. */
+  def readOutputAt(s: SparkSession, root: String, version: String,
+      name: String): DataFrame =
+    s.read.parquet(s"$root/versions/$version/$name")
+
+  /** GC with a retention window: keep the `keepLast` most recent
+    * COMMITTED versions (time-travel horizon); drop everything else —
+    * older versions, aborted stagings (crash garbage), and staged-
+    * but-never-committed dirs above the pointer. keepLast = 1 is the
+    * classic "current only" vacuum. */
+  def vacuum(s: SparkSession, root: String, keepLast: Int = 1): Unit = {
+    val cur = currentVersion(s, root).map(_.stripPrefix("v").toLong)
     val versions = new Path(s"$root/versions")
     val fs = versions.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(versions)) fs.listStatus(versions).foreach { st =>
-      if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+      val keep = cur.exists { c =>
+        val n = st.getPath.getName.stripPrefix("v").toLongOption
+        n.exists(v => v <= c && v > c - keepLast)
+      }
+      if (!keep) fs.delete(st.getPath, true)
     }
   }
 }

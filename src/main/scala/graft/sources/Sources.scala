@@ -525,7 +525,62 @@ object Sources {
         col("value"))
       .orderBy("event_id")
 
+  val TimeTravelCutoff = "2024-01-16" // k10's v1 snapshot boundary (exclusive)
+
+  /** k10: time-travel read — the warehouse answer to "what did this
+    * table say last week?": every publish through [[AtomicPublish]]
+    * is an immutable version directory, so any retained version is
+    * readable FOREVER after later commits (versions are append-only;
+    * [[AtomicPublish.vacuum]]'s keepLast is the retention horizon).
+    * Here: a daily-rollup table is published twice (a mid-month
+    * snapshot, then the full month); the query reads the SUPERSEDED
+    * v1 via [[AtomicPublish.readOutputAt]] alongside the committed v2
+    * and digests both — the oracle recomputes both digests from the
+    * raw events, so a hash match proves the historical read returns
+    * exactly the old snapshot, untouched by the newer commit. The
+    * versioned-rollup row is day-level bounded metadata; at 100 TB
+    * the versions differ by partition directories, not rewrites. */
+  def k10TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("k10_timetravel")
+    // fresh root each run → version numbers are deterministic
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    val cutoff = lit(TimeTravelCutoff).cast("timestamp")
+    AtomicPublish.publish(s, root,
+      Seq("daily" -> daily.filter(col("day") < cutoff)))
+    AtomicPublish.publish(s, root, Seq("daily" -> daily))
+    def digest(df: DataFrame, v: String): DataFrame =
+      df.agg(count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("total_events"),
+        sum(col("n_users")).as("total_users"),
+        Cols.fmtDate(max(col("day"))).as("max_day"))
+        .select(lit(v).as("version"), col("n_days"), col("total_events"),
+          col("total_users"), col("max_day"))
+    digest(AtomicPublish.readOutputAt(s, root, "v1", "daily"), "v1")
+      .union(digest(AtomicPublish.readOutput(s, root, "daily"), "v2"))
+      .orderBy("version")
+  }
+
   val oracles: Map[String, String] = Map(
+    "k10_time_travel" ->
+      s"""WITH d AS (SELECT date_trunc('day', ts) AS day,
+         |    COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+         |  FROM events GROUP BY 1)
+         |SELECT 'v1' AS version, COUNT(*) AS n_days,
+         |  CAST(SUM(n_events) AS BIGINT) AS total_events,
+         |  CAST(SUM(n_users) AS BIGINT) AS total_users,
+         |  strftime(MAX(day), '%Y-%m-%d') AS max_day
+         |FROM d WHERE day < TIMESTAMP '$TimeTravelCutoff'
+         |UNION ALL
+         |SELECT 'v2', COUNT(*), CAST(SUM(n_events) AS BIGINT),
+         |  CAST(SUM(n_users) AS BIGINT), strftime(MAX(day), '%Y-%m-%d')
+         |FROM d
+         |ORDER BY version""".stripMargin,
     "k9_point_lookup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events
@@ -669,5 +724,6 @@ object Sources {
     "k5_merge_upsert" -> (k5MergeUpsert _),
     "k7_conditional_update" -> (k7ConditionalUpdate _),
     "k8_zorder_layout" -> (k8ZorderLayout _),
-    "k9_point_lookup" -> (k9PointLookup _))
+    "k9_point_lookup" -> (k9PointLookup _),
+    "k10_time_travel" -> (k10TimeTravel _))
 }

@@ -67,6 +67,22 @@ object SyncStream {
   def streamingSessionWindows(events: DataFrame): DataFrame =
     sessionWindows(events.withWatermark("ts", "10 minutes"))
 
+  /** st3 core: OVERLAPPING sliding windows (1-hour length, 15-minute
+    * slide — w5's batch aggregation made incremental): each event
+    * lands in 4 window states; a window's row closes (append mode)
+    * when the watermark passes its end, so state is bounded by
+    * 4 × windows-per-watermark-horizon regardless of stream length. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
+
+  /** st3 streaming form: watermarked sliding windows (MemoryStream
+    * spec asserts closed windows == the batch form). */
+  def streamingSlidingCounts(events: DataFrame): DataFrame =
+    slidingCounts(events.withWatermark("ts", "10 minutes"))
+
   /** Row 38: streaming dedup within the watermark — the UNIQUE
     * constraint (db.mjs:32/49) as a stream operator. State is bounded
     * by the watermark horizon. */

@@ -342,4 +342,82 @@ class AnalyticsSpec extends GraftSpec {
         s"week $w: est=${est(w)} exact=$n")
     }
   }
+
+  test("q4 priority counts match a brute-force EXISTS recompute") {
+    val got = Analytics.q4PriorityExists(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ord = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_shipdate")
+    val expected = ord
+      .join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("w5 sliding windows cover each event exactly 4 times") {
+    val total = Tables.events(spark, sf).count()
+    val covered = Analytics.w5SlidingWindow(spark, sf)
+      .agg(sum("n_events")).collect().head.getLong(0)
+    assert(covered == 4 * total)
+  }
+
+  test("e4 transition rows sum to 1 per prev state and to N - #users overall") {
+    val rows = Analytics.e4Transitions(spark, sf).collect()
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      assert(math.abs(g.map(_.getDouble(3)).sum - 1.0) < 1e-4,
+        "per-prev transition probabilities must sum to 1")
+    }
+    // each user contributes (events - 1) transitions
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
+  test("a12 drift: trailing mean matches a recompute; anomaly flag is |z| > 2") {
+    val rows = Analytics.a12VolumeDrift(spark, sf).collect() // ordered by day
+    val ns = rows.map(_.getLong(1))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val tail = ns.slice(math.max(0, i - Analytics.DriftTrail), i)
+      if (tail.isEmpty) assert(r.isNullAt(2), "no trailing window on day 0")
+      else {
+        val mu = tail.sum.toDouble / tail.size
+        assert(math.abs(r.getDouble(2) - mu) < 1e-6 * math.max(1.0, mu),
+          s"row $i: trail_mean=${r.getDouble(2)} recomputed=$mu")
+      }
+      val z = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(r.getBoolean(4) == z.exists(v => math.abs(v) > 2))
+    }
+  }
+
+  test("mix2 fills each domain's budget with the md5-order greedy prefix") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.mix2TokenBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._4).max <= Pipeline.TokenBudget, "budget exceeded")
+      assert(g.map(_._3).sum == g.map(_._4).max,
+        "cum_tokens must be the running sum of the kept docs")
+    }
+    // equals the greedy prefix computed with NO prefilter: the
+    // oversampled hash threshold never cuts a winner
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        substring(md5(col("doc_id").cast("string")), 1, 8).as("hk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      var cum = 0L
+      g.sortBy(d => (d._4, d._1))
+        .takeWhile { d => cum += d._3; cum <= Pipeline.TokenBudget }
+        .map(_._1)
+        .toSeq
+    }.toSet
+    assert(rows.map(_._1).toSet == expected)
+  }
 }

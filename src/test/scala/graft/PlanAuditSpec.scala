@@ -224,4 +224,28 @@ class PlanAuditSpec extends GraftSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"within-cell pairing must be an equi-join on cell_id:\n$plan")
   }
+
+  test("q6: all three predicates push to the scan and only the 4 used columns are read") {
+    val plan = planOf(Analytics.q6RevenueDelta(spark, sf))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate.*"),
+      s"shipdate bound not pushed:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_discount,0.05.*"),
+      s"discount bound not pushed:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*LessThan\\(l_quantity,24.*"),
+      s"quantity bound not pushed:\n$plan")
+    // column pruning: a 16-column fact scan reading more than the 4
+    // referenced columns is the wrong plan at any scale
+    assert(!plan.contains("l_orderkey") && !plan.contains("l_partkey") &&
+      !plan.contains("l_returnflag"),
+      s"scan reads columns q6 never uses:\n$plan")
+  }
+
+  test("q19: part joins as a broadcast; the disjunctive filter never degrades the join") {
+    val plan = planOf(Analytics.q19DisjunctiveJoin(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"part side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"q19 must not shuffle the fact table for a dim-sized build side:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the OR predicate must stay a post-join filter, not the join condition:\n$plan")
+  }
 }

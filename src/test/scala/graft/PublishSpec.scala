@@ -69,4 +69,30 @@ class PublishSpec extends GraftSpec {
     assert(c.forall(_.endsWith("a")) && s == "a")
     assert(AtomicPublish.currentVersion(spark, root).contains("v1"))
   }
+
+  test("time travel: superseded versions read back unchanged; vacuum keepLast is the horizon") {
+    val root = Files.createTempDirectory("graft_publish_tt").toString
+    AtomicPublish.publish(spark, root, Seq("corpus" -> corpusOf("old")))
+    AtomicPublish.publish(spark, root, Seq("corpus" -> corpusOf("new")))
+    // the v2 commit must not disturb the retained v1 bytes
+    val v1 = AtomicPublish.readOutputAt(spark, root, "v1", "corpus")
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(v1.forall(_.endsWith("old")), s"time-travel read returned $v1")
+    assert(AtomicPublish.readOutput(spark, root, "corpus")
+      .collect().forall(_.getString(1).endsWith("new")))
+
+    // keepLast=2 retains the time-travel horizon
+    AtomicPublish.vacuum(spark, root, keepLast = 2)
+    val left2 = new java.io.File(s"$root/versions").listFiles().map(_.getName).toSet
+    assert(left2 == Set("v1", "v2"), s"keepLast=2 left $left2")
+    assert(AtomicPublish.readOutputAt(spark, root, "v1", "corpus").count() == 3)
+
+    // keepLast=1 collapses to current-only: v1 is gone, v2 intact
+    AtomicPublish.vacuum(spark, root, keepLast = 1)
+    val left1 = new java.io.File(s"$root/versions").listFiles().map(_.getName).toSet
+    assert(left1 == Set("v2"), s"keepLast=1 left $left1")
+    assert(intercept[Exception] {
+      AtomicPublish.readOutputAt(spark, root, "v1", "corpus").count()
+    } != null)
+  }
 }

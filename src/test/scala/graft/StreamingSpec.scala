@@ -69,6 +69,31 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("st3: streaming sliding windows close like the batch form, 4 windows per event") {
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = SyncStream.streamingSlidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("slide").outputMode("append").start()
+    try {
+      val real = Seq(ev(1, 0, 1), ev(2, 10, 1, value = 2.0), ev(3, 40, 2, value = 4.0))
+      input.addData(real: _*)
+      q.processAllAvailable()
+      // sentinel far ahead closes every real window (its own stay open)
+      input.addData(ev(99, 500, 99))
+      q.processAllAvailable()
+      val got = spark.table("slide")
+        .collect().map(r => r.getStruct(0).getTimestamp(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+      val batch = SyncStream.slidingCounts(real.toDF())
+        .collect().map(r => r.getStruct(0).getTimestamp(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == batch, s"stream $got != batch $batch")
+      // overlap invariant: each event is counted in exactly 4 windows
+      assert(got.values.map(_._1).sum == 4L * real.size)
+    } finally q.stop()
+  }
+
   test("row 38: duplicate event_ids within the watermark collapse to one") {
     implicit val sqlc = spark.sqlContext
     import spark.implicits._
