@@ -847,6 +847,37 @@ object Analytics {
       .orderBy("prev", "curr")
   }
 
+  /** q10: TPC-H Q10 shape — returned-item revenue by customer: which
+    * customers returned the most revenue this quarter. The fact side
+    * collapses to per-customer rows FIRST (one shuffle on o_custkey,
+    * partial aggs combine map-side), and only the ~#customers
+    * aggregate rows pay the customer/nation joins — never the raw
+    * lineitems (q8's attach-dims-after-collapse discipline). Top-20
+    * with a key tiebreak compiles to TakeOrderedAndProject. */
+  def q10ReturnedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val perCust = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(Cols.moneySum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+    perCust
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   val DriftTrail = 7 // trailing days in the a12 baseline window
 
   /** a12: volume-drift anomaly detection — the data-quality monitor a
@@ -1229,6 +1260,18 @@ object Analytics {
         |SELECT prev, curr, n,
         |  round(n / SUM(n) OVER (PARTITION BY prev), 6) AS p
         |FROM c ORDER BY prev, curr""".stripMargin,
+    "q10_returned_revenue" ->
+      s"""WITH r AS (SELECT o_custkey,
+         |    CAST(SUM($rev) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag = 'R'
+         |    AND o_orderdate >= TIMESTAMP '1996-07-01'
+         |    AND o_orderdate < TIMESTAMP '1996-10-01'
+         |  GROUP BY o_custkey)
+         |SELECT c_custkey, c_name, n_name, revenue, n_items
+         |FROM r JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "a12_volume_drift" ->
       s"""WITH d AS (SELECT date_trunc('day', ts) AS day,
          |    COUNT(*) AS n_events FROM events GROUP BY 1),
@@ -1282,6 +1325,7 @@ object Analytics {
     "a11_sketch_rollup" -> (a11SketchRollup _),
     "q4_priority_exists" -> (q4PriorityExists _),
     "q6_revenue_delta" -> (q6RevenueDelta _),
+    "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q19_disjunctive_join" -> (q19DisjunctiveJoin _),
     "w5_sliding_window" -> (w5SlidingWindow _),
     "e4_transitions" -> (e4Transitions _),

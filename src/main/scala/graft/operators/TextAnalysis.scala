@@ -393,6 +393,30 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** t17: unigram-surprisal quality score — the perplexity-proxy
+    * quality filter (CCNet-family): score each document by the mean
+    * negative log-probability of its words under the CORPUS unigram
+    * distribution. Low surprisal = stock phrasing, high = rare-word
+    * soup; both tails are what LLM corpus filters trim. One
+    * (doc_id, term, tf) aggregate (the t16 shape, localCheckpointed
+    * so documents is scanned once) feeds both the vocabulary-sized
+    * count table (broadcast back — bounded by vocabulary, not corpus)
+    * and the per-doc weighted mean; the corpus never shuffles twice. */
+  def t17Surprisal(s: SparkSession, dir: String): DataFrame = {
+    val tf = t16TermFreq(s, dir).localCheckpoint()
+    val wc = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val tot = wc.agg(sum(col("cnt")).as("total"))
+    tf.join(broadcast(wc), Seq("term"))
+      .crossJoin(broadcast(tot)) // 1-row bounded metadata
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (-sum(col("tf") * log(col("cnt").cast("double") / col("total"))) /
+          sum(col("tf"))).as("raw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("raw"), 6).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   private def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
@@ -507,6 +531,17 @@ object TextAnalysis {
         |  round(coalesce(max_bc / n_bigrams, 0.0), 6) AS top_bigram_ratio
         |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
         |ORDER BY ws.doc_id""".stripMargin,
+    "t17_surprisal" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |wc AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM wc)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  round(-SUM(tf * ln(CAST(cnt AS DOUBLE) / total)) / SUM(tf), 6)
+        |    AS avg_surprisal
+        |FROM tf JOIN wc USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t16_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
          |    FROM documents),
@@ -550,5 +585,6 @@ object TextAnalysis {
     "t13_redact" -> (t13Redact _),
     "t14_repetition" -> (t14Repetition _),
     "t15_decontaminate" -> (t15Decontaminate _),
-    "t16_tfidf" -> (t16TfIdf _))
+    "t16_tfidf" -> (t16TfIdf _),
+    "t17_surprisal" -> (t17Surprisal _))
 }

@@ -359,6 +359,30 @@ class AnalyticsSpec extends GraftSpec {
     assert(got == expected)
   }
 
+  test("q10 top-20 matches a join-first recompute") {
+    val got = Analytics.q10ReturnedRevenue(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getLong(4)))
+    assert(got.length <= 20)
+    assert(got.map(_._2).sameElements(got.map(_._2).sortBy(-_)),
+      "revenue must be descending")
+    // independent formulation: join customer BEFORE aggregating
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sf)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"))
+      .agg(graft.Cols.moneySum(graft.Cols.dec2(col("l_extendedprice")) *
+        (lit(1).cast(org.apache.spark.sql.types.DecimalType(4, 2)) -
+          graft.Cols.rate(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("w5 sliding windows cover each event exactly 4 times") {
     val total = Tables.events(spark, sf).count()
     val covered = Analytics.w5SlidingWindow(spark, sf)

@@ -266,4 +266,23 @@ class TextMultimodalSpec extends GraftSpec {
       .collect().map(_.getSeq[Long](0).toSet)
     assert(unrelated(0).intersect(unrelated(1)).isEmpty)
   }
+
+  test("t17: token-weighted mean surprisal equals the corpus unigram entropy") {
+    val rows = TextAnalysis.t17Surprisal(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, s) =>
+      assert(n > 0 && s > 0 && !s.isNaN && !s.isInfinite, s"doc $id: n=$n s=$s")
+    }
+    // sum over docs of per-token -ln p(w) is total_tokens × H(unigram):
+    // the per-doc scores must re-aggregate to the corpus entropy
+    val counts = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect().map(_.getLong(1))
+    val total = counts.sum.toDouble
+    val entropy = counts.map(c => -c / total * math.log(c / total)).sum
+    val weighted = rows.map { case (_, n, s) => n * s }.sum / rows.map(_._2).sum
+    assert(math.abs(weighted - entropy) < 1e-4,
+      s"weighted-mean surprisal $weighted != corpus entropy $entropy")
+  }
 }
