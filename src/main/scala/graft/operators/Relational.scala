@@ -147,7 +147,34 @@ object Relational {
       .orderBy("o_orderkey")
 
   /** Oracle SQL (DuckDB dialect) for the queries above. */
+  val PageSize = 500 // r13 keyset page size
+
+  /** r13: keyset pagination — the scale-correct form of the
+    * reference's batched polling reads (`SELECT ... ORDER BY
+    * created_at LIMIT ?`, server.mjs:129-142). OFFSET pagination
+    * costs O(offset) rows on every page; keyset pagination seeks
+    * `key > last_seen_key` and costs O(page) forever. Page 2 of the
+    * event log: the page-1 boundary is a 1-row bounded aggregate
+    * (broadcast into the filter), and the page itself is a pushed
+    * range predicate + TakeOrderedAndProject — no global sort, no
+    * offset scan, identical cost for page 2 and page 2,000,000. */
+  def r13KeysetPage(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val bound = ev.orderBy(col("event_id")).limit(PageSize)
+      .agg(max(col("event_id")).as("bound"))
+    ev.crossJoin(broadcast(bound)) // 1-row bounded metadata
+      .filter(col("event_id") > col("bound"))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id")).limit(PageSize)
+  }
+
   val oracles: Map[String, String] = Map(
+    "r13_keyset_page" ->
+      s"""SELECT event_id, user_id, event_type FROM events
+         |WHERE event_id > (SELECT MAX(event_id) FROM
+         |  (SELECT event_id FROM events ORDER BY event_id LIMIT $PageSize))
+         |ORDER BY event_id LIMIT $PageSize""".stripMargin,
     "r1_filtered_scan" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'error' AND value > 100.0
@@ -225,5 +252,6 @@ object Relational {
     "r9_json_extract" -> (r9JsonExtract _),
     "r10_topn_per_group" -> (r10TopnPerGroup _),
     "r11_avg_latency" -> (r11AvgLatency _),
-    "r12_multi_predicate" -> (r12MultiPredicate _))
+    "r12_multi_predicate" -> (r12MultiPredicate _),
+    "r13_keyset_page" -> (r13KeysetPage _))
 }

@@ -51,4 +51,12 @@ class RelationalSpec extends GraftSpec {
       assert(r.getAs[Int]("mx").toLong == r.getAs[Long]("n"))
     }
   }
+
+  test("r13 page 2 is exactly event-id ranks 501..1000 — no overlap, no gap") {
+    val page = Relational.r13KeysetPage(spark, sf).collect().map(_.getLong(0))
+    val firstTwo = Tables.events(spark, sf).select("event_id")
+      .orderBy("event_id").limit(2 * Relational.PageSize)
+      .collect().map(_.getLong(0))
+    assert(page.toSeq == firstTwo.drop(Relational.PageSize).toSeq)
+  }
 }
