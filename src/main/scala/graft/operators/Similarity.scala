@@ -404,7 +404,69 @@ object Similarity {
     e.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
   }
 
+  val KnnK = 10 // neighbors voting in n10
+
+  /** n10: k-NN label probe — the standard embedding-quality eval:
+    * predict each query vector's label by majority vote of its
+    * [[KnnK]] exact-cosine neighbors' labels (ties broken by smaller
+    * label), and report it against the true label. A training-data
+    * pipeline runs exactly this to decide whether an embedding space
+    * is good enough to drive clustering/dedup/mixing decisions.
+    * Shape: n1's broadcast-query × one-corpus-pass scoring, then the
+    * vote is a (query × ≤K)-row aggregate — bounded by the query set,
+    * free at any corpus scale. The scale path feeds the same vote
+    * from n3's IVF candidates instead of the exact scan. */
+  def n10KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+      .withColumn("nrm", VectorFunctions.l2normNative("v"))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"), col("label").as("true_label"))
+      .filter(col("query_id") < NumQueries)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("pred_label").asc)
+    broadcast(q)
+      .join(e, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_raw", VectorFunctions.cosineFromParts(
+        VectorFunctions.dotNative("qv", "v"), col("qn"), col("nrm")))
+      .select(col("query_id"), col("true_label"),
+        col("vec_id").as("neighbor_id"), col("label"), col("cos_raw"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= KnnK)
+      .groupBy(col("query_id"), col("true_label"), col("label").as("pred_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("n_votes"), (col("pred_label") === col("true_label")).as("hit"))
+      .orderBy("query_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "n10_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |pairs AS (SELECT q.vec_id AS query_id, q.label AS true_label,
+         |    e.vec_id AS neighbor_id, e.label,
+         |    list_dot_product(q.v, e.v) / (q.nrm * e.nrm) AS cos_raw
+         |  FROM e q JOIN e ON q.vec_id < $NumQueries AND e.vec_id <> q.vec_id),
+         |ranked AS (SELECT query_id, true_label, label, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+         |  FROM pairs),
+         |votes AS (SELECT query_id, true_label, label AS pred_label,
+         |    COUNT(*) AS n_votes
+         |  FROM ranked WHERE rank <= $KnnK GROUP BY 1, 2, 3),
+         |best AS (SELECT query_id, true_label, pred_label, n_votes,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY n_votes DESC, pred_label ASC) AS vr
+         |  FROM votes)
+         |SELECT query_id, true_label, pred_label, n_votes,
+         |  pred_label = true_label AS hit
+         |FROM best WHERE vr = 1 ORDER BY query_id""".stripMargin,
     "n7_quantize_i8" ->
       // mirror of the kernel: scale = max |x|, q = round-half-away
       // (DuckDB round() semantics), err = L2 of reconstruction deltas.
@@ -451,5 +513,6 @@ object Similarity {
     "n6_semantic_dedup" -> (n6SemanticDedup _),
     "n7_quantize_i8" -> (n7QuantizeI8 _),
     "n8_quantized_topk" -> (n8QuantizedTopk _),
-    "n9_pca_project" -> (n9PcaProject _))
+    "n9_pca_project" -> (n9PcaProject _),
+    "n10_knn_classify" -> (n10KnnClassify _))
 }

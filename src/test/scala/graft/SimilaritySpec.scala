@@ -133,4 +133,29 @@ class SimilaritySpec extends GraftSpec {
     assert(comps.head._1 >= axisVar.max - 1e-9,
       s"lambda1 ${comps.head._1} < max axis variance ${axisVar.max}")
   }
+
+  test("n10 kNN vote matches a driver-side brute-force recompute") {
+    val got = Similarity.n10KnnClassify(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    val all = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val queries = all.filter(_._1 < Similarity.NumQueries)
+    assert(got.keySet == queries.map(_._1).toSet)
+    queries.foreach { case (qid, qv, qlabel) =>
+      val neigh = all.filter(_._1 != qid)
+        .map { case (id, v, l) => (cos(qv, v), id, l) }
+        .sortBy { case (c, id, _) => (-c, id) }
+        .take(Similarity.KnnK)
+      val (predLabel, nVotes) = neigh.groupBy(_._3).view
+        .mapValues(_.length).toSeq
+        .minBy { case (l, n) => (-n, l) }
+      val (trueL, pred, votes) = got(qid)
+      assert(trueL == qlabel && pred == predLabel && votes == nVotes.toLong,
+        s"query $qid: got ($trueL,$pred,$votes) expected ($qlabel,$predLabel,$nVotes)")
+    }
+  }
 }
