@@ -748,10 +748,10 @@ object Analytics {
 
   /** q4: TPC-H Q4 shape — order-priority checking: count orders per
     * priority in a quarter where at least one lineitem shipped after
-    * the order date (EXISTS → left-semi join). The semi-join keeps
-    * only the 8-byte key + date from orders until the count, and the
-    * residual `l_shipdate > o_orderdate` predicate rides the same
-    * equi-join — no second pass. The final agg is 5 rows (bounded). */
+    * the order date (EXISTS → left-semi join). The probe side reads
+    * only (l_orderkey, l_shipdate) from lineitem, and the residual
+    * `l_shipdate > o_orderdate` predicate rides the same equi-join —
+    * no second pass. The final agg is 5 rows (bounded). */
   def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -813,10 +813,12 @@ object Analytics {
   /** w5: sliding event-time windows (1-hour window, 15-minute slide)
     * — the overlapping-window aggregation tumbling (st1) and session
     * (st2) windows can't express; each event lands in exactly 4
-    * windows. Spark's `window()` expands rows map-side (no
-    * pre-shuffle blowup beyond the 4× projection, partial aggs still
-    * combine), then ONE shuffle on window start. count(DISTINCT
-    * user_id) re-uses the same window-keyed exchange. */
+    * windows. Spark's `window()` expands rows map-side (the 4×
+    * projection, with partial aggregation below the shuffle), then
+    * the distinct count plans as the standard two-phase shape: first
+    * exchange on (window, user_id) — carrying deduped pairs, not raw
+    * events — then a second, much smaller exchange on window alone to
+    * finish both aggregates. */
   def w5SlidingWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))

@@ -155,9 +155,11 @@ object Relational {
     * costs O(offset) rows on every page; keyset pagination seeks
     * `key > last_seen_key` and costs O(page) forever. Page 2 of the
     * event log: the page-1 boundary is a 1-row bounded aggregate
-    * (broadcast into the filter), and the page itself is a pushed
-    * range predicate + TakeOrderedAndProject — no global sort, no
-    * offset scan, identical cost for page 2 and page 2,000,000. */
+    * broadcast into the range filter (a runtime value, so it filters
+    * above the scan; with a literal cursor from the caller it would
+    * push into the scan's min/max pruning), and the page itself is
+    * TakeOrderedAndProject — no global sort, no offset scan,
+    * identical cost for page 2 and page 2,000,000. */
   def r13KeysetPage(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"))
