@@ -225,6 +225,47 @@ class PlanAuditSpec extends GraftSpec {
       s"within-cell pairing must be an equi-join on cell_id:\n$plan")
   }
 
+  test("q10: the fact side collapses to per-customer rows BELOW the customer join") {
+    val plan = planOf(Analytics.q10ReturnedRevenue(spark, sf))
+    val aggIds = detailIds(plan, "HashAggregate", "Keys \\[1\\]: \\[o_custkey")
+    val custJoin = "Left keys \\[1\\]: \\[o_custkey.{0,120}?\\[c_custkey"
+    val joinIds =
+      detailIds(plan, "BroadcastHashJoin", custJoin) ++
+      detailIds(plan, "SortMergeJoin", custJoin) ++
+      detailIds(plan, "ShuffledHashJoin", custJoin)
+    assert(aggIds.nonEmpty, s"no per-customer aggregate in plan:\n$plan")
+    assert(joinIds.nonEmpty, s"no customer join in plan:\n$plan")
+    assert(aggIds.min < joinIds.min,
+      s"the o_custkey aggregate (node ${aggIds.min}) must sit below the " +
+        s"customer join (node ${joinIds.min}) — raw lineitems must never " +
+        s"pay a dim join:\n$plan")
+  }
+
+  test("e4: exactly one user_id exchange feeds the lag window") {
+    val plan = planOf(Analytics.e4Transitions(spark, sf))
+    val userExchanges = detailIds(plan, "Exchange", "Arguments: hashpartitioning\\(user_id")
+    assert(userExchanges.size == 1,
+      s"expected exactly one user_id hash exchange, got ${userExchanges.size}:\n$plan")
+  }
+
+  test("mix2: the oversampled hash prefilter sits below the running-sum window") {
+    val plan = planOf(graft.operators.Pipeline.mix2TokenBudget(spark, sf))
+    // Catalyst may keep the hk < thr prune as a Filter or fuse it into
+    // the broadcast join's residual condition — both sit below the window
+    val filterIds = detailIds(plan, "Filter", "Condition : .{0,60}?hk") ++
+      detailIds(plan, "BroadcastHashJoin", "Join condition: .{0,60}?hk")
+    val windowIds = detailIds(plan, "Window", "sum\\(n_tokens")
+    assert(filterIds.nonEmpty, s"no hash-threshold prune in plan:\n$plan")
+    assert(windowIds.nonEmpty, s"no running-sum window in plan:\n$plan")
+    assert(filterIds.min < windowIds.min,
+      s"the hk < thr prefilter (node ${filterIds.min}) must sit below the " +
+        s"window (node ${windowIds.min}) — the exact sort must only see " +
+        s"O(budget) survivors:\n$plan")
+    // the domain-totals side broadcasts; the corpus is never shuffled for it
+    assert(plan.contains("BroadcastHashJoin"),
+      s"domain thresholds should broadcast:\n$plan")
+  }
+
   test("q6: all three predicates push to the scan and only the 4 used columns are read") {
     val plan = planOf(Analytics.q6RevenueDelta(spark, sf))
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate.*"),
