@@ -880,6 +880,34 @@ object Analytics {
       .limit(20)
   }
 
+  /** e5: conversion-lag distribution — "how long from signup to first
+    * purchase": per user, the first signup and the first purchase
+    * at-or-after it; reported as converter counts, conversion rate,
+    * and lag percentiles (integer seconds, so the percentile inputs
+    * are bit-identical across engines). Both per-user firsts are
+    * min-aggregates keyed on user_id — one exchange serves the signup
+    * side, the purchase join, and the lag min — and the final
+    * distribution is a single bounded (1-row) aggregate. */
+  def e5ConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val firstSignup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("s_us"))
+    val firstConv = ev.filter(col("event_type") === "purchase")
+      .join(firstSignup, Seq("user_id"))
+      .filter(col("ts_us") >= col("s_us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us") - col("s_us")).as("lag_us"))
+    firstSignup.join(firstConv, Seq("user_id"), "left")
+      .withColumn("lag_s", expr("lag_us div 1000000"))
+      .agg(count(lit(1)).as("n_signup_users"),
+        count(col("lag_us")).as("n_converted"),
+        round(count(col("lag_us")).cast("double") / count(lit(1)), 6)
+          .as("conv_rate"),
+        round(expr("percentile(lag_s, 0.5D)"), 4).as("p50_lag_s"),
+        round(expr("percentile(lag_s, 0.9D)"), 4).as("p90_lag_s"))
+  }
+
   val DriftTrail = 7 // trailing days in the a12 baseline window
 
   /** a12: volume-drift anomaly detection — the data-quality monitor a
@@ -1274,6 +1302,18 @@ object Analytics {
          |FROM r JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "e5_conversion_lag" ->
+      """WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS s_us FROM events
+        |    WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT p.user_id, MIN(epoch_us(p.ts) - s.s_us) AS lag_us
+        |  FROM events p JOIN s ON p.user_id = s.user_id
+        |  WHERE p.event_type = 'purchase' AND epoch_us(p.ts) >= s.s_us
+        |  GROUP BY 1)
+        |SELECT COUNT(*) AS n_signup_users, COUNT(lag_us) AS n_converted,
+        |  round(CAST(COUNT(lag_us) AS DOUBLE) / COUNT(*), 6) AS conv_rate,
+        |  round(quantile_cont(lag_us // 1000000, 0.5), 4) AS p50_lag_s,
+        |  round(quantile_cont(lag_us // 1000000, 0.9), 4) AS p90_lag_s
+        |FROM s LEFT JOIN c USING (user_id)""".stripMargin,
     "a12_volume_drift" ->
       s"""WITH d AS (SELECT date_trunc('day', ts) AS day,
          |    COUNT(*) AS n_events FROM events GROUP BY 1),
@@ -1331,5 +1371,6 @@ object Analytics {
     "q19_disjunctive_join" -> (q19DisjunctiveJoin _),
     "w5_sliding_window" -> (w5SlidingWindow _),
     "e4_transitions" -> (e4Transitions _),
+    "e5_conversion_lag" -> (e5ConversionLag _),
     "a12_volume_drift" -> (a12VolumeDrift _))
 }

@@ -383,6 +383,30 @@ class AnalyticsSpec extends GraftSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("e5 conversion funnel lag matches a driver-side recompute") {
+    val r = Analytics.e5ConversionLag(spark, sf).collect().head
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val signup = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._3).min }
+    val lags = signup.flatMap { case (u, sUs) =>
+      val ps = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= sUs)
+      if (ps.isEmpty) None else Some(ps.map(_._3 - sUs).min / 1000000L)
+    }.toArray.sorted
+    assert(r.getLong(0) == signup.size && r.getLong(1) == lags.length)
+    assert(r.getDouble(2) == math.round(lags.length.toDouble / signup.size * 1e6) / 1e6)
+    def pct(q: Double): Double = { // linear interpolation, like percentile()
+      val pos = (lags.length - 1) * q
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 < lags.length) lags(lo) * (1 - frac) + lags(lo + 1) * frac
+      else lags(lo).toDouble
+    }
+    assert(math.abs(r.getDouble(3) - pct(0.5)) < 1e-3, s"p50 ${r.getDouble(3)} vs ${pct(0.5)}")
+    assert(math.abs(r.getDouble(4) - pct(0.9)) < 1e-3, s"p90 ${r.getDouble(4)} vs ${pct(0.9)}")
+  }
+
   test("w5 sliding windows cover each event exactly 4 times") {
     val total = Tables.events(spark, sf).count()
     val covered = Analytics.w5SlidingWindow(spark, sf)
