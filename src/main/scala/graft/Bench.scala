@@ -17,7 +17,7 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // min over N INTERLEAVED passes of the whole suite
-    // (SPARK_GRAFT_RUNS, default 3). Two reasons for min-of-N: later
+    // (SPARK_GRAFT_RUNS, default 4). Two reasons for min-of-N: later
     // passes measure steady-state (code already JIT'd/codegen-cached),
     // and the min rejects transient host stalls. The passes are
     // interleaved (suite × N, not query × N back-to-back) because the
@@ -28,7 +28,7 @@ object Bench {
     // per-query min survives. SPARK_GRAFT_ONLY=q1,q2 restricts to a
     // subset. A query that throws must NOT silently bench as "fast":
     // its error is recorded and surfaces in the output line.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "4").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
