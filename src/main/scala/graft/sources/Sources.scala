@@ -566,7 +566,64 @@ object Sources {
       .orderBy("version")
   }
 
+  /** k11: CDC-style version diff — "what changed between yesterday's
+    * publish and today's": a full-outer join of two RETAINED
+    * [[AtomicPublish]] versions on the row key classifies every row
+    * as added / changed / unchanged (deleted falls out of the same
+    * join; empty here). This is the poll-free form of the reference's
+    * update feed (`getUnacknowledgedUpdates`, db.mjs:334-343):
+    * downstream consumers read the diff of two immutable snapshots
+    * instead of scanning a mutable table for flags. The join is keyed
+    * on the rollup's day key — version-sized, not event-sized — and
+    * at 100 TB both sides prune to the partitions the versions
+    * actually differ in. v1 is a mid-month snapshot built before a
+    * 10%-of-events backfill lands (event_id % 10 == 0 rows missing),
+    * so shared days classify as changed and post-cutoff days as
+    * added. */
+  def k11VersionDiff(s: SparkSession, dir: String): DataFrame = {
+    val root = tmp("k11_versiondiff")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+    def daily(ev: DataFrame): DataFrame = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val events = Tables.events(s, dir)
+    val cutoff = lit(TimeTravelCutoff).cast("timestamp")
+    AtomicPublish.publish(s, root, Seq("daily" -> daily(
+      events.filter(col("ts") < cutoff && pmod(col("event_id"), lit(10)) =!= 0))))
+    AtomicPublish.publish(s, root, Seq("daily" -> daily(events)))
+    val v1 = AtomicPublish.readOutputAt(s, root, "v1", "daily")
+      .select(col("day"), col("n_events").as("n_v1"))
+    val v2 = AtomicPublish.readOutput(s, root, "daily")
+      .select(col("day"), col("n_events").as("n_v2"))
+    v1.join(v2, Seq("day"), "full_outer")
+      .withColumn("status",
+        when(col("n_v1").isNull, "added")
+          .when(col("n_v2").isNull, "deleted")
+          .when(col("n_v1") =!= col("n_v2"), "changed")
+          .otherwise("unchanged"))
+      .select(Cols.fmtDate(col("day")).as("day"), col("n_v1"), col("n_v2"),
+        col("status"))
+      .orderBy("day")
+  }
+
   val oracles: Map[String, String] = Map(
+    "k11_version_diff" ->
+      s"""WITH v1 AS (SELECT date_trunc('day', ts) AS day,
+         |    COUNT(*) AS n_v1 FROM events
+         |  WHERE ts < TIMESTAMP '$TimeTravelCutoff' AND event_id % 10 <> 0
+         |  GROUP BY 1),
+         |v2 AS (SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_v2
+         |  FROM events GROUP BY 1)
+         |SELECT strftime(COALESCE(v1.day, v2.day), '%Y-%m-%d') AS day,
+         |  n_v1, n_v2,
+         |  CASE WHEN n_v1 IS NULL THEN 'added'
+         |    WHEN n_v2 IS NULL THEN 'deleted'
+         |    WHEN n_v1 <> n_v2 THEN 'changed'
+         |    ELSE 'unchanged' END AS status
+         |FROM v1 FULL OUTER JOIN v2 ON v1.day = v2.day
+         |ORDER BY day""".stripMargin,
     "k10_time_travel" ->
       s"""WITH d AS (SELECT date_trunc('day', ts) AS day,
          |    COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
@@ -725,5 +782,6 @@ object Sources {
     "k7_conditional_update" -> (k7ConditionalUpdate _),
     "k8_zorder_layout" -> (k8ZorderLayout _),
     "k9_point_lookup" -> (k9PointLookup _),
-    "k10_time_travel" -> (k10TimeTravel _))
+    "k10_time_travel" -> (k10TimeTravel _),
+    "k11_version_diff" -> (k11VersionDiff _))
 }

@@ -233,4 +233,23 @@ class SourcesSpec extends GraftSpec {
     assert(r.getSeq[Byte](1) == Seq[Byte](64, -127, 32))
     assert(r.getLong(2) == -31L && r.getInt(3) == -127 && r.getInt(4) == 64)
   }
+
+  test("k11: version diff classifies pre-cutoff days changed, post-cutoff added") {
+    val rows = Sources.k11VersionDiff(spark, sf).collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.toString.toLong),
+        Option(r.get(2)).map(_.toString.toLong), r.getString(3)))
+    val allDays = Tables.events(spark, sf)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("d"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_._1).toSet == allDays, "diff must cover every day")
+    rows.foreach { case (day, nV1, nV2, status) =>
+      if (day < Sources.TimeTravelCutoff) {
+        assert(status == "changed" && nV1.get < nV2.get,
+          s"$day: pre-cutoff day with a 10% backfill must be 'changed', got $status")
+      } else {
+        assert(status == "added" && nV1.isEmpty,
+          s"$day: post-cutoff day must be 'added', got $status")
+      }
+    }
+  }
 }
