@@ -1,15 +1,51 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 /** Per-round benchmark: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
   * Queries are materialized with a noop-format write so every output
   * column is computed (a bare count() would let Catalyst prune the
-  * projections being measured). */
+  * projections being measured).
+  *
+  * Evidence durability (the round-5 lesson): the driver's round-5
+  * capture was rc=124/parsed:null because the n=5-pass run outran the
+  * driver's time budget and the old Bench persisted nothing until all
+  * passes finished. This version is timeout-proof three ways:
+  *  1. `bench_last.json` is atomically rewritten after EVERY measured
+  *     query with the current per-query mins — a kill at any instant
+  *     leaves a parseable, at-most-one-query-stale evidence file.
+  *  2. Per-query errors are appended to `bench_errors.log` the moment
+  *     they are caught (query name + pass + stack head), so a killed
+  *     run also keeps the error that made it slow.
+  *  3. SPARK_GRAFT_TIME_BUDGET (seconds, default 540) is honored: a
+  *     pass is only started if the budget fits elapsed + 1.15× the
+  *     previous pass's duration, so the run ENDS cleanly — printing
+  *     its one-line JSON to stdout — instead of being killed mid-pass.
+  *     The line reports `passes` completed vs `runs_requested`.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val t0main = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.local(cpus.toInt)
+    // Pre-pass sweep: drop scratch roots left by DEAD graft JVMs (a
+    // killed bench never reaches its shutdown hook) and legacy
+    // fixed-name/test leftovers, so repeated rounds don't accrete in
+    // /tmp. The shared durable catalog (/tmp/graft_state) is NOT swept
+    // — persistence across restarts is its point.
+    Seq("graft_sources", "graft_pipe3_release", "graft_bench_state",
+      "graft_stream", "graft_publish_spec", "graft_persist")
+      .foreach(TmpRoots.cleanStale)
+    TmpRoots.cleanLegacy("graft_persist_state\\d+", "graft_publish\\d+",
+      "graft_publish2\\d+", "graft_publish_tt\\d+", "graft_test",
+      "graft_stream_(ckpt|restart|upsert)_\\d+(_ckpt)?", "graft_stream_src")
+    // Bench runs in its OWN catalog/warehouse dir: embedded Derby is
+    // single-process, so sharing /tmp/graft_state with a concurrently
+    // running verify/test JVM would fail one of them. Bucketed-table
+    // pay-once setup (k2) lands in pass 1 and is amortized by min-of-N.
+    val stateDir = TmpRoots.perProcess("graft_bench_state")
+    val spark = GraftSession.builder(cpus.toInt, stateDir).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     // warm up the JVM/scheduler/file-system paths once so the first
     // measured query doesn't absorb session start-up cost
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -17,50 +53,82 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // min over N INTERLEAVED passes of the whole suite
-    // (SPARK_GRAFT_RUNS, default 4). Two reasons for min-of-N: later
-    // passes measure steady-state (code already JIT'd/codegen-cached),
-    // and the min rejects transient host stalls. The passes are
-    // interleaved (suite × N, not query × N back-to-back) because the
-    // stalls observed on this VM are BURSTY — a busy window lasting
-    // tens of seconds inflates every back-to-back attempt of the
-    // queries inside it, while under interleaving the same window
+    // (SPARK_GRAFT_RUNS, clamped to >=1). Two reasons for min-of-N:
+    // later passes measure steady-state (code already JIT'd/codegen-
+    // cached), and the min rejects transient host stalls. The passes
+    // are interleaved (suite × N, not query × N back-to-back) because
+    // the stalls observed on this VM are BURSTY — a busy window
+    // lasting tens of seconds inflates every back-to-back attempt of
+    // the queries inside it, while under interleaving the same window
     // hits a different stretch of the suite each pass and the
     // per-query min survives. SPARK_GRAFT_ONLY=q1,q2 restricts to a
     // subset. A query that throws must NOT silently bench as "fast":
     // its error is recorded and surfaces in the output line.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "4").toInt
+    val runsReq = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "4").toInt)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "540").toDouble
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val best = scala.collection.mutable.Map.empty[String, Double]
     val errs0 = scala.collection.mutable.Map.empty[String, String]
-    for (_ <- 1 to runs; (name, fn) <- queries) {
-      val t0 = System.nanoTime()
-      try run(fn) catch {
-        case e: Throwable => errs0.getOrElseUpdate(name,
-          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+    val errLog = java.nio.file.Paths.get("bench_errors.log")
+    def elapsed: Double = (System.nanoTime() - t0main) / 1e9
+    def jsonLine(passes: Int, partial: Boolean): String = {
+      val results = queries.flatMap { case (name, _) =>
+        best.get(name).map(v => (name, v, errs0.get(name)))
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      best.updateWith(name)(v => Some(v.fold(dt)(math.min(_, dt))))
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val errs = results.collect { case (k, _, Some(e)) =>
+        "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }.mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${results.count(_._3.isDefined)},"passes":$passes,"runs_requested":$runsReq,"partial":$partial,"sf":"$sfDir"}"""
     }
-    val results = queries.map { case (name, _) =>
-      (name, best(name), errs0.get(name))
+    // Atomic rewrite (tmp + move) so a reader never sees a torn file;
+    // subset runs don't clobber the durable full-suite evidence.
+    def flush(passes: Int, partial: Boolean): Unit = if (only.isEmpty) {
+      val tmp = java.nio.file.Paths.get("bench_last.json.tmp")
+      java.nio.file.Files.writeString(tmp, jsonLine(passes, partial) + "\n")
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("bench_last.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+    var passesDone = 0
+    var lastPassSec = 0.0
+    var stoppedOnBudget = false
+    for (pass <- 1 to runsReq if !stoppedOnBudget) {
+      // Start a pass only if it plausibly fits: first pass always runs
+      // (there is no estimate yet, and zero passes is worse evidence
+      // than one truncated-but-flushed pass).
+      if (pass > 1 && elapsed + 1.15 * lastPassSec > budgetSec) {
+        stoppedOnBudget = true
+      } else {
+        val tPass = System.nanoTime()
+        for ((name, fn) <- queries) {
+          val t0 = System.nanoTime()
+          try run(fn) catch {
+            case e: Throwable =>
+              val head = e.getStackTrace.take(3).mkString(" <- ")
+              java.nio.file.Files.writeString(errLog,
+                s"${java.time.Instant.now()} pass=$pass query=$name ${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}\n  at $head\n",
+                java.nio.file.StandardOpenOption.CREATE,
+                java.nio.file.StandardOpenOption.APPEND)
+              errs0.getOrElseUpdate(name,
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          best.updateWith(name)(v => Some(v.fold(dt)(math.min(_, dt))))
+          flush(passesDone, partial = true)
+        }
+        lastPassSec = (System.nanoTime() - tPass) / 1e9
+        passesDone += 1
+        flush(passesDone, partial = false)
+      }
+    }
+    val line = jsonLine(passesDone, partial = false)
     println(line)
-    // Persist the same line: stdout captures have been truncated by the
-    // driver's tail before (round 3 lost its first ~30 queries), and a
-    // bench whose evidence evaporates can't prove the absence of
-    // regressions. bench_last.json in the repo root is the durable copy.
-    // (subset runs don't clobber the durable full-suite evidence)
-    if (only.isEmpty)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    flush(passesDone, partial = false)
     spark.stop()
   }
 }

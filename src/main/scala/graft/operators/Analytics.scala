@@ -132,6 +132,103 @@ object Analytics {
       .orderBy("partkey")
   }
 
+  /** q13: customer order-count distribution — the TPC-H Q13 shape
+    * (how many customers placed 0, 1, 2, … qualifying orders; the
+    * reference's per-entity activity histograms, server.mjs:214-231,
+    * are this query over its sync log). LEFT OUTER is load-bearing:
+    * zero-order customers must survive into the c_count=0 bucket, so
+    * the filter on orders sits in the JOIN CONDITION, not a WHERE
+    * (a WHERE would silently turn the join inner).
+    *
+    * Scale shape: one shuffle of each side on custkey for the outer
+    * join + first aggregate (count(o_orderkey) skips the nulls the
+    * outer join manufactures); the second aggregate's input is one
+    * row per customer and its output one row per distinct count — a
+    * few dozen rows at ANY corpus size, so the final exchange is
+    * negligible. Nothing here is per-order after the first agg. */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT") // Q13's exclusion predicate
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(s, dir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // nulls (no orders) count 0
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q18: large-volume orders — the TPC-H Q18 HAVING shape (orders
+    * whose total quantity clears a threshold, with their customer).
+    * The HAVING runs FIRST, on the fact table alone: lineitem
+    * collapses to one row per order (map-side partial sums, one
+    * shuffle on orderkey) and the threshold drops ~98% of orders
+    * BEFORE any join — at 100 TB the joins see the rare survivors,
+    * not the corpus. The surviving aggregate IS the quantity column
+    * (no re-join back to lineitem, which the naive SQL form does).
+    * Customer attaches last, keyed on the already-tiny result. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Cols.dec2(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > lit(200).cast(DecimalType(12, 2)))
+      .select(col("l_orderkey"), col("qty").cast("double").as("sum_qty"))
+    big.join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        Cols.fmtDate(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** q21: suppliers who kept orders waiting — the TPC-H Q21 shape
+    * (chained EXISTS + NOT EXISTS against the same fact): for
+    * finished orders, find the supplier whose line was the order's
+    * ONLY problem line (returnflag 'R' standing in for the classic
+    * receipt-after-commit predicate, which this dataset lacks) while
+    * other suppliers shipped clean — then rank suppliers by how often
+    * they were that sole offender.
+    *
+    * The textbook SQL scans lineitem THREE times (l1, the EXISTS l2,
+    * the NOT EXISTS l3). Here both quantified predicates collapse
+    * into per-order counts computed from ONE scan: aggregate to
+    * (order, supplier, has_problem) grains, then two window sums over
+    * the order — `n_supp > 1` IS "exists another supplier's line" and
+    * `n_r_supp == 1` (with this supplier flagged) IS "no OTHER
+    * supplier has a problem line". One `repartition(l_orderkey)`
+    * feeds the pair aggregate AND the order-window (HashPartitioning
+    * on the order key satisfies both clusterings), so the fact is
+    * scanned once and shuffled once; orders joins on that same
+    * partitioning (only its side exchanges), and the supplier dim
+    * broadcasts onto the per-supplier counts at the very end —
+    * audited in PlanAuditSpec (one lineitem scan, one fact
+    * exchange). */
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("l_orderkey"))
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .repartition(col("l_orderkey")) // serves the agg AND both windows
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+      .withColumn("n_supp", count(lit(1)).over(wOrd))
+      .withColumn("n_r_supp", sum(col("has_r")).over(wOrd))
+      .filter(col("has_r") === 1 && col("n_supp") > 1 && col("n_r_supp") === 1)
+    pairs
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
   /** Running-sum + row-number window over supplier partitions. */
   def w1RunningWindow(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
@@ -956,6 +1053,38 @@ object Analytics {
          |  AND l_shipdate > TIMESTAMP '1998-03-15'
          |GROUP BY l_orderkey, o_orderdate
          |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q13_custdist" ->
+      """WITH oc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist FROM oc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice, sum_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH pair AS (SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+        |  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+        |stats AS (SELECT l_orderkey, l_suppkey, has_r,
+        |    COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |    SUM(has_r) OVER (PARTITION BY l_orderkey) AS n_r_supp
+        |  FROM pair)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM stats JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE has_r = 1 AND n_supp > 1 AND n_r_supp = 1
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q5_region_revenue" ->
       s"""SELECT n_name, CAST(SUM($rev) AS DOUBLE) AS revenue
          |FROM region JOIN nation ON n_regionkey = r_regionkey
@@ -1334,6 +1463,9 @@ object Analytics {
     "q5_region_revenue" -> (q5RegionRevenue _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_cheapest_supplier" -> (q8CheapestSupplier _),
+    "q13_custdist" -> (q13CustDist _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "a10_grouping_sets" -> (a10GroupingSets _),
     "w6_rank_suite" -> (w6RankSuite _),
     "w1_running_window" -> (w1RunningWindow _),

@@ -65,7 +65,7 @@ object Pipeline {
     * the publish round-trip was lossless. */
   def pipe3PublishCorpus(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.AtomicPublish
-    val root = s"${sys.props("java.io.tmpdir")}/graft_pipe3_release"
+    val root = s"${graft.TmpRoots.perProcess("graft_pipe3_release")}"
     val corpus = pipe2LlmCorpus(s, dir).cache() // reused by both outputs
     val stats = corpus.agg(
       count(lit(1)).as("n_docs"),

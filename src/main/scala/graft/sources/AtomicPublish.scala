@@ -50,8 +50,15 @@ object AtomicPublish {
     }
   }
 
+  /** Committed version as a number; a corrupted/unparseable pointer is
+    * treated as no-commit rather than thrown on, so a damaged pointer
+    * file degrades to "republish from v1" instead of wedging every
+    * caller (publish, vacuum, diff) on a NumberFormatException. */
+  private def currentVersionNum(s: SparkSession, root: String): Option[Long] =
+    currentVersion(s, root).flatMap(_.stripPrefix("v").toLongOption)
+
   private def nextVersion(s: SparkSession, root: String): String =
-    "v" + (currentVersion(s, root).map(_.stripPrefix("v").toLong).getOrElse(0L) + 1)
+    "v" + (currentVersionNum(s, root).getOrElse(0L) + 1)
 
   /** Stage one output of an uncommitted version (invisible until
     * [[commit]]). */
@@ -106,9 +113,21 @@ object AtomicPublish {
     * COMMITTED versions (time-travel horizon); drop everything else —
     * older versions, aborted stagings (crash garbage), and staged-
     * but-never-committed dirs above the pointer. keepLast = 1 is the
-    * classic "current only" vacuum. */
+    * classic "current only" vacuum; keepLast < 1 is rejected because
+    * it would delete the version LATEST points at.
+    *
+    * SINGLE-WRITER assumption (same as the reference's one SQLite
+    * writer, db.mjs:17): vacuum treats any dir above the pointer as
+    * crash garbage, so it must never run concurrently with another
+    * process's in-flight publish — that publish's staging dir would be
+    * deleted just before its commit flips the pointer to a missing
+    * path. graft's callers satisfy this (per-process roots,
+    * TmpRoots.scala); a multi-writer deployment would need a
+    * commit-time grace window or a lease on the root. */
   def vacuum(s: SparkSession, root: String, keepLast: Int = 1): Unit = {
-    val cur = currentVersion(s, root).map(_.stripPrefix("v").toLong)
+    require(keepLast >= 1,
+      s"vacuum(keepLast=$keepLast) would delete the committed version")
+    val cur = currentVersionNum(s, root)
     val versions = new Path(s"$root/versions")
     val fs = versions.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(versions)) fs.listStatus(versions).foreach { st =>

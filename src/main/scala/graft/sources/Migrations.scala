@@ -102,7 +102,7 @@ object Migrations {
     * audit stats the oracle recomputes from the raw table. */
   def sc2MigrationLedger(s: SparkSession, dir: String): DataFrame = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s"${sys.props("java.io.tmpdir")}/graft_sources/sc2_migrations/$safe"
+    val root = s"${graft.TmpRoots.perProcess("graft_sources")}/sc2_migrations/$safe"
     migrate(s, root, Tables.events(s, dir))
     AtomicPublish.readOutput(s, root, Ledger).orderBy("version")
   }

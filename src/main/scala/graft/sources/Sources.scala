@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object Sources {
 
   private def tmp(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_sources/$name"
+    s"${graft.TmpRoots.perProcess("graft_sources")}/$name"
 
   /** Round-trip the lossless (integral/string) lineitem columns through
     * CSV with an explicit read schema (schema-on-read, no inference

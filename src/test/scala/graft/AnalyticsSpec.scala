@@ -467,5 +467,24 @@ class AnalyticsSpec extends GraftSpec {
         .toSeq
     }.toSet
     assert(rows.map(_._1).toSet == expected)
+    // the prefilter's undershoot risk is OBSERVABLE, not silent: for
+    // every domain whose full token mass covers the budget, the
+    // survivors of the oversampled hash threshold must still carry at
+    // least TokenBudget tokens — if this ever fires, the operator
+    // under-filled the budget and PreOversample needs raising (the
+    // engine and oracle would agree on the short fill, so only this
+    // assertion can catch it).
+    docs.groupBy(_._2).foreach { case (lang, g) =>
+      val total = g.map(_._3).sum
+      val thr = {
+        val rate = Pipeline.PreOversample * Pipeline.TokenBudget / total.toDouble
+        if (rate >= 1.0) "g"
+        else f"${math.floor(rate * 4294967296.0).toLong}%08x"
+      }
+      val survivorMass = g.filter(_._4 < thr).map(_._3).sum
+      if (total >= Pipeline.TokenBudget)
+        assert(survivorMass >= Pipeline.TokenBudget,
+          s"domain $lang: prefilter survivors carry $survivorMass < budget ${Pipeline.TokenBudget}")
+    }
   }
 }

@@ -33,7 +33,7 @@ class PersistenceSpec extends AnyFunSuite {
   }
 
   test("managed + bucketed tables survive a full restart: fresh JVM reads them back") {
-    val stateDir = Files.createTempDirectory("graft_persist_state").toString
+    val stateDir = Files.createTempDirectory(Files.createDirectories(java.nio.file.Paths.get(graft.TmpRoots.perProcess("graft_persist"))), "state_").toString
     assert(runProbe("create", stateDir) == 0, "create probe failed")
     // the read probe also asserts the restored bucket spec still plans
     // a 0-Exchange join (exit 4 = bucket metadata lost)

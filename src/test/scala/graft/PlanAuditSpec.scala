@@ -90,7 +90,7 @@ class PlanAuditSpec extends GraftSpec {
 
   test("partitioned sink: read-side filter on the partition column prunes partitions") {
     Sources.k1PartitionedSink(spark, sf).collect() // materialize the sink
-    val path = s"${sys.props("java.io.tmpdir")}/graft_sources/k1_part"
+    val path = s"${graft.TmpRoots.perProcess("graft_sources")}/k1_part"
     val pruned = spark.read.parquet(path).filter(col("event_type") === "click")
     val plan = planOf(pruned)
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"),

@@ -61,7 +61,7 @@ class SourcesSpec extends GraftSpec {
           fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")))
         .toMap
     }
-    val tmpRoot = s"${sys.props("java.io.tmpdir")}/graft_sources"
+    val tmpRoot = graft.TmpRoots.perProcess("graft_sources")
     val before = filesPerPartition(s"$tmpRoot/k6_small")
     val after = filesPerPartition(s"$tmpRoot/k6_compacted")
     assert(before.keySet == after.keySet)
@@ -71,7 +71,7 @@ class SourcesSpec extends GraftSpec {
 
   test("k5 merge: update rows win, unmatched base rows survive, keys unique") {
     Sources.k5MergeUpsert(spark, sf).collect() // materialize the merge
-    val path = s"${sys.props("java.io.tmpdir")}/graft_sources/k5_merge"
+    val path = s"${graft.TmpRoots.perProcess("graft_sources")}/k5_merge"
     val merged = spark.read.parquet(path)
       .select("user_id", "event_type", "value", "ts").collect()
       .map(r => (r.getLong(0), r.getString(1)) ->
@@ -238,18 +238,32 @@ class SourcesSpec extends GraftSpec {
     val rows = Sources.k11VersionDiff(spark, sf).collect()
       .map(r => (r.getString(0), Option(r.get(1)).map(_.toString.toLong),
         Option(r.get(2)).map(_.toString.toLong), r.getString(3)))
-    val allDays = Tables.events(spark, sf)
-      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("d"))
-      .distinct().collect().map(_.getString(0)).toSet
-    assert(rows.map(_._1).toSet == allDays, "diff must cover every day")
+    // Derive each day's expected classification from the DATA (not the
+    // assumption that every pre-cutoff day contains a backfilled
+    // event_id % 10 == 0 row — a regenerated dataset without that
+    // property would then fail spuriously): v1 excludes %10==0 rows
+    // before the cutoff, so a day's status follows from its own counts.
+    val perDay = Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(pmod(col("event_id"), lit(10)) === 0, 1L).otherwise(0L)).as("n_backfill"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.map(_._1).toSet == perDay.keySet, "diff must cover every day")
     rows.foreach { case (day, nV1, nV2, status) =>
-      if (day < Sources.TimeTravelCutoff) {
-        assert(status == "changed" && nV1.get < nV2.get,
-          s"$day: pre-cutoff day with a 10% backfill must be 'changed', got $status")
-      } else {
-        assert(status == "added" && nV1.isEmpty,
-          s"$day: post-cutoff day must be 'added', got $status")
-      }
+      val (nAll, nBackfill) = perDay(day)
+      val expected =
+        if (day >= Sources.TimeTravelCutoff) "added"       // absent from v1
+        else if (nAll == nBackfill) "added"                // day was ALL backfill
+        else if (nBackfill > 0) "changed"                  // partial backfill
+        else "unchanged"                                   // nothing backfilled
+      assert(status == expected, s"$day: expected $expected, got $status")
+      assert(nV2.contains(nAll), s"$day: n_v2 must count every event")
+      if (expected == "changed")
+        assert(nV1.get == nAll - nBackfill && nV1.get < nV2.get,
+          s"$day: v1 must hold the pre-backfill count")
     }
+    // the generated dataset is supposed to exercise all three present
+    // classes; if this fires the testdata changed shape, not the op
+    assert(rows.exists(_._4 == "changed") && rows.exists(_._4 == "added"))
   }
 }

@@ -160,7 +160,7 @@ class StreamingSpec extends GraftSpec {
   test("row 71: streaming upsert target always holds the latest row per key") {
     implicit val sqlc = spark.sqlContext
     import spark.implicits._
-    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_upsert_${System.nanoTime()}"
+    val base = s"${graft.TmpRoots.perProcess("graft_stream")}/upsert_${System.nanoTime()}"
     val input = MemoryStream[Ev]
     val q = SyncStream.streamingUpsert(input.toDF(), base, base + "_ckpt")
     try {
@@ -189,7 +189,7 @@ class StreamingSpec extends GraftSpec {
     // latest-row-per-key state with no replayed duplicates.
     implicit val sqlc = spark.sqlContext
     import spark.implicits._
-    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_restart_${System.nanoTime()}"
+    val base = s"${graft.TmpRoots.perProcess("graft_stream")}/restart_${System.nanoTime()}"
     val input = MemoryStream[Ev]
     val q1 = SyncStream.streamingUpsert(input.toDF(), base, base + "_ckpt")
     try {
@@ -217,8 +217,8 @@ class StreamingSpec extends GraftSpec {
   test("file-source end-to-end: parquet stream + AvailableNow equals batch") {
     // the production shape: readStream over a parquet directory,
     // process everything currently present, terminate (AvailableNow)
-    val srcDir = s"${sys.props("java.io.tmpdir")}/graft_stream_src"
-    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_${System.nanoTime()}"
+    val srcDir = s"${graft.TmpRoots.perProcess("graft_stream")}/src"
+    val ckpt = s"${graft.TmpRoots.perProcess("graft_stream")}/ckpt_${System.nanoTime()}"
     val batchEvents = Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
     batchEvents.write.mode("overwrite").parquet(srcDir)
