@@ -981,21 +981,29 @@ object Analytics {
     * purchase": per user, the first signup and the first purchase
     * at-or-after it; reported as converter counts, conversion rate,
     * and lag percentiles (integer seconds, so the percentile inputs
-    * are bit-identical across engines). Both per-user firsts are
-    * min-aggregates keyed on user_id — one exchange serves the signup
-    * side, the purchase join, and the lag min — and the final
+    * are bit-identical across engines).
+    *
+    * ONE scan, ONE user_id exchange (pinned in PlanAuditSpec): the
+    * per-user first-signup time is a `min(when(signup))` WINDOW over
+    * the user partition, tagged onto every one of that user's rows —
+    * so the purchase-after-signup predicate and the lag min are plain
+    * row expressions in the per-user aggregate that follows, and that
+    * aggregate reuses the window's hash partitioning (no second
+    * exchange). The naive three-way form (signup agg ⋈ purchase agg,
+    * then re-join) scans events three times and shuffles each; this
+    * shape pays the fact cost once at any corpus size. The final
     * distribution is a single bounded (1-row) aggregate. */
   def e5ConversionLag(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    val wUser = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
-    val firstSignup = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("s_us"))
-    val firstConv = ev.filter(col("event_type") === "purchase")
-      .join(firstSignup, Seq("user_id"))
-      .filter(col("ts_us") >= col("s_us"))
+      .withColumn("s_us",
+        min(when(col("event_type") === "signup", col("ts_us"))).over(wUser))
+      .filter(col("s_us").isNotNull) // purchase-only users never signed up
       .groupBy(col("user_id"))
-      .agg(min(col("ts_us") - col("s_us")).as("lag_us"))
-    firstSignup.join(firstConv, Seq("user_id"), "left")
+      .agg(min(when(col("event_type") === "purchase" &&
+          col("ts_us") >= col("s_us"), col("ts_us") - col("s_us"))).as("lag_us"))
       .withColumn("lag_s", expr("lag_us div 1000000"))
       .agg(count(lit(1)).as("n_signup_users"),
         count(col("lag_us")).as("n_converted"),

@@ -281,6 +281,63 @@ class PlanAuditSpec extends GraftSpec {
       s"scan reads columns q6 never uses:\n$plan")
   }
 
+  test("q21: one lineitem scan, one order-key exchange serves agg and both windows") {
+    val plan = planOf(Analytics.q21WaitingSuppliers(spark, sf))
+    // the EXISTS / NOT EXISTS rewrite must NOT re-scan the fact: one
+    // scan per table (lineitem, orders, supplier), no duplicates
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 3, s"expected 3 table scans (no duplicate fact scan), got $scans:\n$plan")
+    // one repartition on the order key feeds the pair aggregate AND
+    // the two order-window counts — a second l_orderkey exchange means
+    // the window stopped reusing the aggregate's partitioning
+    val ordKeyExchanges = detailIds(plan, "Exchange", "Arguments: hashpartitioning\\(l_orderkey")
+    assert(ordKeyExchanges.size == 1,
+      s"expected exactly one l_orderkey exchange, got ${ordKeyExchanges.size}:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("e5: a single events scan and a single user_id exchange serve signup, purchase, and lag") {
+    val plan = planOf(Analytics.e5ConversionLag(spark, sf))
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"e5 must scan events exactly once, got $scans scans:\n$plan")
+    val userExchanges = detailIds(plan, "Exchange", "Arguments: hashpartitioning\\(user_id")
+    assert(userExchanges.size == 1,
+      s"expected exactly one user_id hash exchange (window + per-user agg " +
+        s"share it), got ${userExchanges.size}:\n$plan")
+    // the signup/purchase disjunction reaches the scan
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(event_type.*"),
+      s"event_type IN (signup, purchase) not pushed:\n$plan")
+  }
+
+  test("w5: sliding-window partial aggregation sits below the first shuffle") {
+    val plan = planOf(Analytics.w5SlidingWindow(spark, sf))
+    // Expand (the 4x window replication) feeds a partial_count BEFORE
+    // any exchange: raw expanded rows must never cross the wire
+    val partialIds = detailIds(plan, "HashAggregate", "Functions \\[1\\]: \\[partial_count")
+    val exchangeIds = detailIds(plan, "Exchange", "Arguments: hashpartitioning")
+    assert(partialIds.nonEmpty, s"no map-side partial count in plan:\n$plan")
+    assert(exchangeIds.nonEmpty, s"no hash exchange in plan:\n$plan")
+    assert(partialIds.min < exchangeIds.min,
+      s"partial aggregation (node ${partialIds.min}) must sit below the " +
+        s"first shuffle (node ${exchangeIds.min}):\n$plan")
+    // distinct-count is the standard two-phase shape: (window,user) then (window)
+    assert(exchangeIds.size == 2,
+      s"expected the two-exchange distinct shape, got ${exchangeIds.size}:\n$plan")
+  }
+
+  test("r13: keyset page is TakeOrderedAndProject on both sides; no global sort") {
+    val plan = planOf(Relational.r13KeysetPage(spark, sf))
+    // page extraction AND the page-1 boundary probe are both top-K
+    // operators — a rangepartitioning exchange would mean a full sort
+    val topK = "(?m)^\\(\\d+\\) TakeOrderedAndProject".r.findAllIn(plan).size
+    assert(topK == 2, s"expected 2 TakeOrderedAndProject (page + boundary), got $topK:\n$plan")
+    assert(detailIds(plan, "Exchange", "Arguments: rangepartitioning").isEmpty,
+      s"keyset pagination must never globally sort the table:\n$plan")
+    // the 1-row boundary broadcasts; the cross join is against that
+    // single row (the one place a nested-loop join is the RIGHT plan)
+    assert(plan.contains("BroadcastExchange"), s"boundary row not broadcast:\n$plan")
+  }
+
   test("q19: part joins as a broadcast; the disjunctive filter never degrades the join") {
     val plan = planOf(Analytics.q19DisjunctiveJoin(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"part side must broadcast:\n$plan")
