@@ -105,11 +105,12 @@ object Similarity {
     * deduped, then ranked by exact cosine. rows-only; ScalaTest
     * checks recall ≥ 0.9 vs n1. */
   def n2AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = corpus(s, dir)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        explode(lshBuckets("v")).as("tb"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    // probe the PERSISTED lsh table (built once per dataset by
+    // ensureAnnIndex): both the corpus candidates and the query
+    // vectors' home buckets come from the index, so the probe never
+    // rescans or re-hashes the raw corpus
+    val e = graft.sources.AtomicPublish.readOutput(
+      s, ensureAnnIndex(s, dir), "lsh")
     // home bucket + all hamming-1 neighbors (flip each of the 4 bits)
     val probes = array((lit(0L) +: (0 until LshBits).map(b => lit(1L << b))): _*)
     val q = e.filter(col("vec_id") < NumQueries)
@@ -198,10 +199,66 @@ object Similarity {
           VectorFunctions.l2normNative("cv").as("cn")))
   }
 
+  /** PERSISTED ANN INDEX (build-once, probe-many). At 100 TB an ANN
+    * index is built ONCE at ingest and probed by every search after —
+    * recomputing centroids, assignments, or LSH tables per query
+    * re-pays the full corpus scan the index exists to avoid. The
+    * index is published through [[graft.sources.AtomicPublish]] as
+    * ONE atomic version holding three outputs:
+    *
+    *  - `centroids`: the refined IVF cells (≤[[IvfCells]] rows),
+    *  - `assignments`: (vec_id, v, nrm, cell_id) — the corpus with
+    *    its nearest-cell tag (n3/n6 probe side),
+    *  - `lsh`: (vec_id, v, nrm, tbl, bkt) — one row per (vector,
+    *    hash table) with the home bucket (n2 candidate side).
+    *
+    * So index maintenance inherits publish semantics for free: a
+    * rebuild is a new version behind the same atomic pointer
+    * (readers never see a half-built index), old versions remain
+    * probe-able until vacuumed, and a crash mid-build leaves inert
+    * staging garbage. Locally the root is per-process scratch (the
+    * pay-once shape of k8's z-order layout); on a cluster it would be
+    * a durable object-store prefix. The probe queries below read ONLY
+    * index tables — PlanAuditSpec pins that their plans never scan
+    * the raw embeddings parquet. */
+  private def annRoot(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${graft.TmpRoots.perProcess("graft_ann_index")}/$safe"
+  }
+
+  private[graft] def ensureAnnIndex(s: SparkSession, dir: String): String = {
+    import graft.sources.AtomicPublish
+    val root = annRoot(dir)
+    if (AtomicPublish.currentVersion(s, root).isEmpty) {
+      val e = corpus(s, dir)
+      val refined = ivfCentroids(e)
+      import s.implicits._
+      val centroids = refined.toDF("cell_id", "cv", "cn")
+      val assignments = n3Assign(e, refined)
+      val lsh = e
+        .select(col("vec_id"), col("v"), col("nrm"),
+          explode(lshBuckets("v")).as("tb"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      AtomicPublish.publish(s, root, Seq(
+        "centroids" -> centroids, "assignments" -> assignments, "lsh" -> lsh))
+    }
+    root
+  }
+
+  /** The committed cell set as bounded driver-side literals (≤
+    * [[IvfCells]] × dim doubles — the same bounded-collect pattern as
+    * the build side). */
+  private def indexCells(s: SparkSession, root: String): Seq[(Long, Array[Double], Double)] =
+    graft.sources.AtomicPublish.readOutput(s, root, "centroids")
+      .collect().toSeq.map(r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
   def n3IvfAnn(s: SparkSession, dir: String): DataFrame = {
-    val e = corpus(s, dir)
-    val refined = ivfCentroids(e)
-    val assigned = n3Assign(e, refined)
+    val root = ensureAnnIndex(s, dir)
+    val refined = indexCells(s, root)
+    val assigned = graft.sources.AtomicPublish.readOutput(s, root, "assignments")
+    val e = assigned // queries probe FROM the index too — no raw-corpus scan
     // queries probe their IvfProbes nearest cells (bounded query set ×
     // literal cell array — the window here is query-set-sized)
     val cellArr = array(refined.map { case (id, cv, cn) =>
@@ -287,8 +344,10 @@ object Similarity {
     * engine-specific); the ScalaTest recomputes within-cell pairs
     * brute-force and checks the keep set exactly. */
   def n6SemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = corpus(s, dir)
-    val assigned = n3Assign(e, ivfCentroids(e))
+    // cells come from the persisted index (same centroids/assignments
+    // n3 probes — SemDeDup is an index consumer, not an index builder)
+    val assigned = graft.sources.AtomicPublish.readOutput(
+      s, ensureAnnIndex(s, dir), "assignments")
     val dups = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell_id") === col("b.cell_id") && col("a.vec_id") < col("b.vec_id"))

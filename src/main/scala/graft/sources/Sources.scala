@@ -333,7 +333,13 @@ object Sources {
 
   /** Per-user sync state digest of an event slice: status of the
     * LATEST event (error|synced), error count, last activity, value
-    * total — the state table k7's merge maintains. */
+    * total — the state table k7's merge maintains. Every row also
+    * carries `updated_at`, the slice's global watermark (its max
+    * event ts, a 1-row bounded aggregate broadcast onto the state):
+    * the batch-shaped analog of the reference's `AFTER UPDATE`
+    * touch-trigger (db.mjs:104-115) — any write stamps the row with
+    * the writing transaction's time, and the deterministic batch
+    * watermark plays "now" so the oracle can reproduce it. */
   private def syncState(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
@@ -347,6 +353,7 @@ object Sources {
         max(col("ts")).as("last_seen"),
         sum(Cols.dec2(col("value"))).as("total_value"))
       .join(latest, Seq("user_id"))
+      .crossJoin(broadcast(ev.agg(max(col("ts")).as("updated_at"))))
   }
 
   /** k7: the reference's conditional-update upsert end-to-end —
@@ -372,17 +379,22 @@ object Sources {
         "retry_count" -> when(col("u.status") === "error",
           col("t.retry_count") + col("u.retry_count")).otherwise(lit(0L)),
         "last_seen" -> greatest(col("t.last_seen"), col("u.last_seen")),
-        "total_value" -> (col("t.total_value") + col("u.total_value"))),
+        "total_value" -> (col("t.total_value") + col("u.total_value")),
+        // the touch-trigger: ANY matched write refreshes the stamp to
+        // the writing batch's watermark (untouched rows keep theirs)
+        "updated_at" -> col("u.updated_at")),
       insert = Seq(
         "status" -> col("u.status"),
         "retry_count" -> when(col("u.status") === "error",
           col("u.retry_count")).otherwise(lit(0L)),
         "last_seen" -> col("u.last_seen"),
-        "total_value" -> col("u.total_value")))
+        "total_value" -> col("u.total_value"),
+        "updated_at" -> col("u.updated_at")))
     s.read.parquet(path)
       .select(col("user_id"), col("status"), col("retry_count"),
         Cols.fmtTs(col("last_seen")).as("last_seen"),
-        col("total_value").cast("double").as("total_value"))
+        col("total_value").cast("double").as("total_value"),
+        Cols.fmtTs(col("updated_at")).as("updated_at"))
       .orderBy("user_id")
   }
 
@@ -714,7 +726,9 @@ object Sources {
         |    MAX(ts) AS last_seen,
         |    SUM(CAST(value AS DECIMAL(12,2))) AS total_value
         |  FROM hist GROUP BY 1),
-        |hstate AS (SELECT hs.*, hl.status FROM hs JOIN hl USING (user_id)),
+        |hstate AS (SELECT hs.*, hl.status,
+        |    (SELECT MAX(ts) FROM hist) AS updated_at
+        |  FROM hs JOIN hl USING (user_id)),
         |bl AS (SELECT user_id,
         |    CASE WHEN event_type = 'error' THEN 'error' ELSE 'synced' END AS status
         |  FROM batch QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
@@ -724,7 +738,9 @@ object Sources {
         |    MAX(ts) AS last_seen,
         |    SUM(CAST(value AS DECIMAL(12,2))) AS total_value
         |  FROM batch GROUP BY 1),
-        |bstate AS (SELECT bs.*, bl.status FROM bs JOIN bl USING (user_id)),
+        |bstate AS (SELECT bs.*, bl.status,
+        |    (SELECT MAX(ts) FROM batch) AS updated_at
+        |  FROM bs JOIN bl USING (user_id)),
         |merged AS (
         |  SELECT COALESCE(t.user_id, u.user_id) AS user_id,
         |    CASE WHEN t.user_id IS NULL THEN u.status
@@ -740,11 +756,14 @@ object Sources {
         |         ELSE GREATEST(t.last_seen, u.last_seen) END AS last_seen,
         |    CASE WHEN t.user_id IS NULL THEN u.total_value
         |         WHEN u.user_id IS NULL THEN t.total_value
-        |         ELSE t.total_value + u.total_value END AS total_value
+        |         ELSE t.total_value + u.total_value END AS total_value,
+        |    CASE WHEN u.user_id IS NULL THEN t.updated_at
+        |         ELSE u.updated_at END AS updated_at
         |  FROM hstate t FULL OUTER JOIN bstate u ON t.user_id = u.user_id)
         |SELECT user_id, status, CAST(retry_count AS BIGINT) AS retry_count,
         |  strftime(last_seen, '%Y-%m-%d %H:%M:%S') AS last_seen,
-        |  CAST(total_value AS DOUBLE) AS total_value
+        |  CAST(total_value AS DOUBLE) AS total_value,
+        |  strftime(updated_at, '%Y-%m-%d %H:%M:%S') AS updated_at
         |FROM merged ORDER BY user_id""".stripMargin,
     "k5_merge_upsert" ->
       """WITH base AS (

@@ -338,6 +338,18 @@ class PlanAuditSpec extends GraftSpec {
     assert(plan.contains("BroadcastExchange"), s"boundary row not broadcast:\n$plan")
   }
 
+  test("n2/n3 probes read the persisted ANN index, never the raw embeddings parquet") {
+    Similarity.ensureAnnIndex(spark, sf) // build once (the ingest step)
+    for ((name, df) <- Seq("n3" -> Similarity.n3IvfAnn(spark, sf),
+                           "n2" -> Similarity.n2AnnLsh(spark, sf))) {
+      val plan = planOf(df)
+      assert(!plan.contains("embeddings.parquet"),
+        s"$name probe must touch index tables only, not the corpus:\n$plan")
+      assert(plan.contains("graft_ann_index"),
+        s"$name probe should scan the published index:\n$plan")
+    }
+  }
+
   test("q19: part joins as a broadcast; the disjunctive filter never degrades the join") {
     val plan = planOf(Analytics.q19DisjunctiveJoin(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"part side must broadcast:\n$plan")
