@@ -229,6 +229,80 @@ object Analytics {
       .limit(100)
   }
 
+  /** q15: top supplier by quarterly revenue — the TPC-H Q15 shape
+    * (the classic "create view revenue / select where = max" pair).
+    * The view is a per-supplier revenue aggregate over a shipdate
+    * slice (pushed to the scan); the MAX is a 1-row bounded aggregate
+    * over THAT view — supplier-count rows, not fact rows — broadcast
+    * back as a filter, so the fact is scanned and shuffled exactly
+    * once and ties (multiple suppliers at the max) all surface, as
+    * the spec requires. Supplier names attach by broadcast last. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1998-04-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-07-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(Cols.moneySum(revenue).as("total_revenue"))
+    rev.crossJoin(broadcast(rev.agg(max(col("total_revenue")).as("mx"))))
+      .filter(col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q17: small-quantity-order revenue — the TPC-H Q17 shape (the
+    * per-part correlated average: lines whose quantity is under half
+    * their part's mean). The correlated subquery becomes a self-grain
+    * aggregate joined back: lineitem collapses to one half-avg row
+    * per part (map-side partials, one partkey shuffle), and the
+    * line-level join reuses that same partkey partitioning — the
+    * second exchange moves per-part rows, never the fact twice. The
+    * threshold is EXACT across engines: quantities are integral, so
+    * sum/count/×0.5 are all order-independent IEEE ops, making the
+    * boundary comparison deterministic (SURVEY §4). Output is a
+    * single bounded row. */
+  def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val halfAvg = li.groupBy(col("l_partkey"))
+      .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+    li.join(halfAvg, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("half_avg"))
+      .agg((sum(Cols.dec2(col("l_extendedprice"))).cast("double") / 7.0)
+        .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** q22: dormant high-balance customers — the TPC-H Q22 shape
+    * (global-average scalar subquery + NOT EXISTS): customers whose
+    * balance beats the positive-balance average and who placed no
+    * RECENT order (the dataset's custkeys all have lifetime orders,
+    * so recency replaces Q22's no-orders-at-all predicate), rolled up
+    * per segment. Two scale moves: (1) the average is compared
+    * MULTIPLIED THROUGH — `acctbal × n_pos > total_pos` — so the
+    * boundary is exact decimal×integer arithmetic in both engines
+    * instead of an order-sensitive floating division (SURVEY §4);
+    * the (total, count) pair is a 1-row broadcast. (2) NOT EXISTS is
+    * a left-anti join against the recent-order custkeys, shuffled on
+    * the key like every semi/anti in the suite (j1/q4). */
+  def q22DormantCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val pos = cust.filter(col("c_acctbal") > 0.0)
+      .agg(sum(Cols.dec2(col("c_acctbal"))).as("tot"),
+        count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(pos)) // 1-row bounded metadata
+      .filter(Cols.dec2(col("c_acctbal")) * col("n_pos") > col("tot"))
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(Cols.dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Running-sum + row-number window over supplier partitions. */
   def w1RunningWindow(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
@@ -1061,6 +1135,36 @@ object Analytics {
          |  AND l_shipdate > TIMESTAMP '1998-03-15'
          |GROUP BY l_orderkey, o_orderdate
          |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey, CAST(SUM($rev) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1998-04-01'
+         |    AND l_shipdate < TIMESTAMP '1998-07-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH pa AS (SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN pa USING (l_partkey)
+        |WHERE l_quantity < half_avg""".stripMargin,
+    "q22_dormant_customers" ->
+      """WITH pos AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS tot,
+        |    COUNT(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q13_custdist" ->
       """WITH oc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
         |  FROM customer LEFT OUTER JOIN orders
@@ -1472,8 +1576,11 @@ object Analytics {
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_cheapest_supplier" -> (q8CheapestSupplier _),
     "q13_custdist" -> (q13CustDist _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
+    "q22_dormant_customers" -> (q22DormantCustomers _),
     "a10_grouping_sets" -> (a10GroupingSets _),
     "w6_rank_suite" -> (w6RankSuite _),
     "w1_running_window" -> (w1RunningWindow _),
