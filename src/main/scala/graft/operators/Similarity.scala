@@ -105,26 +105,35 @@ object Similarity {
     * deduped, then ranked by exact cosine. rows-only; ScalaTest
     * checks recall ≥ 0.9 vs n1. */
   def n2AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    // probe the PERSISTED lsh table (built once per dataset by
-    // ensureAnnIndex): both the corpus candidates and the query
-    // vectors' home buckets come from the index, so the probe never
-    // rescans or re-hashes the raw corpus
-    val e = graft.sources.AtomicPublish.readOutput(
-      s, ensureAnnIndex(s, dir), "lsh")
+    // probe the PERSISTED index (built once per dataset by
+    // ensureAnnIndex): candidate generation runs on the SLIM lsh
+    // table (ids + buckets, no vector bytes), and only the surviving
+    // (query, candidate) id pairs — bounded by queries × bucket
+    // sizes, never corpus-sized — pull their vectors back from the
+    // single-copy assignments table via a broadcast semi-shape join.
+    // The raw corpus is never rescanned or re-hashed.
+    import graft.sources.AtomicPublish
+    val root = ensureAnnIndex(s, dir)
+    val lsh = AtomicPublish.readOutput(s, root, "lsh")
+    val vecs = AtomicPublish.readOutput(s, root, "assignments")
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val qv = vecs.filter(col("vec_id") < NumQueries) // pushed: prunes row groups
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     // home bucket + all hamming-1 neighbors (flip each of the 4 bits)
     val probes = array((lit(0L) +: (0 until LshBits).map(b => lit(1L << b))): _*)
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("tbl"),
+    val qb = lsh.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("tbl"),
         explode(probes).as("flip"), col("bkt"))
-      .select(col("query_id"), col("qv"), col("qn"), col("tbl"),
+      .select(col("query_id"), col("tbl"),
         col("bkt").bitwiseXOR(col("flip")).as("bkt"))
-    val pairs = broadcast(q)
-      .join(e, Seq("tbl", "bkt"))
+    val cand = broadcast(qb)
+      .join(lsh, Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    val pairs = vecs
+      .join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
       .withColumn("cos_raw", VectorFunctions.cosineFromParts(
         VectorFunctions.dotNative("qv", "v"), col("qn"), col("nrm")))
       .select(col("query_id"), col("neighbor_id"), col("cos_raw"))
@@ -235,11 +244,14 @@ object Similarity {
       import s.implicits._
       val centroids = refined.toDF("cell_id", "cv", "cn")
       val assignments = n3Assign(e, refined)
+      // SLIM rows: (vec_id, tbl, bkt) only — storing the vector once
+      // per hash table would multiply vector bytes ×LshTables in both
+      // the index and every probe's scan (measured 2× probe cost);
+      // probes re-attach vectors from the single-copy assignments
+      // table instead
       val lsh = e
-        .select(col("vec_id"), col("v"), col("nrm"),
-          explode(lshBuckets("v")).as("tb"))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+        .select(col("vec_id"), explode(lshBuckets("v")).as("tb"))
+        .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
       AtomicPublish.publish(s, root, Seq(
         "centroids" -> centroids, "assignments" -> assignments, "lsh" -> lsh))
     }
