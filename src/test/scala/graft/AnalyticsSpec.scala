@@ -487,4 +487,45 @@ class AnalyticsSpec extends GraftSpec {
           s"domain $lang: prefilter survivors carry $survivorMass < budget ${Pipeline.TokenBudget}")
     }
   }
+
+  test("q21: window-count rewrite equals the textbook EXISTS / NOT EXISTS semantics") {
+    val got = Analytics.q21WaitingSuppliers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // brute force straight from the raw rows, quantifiers spelled out
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val fOrders = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val names = Tables.supplier(spark, sf).select("s_suppkey", "s_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val waits = scala.collection.mutable.Map.empty[Long, Long]
+    li.groupBy(_._1).foreach { case (ord, lines) =>
+      if (fOrders.contains(ord)) {
+        val supps = lines.map(_._2).toSet
+        val rSupps = lines.filter(_._3 == "R").map(_._2).toSet
+        // EXISTS another supplier's line, NOT EXISTS another supplier's
+        // problem line ⇔ >1 supplier and exactly one problem supplier
+        if (supps.size > 1 && rSupps.size == 1)
+          waits.updateWith(rSupps.head)(c => Some(c.getOrElse(0L) + 1L))
+      }
+    }
+    val expected = waits.toSeq.map { case (k, n) => names(k) -> n }
+      .sortBy { case (name, n) => (-n, name) }.take(100)
+    assert(got == expected)
+  }
+
+  test("q13: zero-order customers land in the c_count=0 bucket (outer-join condition, not WHERE)") {
+    val got = Analytics.q13CustDist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nCust = Tables.customer(spark, sf).count()
+    val withOrders = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey").distinct().count()
+    // a WHERE-style (inner) formulation would lose these customers
+    assert(got.getOrElse(0L, 0L) == nCust - withOrders,
+      s"c_count=0 bucket must hold the ${nCust - withOrders} customers with no qualifying orders")
+    assert(got.values.sum == nCust, "every customer lands in exactly one bucket")
+  }
 }
