@@ -72,6 +72,12 @@ object Bench {
     val best = scala.collection.mutable.Map.empty[String, Double]
     val errs0 = scala.collection.mutable.Map.empty[String, String]
     val errLog = java.nio.file.Paths.get("bench_errors.log")
+    // run-start marker so errors from different runs never blur
+    // together when reading the accumulated log after a kill
+    java.nio.file.Files.writeString(errLog,
+      s"# run ${java.time.Instant.now()} sf=$sfDir runs=$runsReq budget=${budgetSec}s\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     def elapsed: Double = (System.nanoTime() - t0main) / 1e9
     def jsonLine(passes: Int, partial: Boolean): String = {
       val results = queries.flatMap { case (name, _) =>
