@@ -229,6 +229,28 @@ object Analytics {
       .limit(100)
   }
 
+  /** q14: promo revenue share — the TPC-H Q14 shape (conditional
+    * aggregate ratio over one join): what fraction of a month's
+    * revenue came from promo parts. The month slice pushes to the
+    * fact scan, part broadcasts (same dim discipline as q19), and
+    * both numerator and denominator come out of ONE aggregate over
+    * the joined slice — no second pass, no second join. The ratio is
+    * computed on decimal-exact sums cast to double at the end
+    * (SURVEY §4), output is a single bounded row. */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-07-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenue)).cast("double")
+          .as("promo_revenue"),
+        sum(revenue).cast("double").as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        round(col("promo_revenue") * 100.0 / col("total_revenue"), 6)
+          .as("promo_pct"))
+
   /** q15: top supplier by quarterly revenue — the TPC-H Q15 shape
     * (the classic "create view revenue / select where = max" pair).
     * The view is a per-supplier revenue aggregate over a shipdate
@@ -1135,6 +1157,16 @@ object Analytics {
          |  AND l_shipdate > TIMESTAMP '1998-03-15'
          |GROUP BY l_orderkey, o_orderdate
          |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q14_promo_revenue" ->
+      s"""SELECT
+         |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $rev END) AS DOUBLE)
+         |    AS promo_revenue,
+         |  CAST(SUM($rev) AS DOUBLE) AS total_revenue,
+         |  round(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $rev END) AS DOUBLE)
+         |    * 100.0 / CAST(SUM($rev) AS DOUBLE), 6) AS promo_pct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+         |  AND l_shipdate < TIMESTAMP '1998-07-01'""".stripMargin,
     "q15_top_supplier" ->
       s"""WITH rev AS (SELECT l_suppkey, CAST(SUM($rev) AS DOUBLE) AS total_revenue
          |  FROM lineitem
@@ -1576,6 +1608,7 @@ object Analytics {
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_cheapest_supplier" -> (q8CheapestSupplier _),
     "q13_custdist" -> (q13CustDist _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
