@@ -254,18 +254,22 @@ object Analytics {
   /** q15: top supplier by quarterly revenue — the TPC-H Q15 shape
     * (the classic "create view revenue / select where = max" pair).
     * The view is a per-supplier revenue aggregate over a shipdate
-    * slice (pushed to the scan); the MAX is a 1-row bounded aggregate
-    * over THAT view — supplier-count rows, not fact rows — broadcast
-    * back as a filter, so the fact is scanned and shuffled exactly
-    * once and ties (multiple suppliers at the max) all surface, as
-    * the spec requires. Supplier names attach by broadcast last. */
+    * slice (pushed to the scan); the MAX is an unpartitioned window
+    * over THAT view — supplier-count rows, bounded metadata, the
+    * w4/a12 whole-frame-over-aggregate pattern — so the fact is
+    * scanned and shuffled exactly ONCE (the subquery form re-scans
+    * and re-aggregates lineitem for the max; exchange reuse does not
+    * rescue it) and ties at the max all surface, as the spec
+    * requires. Supplier names attach by broadcast last. Pinned in
+    * PlanAuditSpec: two table scans total, no second fact pass. */
   def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(s, dir)
+    val wAll = Window.partitionBy() // input is the bounded per-supplier view
+    Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1998-04-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-07-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(Cols.moneySum(revenue).as("total_revenue"))
-    rev.crossJoin(broadcast(rev.agg(max(col("total_revenue")).as("mx"))))
+      .withColumn("mx", max(col("total_revenue")).over(wAll))
       .filter(col("total_revenue") === col("mx"))
       .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
         col("s_suppkey") === col("l_suppkey"))
@@ -275,21 +279,21 @@ object Analytics {
 
   /** q17: small-quantity-order revenue — the TPC-H Q17 shape (the
     * per-part correlated average: lines whose quantity is under half
-    * their part's mean). The correlated subquery becomes a self-grain
-    * aggregate joined back: lineitem collapses to one half-avg row
-    * per part (map-side partials, one partkey shuffle), and the
-    * line-level join reuses that same partkey partitioning — the
-    * second exchange moves per-part rows, never the fact twice. The
-    * threshold is EXACT across engines: quantities are integral, so
-    * sum/count/×0.5 are all order-independent IEEE ops, making the
-    * boundary comparison deterministic (SURVEY §4). Output is a
+    * their part's mean). The correlated subquery becomes a PER-PART
+    * WINDOW: `avg(quantity) over (partition by partkey)` tags every
+    * line with its part's mean in the same pass that reads it — ONE
+    * fact scan and ONE partkey exchange, where the aggregate-then-
+    * join-back form scans the fact twice and at dim-scale pays a
+    * second fact exchange for the join (pinned in PlanAuditSpec).
+    * The threshold is EXACT across engines: quantities are integral,
+    * so sum/count/×0.5 are all order-independent IEEE ops, making
+    * the boundary comparison deterministic (SURVEY §4). Output is a
     * single bounded row. */
   def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    val wPart = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(s, dir)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-    val halfAvg = li.groupBy(col("l_partkey"))
-      .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
-    li.join(halfAvg, Seq("l_partkey"))
+      .withColumn("half_avg", avg(col("l_quantity")).over(wPart) * 0.5)
       .filter(col("l_quantity") < col("half_avg"))
       .agg((sum(Cols.dec2(col("l_extendedprice"))).cast("double") / 7.0)
         .as("avg_yearly"),

@@ -350,6 +350,42 @@ class PlanAuditSpec extends GraftSpec {
     }
   }
 
+  test("q15/q17: view-then-max and correlated-average run on ONE fact scan each") {
+    // the naive subquery forms scan lineitem twice (once for the
+    // aggregate, once for the probe); the window rewrites must not
+    val q15 = planOf(Analytics.q15TopSupplier(spark, sf))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(q15).size == 2, // lineitem + supplier
+      s"q15 must scan lineitem once and supplier once:\n$q15")
+    val q17 = planOf(Analytics.q17SmallQtyRevenue(spark, sf))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(q17).size == 1,
+      s"q17 must scan lineitem exactly once:\n$q17")
+    assert(detailIds(q17, "Exchange", "Arguments: hashpartitioning\\(l_partkey").size == 1,
+      s"q17: one partkey exchange serves the window and the filter:\n$q17")
+  }
+
+  test("q18: the HAVING aggregate collapses lineitem BELOW every join") {
+    val plan = planOf(Analytics.q18LargeOrders(spark, sf))
+    val aggIds = detailIds(plan, "HashAggregate", "Keys \\[1\\]: \\[l_orderkey")
+    val joinIds =
+      detailIds(plan, "BroadcastHashJoin", "") ++
+      detailIds(plan, "SortMergeJoin", "") ++
+      detailIds(plan, "ShuffledHashJoin", "")
+    assert(aggIds.nonEmpty, s"no per-order aggregate in plan:\n$plan")
+    assert(joinIds.nonEmpty, s"no joins in plan:\n$plan")
+    assert(aggIds.min < joinIds.min,
+      s"the quantity HAVING (node ${aggIds.min}) must run before any join " +
+        s"(first at node ${joinIds.min}) — joins see survivors, not the corpus:\n$plan")
+  }
+
+  test("q14: part broadcasts and both ratio legs come from one aggregate") {
+    val plan = planOf(Analytics.q14PromoRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"part side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"q14 must not shuffle the fact for a dim join:\n$plan")
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 2, // lineitem + part
+      s"numerator and denominator must share one fact scan:\n$plan")
+  }
+
   test("q19: part joins as a broadcast; the disjunctive filter never degrades the join") {
     val plan = planOf(Analytics.q19DisjunctiveJoin(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"part side must broadcast:\n$plan")
