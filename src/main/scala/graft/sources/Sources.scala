@@ -453,6 +453,65 @@ object Sources {
       .orderBy("event_type")
   }
 
+  val ErasureUsers = Seq(7L, 13L, 42L) // k12's deletion set
+
+  /** k12: targeted key erasure — the "delete user X everywhere" every
+    * long-lived corpus owes its users (GDPR/CCPA erasure; the
+    * reference's keyed DELETE surface, db.mjs:387-408 deletes by id
+    * as well as by age). The scale design is the LAYOUT: the table is
+    * partitioned by a user-hash bucket, so erasing K users can only
+    * ever touch ≤K of the 64 buckets — discovery is a
+    * partition-pruned keyed scan (broadcast the doomed keys), the
+    * rewrite is an anti-join of ONLY the touched buckets re-written
+    * in place via dynamic partition overwrite, and every untouched
+    * bucket's files stay byte-identical (SourcesSpec asserts this).
+    * At 100 TB: erasure cost tracks the users being erased, never the
+    * table — the same reason k5 partitions its merge target. The
+    * touched-bucket list is bounded driver metadata (≤ deletion-set
+    * size). */
+  def k12UserErasure(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("k12_erasure")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true) // fresh target per run
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        Cols.dec2(col("value")).as("value"),
+        pmod(col("user_id"), lit(64)).as("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+    import s.implicits._
+    val doomed = ErasureUsers.toDF("user_id")
+    // pruned discovery: which buckets actually hold a doomed key
+    val touched = s.read.parquet(path)
+      .filter(col("bucket").isin(ErasureUsers.map(_ % 64): _*)) // partition-pruned
+      .join(broadcast(doomed), Seq("user_id"), "left_semi")
+      .select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded by the deletion-set size
+    if (touched.nonEmpty) {
+      val survivors = s.read.parquet(path)
+        .filter(col("bucket").isin(touched: _*)) // only touched buckets read
+        .join(broadcast(doomed), Seq("user_id"), "left_anti")
+        .localCheckpoint() // the overwrite below rewrites the path being read
+      val survivorBuckets = survivors.select(col("bucket").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet // ≤ touched size
+      if (survivorBuckets.nonEmpty)
+        survivors.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket").parquet(path)
+      // a bucket erased to EMPTINESS can't be expressed as a dynamic
+      // overwrite (an empty write touches no partitions) — it is a
+      // metadata-level dir drop, the same class as k3's retention
+      touched.filterNot(survivorBuckets).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/bucket=$b"), true)
+      }
+    }
+    s.read.parquet(path)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("user_id")).as("sum_user"),
+        sum(col("value")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Morton (Z-order) value of two non-negative int columns: bit i of
     * each operand lands at bits 2i / 2i+1, so range predicates on
     * EITHER column map to contiguous-ish Z ranges. Pure bitwise
@@ -684,6 +743,11 @@ object Sources {
         |  CAST(SUM(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-15'
         |    THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_value
         |FROM events""".stripMargin,
+    "k12_user_erasure" ->
+      """SELECT COUNT(*) AS n_events, CAST(SUM(user_id) AS BIGINT) AS sum_user,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id NOT IN (7, 13, 42)""".stripMargin,
     "k6_compaction" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_event
@@ -793,6 +857,7 @@ object Sources {
     "src4_orc_roundtrip" -> (src4OrcRoundtrip _),
     "src3_schema_evolution" -> (src3SchemaEvolution _),
     "k6_compaction" -> (k6Compaction _),
+    "k12_user_erasure" -> (k12UserErasure _),
     "k1_partitioned_sink" -> (k1PartitionedSink _),
     "k2_bucketed_join" -> (k2BucketedJoin _),
     "k3_retention_delete" -> (k3RetentionDelete _),

