@@ -469,6 +469,30 @@ object Sources {
     * table — the same reason k5 partitions its merge target. The
     * touched-bucket list is bounded driver metadata (≤ deletion-set
     * size). */
+  /** k12's discovery scan: which buckets actually hold a doomed key.
+    * Partition-pruned to the doomed keys' home buckets; the deletion
+    * set rides as a broadcast semi-join. Result is bounded driver
+    * metadata (≤ deletion-set size). */
+  private[graft] def k12Touched(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(path)
+      .filter(col("bucket").isin(ErasureUsers.map(_ % 64): _*)) // partition-pruned
+      .join(broadcast(ErasureUsers.toDF("user_id")), Seq("user_id"), "left_semi")
+      .select(col("bucket").cast("long")).distinct()
+  }
+
+  /** k12's rewrite scan: survivors of ONLY the touched buckets —
+    * partition-pruned read, broadcast anti-join against the deletion
+    * set. Everything outside `touched` is never read, let alone
+    * rewritten. */
+  private[graft] def k12Survivors(s: SparkSession, path: String,
+      touched: Seq[Long]): DataFrame = {
+    import s.implicits._
+    s.read.parquet(path)
+      .filter(col("bucket").isin(touched: _*)) // only touched buckets read
+      .join(broadcast(ErasureUsers.toDF("user_id")), Seq("user_id"), "left_anti")
+  }
+
   def k12UserErasure(s: SparkSession, dir: String): DataFrame = {
     val path = tmp("k12_erasure")
     val root = new org.apache.hadoop.fs.Path(path)
@@ -479,18 +503,10 @@ object Sources {
         Cols.dec2(col("value")).as("value"),
         pmod(col("user_id"), lit(64)).as("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
-    import s.implicits._
-    val doomed = ErasureUsers.toDF("user_id")
-    // pruned discovery: which buckets actually hold a doomed key
-    val touched = s.read.parquet(path)
-      .filter(col("bucket").isin(ErasureUsers.map(_ % 64): _*)) // partition-pruned
-      .join(broadcast(doomed), Seq("user_id"), "left_semi")
-      .select(col("bucket").cast("long")).distinct()
+    val touched = k12Touched(s, path)
       .collect().map(_.getLong(0)).toSeq // bounded by the deletion-set size
     if (touched.nonEmpty) {
-      val survivors = s.read.parquet(path)
-        .filter(col("bucket").isin(touched: _*)) // only touched buckets read
-        .join(broadcast(doomed), Seq("user_id"), "left_anti")
+      val survivors = k12Survivors(s, path, touched)
         .localCheckpoint() // the overwrite below rewrites the path being read
       val survivorBuckets = survivors.select(col("bucket").cast("long"))
         .distinct().collect().map(_.getLong(0)).toSet // ≤ touched size

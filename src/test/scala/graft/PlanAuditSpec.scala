@@ -386,6 +386,26 @@ class PlanAuditSpec extends GraftSpec {
       s"numerator and denominator must share one fact scan:\n$plan")
   }
 
+  test("k12: discovery and rewrite scans are partition-pruned; the deletion set always broadcasts") {
+    // materialize the bucketed layout once so the audited scans bind to it
+    Sources.k12UserErasure(spark, sf).collect()
+    val path = s"${graft.TmpRoots.perProcess("graft_sources")}/k12_erasure"
+    val discovery = planOf(Sources.k12Touched(spark, path))
+    // the bucket predicate must prune partitions (it's a partition
+    // column, so it lands in PartitionFilters — not in data filters)
+    assert(discovery.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket.*"),
+      s"discovery scan not partition-pruned on bucket:\n$discovery")
+    assert(discovery.contains("BroadcastHashJoin") &&
+      !discovery.contains("SortMergeJoin") && !discovery.contains("ShuffledHashJoin"),
+      s"deletion set must join as a broadcast semi, never a shuffle:\n$discovery")
+    val rewrite = planOf(Sources.k12Survivors(spark, path, Seq(7L, 13L, 42L)))
+    assert(rewrite.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket.*"),
+      s"rewrite scan not partition-pruned to touched buckets:\n$rewrite")
+    assert(rewrite.contains("BroadcastHashJoin") &&
+      !rewrite.contains("SortMergeJoin") && !rewrite.contains("ShuffledHashJoin"),
+      s"anti-join must broadcast the deletion set:\n$rewrite")
+  }
+
   test("q19: part joins as a broadcast; the disjunctive filter never degrades the join") {
     val plan = planOf(Analytics.q19DisjunctiveJoin(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"part side must broadcast:\n$plan")
