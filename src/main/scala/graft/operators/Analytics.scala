@@ -329,6 +329,58 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** q9: product-line profit by supplier nation and year — the TPC-H
+    * Q9 shape (part-name-filtered multi-join rolled up by nation ×
+    * order year; this schema has no partsupp/supplycost, so profit is
+    * discounted revenue). Scale design: the part filter (`p_name LIKE
+    * '%red%'`) is applied BEFORE its broadcast join, so the fact
+    * stream shrinks at the earliest point — on a 100 TB lineitem the
+    * name filter typically keeps ~1/N of parts and the join discards
+    * the rest of the fact rows without shuffling them. supplier⋈nation
+    * pre-joins dimension-side (broadcast); the ONLY shuffle join is
+    * lineitem⋈orders on the order key (year attaches there), and the
+    * final rollup is a partial-aggregable sum over ~25 nations ×
+    * ~7 years. */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val redParts = broadcast(Tables.part(s, dir)
+      .filter(col("p_name").like("%red%")).select(col("p_partkey")))
+    val supNation = broadcast(Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation")))
+    Tables.lineitem(s, dir)
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(Cols.moneySum(revenue).as("profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** q16: supplier diversity per part class — the TPC-H Q16 shape
+    * (how many distinct suppliers stock each brand × type, minus an
+    * excluded class), sourced from lineitem's observed (part,
+    * supplier) pairs since this schema has no partsupp. Scale design:
+    * the exclusion predicates live on the part DIMENSION and prune it
+    * before its broadcast, so excluded classes never reach the fact
+    * join; COUNT(DISTINCT supplier) is Spark's two-phase distinct
+    * aggregate — partial (brand, type, suppkey) dedup happens
+    * map-side, so the shuffle carries at most |classes| × |suppliers|
+    * rows (150 × 100 here; bounded by the dimension sizes, not the
+    * 100 TB fact). */
+  def q16SupplierDiversity(s: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(Tables.part(s, dir)
+      .filter(col("p_type") =!= "PROMO" && col("p_brand") =!= "Brand#1")
+      .select(col("p_partkey"), col("p_brand"), col("p_type")))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_type").asc)
+  }
+
   /** Running-sum + row-number window over supplier partitions. */
   def w1RunningWindow(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
@@ -1271,6 +1323,21 @@ object Analytics {
          |  CAST(w.best_price AS DOUBLE) AS best_price, w.best_supp
          |FROM w JOIN part p ON p.p_partkey = w.l_partkey
          |ORDER BY partkey""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         |  CAST(SUM($rev) AS DOUBLE) AS profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "q16_supplier_diversity" ->
+      """SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_brand <> 'Brand#1'
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC""".stripMargin,
     "a10_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -1611,6 +1678,8 @@ object Analytics {
     "q5_region_revenue" -> (q5RegionRevenue _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_cheapest_supplier" -> (q8CheapestSupplier _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q16_supplier_diversity" -> (q16SupplierDiversity _),
     "q13_custdist" -> (q13CustDist _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q15_top_supplier" -> (q15TopSupplier _),

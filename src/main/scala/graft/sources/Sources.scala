@@ -695,7 +695,85 @@ object Sources {
       .orderBy("day")
   }
 
+  /** k13: incremental rollup maintenance — the materialized-view
+    * pattern every 100 TB warehouse runs nightly: a daily
+    * (day × event_type) rollup is kept current by MERGING the new
+    * batch's partial aggregates into it, never by recomputing from
+    * history. The aggregate state is MERGEABLE — (sum, count) pairs,
+    * the same partial-aggregation algebra Spark's own two-phase
+    * aggregates use — so maintenance is:
+    *   1. aggregate ONLY the increment batch (a late-arrival slice
+    *      here; a day's ingest in production) to per-key partials;
+    *   2. touched days = the batch's distinct days (bounded driver
+    *      metadata, the k5 idiom);
+    *   3. read ONLY those day partitions of the rollup (pruned scan),
+    *      full-outer merge old + increment partials key-by-key
+    *      (`old.sum + inc.sum`, `old.n + inc.n`);
+    *   4. dynamic-overwrite exactly the touched day partitions.
+    * Cost scales with the increment and the days it touches — the
+    * rollup's history partitions are never read or rewritten. The
+    * oracle recomputes the rollup from ALL events in one pass, so the
+    * hash match proves increment-maintained state ≡ full recompute
+    * (sums are exact DECIMAL, so merge order cannot drift). Late rows
+    * are the event_id % 7 == 0 slice (~14%), arriving after the
+    * initial build — the awkward case where increments land in
+    * EXISTING partitions, which "just append a new day dir" designs
+    * get wrong. */
+  /** k13's maintenance read: ONLY the touched day partitions of the
+    * rollup (the day predicate references just the partition column,
+    * so it prunes at the file listing — pinned in PlanAuditSpec). */
+  private[graft] def k13Current(s: SparkSession, path: String,
+      touched: Seq[String]): DataFrame =
+    s.read.parquet(path)
+      .filter(col("day").cast("string").isin(touched: _*)) // partition-pruned
+      .select(col("day").cast("string").as("day"), col("event_type"),
+        col("sum_value"), col("n_events"))
+
+  def k13IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("k13_rollup")
+    val ev = Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("event_id"), Cols.dec2(col("value")).as("v"))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("v")).as("sum_value"), count(lit(1)).as("n_events"))
+    val isLate = pmod(col("event_id"), lit(7)) === 0
+    // initial build: everything that had arrived by the first run
+    partials(ev.filter(!isLate))
+      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
+    // nightly maintenance: merge the late batch's partials in
+    val inc = partials(ev.filter(isLate))
+      .select(col("day"), col("event_type"),
+        col("sum_value").as("inc_sum"), col("n_events").as("inc_n"))
+      .cache()
+    val touched = inc.select("day").distinct()
+      .collect().map(_.getString(0)).toSeq // bounded by the batch's day span
+    val current = k13Current(s, path, touched)
+    val merged = current.join(inc, Seq("day", "event_type"), "full_outer")
+      .select(col("day"), col("event_type"),
+        (coalesce(col("sum_value"), lit(0)) + coalesce(col("inc_sum"), lit(0)))
+          .as("sum_value"), // int 0 coerces to the decimal sum type; exact
+
+        (coalesce(col("n_events"), lit(0L)) + coalesce(col("inc_n"), lit(0L)))
+          .as("n_events"))
+      .localCheckpoint() // materialize before overwriting the path we read
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
+    inc.unpersist()
+    s.read.parquet(path)
+      .select(col("day").cast("string").as("day"), col("event_type"),
+        col("sum_value").cast("double").as("sum_value"), col("n_events"))
+      .orderBy("day", "event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "k13_incremental_rollup" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "k11_version_diff" ->
       s"""WITH v1 AS (SELECT date_trunc('day', ts) AS day,
          |    COUNT(*) AS n_v1 FROM events
@@ -883,5 +961,6 @@ object Sources {
     "k8_zorder_layout" -> (k8ZorderLayout _),
     "k9_point_lookup" -> (k9PointLookup _),
     "k10_time_travel" -> (k10TimeTravel _),
-    "k11_version_diff" -> (k11VersionDiff _))
+    "k11_version_diff" -> (k11VersionDiff _),
+    "k13_incremental_rollup" -> (k13IncrementalRollup _))
 }

@@ -516,6 +516,41 @@ class AnalyticsSpec extends GraftSpec {
     assert(got == expected)
   }
 
+  test("q9: per-nation-year profits sum to the red-part total; groups bounded by dims") {
+    val rows = Analytics.q9ProductProfit(spark, sf).collect()
+    val nations = Tables.nation(spark, sf).count()
+    assert(rows.nonEmpty && rows.length <= nations * 10,
+      "group count must be bounded by nations × year span")
+    // the rollup must partition the red-part revenue exactly: recompute
+    // the total through an independent formulation (semi-join filter,
+    // no grouping) and compare against the sum of the groups
+    val redKeys = Tables.part(spark, sf)
+      .filter(col("p_name").contains("red")).select("p_partkey")
+    val total = Tables.lineitem(spark, sf)
+      .join(redKeys, col("l_partkey") === col("p_partkey"), "left_semi")
+      .agg(sum(graft.Cols.dec2(col("l_extendedprice")) *
+        (lit(1).cast("decimal(4,2)") - graft.Cols.rate(col("l_discount"))))
+        .cast("double"))
+      .collect()(0).getDouble(0)
+    val grouped = rows.map(_.getAs[Double]("profit")).sum
+    assert(math.abs(grouped - total) <= 1e-9 * math.max(1.0, math.abs(total)),
+      s"grouped profit $grouped != ungrouped red-part total $total")
+  }
+
+  test("q16: excluded part classes never appear and counts are bounded by the supplier dim") {
+    val rows = Analytics.q16SupplierDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nSupp = Tables.supplier(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[String]("p_type") != "PROMO", "excluded type leaked through")
+      assert(r.getAs[String]("p_brand") != "Brand#1", "excluded brand leaked through")
+      val cnt = r.getAs[Long]("supplier_cnt")
+      assert(cnt > 0 && cnt <= nSupp, s"distinct supplier count $cnt out of range")
+    }
+    val cnts = rows.map(_.getAs[Long]("supplier_cnt"))
+    assert(cnts.sameElements(cnts.sortBy(-_)), "rows must be in descending count order")
+  }
+
   test("q13: zero-order customers land in the c_count=0 bucket (outer-join condition, not WHERE)") {
     val got = Analytics.q13CustDist(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -406,6 +406,47 @@ class PlanAuditSpec extends GraftSpec {
       s"anti-join must broadcast the deletion set:\n$rewrite")
   }
 
+  test("q9: name filter pushes to the part scan; dims broadcast; one shuffle join") {
+    val plan = planOf(Analytics.q9ProductProfit(spark, sf))
+    // the %red% prune must reach the part scan — the fact stream then
+    // shrinks inside the broadcast join, before any shuffle
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*StringContains\\(p_name,red\\).*"),
+      s"p_name LIKE '%red%' not pushed to the part scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+    val shuffleJoins = "SortMergeJoin".r.findAllIn(plan).size +
+      "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(shuffleJoins <= 1,
+      s"expected at most one shuffle join (lineitem-orders), got $shuffleJoins:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q16: the distinct aggregate dedups (brand,type,suppkey) BELOW its shuffle") {
+    val plan = planOf(Analytics.q16SupplierDiversity(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"the part dim must broadcast, never shuffle the fact:\n$plan")
+    // two-phase COUNT(DISTINCT): the map-side partial keyed on
+    // (brand, type, suppkey) must sit below the exchange, so the
+    // shuffle carries deduped triples, not raw fact rows
+    val partialIds = detailIds(plan, "HashAggregate",
+      "Keys \\[3\\]: \\[p_brand[^\\]]*l_suppkey")
+    val exchangeIds = detailIds(plan, "Exchange", "Arguments: hashpartitioning\\(p_brand")
+    assert(partialIds.nonEmpty, s"no (brand,type,suppkey) partial aggregate:\n$plan")
+    assert(exchangeIds.nonEmpty, s"no brand/type exchange in plan:\n$plan")
+    assert(partialIds.min < exchangeIds.min,
+      s"map-side dedup (node ${partialIds.min}) must sit below the shuffle " +
+        s"(node ${exchangeIds.min}):\n$plan")
+  }
+
+  test("k13: the maintenance read prunes to the touched day partitions") {
+    Sources.k13IncrementalRollup(spark, sf).collect() // materialize the rollup
+    val path = s"${graft.TmpRoots.perProcess("graft_sources")}/k13_rollup"
+    val plan = planOf(Sources.k13Current(spark, path, Seq("2024-01-05", "2024-01-06")))
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"),
+      s"touched-day predicate must land in PartitionFilters (file-listing prune), " +
+        s"not a data filter:\n$plan")
+  }
+
   test("q19: part joins as a broadcast; the disjunctive filter never degrades the join") {
     val plan = planOf(Analytics.q19DisjunctiveJoin(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"part side must broadcast:\n$plan")

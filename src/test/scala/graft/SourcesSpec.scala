@@ -303,4 +303,26 @@ class SourcesSpec extends GraftSpec {
     // classes; if this fires the testdata changed shape, not the op
     assert(rows.exists(_._4 == "changed") && rows.exists(_._4 == "added"))
   }
+
+  test("k13: increment-maintained rollup equals a full recompute, and the merge path ran") {
+    val maintained = Sources.k13IncrementalRollup(spark, sf)
+    val full = Tables.events(spark, sf)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"),
+        count(lit(1)).as("n_events"))
+      .select("day", "event_type", "sum_value", "n_events")
+    assert(maintained.exceptAll(full).isEmpty && full.exceptAll(maintained).isEmpty,
+      "maintained rollup must be row-identical to recomputing from all events")
+    // the late slice must land in days the initial build already had —
+    // otherwise this exercised only the easy append-a-new-partition
+    // path, not the merge of partials into EXISTING partitions
+    val lateDays = Tables.events(spark, sf)
+      .filter(pmod(col("event_id"), lit(7)) === 0)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d")).distinct()
+    val initialDays = Tables.events(spark, sf)
+      .filter(pmod(col("event_id"), lit(7)) =!= 0)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d")).distinct()
+    assert(lateDays.join(initialDays, Seq("d"), "left_semi").count() > 0,
+      "testdata no longer makes increments touch existing days")
+  }
 }
