@@ -237,12 +237,22 @@ object Dedup {
     * knob. The approximate scale paths remain n2 (LSH) and n6
     * (SemDeDup). */
   private[graft] def neardupPairs(s: SparkSession, e: DataFrame): DataFrame = {
-    import s.implicits._
     val cents = Similarity.ivfCentroids(e)
     // localCheckpoint (not cache): consumed by the radii collect below
     // AND both sides of the returned join plan; a cache() would stay
     // pinned after the caller's terminal action.
-    val assigned = Similarity.n3Assign(e, cents).localCheckpoint()
+    neardupFromAssigned(s, cents, Similarity.n3Assign(e, cents).localCheckpoint())
+  }
+
+  /** The pair phase of [[neardupPairs]] on an already-assigned frame
+    * (vec_id, v, nrm, cell_id) — factored out so d5 can run it over
+    * the PERSISTED ANN index assignments instead of re-clustering the
+    * corpus per query. Exactness never depends on the centroids:
+    * [[cellPairCandidates]]' triangle-inequality bound covers every
+    * qualifying pair for ANY cell layout. */
+  private[graft] def neardupFromAssigned(s: SparkSession,
+      cents: Seq[(Long, Array[Double], Double)], assigned: DataFrame): DataFrame = {
+    import s.implicits._
     // cosine of each vector to its OWN centroid: codegen'd when-chain
     // over the ≤IvfCells literal centroids (CaseWhen short-circuits)
     val ownCos = cents.foldLeft(lit(1.0)) { case (acc, (id, cv, cn)) =>
@@ -275,9 +285,15 @@ object Dedup {
 
   /** d5: embedding-cosine near-dup pairs above [[NeardupTau]] — exact
     * semantics (full hash oracle) with the cell-pruned equi-join plan
-    * of [[neardupPairs]]. */
-  def d5EmbeddingNeardup(s: SparkSession, dir: String): DataFrame =
-    neardupPairs(s, Similarity.corpus(s, dir))
+    * of [[neardupPairs]], running over the PERSISTED ANN index
+    * (build-once cells + assignments, the n2/n3 pattern): a dedup
+    * sweep at 100 TB reads the ingest-time index, it does not
+    * re-cluster the corpus. */
+  def d5EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    val root = Similarity.ensureAnnIndex(s, dir)
+    neardupFromAssigned(s, Similarity.indexCells(s, root),
+      graft.sources.AtomicPublish.readOutput(s, root, "assignments"))
+  }
 
   /** d6: near-dup clustering — connected components over the d2 pair
     * graph, so each duplicate group gets one canonical cluster_id

@@ -261,7 +261,7 @@ object Similarity {
   /** The committed cell set as bounded driver-side literals (≤
     * [[IvfCells]] × dim doubles — the same bounded-collect pattern as
     * the build side). */
-  private def indexCells(s: SparkSession, root: String): Seq[(Long, Array[Double], Double)] =
+  private[graft] def indexCells(s: SparkSession, root: String): Seq[(Long, Array[Double], Double)] =
     graft.sources.AtomicPublish.readOutput(s, root, "centroids")
       .collect().toSeq.map(r =>
         (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))

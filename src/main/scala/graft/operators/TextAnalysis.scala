@@ -283,22 +283,35 @@ object TextAnalysis {
   /** t14: repetition signals (the Gopher/C4 quality-filter family) —
     * duplicate-word fraction, most-frequent-word coverage, and
     * most-frequent-bigram coverage per document. High values flag
-    * boilerplate / spam / degenerate generations. Two linear explodes
-    * with partial aggregation; both shuffles key on doc_id(+gram), so
-    * the plan scales with corpus token count, never pairs. */
+    * boilerplate / spam / degenerate generations. ONE linear explode
+    * (both gram sizes ride the same corpus scan) with partial
+    * aggregation; shuffles key on doc_id(+gram), so the plan scales
+    * with corpus token count, never pairs. */
   def t14Repetition(s: SparkSession, dir: String): DataFrame = {
-    def gramStats(n: Int, total: String, distinct: String, top: String) =
-      Tables.documents(s, dir)
-        .select(col("doc_id"), explode(
-          org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), n))
-          .as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("n")).as(total), count(lit(1)).as(distinct),
-          max(col("n")).as(top))
-    val words = gramStats(1, "n_words", "n_distinct", "max_wc")
-    val bigrams = gramStats(2, "n_bigrams", "nd_b", "max_bc")
-    words.join(bigrams, Seq("doc_id"), "left")
+    // ONE corpus scan for both gram sizes: unigrams and bigrams concat
+    // into a single exploded stream, and the element's position against
+    // the unigram count recovers which family it came from (pos < nu ⇒
+    // unigram) — cheaper than a tagged-struct transform (higher-order
+    // lambdas are interpreted) and it keeps the stage in whole-stage
+    // codegen. The old two-scan + join form paid a second scan, a
+    // second pair of doc_id shuffles, and a join exchange.
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 1).as("uni"),
+        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 2).as("bi"))
+      .select(col("doc_id"), size(col("uni")).as("nu"),
+        posexplode(concat(col("uni"), col("bi"))))
+      .select(col("doc_id"), (col("pos") < col("nu")).as("is_word"),
+        col("col").as("g"))
+    grams
+      .groupBy(col("doc_id"), col("is_word"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("is_word"), col("n"))).as("n_words"),
+        sum(when(col("is_word"), 1L)).as("n_distinct"),
+        max(when(col("is_word"), col("n"))).as("max_wc"),
+        sum(when(!col("is_word"), col("n"))).as("n_bigrams"),
+        max(when(!col("is_word"), col("n"))).as("max_bc"))
       .select(col("doc_id"), col("n_words"), col("n_distinct"),
         round(lit(1.0) - col("n_distinct") / col("n_words"), 6).as("dup_word_ratio"),
         round(col("max_wc") / col("n_words"), 6).as("top_word_ratio"),
