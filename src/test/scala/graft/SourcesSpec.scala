@@ -91,6 +91,13 @@ class SourcesSpec extends GraftSpec {
     val expected = base ++ upd // update rows replace matched base keys
     assert(merged.size == expected.size, "merged table must have one row per key")
     assert(merged == expected)
+    // pay-once target + idempotent merge: a SECOND invocation merges
+    // the same batch into the already-merged target (the bootstrap is
+    // marker-guarded) and must reproduce the identical aggregate
+    val again = Sources.k5MergeUpsert(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    val first = Sources.k5MergeUpsert(spark, sf).collect().map(_.toSeq).toSeq
+    assert(again == first, "re-running the merge must be a no-op on state")
   }
 
   test("k7 conditional update: errors increment retry, success resets, state accumulates") {
