@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{Cols, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style table statistics (SURVEY §2 rows 135-136) — the
+  * stats-collection surface a warehouse keeps under every optimizer
+  * (per-column NDV/null/min/max profiles and value histograms; the
+  * reference's closest analog is the ad-hoc health scan at
+  * db.mjs:410-432, which profiles one table's freshness counters).
+  *
+  * Scale design: both operators are single-scan aggregates with
+  * map-side partials; output is bounded by #columns (prof1) or
+  * #buckets (prof2), never by table size. prof1's exact
+  * COUNT(DISTINCT x) per column expands the scan ×#profiled-columns
+  * (Spark's Expand) so the oracle can be exact; a 100 TB ANALYZE
+  * swaps in approx_count_distinct (HLL partials, no Expand) — the
+  * plan shape is otherwise identical.
+  */
+object Profiling {
+
+  private val ProfiledCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** prof1: per-column profile of lineitem's measure columns in ONE
+    * pass — rows, nulls, exact NDV, min/max, exact decimal sum. The
+    * single agg row is unpivoted with stack() (no second scan). */
+  def prof1ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val aggs = count(lit(1)).as("n_rows") +: ProfiledCols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        Cols.moneySum(Cols.dec2(col(c))).as(s"${c}_sum"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ProfiledCols
+      .map(c => s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max, ${c}_sum")
+      .mkString(", ")
+    one.selectExpr(
+        "n_rows",
+        s"stack(${ProfiledCols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_v, max_v, sum_v)")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+        col("n_distinct"), col("min_v"), col("max_v"), col("sum_v"))
+      .orderBy("col_name")
+  }
+
+  val HistBuckets = 20
+
+  /** prof2: equi-width histogram of l_extendedprice — global min/max
+    * from a 1-row broadcast (r4's pattern, no driver collect), then a
+    * bucketed count+sum aggregate on the same scan lineage. Bucket
+    * math is written identically in the oracle so IEEE doubles land
+    * in the same bucket in both engines. */
+  def prof2Histogram(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+    val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val b = least(
+      floor((col("x") - col("lo")) * lit(HistBuckets) / (col("hi") - col("lo"))),
+      lit(HistBuckets - 1)).cast("long")
+    li.crossJoin(broadcast(bounds))
+      .select(b.as("bucket"), col("x"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), Cols.moneySum(Cols.dec2(col("x"))).as("sum_x"))
+      .orderBy("bucket")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prof1_column_profile" -> (prof1ColumnProfile _),
+    "prof2_histogram" -> (prof2Histogram _))
+
+  private def prof1OracleFor(c: String): String =
+    s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  min($c) AS min_v, max($c) AS max_v,
+       |  CAST(sum(CAST($c AS DECIMAL(12,2))) AS DOUBLE) AS sum_v
+       |FROM lineitem""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "prof1_column_profile" ->
+      (ProfiledCols.map(prof1OracleFor).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n)") +
+        " ORDER BY col_name"),
+    "prof2_histogram" ->
+      s"""WITH bounds AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+         |SELECT CAST(least(floor((l_extendedprice - lo) * $HistBuckets / (hi - lo)), $HistBuckets - 1) AS BIGINT) AS bucket,
+         |       count(*) AS n,
+         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_x
+         |FROM lineitem, bounds
+         |GROUP BY 1 ORDER BY bucket""".stripMargin)
+}
