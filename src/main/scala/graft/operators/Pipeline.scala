@@ -156,7 +156,40 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Hex-prefix thresholds for the 90/5/5 split: 0.90·16⁸ = 0xE6666666,
+    * 0.95·16⁸ = 0xF3333333. String comparison on lowercase md5 hex is
+    * identical in Spark and DuckDB, so the assignment is portable. */
+  val SplitTrainThr = "e6666666"
+  val SplitValThr = "f3333333"
+
+  /** mix3: deterministic train/val/test split — the assignment every
+    * training-data pipeline makes last. Salted md5 of the doc key
+    * (salt decorrelates it from mix1/mix2's sampling hashes, so
+    * sampling and splitting stay independent) against fixed hex
+    * thresholds: 90% train / 5% val / 5% test in expectation. One
+    * scan, zero shuffles (the split is a row-local expression);
+    * stable under corpus growth — a doc's split never changes when
+    * other docs arrive, the property that keeps eval sets frozen
+    * across pipeline re-runs. */
+  def mix3TrainSplit(s: SparkSession, dir: String): DataFrame = {
+    val hk = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(hk < SplitTrainThr, "train")
+          .when(hk < SplitValThr, "val")
+          .otherwise("test").as("split"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "mix3_train_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$SplitTrainThr' THEN 'train'
+         |       WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$SplitValThr' THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "mix2_token_budget" ->
       s"""WITH tok AS (SELECT doc_id, lang,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -295,5 +328,6 @@ object Pipeline {
     "pipe2_llm_corpus" -> (pipe2LlmCorpus _),
     "pipe3_publish_corpus" -> (pipe3PublishCorpus _),
     "mix1_domain_mixture" -> (mix1DomainMixture _),
-    "mix2_token_budget" -> (mix2TokenBudget _))
+    "mix2_token_budget" -> (mix2TokenBudget _),
+    "mix3_train_split" -> (mix3TrainSplit _))
 }

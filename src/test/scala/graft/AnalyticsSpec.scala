@@ -442,6 +442,25 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("mix3: split fractions near 90/5/5, assignment stable under corpus subsetting") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.mix3TrainSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byS = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val n = rows.length.toDouble
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS("train") / n > 0.8 && byS("train") / n < 0.97, s"train frac ${byS("train") / n}")
+    assert(byS("val") / n < 0.12 && byS("test") / n < 0.12)
+    // a doc's split is a pure function of its key: recomputing over
+    // half the corpus must assign the shared docs identically (the
+    // frozen-eval-set property)
+    val half = Pipeline.mix3TrainSplit(spark, sf)
+      .filter(col("doc_id") % 2 === 0).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val full = rows.toMap
+    half.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
   test("mix2 fills each domain's budget with the md5-order greedy prefix") {
     import graft.operators.Pipeline
     val rows = Pipeline.mix2TokenBudget(spark, sf).collect()
