@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from the LAST line of stdout.
+// Two sbt behaviors otherwise break that parse (every BENCH_r*.json so far
+// is parsed:null): the "[success] Total time: …" epilogue trails the JSON,
+// and the default logger re-emits forked-process stdout with an "[info] "
+// prefix. Suppress the epilogue and let the forked JVM inherit raw stdout
+// (Spark's own logging goes to stderr, so stdout stays just our println).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
