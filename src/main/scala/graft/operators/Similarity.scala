@@ -225,35 +225,102 @@ object Similarity {
     * rebuild is a new version behind the same atomic pointer
     * (readers never see a half-built index), old versions remain
     * probe-able until vacuumed, and a crash mid-build leaves inert
-    * staging garbage. Locally the root is per-process scratch (the
-    * pay-once shape of k8's z-order layout); on a cluster it would be
-    * a durable object-store prefix. The probe queries below read ONLY
-    * index tables — PlanAuditSpec pins that their plans never scan
-    * the raw embeddings parquet. */
-  private def annRoot(dir: String): String = {
+    * staging garbage. The root is DURABLE — build-once holds across
+    * JVM restarts, not just within one process (AnnPersistenceSpec
+    * proves a fresh JVM probes without rebuilding). The probe queries
+    * below read ONLY index tables — PlanAuditSpec pins that their
+    * plans never scan the raw embeddings parquet. */
+
+  /** Durable index root: `<base>/<corpus>-<fingerprint>`, where base
+    * defaults to the same durable state dir the catalog uses
+    * (GraftSession.defaultStateDir — the one location Bench's /tmp
+    * sweep never touches) and the fingerprint is a metadata hash of
+    * the corpus parquet (names, lengths, mtimes — no data scan; the
+    * object-store analog hashes the listing's ETags). A regenerated
+    * corpus changes the fingerprint, which forces a rebuild at a NEW
+    * root while readers mid-flight on the old corpus keep a
+    * consistent old index. `-Dgraft.ann.base=…` overrides the base
+    * (test isolation); '-' cannot appear in the sanitized corpus
+    * name, so it unambiguously separates name from fingerprint. */
+  private[graft] def annRoot(dir: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${graft.TmpRoots.perProcess("graft_ann_index")}/$safe"
+    val base = sys.props.getOrElse("graft.ann.base",
+      s"${graft.GraftSession.defaultStateDir}/ann_index")
+    s"$base/$safe-${corpusFingerprint(dir)}"
+  }
+
+  private def corpusFingerprint(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(dir, "embeddings.parquet")
+    val entries: Seq[String] =
+      if (Files.isDirectory(root)) {
+        val st = Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(Files.isRegularFile(_)).map(p =>
+            s"${root.relativize(p)}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+            .toVector.sorted
+        } finally st.close()
+      } else if (Files.exists(root))
+        Seq(s"${Files.size(root)}:${Files.getLastModifiedTime(root).toMillis}")
+      else Seq("absent")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("\n").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
   }
 
   private[graft] def ensureAnnIndex(s: SparkSession, dir: String): String = {
     import graft.sources.AtomicPublish
     val root = annRoot(dir)
     if (AtomicPublish.currentVersion(s, root).isEmpty) {
-      val e = corpus(s, dir)
-      val refined = ivfCentroids(e)
-      import s.implicits._
-      val centroids = refined.toDF("cell_id", "cv", "cn")
-      val assignments = n3Assign(e, refined)
-      // SLIM rows: (vec_id, tbl, bkt) only — storing the vector once
-      // per hash table would multiply vector bytes ×LshTables in both
-      // the index and every probe's scan (measured 2× probe cost);
-      // probes re-attach vectors from the single-copy assignments
-      // table instead
-      val lsh = e
-        .select(col("vec_id"), explode(lshBuckets("v")).as("tb"))
-        .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-      AtomicPublish.publish(s, root, Seq(
-        "centroids" -> centroids, "assignments" -> assignments, "lsh" -> lsh))
+      // Cross-process build fence: the root is durable and shared, so
+      // two JVMs racing here (a bench and a verify run, say) must not
+      // interleave stagings of the same version number. An OS file
+      // lock serializes local builders; the committed pointer is
+      // re-checked under the lock, so the race's loser READS the
+      // winner's index instead of rebuilding. On a cluster the same
+      // role is played by a lease / conditional PUT on the pointer.
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val rootPath = Paths.get(root)
+      Files.createDirectories(rootPath)
+      val ch = java.nio.channels.FileChannel.open(
+        rootPath.resolve("build.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          if (AtomicPublish.currentVersion(s, root).isEmpty) {
+            // a regenerated corpus orphans the previous fingerprint's
+            // root — drop those inert siblings so the durable base
+            // stays bounded by live corpora
+            val fn = rootPath.getFileName.toString
+            val prefix = fn.substring(0, fn.lastIndexOf('-') + 1)
+            val siblings = Files.list(rootPath.getParent)
+            try {
+              import scala.jdk.CollectionConverters._
+              siblings.iterator().asScala
+                .filter(p => p.getFileName.toString.startsWith(prefix) &&
+                  p.getFileName.toString != fn)
+                .foreach(graft.TmpRoots.deleteTree)
+            } finally siblings.close()
+            val e = corpus(s, dir)
+            val refined = ivfCentroids(e)
+            import s.implicits._
+            val centroids = refined.toDF("cell_id", "cv", "cn")
+            val assignments = n3Assign(e, refined)
+            // SLIM rows: (vec_id, tbl, bkt) only — storing the vector
+            // once per hash table would multiply vector bytes
+            // ×LshTables in both the index and every probe's scan
+            // (measured 2× probe cost); probes re-attach vectors from
+            // the single-copy assignments table instead
+            val lsh = e
+              .select(col("vec_id"), explode(lshBuckets("v")).as("tb"))
+              .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+            AtomicPublish.publish(s, root, Seq(
+              "centroids" -> centroids, "assignments" -> assignments, "lsh" -> lsh))
+          }
+        } finally lock.release()
+      } finally ch.close()
     }
     root
   }

@@ -345,8 +345,8 @@ class PlanAuditSpec extends GraftSpec {
       val plan = planOf(df)
       assert(!plan.contains("embeddings.parquet"),
         s"$name probe must touch index tables only, not the corpus:\n$plan")
-      assert(plan.contains("graft_ann_index"),
-        s"$name probe should scan the published index:\n$plan")
+      assert(plan.contains(Similarity.annRoot(sf)),
+        s"$name probe should scan the published durable index:\n$plan")
     }
   }
 
