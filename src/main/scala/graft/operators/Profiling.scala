@@ -22,15 +22,17 @@ object Profiling {
 
   private val ProfiledCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
-  /** prof1: per-column profile of lineitem's measure columns in ONE
-    * pass — rows, nulls, exact NDV, min/max, exact decimal sum. The
-    * single agg row is unpivoted with stack() (no second scan). */
-  def prof1ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+  /** One-pass profile scaffold shared by prof1/prof1b: rows, nulls,
+    * NDV (the caller picks exact or sketch), min/max, exact decimal
+    * sum per column; the single agg row is unpivoted with stack()
+    * (no second scan). */
+  private def profileWith(s: SparkSession, dir: String,
+      ndv: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val aggs = count(lit(1)).as("n_rows") +: ProfiledCols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}_nn"),
-        countDistinct(col(c)).as(s"${c}_nd"),
+        ndv(col(c)).as(s"${c}_nd"),
         min(col(c)).as(s"${c}_min"),
         max(col(c)).as(s"${c}_max"),
         Cols.moneySum(Cols.dec2(col(c))).as(s"${c}_sum"))
@@ -47,6 +49,28 @@ object Profiling {
         col("n_distinct"), col("min_v"), col("max_v"), col("sum_v"))
       .orderBy("col_name")
   }
+
+  /** prof1: per-column profile of lineitem's measure columns in ONE
+    * pass — rows, nulls, exact NDV, min/max, exact decimal sum. Exact
+    * NDV keeps the full hash oracle; the ×columns Expand it costs is
+    * what [[prof1bApproxProfile]] exists to shed. */
+  def prof1ColumnProfile(s: SparkSession, dir: String): DataFrame =
+    profileWith(s, dir, countDistinct(_))
+
+  /** prof1b: the 100 TB form of prof1 — the same per-column profile,
+    * but NDV via approx_count_distinct (HyperLogLog++ with map-side
+    * sketch partials). Exact COUNT(DISTINCT) over k columns makes
+    * Catalyst Expand every scan row ×k before the partial aggregate —
+    * prof1 is the suite's second-most-expensive query for exactly that
+    * reason — while the HLL sketches aggregate the UNEXPANDED scan in
+    * one pass, so this is the plan an ANALYZE would actually run at
+    * scale. rows-only: HLL estimates are engine-specific (DuckDB's
+    * approx_count_distinct uses a different sketch), so the oracle
+    * can't hash-match; ProfilingSpec pins every estimate within the
+    * sketch's error envelope of the exact NDV, and PlanAuditSpec pins
+    * the no-Expand plan shape. */
+  def prof1bApproxProfile(s: SparkSession, dir: String): DataFrame =
+    profileWith(s, dir, approx_count_distinct(_))
 
   val HistBuckets = 20
 
@@ -70,6 +94,7 @@ object Profiling {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prof1_column_profile" -> (prof1ColumnProfile _),
+    "prof1b_approx_profile" -> (prof1bApproxProfile _),
     "prof2_histogram" -> (prof2Histogram _))
 
   private def prof1OracleFor(c: String): String =

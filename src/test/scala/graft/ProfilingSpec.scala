@@ -36,6 +36,35 @@ class ProfilingSpec extends GraftSpec {
     assert(plan.contains("Expand"), s"expected Expand for multi-NDV:\n$plan")
   }
 
+  test("prof1b: approx NDV within the HLL error envelope of prof1's exact NDV") {
+    val exact = Profiling.prof1ColumnProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Profiling.prof1bApproxProfile(spark, sf).collect()
+    assert(approx.length == exact.size)
+    for (a <- approx) {
+      val e = exact(a.getString(0))
+      // HLL++ at the default rsd=0.05: 3σ is 15% relative error
+      val (nd, ndExact) = (a.getLong(3), e.getLong(3))
+      assert(math.abs(nd - ndExact) <= math.max(1L, (0.15 * ndExact).toLong),
+        s"${a.getString(0)}: approx NDV $nd vs exact $ndExact")
+      // every non-sketch column is bit-identical to the exact profile
+      assert(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2),
+        "n_rows/n_nulls")
+      assert(a.getDouble(4) == e.getDouble(4) && a.getDouble(5) == e.getDouble(5),
+        "min/max")
+      assert(a.getDouble(6) == e.getDouble(6), "sum")
+    }
+  }
+
+  test("prof1b plan: one scan and NO Expand — the sketch replaces the ×columns blowup") {
+    val plan = Profiling.prof1bApproxProfile(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"approx profile must aggregate the unexpanded scan:\n$plan")
+  }
+
   test("prof2: buckets partition the table — counts sum to rowcount, bounds covered") {
     val li = Tables.lineitem(spark, sf)
     val rows = Profiling.prof2Histogram(spark, sf).collect()
