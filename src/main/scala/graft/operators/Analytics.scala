@@ -381,6 +381,74 @@ object Analytics {
       .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_type").asc)
   }
 
+  /** q12: priority line counts per return class — the TPC-H Q12 shape
+    * (conditional aggregate over the lineitem⋈orders join, classing
+    * each line's order as critical or not; this schema has no
+    * l_shipmode/commitdate, so the two audited ship modes become the
+    * two non-N return flags and the receipt-window predicate becomes
+    * a shipdate year; reference analog: monitorHealth's per-status
+    * conditional counts, db.mjs:410-432). Scale design: BOTH
+    * per-class counts come out of ONE pass — `sum(when(critical))` /
+    * `sum(when(not)))` — never a scan per class; the date window and
+    * flag filter are pushed to the fact scan (row groups outside the
+    * year never leave parquet), and the ONLY fact-sized shuffle is
+    * the orderkey join, with orders carrying just (o_orderkey,
+    * o_orderpriority) through it. The final 2-row rollup is a
+    * partial-aggregable count pair. Pinned in PlanAuditSpec: pushed
+    * shipdate/flag filters, 2 scans, 1 fact shuffle join. */
+  def q12PriorityLines(s: SparkSession, dir: String): DataFrame = {
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q20: dominant part shippers — the TPC-H Q20 shape (a semi-join
+    * driven by an aggregate subquery: canonical Q20 keeps suppliers
+    * whose stock exceeds half a part's shipped quantity; with no
+    * partsupp table the criterion becomes suppliers who shipped >30%
+    * of a red part's 1997 volume). The quantified-subquery pattern:
+    * the inner aggregate decides WHICH (part, supplier) pairs
+    * qualify, and the outer query only asks EXISTENCE per supplier —
+    * q4's semi-join discipline composed with q17's
+    * window-over-aggregate rewrite. Scale design: the part-name
+    * filter prunes the dimension BEFORE its broadcast (q9's move), so
+    * non-red parts never reach the fact join; the per-part total that
+    * the textbook form computes with a SECOND correlated fact scan
+    * comes from a window over the ALREADY-AGGREGATED per-(part,supp)
+    * view — bounded by |parts|×|suppliers|, one fact scan total; and
+    * the supplier projection is a semi-join (left_semi on the
+    * qualifying suppkey set), so no qualifying-row multiplicity ever
+    * reaches the output. Pinned in PlanAuditSpec: exactly one
+    * lineitem scan, a left-semi join, no fact re-scan. */
+  def q20ExcessShippers(s: SparkSession, dir: String): DataFrame = {
+    val redParts = broadcast(Tables.part(s, dir)
+      .filter(col("p_name").like("%red%")).select(col("p_partkey")))
+    val wPart = Window.partitionBy(col("l_partkey")) // per-(part,supp) view: bounded
+    val qualifying = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty_ps")) // integral doubles: exact
+      .withColumn("part_total", sum(col("qty_ps")).over(wPart))
+      .filter(col("qty_ps") > col("part_total") * 0.3)
+      .select(col("l_suppkey"))
+    Tables.supplier(s, dir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
   /** Running-sum + row-number window over supplier partitions. */
   def w1RunningWindow(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
@@ -1338,6 +1406,33 @@ object Analytics {
         |WHERE p_type <> 'PROMO' AND p_brand <> 'Brand#1'
         |GROUP BY p_brand, p_type
         |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC""".stripMargin,
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q20_excess_shippers" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty_ps
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_partkey, l_suppkey),
+        |q AS (
+        |  SELECT l_suppkey, qty_ps,
+        |    SUM(qty_ps) OVER (PARTITION BY l_partkey) AS part_total
+        |  FROM ps)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM q WHERE qty_ps > part_total * 0.3)
+        |ORDER BY s_suppkey""".stripMargin,
     "a10_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -1679,6 +1774,8 @@ object Analytics {
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_cheapest_supplier" -> (q8CheapestSupplier _),
     "q9_product_profit" -> (q9ProductProfit _),
+    "q12_priority_lines" -> (q12PriorityLines _),
+    "q20_excess_shippers" -> (q20ExcessShippers _),
     "q16_supplier_diversity" -> (q16SupplierDiversity _),
     "q13_custdist" -> (q13CustDist _),
     "q14_promo_revenue" -> (q14PromoRevenue _),

@@ -420,6 +420,34 @@ class PlanAuditSpec extends GraftSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q12: date window and flag filter push to the fact scan; both counts ride one join") {
+    val plan = planOf(Analytics.q12PriorityLines(spark, sf))
+    // [^\n]* keeps the match inside ONE PushedFilters line (In(...,[A,R])
+    // closes a bracket mid-list, so the [^\]]* idiom can't span it)
+    assert(plan.matches("(?s).*PushedFilters: [^\n]*GreaterThanOrEqual\\(l_shipdate.*"),
+      s"shipdate window not pushed to the lineitem scan:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: [^\n]*In\\(l_returnflag.*"),
+      s"returnflag IN not pushed to the lineitem scan:\n$plan")
+    // conditional agg = both class counts from ONE pass: 2 scans, 1 join
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 2,
+      s"high/low counts must share one lineitem and one orders scan:\n$plan")
+    val joins = "(?m)^\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+      .r.findAllIn(plan).size
+    assert(joins == 1, s"expected exactly the one orderkey join, got $joins:\n$plan")
+  }
+
+  test("q20: the aggregate subquery reuses ONE fact scan; suppliers attach by semi-join") {
+    val plan = planOf(Analytics.q20ExcessShippers(spark, sf))
+    // window-over-aggregate rewrite: the textbook correlated form scans
+    // lineitem twice (once for per-pair qty, once for the part total)
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 3, // lineitem+part+supplier
+      s"the per-part total must come from the aggregated view, not a fact re-scan:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"the qualifying-set probe must be a semi-join (existence only):\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*StringContains\\(p_name,red\\).*"),
+      s"red-part prune must reach the part scan before its broadcast:\n$plan")
+  }
+
   test("q16: the distinct aggregate dedups (brand,type,suppkey) BELOW its shuffle") {
     val plan = planOf(Analytics.q16SupplierDiversity(spark, sf))
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin") &&
