@@ -35,7 +35,8 @@ object Bench {
     // — persistence across restarts is its point.
     Seq("graft_sources", "graft_pipe3_release", "graft_bench_state",
       "graft_stream", "graft_publish_spec", "graft_persist",
-      "graft_ann_index", "graft_ann_restart").foreach(TmpRoots.cleanStale)
+      "graft_ann_index", "graft_ann_restart",
+      "graft_scale_state").foreach(TmpRoots.cleanStale)
     TmpRoots.cleanLegacy("graft_persist_state\\d+", "graft_publish\\d+",
       "graft_publish2\\d+", "graft_publish_tt\\d+", "graft_test",
       "graft_stream_(ckpt|restart|upsert)_\\d+(_ckpt)?", "graft_stream_src")

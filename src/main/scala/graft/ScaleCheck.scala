@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale checkpoint (one-shot observational artifact, not a driver
+  * gate): every per-round number in BENCH_r* is sf0.1, so nothing yet
+  * demonstrates how the expensive plans GROW. The largest
+  * driver-generated dataset is sf0.1, so this materializes a 10×
+  * replica of it in scratch — key columns offset per replica (a true
+  * sf1 has 10× the orders, not 10 copies of the same order key, so
+  * join and group cardinalities must scale in the key domain), and
+  * document text prefixed with a replica token (so shingle/minhash
+  * near-dup structure replicates per shard instead of making every doc
+  * a 10-way exact duplicate, which would quadratically inflate
+  * within-bucket candidate pairs in a way no real corpus growth does).
+  * Region/nation stay fixed, like TPC-H's constant dimensions. It then
+  * runs the queries named in SPARK_GRAFT_ONLY (default: the 10 most
+  * expensive from the round-7 bench) once each, and prints ONE JSON
+  * line in the Bench shape with the build cost reported separately.
+  * Committed output: SCALECHECK_sf1.json; scaling analysis in SURVEY
+  * §5.
+  */
+object ScaleCheck {
+
+  val Replicas = 10
+  val Stride = 100000000L // key offset per replica; far above any sf0.1 key
+
+  /** table -> key columns that must move to a disjoint range per
+    * replica (foreign keys offset in lockstep so joins stay intact) */
+  val KeyCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq.empty, "nation" -> Seq.empty,
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** The 10 most expensive queries of the round-7 sf0.1 bench. */
+  val DefaultQueries = Seq(
+    "d6_dedup_clusters", "prof1_column_profile", "k12_user_erasure",
+    "k13_incremental_rollup", "d2_ngram_jaccard", "pipe3_publish_corpus",
+    "a5_percentiles", "k5_merge_upsert", "k6_compaction",
+    "s4_nested_roundtrip")
+
+  private def buildTable(s: SparkSession, srcDir: String, outDir: String,
+      name: String): Unit = {
+    val src = Tables.byName(s, srcDir, name)
+    val keys = KeyCols(name)
+    val out =
+      if (keys.isEmpty) src
+      else {
+        val reps = broadcast(s.range(Replicas.toLong).select(col("id").as("__r")))
+        val crossed = src.crossJoin(reps)
+        val cols = src.columns.map { c =>
+          if (keys.contains(c)) (col(c) + col("__r") * Stride).as(c)
+          else if (name == "documents" && c == "text")
+            concat(lit("r"), col("__r").cast("string"), lit(" "), col("text")).as(c)
+          else if (name == "documents" && c == "n_chars")
+            length(concat(lit("r"), col("__r").cast("string"), lit(" "), col("text")))
+              .cast(src.schema(c).dataType).as(c)
+          else col(c)
+        }
+        crossed.select(cols.toIndexedSeq: _*)
+      }
+    out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val stateDir = TmpRoots.perProcess("graft_scale_state")
+    val spark = GraftSession.builder(cpus, stateDir).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val marker = java.nio.file.Paths.get(outDir, "_BUILT")
+    if (!java.nio.file.Files.exists(marker)) {
+      Tables.names.foreach(n => buildTable(spark, srcDir, outDir, n))
+      java.nio.file.Files.createFile(marker)
+    }
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq).getOrElse(DefaultQueries)
+    val all = SparkEntry.queries
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (name <- only) {
+      val t = System.nanoTime()
+      try all(name)(spark, outDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        errs(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+      }
+      times(name) = (System.nanoTime() - t) / 1e9
+    }
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val es = errs.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_check","value":${times.values.sum},"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errs.size},"replicas":$Replicas,"base":"$srcDir","build_sec":$buildSec}""")
+    spark.stop()
+  }
+}

@@ -381,6 +381,78 @@ object Analytics {
       .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_type").asc)
   }
 
+  /** q8: national market share — the TPC-H Q8 shape (one nation's
+    * slice of a region's revenue by order year): the ratio's
+    * numerator is a CONDITIONAL leg of the same aggregate as its
+    * denominator (`sum(when(nation)) / sum(all)`, q14's two-legs-one-
+    * pass move), never a second join tree. Scale design: all four
+    * dimension attachments broadcast with their filters applied
+    * BEFORE the join (region prune cuts the customer side, the
+    * supplier side carries only its nation tag), so the single
+    * fact-sized shuffle is lineitem⋈orders on the order key; the
+    * rollup is a partial-aggregable pair of decimal sums per year.
+    * Pinned in PlanAuditSpec: ≤1 shuffle join, 5 scans, no
+    * cartesian. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val asiaCust = broadcast(Tables.region(s, dir)
+      .filter(col("r_name") === "ASIA")
+      .join(Tables.nation(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey")))
+    val supNation = broadcast(Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir).select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation")), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation")))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(s, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_1", revenue)).cast("double")
+          .as("nation_revenue"),
+        sum(revenue).cast("double").as("total_revenue"))
+      .select(col("o_year"),
+        coalesce(col("nation_revenue"), lit(0.0)).as("nation_revenue"),
+        col("total_revenue"),
+        round(coalesce(col("nation_revenue"), lit(0.0)) / col("total_revenue"), 6)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** q11: important stock — the TPC-H Q11 shape (groups whose share
+    * of a global total clears a threshold: per-part shipped value
+    * from one nation's suppliers vs a fraction of ALL such value; no
+    * partsupp, so lineitem value stands in for stock value). The
+    * global scalar the textbook form computes with a SECOND scan is
+    * an empty-frame window over the ALREADY-AGGREGATED per-part view
+    * (q15's whole-frame-over-aggregate move) — bounded rows, ONE fact
+    * scan, and the HAVING comparison multiplies the fraction through
+    * decimal sums so no float-division boundary decides membership
+    * (q22's exactness discipline). Supplier nation prunes before its
+    * broadcast. Pinned in PlanAuditSpec: one lineitem scan, no
+    * second fact pass. */
+  def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val natSup = broadcast(Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir).filter(col("n_name") === "NATION_1"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")))
+    val wAll = Window.partitionBy() // per-part view: bounded by |parts|
+    Tables.lineitem(s, dir)
+      .join(natSup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(Cols.dec2(col("l_extendedprice"))).as("value_d"))
+      .withColumn("total_d", sum(col("value_d")).over(wAll))
+      // share > 0.1%: value × 1000 > total, exact decimal×integer
+      .filter(col("value_d") * 1000 > col("total_d"))
+      .select(col("l_partkey"), col("value_d").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey").asc)
+  }
+
   /** q12: priority line counts per return class — the TPC-H Q12 shape
     * (conditional aggregate over the lineitem⋈orders join, classing
     * each line's order as critical or not; this schema has no
@@ -1406,6 +1478,42 @@ object Analytics {
         |WHERE p_type <> 'PROMO' AND p_brand <> 'Brand#1'
         |GROUP BY p_brand, p_type
         |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH asia_cust AS (
+         |  SELECT c_custkey FROM region
+         |  JOIN nation ON n_regionkey = r_regionkey
+         |  JOIN customer ON c_nationkey = n_nationkey
+         |  WHERE r_name = 'ASIA'),
+         |agg AS (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |    CAST(SUM(CASE WHEN n_name = 'NATION_1' THEN $rev END) AS DOUBLE)
+         |      AS nation_revenue,
+         |    CAST(SUM($rev) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  JOIN asia_cust ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  GROUP BY 1)
+         |SELECT o_year, COALESCE(nation_revenue, 0.0) AS nation_revenue,
+         |  total_revenue,
+         |  round(COALESCE(nation_revenue, 0.0) / total_revenue, 6) AS mkt_share
+         |FROM agg ORDER BY o_year""".stripMargin,
+    "q11_important_stock" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_d
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        |  GROUP BY l_partkey),
+        |tot AS (SELECT l_partkey, value_d,
+        |    SUM(value_d) OVER () AS total_d FROM pv)
+        |SELECT l_partkey, CAST(value_d AS DOUBLE) AS value
+        |FROM tot WHERE value_d * 1000 > total_d
+        |ORDER BY value DESC, l_partkey ASC""".stripMargin,
     "q12_priority_lines" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -1774,6 +1882,8 @@ object Analytics {
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_cheapest_supplier" -> (q8CheapestSupplier _),
     "q9_product_profit" -> (q9ProductProfit _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q11_important_stock" -> (q11ImportantStock _),
     "q12_priority_lines" -> (q12PriorityLines _),
     "q20_excess_shippers" -> (q20ExcessShippers _),
     "q16_supplier_diversity" -> (q16SupplierDiversity _),

@@ -420,6 +420,30 @@ class PlanAuditSpec extends GraftSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q8: dims broadcast; both ratio legs share one aggregate; at most one shuffle join") {
+    val plan = planOf(Analytics.q8MarketShare(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+    val shuffleJoins = "(?m)^\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin)"
+      .r.findAllIn(plan).size
+    assert(shuffleJoins <= 1,
+      s"only lineitem-orders may shuffle, got $shuffleJoins:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // numerator and denominator come from ONE grouped aggregate — the
+    // fact tree appears once (lineitem, orders, region, nation ×2
+    // tags, customer, supplier = 7 scans; a two-tree ratio would double
+    // the fact scans)
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 7,
+      s"ratio legs must share one join tree:\n$plan")
+  }
+
+  test("q11: the global total rides the aggregated per-part view — one fact scan") {
+    val plan = planOf(Analytics.q11ImportantStock(spark, sf))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 3, // lineitem+supplier+nation
+      s"the HAVING scalar must not re-scan the fact:\n$plan")
+    assert("(?m)^\\(\\d+\\) Window".r.findAllIn(plan).size == 1,
+      s"the global total should be one empty-frame window over the view:\n$plan")
+  }
+
   test("q12: date window and flag filter push to the fact scan; both counts ride one join") {
     val plan = planOf(Analytics.q12PriorityLines(spark, sf))
     // [^\n]* keeps the match inside ONE PushedFilters line (In(...,[A,R])
