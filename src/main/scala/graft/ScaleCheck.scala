@@ -90,6 +90,7 @@ object ScaleCheck {
     val all = SparkEntry.queries
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var d6RoundsScaled = -1
     for (name <- only) {
       val t = System.nanoTime()
       try all(name)(spark, outDir).write.format("noop").mode("overwrite").save()
@@ -97,12 +98,22 @@ object ScaleCheck {
         errs(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
       }
       times(name) = (System.nanoTime() - t) / 1e9
+      if (name == "d6_dedup_clusters") d6RoundsScaled = graft.operators.Dedup.ccRounds
+    }
+    // the O(log diameter) claim, MEASURED: replicas add components, not
+    // diameter, so the star-contraction round count must not grow with
+    // the 10× corpus — compare against one base-scale d6 run
+    var d6RoundsBase = -1
+    if (only.contains("d6_dedup_clusters") && errs.isEmpty) {
+      all("d6_dedup_clusters")(spark, srcDir)
+        .write.format("noop").mode("overwrite").save()
+      d6RoundsBase = graft.operators.Dedup.ccRounds
     }
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_check","value":${times.values.sum},"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errs.size},"replicas":$Replicas,"base":"$srcDir","build_sec":$buildSec}""")
+    println(s"""{"metric":"scale_check","value":${times.values.sum},"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errs.size},"replicas":$Replicas,"base":"$srcDir","build_sec":$buildSec,"d6_rounds_base":$d6RoundsBase,"d6_rounds_scaled":$d6RoundsScaled}""")
     spark.stop()
   }
 }
