@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{BpeTokens, DotProduct, MinHash32, QuantizeI8, RollingFingerprint, SimHash64, WordNgrams}
+import org.apache.spark.sql.graft.{BpeTokens, DotProduct, MinHash32, QuantizeI8, RepetitionStats, RollingFingerprint, SimHash64, WordNgrams}
 
 /** `SparkSessionExtensions` hook registering graft's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -82,6 +82,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "graft_bpe_tokens expects exactly 1 argument")
         BpeTokens(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_repetition"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repetition"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "graft_repetition expects exactly 1 argument")
+        RepetitionStats(children.head)
       }))
   }
 }

@@ -283,42 +283,31 @@ object TextAnalysis {
   /** t14: repetition signals (the Gopher/C4 quality-filter family) —
     * duplicate-word fraction, most-frequent-word coverage, and
     * most-frequent-bigram coverage per document. High values flag
-    * boilerplate / spam / degenerate generations. ONE linear explode
-    * (both gram sizes ride the same corpus scan) with partial
-    * aggregation; shuffles key on doc_id(+gram), so the plan scales
-    * with corpus token count, never pairs. */
-  def t14Repetition(s: SparkSession, dir: String): DataFrame = {
-    // ONE corpus scan for both gram sizes: unigrams and bigrams concat
-    // into a single exploded stream, and the element's position against
-    // the unigram count recovers which family it came from (pos < nu ⇒
-    // unigram) — cheaper than a tagged-struct transform (higher-order
-    // lambdas are interpreted) and it keeps the stage in whole-stage
-    // codegen. The old two-scan + join form paid a second scan, a
-    // second pair of doc_id shuffles, and a join exchange.
-    val grams = Tables.documents(s, dir)
+    * boilerplate / spam / degenerate generations. The digests are
+    * ROW-LOCAL, so the native [[org.apache.spark.sql.graft.RepetitionStats]]
+    * kernel computes both gram profiles in one compiled call per doc
+    * and the whole operator is a ZERO-SHUFFLE scan+project (+ the
+    * output sort) — the round-6 fused-explode form still shuffled
+    * every (doc, gram) count row twice; this shuffles nothing. Counts
+    * are bit-identical to the exploded form (same whitespace split),
+    * so the oracle is unchanged. */
+  def t14Repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"),
-        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 1).as("uni"),
-        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 2).as("bi"))
-      .select(col("doc_id"), size(col("uni")).as("nu"),
-        posexplode(concat(col("uni"), col("bi"))))
-      .select(col("doc_id"), (col("pos") < col("nu")).as("is_word"),
-        col("col").as("g"))
-    grams
-      .groupBy(col("doc_id"), col("is_word"), col("g"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("is_word"), col("n"))).as("n_words"),
-        sum(when(col("is_word"), 1L)).as("n_distinct"),
-        max(when(col("is_word"), col("n"))).as("max_wc"),
-        sum(when(!col("is_word"), col("n"))).as("n_bigrams"),
-        max(when(!col("is_word"), col("n"))).as("max_bc"))
-      .select(col("doc_id"), col("n_words"), col("n_distinct"),
-        round(lit(1.0) - col("n_distinct") / col("n_words"), 6).as("dup_word_ratio"),
-        round(col("max_wc") / col("n_words"), 6).as("top_word_ratio"),
-        round(coalesce(col("max_bc") / col("n_bigrams"), lit(0.0)), 6)
-          .as("top_bigram_ratio"))
+        org.apache.spark.sql.graft.RepetitionStatsExpr
+          .repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r.n_words").as("n_words"),
+        col("r.n_distinct").as("n_distinct"),
+        round(lit(1.0) - col("r.n_distinct") / col("r.n_words"), 6)
+          .as("dup_word_ratio"),
+        round(col("r.max_wc") / col("r.n_words"), 6).as("top_word_ratio"),
+        // single-token docs have no bigrams: guard the division (ANSI)
+        // and emit 0.0, matching the exploded form's coalesce(NULL, 0)
+        when(col("r.n_bigrams") > 0,
+          round(col("r.max_bc") / col("r.n_bigrams"), 6))
+          .otherwise(lit(0.0)).as("top_bigram_ratio"))
       .orderBy("doc_id")
-  }
 
   val DecontamN = 4 // shingle length for eval-overlap detection
   val EvalHoldoutMod = 50 // doc_id % mod == 0 ⇒ eval-set document

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Dedup, Relational, Similarity}
+import graft.operators.{Analytics, Dedup, Relational, Similarity, TextAnalysis}
 import graft.sources.Sources
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
@@ -418,6 +418,16 @@ class PlanAuditSpec extends GraftSpec {
     assert(shuffleJoins <= 1,
       s"expected at most one shuffle join (lineitem-orders), got $shuffleJoins:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t14: the repetition kernel makes the digest a zero-shuffle scan+project") {
+    val plan = planOf(TextAnalysis.t14Repetition(spark, sf))
+    assert(plan.contains("graft_repetition"),
+      s"native repetition kernel missing:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate"),
+      s"per-doc digests must not aggregate exploded gram rows:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the only exchange allowed is the output sort's range partitioning:\n$plan")
   }
 
   test("q8: dims broadcast; both ratio legs share one aggregate; at most one shuffle join") {

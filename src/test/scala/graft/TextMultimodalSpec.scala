@@ -190,6 +190,36 @@ class TextMultimodalSpec extends GraftSpec {
     assert(r0.getAs[Double]("dup_word_ratio") == expDup)
   }
 
+  test("t14 kernel digests are bit-identical to the exploded aggregate form") {
+    // the retired round-6 formulation as semantic reference: one
+    // posexplode of the concat'd unigram+bigram streams, counts per
+    // (doc, family, gram), re-aggregated per doc
+    val reference = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 1).as("uni"),
+        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 2).as("bi"))
+      .select(col("doc_id"), size(col("uni")).as("nu"),
+        posexplode(concat(col("uni"), col("bi"))))
+      .select(col("doc_id"), (col("pos") < col("nu")).as("is_word"), col("col").as("g"))
+      .groupBy(col("doc_id"), col("is_word"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("is_word"), col("n"))).as("n_words"),
+        sum(when(col("is_word"), 1L)).as("n_distinct"),
+        max(when(col("is_word"), col("n"))).as("max_wc"),
+        coalesce(sum(when(!col("is_word"), col("n"))), lit(0L)).as("n_bigrams"),
+        coalesce(max(when(!col("is_word"), col("n"))).cast("long"), lit(0L)).as("max_bc"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val kernel = Tables.documents(spark, sf)
+      .select(col("doc_id"), org.apache.spark.sql.graft.RepetitionStatsExpr
+        .repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words"), col("r.n_distinct"),
+        col("r.max_wc"), col("r.n_bigrams"), col("r.max_bc"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(kernel == reference, "kernel digests diverged from the aggregate form")
+  }
+
   test("t15 decontamination flags exactly the corpus docs sharing a 4-gram with an eval doc") {
     import spark.implicits._
     // doc 0 is eval (0 % 50 == 0); doc 1 shares its 4-gram, docs 2-3 don't
