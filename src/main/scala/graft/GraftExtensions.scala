@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{BpeTokens, DotProduct, MinHash32, QuantizeI8, RepetitionStats, RollingFingerprint, SimHash64, WordNgrams}
+import org.apache.spark.sql.graft.{BpeTokens, DotProduct, MinHash32, QuantizeI8, RepetitionStats, RollingFingerprint, SimHash64, TermFreqs, WordNgrams}
 
 /** `SparkSessionExtensions` hook registering graft's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -82,6 +82,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "graft_bpe_tokens expects exactly 1 argument")
         BpeTokens(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_term_freqs"),
+      new ExpressionInfo(classOf[TermFreqs].getName, "graft_term_freqs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "graft_term_freqs expects exactly 1 argument")
+        TermFreqs(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_repetition"),

@@ -369,14 +369,19 @@ object TextAnalysis {
     * one `documents` scan and the final plan has none. Unrounded
     * scores order the ranking (term asc tiebreak) in BOTH engines;
     * the emitted score is rounded. */
-  /** The shared (doc_id, term, tf) aggregate — one scan + explode +
-    * one shuffle on (doc_id, term). */
+  /** The shared (doc_id, term, tf) frame — ZERO-SHUFFLE since round 7:
+    * term frequency is row-local, so the native TermFreqs kernel
+    * counts inside each document and the explode projects one deduped
+    * (doc, term, tf) row per pair, where the old explode-every-token →
+    * groupBy(doc, term) form shuffled the corpus's whole token stream
+    * to do the same counting. Downstream term-keyed aggregates (df,
+    * surprisal totals) now also shuffle one row per (doc, term)
+    * instead of one per token. */
   private[graft] def t16TermFreq(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(
-        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 1))
-        .as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        org.apache.spark.sql.graft.TermFreqsExpr.termFreqs(col("text"))).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))
 
   def t16TfIdf(s: SparkSession, dir: String): DataFrame = {
     val tf = t16TermFreq(s, dir).localCheckpoint()

@@ -430,6 +430,14 @@ class PlanAuditSpec extends GraftSpec {
       s"the only exchange allowed is the output sort's range partitioning:\n$plan")
   }
 
+  test("t16/t17: the shared term-freq frame is kernel-computed — no token-stream shuffle") {
+    val plan = planOf(TextAnalysis.t16TermFreq(spark, sf))
+    assert(plan.contains("graft_term_freqs"),
+      s"native term-freq kernel missing:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Exchange"),
+      s"per-doc term counting must not shuffle the token stream:\n$plan")
+  }
+
   test("q8: dims broadcast; both ratio legs share one aggregate; at most one shuffle join") {
     val plan = planOf(Analytics.q8MarketShare(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")

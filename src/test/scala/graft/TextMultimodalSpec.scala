@@ -220,6 +220,20 @@ class TextMultimodalSpec extends GraftSpec {
     assert(kernel == reference, "kernel digests diverged from the aggregate form")
   }
 
+  test("t16 term-freq kernel equals the explode+groupBy aggregate form") {
+    // the retired formulation as semantic reference: one row per token,
+    // counted under a (doc, term) shuffle
+    val reference = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 1))
+        .as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val kernel = TextAnalysis.t16TermFreq(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(kernel == reference, "kernel term freqs diverged from the aggregate form")
+  }
+
   test("t15 decontamination flags exactly the corpus docs sharing a 4-gram with an eval doc") {
     import spark.implicits._
     // doc 0 is eval (0 % 50 == 0); doc 1 shares its 4-gram, docs 2-3 don't
