@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{BpeTokens, DotProduct, MinHash32, QuantizeI8, RepetitionStats, RollingFingerprint, SimHash64, TermFreqs, WordNgrams}
+import org.apache.spark.sql.graft.{BpeTokens, DistinctWordNgrams, DotProduct, MinHash32, QuantizeI8, RepetitionStats, RollingFingerprint, SimHash64, TermFreqs, WordNgrams}
 
 /** `SparkSessionExtensions` hook registering graft's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -82,6 +82,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "graft_bpe_tokens expects exactly 1 argument")
         BpeTokens(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_distinct_ngrams"),
+      new ExpressionInfo(classOf[DistinctWordNgrams].getName, "graft_distinct_ngrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          "graft_distinct_ngrams expects (text, constant n)")
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+            DistinctWordNgrams(children.head, n)
+          case other => throw new IllegalArgumentException(
+            s"graft_distinct_ngrams: n must be an integer literal, got $other")
+        }
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_term_freqs"),

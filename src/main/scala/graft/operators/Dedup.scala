@@ -42,15 +42,19 @@ object Dedup {
     sh.join(broadcast(hot), Seq("sh"), "left_anti")
   }
 
-  /** Distinct word 3-gram shingles per document. Native WordNgrams
-    * expression: one compiled call per row (docs with <3 tokens yield
-    * an empty array, which explode drops). */
-  private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
+  /** Distinct word 3-gram shingles per document. Native
+    * DistinctWordNgrams expression: one compiled call per row, deduped
+    * in-row (docs with <3 tokens yield an empty array, which explode
+    * drops). */
+  private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
+    // per-doc dedup is ROW-LOCAL: the kernel dedups inside each
+    // document and the explode is a pure projection — the old
+    // explode + corpus-wide DISTINCT paid a full (doc, shingle)
+    // shuffle for the same per-row set (doc_id was in every key)
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(
-        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 3))
+        org.apache.spark.sql.graft.WordNgramsExpr.distinctWordNgrams(col("text"), 3))
         .as("sh"))
-      .distinct()
 
   /** d1: exact-content dedup via md5 hash-groupBy — the 100 TB-safe
     * form of DISTINCT ON (content): one shuffle on the 128-bit hash,

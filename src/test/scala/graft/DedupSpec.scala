@@ -63,6 +63,20 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("shingle kernel dedup equals the explode+corpus-DISTINCT form") {
+    // the retired formulation as semantic reference: explode every
+    // shingle occurrence, then a corpus-wide DISTINCT on (doc, shingle)
+    val reference = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), 3))
+        .as("sh"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val kernel = Dedup.shingles(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kernel == reference, "in-row dedup diverged from corpus DISTINCT")
+  }
+
   test("d3 kernel signatures are bit-identical to the explode+distinct+min aggregate form") {
     import spark.implicits._
     // the retired formulation as semantic reference: distinct shingle

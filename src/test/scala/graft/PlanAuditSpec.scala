@@ -430,6 +430,14 @@ class PlanAuditSpec extends GraftSpec {
       s"the only exchange allowed is the output sort's range partitioning:\n$plan")
   }
 
+  test("d2/d6: per-doc shingle dedup is in-row — no corpus-wide DISTINCT shuffle") {
+    val plan = planOf(Dedup.shingles(spark, sf))
+    assert(plan.contains("graft_distinct_ngrams"),
+      s"native distinct-ngrams kernel missing:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Exchange"),
+      s"per-doc dedup must not shuffle (doc, shingle) rows:\n$plan")
+  }
+
   test("t16/t17: the shared term-freq frame is kernel-computed — no token-stream shuffle") {
     val plan = planOf(TextAnalysis.t16TermFreq(spark, sf))
     assert(plan.contains("graft_term_freqs"),
