@@ -322,10 +322,14 @@ object TextAnalysis {
     // post-explode frame would recompute the explode — the dominant
     // cost — for each consumer, since there is no shuffle boundary
     // between scan and explode to reuse.)
+    // in-row dedup (d2's DistinctWordNgrams move): the downstream
+    // counts are DISTINCT anyway, so duplicate shingles only inflated
+    // the join input — dedup at the source costs nothing and feeds
+    // the broadcast join fewer rows
     def shingleOf(d: DataFrame): DataFrame = d
       .select(col("doc_id"), explode(
-        org.apache.spark.sql.graft.WordNgramsExpr.wordNgrams(col("text"), DecontamN))
-        .as("g"))
+        org.apache.spark.sql.graft.WordNgramsExpr
+          .distinctWordNgrams(col("text"), DecontamN)).as("g"))
       // join on the 64-bit shingle hash, not the string (same width
       // argument as d2 — a collision perturbs one overlap count by 1)
       .select(col("doc_id"), xxhash64(col("g")).as("sh"))
