@@ -183,11 +183,62 @@ object Multimodal {
         round(graft.functions.VectorFunctions.l2normNative("embedding"), 6).as("nrm"))
       .orderBy("doc_id")
 
-  /** Both oracles reproduce the md5-based stub exactly. The documents
+  /** m4: raw media-FILE ingest via Spark's built-in `binaryFile`
+    * source — the step BEFORE m1: at 100 TB media lands as millions of
+    * object-store files, and this is the distributed read that turns
+    * them into the (id, payload) binary-column layout the rest of the
+    * multimodal family consumes (each file one row: path, length,
+    * content; the scan never decodes, and `pathGlobFilter` prunes
+    * non-media files at listing time). Fixture: one .bin file per
+    * sampled doc (bytes = the doc's UTF-8 text), written ONCE per
+    * process by a bounded distributed foreachPartition — executors
+    * write their partition's files, the exact shape of a cluster
+    * ingest job landing files on a shared store (here the shared
+    * store is the local FS). The query reads the directory back and
+    * emits a (file, length, md5) digest; the oracle recomputes the
+    * digest straight from the documents table, so the full hash match
+    * proves the write → binaryFile-read round trip is lossless
+    * (src1/src2's roundtrip discipline). */
+  val BinaryIngestDocs = 50
+
+  def m4BinaryIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s"${graft.TmpRoots.perProcess("graft_sources")}/m4_binary"
+    val marker = java.nio.file.Paths.get(out, "_WRITTEN")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < BinaryIngestDocs)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (id, text) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, s"doc_$id.bin"),
+              text.getBytes("UTF-8"))
+          }
+        }
+      java.nio.file.Files.createFile(marker)
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(out)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("length"), md5(col("content")).as("content_md5"))
+      .orderBy("file")
+  }
+
+  /** The oracles reproduce the md5-based stub exactly. The documents
     * corpus is ASCII, so DuckDB's character offsets (substr) equal the
     * codec's UTF-8 byte offsets and strlen(text) equals the payload
     * byte length — asserted implicitly by the hash comparison. */
   val oracles: Map[String, String] = Map(
+    "m4_binary_ingest" ->
+      s"""SELECT 'doc_' || doc_id || '.bin' AS file,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
+         |  md5(text) AS content_md5
+         |FROM documents WHERE doc_id < $BinaryIngestDocs
+         |ORDER BY file""".stripMargin,
     "m3_media_embedding" ->
       """WITH e AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5(text), 1, 6))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS e0,
@@ -231,5 +282,6 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> ((s: SparkSession, d: String) => m1MultimodalMeta(s, d)),
     "m2_frame_sample" -> ((s: SparkSession, d: String) => m2FrameSample(s, d)),
-    "m3_media_embedding" -> ((s: SparkSession, d: String) => m3MediaEmbedding(s, d)))
+    "m3_media_embedding" -> ((s: SparkSession, d: String) => m3MediaEmbedding(s, d)),
+    "m4_binary_ingest" -> (m4BinaryIngest _))
 }

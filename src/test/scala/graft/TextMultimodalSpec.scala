@@ -220,6 +220,22 @@ class TextMultimodalSpec extends GraftSpec {
     assert(kernel == reference, "kernel digests diverged from the aggregate form")
   }
 
+  test("m4 binaryFile ingest round-trips every sampled doc byte-for-byte") {
+    val rows = Multimodal.m4BinaryIngest(spark, sf).collect()
+    assert(rows.length == Multimodal.BinaryIngestDocs)
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < Multimodal.BinaryIngestDocs)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => s"doc_${r.getLong(0)}.bin" -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val bytes = docs(r.getString(0)).getBytes("UTF-8")
+      assert(r.getLong(1) == bytes.length, s"${r.getString(0)}: length")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      assert(r.getString(2) == md, s"${r.getString(0)}: content digest")
+    }
+  }
+
   test("t16 term-freq kernel equals the explode+groupBy aggregate form") {
     // the retired formulation as semantic reference: one row per token,
     // counted under a (doc, term) shuffle
