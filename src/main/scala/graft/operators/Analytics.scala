@@ -254,22 +254,34 @@ object Analytics {
   /** q15: top supplier by quarterly revenue — the TPC-H Q15 shape
     * (the classic "create view revenue / select where = max" pair).
     * The view is a per-supplier revenue aggregate over a shipdate
-    * slice (pushed to the scan); the MAX is an unpartitioned window
-    * over THAT view — supplier-count rows, bounded metadata, the
-    * w4/a12 whole-frame-over-aggregate pattern — so the fact is
-    * scanned and shuffled exactly ONCE (the subquery form re-scans
-    * and re-aggregates lineitem for the max; exchange reuse does not
-    * rescue it) and ties at the max all surface, as the spec
-    * requires. Supplier names attach by broadcast last. Pinned in
-    * PlanAuditSpec: two table scans total, no second fact pass. */
+    * slice (pushed to the scan); the MAX is a 1-ROW AGGREGATE of that
+    * view attached back by `crossJoin(broadcast(...))` — prof2's
+    * scalar pattern — and ties at the max all surface, as the spec
+    * requires. The r7 form used an empty-frame window over the view,
+    * which funnels |suppliers| rows through ONE task's sort; at TPC-H
+    * sf100k that view is ~10^9 rows, a named scale-killer. Here both
+    * the view and its max share the per-suppkey shuffle via Spark's
+    * ReuseExchange (identical aggregate subtrees), so the fact is
+    * still scanned and shuffled exactly once and NOTHING passes
+    * through a single partition — the max rides a two-stage (partial
+    * → 1-row final) aggregate whose input is the bounded view.
+    * Supplier names attach by broadcast last. Pinned in
+    * PlanAuditSpec: two table scans total (ReusedExchange, no second
+    * fact pass), zero unpartitioned-window exchanges. */
   def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
-    val wAll = Window.partitionBy() // input is the bounded per-supplier view
-    Tables.lineitem(s, dir)
+    val perSupp = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1998-04-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1998-07-01").cast("timestamp"))
+        col("l_shipdate") < lit("1998-07-01").cast("timestamp") &&
+        // explicit, though always true: the supplier join constraint
+        // would push IsNotNull(l_suppkey) into ONLY the view branch,
+        // making the two aggregate subtrees canonically different and
+        // defeating the exchange reuse this query's one-scan shape
+        // depends on
+        col("l_suppkey").isNotNull)
       .groupBy(col("l_suppkey"))
       .agg(Cols.moneySum(revenue).as("total_revenue"))
-      .withColumn("mx", max(col("total_revenue")).over(wAll))
+    val mx = perSupp.agg(max(col("total_revenue")).as("mx"))
+    perSupp.crossJoin(broadcast(mx)) // 1-row bounded metadata
       .filter(col("total_revenue") === col("mx"))
       .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
         col("s_suppkey") === col("l_suppkey"))
@@ -429,24 +441,30 @@ object Analytics {
     * from one nation's suppliers vs a fraction of ALL such value; no
     * partsupp, so lineitem value stands in for stock value). The
     * global scalar the textbook form computes with a SECOND scan is
-    * an empty-frame window over the ALREADY-AGGREGATED per-part view
-    * (q15's whole-frame-over-aggregate move) — bounded rows, ONE fact
-    * scan, and the HAVING comparison multiplies the fraction through
+    * a 1-ROW AGGREGATE of the ALREADY-AGGREGATED per-part view,
+    * attached back by `crossJoin(broadcast(...))` (prof2's scalar
+    * pattern); the HAVING comparison multiplies the fraction through
     * decimal sums so no float-division boundary decides membership
     * (q22's exactness discipline). Supplier nation prunes before its
-    * broadcast. Pinned in PlanAuditSpec: one lineitem scan, no
-    * second fact pass. */
+    * broadcast. The r7 form used an empty-frame window over the view
+    * — but |parts| grows linearly with scale factor (~20 B rows at
+    * sf100k), so ONE task would sort the whole view; here the view
+    * and its total share the per-partkey shuffle via ReuseExchange
+    * (identical aggregate subtrees), keeping ONE fact scan with no
+    * single-partition exchange at any scale. Pinned in
+    * PlanAuditSpec: one lineitem scan (ReusedExchange), zero Window
+    * nodes. */
   def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
     val natSup = broadcast(Tables.supplier(s, dir)
       .join(Tables.nation(s, dir).filter(col("n_name") === "NATION_1"),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey")))
-    val wAll = Window.partitionBy() // per-part view: bounded by |parts|
-    Tables.lineitem(s, dir)
+    val perPart = Tables.lineitem(s, dir)
       .join(natSup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(Cols.dec2(col("l_extendedprice"))).as("value_d"))
-      .withColumn("total_d", sum(col("value_d")).over(wAll))
+    val total = perPart.agg(sum(col("value_d")).as("total_d"))
+    perPart.crossJoin(broadcast(total)) // 1-row bounded metadata
       // share > 0.1%: value × 1000 > total, exact decimal×integer
       .filter(col("value_d") * 1000 > col("total_d"))
       .select(col("l_partkey"), col("value_d").cast("double").as("value"))

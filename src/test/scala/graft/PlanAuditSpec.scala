@@ -17,6 +17,21 @@ class PlanAuditSpec extends GraftSpec {
   private def planOf(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** The FINAL adaptive plan TREE only: AQE performs exchange/stage
+    * reuse at runtime, so properties like ReusedExchange only appear
+    * after the query has been driven to completion — and the executed
+    * explain string contains BOTH the final and the (reuse-free)
+    * initial tree, so shape assertions must slice to the final one.
+    * Results here are bounded (top-k / scalar outputs), so collect()
+    * is safe. */
+  private def finalTreeOf(df: DataFrame): String = {
+    df.collect()
+    val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val start = full.indexOf("== Final Plan ==")
+    val end = full.indexOf("== Initial Plan ==")
+    if (start >= 0 && end > start) full.substring(start, end) else full
+  }
+
   test("r1: filter and projection reach the parquet scan") {
     val plan = planOf(Relational.r1FilteredScan(spark, sf))
     assert(plan.contains("PushedFilters:"), "expected scan pushdown section")
@@ -352,10 +367,18 @@ class PlanAuditSpec extends GraftSpec {
 
   test("q15/q17: view-then-max and correlated-average run on ONE fact scan each") {
     // the naive subquery forms scan lineitem twice (once for the
-    // aggregate, once for the probe); the window rewrites must not
-    val q15 = planOf(Analytics.q15TopSupplier(spark, sf))
-    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(q15).size == 2, // lineitem + supplier
+    // aggregate, once for the probe); the rewrites must not
+    val q15 = finalTreeOf(Analytics.q15TopSupplier(spark, sf))
+    assert("Scan parquet".r.findAllIn(q15).size == 2, // lineitem + supplier
       s"q15 must scan lineitem once and supplier once:\n$q15")
+    // the global max must NOT be an empty-frame window (it would funnel
+    // the |suppliers|-sized view through one task's sort at 100 TB);
+    // it rides a broadcast 1-row aggregate whose per-suppkey shuffle is
+    // shared with the view via ReuseExchange
+    assert(!q15.contains("Window"),
+      s"q15 must not compute the max with an unpartitioned window:\n$q15")
+    assert(q15.contains("ReusedExchange"),
+      s"q15's view and its max must share the per-suppkey shuffle:\n$q15")
     val q17 = planOf(Analytics.q17SmallQtyRevenue(spark, sf))
     assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(q17).size == 1,
       s"q17 must scan lineitem exactly once:\n$q17")
@@ -463,11 +486,18 @@ class PlanAuditSpec extends GraftSpec {
   }
 
   test("q11: the global total rides the aggregated per-part view — one fact scan") {
-    val plan = planOf(Analytics.q11ImportantStock(spark, sf))
-    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 3, // lineitem+supplier+nation
+    // sf0.01: at sf0.001 the nation slice is empty and AQE collapses
+    // the whole tree to EmptyRelation, leaving no shape to audit
+    val plan = finalTreeOf(Analytics.q11ImportantStock(spark, "/root/testdata/sf0.01"))
+    assert("Scan parquet".r.findAllIn(plan).size == 3, // lineitem+supplier+nation
       s"the HAVING scalar must not re-scan the fact:\n$plan")
-    assert("(?m)^\\(\\d+\\) Window".r.findAllIn(plan).size == 1,
-      s"the global total should be one empty-frame window over the view:\n$plan")
+    // no unpartitioned window over the fact-derived per-part view — the
+    // global total is a broadcast 1-row aggregate, and its per-partkey
+    // shuffle is shared with the view via ReuseExchange
+    assert(!plan.contains("Window"),
+      s"q11 must not compute the total with an unpartitioned window:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"q11's view and its total must share the per-partkey shuffle:\n$plan")
   }
 
   test("q12: date window and flag filter push to the fact scan; both counts ride one join") {
