@@ -87,7 +87,7 @@ object Bench {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val errs = results.collect { case (k, _, Some(e)) =>
-        "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        "\"" + k + "\":\"" + JsonUtil.escape(e) + "\""
       }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${results.count(_._3.isDefined)},"passes":$passes,"runs_requested":$runsReq,"partial":$partial,"sf":"$sfDir"}"""

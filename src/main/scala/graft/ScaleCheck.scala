@@ -111,7 +111,7 @@ object ScaleCheck {
     }
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k + "\":\"" + JsonUtil.escape(v) + "\""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_check","value":${times.values.sum},"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errs.size},"replicas":$Replicas,"base":"$srcDir","build_sec":$buildSec,"d6_rounds_base":$d6RoundsBase,"d6_rounds_scaled":$d6RoundsScaled}""")
     spark.stop()

@@ -269,6 +269,21 @@ object Similarity {
       .take(8).map("%02x".format(_)).mkString
   }
 
+  /** Per-root JVM-wide monitors: FileChannel.lock() serializes across
+    * PROCESSES but throws OverlappingFileLockException for a second
+    * acquirer in the SAME JVM — and sbt runs suites in parallel inside
+    * one forked JVM, so concurrent cold-start callers (Similarity /
+    * PlanAudit / Dedup specs) must serialize here BEFORE touching the
+    * OS lock. */
+  private val buildMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Age an orphaned old-fingerprint root must reach before vacuum:
+    * deletion is deferred so a concurrent process still probing the
+    * OLD corpus's index (the consistency annRoot promises) finishes
+    * before its files disappear. */
+  private val VacuumGraceMs = 30L * 60 * 1000
+
   private[graft] def ensureAnnIndex(s: SparkSession, dir: String): String = {
     import graft.sources.AtomicPublish
     val root = annRoot(dir)
@@ -276,13 +291,17 @@ object Similarity {
       // Cross-process build fence: the root is durable and shared, so
       // two JVMs racing here (a bench and a verify run, say) must not
       // interleave stagings of the same version number. An OS file
-      // lock serializes local builders; the committed pointer is
-      // re-checked under the lock, so the race's loser READS the
-      // winner's index instead of rebuilding. On a cluster the same
-      // role is played by a lease / conditional PUT on the pointer.
+      // lock serializes local builders (same-JVM callers serialize on
+      // the per-root monitor first — see buildMonitors); the committed
+      // pointer is re-checked under the lock, so the race's loser
+      // READS the winner's index instead of rebuilding. On a cluster
+      // the same role is played by a lease / conditional PUT on the
+      // pointer.
       import java.nio.file.{Files, Paths, StandardOpenOption}
       val rootPath = Paths.get(root)
       Files.createDirectories(rootPath)
+      val monitor = buildMonitors.computeIfAbsent(root, _ => new Object)
+      monitor.synchronized {
       val ch = java.nio.channels.FileChannel.open(
         rootPath.resolve("build.lock"),
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)
@@ -291,16 +310,20 @@ object Similarity {
         try {
           if (AtomicPublish.currentVersion(s, root).isEmpty) {
             // a regenerated corpus orphans the previous fingerprint's
-            // root — drop those inert siblings so the durable base
-            // stays bounded by live corpora
+            // root — vacuum those inert siblings LAZILY (age-based
+            // grace, like cleanStale) so the durable base stays
+            // bounded by live corpora without yanking files from a
+            // reader still probing the old corpus's index
             val fn = rootPath.getFileName.toString
             val prefix = fn.substring(0, fn.lastIndexOf('-') + 1)
+            val cutoff = System.currentTimeMillis() - VacuumGraceMs
             val siblings = Files.list(rootPath.getParent)
             try {
               import scala.jdk.CollectionConverters._
               siblings.iterator().asScala
                 .filter(p => p.getFileName.toString.startsWith(prefix) &&
-                  p.getFileName.toString != fn)
+                  p.getFileName.toString != fn &&
+                  Files.getLastModifiedTime(p).toMillis < cutoff)
                 .foreach(graft.TmpRoots.deleteTree)
             } finally siblings.close()
             val e = corpus(s, dir)
@@ -321,6 +344,7 @@ object Similarity {
           }
         } finally lock.release()
       } finally ch.close()
+      }
     }
     root
   }

@@ -290,9 +290,21 @@ object TextAnalysis {
     * output sort) — the round-6 fused-explode form still shuffled
     * every (doc, gram) count row twice; this shuffles nothing. Counts
     * are bit-identical to the exploded form (same whitespace split),
-    * so the oracle is unchanged. */
+    * so the oracle is unchanged. NULL-text semantics are pinned by
+    * the explicit filter below: such docs are DROPPED, matching the
+    * retired posexplode form (whose explode produced no rows for
+    * them) — without the filter, the kernel's nullSafeEval would keep
+    * the row with an all-null digest struct (TextMultimodalSpec's
+    * null-text case locks this in). */
   def t14Repetition(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    repetitionOf(Tables.documents(s, dir))
+
+  /** t14 core on an arbitrary (doc_id, text) frame; factored out so
+    * the spec can drive it with synthetic documents (incl. NULL
+    * text). */
+  private[graft] def repetitionOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull) // dropped, as the exploded form did
       .select(col("doc_id"),
         org.apache.spark.sql.graft.RepetitionStatsExpr
           .repetitionStats(col("text")).as("r"))

@@ -220,6 +220,20 @@ class TextMultimodalSpec extends GraftSpec {
     assert(kernel == reference, "kernel digests diverged from the aggregate form")
   }
 
+  test("t14 drops null-text docs, matching the retired exploded form") {
+    // the posexplode form dropped null-text docs (explode of a null
+    // array yields no rows); the kernel alone would keep the row with
+    // an all-null digest struct — t14's explicit filter pins the
+    // dropped-row semantics, and this case keeps it pinned
+    import spark.implicits._
+    val docs = Seq((0L, Option("a b a")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionOf(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L),
+      "null-text doc must be dropped, not kept with null digests")
+    assert(out.head.getLong(1) == 3L) // n_words of the surviving doc
+  }
+
   test("m4 binaryFile ingest round-trips every sampled doc byte-for-byte") {
     val rows = Multimodal.m4BinaryIngest(spark, sf).collect()
     assert(rows.length == Multimodal.BinaryIngestDocs)
