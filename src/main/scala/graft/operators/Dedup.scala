@@ -426,6 +426,26 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d9_substring_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |occ AS (SELECT doc_id, i AS pidx,
+        |    array_to_string(ws[(i*$PassageWords+1):(i*$PassageWords+$PassageWords)], ' ') AS passage,
+        |    len(ws[(i*$PassageWords+1):(i*$PassageWords+$PassageWords)]) AS plen
+        |  FROM w, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(ceil(len(ws)/$PassageWords.0) AS INT)-1)) AS i) g(i)),
+        |per AS (SELECT passage, COUNT(*) AS n_occ, MIN(doc_id) AS fdoc
+        |  FROM occ GROUP BY passage),
+        |perf AS (SELECT per.passage, per.n_occ, per.fdoc, MIN(occ.pidx) AS fidx
+        |  FROM per JOIN occ ON occ.passage = per.passage AND occ.doc_id = per.fdoc
+        |  GROUP BY per.passage, per.n_occ, per.fdoc)
+        |SELECT occ.doc_id, COUNT(*) AS n_passages,
+        |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+        |  CAST(SUM(CASE WHEN n_occ > 1 AND NOT (occ.doc_id = fdoc AND occ.pidx = fidx)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  round(SUM(CASE WHEN n_occ > 1 AND NOT (occ.doc_id = fdoc AND occ.pidx = fidx)
+        |    THEN plen ELSE 0 END) / CAST(SUM(plen) AS DOUBLE), 6) AS masked_word_frac
+        |FROM occ JOIN perf ON occ.passage = perf.passage
+        |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin,
     "d8_incremental_dedup" ->
       """WITH batch AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
         |    FROM documents WHERE doc_id % 7 = 0 GROUP BY md5(text)),
@@ -512,7 +532,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Words per passage window for [[d9SubstringDedup]]. `final` without
+    * a type annotation = compile-time constant, so the `oracles` val
+    * (declared earlier in this object) inlines 20 instead of reading a
+    * not-yet-initialized field as 0. */
+  final val PassageWords = 20
+
+  /** d9 core on an arbitrary (doc_id, text) frame; factored out so the
+    * spec can drive it with planted passages. */
+  private[graft] def substringDedup(docs: DataFrame): DataFrame = {
+    // one occurrence row per consecutive PassageWords-word window
+    // (last window may be shorter); linear in corpus words / P
+    val occ = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          ceil(size(col("ws")) / lit(PassageWords.toDouble)).cast("int") - 1),
+        i => slice(col("ws"), i * PassageWords + 1, lit(PassageWords)))))
+      // only the 64-bit passage hash shuffles, never the passage text
+      // (d2's width argument: a collision perturbs one count by 1)
+      .select(col("doc_id"), col("pos").as("pidx"),
+        xxhash64(concat_ws(" ", col("col"))).as("ph"),
+        size(col("col")).as("plen"))
+    // per-passage occurrence count + global first occurrence, both
+    // partial-aggregable (min over a (doc_id, pidx) struct)
+    val per = occ.groupBy(col("ph"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pidx"))).as("first"))
+    val masked = col("n_occ") > 1 &&
+      !(col("doc_id") === col("first.doc_id") && col("pidx") === col("first.pidx"))
+    occ.join(per, Seq("ph"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"),
+        sum(when(masked, 1L).otherwise(0L)).as("n_masked"),
+        round(sum(when(masked, col("plen")).otherwise(0)).cast("double") /
+          sum(col("plen")), 6).as("masked_word_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** d9: passage-level (substring) dedup — the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * family: repeated PASSAGES inside otherwise-unique documents
+    * (boilerplate, licenses, templated spans) are the contamination
+    * d1–d8's whole-document grain cannot see. Documents split into
+    * consecutive [[PassageWords]]-word windows; a window occurring
+    * more than once corpus-wide is a duplicated passage, and every
+    * occurrence EXCEPT the global first (min (doc_id, idx) — Lee et
+    * al.'s keep-one policy) is masked. Output is the per-document
+    * mask profile: window count, duplicated/masked counts, and the
+    * masked word fraction. Scale shape: occurrence rows are linear in
+    * corpus words ÷ P; the per-passage count and the occurrence⋈count
+    * join both hash-partition on the 64-bit window hash (the two
+    * sides share one exchange via AQE reuse), so nothing is all-pairs
+    * and no passage text ever shuffles. */
+  def d9SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedup(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_substring_dedup" -> (d9SubstringDedup _),
     "d8_incremental_dedup" -> (d8IncrementalDedup _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),

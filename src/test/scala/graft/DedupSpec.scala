@@ -37,6 +37,42 @@ class DedupSpec extends GraftSpec {
     assert(out.length == minPerHash.keySet.diff(hist).size)
   }
 
+  test("d9: planted repeated passages are masked everywhere except their first occurrence") {
+    import spark.implicits._
+    // 60 words = 3 windows of PassageWords(=20). The boilerplate
+    // passage occupies doc 1's window 0, doc 3's window 2, and doc
+    // 4's windows 0 AND 1 — the global first (doc 1, idx 0) is kept,
+    // the other three occurrences masked. docs 0/2 share nothing.
+    val bp = (1 to Dedup.PassageWords).map(i => s"bp$i").mkString(" ")
+    def junk(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      0L -> junk("a", 60),
+      1L -> s"$bp ${junk("b", 40)}",
+      2L -> junk("c", 60),
+      3L -> s"${junk("d", 40)} $bp",
+      4L -> s"$bp $bp ${junk("e", 20)}").toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(out(0L) == ((3L, 0L, 0L, 0.0)))
+    assert(out(2L) == ((3L, 0L, 0L, 0.0)))
+    // doc 1 owns the first occurrence: duplicated but NOT masked
+    assert(out(1L) == ((3L, 1L, 0L, 0.0)))
+    // doc 3's copy is masked: 20 of its 60 words
+    assert(out(3L) == ((3L, 1L, 1L, 0.333333)))
+    // doc 4 repeats it twice, both masked (keep-one is global)
+    assert(out(4L) == ((3L, 2L, 2L, 0.666667)))
+  }
+
+  test("d9 on a passage-unique corpus masks nothing") {
+    import spark.implicits._
+    val docs = (0L to 9L).map(d =>
+      d -> (1 to 50).map(i => s"w${d}_$i").mkString(" ")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs).collect()
+    assert(out.length == 10)
+    assert(out.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+  }
+
   test("d3 minhash-LSH recovers all exact-Jaccard >= 0.8 pairs") {
     val exact = Dedup.d2NgramJaccard(spark, sf)
       .filter(col("jaccard") >= 0.8)
