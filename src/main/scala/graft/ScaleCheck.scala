@@ -113,7 +113,7 @@ object ScaleCheck {
     val es = errs.map { case (k, v) =>
       "\"" + k + "\":\"" + JsonUtil.escape(v) + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_check","value":${times.values.sum},"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errs.size},"replicas":$Replicas,"base":"$srcDir","build_sec":$buildSec,"d6_rounds_base":$d6RoundsBase,"d6_rounds_scaled":$d6RoundsScaled}""")
+    println(s"""{"metric":"scale_check","value":${times.values.sum},"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errs.size},"replicas":$Replicas,"base":"$srcDir","build_sec":$buildSec,"d6_rounds_base":$d6RoundsBase,"d6_rounds_scaled":$d6RoundsScaled,"commit":"${JsonUtil.gitHead()}","scanned_at":"${JsonUtil.nowIso()}"}""")
     spark.stop()
   }
 }

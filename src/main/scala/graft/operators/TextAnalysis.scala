@@ -244,6 +244,99 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Merges the t18 `queries` entry trains (bench-scale cap; the
+    * BpeTrainSpec trains to CONVERGENCE and byte-matches the frozen
+    * [[org.apache.spark.sql.graft.BpeVocab.merges]] array). */
+  val BenchTrainMerges = 16
+
+  /** t18 core: in-engine distributed BPE merge-table training
+    * (Sennrich et al. 2016) — the loop that PRODUCED the frozen
+    * BpeVocab.merges array, now owned by the engine so a user can
+    * retrain the tokenizer on the corpus they just curated. Shape:
+    *  - The ONLY corpus-scale step is the word-frequency aggregate
+    *    (map-side combined count per word). Everything after runs on
+    *    the weighted VOCABULARY table — bounded by distinct words,
+    *    not corpus bytes, exactly like d8's hash index.
+    *  - Each round: one partial-aggregable pair-count aggregate over
+    *    adjacent symbol pairs (weighted by word freq), a 1-row argmax
+    *    collect (count desc, pair lexicographic asc — bounded
+    *    metadata, the indexCells pattern), then a fold-merge
+    *    projection applying the winner left-to-right non-overlapping
+    *    (`aggregate()` over the symbol array — same greedy semantics
+    *    as BpeUtil.encodeWord's apply loop).
+    *  - Lineage truncates per round via localCheckpoint (d6's
+    *    iterate discipline); the previous round's checkpoint is
+    *    unpersisted so state is one vocab copy, not O(rounds).
+    * Stop rule matches the offline trainer: no adjacent pair occurs
+    * twice (weighted). At production vocab sizes (30k–100k merges)
+    * the round count dominates and a real trainer batches rounds
+    * with incremental pair-count maintenance — the per-round
+    * aggregates here are the building block, not the final word. */
+  private[graft] def trainBpeMerges(docs: DataFrame, maxMerges: Int): Seq[(String, String)] = {
+    // words → char symbols with </w> on the last (the Sennrich split)
+    val chars = split(col("w"), "")
+    val syms0 = concat(
+      slice(chars, lit(1), size(chars) - 1),
+      array(concat(element_at(chars, -1), lit("</w>"))))
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), syms0.as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.size < maxMerges) {
+      val top = vocab.filter(size(col("syms")) > 1)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .filter(col("n") >= 2) // the offline stop rule: no pair twice
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        // left-to-right non-overlapping merge of (a,b) → ab: a greedy
+        // fold — merge iff the accumulator's LAST symbol is `a` (and
+        // was not itself just produced by this merge, which the fold
+        // guarantees because the merged symbol is `ab`, not `a`)
+        val fold = aggregate(col("syms"), array().cast("array<string>"),
+          (acc, s0) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && s0 === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(s0))))
+        val next = vocab.select(col("freq"), fold.as("syms")).localCheckpoint()
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** t18: distributed BPE tokenizer training as a query — the first
+    * [[BenchTrainMerges]] merges trained from the corpus, as
+    * (merge_idx, left, right) rows. rows-only: the training loop is
+    * iterative (not SQL-expressible); BpeTrainSpec's check is
+    * STRONGER than a DuckDB mirror — trained to convergence on the
+    * sf0.01 corpus, the output byte-matches the independently
+    * committed BpeVocab.merges array all 93 rows, which also keeps
+    * t10's reference-encoder spec binding against the trained
+    * table. */
+  def t18BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainBpeMerges(Tables.documents(s, dir), BenchTrainMerges)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("merge_idx", "left", "right")
+      .orderBy("merge_idx")
+  }
+
   /** t12: text normalization — the first step of every dedup/prep
     * pipeline: lowercase, collapse runs of whitespace, trim. Pure
     * codegen'd builtins, linear scan, no shuffle; emitting both the
@@ -609,5 +702,6 @@ object TextAnalysis {
     "t14_repetition" -> (t14Repetition _),
     "t15_decontaminate" -> (t15Decontaminate _),
     "t16_tfidf" -> (t16TfIdf _),
-    "t17_surprisal" -> (t17Surprisal _))
+    "t17_surprisal" -> (t17Surprisal _),
+    "t18_bpe_train" -> (t18BpeTrain _))
 }

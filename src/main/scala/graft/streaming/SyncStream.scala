@@ -170,6 +170,37 @@ object SyncStream {
       }
       .start()
 
+  case class StreamHealth(batch_id: Long, n_input_rows: Long,
+      max_event_time: Option[String], watermark: Option[String],
+      watermark_lag_ms: Option[Long], state_rows: Long,
+      dropped_late_rows: Long)
+
+  /** Row 146: streaming observability — the per-micro-batch health
+    * frame an operator of the reference's poll-sync loop
+    * (server.mjs:129-142, surfaced there as sync_status) asks for in
+    * production: watermark lag (how far event time runs ahead of the
+    * watermark), state size, and DROPPED LATE ROWS (data quietly
+    * discarded because it arrived behind the watermark — the silent
+    * failure mode of every watermarked pipeline). Derived entirely
+    * from Spark's own StreamingQueryProgress feed (bounded: one row
+    * per retained progress entry), so it costs the pipeline nothing
+    * and works identically on any cluster. An epoch-0 watermark means
+    * "not yet established" and is reported as None rather than as an
+    * absurd lag. */
+  def progressMetrics(s: SparkSession, q: StreamingQuery): Dataset[StreamHealth] = {
+    import s.implicits._
+    def ms(iso: String): Long = java.time.Instant.parse(iso).toEpochMilli
+    q.recentProgress.toSeq.map { p =>
+      def field(k: String): Option[String] =
+        Option(p.eventTime.get(k)).filter(_.nonEmpty)
+      val wm = field("watermark").filter(ms(_) > 0L)
+      val lag = for (m <- field("max"); w <- wm) yield ms(m) - ms(w)
+      StreamHealth(p.batchId, p.numInputRows, field("max"), wm, lag,
+        p.stateOperators.map(_.numRowsTotal).sum,
+        p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+    }.toDS()
+  }
+
   val oracles: Map[String, String] = Map(
     "st2_session_window" ->
       // gap sessionization; >= mirrors Spark's half-open [start,

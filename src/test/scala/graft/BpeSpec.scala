@@ -108,6 +108,28 @@ class BpeSpec extends GraftSpec {
       "packByCost(whitespace) must reproduce t9 bin-for-bin")
   }
 
+  test("t18: in-engine training to convergence byte-matches the frozen merge table") {
+    // The frozen BpeVocab.merges array was trained OFFLINE by the
+    // public Sennrich algorithm on the sf0.01 documents corpus; the
+    // distributed trainer must reproduce it exactly — every merge,
+    // in order — which also keeps every t10 encoder spec binding
+    // against the trained (not just committed) table.
+    val trained = TextAnalysis.trainBpeMerges(
+      Tables.documents(spark, "/root/testdata/sf0.01"), Int.MaxValue)
+    assert(trained == BpeVocab.merges.toSeq,
+      s"trained ${trained.length} merges vs frozen ${BpeVocab.merges.length}; " +
+        s"first diff at ${trained.zip(BpeVocab.merges).indexWhere(p => p._1 != p._2)}")
+  }
+
+  test("t18 queries entry emits the first BenchTrainMerges merges in order") {
+    val rows = TextAnalysis.t18BpeTrain(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == TextAnalysis.BenchTrainMerges)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == i)
+      assert((r.getString(1), r.getString(2)) == BpeVocab.merges(i))
+    }
+  }
+
   test("t10 is deterministic and counts match unit arrays") {
     val a = TextAnalysis.t10BpeTokens(spark, sf).collect()
     val b = TextAnalysis.t10BpeTokens(spark, sf).collect()

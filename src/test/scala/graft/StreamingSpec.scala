@@ -33,6 +33,48 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("row 146: progress metrics count dropped late rows and surface watermark lag") {
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    // sliding windows: a true event-time-windowed aggregate, so the
+    // watermark actually FILTERS late rows (st1's date_trunc grouping
+    // has no window column for the watermark to act on)
+    val q = SyncStream.streamingSlidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("health").outputMode("append").start()
+    try {
+      // batch 1 establishes event time; batch 2 advances the watermark
+      // to max(batch 1) - 10 min = minute 50, then to minute 80
+      input.addData(ev(1, 0, 1), ev(2, 60, 1))
+      q.processAllAvailable()
+      input.addData(ev(3, 90, 2))
+      q.processAllAvailable()
+      // batch 3: minute 5's every sliding window ends by minute 60 —
+      // behind the watermark, silently dropped by the stateful
+      // aggregate; the health frame must say so
+      input.addData(ev(4, 5, 1), ev(5, 95, 2))
+      q.processAllAvailable()
+      // progress entries are posted asynchronously after the batch
+      // commits — poll the health frame until the late-row drop lands
+      def healthNow() = SyncStream.progressMetrics(spark, q).collect()
+      val deadline = System.nanoTime + 20L * 1000 * 1000 * 1000
+      while (System.nanoTime < deadline &&
+        healthNow().map(_.dropped_late_rows).sum < 1) Thread.sleep(200)
+      val health = healthNow()
+      assert(health.nonEmpty)
+      assert(health.map(_.dropped_late_rows).sum >= 1,
+        s"late row not counted (${q.recentProgress.length} progress entries): " +
+          health.mkString("\n"))
+      // once established, the watermark trails max event time: lag >= 0
+      val lags = health.flatMap(_.watermark_lag_ms)
+      assert(lags.nonEmpty && lags.forall(_ >= 0L), s"lags: ${lags.toSeq}")
+      // the windowed aggregate holds open-window state
+      assert(health.map(_.state_rows).max >= 1)
+      // batches before any watermark report None, never epoch-0 lag
+      assert(health.forall(h => h.watermark_lag_ms.forall(_ < 24L * 3600 * 1000)))
+    } finally q.stop()
+  }
+
   test("row 89: streaming session windows merge and close like the batch form") {
     implicit val sqlc = spark.sqlContext
     import spark.implicits._
