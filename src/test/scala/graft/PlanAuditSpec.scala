@@ -555,6 +555,66 @@ class PlanAuditSpec extends GraftSpec {
         s"not a data filter:\n$plan")
   }
 
+  test("AQE splits a deliberately skewed shuffle-join partition at runtime") {
+    // SURVEY §5's fact-fact skew policy, MEASURED: j4's manual salting
+    // is the explicit tool for KNOWN hot keys; for the rest, AQE's
+    // runtime skew-join split is the backstop. This pins that the
+    // backstop actually fires: one key owns ~90% of the left side, so
+    // its shuffle partition exceeds the (test-lowered) skew threshold
+    // and the final adaptive plan must show the SMJ marked skew=true
+    // with the hot partition split into multiple reader slices.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // the payload must (a) survive column pruning — the aggregate
+      // reads it — and (b) be incompressible — md5 digests — because
+      // skew detection runs on the COMPRESSED map-output sizes; a
+      // constant hot key with no payload compresses below any
+      // threshold and never looks skewed
+      val left = spark.range(0, 120000).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(pmod(col("id"), lit(31)) + 1).as("k"),
+        md5(col("id").cast("string")).as("pad"))
+      val right = spark.range(0, 32).select(col("id").as("k"),
+        concat(lit("r"), col("id").cast("string")).as("rv"))
+      val joined = left.join(right, "k").groupBy(col("rv"))
+        .agg(count(lit(1)).as("n"), max(col("pad")).as("mx"))
+      joined.collect()
+      val full = joined.queryExecution.explainString(
+        ExplainMode.fromString("formatted"))
+      val start = full.indexOf("== Final Plan ==")
+      val end = full.indexOf("== Initial Plan ==")
+      val tree = if (start >= 0 && end > start) full.substring(start, end) else full
+      assert(tree.contains("SortMergeJoin") || tree.contains("ShuffledHashJoin"),
+        s"fixture must produce a shuffle join:\n$tree")
+      assert(full.contains("skew=true"),
+        s"AQE did not mark the hot-key join skewed:\n$full")
+      // and the hot partition was actually SPLIT: pull the skew metrics
+      // off the final plan's AQE reads (query stages are leaves — their
+      // subtrees live in .plan, so the walk must descend explicitly)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+      def reads(p: SparkPlan): Seq[AQEShuffleReadExec] = p.collect {
+        case r: AQEShuffleReadExec => Seq(r)
+        case q: QueryStageExec => reads(q.plan)
+      }.flatten
+      val adaptive = joined.queryExecution.executedPlan.collectFirst {
+        case a: AdaptiveSparkPlanExec => a }.get
+      val skewSplits = reads(adaptive.executedPlan)
+        .flatMap(_.metrics.get("numSkewedSplits")).map(_.value).sum
+      assert(skewSplits >= 2,
+        s"expected the hot partition split into multiple reader slices, got $skewSplits")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q19: part joins as a broadcast; the disjunctive filter never degrades the join") {
     val plan = planOf(Analytics.q19DisjunctiveJoin(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"part side must broadcast:\n$plan")
