@@ -81,8 +81,26 @@ object Dedup {
     // caller owns the terminal action), pinning executor storage for
     // the session. Checkpoint blocks are freed by the ContextCleaner
     // once the returned plan is unreachable — reuse without the leak.
+    //
+    // The explicit repartition(sh) before the checkpoint is a measured
+    // scale fix, not decoration. The in-row-dedup kernel removed the
+    // corpus-wide DISTINCT — and with it the shuffle that used to
+    // SPREAD the shingle frame across the cluster, so the checkpoint
+    // inherited the raw scan's partitioning (ONE partition for a
+    // small-file corpus; at sf1 the whole 2.6M-row frame sat in one
+    // block and the 44M-pair self-join inherited starved parallelism:
+    // 66 s vs the old path's 19 s). Hash-partitioning on the join key
+    // restores the spread AND — because localCheckpoint preserves
+    // output partitioning — lets BOTH sides of the self-join read
+    // co-partitioned blocks with no further exchange. Explicit
+    // partition count: a bare repartition(col) is subject to AQE
+    // coalescing, which at this frame's byte size would fold it back
+    // to one partition and resurrect the regression.
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val sh = capByDf(shingles(s, dir)
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))).localCheckpoint()
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh")))
+      .repartition(nPart, col("sh"))
+      .localCheckpoint()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

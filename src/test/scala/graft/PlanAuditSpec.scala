@@ -461,6 +461,19 @@ class PlanAuditSpec extends GraftSpec {
       s"per-doc dedup must not shuffle (doc, shingle) rows:\n$plan")
   }
 
+  test("d2: the candidate self-join reads the hash(sh)-partitioned checkpoint, no re-exchange") {
+    // The r8 sf1 regression in reverse: the in-row-dedup kernel removed
+    // the corpus DISTINCT and with it the shuffle that spread the
+    // shingle frame, so the checkpoint inherited raw-scan partitioning
+    // and the 44M-pair self-join ran starved (66 s vs 19 s at sf1).
+    // The fix repartitions on sh BEFORE the checkpoint; since
+    // localCheckpoint preserves output partitioning, the self-join must
+    // now show NO hashpartitioning(sh) exchange at all.
+    val plan = planOf(Dedup.d2NgramJaccard(spark, sf))
+    assert(detailIds(plan, "Exchange", "Arguments: hashpartitioning\\(sh").isEmpty,
+      s"self-join must reuse the checkpoint's sh-partitioning:\n$plan")
+  }
+
   test("t16/t17: the shared term-freq frame is kernel-computed — no token-stream shuffle") {
     val plan = planOf(TextAnalysis.t16TermFreq(spark, sf))
     assert(plan.contains("graft_term_freqs"),
