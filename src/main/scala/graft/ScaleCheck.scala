@@ -39,12 +39,17 @@ object ScaleCheck {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  /** The 10 most expensive queries of the round-7 sf0.1 bench. */
+  /** The 10 most expensive queries of the round-7 sf0.1 bench plus the
+    * round-7/8 newcomers — the set the committed SCALECHECK_sf1.json
+    * was measured over, so the artifact reproduces with no env vars. */
   val DefaultQueries = Seq(
     "d6_dedup_clusters", "prof1_column_profile", "k12_user_erasure",
     "k13_incremental_rollup", "d2_ngram_jaccard", "pipe3_publish_corpus",
     "a5_percentiles", "k5_merge_upsert", "k6_compaction",
-    "s4_nested_roundtrip")
+    "s4_nested_roundtrip",
+    "d9_substring_dedup", "t18_bpe_train", "q8_market_share",
+    "q11_important_stock", "q12_priority_lines", "q20_excess_shippers",
+    "q15_top_supplier", "prof1b_approx_profile", "m4_binary_ingest")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {
