@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality filtering for LLM training-data pipelines (SURVEY §2
+  * rows 147-148): the Gopher rule-set document filter (Rae et al. 2021,
+  * "Scaling Language Models: Methods, Analysis & Insights from Training
+  * Gopher", appendix A1.1) and deterministic importance sampling.
+  *
+  * Both are single-scan, row-local expression pipelines — zero
+  * shuffles before the output ordering, fully inside whole-stage
+  * codegen, so they scale linearly with document count and survive a
+  * 100 TB corpus unchanged (each row is independent; no state, no
+  * joins, no windows).
+  */
+object Quality {
+
+  /** Minimum count of required stopwords present (Gopher rule 7).
+    * Rae et al. require ≥2 of {the, be, to, of, and, that, have,
+    * with}; this corpus' synthetic vocabulary contains only "the"
+    * from that list, so the threshold is configured to 1 to keep the
+    * rule non-degenerate (the rule machinery — membership over the
+    * full 8-word list — is unchanged). */
+  val StopHitsMin = 1
+
+  /** The Gopher required-stopword list (Rae et al. 2021, A1.1). */
+  val RequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def words: Column = split(col("text"), " ")
+  private def lines: Column = split(col("text"), "\n")
+
+  /** g1: the Gopher quality rule-set, per document —
+    *   1. 50 ≤ word count ≤ 100 000
+    *   2. 3 ≤ mean word length ≤ 10
+    *   3. symbol-to-word ratio (# and …) ≤ 0.1
+    *   4. fraction of lines starting with a bullet ≤ 0.9
+    *   5. fraction of lines ending with an ellipsis ≤ 0.3
+    *   6. fraction of words with ≥1 alphabetic char ≥ 0.8
+    *   7. ≥ [[StopHitsMin]] of the 8 required stopwords present
+    * Emits the raw statistics, the failed-rule count, and the keep
+    * decision. All divisions are over guaranteed-nonzero counts
+    * (split("") = [""]), all doubles rounded to 6 for the oracle
+    * hash. Everything is a row-local codegen'd expression — the plan
+    * is scan → project → sort, nothing else. */
+  def g1GopherQuality(s: SparkSession, dir: String): DataFrame =
+    gopherStats(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** The rule-set over any (doc_id, text) frame — row-local only, no
+    * ordering (callers sort; specs plant synthetic docs). */
+  def gopherStats(docs: DataFrame): DataFrame = {
+    val nWords = size(words)
+    val nLines = size(lines)
+    val sumWordLen =
+      expr("aggregate(split(text, ' '), 0L, (a, x) -> a + length(x))")
+    val hashCount = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val ellipsisCount = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val bulletLines = size(expr(
+      "filter(split(text, '\n'), l -> l like '- %' OR l like '* %' OR l like '• %')"))
+    val ellipsisLines = size(expr(
+      "filter(split(text, '\n'), l -> l like '%...')"))
+    val alphaWords = size(expr(
+      "filter(split(text, ' '), x -> x rlike '[a-zA-Z]')"))
+    val stopHits = RequiredStopwords
+      .map(w => when(array_contains(words, w), 1).otherwise(0))
+      .reduce(_ + _)
+    val st = docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(sumWordLen.cast("double") / nWords, 6).as("mean_word_len"),
+      round((hashCount + ellipsisCount).cast("double") / nWords, 6)
+        .as("symbol_ratio"),
+      round(bulletLines.cast("double") / nLines, 6).as("bullet_frac"),
+      round(ellipsisLines.cast("double") / nLines, 6).as("ellipsis_frac"),
+      round(alphaWords.cast("double") / nWords, 6).as("alpha_frac"),
+      stopHits.as("stop_hits"))
+    val fails = Seq(
+      col("n_words") < 50 || col("n_words") > 100000,
+      col("mean_word_len") < 3 || col("mean_word_len") > 10,
+      col("symbol_ratio") > 0.1,
+      col("bullet_frac") > 0.9,
+      col("ellipsis_frac") > 0.3,
+      col("alpha_frac") < 0.8,
+      col("stop_hits") < StopHitsMin)
+      .map(c => when(c, 1).otherwise(0)).reduce(_ + _)
+    st.withColumn("n_rules_failed", fails)
+      .withColumn("keep", when(col("n_rules_failed") === 0, 1).otherwise(0))
+  }
+
+  /** imp1: deterministic importance sampling — keep each document
+    * with probability proportional to a quality weight (here: word
+    * count, saturating at 100 words → w ∈ (0, 1]), and emit the
+    * Horvitz-Thompson inverse-probability weight 1/w so downstream
+    * aggregates over the sample stay unbiased (the estimator behind
+    * every quality-weighted corpus subsample). Acceptance is the
+    * mix1 discipline (Pipeline.scala:107): a doc survives iff its
+    * salted md5's first 8 hex chars sort below the weight's 8-hex
+    * threshold — fixed-width lowercase hex order IS numeric order, so
+    * the same docs survive on every engine, every run, and the full
+    * SQL oracle applies. The salt decorrelates acceptance from
+    * mix1/mix2/mix3's hashes. One scan, row-local filter + project,
+    * zero shuffles. */
+  def imp1ImportanceSample(s: SparkSession, dir: String): DataFrame = {
+    val w = least(lit(1.0), size(words).cast("double") / 100.0)
+    val thr = when(w >= 1.0, lit("g")) // 'g' sorts above any hex digit
+      .otherwise(lpad(lower(hex(floor(w * lit(4294967296.0)).cast("long"))), 8, "0"))
+    Tables.documents(s, dir)
+      .withColumn("w", w)
+      .filter(substring(md5(concat(lit("imp:"), col("doc_id").cast("string"))), 1, 8) < thr)
+      .select(col("doc_id"), size(words).as("n_words"),
+        round(col("w"), 6).as("weight"),
+        round(lit(1.0) / col("w"), 6).as("inv_weight"))
+      .orderBy("doc_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "g1_gopher_quality" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words,
+         |    string_split(text, chr(10)) AS lines FROM documents),
+         |st AS (SELECT doc_id,
+         |  len(words) AS n_words,
+         |  round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words), 6) AS mean_word_len,
+         |  round(CAST((length(text) - length(replace(text, '#', ''))) +
+         |    (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE) / len(words), 6) AS symbol_ratio,
+         |  round(CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS DOUBLE) / len(lines), 6) AS bullet_frac,
+         |  round(CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE) / len(lines), 6) AS ellipsis_frac,
+         |  round(CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(words), 6) AS alpha_frac,
+         |  (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END) AS stop_hits
+         | FROM w),
+         |fl AS (SELECT *,
+         |  (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+         |   + CASE WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 1 ELSE 0 END
+         |   + CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END
+         |   + CASE WHEN bullet_frac > 0.9 THEN 1 ELSE 0 END
+         |   + CASE WHEN ellipsis_frac > 0.3 THEN 1 ELSE 0 END
+         |   + CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END
+         |   + CASE WHEN stop_hits < $StopHitsMin THEN 1 ELSE 0 END) AS n_rules_failed
+         | FROM st)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+         |  ellipsis_frac, alpha_frac, stop_hits, n_rules_failed,
+         |  CASE WHEN n_rules_failed = 0 THEN 1 ELSE 0 END AS keep
+         |FROM fl ORDER BY doc_id""".stripMargin,
+    "imp1_importance_sample" ->
+      """WITH w AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS w
+        |  FROM documents)
+        |SELECT doc_id, n_words, round(w, 6) AS weight,
+        |  round(1.0 / w, 6) AS inv_weight
+        |FROM w
+        |WHERE substring(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE WHEN w >= 1.0 THEN 'g'
+        |    ELSE lpad(lower(to_hex(CAST(floor(w * 4294967296.0) AS BIGINT))), 8, '0') END
+        |ORDER BY doc_id""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_gopher_quality" -> (g1GopherQuality _),
+    "imp1_importance_sample" -> (imp1ImportanceSample _))
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Quality
+import org.apache.spark.sql.functions._
+
+/** Gopher rule-set (g1) and importance sampling (imp1) — rows 147-148.
+  * The corpus exercises rules 1/2/7; the planted docs here exercise
+  * every rule the synthetic corpus can't trip (symbols, bullets,
+  * ellipses, non-alpha words).
+  */
+class QualitySpec extends GraftSpec {
+
+  private def planted = {
+    import spark.implicits._
+    val good = ("abcd " * 30 + "the of and be " + "document " * 30).trim
+    Seq(
+      (1L, good),                                      // passes all rules
+      (2L, "the of and short text"),                   // rule 1: < 50 words
+      (3L, ("# " * 40 + "the of and " + "w " * 30).trim), // rule 3: symbol ratio
+      (4L, (Seq.fill(10)("- bullet line the of and with x y z a b c").mkString("\n"))), // rule 4
+      (5L, (Seq.fill(10)("line the of and with x y z a b c ...").mkString("\n"))),      // rule 5
+      (6L, ("12 34 !! ## 56 " * 12 + "the of and").trim), // rule 6: alpha frac
+      (7L, ("zz " * 60).trim))                         // rule 7: no stopwords
+      .toDF("doc_id", "text")
+  }
+
+  test("g1 planted docs trip exactly the intended rules") {
+    val rows = Quality.gopherStats(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Int]("keep") == 1)
+    assert(rows(2L).getAs[Int]("n_words") < 50 && rows(2L).getAs[Int]("keep") == 0)
+    assert(rows(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(rows(4L).getAs[Double]("bullet_frac") > 0.9)
+    assert(rows(5L).getAs[Double]("ellipsis_frac") > 0.3)
+    assert(rows(6L).getAs[Double]("alpha_frac") < 0.8)
+    assert(rows(7L).getAs[Int]("stop_hits") < Quality.StopHitsMin)
+    (2L to 7L).foreach(id => assert(rows(id).getAs[Int]("keep") == 0))
+  }
+
+  test("g1 stats are internally consistent on the corpus") {
+    val rows = Quality.g1GopherQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val frac = Seq("bullet_frac", "ellipsis_frac", "alpha_frac")
+        .map(c => r.getAs[Double](c))
+      frac.foreach(f => assert(f >= 0.0 && f <= 1.0))
+      assert(r.getAs[Int]("n_rules_failed") >= 0 && r.getAs[Int]("n_rules_failed") <= 7)
+      assert((r.getAs[Int]("n_rules_failed") == 0) == (r.getAs[Int]("keep") == 1))
+    }
+  }
+
+  test("imp1 keeps rate ≈ weight per stratum and inv_weight = 1/weight") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_words"))
+    val kept = Quality.imp1ImportanceSample(spark, sf)
+    // every kept doc's weight is n_words/100 capped at 1
+    kept.collect().foreach { r =>
+      val w = math.min(1.0, r.getAs[Int]("n_words") / 100.0)
+      assert(math.abs(r.getAs[Double]("weight") - math.floor(w * 1e6 + 0.5) / 1e6) < 1e-9)
+      assert(math.abs(r.getAs[Double]("inv_weight") * r.getAs[Double]("weight") - 1.0) < 1e-4)
+    }
+    // Horvitz-Thompson: sum of inv_weights over the sample estimates
+    // the corpus size; with per-doc weights ≥ 0.1 the estimator's sd
+    // is ≤ sqrt(N·9) ≈ 73 at N=600 — assert within 5 sd.
+    val n = docs.count().toDouble
+    val est = kept.agg(sum("inv_weight")).collect().head.getDouble(0)
+    assert(math.abs(est - n) < 5 * math.sqrt(n * 9.0), s"HT estimate $est vs $n")
+  }
+
+  test("imp1 is deterministic across runs") {
+    val a = Quality.imp1ImportanceSample(spark, sf).collect().map(_.toString)
+    val b = Quality.imp1ImportanceSample(spark, sf).collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+}
