@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{BpeTokens, DistinctWordNgrams, DotProduct, MinHash32, QuantizeI8, RepetitionStats, RollingFingerprint, SimHash64, TermFreqs, WordNgrams}
+import org.apache.spark.sql.graft.{BpeTokens, DistinctWordNgrams, DotProduct, MinHash32, NgramFreqs, QuantizeI8, RepetitionStats, RollingFingerprint, SimHash64, TermFreqs, WordNgrams}
 
 /** `SparkSessionExtensions` hook registering graft's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -102,6 +102,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "graft_term_freqs expects exactly 1 argument")
         TermFreqs(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ngram_freqs"),
+      new ExpressionInfo(classOf[NgramFreqs].getName, "graft_ngram_freqs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          "graft_ngram_freqs expects (text, constant n)")
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+            NgramFreqs(children.head, n)
+          case other => throw new IllegalArgumentException(
+            s"graft_ngram_freqs: n must be an integer literal, got $other")
+        }
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_repetition"),

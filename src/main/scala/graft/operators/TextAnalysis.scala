@@ -533,12 +533,122 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t19 core on an arbitrary (doc_id, text) frame — factored out so
+    * the spec can drive it with planted HTML. Order matters: script/
+    * style/comment bodies go first (their content must not survive as
+    * text), then remaining tags, then entity decode (&amp; LAST so
+    * double-escaped entities don't re-decode), then whitespace
+    * collapse. Every step is a row-local regexp/replace chain in one
+    * codegen'd projection. */
+  private[graft] def htmlExtract(docs: DataFrame): DataFrame = {
+    val noScript = regexp_replace(col("text"), "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, java.util.regex.Pattern.quote(e), r) }
+    docs.select(col("doc_id"),
+      size(expr("regexp_extract_all(text, '<[^>]*>', 0)")).as("n_tags"),
+      trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " ")).as("extracted"))
+      .withColumn("n_chars_extracted", length(col("extracted")))
+  }
+
+  /** t19: HTML boilerplate strip / text extraction — the WET-style
+    * step every web-corpus pipeline (CommonCrawl WARC→WET) runs before
+    * any quality or dedup pass: drop script/style/comment bodies,
+    * strip tags, decode the basic entities, collapse whitespace. Pure
+    * scan → project (zero shuffles, linear at any corpus size); the
+    * synthetic corpus is tag-free so the oracle pins the identity
+    * path, and the planted-HTML ScalaTest pins the extraction path. */
+  def t19HtmlExtract(s: SparkSession, dir: String): DataFrame =
+    htmlExtract(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val LmAddK = 1.0 // add-k (Laplace) smoothing constant for t20
+
+  /** t20: bigram-LM perplexity scoring (the CCNet discipline, Wenzek
+    * et al. 2020: score every document under a language model trained
+    * on the corpus, filter on perplexity; t17 is the unigram proxy,
+    * this is the real conditional-probability version). The LM is
+    * add-[[LmAddK]] smoothed: P(w₂|w₁) = (c(w₁w₂)+k) / (c(w₁)+k·V).
+    *
+    * Scale shape: per-doc bigram multiplicities are KERNEL-computed
+    * in-row (NgramFreqs — one row per (doc, bigram), not per
+    * occurrence, the t16 shuffle-mass move on the n-gram plane). The
+    * corpus bigram-count table shuffles on the bigram key and joins
+    * back to the per-doc frame on that same key (AQE reuses the
+    * exchange); the unigram table and V are vocabulary-bounded →
+    * broadcast. One doc-keyed aggregate closes. Nothing is all-pairs;
+    * every join is key-partitioned or broadcast. */
+  def t20BigramPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.NgramFreqsExpr.ngramFreqs(col("text"), 2))
+        .as("p"))
+      .select(col("doc_id"), col("p.ngram").as("bigram"), col("p.tf").as("tf"))
+      .localCheckpoint() // shared by c2 and the scoring join
+    val c2 = bg.groupBy(col("bigram")).agg(sum(col("tf")).as("c2"))
+    val c1 = Tables.documents(s, dir)
+      .select(explode(
+        org.apache.spark.sql.graft.TermFreqsExpr.termFreqs(col("text"))).as("p"))
+      .groupBy(col("p.term").as("w1")).agg(sum(col("p.tf")).as("c1"))
+    val v = c1.agg(count(lit(1)).as("vsize"))
+    bg.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(c2, Seq("bigram"))
+      .join(broadcast(c1), Seq("w1")) // vocabulary-bounded
+      .crossJoin(broadcast(v)) // 1-row bounded metadata
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (-sum(col("tf") * log((col("c2") + LmAddK) /
+          (col("c1") + lit(LmAddK) * col("vsize")))) / sum(col("tf"))).as("raw"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("raw"), 6).as("avg_nll"),
+        round(exp(col("raw")), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   private def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
   }
 
   val oracles: Map[String, String] = Map(
+    "t19_html_extract" ->
+      """WITH s1 AS (SELECT doc_id,
+        |    len(regexp_extract_all(text, '<[^>]*>')) AS n_tags,
+        |    regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x
+        |  FROM documents),
+        |s2 AS (SELECT doc_id, n_tags,
+        |    regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id, n_tags,
+        |    regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
+        |s4 AS (SELECT doc_id, n_tags,
+        |    regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s3),
+        |s5 AS (SELECT doc_id, n_tags,
+        |    replace(replace(replace(replace(replace(replace(x,
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&amp;', '&') AS x FROM s4)
+        |SELECT doc_id, n_tags,
+        |  trim(regexp_replace(x, '[ \t\r\n]+', ' ', 'g')) AS extracted,
+        |  length(trim(regexp_replace(x, '[ \t\r\n]+', ' ', 'g'))) AS n_chars_extracted
+        |FROM s5 ORDER BY doc_id""".stripMargin,
+    "t20_bigram_perplexity" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c1 AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+        |v AS (SELECT COUNT(*) AS vsize FROM c1),
+        |bg AS (SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]}
+        |    FOR i IN generate_series(1, len(t)-1)]) AS p
+        |  FROM tok WHERE len(t) >= 2),
+        |bgf AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bgf GROUP BY 1, 2),
+        |scored AS (SELECT b.doc_id,
+        |    ln((c2.c + 1.0) / (c1.c + v.vsize)) AS lp
+        |  FROM bgf b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |  JOIN c1 ON b.w1 = c1.w CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  round(-SUM(lp) / COUNT(*), 6) AS avg_nll,
+        |  round(exp(-SUM(lp) / COUNT(*)), 4) AS ppl
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t1_lang_id" -> {
       val en = sqlStopCount(stoplists("en")); val es = sqlStopCount(stoplists("es"))
       val de = sqlStopCount(stoplists("de")); val fr = sqlStopCount(stoplists("fr"))
@@ -703,5 +813,7 @@ object TextAnalysis {
     "t15_decontaminate" -> (t15Decontaminate _),
     "t16_tfidf" -> (t16TfIdf _),
     "t17_surprisal" -> (t17Surprisal _),
-    "t18_bpe_train" -> (t18BpeTrain _))
+    "t18_bpe_train" -> (t18BpeTrain _),
+    "t19_html_extract" -> (t19HtmlExtract _),
+    "t20_bigram_perplexity" -> (t20BigramPerplexity _))
 }

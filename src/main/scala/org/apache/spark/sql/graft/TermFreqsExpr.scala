@@ -71,3 +71,73 @@ object TermFreqsExpr {
   def termFreqs(c: Column): Column =
     ExpressionUtils.column(TermFreqs(ExpressionUtils.expression(c)))
 }
+
+/** Compiled per-document word n-gram frequency table — the n-gram
+  * generalization of [[TermFreqsUtil]] (n=1 produces the identical
+  * multiset): every (ngram, tf) pair of one document from one call,
+  * n-grams space-joined exactly like [[WordNgramsUtil.wordNgrams]].
+  * Downstream corpus aggregates (bigram counts, conditional LM
+  * probabilities) then move one row per (doc, ngram) instead of one
+  * row per occurrence — the same shuffle-mass reduction TermFreqs
+  * bought t16/t17, applied to the n-gram plane (t20). */
+object NgramFreqsUtil {
+  def ngramFreqs(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[String, Long](math.max(16, m * 2))
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1L, java.lang.Long.sum)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = new GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Catalyst wrapper: `graft_ngram_freqs(text, n)` →
+  * array<struct<ngram: string, tf: bigint>> in first-occurrence order. */
+case class NgramFreqs(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ngram", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_ngram_freqs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramFreqsUtil.ngramFreqs(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.NgramFreqsUtil.ngramFreqs($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramFreqsExpr {
+  def ngramFreqs(c: Column, n: Int): Column =
+    ExpressionUtils.column(NgramFreqs(ExpressionUtils.expression(c), n))
+}

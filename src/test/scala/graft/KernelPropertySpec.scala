@@ -33,6 +33,21 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("NgramFreqs equals the WordNgrams multiset, first-occurrence ordered") {
+    check(Prop.forAll(text, Gen.choose(1, 4)) { (t: String, n: Int) =>
+      val row = org.apache.spark.sql.graft.NgramFreqsUtil
+        .ngramFreqs(UTF8String.fromString(t), n)
+      val got = (0 until row.numElements()).map { i =>
+        val st = row.getStruct(i, 2)
+        st.getUTF8String(0).toString -> st.getLong(1)
+      }
+      val grams = t.split(" ", -1).sliding(n)
+        .filter(_.length == n).map(_.mkString(" ")).toSeq
+      val want = grams.distinct.map(g => g -> grams.count(_ == g).toLong)
+      got == want
+    })
+  }
+
   test("WordNgrams(n=1) reproduces the token list exactly") {
     check(Prop.forAll(text) { (t: String) =>
       WordNgramsUtil.wordNgrams(UTF8String.fromString(t), 1)

@@ -628,6 +628,29 @@ class PlanAuditSpec extends GraftSpec {
     }
   }
 
+  test("g1/t19: quality rules and HTML extraction are zero-Exchange scan-projects") {
+    // Both are row-local expression pipelines: any Exchange besides
+    // the output ordering's range partition means a shuffle crept in.
+    Seq(graft.operators.Quality.g1GopherQuality(spark, sf),
+      TextAnalysis.t19HtmlExtract(spark, sf)).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("hashpartitioning"),
+        s"only the output-sort range exchange is allowed, plan:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"),
+        s"row-local op must not join or aggregate:\n$plan")
+    }
+  }
+
+  test("t20: unigram table broadcasts; bigram joins are equi-joins, never nested loops") {
+    val plan = finalTreeOf(TextAnalysis.t20BigramPerplexity(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"vocabulary-bounded c1/V must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian allowed (V attaches via 1-row broadcast):\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"only the 1-row V crossJoin may be a BNLJ:\n$plan")
+  }
+
   test("q19: part joins as a broadcast; the disjunctive filter never degrades the join") {
     val plan = planOf(Analytics.q19DisjunctiveJoin(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"part side must broadcast:\n$plan")
