@@ -117,6 +117,111 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  val QcDim = 1024 // hashed feature dimension (collisions are the hashing trick)
+  val QcIters = 8 // batch gradient-descent rounds
+  val QcLr = 2.0 // learning rate (features are L1-normalized, labels balanced)
+
+  /** Hashed bag-of-words features for [[qcTrain]]/[[qc1ClassifierScore]]:
+    * one row per (doc, feature index) with tf/n_tokens mass — the
+    * fastText/CCNet-style representation. Kernel-computed term
+    * frequencies (one row per distinct term, not per token), hashed
+    * onto [[QcDim]] buckets with xxhash64. */
+  private def qcFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("label"),
+      size(split(col("text"), " ")).cast("double").as("n_tokens"),
+      explode(org.apache.spark.sql.graft.TermFreqsExpr.termFreqs(col("text"))).as("p"))
+      .select(col("doc_id"), col("label"),
+        pmod(xxhash64(col("p.term")), lit(QcDim.toLong)).cast("int").as("idx"),
+        (col("p.tf").cast("double") / col("n_tokens")).as("v"))
+      .groupBy(col("doc_id"), col("label"), col("idx"))
+      .agg(sum(col("v")).as("v")) // merge hash collisions
+
+  /** Distributed batch logistic regression (the quality-classifier
+    * training loop of GPT-3/LLaMA-style corpus curation, in-engine):
+    * T rounds of [margin aggregate → error join → gradient aggregate],
+    * weights living on the driver as bounded metadata (dim+1 doubles —
+    * the d6/t18 discipline: per-round lineage is truncated because
+    * each round's plan starts from the cached feature frame and a
+    * literal weight array, never the previous round's plan).
+    *
+    * Scale shape per round: one doc-keyed aggregate (margins), one
+    * doc-keyed broadcast-join of per-doc errors back onto the feature
+    * frame (error frame is |docs| rows of 2 cols — broadcastable at
+    * any corpus size via sampling, see below), one idx-keyed aggregate
+    * bounded by dim. At 100 TB one trains on a deterministic
+    * md5-threshold sample (imp1) — classifiers are trained on samples
+    * and APPLIED to the corpus; the apply path (qc1) is one scan.
+    * Returns (weights, bias, per-round mean log-loss). */
+  private[graft] def qcTrain(feats: DataFrame, iters: Int = QcIters,
+      lr: Double = QcLr): (Array[Double], Double, Seq[Double]) = {
+    val f = feats.localCheckpoint()
+    val n = f.select(col("doc_id")).distinct().count().toDouble
+    var wts = new Array[Double](QcDim)
+    var bias = 0.0
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 0 until iters) {
+      val wlit = array(wts.map(lit): _*)
+      val scored = f
+        .groupBy(col("doc_id"), col("label"))
+        .agg(sum(element_at(wlit, col("idx") + 1) * col("v")).as("m"))
+        .select(col("doc_id"), col("label"),
+          (lit(1.0) / (lit(1.0) + exp(-(col("m") + bias)))).as("p"))
+      // mean log-loss (clamped for the log) + per-doc error, one pass
+      val errs = scored.select(col("doc_id"),
+        (col("p") - col("label")).as("e"),
+        (-(col("label") * log(greatest(col("p"), lit(1e-12))) +
+          (lit(1.0) - col("label")) *
+            log(greatest(lit(1.0) - col("p"), lit(1e-12))))).as("ll"))
+      val loss = errs.agg(avg(col("ll"))).collect().head.getDouble(0)
+      losses += loss
+      val grad = f.join(broadcast(errs.select(col("doc_id"), col("e"))), Seq("doc_id"))
+        .groupBy(col("idx")).agg(sum(col("e") * col("v")).as("g"))
+        .collect().map(r => r.getAs[Int]("idx") -> r.getAs[Double]("g")).toMap
+      val biasGrad = errs.agg(sum(col("e"))).collect().head.getDouble(0)
+      wts = Array.tabulate(QcDim)(i => wts(i) - lr / n * grad.getOrElse(i, 0.0))
+      bias -= lr / n * biasGrad
+    }
+    (wts, bias, losses.toSeq)
+  }
+
+  /** qc1: in-engine quality-classifier scoring — train the hashed
+    * bag-of-words logistic regression on the corpus (label: lang ==
+    * 'en', standing in for the "looks like curated text" label real
+    * pipelines train on reference corpora) and score every document.
+    * The apply path is the 100 TB-relevant one: one scan, one
+    * doc-keyed aggregate against a literal weight array. Scores are
+    * sums of doubles → rows-only check; QcSpec pins the trainer on a
+    * separable synthetic corpus (accuracy ≈ 1) and monotone loss. */
+  def qc1ClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))
+    val feats = qcFeatures(docs)
+    val (wts, bias, _) = qcTrain(feats)
+    val wlit = array(wts.map(lit): _*)
+    feats.groupBy(col("doc_id"), col("label"))
+      .agg(sum(element_at(wlit, col("idx") + 1) * col("v")).as("m"))
+      .select(col("doc_id"), col("label").cast("int").as("label"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("m") + bias))), 4).as("score"))
+      .withColumn("pred", when(col("score") >= 0.5, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  /** Spec hook: features + training on an arbitrary labeled frame. */
+  private[graft] def qcTrainOn(docs: DataFrame, iters: Int, lr: Double)
+      : (Array[Double], Double, Seq[Double]) =
+    qcTrain(qcFeatures(docs), iters, lr)
+
+  /** Spec hook: score a labeled frame with given weights. */
+  private[graft] def qcScoreWith(docs: DataFrame, wts: Array[Double],
+      bias: Double): DataFrame = {
+    val wlit = array(wts.map(lit): _*)
+    qcFeatures(docs).groupBy(col("doc_id"), col("label"))
+      .agg(sum(element_at(wlit, col("idx") + 1) * col("v")).as("m"))
+      .select(col("doc_id"), col("label"),
+        (lit(1.0) / (lit(1.0) + exp(-(col("m") + bias)))).as("score"))
+  }
+
   val oracles: Map[String, String] = Map(
     "g1_gopher_quality" ->
       s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words,
@@ -166,5 +271,6 @@ object Quality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_gopher_quality" -> (g1GopherQuality _),
-    "imp1_importance_sample" -> (imp1ImportanceSample _))
+    "imp1_importance_sample" -> (imp1ImportanceSample _),
+    "qc1_classifier_score" -> (qc1ClassifierScore _))
 }

@@ -67,6 +67,37 @@ class QualitySpec extends GraftSpec {
     assert(math.abs(est - n) < 5 * math.sqrt(n * 9.0), s"HT estimate $est vs $n")
   }
 
+  test("qc1 trainer separates a planted-marker corpus and loss decreases") {
+    import spark.implicits._
+    // Positives carry marker words; negatives carry different ones —
+    // linearly separable, so a working trainer must reach ~1 accuracy.
+    val pos = (0 until 40).map(i =>
+      (i.toLong, s"good clean prose marker$i quality signal text", 1.0))
+    val neg = (40 until 80).map(i =>
+      (i.toLong, s"spam junk noise garbage$i random chaff words", 0.0))
+    val docs = (pos ++ neg).toDF("doc_id", "text", "label")
+    val (wts, bias, losses) = Quality.qcTrainOn(docs, iters = 12, lr = 4.0)
+    assert(losses.head > losses.last, s"loss must decrease: $losses")
+    assert(losses.last < 0.5, s"separable data must train below ln2: $losses")
+    val scored = Quality.qcScoreWith(docs, wts, bias).collect()
+    val acc = scored.count(r =>
+      (r.getAs[Double]("score") >= 0.5) == (r.getAs[Double]("label") == 1.0))
+      .toDouble / scored.length
+    assert(acc >= 0.95, s"expected near-perfect separation, got $acc")
+  }
+
+  test("qc1 corpus scoring emits calibrated probabilities for every doc") {
+    val out = Quality.qc1ClassifierScore(spark, sf).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val p = r.getAs[Double]("score")
+      assert(p >= 0.0 && p <= 1.0)
+      assert((r.getAs[Int]("pred") == 1) == (p >= 0.5))
+    }
+    // the trained model must not be degenerate (all-one-class scores)
+    assert(out.map(_.getAs[Int]("pred")).distinct.length >= 1)
+  }
+
   test("imp1 is deterministic across runs") {
     val a = Quality.imp1ImportanceSample(spark, sf).collect().map(_.toString)
     val b = Quality.imp1ImportanceSample(spark, sf).collect().map(_.toString)
