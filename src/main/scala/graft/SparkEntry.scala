@@ -21,7 +21,8 @@ object SparkEntry {
     Relational.queries ++ Analytics.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       SyncStream.queries ++ Sources.queries ++ Migrations.queries ++
-      Pipeline.queries ++ Profiling.queries ++ Quality.queries
+      Pipeline.queries ++ Profiling.queries ++ Quality.queries ++
+      Mining.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops,
@@ -31,5 +32,6 @@ object SparkEntry {
     Relational.oracles ++ Analytics.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       SyncStream.oracles ++ Sources.oracles ++ Migrations.oracles ++
-      Pipeline.oracles ++ Profiling.oracles ++ Quality.oracles
+      Pipeline.oracles ++ Profiling.oracles ++ Quality.oracles ++
+      Mining.oracles
 }

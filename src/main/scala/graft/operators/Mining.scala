@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pattern-mining analytics (SURVEY §2 rows 152-153): market-basket
+  * co-occurrence over orders and robust (median/MAD) outlier
+  * detection over the event stream — the two classic "find structure"
+  * queries a warehouse user runs after the core aggregates.
+  */
+object Mining {
+
+  val BasketMinSupport = 2 // orders a pair must co-occur in
+  val BasketTopK = 20
+
+  /** b1: market-basket pair mining — the top co-occurring part pairs
+    * across orders (the pair-counting core of frequent-itemset
+    * mining, Agrawal & Srikant 1994's A-priori first pass). NOT a
+    * self-join: each order's distinct part set is collected in-group
+    * (basket size is bounded — TPC-H orders hold ≤7 lines, and real
+    * baskets are small constants), pairs are generated in-row from
+    * the sorted array, and only (pair, 1) rows shuffle to the count.
+    * Two key-partitioned shuffles total (orderkey, then pair) versus
+    * the self-join's three; pair fan-out is quadratic only in the
+    * bounded basket size, never in the corpus. Deterministic total
+    * order (count desc, part_a, part_b) compiles to
+    * TakeOrderedAndProject — no global sort. */
+  def b1BasketPairs(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) >= 2)
+    // in-row ordered pairs of the sorted basket: (parts[i], y) for
+    // every y after position i — SQL lambdas, stays in codegen
+    baskets.select(explode(expr(
+      """flatten(transform(sequence(0, size(parts) - 2), i ->
+        |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
+        |    struct(element_at(parts, i + 1) AS part_a, y AS part_b))))""".stripMargin))
+      .as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= BasketMinSupport)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(BasketTopK)
+  }
+
+  val MadK = 3.0 // flag |value - median| > MadK * 1.4826 * MAD
+  val MadScale = 1.4826 // consistency constant: MAD ≈ sigma for normal data
+
+  /** e6: robust outlier detection per event type — median + MAD
+    * (median absolute deviation), the estimator that survives the
+    * very outliers it hunts (mean/stddev get dragged by them; a6
+    * computes those). Flags values beyond [[MadK]]·1.4826·MAD.
+    * Two exact-percentile aggregates over the (bounded, ~#types)
+    * group key, each broadcast back to the stream — the events table
+    * is scanned, never shuffled on a growing key. Exact `percentile`
+    * buffers per-group values, which is fine while each type fits an
+    * executor; the 100 TB swap is `approx_percentile` (the
+    * a7/prof1b discipline: exact form for the oracle, sketch form at
+    * scale — same plan shape). */
+  def e6MadOutliers(s: SparkSession, dir: String): DataFrame =
+    madOutliers(Tables.events(s, dir).select(col("event_type"), col("value")))
+
+  /** e6 core over any (event_type, value) frame — spec hook. */
+  private[graft] def madOutliers(ev: DataFrame): DataFrame = {
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("med")), 6).as("med"),
+        round(min(col("mad")), 6).as("mad"),
+        sum(when(col("ad") > lit(MadK * MadScale) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "b1_basket_pairs" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         |  COUNT(*) AS n_orders
+         |FROM li a JOIN li b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $BasketMinSupport
+         |ORDER BY n_orders DESC, part_a, part_b LIMIT $BasketTopK""".stripMargin,
+    "e6_mad_outliers" ->
+      s"""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+         |    FROM events GROUP BY 1),
+         |dev AS (SELECT e.event_type, e.value, abs(e.value - m.med) AS ad, m.med
+         |  FROM events e JOIN med m USING (event_type)),
+         |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+         |    FROM dev GROUP BY 1)
+         |SELECT d.event_type, COUNT(*) AS n,
+         |  round(MIN(d.med), 6) AS med, round(MIN(mad.mad), 6) AS mad,
+         |  CAST(SUM(CASE WHEN d.ad > ${MadK * MadScale} * mad.mad
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM dev d JOIN mad USING (event_type)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b1_basket_pairs" -> (b1BasketPairs _),
+    "e6_mad_outliers" -> (e6MadOutliers _))
+}

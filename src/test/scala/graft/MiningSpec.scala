@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Mining
+import org.apache.spark.sql.functions._
+
+/** Market-basket pair mining (row 152) and MAD outlier detection
+  * (row 153). b1 is recomputed brute-force from the collected
+  * lineitem table; e6's robustness claim — the estimator an injected
+  * outlier cannot drag — is tested by injecting one.
+  */
+class MiningSpec extends GraftSpec {
+
+  test("b1 pair counts match a driver-side brute-force recompute") {
+    val baskets = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    baskets.values.foreach { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        counts((parts(i), parts(j))) = counts.getOrElse((parts(i), parts(j)), 0) + 1
+    }
+    val want = counts.toSeq.filter(_._2 >= Mining.BasketMinSupport)
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(Mining.BasketTopK)
+    val got = Mining.b1BasketPairs(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("part_a"), r.getAs[Long]("part_b")),
+        r.getAs[Long]("n_orders").toInt)).toSeq
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("b1 plan has no self-join and tops out via TakeOrderedAndProject") {
+    val plan = Mining.b1BasketPairs(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"pairs must come from in-row generation, not a self-join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global sort:\n$plan")
+  }
+
+  test("e6 median/MAD shrug off an injected extreme outlier and flag it") {
+    import spark.implicits._
+    val base = (1 to 1000).map(i => ("t", i.toDouble % 100))
+    val clean = Mining.madOutliers(base.toDF("event_type", "value")).collect().head
+    val dirty = Mining.madOutliers((base :+ ("t", 1e9))
+      .toDF("event_type", "value")).collect().head
+    // robust center/scale move by at most one rank step
+    assert(math.abs(clean.getAs[Double]("med") - dirty.getAs[Double]("med")) <= 1.0)
+    assert(math.abs(clean.getAs[Double]("mad") - dirty.getAs[Double]("mad")) <= 1.0)
+    // and the injected point is flagged
+    assert(dirty.getAs[Long]("n_outliers") == clean.getAs[Long]("n_outliers") + 1)
+  }
+
+  test("e6 covers every event type with n summing to the table size") {
+    val out = Mining.e6MadOutliers(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") >= 0L)
+      assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n"))
+    }
+  }
+}
