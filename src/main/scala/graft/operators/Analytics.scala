@@ -1029,6 +1029,8 @@ object Analytics {
     auditEvents(Tables.events(s, dir))
 
   val ReservoirK = 50 // exact sample size per group
+  val WeightedSampleK = 25 // weighted sample size for s6 (declared above
+  // the oracles map — object vals initialize in declaration order)
 
   /** s5: exact-k per-group sample, deterministic — rank rows within
     * each group by a uniform hash of their id (md5: available and
@@ -1891,9 +1893,92 @@ object Analytics {
          |  CASE WHEN sd > 0 THEN round((n_events - mu) / sd, 6) END AS z,
          |  COALESCE(abs(CASE WHEN sd > 0
          |    THEN round((n_events - mu) / sd, 6) END) > 2, false) AS is_anomaly
-         |FROM s ORDER BY day""".stripMargin)
+         |FROM s ORDER BY day""".stripMargin,
+    "s6_weighted_sample" ->
+      s"""WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+         |    (CAST(CAST('0x' || substring(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 1.0) / 4294967296.0 AS u
+         |  FROM documents)
+         |SELECT doc_id, n_words, round(-ln(u) / n_words, 9) AS es_key
+         |FROM w ORDER BY es_key ASC, doc_id LIMIT $WeightedSampleK""".stripMargin,
+    "obt1_denormalize" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  round(l.l_extendedprice * (1 - l.l_discount), 4) AS revenue,
+        |  o.o_orderdate, c.c_name, cn.n_name AS cust_nation,
+        |  cr.r_name AS cust_region, p.p_name, s.s_name,
+        |  sn.n_name AS supp_nation
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)
+
+  /** s6: weighted sampling without replacement — Efraimidis &
+    * Spirakis 2006: each row gets key −ln(u)/w (u uniform from a
+    * salted md5, w = word count) and the K smallest keys ARE a
+    * weight-proportional sample without replacement. s5's uniform
+    * discipline with weights: deterministic (same winners every
+    * engine/run — the full SQL oracle applies), one scan, and the
+    * global top-K compiles to TakeOrderedAndProject (per-partition
+    * heaps, no global sort). The md5's first 8 hex chars parse to an
+    * exact-in-double 32-bit integer, so u and the key are
+    * bit-identical in both engines. */
+  def s6WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("es:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") + 1.0) /
+      4294967296.0
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"), u.as("u"))
+      .select(col("doc_id"), col("n_words"),
+        round(-log(col("u")) / col("n_words"), 9).as("es_key"))
+      .orderBy(col("es_key").asc, col("doc_id"))
+      .limit(WeightedSampleK)
+  }
+
+  /** obt1: the "One Big Table" star-schema denormalization — the
+    * dbt-era materialization every warehouse ships: lineitem widened
+    * with its order, customer geography, part, and supplier
+    * geography in one pass. Plan shape is THE star-join textbook
+    * case: every dimension (customer, part, supplier, nation×2,
+    * region) builds a broadcast hash table; orders is the one
+    * fact-sized side and joins on the shuffle; the fact table is
+    * scanned exactly once. At 100 TB this is the plan you want —
+    * one orderkey exchange, six broadcasts, no dim ever shuffled. */
+  def obt1Denormalize(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val custNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"),
+        col("n_regionkey"))
+    val custGeo = Tables.customer(s, dir)
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("c_name"), col("cust_nation"),
+        col("r_name").as("cust_region"))
+    val suppGeo = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("supp_nation"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custGeo), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppGeo), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        col("o_orderdate"), col("c_name"), col("cust_nation"),
+        col("cust_region"), col("p_name"), col("s_name"), col("supp_nation"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s6_weighted_sample" -> (s6WeightedSample _),
+    "obt1_denormalize" -> (obt1Denormalize _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_topk_revenue" -> (q3TopkRevenue _),
     "q5_region_revenue" -> (q5RegionRevenue _),

