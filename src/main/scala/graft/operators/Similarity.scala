@@ -243,110 +243,35 @@ object Similarity {
     * (test isolation); '-' cannot appear in the sanitized corpus
     * name, so it unambiguously separates name from fingerprint. */
   private[graft] def annRoot(dir: String): String = {
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
     val base = sys.props.getOrElse("graft.ann.base",
       s"${graft.GraftSession.defaultStateDir}/ann_index")
-    s"$base/$safe-${corpusFingerprint(dir)}"
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/embeddings.parquet"))
   }
-
-  private def corpusFingerprint(dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    val root = Paths.get(dir, "embeddings.parquet")
-    val entries: Seq[String] =
-      if (Files.isDirectory(root)) {
-        val st = Files.walk(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala.filter(Files.isRegularFile(_)).map(p =>
-            s"${root.relativize(p)}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
-            .toVector.sorted
-        } finally st.close()
-      } else if (Files.exists(root))
-        Seq(s"${Files.size(root)}:${Files.getLastModifiedTime(root).toMillis}")
-      else Seq("absent")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(entries.mkString("\n").getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-  }
-
-  /** Per-root JVM-wide monitors: FileChannel.lock() serializes across
-    * PROCESSES but throws OverlappingFileLockException for a second
-    * acquirer in the SAME JVM — and sbt runs suites in parallel inside
-    * one forked JVM, so concurrent cold-start callers (Similarity /
-    * PlanAudit / Dedup specs) must serialize here BEFORE touching the
-    * OS lock. */
-  private val buildMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  /** Age an orphaned old-fingerprint root must reach before vacuum:
-    * deletion is deferred so a concurrent process still probing the
-    * OLD corpus's index (the consistency annRoot promises) finishes
-    * before its files disappear. */
-  private val VacuumGraceMs = 30L * 60 * 1000
 
   private[graft] def ensureAnnIndex(s: SparkSession, dir: String): String = {
-    import graft.sources.AtomicPublish
-    val root = annRoot(dir)
-    if (AtomicPublish.currentVersion(s, root).isEmpty) {
-      // Cross-process build fence: the root is durable and shared, so
-      // two JVMs racing here (a bench and a verify run, say) must not
-      // interleave stagings of the same version number. An OS file
-      // lock serializes local builders (same-JVM callers serialize on
-      // the per-root monitor first — see buildMonitors); the committed
-      // pointer is re-checked under the lock, so the race's loser
-      // READS the winner's index instead of rebuilding. On a cluster
-      // the same role is played by a lease / conditional PUT on the
-      // pointer.
-      import java.nio.file.{Files, Paths, StandardOpenOption}
-      val rootPath = Paths.get(root)
-      Files.createDirectories(rootPath)
-      val monitor = buildMonitors.computeIfAbsent(root, _ => new Object)
-      monitor.synchronized {
-      val ch = java.nio.channels.FileChannel.open(
-        rootPath.resolve("build.lock"),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try {
-          if (AtomicPublish.currentVersion(s, root).isEmpty) {
-            // a regenerated corpus orphans the previous fingerprint's
-            // root — vacuum those inert siblings LAZILY (age-based
-            // grace, like cleanStale) so the durable base stays
-            // bounded by live corpora without yanking files from a
-            // reader still probing the old corpus's index
-            val fn = rootPath.getFileName.toString
-            val prefix = fn.substring(0, fn.lastIndexOf('-') + 1)
-            val cutoff = System.currentTimeMillis() - VacuumGraceMs
-            val siblings = Files.list(rootPath.getParent)
-            try {
-              import scala.jdk.CollectionConverters._
-              siblings.iterator().asScala
-                .filter(p => p.getFileName.toString.startsWith(prefix) &&
-                  p.getFileName.toString != fn &&
-                  Files.getLastModifiedTime(p).toMillis < cutoff)
-                .foreach(graft.TmpRoots.deleteTree)
-            } finally siblings.close()
-            val e = corpus(s, dir)
-            val refined = ivfCentroids(e)
-            import s.implicits._
-            val centroids = refined.toDF("cell_id", "cv", "cn")
-            val assignments = n3Assign(e, refined)
-            // SLIM rows: (vec_id, tbl, bkt) only — storing the vector
-            // once per hash table would multiply vector bytes
-            // ×LshTables in both the index and every probe's scan
-            // (measured 2× probe cost); probes re-attach vectors from
-            // the single-copy assignments table instead
-            val lsh = e
-              .select(col("vec_id"), explode(lshBuckets("v")).as("tb"))
-              .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-            AtomicPublish.publish(s, root, Seq(
-              "centroids" -> centroids, "assignments" -> assignments, "lsh" -> lsh))
-          }
-        } finally lock.release()
-      } finally ch.close()
-      }
+    import graft.sources.{AtomicPublish, DurableIndex}
+    // Build fence + pointer re-check + lazy sibling vacuum live in
+    // DurableIndex (shared with the text inverted index); this build
+    // callback runs at most once per root across threads/processes.
+    DurableIndex.ensure(s, annRoot(dir)) {
+      val root = annRoot(dir)
+      val e = corpus(s, dir)
+      val refined = ivfCentroids(e)
+      import s.implicits._
+      val centroids = refined.toDF("cell_id", "cv", "cn")
+      val assignments = n3Assign(e, refined)
+      // SLIM rows: (vec_id, tbl, bkt) only — storing the vector
+      // once per hash table would multiply vector bytes
+      // ×LshTables in both the index and every probe's scan
+      // (measured 2× probe cost); probes re-attach vectors from
+      // the single-copy assignments table instead
+      val lsh = e
+        .select(col("vec_id"), explode(lshBuckets("v")).as("tb"))
+        .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      AtomicPublish.publish(s, root, Seq(
+        "centroids" -> centroids, "assignments" -> assignments, "lsh" -> lsh))
     }
-    root
   }
 
   /** The committed cell set as bounded driver-side literals (≤

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inverted text index (SURVEY §2 rows 156-157): the text-search
+  * analog of the persisted ANN index — build ONCE per corpus
+  * (term → sorted posting list, published through AtomicPublish under
+  * a corpus-fingerprinted durable root, shared [[graft.sources.DurableIndex]]
+  * fence), then every boolean search reads ONLY the index parquet
+  * with the query terms pushed to the scan. At 100 TB a search
+  * touches O(postings of the query terms) — the corpus is never
+  * rescanned per query, which is the entire point of an index.
+  */
+object TextIndex {
+
+  /** The fixed conjunctive query ix2 answers (literal terms — at the
+    * API level these are the function's parameters). */
+  val QueryTerms: Seq[String] = Seq("table", "join", "fast")
+
+  private[graft] def indexRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.textindex.base",
+      s"${graft.GraftSession.defaultStateDir}/text_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet"))
+  }
+
+  /** Posting-list frame from the raw corpus: one row per (term) with
+    * document frequency and the SORTED posting list. In-row distinct
+    * terms (DistinctWordNgrams kernel) mean one row per (doc, term)
+    * enters the term-keyed aggregate — never one per token. Posting
+    * lists are per-term arrays; the pathological hot-term row (a
+    * stopword's postings ≈ the corpus) is the textbook reason real
+    * deployments shard postings by (term, block) — at this corpus'
+    * vocabulary the lists are bounded and the single-array form keeps
+    * the search join trivial. */
+  private[graft] def buildPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(
+      org.apache.spark.sql.graft.WordNgramsExpr
+        .distinctWordNgrams(col("text"), 1)).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+
+  /** Build-once: publish the postings table at the durable root. */
+  private[graft] def ensureTextIndex(s: SparkSession, dir: String): String =
+    graft.sources.DurableIndex.ensure(s, indexRoot(dir)) {
+      graft.sources.AtomicPublish.publish(s, indexRoot(dir),
+        Seq("postings" -> buildPostings(Tables.documents(s, dir))))
+    }
+
+  /** ix1: the inverted index itself — (term, df, sorted postings),
+    * read back from the PUBLISHED index (so the correctness gate
+    * exercises the durable build+read path; the oracle recomputes the
+    * same table from the raw documents). */
+  def ix1InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureTextIndex(s, dir)
+    graft.sources.AtomicPublish.readOutput(s, root, "postings")
+      .orderBy("term")
+  }
+
+  /** ix2: conjunctive boolean search (term₁ AND term₂ AND term₃) —
+    * reads ONLY the index: the IN-filter on the term key pushes to
+    * the postings scan (parquet row-group pruning at scale, the k9
+    * discipline), the ≤|query| surviving posting rows explode to
+    * (doc, term-hit) pairs, and a doc-keyed count == |query| closes
+    * the intersection. The corpus parquet appears nowhere in the
+    * plan (PlanAuditSpec pins this, like the n2/n3 no-raw-scan
+    * audit). */
+  def ix2BooleanSearch(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureTextIndex(s, dir)
+    graft.sources.AtomicPublish.readOutput(s, root, "postings")
+      .filter(col("term").isin(QueryTerms: _*))
+      .select(explode(col("postings")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"))
+      .filter(col("n_terms_hit") === QueryTerms.size)
+      .orderBy("doc_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ix1_inverted_index" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, COUNT(*) AS df,
+        |  list(doc_id ORDER BY doc_id) AS postings
+        |FROM tok GROUP BY term ORDER BY term""".stripMargin,
+    "ix2_boolean_search" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split(text, ' ')) AS term FROM documents)
+         |SELECT doc_id, COUNT(*) AS n_terms_hit
+         |FROM tok WHERE term IN ($terms)
+         |GROUP BY doc_id HAVING COUNT(*) = ${QueryTerms.size}
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ix1_inverted_index" -> (ix1InvertedIndex _),
+    "ix2_boolean_search" -> (ix2BooleanSearch _))
+}

@@ -651,6 +651,17 @@ class PlanAuditSpec extends GraftSpec {
     assert(bnlj <= 1, s"only the 1-row V crossJoin may be a BNLJ:\n$plan")
   }
 
+  test("ix2: search reads ONLY the index with the term filter pushed; corpus never scanned") {
+    graft.operators.TextIndex.ensureTextIndex(spark, sf)
+    val plan = planOf(graft.operators.TextIndex.ix2BooleanSearch(spark, sf))
+    assert(!plan.contains("documents.parquet"),
+      s"search must not rescan the raw corpus:\n$plan")
+    assert(plan.contains("text_index") || plan.contains("postings"),
+      s"search must read the persisted index:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(term.*"),
+      s"query terms must push to the index scan:\n$plan")
+  }
+
   test("q19: part joins as a broadcast; the disjunctive filter never degrades the join") {
     val plan = planOf(Analytics.q19DisjunctiveJoin(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"part side must broadcast:\n$plan")

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.TextIndex
+import org.apache.spark.sql.functions._
+
+/** Inverted index build + boolean search (rows 156-157). */
+class TextIndexSpec extends GraftSpec {
+
+  test("ix1 postings are sorted, df-consistent, and cover the corpus") {
+    val rows = TextIndex.ix1InvertedIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val postings = r.getSeq[Long](r.fieldIndex("postings"))
+      assert(postings == postings.sorted, "postings must be sorted")
+      assert(postings.distinct.size == postings.size, "postings must be unique")
+      assert(r.getAs[Long]("df") == postings.size)
+    }
+    // every doc appears in at least one posting list
+    val docsInIndex = rows.flatMap(_.getSeq[Long](2)).toSet
+    assert(docsInIndex.size == Tables.documents(spark, sf).count())
+  }
+
+  test("ix2 equals a brute-force conjunctive search over the raw corpus") {
+    val want = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val terms = r.getString(1).split(" ", -1).toSet
+        val hits = TextIndex.QueryTerms.count(terms.contains)
+        if (hits == TextIndex.QueryTerms.size) Some(r.getLong(0)) else None
+      }.sorted.toSeq
+    val got = TextIndex.ix2BooleanSearch(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
+  test("the index is build-once: a second call reuses the committed version") {
+    TextIndex.ix2BooleanSearch(spark, sf).collect()
+    val root = TextIndex.indexRoot(sf)
+    val v1 = graft.sources.AtomicPublish.currentVersion(spark, root)
+    TextIndex.ix1InvertedIndex(spark, sf).collect()
+    val v2 = graft.sources.AtomicPublish.currentVersion(spark, root)
+    assert(v1.nonEmpty && v1 == v2, s"rebuild detected: $v1 -> $v2")
+  }
+}
