@@ -80,7 +80,49 @@ object Mining {
       .orderBy("event_type")
   }
 
+  val NumBins = 10 // equal-frequency bins for f1
+
+  /** f1: equal-frequency feature binning (decile bucketing) — the
+    * feature-engineering transform behind monotonic binning, WoE
+    * encoding, and spec-free histogram equalization. NOT a global
+    * ntile: a corpus-wide ntile is one total sort through one
+    * reducer (the named scale-killer). Instead the [[NumBins]]−1
+    * boundary quantiles are ONE bounded aggregate (9 doubles,
+    * broadcast back, rounded to 6 so both engines cut identically)
+    * and bin assignment is a row-local comparison against the literal
+    * array — prof2's equal-width discipline applied to equal
+    * frequency. Exact `percentile` for the oracle; the 100 TB swap is
+    * `approx_percentile` with identical plan shape. */
+  def f1FeatureBins(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+    val qs = (1 until NumBins).map(_.toDouble / NumBins)
+    val bounds = li.agg(expr(
+      s"transform(percentile(v, array(${qs.mkString(",")})), x -> round(x, 6))")
+      .as("bs"))
+    li.crossJoin(broadcast(bounds)) // 1-row bounded metadata
+      .select(col("v"),
+        (lit(1) + size(expr("filter(bs, x -> v > x)"))).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 4).as("lo"),
+        round(max(col("v")), 4).as("hi"),
+        round(avg(col("v")), 6).as("mean"))
+      .orderBy("bin")
+  }
+
   val oracles: Map[String, String] = Map(
+    "f1_feature_bins" -> {
+      val qs = (1 until NumBins).map(_.toDouble / NumBins).mkString(",")
+      s"""WITH b AS (SELECT list_transform(
+         |    quantile_cont(l_extendedprice, [$qs]), x -> round(x, 6)) AS bs
+         |  FROM lineitem),
+         |assigned AS (SELECT l.l_extendedprice AS v,
+         |    1 + len(list_filter(b.bs, x -> l.l_extendedprice > x)) AS bin
+         |  FROM lineitem l CROSS JOIN b)
+         |SELECT bin, COUNT(*) AS n, round(MIN(v), 4) AS lo,
+         |  round(MAX(v), 4) AS hi, round(AVG(v), 6) AS mean
+         |FROM assigned GROUP BY bin ORDER BY bin""".stripMargin
+    },
     "b1_basket_pairs" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
          |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
@@ -105,5 +147,6 @@ object Mining {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_basket_pairs" -> (b1BasketPairs _),
-    "e6_mad_outliers" -> (e6MadOutliers _))
+    "e6_mad_outliers" -> (e6MadOutliers _),
+    "f1_feature_bins" -> (f1FeatureBins _))
 }

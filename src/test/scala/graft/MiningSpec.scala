@@ -50,6 +50,24 @@ class MiningSpec extends GraftSpec {
     assert(dirty.getAs[Long]("n_outliers") == clean.getAs[Long]("n_outliers") + 1)
   }
 
+  test("f1 bins are equal-frequency (±1 rank step) and ordered") {
+    val rows = Mining.f1FeatureBins(spark, sf).collect()
+    assert(rows.length == Mining.NumBins)
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    val target = total.toDouble / Mining.NumBins
+    rows.foreach { r =>
+      // exact deciles put n within a tie-group of the target
+      assert(math.abs(r.getAs[Long]("n") - target) <= target * 0.02,
+        s"bin ${r.getAs[Int]("bin")} has ${r.getAs[Long]("n")} rows vs ~$target")
+    }
+    // bins tile the value range in order: lo/hi non-overlapping
+    val sorted = rows.sortBy(_.getAs[Int]("bin"))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+    }
+  }
+
   test("e6 covers every event type with n summing to the table size") {
     val out = Mining.e6MadOutliers(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
