@@ -90,6 +90,19 @@ object SyncStream {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Row 159: stream-static enrichment — every micro-batch of the
+    * event stream joined against a STATIC dimension (the
+    * app-metadata lookup the reference's poll loop does per update,
+    * server.mjs:151-166, as one declarative join). The static side
+    * broadcasts: per micro-batch the stream pays a hash-probe, never
+    * a shuffle, and the dimension is re-resolvable per batch (Spark
+    * re-plans static sides under AQE) so slowly-refreshed dims pick
+    * up new snapshots on restart. Left join: events with no dim row
+    * survive with nulls — enrichment must not drop stream rows. */
+  def streamingEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SyncSession(user_id: Long, n_updates: Long, last_status: String,

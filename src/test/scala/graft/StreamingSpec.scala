@@ -150,6 +150,27 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("row 159: stream-static enrichment broadcasts the dim and keeps unmatched rows") {
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    val q = SyncStream.streamingEnrich(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      input.addData(ev(1, 0, 1), ev(2, 10, 2), ev(3, 20, 99))
+      q.processAllAvailable()
+      val rows = spark.table("enrich").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[String]("tier"))).toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+      // the static side must broadcast, not shuffle the micro-batch
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"dim must broadcast:\n$plan")
+    } finally q.stop()
+  }
+
   test("row 39: session tracker accumulates per-user state across batches") {
     implicit val sqlc = spark.sqlContext
     import spark.implicits._
