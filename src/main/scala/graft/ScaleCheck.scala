@@ -49,7 +49,11 @@ object ScaleCheck {
     "s4_nested_roundtrip",
     "d9_substring_dedup", "t18_bpe_train", "q8_market_share",
     "q11_important_stock", "q12_priority_lines", "q20_excess_shippers",
-    "q15_top_supplier", "prof1b_approx_profile", "m4_binary_ingest")
+    "q15_top_supplier", "prof1b_approx_profile", "m4_binary_ingest",
+    // round-8 session-2 newcomers (quality / LM / mining / index / OBT)
+    "g1_gopher_quality", "t20_bigram_perplexity", "qc1_classifier_score",
+    "b1_basket_pairs", "e6_mad_outliers", "obt1_denormalize",
+    "ix2_boolean_search", "f1_feature_bins")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {
