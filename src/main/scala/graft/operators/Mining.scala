@@ -110,7 +110,58 @@ object Mining {
       .orderBy("bin")
   }
 
+  val AbCohortA = "click"
+  val AbCohortB = "view"
+  val AbThreshold = 50.0 // success = value above threshold
+  val AbZCrit = 1.96 // two-sided 95%
+
+  /** a13: two-proportion z-test (the A/B-test significance gate every
+    * event warehouse runs): success rates of two event-type cohorts
+    * compared with the pooled-variance z statistic. ONE conditional
+    * aggregate over one scan produces all four counts (the a9/r3
+    * conditional-count discipline); the statistic itself is a 1-row
+    * projection. Counts are exact integers, so the z value is
+    * bit-deterministic and fully oracle-checkable. */
+  def a13AbTest(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(s, dir)
+      .filter(col("event_type").isin(AbCohortA, AbCohortB))
+      .agg(
+        sum(when(col("event_type") === AbCohortA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("event_type") === AbCohortA && col("value") > AbThreshold, 1L)
+          .otherwise(0L)).as("x_a"),
+        sum(when(col("event_type") === AbCohortB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("event_type") === AbCohortB && col("value") > AbThreshold, 1L)
+          .otherwise(0L)).as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a")
+    val pb = col("x_b").cast("double") / col("n_b")
+    val pPool = (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b"))
+    val z = (pa - pb) / sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    agg.select(col("n_a"), col("x_a"), round(pa, 6).as("rate_a"),
+      col("n_b"), col("x_b"), round(pb, 6).as("rate_b"),
+      round(z, 6).as("z"),
+      when(abs(z) > AbZCrit, 1).otherwise(0).as("significant"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "a13_ab_test" ->
+      s"""WITH agg AS (SELECT
+         |    CAST(SUM(CASE WHEN event_type = '$AbCohortA' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN event_type = '$AbCohortA' AND value > $AbThreshold THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+         |    CAST(SUM(CASE WHEN event_type = '$AbCohortB' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN event_type = '$AbCohortB' AND value > $AbThreshold THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+         |  FROM events WHERE event_type IN ('$AbCohortA', '$AbCohortB'))
+         |SELECT n_a, x_a, round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+         |  n_b, x_b, round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+         |  round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
+         |    sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+         |      (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+         |      (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+         |  CASE WHEN abs((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
+         |    sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+         |      (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+         |      (1.0 / n_a + 1.0 / n_b))) > $AbZCrit THEN 1 ELSE 0 END AS significant
+         |FROM agg""".stripMargin,
     "f1_feature_bins" -> {
       val qs = (1 until NumBins).map(_.toDouble / NumBins).mkString(",")
       s"""WITH b AS (SELECT list_transform(
@@ -148,5 +199,6 @@ object Mining {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_basket_pairs" -> (b1BasketPairs _),
     "e6_mad_outliers" -> (e6MadOutliers _),
-    "f1_feature_bins" -> (f1FeatureBins _))
+    "f1_feature_bins" -> (f1FeatureBins _),
+    "a13_ab_test" -> (a13AbTest _))
 }

@@ -532,6 +532,66 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  val MmrLambda = 0.7 // relevance weight; 1-λ penalizes redundancy
+  val MmrPool = 4 * TopK // candidate pool per query before re-ranking
+
+  /** n11: MMR diversity re-ranking (Maximal Marginal Relevance,
+    * Carbonell & Goldstein 1998) — the retrieval step between ANN
+    * and a consumer that wants COVERAGE, not five near-copies:
+    * greedily pick argmax λ·sim(q,d) − (1−λ)·max_{s∈selected}
+    * sim(d,s) from a bounded candidate pool. The pool per query is
+    * the distributed n1 scan's top-[[MmrPool]] (the corpus-side
+    * work, unchanged at any scale); the greedy selection is
+    * inherently sequential in k and runs on the driver over bounded
+    * metadata (queries × pool vectors — the t7/indexCells collect
+    * pattern), then returns as a plan literal frame. rows-only +
+    * diversity-property ScalaTest. */
+  def n11MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+    // bounded collect: NumQueries × MmrPool candidates with vectors
+    val pool = broadcast(q)
+      .join(e, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_raw", VectorFunctions.cosineFromParts(
+        VectorFunctions.dotNative("qv", "v"), col("qn"), col("nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MmrPool)
+      .select(col("query_id"), col("vec_id"), col("cos_raw"), col("v"), col("nrm"))
+      .collect()
+    val byQuery = pool.groupBy(_.getLong(0))
+    def cos(a: (Array[Double], Double), b: (Array[Double], Double)): Double = {
+      var d = 0.0; var i = 0
+      while (i < a._1.length) { d += a._1(i) * b._1(i); i += 1 }
+      if (a._2 == 0 || b._2 == 0) 0.0 else d / (a._2 * b._2)
+    }
+    val out = byQuery.toSeq.sortBy(_._1).flatMap { case (qid, rows) =>
+      val cands = rows.map { r =>
+        (r.getLong(1), r.getDouble(2),
+          (r.getSeq[Double](3).toArray, r.getDouble(4)))
+      }.sortBy { case (id, c, _) => (-c, id) }.toVector
+      val selected = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Double, (Array[Double], Double))]
+      while (selected.length < TopK && selected.length < cands.length) {
+        val pick = cands.filterNot(c => selected.exists(_._1 == c._1))
+          .maxBy { case (id, rel, v) =>
+            val redundancy =
+              if (selected.isEmpty) 0.0 else selected.map(s => cos(v, s._3)).max
+            (MmrLambda * rel - (1 - MmrLambda) * redundancy, -id)
+          }
+        selected += pick
+      }
+      selected.zipWithIndex.map { case ((id, rel, _), i) =>
+        (qid, id, i + 1, BigDecimal(rel).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    import s.implicits._
+    out.toDF("query_id", "neighbor_id", "mmr_rank", "cosine")
+      .orderBy("query_id", "mmr_rank")
+  }
+
   val oracles: Map[String, String] = Map(
     "n10_knn_classify" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label,
@@ -601,5 +661,6 @@ object Similarity {
     "n7_quantize_i8" -> (n7QuantizeI8 _),
     "n8_quantized_topk" -> (n8QuantizedTopk _),
     "n9_pca_project" -> (n9PcaProject _),
-    "n10_knn_classify" -> (n10KnnClassify _))
+    "n10_knn_classify" -> (n10KnnClassify _),
+    "n11_mmr_rerank" -> (n11MmrRerank _))
 }

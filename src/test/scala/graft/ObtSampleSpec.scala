@@ -37,6 +37,57 @@ class ObtSampleSpec extends GraftSpec {
     rows.foreach(r => assert(r.getAs[Double]("es_key") > 0.0))
   }
 
+  test("n11 MMR set is no less diverse than plain top-k and keeps the top-1") {
+    import graft.operators.Similarity
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    def avgPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(vecs(ids(i)), vecs(ids(j)))
+      if (ps.isEmpty) 0.0 else ps.sum / ps.size
+    }
+    val mmr = Similarity.n11MmrRerank(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getAs[Int]("mmr_rank"))).toMap
+    val topk = Similarity.n1CosineTopk(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getAs[Int]("rank"))).toMap
+    assert(mmr.keySet == topk.keySet)
+    var diversityWins = 0
+    mmr.foreach { case (qid, rows) =>
+      // relevance anchor: MMR's first pick IS the plain top-1
+      assert(rows.head.getLong(1) == topk(qid).head.getLong(1))
+      val mmrSim = avgPairSim(rows.map(_.getLong(1)).toSeq)
+      val topSim = avgPairSim(topk(qid).map(_.getLong(1)).toSeq)
+      assert(mmrSim <= topSim + 1e-9, s"q$qid: MMR less diverse ($mmrSim > $topSim)")
+      if (mmrSim < topSim - 1e-9) diversityWins += 1
+    }
+    assert(diversityWins > 0, "MMR never diversified any query")
+  }
+
+  test("a13 z-statistic matches a driver-side recompute from raw counts") {
+    import graft.operators.Mining
+    val ev = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    def count(t: String, succ: Boolean) = ev.count { case (k, v) =>
+      k == t && (!succ || v > Mining.AbThreshold) }
+    val (na, xa) = (count(Mining.AbCohortA, false), count(Mining.AbCohortA, true))
+    val (nb, xb) = (count(Mining.AbCohortB, false), count(Mining.AbCohortB, true))
+    val pp = (xa + xb).toDouble / (na + nb)
+    val z = (xa.toDouble / na - xb.toDouble / nb) /
+      math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+    val r = Mining.a13AbTest(spark, sf).collect().head
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("x_a") == xa)
+    assert(r.getAs[Long]("n_b") == nb && r.getAs[Long]("x_b") == xb)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+    assert((r.getAs[Int]("significant") == 1) == (math.abs(z) > Mining.AbZCrit))
+  }
+
   test("obt1 preserves every lineitem row and widens it consistently") {
     val out = Analytics.obt1Denormalize(spark, sf)
     assert(out.count() == Tables.lineitem(spark, sf).count())
