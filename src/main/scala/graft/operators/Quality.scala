@@ -192,12 +192,28 @@ object Quality {
     * doc-keyed aggregate against a literal weight array. Scores are
     * sums of doubles → rows-only check; QcSpec pins the trainer on a
     * separable synthetic corpus (accuracy ≈ 1) and monotone loss. */
+  /** Training-sample cap: qc1 trains on a deterministic md5-threshold
+    * sample of ~this many docs (the imp1 discipline) and scores the
+    * FULL corpus — the 100 TB split between the bounded learn plane
+    * and the one-scan apply plane, exercised at every scale rather
+    * than only promised. */
+  val QcTrainSampleTarget = 1000
+
   def qc1ClassifierScore(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))
+    // deterministic uniform training sample: keep-rate target/n, same
+    // salted-md5 hex threshold as mix1/imp1 (portable, re-runnable)
+    val n = math.max(1L, docs.count())
+    val rate = math.min(1.0, QcTrainSampleTarget.toDouble / n)
+    val thr =
+      if (rate >= 1.0) "g" // 'g' sorts above any hex digit
+      else f"${math.floor(rate * 4294967296.0).toLong}%08x"
+    val trainDocs = docs.filter(
+      substring(md5(concat(lit("qc:"), col("doc_id").cast("string"))), 1, 8) < thr)
     val feats = qcFeatures(docs)
-    val (wts, bias, _) = qcTrain(feats)
+    val (wts, bias, _) = qcTrain(qcFeatures(trainDocs))
     val wlit = array(wts.map(lit): _*)
     feats.groupBy(col("doc_id"), col("label"))
       .agg(sum(element_at(wlit, col("idx") + 1) * col("v")).as("m"))
