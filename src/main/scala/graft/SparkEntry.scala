@@ -22,7 +22,8 @@ object SparkEntry {
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       SyncStream.queries ++ Sources.queries ++ Migrations.queries ++
       Pipeline.queries ++ Profiling.queries ++ Quality.queries ++
-      Mining.queries ++ TextIndex.queries ++ Graph.queries
+      Mining.queries ++ TextIndex.queries ++ Graph.queries ++
+      TimeSeries.queries ++ EntityResolution.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops,
@@ -33,5 +34,6 @@ object SparkEntry {
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       SyncStream.oracles ++ Sources.oracles ++ Migrations.oracles ++
       Pipeline.oracles ++ Profiling.oracles ++ Quality.oracles ++
-      Mining.oracles ++ TextIndex.oracles ++ Graph.oracles
+      Mining.oracles ++ TextIndex.oracles ++ Graph.oracles ++
+      TimeSeries.oracles ++ EntityResolution.oracles
 }

@@ -80,8 +80,89 @@ object Graph {
       .orderBy(col("rank").desc, col("node").asc)
       .limit(PrTopK)
 
-  val oracles: Map[String, String] = Map.empty
+  val TriMinSupport = 2 // orders a part pair must co-occur in
+  val TriTopK = 10
+
+  /** Undirected co-purchase edge list: part pairs co-ordered in
+    * ≥ [[TriMinSupport]] orders (b1's in-row pair generation — never a
+    * fact self-join), u < v canonical. Support thresholding is what
+    * bounds the edge set as the corpus grows. */
+  private[graft] def cooccurEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(parts) - 2), i ->
+          |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
+          |    struct(element_at(parts, i + 1) AS u, y AS v))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= TriMinSupport)
+      .select(col("u"), col("v"))
+
+  /** Per-node triangle counts of an undirected (u, v) edge frame via
+    * DEGREE-ORDERED orientation (the Suri & Vassilvitskii WWW'11 /
+    * Cohen '09 MapReduce-triangles discipline): every edge is directed
+    * from its lower-(degree, id) endpoint to the higher, so each
+    * triangle materializes as exactly one directed wedge a→b, a→c
+    * closed by b→c, and the wedge fan-out per node is bounded by its
+    * ORIENTED out-degree (O(√m) on any graph — the hub that would
+    * explode an id-oriented wedge join points its edges inward
+    * instead). Two keyed equi-joins, no cartesian anywhere; per-node
+    * counts are orientation-independent, which is what lets the SQL
+    * oracle use the simple id-oriented formulation. */
+  private[graft] def triangleNodes(und: DataFrame): DataFrame = {
+    val e0 = und.localCheckpoint()
+    val deg = e0.select(col("u").as("node"))
+      .union(e0.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id) rank: src = lower-rank endpoint
+    val ranked = e0
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val e = ranked
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint()
+    val wedges = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+    val tris = wedges.join(
+      e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+    tris.select(col("a").as("part"))
+      .union(tris.select(col("b")))
+      .union(tris.select(col("c")))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** g3: triangle counting over the co-purchase graph — the local
+    * clustering signal behind community detection and recommendation
+    * ("parts bought together in threes"). Top-[[TriTopK]] parts by
+    * triangle participation, deterministically ordered. */
+  def g3TriangleCount(s: SparkSession, dir: String): DataFrame =
+    triangleNodes(cooccurEdges(s, dir))
+      .orderBy(col("n_triangles").desc, col("part"))
+      .limit(TriTopK)
+
+  val oracles: Map[String, String] = Map(
+    "g3_triangle_count" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+         |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |n AS (SELECT a AS part FROM t UNION ALL SELECT b FROM t
+         |  UNION ALL SELECT c FROM t)
+         |SELECT part, count(*) AS n_triangles FROM n GROUP BY 1
+         |ORDER BY n_triangles DESC, part LIMIT $TriTopK""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g2_pagerank" -> (g2Pagerank _))
+    "g2_pagerank" -> (g2Pagerank _),
+    "g3_triangle_count" -> (g3TriangleCount _))
 }

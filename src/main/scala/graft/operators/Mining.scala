@@ -143,7 +143,47 @@ object Mining {
       when(abs(z) > AbZCrit, 1).otherwise(0).as("significant"))
   }
 
+  /** sky1: Pareto frontier (skyline) per brand — parts where no same-
+    * brand part is at-most-equal on price AND at-least-equal on size
+    * with one strict inequality (Börzsönyi et al. ICDE'01's SKYLINE
+    * operator: the "best tradeoffs" query optimizers can't express
+    * with plain min/max). NOT the textbook NOT-EXISTS self-join
+    * (quadratic in the brand): prices collapse to a per-(brand,price)
+    * max-size frame first, a PARTITIONED window's running max over
+    * strictly-cheaper prices decides 2D dominance in one sorted pass
+    * (the sort-filter skyline algorithm as a window), and survivors
+    * join back to rows. Equal (price, size) ties all surface —
+    * neither dominates under the strict definition. */
+  def sky1ParetoFront(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        col("p_size"))
+    val best = p.groupBy(col("p_brand"), col("p_retailprice"))
+      .agg(max(col("p_size")).as("msize"))
+    // preceding rows of the per-(brand,price) frame = strictly cheaper
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_brand")).orderBy(col("p_retailprice"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val frontier = best
+      .withColumn("runmax", max(col("msize")).over(w))
+      .filter(col("runmax").isNull || col("runmax") < col("msize"))
+      .select(col("p_brand"), col("p_retailprice"), col("msize"))
+    p.join(frontier, Seq("p_brand", "p_retailprice"))
+      .filter(col("p_size") === col("msize"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        col("p_size"))
+      .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "sky1_pareto_front" ->
+      """SELECT p.p_partkey, p.p_brand, p.p_retailprice, p.p_size
+        |FROM part p WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q WHERE q.p_brand = p.p_brand
+        |    AND q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_brand, p_retailprice, p_partkey""".stripMargin,
     "a13_ab_test" ->
       s"""WITH agg AS (SELECT
          |    CAST(SUM(CASE WHEN event_type = '$AbCohortA' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -198,6 +238,7 @@ object Mining {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_basket_pairs" -> (b1BasketPairs _),
+    "sky1_pareto_front" -> (sky1ParetoFront _),
     "e6_mad_outliers" -> (e6MadOutliers _),
     "f1_feature_bins" -> (f1FeatureBins _),
     "a13_ab_test" -> (a13AbTest _))

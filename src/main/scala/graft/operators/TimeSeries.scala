@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series shaping over the event stream (SURVEY §2 rows 163-164):
+  * calendar densification (gap filling) and last-observation-carried-
+  * forward interpolation — the two transforms every metrics warehouse
+  * runs before charting or feeding a forecaster, because aggregates
+  * silently DROP empty buckets and downstream consumers need an
+  * explicit row (or a carried value) for every bucket.
+  *
+  * Scale shape: the only corpus-scale work is one keyed aggregate to
+  * the (event_type, hour) grain; the spine, the left join and the fill
+  * windows all run over time-span-bounded metadata (#types × #hours),
+  * the same bounded-window discipline as w4/a12. The span itself is a
+  * 1-row broadcast aggregate — never a driver collect.
+  */
+object TimeSeries {
+
+  /** Hourly grain per event type: count + exact-decimal mean value
+    * (value is money-like; decimal sum ⇒ bit-identical mean across
+    * engines regardless of aggregation order, SURVEY §4). */
+  private def hourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("v"))
+
+  /** The dense (event_type × hour) spine between the corpus' first and
+    * last hour: a 1-row min/max aggregate broadcast under a bounded
+    * sequence explode crossed with the distinct type set. */
+  private def spine(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val span = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span)) // 1-row bounded metadata
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+  }
+
+  /** ts1: gap filling — every (event_type, hour) bucket in the corpus
+    * span gets a row; silent holes become explicit n=0 / is_gap=1
+    * rows. Left join of the bounded spine against the hourly
+    * aggregate; output is #types × #hours rows. */
+  def ts1GapFill(s: SparkSession, dir: String): DataFrame =
+    spine(s, dir)
+      .join(hourly(s, dir), Seq("event_type", "hr"), "left")
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("n").isNull, 1).otherwise(0).as("is_gap"))
+      .orderBy(col("event_type"), col("hr"))
+
+  /** ts2: last-observation-carried-forward interpolation over the
+    * gap-filled spine — each hole inherits the most recent preceding
+    * hour's mean value (null until the first observation). The
+    * standard two-window form: a running count of non-null
+    * observations partitions the timeline into fill groups, each
+    * group's single non-null leader is broadcast down it by a
+    * group-keyed max. Both windows are PARTITIONED (by type, then by
+    * (type, group)) over the bounded spine — no corpus-sized or
+    * unpartitioned window anywhere. */
+  def ts2LocfFill(s: SparkSession, dir: String): DataFrame = {
+    val joined = spine(s, dir)
+      .join(hourly(s, dir), Seq("event_type", "hr"), "left")
+    val grpW = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("grp", count(col("v")).over(grpW))
+      .withColumn("filled_value",
+        max(col("v")).over(Window.partitionBy(col("event_type"), col("grp"))))
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("v").as("avg_value"),
+        col("filled_value"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ts1_gap_fill" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |    date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT t.event_type, g.hr
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+        |    INTERVAL 1 HOUR)) AS hr FROM span) g)
+        |SELECT s.event_type, strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hr,
+        |  COALESCE(h.n, 0) AS n,
+        |  CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS is_gap
+        |FROM spine s LEFT JOIN h USING (event_type, hr)
+        |ORDER BY 1, 2""".stripMargin,
+    "ts2_locf_fill" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    count(*) AS n,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |    date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT t.event_type, g.hr
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+        |    INTERVAL 1 HOUR)) AS hr FROM span) g),
+        |j AS (SELECT s.event_type, s.hr, COALESCE(h.n, 0) AS n, h.v
+        |  FROM spine s LEFT JOIN h USING (event_type, hr)),
+        |g AS (SELECT *, count(v) OVER (PARTITION BY event_type
+        |    ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS grp FROM j)
+        |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, n,
+        |  v AS avg_value,
+        |  max(v) OVER (PARTITION BY event_type, grp) AS filled_value
+        |FROM g ORDER BY 1, 2""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts1_gap_fill" -> (ts1GapFill _),
+    "ts2_locf_fill" -> (ts2LocfFill _))
+}

@@ -56,4 +56,42 @@ class GraphSpec extends GraftSpec {
       assert((kind == "customer") == (node % 2 == 0))
     }
   }
+
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Int] = {
+    val es = edges.map { case (u, v) => (u min v, u max v) }.toSet
+    val nodes = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val counts = scala.collection.mutable.Map.empty[Long, Int]
+      .withDefaultValue(0)
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.length
+      k <- j + 1 until nodes.length
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  test("g3 per-node counts on planted graphs match brute force") {
+    import spark.implicits._
+    // K4 (4 triangles, every node in 3) + pendant path + a pure star
+    // hub (hubs make wedges but never triangles)
+    val k4 = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    val extra = Seq((3L, 10L), (10L, 11L)) ++ (20L to 25L).map(x => (99L, x))
+    val edges = k4 ++ extra
+    val got = Graph.triangleNodes(edges.toDF("u", "v")).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("n_triangles").toInt)
+      .toMap
+    assert(got == bruteTriangles(edges))
+    assert(got(0L) == 3 && got.values.sum == 12) // 4 triangles × 3 nodes
+  }
+
+  test("g3 corpus counts match brute force over the co-occurrence edges") {
+    val edges = Graph.cooccurEdges(spark, sf).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSeq
+    val want = bruteTriangles(edges)
+    val got = Graph.triangleNodes(Graph.cooccurEdges(spark, sf)).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("n_triangles").toInt)
+      .toMap
+    assert(got == want, s"got ${got.size} nodes, want ${want.size}")
+  }
 }

@@ -68,6 +68,33 @@ class MiningSpec extends GraftSpec {
     }
   }
 
+  test("sky1 frontier matches a brute-force strict-dominance recompute") {
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    val want = parts.filter { case (_, brand, price, sz) =>
+      !parts.exists { case (_, b2, p2, s2) =>
+        b2 == brand && p2 <= price && s2 >= sz && (p2 < price || s2 > sz)
+      }
+    }.sortBy(p => (p._2, p._3, p._1)).toSeq
+    val got = Mining.sky1ParetoFront(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[String]("p_brand"),
+        r.getAs[Double]("p_retailprice"), r.getAs[Int]("p_size"))).toSeq
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("sky1 frontier rows never dominate each other within a brand") {
+    val rows = Mining.sky1ParetoFront(spark, sf).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Double]("p_retailprice"),
+        r.getAs[Int]("p_size")))
+    rows.groupBy(_._1).values.foreach { g =>
+      for ((_, pa, sa) <- g; (_, pb, sb) <- g)
+        assert(!(pa <= pb && sa >= sb && (pa < pb || sa > sb)),
+          s"dominance inside the frontier: ($pa,$sa) over ($pb,$sb)")
+    }
+  }
+
   test("e6 covers every event type with n summing to the table size") {
     val out = Mining.e6MadOutliers(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
