@@ -355,6 +355,155 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_raw")))
   }
 
+  // 16 subspaces of 4 dims: measured recall vs n1 is 0.88 / 0.96 at
+  // sf0.001 / sf0.01 — at M=8 (8-dim subspaces) it was only
+  // 0.72 / 0.68, because these near-random embeddings put the true
+  // neighbors within ADC's quantization noise; halving the subspace
+  // width doubles code granularity for the same lookup cost shape.
+  val PqM = 16 // subspaces (codes per vector)
+  // PQ scores are coarser than int8's (16 codes vs 64 levels/dim), so
+  // the survivor pool re-ranked exactly is deeper than n8's 4×k —
+  // the standard PQ serving trade: candidates are nearly free (code
+  // lookups), exactness is bought at re-rank.
+  val PqRerankFactor = 8
+  val PqK = 16 // centroids per subspace codebook
+  val PqSample = 256 // deterministic training sample (vec_id bound)
+  val PqIters = 8 // driver-side Lloyd iterations per subspace
+
+  /** Driver-side k-means over a bounded sample (deterministic: seeds
+    * are the first k distinct points in id order, Lloyd with
+    * keep-old-centroid on empty clusters). Corpus-size-independent —
+    * the sample is fixed-size by construction. */
+  private def kmeansSmall(xs: Array[Array[Double]], k: Int, iters: Int)
+      : Array[Array[Double]] = {
+    var cents = xs.distinct.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](xs.head.length))
+      val cnts = new Array[Int](cents.length)
+      xs.foreach { x =>
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- cents.indices) {
+          var d = 0.0; var i = 0
+          while (i < x.length) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        cnts(best) += 1
+        var i = 0
+        while (i < x.length) { sums(best)(i) += x(i); i += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (cnts(c) == 0) cents(c)
+        else sums(c).map(_ / cnts(c))
+      }.toArray
+    }
+    cents
+  }
+
+  /** PQ codebooks: [[PqM]] subspace k-means models trained on a
+    * DETERMINISTIC bounded sample (vec_id < [[PqSample]] — the
+    * imp1/qc1 "train on a sample, apply corpus-wide" discipline).
+    * Total model size PqM × PqK × (dim/PqM) doubles = dim × PqK —
+    * a few KB of plan literals, identical on every executor. */
+  private[graft] def pqCodebooks(e: DataFrame): Array[Array[Array[Double]]] = {
+    val sample = e.filter(col("vec_id") < PqSample).orderBy("vec_id")
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val sub = sample.head.length / PqM
+    Array.tabulate(PqM) { m =>
+      kmeansSmall(sample.map(_.slice(m * sub, (m + 1) * sub)), PqK, PqIters)
+    }
+  }
+
+  /** Per-subspace code assignment: argmin_k ||x_m − c_mk||², computed
+    * as greatest() over (x_m·c_mk − ½||c_mk||², −k) structs — each
+    * score one native codegen'd dot of the sliced subvector against a
+    * plan-literal centroid, min-k tie-break; the ||x_m||² term is
+    * constant per row and drops out of the argmin. Zero shuffle. */
+  private def pqCodeExpr(books: Array[Array[Array[Double]]], m: Int, sub: Int)
+      : org.apache.spark.sql.Column = {
+    val subv = slice(col("v"), m * sub + 1, sub)
+    val scored = books(m).zipWithIndex.map { case (c, k) =>
+      val half = c.map(x => x * x).sum / 2.0
+      struct(
+        (org.apache.spark.sql.graft.ArrayMathExpr.dotNative(subv, typedlit(c))
+          - lit(half)).as("s"),
+        lit(-k).as("nk"))
+    }
+    (-greatest(scored: _*).getField("nk")).cast("int")
+  }
+
+  /** n12: product-quantization top-k (Jégou, Douze & Schmid, TPAMI
+    * 2011 — "Product quantization for nearest neighbor search"): the
+    * OTHER classic vector-compression serving path next to n8's int8.
+    * Where int8 keeps dim bytes per vector, PQ keeps [[PqM]] CODES
+    * (8 bytes here vs 512 float64 bytes — 64× smaller), and search
+    * never touches the float vectors until re-rank:
+    *
+    *  - encode: corpus vectors → PqM codebook codes, a zero-shuffle
+    *    scan+project against plan-literal codebooks (trained on a
+    *    bounded deterministic sample, driver-side, corpus-independent);
+    *  - ADC (asymmetric distance computation): each query precomputes
+    *    dot(q_m, c_mk) lookup tables (PqM × PqK doubles, bounded by
+    *    the query set, embedded as literals), so a candidate's
+    *    approximate dot is PqM codegen'd element_at lookups + adds —
+    *    no float-vector math on the corpus side at all;
+    *  - exact cosine re-rank of the [[RerankFactor]]×[[TopK]]
+    *    survivors per query (n8's discipline, deterministic
+    *    tie-break).
+    *
+    * rows-only (codebooks are engine-specific); SimilaritySpec checks
+    * recall vs exact n1 and pins the encoder to a driver-side argmin
+    * recompute. */
+  def n12PqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val books = pqCodebooks(e)
+    val dim = books.length * books.head.head.length
+    val sub = dim / PqM
+    val codeCols = (0 until PqM).map(m =>
+      pqCodeExpr(books, m, sub).as(s"code$m"))
+    val coded = e.select(
+      (Seq(col("vec_id"), col("v"), col("nrm")) ++ codeCols): _*)
+    // bounded query collect: LUTs are NumQueries × PqM × PqK doubles
+    val qRows = e.filter(col("vec_id") < NumQueries).orderBy("vec_id")
+      .select("vec_id", "v", "nrm").collect()
+    import s.implicits._
+    val qDf = qRows.map { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val luts = Array.tabulate(PqM) { m =>
+        books(m).map { c =>
+          var d = 0.0; var i = 0
+          while (i < sub) { d += qv(m * sub + i) * c(i); i += 1 }
+          d
+        }
+      }
+      (r.getLong(0), qv, r.getDouble(2), luts)
+    }.toSeq.toDF("query_id", "qv", "qn", "luts")
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val adc = (0 until PqM).map(m =>
+      element_at(element_at(col("luts"), m + 1), col(s"code$m") + 1))
+      .reduce(_ + _)
+    val candidates = broadcast(qDf)
+      .join(coded, col("query_id") =!= col("vec_id"))
+      .withColumn("approx", adc / (col("qn") * col("nrm")))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("approx"))
+      .withColumn("crank", row_number().over(wApprox))
+      .filter(col("crank") <= TopK * PqRerankFactor)
+    rankTopK(candidates
+      .withColumn("cos_raw", VectorFunctions.cosineFromParts(
+        VectorFunctions.dotNative("qv", "v"), col("qn"), col("nrm")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_raw")))
+  }
+
+  /** Spec hook: (vec_id, code0..code{M-1}) for the whole corpus. */
+  private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val books = pqCodebooks(e)
+    val sub = books.head.head.length
+    e.select((col("vec_id") +: (0 until PqM).map(m =>
+      pqCodeExpr(books, m, sub).as(s"code$m"))): _*)
+  }
+
   val SemDedupTau = 0.4 // cosine threshold for "semantic duplicate"
 
   /** n6: semantic deduplication (the SemDeDup recipe, Abbas et al.
@@ -662,5 +811,6 @@ object Similarity {
     "n8_quantized_topk" -> (n8QuantizedTopk _),
     "n9_pca_project" -> (n9PcaProject _),
     "n10_knn_classify" -> (n10KnnClassify _),
-    "n11_mmr_rerank" -> (n11MmrRerank _))
+    "n11_mmr_rerank" -> (n11MmrRerank _),
+    "n12_pq_topk" -> (n12PqTopk _))
 }

@@ -42,6 +42,37 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.9, s"n8 recall=$recall")
   }
 
+  test("n12 PQ-ADC recall >= 0.8 vs exact") {
+    val approx = topkSets(Similarity.n12PqTopk(spark, sf))
+    val recall = exact.map { case (q, t) =>
+      (t intersect approx.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }.sum / exact.size
+    assert(recall >= 0.8, s"n12 recall=$recall")
+  }
+
+  test("n12 codes are in range and match a driver-side argmin recompute") {
+    val e = Similarity.corpus(spark, sf)
+    val books = Similarity.pqCodebooks(e)
+    val sub = books.head.head.length
+    val vecs = e.select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val rows = Similarity.pqCodes(spark, sf).collect()
+    assert(rows.length == vecs.size)
+    rows.foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      for (m <- 0 until Similarity.PqM) {
+        val code = r.getAs[Int](s"code$m")
+        assert(code >= 0 && code < Similarity.PqK)
+        val x = v.slice(m * sub, (m + 1) * sub)
+        val want = books(m).zipWithIndex.minBy { case (c, k) =>
+          (x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, k)
+        }._2
+        assert(code == want,
+          s"vec ${r.getAs[Long]("vec_id")} sub $m: code $code vs argmin $want")
+      }
+    }
+  }
+
   test("n3 IVF recall >= 0.75 vs exact") {
     val approx = topkSets(Similarity.n3IvfAnn(spark, sf))
     val recall = exact.map { case (q, t) =>
