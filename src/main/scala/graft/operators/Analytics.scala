@@ -1155,6 +1155,38 @@ object Analytics {
       .orderBy("week")
   }
 
+  val OverlapCohortA = "click"
+  val OverlapCohortB = "view"
+
+  /** a14: sketch set algebra — audience overlap between two event
+    * cohorts WITHOUT a distinct-pair join: |A∩B| estimated by
+    * inclusion-exclusion over HLL sketches (est(A) + est(B) −
+    * est(A∪B)), plus the Jaccard estimate. The exact form is a
+    * corpus-wide user_id INTERSECT (a full distinct shuffle per
+    * cohort); the sketch form reads the SAME fixed-size per-cohort
+    * sketches a11's rollup table already materializes at scale, so an
+    * overlap question costs two KB-sized sketch rows and a union —
+    * the mergeable-sketch payoff extended from counting to set
+    * algebra. rows-only (estimates engine-specific); the ScalaTest
+    * pins the estimate within HLL error of the exact intersection. */
+  def a14SketchOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.events(s, dir)
+      .filter(col("event_type").isin(OverlapCohortA, OverlapCohortB))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val parts = sk.agg(
+      max(when(col("event_type") === OverlapCohortA,
+        hll_sketch_estimate(col("sk")))).as("est_a"),
+      max(when(col("event_type") === OverlapCohortB,
+        hll_sketch_estimate(col("sk")))).as("est_b"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+    parts.select(
+      col("est_a"), col("est_b"), col("est_union"),
+      (col("est_a") + col("est_b") - col("est_union")).as("est_inter"),
+      round((col("est_a") + col("est_b") - col("est_union")).cast("double") /
+        col("est_union"), 6).as("jaccard_est"))
+  }
+
   /** q4: TPC-H Q4 shape — order-priority checking: count orders per
     * priority in a quarter where at least one lineitem shipped after
     * the order date (EXISTS → left-semi join). The probe side reads
@@ -2028,6 +2060,7 @@ object Analytics {
     "sc1_scd2_history" -> (sc1Scd2History _),
     "j5_bloom_prefilter" -> (j5BloomPrefilter _),
     "a11_sketch_rollup" -> (a11SketchRollup _),
+    "a14_sketch_overlap" -> (a14SketchOverlap _),
     "q4_priority_exists" -> (q4PriorityExists _),
     "q6_revenue_delta" -> (q6RevenueDelta _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),

@@ -54,7 +54,66 @@ object EntityResolution {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** er2: entity clustering — er1's match pairs closed into entity
+    * groups by connected components (the full ER pipeline: block →
+    * score → cluster). Edges are (canonical key, canonical key) pairs
+    * at name grain, so the CC input is vocabulary-bounded; the
+    * components run on [[Dedup]]'s large-star/small-star machinery
+    * (O(log diameter) rounds, lineage-truncated). Every name gets a
+    * row: its cluster key (component-min canonical part key —
+    * singletons label themselves) and the cluster's name count, the
+    * canonical-entity mapping a downstream join normalizes against. */
+  def er2EntityClusters(s: SparkSession, dir: String): DataFrame = {
+    val names = nameCatalog(s, dir)
+    val a = names.select(col("p_name").as("name_a"), col("block"),
+      col("canon_key").as("canon_a"))
+    val b = names.select(col("p_name").as("name_b"), col("block"),
+      col("canon_key").as("canon_b"))
+    val edges = a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <=
+        MaxEditDistance)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= MaxEditDistance)
+      .select(col("canon_a"), col("canon_b"))
+    val cc = Dedup.connectedComponents(edges)
+      .select(col("id").as("canon_key"), col("label"))
+    val labeled = names.join(cc, Seq("canon_key"), "left")
+      .select(col("p_name"), col("n_parts"),
+        coalesce(col("label"), col("canon_key")).as("cluster_key"))
+    labeled
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_key"))))
+      .select(col("p_name"), col("cluster_key"), col("cluster_size"),
+        col("n_parts"))
+      .orderBy(col("cluster_key"), col("p_name"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "er2_entity_clusters" ->
+      s"""WITH RECURSIVE names AS (SELECT p_name, count(*) AS n_parts,
+         |    min(p_partkey) AS canon,
+         |    split_part(p_name, ' ', -1) AS block
+         |  FROM part GROUP BY 1, 4),
+         |pairs AS (SELECT a.canon AS ca, b.canon AS cb
+         |  FROM names a JOIN names b ON a.block = b.block
+         |    AND a.p_name < b.p_name
+         |    AND abs(length(a.p_name) - length(b.p_name)) <= $MaxEditDistance
+         |  WHERE levenshtein(a.p_name, b.p_name) <= $MaxEditDistance),
+         |e AS (SELECT ca AS a, cb AS b FROM pairs
+         |  UNION SELECT cb, ca FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |roots AS (SELECT a AS canon, MIN(b) AS cluster_key
+         |  FROM reach GROUP BY a),
+         |labeled AS (SELECT n.p_name, n.n_parts,
+         |    COALESCE(r.cluster_key, n.canon) AS cluster_key
+         |  FROM names n LEFT JOIN roots r ON r.canon = n.canon)
+         |SELECT p_name, cluster_key,
+         |  COUNT(*) OVER (PARTITION BY cluster_key) AS cluster_size,
+         |  n_parts
+         |FROM labeled ORDER BY cluster_key, p_name""".stripMargin,
     "er1_fuzzy_match" ->
       s"""WITH names AS (SELECT p_name, count(*) AS n_parts,
          |    split_part(p_name, ' ', -1) AS block
@@ -69,5 +128,6 @@ object EntityResolution {
          |ORDER BY 1, 2""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "er1_fuzzy_match" -> (er1FuzzyMatch _))
+    "er1_fuzzy_match" -> (er1FuzzyMatch _),
+    "er2_entity_clusters" -> (er2EntityClusters _))
 }

@@ -82,7 +82,47 @@ object TimeSeries {
       .orderBy(col("event_type"), col("hr"))
   }
 
+  /** ts3: per-series linear trend — ordinary least squares of daily
+    * event counts against a day index (slope/intercept/R², the "is
+    * this metric growing and how fast" question behind every capacity
+    * plan and drift alert). The regression consumes the DAY-GRAIN
+    * aggregate (bounded by the time span), never raw events; the day
+    * index is centered on the corpus' first day via a 1-row broadcast
+    * min (r4's pattern — small x values keep the float sums
+    * well-conditioned and bit-stable across engines). regr_slope /
+    * regr_intercept / regr_r2 are partial-aggregable moment sums, so
+    * even the day aggregate's inputs combine map-side. */
+  def ts3Trend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lo = daily.agg(min(col("day")).as("lo"))
+    daily.crossJoin(broadcast(lo)) // 1-row bounded metadata
+      .select(col("event_type"),
+        datediff(col("day"), col("lo")).cast("double").as("x"),
+        col("n").cast("double").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(regr_slope(col("y"), col("x")), 6).as("slope"),
+        round(regr_intercept(col("y"), col("x")), 6).as("intercept"),
+        round(regr_r2(col("y"), col("x")), 6).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "ts3_trend" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |lo AS (SELECT min(day) AS lo FROM daily),
+        |xy AS (SELECT d.event_type,
+        |    CAST(date_diff('day', lo.lo, d.day) AS DOUBLE) AS x,
+        |    CAST(d.n AS DOUBLE) AS y
+        |  FROM daily d CROSS JOIN lo)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(regr_slope(y, x), 6) AS slope,
+        |  round(regr_intercept(y, x), 6) AS intercept,
+        |  round(regr_r2(y, x), 6) AS r2
+        |FROM xy GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts1_gap_fill" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
         |    count(*) AS n FROM events GROUP BY 1, 2),
@@ -121,5 +161,6 @@ object TimeSeries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts1_gap_fill" -> (ts1GapFill _),
-    "ts2_locf_fill" -> (ts2LocfFill _))
+    "ts2_locf_fill" -> (ts2LocfFill _),
+    "ts3_trend" -> (ts3Trend _))
 }

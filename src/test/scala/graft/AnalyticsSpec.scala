@@ -343,6 +343,26 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("a14: HLL inclusion-exclusion overlap lands within sketch error of exact") {
+    import graft.operators.Analytics
+    val r = Analytics.a14SketchOverlap(spark, sf).collect().head
+    def users(t: String): Set[Long] = Tables.events(spark, sf)
+      .filter(col("event_type") === t).select("user_id").collect()
+      .map(_.getLong(0)).toSet
+    val (a, b) = (users(Analytics.OverlapCohortA), users(Analytics.OverlapCohortB))
+    val exactInter = (a intersect b).size.toDouble
+    val estInter = r.getAs[Long]("est_inter").toDouble
+    // inclusion-exclusion amplifies HLL's ~2% relative error by the
+    // union/intersection ratio; 10% + small absolute floor is safe
+    assert(math.abs(estInter - exactInter) <= math.max(5.0, 0.10 * exactInter),
+      s"est_inter=$estInter exact=$exactInter")
+    assert(math.abs(r.getAs[Long]("est_union") - (a union b).size) <=
+      math.max(2.0, 0.05 * (a union b).size))
+    // the algebra is internally consistent
+    assert(r.getAs[Long]("est_a") + r.getAs[Long]("est_b") -
+      r.getAs[Long]("est_union") == r.getAs[Long]("est_inter"))
+  }
+
   test("q4 priority counts match a brute-force EXISTS recompute") {
     val got = Analytics.q4PriorityExists(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

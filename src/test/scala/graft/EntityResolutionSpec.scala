@@ -40,6 +40,42 @@ class EntityResolutionSpec extends GraftSpec {
     assert(got.nonEmpty, "fixture should contain fuzzy matches")
   }
 
+  test("er2 clusters match a driver-side union-find over the er1 pairs") {
+    val catalog = Tables.part(spark, sf)
+      .groupBy("p_name").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_parts"),
+        org.apache.spark.sql.functions.min("p_partkey").as("canon"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_parts"), r.getAs[Long]("canon")))
+    val canonOf = catalog.map(c => c._1 -> c._3).toMap
+    val parent = scala.collection.mutable.Map(canonOf.values.map(v => v -> v).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (na, _, _) <- catalog; (nb, _, _) <- catalog
+      if na < nb && na.split(" ").last == nb.split(" ").last
+      if editDistance(na, nb) <= EntityResolution.MaxEditDistance
+    } {
+      val (ra, rb) = (find(canonOf(na)), find(canonOf(nb)))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    // path-compress to true minima: find() roots are component minima
+    // because unions always point the larger root at the smaller
+    val wantLabel = canonOf.map { case (n, c) => n -> find(c) }
+    val wantSize = wantLabel.values.groupBy(identity).view.mapValues(_.size).toMap
+    val got = EntityResolution.er2EntityClusters(spark, sf).collect()
+    assert(got.length == catalog.length)
+    got.foreach { r =>
+      val name = r.getAs[String]("p_name")
+      assert(r.getAs[Long]("cluster_key") == wantLabel(name), s"label of $name")
+      assert(r.getAs[Long]("cluster_size") == wantSize(wantLabel(name)),
+        s"size of $name's cluster")
+    }
+    assert(got.exists(_.getAs[Long]("cluster_size") > 1),
+      "fixture should contain a non-trivial cluster")
+  }
+
   test("er1 emitted pairs always share a block and clear the length prune") {
     EntityResolution.er1FuzzyMatch(spark, sf).collect().foreach { r =>
       val (a, b) = (r.getAs[String]("name_a"), r.getAs[String]("name_b"))

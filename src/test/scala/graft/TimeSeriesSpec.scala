@@ -47,4 +47,31 @@ class TimeSeriesSpec extends GraftSpec {
     assert(rows.exists(r => r._3.isEmpty && r._4.isDefined),
       "some hole should inherit a carried value")
   }
+
+  test("ts3 slope/intercept/r2 match a driver-side OLS recompute") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val lo = daily.map(_._2).min
+    val byType = daily.groupBy(_._1)
+    val got = TimeSeries.ts3Trend(spark, sf).collect()
+    assert(got.length == byType.size)
+    got.foreach { r =>
+      val pts = byType(r.getAs[String]("event_type"))
+        .map(p => ((p._2 - lo) / 86400000L.toDouble, p._3.toDouble))
+      val n = pts.length
+      val (mx, my) = (pts.map(_._1).sum / n, pts.map(_._2).sum / n)
+      val sxy = pts.map(p => (p._1 - mx) * (p._2 - my)).sum
+      val sxx = pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      val syy = pts.map(p => (p._2 - my) * (p._2 - my)).sum
+      val slope = sxy / sxx
+      assert(r.getAs[Long]("n_days") == n)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-4)
+      assert(math.abs(r.getAs[Double]("intercept") - (my - slope * mx)) < 1e-4)
+      assert(math.abs(r.getAs[Double]("r2") - sxy * sxy / (sxx * syy)) < 1e-4)
+    }
+  }
 }
