@@ -31,17 +31,18 @@ object TimeSeries {
           count(lit(1)), 6).as("v"))
 
   /** The dense (event_type × hour) spine between the corpus' first and
-    * last hour: a 1-row min/max aggregate broadcast under a bounded
-    * sequence explode crossed with the distinct type set. */
-  private def spine(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val span = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
-      date_trunc("hour", max(col("ts"))).as("hi"))
-    ev.select(col("event_type")).distinct()
-      .crossJoin(broadcast(span)) // 1-row bounded metadata
+    * last hour: ONE 1-row aggregate carries the span AND the distinct
+    * type set (collect_set over the bounded type domain), and both
+    * explodes generate from that single row — no second fact scan, no
+    * cross join at all. */
+  private def spine(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"),
+        array_sort(collect_set(col("event_type"))).as("types"))
+      .select(explode(col("types")).as("event_type"), col("lo"), col("hi"))
       .select(col("event_type"),
         explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
-  }
 
   /** ts1: gap filling — every (event_type, hour) bucket in the corpus
     * span gets a row; silent holes become explicit n=0 / is_gap=1

@@ -670,4 +670,56 @@ class PlanAuditSpec extends GraftSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"the OR predicate must stay a post-join filter, not the join condition:\n$plan")
   }
+
+  test("ts1/ts3: one fact scan; the spine/bounds attach by broadcast, never cartesian") {
+    val p1 = planOf(graft.operators.TimeSeries.ts1GapFill(spark, sf))
+    assert("events.parquet".r.findAllIn(p1).size <= 2,
+      s"ts1 reads events for the hourly agg + the bounded spine only:\n$p1")
+    assert(!p1.contains("CartesianProduct"),
+      s"the 1-row span must attach as a broadcast, not a cartesian:\n$p1")
+    val p3 = planOf(graft.operators.TimeSeries.ts3Trend(spark, sf))
+    assert(!p3.contains("CartesianProduct") &&
+      !p3.contains("SortMergeJoin") && !p3.contains("ShuffledHashJoin"),
+      s"ts3's day-min must be a 1-row broadcast onto the day aggregate:\n$p3")
+  }
+
+  test("er1: fuzzy matching runs on the aggregated name catalog, never a row-grain self-join") {
+    val plan = planOf(graft.operators.EntityResolution.er1FuzzyMatch(spark, sf))
+    // both join inputs must be HashAggregate outputs (the distinct-name
+    // catalog), i.e. the aggregate sits BELOW the self-join
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0, s"expected the blocked candidate join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking must keep the candidate join an equi-join:\n$plan")
+    val aggCount = "HashAggregate".r.findAllIn(plan).size
+    assert(aggCount >= 2, s"name-catalog aggregates must feed the join:\n$plan")
+  }
+
+  test("sky1: dominance is one partitioned window pass, not a self-join of part rows") {
+    val plan = planOf(graft.operators.Mining.sky1ParetoFront(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the NOT-EXISTS form would be a nested loop; the window form must not:\n$plan")
+    assert(plan.contains("Window"), s"expected the running-max window:\n$plan")
+    assert(plan.matches("(?s).*windowspecdefinition\\(p_brand.*"),
+      s"the window must be PARTITIONED by brand (no global sort):\n$plan")
+  }
+
+  test("g3: triangle closure is equi-joins only; no cartesian wedge explosion") {
+    val plan = planOf(graft.operators.Graph.g3TriangleCount(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge + closure must stay keyed equi-joins:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global sort:\n$plan")
+  }
+
+  test("n12: PQ encoding is a zero-shuffle scan+project (no exchange below the codes)") {
+    val plan = planOf(Similarity.pqCodes(spark, sf))
+    assert(!plan.contains("Exchange"),
+      s"code assignment must be a pure scan+project against literal codebooks:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      s"no window/join in the encode path:\n$plan")
+  }
 }
