@@ -1155,6 +1155,38 @@ object Analytics {
       .orderBy("week")
   }
 
+  val StickinessWindow = 7 // trailing days in the WAU window
+
+  /** w7: stickiness — DAU over trailing-[[StickinessWindow]]-day WAU
+    * per day, the engagement ratio every growth dashboard tracks. A
+    * rolling COUNT(DISTINCT) cannot ride a window frame, so the
+    * standard relational form: the (user, day) DISTINCT activity
+    * frame (bounded by ΣDAU, far smaller than events) explodes each
+    * activity day into the [[StickinessWindow]] window days it
+    * contributes to (j3's day-bin discipline — a bounded ×7 fan-out
+    * of the ALREADY-aggregated frame, never of raw events), dedups
+    * (user, window_day), and counts per day; DAU joins on the day
+    * key. The 100 TB swap is a11's sketch rollup: daily HLL sketches
+    * merged over the window replace the exploded exact distinct with
+    * KB-sized unions. */
+  def w7Stickiness(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val dau = active.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = active
+      .select(col("user_id"), explode(expr(
+        s"sequence(day, day + interval ${StickinessWindow - 1} days, interval 1 day)"))
+        .as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day")) // inner: clips the post-corpus tail
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   val OverlapCohortA = "click"
   val OverlapCohortB = "view"
 
@@ -1384,6 +1416,18 @@ object Analytics {
   private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracles: Map[String, String] = Map(
+    "w7_stickiness" ->
+      s"""WITH active AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+         |  FROM events),
+         |dau AS (SELECT day, count(*) AS dau FROM active GROUP BY 1),
+         |expanded AS (SELECT DISTINCT user_id, unnest(generate_series(
+         |    day, day + INTERVAL ${StickinessWindow - 1} DAY,
+         |    INTERVAL 1 DAY)) AS day
+         |  FROM active),
+         |wau AS (SELECT day, count(*) AS wau FROM expanded GROUP BY 1)
+         |SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau,
+         |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -2061,6 +2105,7 @@ object Analytics {
     "j5_bloom_prefilter" -> (j5BloomPrefilter _),
     "a11_sketch_rollup" -> (a11SketchRollup _),
     "a14_sketch_overlap" -> (a14SketchOverlap _),
+    "w7_stickiness" -> (w7Stickiness _),
     "q4_priority_exists" -> (q4PriorityExists _),
     "q6_revenue_delta" -> (q6RevenueDelta _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),

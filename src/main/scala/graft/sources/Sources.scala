@@ -67,6 +67,36 @@ object Sources {
     * ORC, aggregate THROUGH the ORC read-back, compare to the oracle
     * reading the original parquet — schema, values, and pushdown all
     * survive the format hop. */
+  /** src5: plain-text-lines ingest/egress — the rawest corpus format
+    * (one record per line: WET extracts, log shards, jsonl-less
+    * dumps). Documents serialize as tab-joined lines through Spark's
+    * `text` source and re-parse on read (split with an explicit field
+    * limit so tabs can never leak between fields — the fixture's text
+    * is tab/newline-free and the digest would catch any mangling).
+    * The digest aggregates THROUGH the read-back — count, length sum,
+    * id sum, and the min/max md5 of the reconstructed text per lang —
+    * so the oracle (computed from the original parquet) proves the
+    * line round trip byte-lossless. */
+  def src5TextRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("src5_text")
+    Tables.documents(s, dir)
+      .select(concat_ws("\t", col("doc_id"), col("lang"), col("text"))
+        .as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    s.read.text(path)
+      .select(split(col("value"), "\t", 3).as("p"))
+      .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+        element_at(col("p"), 2).as("lang"),
+        element_at(col("p"), 3).as("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).as("sum_len"),
+        sum(col("doc_id")).as("sum_id"),
+        min(md5(col("text"))).as("min_md5"),
+        max(md5(col("text"))).as("max_md5"))
+      .orderBy("lang")
+  }
+
   def src4OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val path = tmp("src4_orc")
     Tables.orders(s, dir)
@@ -845,6 +875,13 @@ object Sources {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(user_id) AS BIGINT) AS sum_user
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src5_text_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+        |  MIN(md5(text)) AS min_md5,
+        |  MAX(md5(text)) AS max_md5
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "src4_orc_roundtrip" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
@@ -970,6 +1007,7 @@ object Sources {
     "src1_csv_roundtrip" -> (src1CsvRoundtrip _),
     "src2_json_roundtrip" -> (src2JsonRoundtrip _),
     "src4_orc_roundtrip" -> (src4OrcRoundtrip _),
+    "src5_text_roundtrip" -> (src5TextRoundtrip _),
     "src3_schema_evolution" -> (src3SchemaEvolution _),
     "k6_compaction" -> (k6Compaction _),
     "k12_user_erasure" -> (k12UserErasure _),

@@ -343,6 +343,28 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("w7: rolling WAU matches a driver-side window recompute; ratio bounded") {
+    import graft.operators.Analytics
+    val active = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 86400000L))
+    val days = active.map(_._2).distinct.sorted
+    val got = Analytics.w7Stickiness(spark, sf).collect()
+    assert(got.length == days.length)
+    got.foreach { r =>
+      val day = java.time.LocalDate.parse(r.getAs[String]("day")).toEpochDay
+      val dau = active.collect { case (u, d) if d == day => u }.toSet
+      val wau = active.collect {
+        case (u, d) if d <= day && d > day - Analytics.StickinessWindow => u
+      }.toSet
+      assert(r.getAs[Long]("dau") == dau.size, s"dau on day $day")
+      assert(r.getAs[Long]("wau") == wau.size, s"wau on day $day")
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0 && st <= 1.0)
+    }
+  }
+
   test("a14: HLL inclusion-exclusion overlap lands within sketch error of exact") {
     import graft.operators.Analytics
     val r = Analytics.a14SketchOverlap(spark, sf).collect().head

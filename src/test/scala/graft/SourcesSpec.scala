@@ -17,6 +17,25 @@ class SourcesSpec extends GraftSpec {
     assert(viaCsv.toSeq == direct.toSeq)
   }
 
+  test("src5: text-lines round-trip reconstructs every document byte-for-byte") {
+    // digest equality against the direct table
+    val viaText = Sources.src5TextRoundtrip(spark, sf).collect()
+    val direct = Tables.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).as("sum_len"),
+        sum(col("doc_id")).as("sum_id"),
+        min(md5(col("text"))).as("min_md5"),
+        max(md5(col("text"))).as("max_md5"))
+      .orderBy("lang").collect()
+    assert(viaText.toSeq == direct.toSeq)
+    // and the serialization precondition the tab-join depends on
+    val unsafe = Tables.documents(spark, sf)
+      .filter(col("text").contains("\t") || col("text").contains("\n"))
+      .count()
+    assert(unsafe == 0, "fixture text must be tab/newline-free for line format")
+  }
+
   test("src2: json round-trip aggregate equals direct parquet aggregate") {
     val viaJson = Sources.src2JsonRoundtrip(spark, sf).collect()
     val direct = Tables.events(spark, sf)
