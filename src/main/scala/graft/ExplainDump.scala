@@ -67,7 +67,19 @@ object ExplainDump {
       ("t20_bigram_perplexity", "bigram LM: kernel in-row (doc,bigram,tf); count table joins on its own key; unigram/V broadcast",
         TextAnalysis.t20BigramPerplexity _),
       ("b1_basket_pairs", "basket pairs in-row from per-order sorted sets: two keyed shuffles, no self-join, TakeOrderedAndProject",
-        graft.operators.Mining.b1BasketPairs _))
+        graft.operators.Mining.b1BasketPairs _),
+      ("ts1_gap_fill", "spine from ONE 1-row aggregate double-exploded (span + type set); left join over bounded metadata",
+        graft.operators.TimeSeries.ts1GapFill _),
+      ("er1_fuzzy_match", "blocked levenshtein on the DISTINCT-name catalog: aggregates below the candidate equi-join, length prune rides the condition",
+        graft.operators.EntityResolution.er1FuzzyMatch _),
+      ("sky1_pareto_front", "skyline as one brand-partitioned window over the per-(brand,price) aggregate — no NOT-EXISTS self-join",
+        graft.operators.Mining.sky1ParetoFront _),
+      ("g3_triangle_count", "degree-oriented wedge join + closure equi-join; support-thresholded edges from in-row pair generation",
+        graft.operators.Graph.g3TriangleCount _),
+      ("n12_pq_topk", "PQ-ADC serving: zero-shuffle code assignment against literal codebooks; per-query LUT lookups score candidates, exact rerank of 8k survivors",
+        Similarity.n12PqTopk _),
+      ("w7_stickiness", "rolling distinct via day-bin explode of the deduped (user,day) frame — raw events never fan out",
+        Analytics.w7Stickiness _))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries (sf0.01, formatted explain)\n\n")
     sb.append("Generated by `sbt \"runMain graft.ExplainDump\"` from the live\n")

@@ -53,7 +53,11 @@ object ScaleCheck {
     // round-8 session-2 newcomers (quality / LM / mining / index / OBT)
     "g1_gopher_quality", "t20_bigram_perplexity", "qc1_classifier_score",
     "b1_basket_pairs", "e6_mad_outliers", "obt1_denormalize",
-    "ix2_boolean_search", "f1_feature_bins")
+    "ix2_boolean_search", "f1_feature_bins",
+    // round-8 session-3 newcomers (graph / PQ / ER / TS / skyline)
+    "g2_pagerank", "g3_triangle_count", "n12_pq_topk",
+    "er2_entity_clusters", "w7_stickiness", "ts2_locf_fill",
+    "sky1_pareto_front")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {
