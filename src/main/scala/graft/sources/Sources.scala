@@ -27,6 +27,10 @@ object Sources {
   private def tmp(name: String): String =
     s"${graft.TmpRoots.perProcess("graft_sources")}/$name"
 
+  /** The k14 sink path (stable within a process) — spec hook for
+    * asserting partition pruning on the read side. */
+  private[graft] def k14Path: String = tmp("k14_quarantine")
+
   /** Round-trip the lossless (integral/string) lineitem columns through
     * CSV with an explicit read schema (schema-on-read, no inference
     * pass — at 100 TB an inference pass is a full extra scan). */
@@ -67,6 +71,37 @@ object Sources {
     * ORC, aggregate THROUGH the ORC read-back, compare to the oracle
     * reading the original parquet — schema, values, and pushdown all
     * survive the format hop. */
+  val QuarantineValueCap = 400.0 // values above this are quarantined
+
+  /** k14: ingest quarantine gate — the write-side counterpart of a9's
+    * read-side audit: one scan classifies every row (first failing
+    * rule wins), ONE write routes it, because the validity class IS a
+    * partition column of the sink. Clean consumers read the `ok`
+    * partition and quarantine triage reads its class partitions, both
+    * metadata-pruned (k1's discipline) — no second pass, no
+    * cache-and-filter-twice, and re-ingest of a repaired class is a
+    * dynamic overwrite of just that partition (k4). The returned
+    * audit digest aggregates THROUGH the sink read-back, so the
+    * oracle (computed from raw events) proves routing is complete and
+    * lossless. */
+  def k14QuarantineSink(s: SparkSession, dir: String): DataFrame = {
+    val path = k14Path
+    Tables.events(s, dir)
+      .withColumn("dq_status",
+        when(col("event_type") === "error", "quarantine_error_event")
+          .when(col("value") > QuarantineValueCap, "quarantine_extreme_value")
+          .otherwise("ok"))
+      .write.mode(SaveMode.Overwrite).partitionBy("dq_status").parquet(path)
+    s.read.parquet(path)
+      .groupBy(col("dq_status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("user_id")).as("sum_user"),
+        graft.Cols.moneySum(graft.Cols.dec2(col("value"))).as("sum_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("dq_status")
+  }
+
   /** src5: plain-text-lines ingest/egress — the rawest corpus format
     * (one record per line: WET extracts, log shards, jsonl-less
     * dumps). Documents serialize as tab-joined lines through Spark's
@@ -875,6 +910,15 @@ object Sources {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(user_id) AS BIGINT) AS sum_user
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k14_quarantine_sink" ->
+      s"""SELECT CASE WHEN event_type = 'error' THEN 'quarantine_error_event'
+         |    WHEN value > $QuarantineValueCap THEN 'quarantine_extreme_value'
+         |    ELSE 'ok' END AS dq_status,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(user_id) AS BIGINT) AS sum_user,
+         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "src5_text_roundtrip" ->
       """SELECT lang, COUNT(*) AS n,
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
@@ -1008,6 +1052,7 @@ object Sources {
     "src2_json_roundtrip" -> (src2JsonRoundtrip _),
     "src4_orc_roundtrip" -> (src4OrcRoundtrip _),
     "src5_text_roundtrip" -> (src5TextRoundtrip _),
+    "k14_quarantine_sink" -> (k14QuarantineSink _),
     "src3_schema_evolution" -> (src3SchemaEvolution _),
     "k6_compaction" -> (k6Compaction _),
     "k12_user_erasure" -> (k12UserErasure _),

@@ -17,6 +17,27 @@ class SourcesSpec extends GraftSpec {
     assert(viaCsv.toSeq == direct.toSeq)
   }
 
+  test("k14: quarantine routing is complete, disjoint, and partition-pruned") {
+    val rows = Sources.k14QuarantineSink(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total, "every row routed exactly once")
+    val classes = rows.map(_.getAs[String]("dq_status")).toSet
+    assert(classes.contains("ok") && classes.contains("quarantine_error_event"),
+      s"expected both clean and quarantined rows, got $classes")
+    // the clean consumer's read is partition-pruned at the sink
+    val path = Sources.k14Path
+    val clean = spark.read.parquet(path).filter(col("dq_status") === "ok")
+    val plan = clean.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*dq_status.*"),
+      s"clean read must prune quarantine partitions:\n$plan")
+    // routed content is lossless: clean rows are exactly the rule-passing rows
+    val wantClean = Tables.events(spark, sf)
+      .filter(col("event_type") =!= "error" &&
+        col("value") <= Sources.QuarantineValueCap).count()
+    assert(clean.count() == wantClean)
+  }
+
   test("src5: text-lines round-trip reconstructs every document byte-for-byte") {
     // digest equality against the direct table
     val viaText = Sources.src5TextRoundtrip(spark, sf).collect()
