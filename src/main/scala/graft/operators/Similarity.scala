@@ -413,23 +413,18 @@ object Similarity {
     }
   }
 
-  /** Per-subspace code assignment: argmin_k ||x_m − c_mk||², computed
-    * as greatest() over (x_m·c_mk − ½||c_mk||², −k) structs — each
-    * score one native codegen'd dot of the sliced subvector against a
-    * plan-literal centroid, min-k tie-break; the ||x_m||² term is
-    * constant per row and drops out of the argmin. Zero shuffle. */
-  private def pqCodeExpr(books: Array[Array[Array[Double]]], m: Int, sub: Int)
-      : org.apache.spark.sql.Column = {
-    val subv = slice(col("v"), m * sub + 1, sub)
-    val scored = books(m).zipWithIndex.map { case (c, k) =>
-      val half = c.map(x => x * x).sum / 2.0
-      struct(
-        (org.apache.spark.sql.graft.ArrayMathExpr.dotNative(subv, typedlit(c))
-          - lit(half)).as("s"),
-        lit(-k).as("nk"))
-    }
-    (-greatest(scored: _*).getField("nk")).cast("int")
-  }
+  /** All-subspace code assignment in ONE native kernel call
+    * ([[org.apache.spark.sql.graft.PqEncode]]): argmin_k
+    * ||x_m − c_mk||² per subspace against the flattened literal
+    * codebook, min-k tie-break — the same rule as the driver-side
+    * trainer, pinned by the argmin-recompute spec. The greatest()-
+    * over-256-structs form this replaced did identical math as a
+    * >1000-node projection whose generated code took seconds to
+    * janino-compile per executor. Zero shuffle either way. */
+  private def pqCodesCol(books: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.PqEncodeExpr.pqEncode(
+      col("v"), typedlit(books.flatten.flatten), PqM, PqK)
 
   /** n12: product-quantization top-k (Jégou, Douze & Schmid, TPAMI
     * 2011 — "Product quantization for nearest neighbor search"): the
@@ -458,10 +453,8 @@ object Similarity {
     val books = pqCodebooks(e)
     val dim = books.length * books.head.head.length
     val sub = dim / PqM
-    val codeCols = (0 until PqM).map(m =>
-      pqCodeExpr(books, m, sub).as(s"code$m"))
-    val coded = e.select(
-      (Seq(col("vec_id"), col("v"), col("nrm")) ++ codeCols): _*)
+    val coded = e.select(col("vec_id"), col("v"), col("nrm"),
+      pqCodesCol(books).as("codes"))
     // bounded query collect: LUTs are NumQueries × PqM × PqK doubles
     val qRows = e.filter(col("vec_id") < NumQueries).orderBy("vec_id")
       .select("vec_id", "v", "nrm").collect()
@@ -480,7 +473,8 @@ object Similarity {
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id").asc)
     val adc = (0 until PqM).map(m =>
-      element_at(element_at(col("luts"), m + 1), col(s"code$m") + 1))
+      element_at(element_at(col("luts"), m + 1),
+        element_at(col("codes"), m + 1) + 1))
       .reduce(_ + _)
     val candidates = broadcast(qDf)
       .join(coded, col("query_id") =!= col("vec_id"))
@@ -499,9 +493,9 @@ object Similarity {
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
     val books = pqCodebooks(e)
-    val sub = books.head.head.length
+    val codes = pqCodesCol(books)
     e.select((col("vec_id") +: (0 until PqM).map(m =>
-      pqCodeExpr(books, m, sub).as(s"code$m"))): _*)
+      element_at(codes, m + 1).as(s"code$m"))): _*)
   }
 
   val SemDedupTau = 0.4 // cosine threshold for "semantic duplicate"
