@@ -32,12 +32,15 @@ object Graph {
   /** Power-iteration PageRank on an arbitrary (src, dst) edge frame.
     * Per round: one src-keyed join+aggregate (contributions), one
     * 1-row dangling-mass aggregate (suppliers have no out-links —
-    * their rank teleports uniformly), one node-keyed left join to
-    * form the new rank vector — every step a keyed aggregate or
-    * broadcast, lineage TRUNCATED each round (localCheckpoint; the
-    * d6/t18 discipline — untruncated plans grow geometrically).
-    * Driver state is two scalars per round (dangling mass, L1
-    * delta); the rank vector itself never leaves the cluster. */
+    * their rank teleports uniformly) attached IN-PLAN via a broadcast
+    * crossJoin (prof2's scalar pattern — keeping it out of the driver
+    * halves the jobs per round: the round's single action is its
+    * lineage-truncating checkpoint), one node-keyed left join to form
+    * the new rank vector — every step a keyed aggregate or broadcast,
+    * lineage TRUNCATED each round (localCheckpoint; the d6/t18
+    * discipline — untruncated plans grow geometrically). The rank
+    * vector never leaves the cluster; driver state is just the loop
+    * counter. */
   private[graft] def pagerank(edgeDf: DataFrame, iters: Int = PrIters)
       : DataFrame = {
     val e = edgeDf.localCheckpoint()
@@ -49,18 +52,19 @@ object Graph {
     for (_ <- 0 until iters) {
       val withDeg = ranks.join(outdeg, col("node") === col("src"), "left")
       // nodes with no out-edges contribute their whole rank as
-      // uniformly-teleported dangling mass
+      // uniformly-teleported dangling mass — a 1-row bounded aggregate
       val dangling = withDeg.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("r")), lit(0.0))).collect().head.getDouble(0)
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dmass"))
       val contrib = e.join(
         ranks.join(outdeg, col("node") === col("src")).select(
           col("node").as("csrc"), (col("r") / col("outdeg")).as("share")),
         col("src") === col("csrc"))
         .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
       ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1.0 - Damping) / n) + lit(Damping) *
-            (coalesce(col("inflow"), lit(0.0)) + lit(dangling / n))).as("r"))
+            (coalesce(col("inflow"), lit(0.0)) + col("dmass") / n)).as("r"))
         .localCheckpoint()
     }
     ranks
