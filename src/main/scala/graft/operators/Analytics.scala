@@ -1155,6 +1155,43 @@ object Analytics {
       .orderBy("week")
   }
 
+  /** Orphan count of a child key column against a parent key set — a
+    * left-anti join collapsed to one row (spec hook for injection). */
+  private[graft] def fkOrphans(child: DataFrame, key: String,
+      parent: DataFrame, pkey: String, as: String): DataFrame =
+    child.select(col(key))
+      .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
+      .agg(count(lit(1)).as(as))
+
+  /** a15: referential-integrity audit — the FK half of a9's
+    * constraint gate: orphan counts for every foreign key of the star
+    * schema (lineitem→orders/part/supplier, orders→customer) plus the
+    * parent row counts, in ONE output row. Each check is a left-anti
+    * join that ships only the key column; dim-parent checks broadcast
+    * the parent key set, the fact-fact check (lineitem→orders)
+    * shuffles on the join key like any fact join. The six 1-row
+    * aggregates assemble by broadcast crossJoin (bounded metadata) —
+    * the pre-publish audit that catches a partial load before
+    * downstream joins silently drop rows. */
+  def a15FkAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val checks = Seq(
+      fkOrphans(li, "l_orderkey", o, "o_orderkey", "orphan_li_orders"),
+      fkOrphans(li, "l_partkey", Tables.part(s, dir), "p_partkey",
+        "orphan_li_part"),
+      fkOrphans(li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey",
+        "orphan_li_supp"),
+      fkOrphans(o, "o_custkey", Tables.customer(s, dir), "c_custkey",
+        "orphan_ord_cust"),
+      li.agg(count(lit(1)).as("n_lineitem")),
+      o.agg(count(lit(1)).as("n_orders")))
+    checks.reduce((a, b) => a.crossJoin(broadcast(b)))
+      .select(col("n_lineitem"), col("n_orders"),
+        col("orphan_li_orders"), col("orphan_li_part"),
+        col("orphan_li_supp"), col("orphan_ord_cust"))
+  }
+
   val StickinessWindow = 7 // trailing days in the WAU window
 
   /** w7: stickiness — DAU over trailing-[[StickinessWindow]]-day WAU
@@ -1416,6 +1453,22 @@ object Analytics {
   private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracles: Map[String, String] = Map(
+    "a15_fk_audit" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+        |  (SELECT COUNT(*) FROM orders) AS n_orders,
+        |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS orphan_li_orders,
+        |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |    AS orphan_li_part,
+        |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |    AS orphan_li_supp,
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS orphan_ord_cust""".stripMargin,
     "w7_stickiness" ->
       s"""WITH active AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
          |  FROM events),
@@ -2106,6 +2159,7 @@ object Analytics {
     "a11_sketch_rollup" -> (a11SketchRollup _),
     "a14_sketch_overlap" -> (a14SketchOverlap _),
     "w7_stickiness" -> (w7Stickiness _),
+    "a15_fk_audit" -> (a15FkAudit _),
     "q4_priority_exists" -> (q4PriorityExists _),
     "q6_revenue_delta" -> (q6RevenueDelta _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),

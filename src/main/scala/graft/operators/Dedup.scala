@@ -336,6 +336,32 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
 
+  /** d10: canonical selection — collapse each near-dup cluster (d6's
+    * components) to ONE canonical document by an explicit survival
+    * rule: longest text wins, ties to the smallest doc_id (exact dups
+    * make "min id" the only defensible rule — d1 — but NEAR-dup
+    * members differ, and real corpus prep keeps the most complete
+    * variant, not the accidental id minimum). The rule is a single
+    * partial-aggregable struct-max per cluster (max(len, −id) ≡
+    * "max len, then min id" — no per-cluster sort, no window); the
+    * member join touches only (doc_id, length) columns. */
+  def d10CanonicalPick(s: SparkSession, dir: String): DataFrame = {
+    val clusters = connectedComponents(
+      d2NgramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val lens = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("len"))
+    clusters.join(lens, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("len").as("len"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"),
+        (-col("best.nid")).as("keep_id"),
+        col("best.len").as("keep_len"),
+        col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Max plan-tree depth observed across the generations of the most
     * recent [[connectedComponents]] run — instrumentation for the
     * bounded-lineage spec (a diameter-30 chain must not grow a
@@ -493,6 +519,37 @@ object Dedup {
         |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d10_canonical_pick" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]) AS sh
+        |  FROM tok),
+        |sh AS (SELECT doc_id, sh FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= $ShingleDfCap),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+        |m AS (SELECT cl.cluster_id, cl.doc_id, length(d.text) AS len
+        |  FROM cl JOIN documents d USING (doc_id)),
+        |mx AS (SELECT cluster_id, MAX(len) AS keep_len, COUNT(*) AS n_members
+        |  FROM m GROUP BY 1)
+        |SELECT m.cluster_id, MIN(m.doc_id) AS keep_id,
+        |  mx.keep_len, mx.n_members
+        |FROM m JOIN mx ON m.cluster_id = mx.cluster_id AND m.len = mx.keep_len
+        |GROUP BY m.cluster_id, mx.keep_len, mx.n_members
+        |ORDER BY m.cluster_id""".stripMargin,
     "d6_dedup_clusters" ->
       s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),
@@ -615,5 +672,6 @@ object Dedup {
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash" -> (d4Simhash _),
     "d5_embedding_neardup" -> (d5EmbeddingNeardup _),
-    "d6_dedup_clusters" -> (d6DedupClusters _))
+    "d6_dedup_clusters" -> (d6DedupClusters _),
+    "d10_canonical_pick" -> (d10CanonicalPick _))
 }

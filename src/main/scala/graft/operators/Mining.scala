@@ -143,6 +143,40 @@ object Mining {
       when(abs(z) > AbZCrit, 1).otherwise(0).as("significant"))
   }
 
+  /** f2: feature standardization — z-score and min-max scaling of a
+    * measure column, the row-local transform in front of every
+    * distance-based model (k-means, kNN, regularized regression). The
+    * four global statistics are ONE bounded 1-row aggregate broadcast
+    * back (f1/prof2's discipline — never a second pass, never a
+    * driver collect), scaling itself is a pure projection. The
+    * emitted frame is the per-flag audit profile of the scaled
+    * columns (mean(z)≈0 / min-max∈[0,1] — what a feature-store
+    * validation job checks), so output stays bounded while the
+    * transform runs over every row. Stats are rounded to 6 before
+    * broadcasting so both engines scale with identical constants. */
+  def f2Standardize(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val stats = li.agg(
+      round(avg(col("v")), 6).as("mu"),
+      round(stddev(col("v")), 6).as("sigma"),
+      min(col("v")).as("lo"),
+      max(col("v")).as("hi"))
+    li.crossJoin(broadcast(stats)) // 1-row bounded metadata
+      .select(col("l_returnflag"),
+        ((col("v") - col("mu")) / col("sigma")).as("z"),
+        ((col("v") - col("lo")) / (col("hi") - col("lo"))).as("mm"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        // + 0.0 canonicalizes IEEE -0.0 (a tiny negative mean rounds
+        // to -0.0 in one engine and +0.0 in the other)
+        (round(avg(col("z")), 6) + lit(0.0)).as("z_mean"),
+        round(stddev(col("z")), 6).as("z_std"),
+        round(min(col("mm")), 6).as("mm_min"),
+        round(max(col("mm")), 6).as("mm_max"))
+      .orderBy("l_returnflag")
+  }
+
   /** sky1: Pareto frontier (skyline) per brand — parts where no same-
     * brand part is at-most-equal on price AND at-least-equal on size
     * with one strict inequality (Börzsönyi et al. ICDE'01's SKYLINE
@@ -176,6 +210,19 @@ object Mining {
   }
 
   val oracles: Map[String, String] = Map(
+    "f2_standardize" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice AS v FROM lineitem),
+        |st AS (SELECT round(avg(v), 6) AS mu, round(stddev_samp(v), 6) AS sigma,
+        |    min(v) AS lo, max(v) AS hi FROM li),
+        |sc AS (SELECT l.l_returnflag, (l.v - st.mu) / st.sigma AS z,
+        |    (l.v - st.lo) / (st.hi - st.lo) AS mm
+        |  FROM li l CROSS JOIN st)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  round(avg(z), 6) + 0.0 AS z_mean,
+        |  round(stddev_samp(z), 6) AS z_std,
+        |  round(min(mm), 6) AS mm_min,
+        |  round(max(mm), 6) AS mm_max
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "sky1_pareto_front" ->
       """SELECT p.p_partkey, p.p_brand, p.p_retailprice, p.p_size
         |FROM part p WHERE NOT EXISTS (
@@ -241,5 +288,6 @@ object Mining {
     "sky1_pareto_front" -> (sky1ParetoFront _),
     "e6_mad_outliers" -> (e6MadOutliers _),
     "f1_feature_bins" -> (f1FeatureBins _),
+    "f2_standardize" -> (f2Standardize _),
     "a13_ab_test" -> (a13AbTest _))
 }

@@ -343,6 +343,23 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("a15: clean schema has zero orphans; injected orphans are counted exactly") {
+    import graft.operators.Analytics
+    val clean = Analytics.a15FkAudit(spark, sf).collect().head
+    Seq("orphan_li_orders", "orphan_li_part", "orphan_li_supp",
+      "orphan_ord_cust").foreach { c =>
+      assert(clean.getAs[Long](c) == 0L, s"$c should be 0 on the clean fixture")
+    }
+    assert(clean.getAs[Long]("n_lineitem") == Tables.lineitem(spark, sf).count())
+    // violation injection: 3 child rows pointing at a missing parent
+    import spark.implicits._
+    val child = Seq(1L, 1L, 2L, 7L, 8L, 9L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("p")
+    val orphans = Analytics.fkOrphans(child, "k", parent, "p", "o")
+      .collect().head.getAs[Long]("o")
+    assert(orphans == 3L, s"expected the 3 injected orphans, got $orphans")
+  }
+
   test("w7: rolling WAU matches a driver-side window recompute; ratio bounded") {
     import graft.operators.Analytics
     val active = Tables.events(spark, sf)

@@ -192,6 +192,25 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("d10 keeps the longest member per cluster, ties to the smallest id") {
+    val cluster = Dedup.d6DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lens = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "length(text) AS len").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = cluster.groupBy(_._2).map { case (cid, ms) =>
+      val members = ms.keys.toSeq
+      val maxLen = members.map(lens).max
+      cid -> (members.filter(lens(_) == maxLen).min, maxLen, members.size)
+    }
+    val got = Dedup.d10CanonicalPick(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Int]("keep_len"),
+          r.getAs[Long]("n_members").toInt))).toMap
+    assert(got == want, s"${got.size} clusters vs ${want.size}")
+    assert(got.values.exists(_._3 > 1), "fixture should have real clusters")
+  }
+
   test("d6 core: a diameter-30 chain converges in O(log diameter) rounds, bounded plan depth") {
     import spark.implicits._
     // path graph 1-2-...-30: plain min-label propagation needs ~29

@@ -68,6 +68,21 @@ class MiningSpec extends GraftSpec {
     }
   }
 
+  test("f2 scaled columns audit as standardized: z-mean ~0, z-std ~1, minmax spans [0,1]") {
+    val rows = Mining.f2Standardize(spark, sf).collect()
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    // per-flag means scatter around 0 within a few std errors; the
+    // global min-max extremes land exactly on 0 and 1 in SOME flag
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("z_mean")) < 0.5)
+      assert(r.getAs[Double]("z_std") > 0.5 && r.getAs[Double]("z_std") < 2.0)
+      assert(r.getAs[Double]("mm_min") >= 0.0 && r.getAs[Double]("mm_max") <= 1.0)
+    }
+    assert(rows.exists(_.getAs[Double]("mm_min") == 0.0))
+    assert(rows.exists(_.getAs[Double]("mm_max") == 1.0))
+  }
+
   test("sky1 frontier matches a brute-force strict-dominance recompute") {
     val parts = Tables.part(spark, sf)
       .select("p_partkey", "p_brand", "p_retailprice", "p_size").collect()
