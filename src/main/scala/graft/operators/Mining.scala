@@ -177,6 +177,43 @@ object Mining {
       .orderBy("l_returnflag")
   }
 
+  val WinsorLo = 0.01 // lower clamp quantile
+  val WinsorHi = 0.99 // upper clamp quantile
+
+  /** f3: winsorization — clamp a measure to its per-group
+    * [[WinsorLo]]/[[WinsorHi]] quantiles (the outlier treatment that
+    * keeps every row, unlike e6's flag-and-drop: regressions and mean
+    * metrics stay defined while tail spikes stop dominating them).
+    * Same two-plane shape as e6/f1: the cut points are ONE bounded
+    * aggregate over the (~#types) group key, broadcast back; clamping
+    * is a row-local least/greatest projection. The emitted frame is
+    * the per-type audit profile (cuts, clip counts, raw vs winsorized
+    * mean) — bounded output over a full-corpus transform (f2's
+    * discipline). Cuts are rounded to 6 before broadcasting so both
+    * engines clamp with identical constants; means go through exact
+    * decimal sums (order-independent ⇒ bit-stable). Exact
+    * `percentile` for the oracle; the 100 TB swap is
+    * `approx_percentile` with identical plan shape (a7/prof1b). */
+  def f3Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value").as("v"))
+    val cuts = ev.groupBy(col("event_type")).agg(
+      round(expr(s"percentile(v, $WinsorLo)"), 6).as("lo_cut"),
+      round(expr(s"percentile(v, $WinsorHi)"), 6).as("hi_cut"))
+    ev.join(broadcast(cuts), Seq("event_type"))
+      .withColumn("w", least(greatest(col("v"), col("lo_cut")), col("hi_cut")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo_cut")).as("lo_cut"),
+        min(col("hi_cut")).as("hi_cut"),
+        sum(when(col("v") < col("lo_cut"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("hi_cut"), 1L).otherwise(0L)).as("n_clip_hi"),
+        round(sum(col("v").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_raw"),
+        round(sum(col("w").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_winsor"))
+      .orderBy("event_type")
+  }
+
   /** sky1: Pareto frontier (skyline) per brand — parts where no same-
     * brand part is at-most-equal on price AND at-least-equal on size
     * with one strict inequality (Börzsönyi et al. ICDE'01's SKYLINE
@@ -281,7 +318,22 @@ object Mining {
          |  CAST(SUM(CASE WHEN d.ad > ${MadK * MadScale} * mad.mad
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          |FROM dev d JOIN mad USING (event_type)
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f3_winsorize" ->
+      s"""WITH cuts AS (SELECT event_type,
+         |    round(quantile_cont(value, $WinsorLo), 6) AS lo_cut,
+         |    round(quantile_cont(value, $WinsorHi), 6) AS hi_cut
+         |  FROM events GROUP BY 1),
+         |j AS (SELECT e.event_type, e.value AS v, c.lo_cut, c.hi_cut,
+         |    least(greatest(e.value, c.lo_cut), c.hi_cut) AS w
+         |  FROM events e JOIN cuts c USING (event_type))
+         |SELECT event_type, COUNT(*) AS n,
+         |  MIN(lo_cut) AS lo_cut, MIN(hi_cut) AS hi_cut,
+         |  CAST(SUM(CASE WHEN v < lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+         |  CAST(SUM(CASE WHEN v > hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+         |  round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+         |  round(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_winsor
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_basket_pairs" -> (b1BasketPairs _),
@@ -289,5 +341,6 @@ object Mining {
     "e6_mad_outliers" -> (e6MadOutliers _),
     "f1_feature_bins" -> (f1FeatureBins _),
     "f2_standardize" -> (f2Standardize _),
+    "f3_winsorize" -> (f3Winsorize _),
     "a13_ab_test" -> (a13AbTest _))
 }

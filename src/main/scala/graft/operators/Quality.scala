@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-quality filtering for LLM training-data pipelines (SURVEY §2
@@ -115,6 +116,43 @@ object Quality {
         round(col("w"), 6).as("weight"),
         round(lit(1.0) / col("w"), 6).as("inv_weight"))
       .orderBy("doc_id")
+  }
+
+  val SourceCap = 10 // documents kept per source
+  val CapSalts = 8 // phase-1 salt fan-out for the per-source top-K
+
+  /** dc1: per-source document caps — keep at most [[SourceCap]] docs
+    * per source, best-first (the C4/RefinedWeb-style domain quota that
+    * stops one boilerplate-heavy domain from dominating a training
+    * mix). Survival rank is (n_chars desc, doc_id asc) — a total
+    * order, so the kept set is deterministic on every engine.
+    *
+    * NOT a single per-source window: at 100 TB one domain can hold
+    * billions of documents, and `row_number() OVER (PARTITION BY
+    * source)` funnels each domain through ONE task's sort (the q11/q15
+    * scale-killer, at domain grain). Instead the j4 salting discipline
+    * applied to top-K: phase 1 ranks within (source, doc_id %
+    * [[CapSalts]]) — bounded fan-in per task — and keeps each salt's
+    * local top-[[SourceCap]]; the global top-K per source is provably
+    * inside those ≤ salts × K survivors, so phase 2's real per-source
+    * window sorts bounded metadata, never the corpus. PlanAuditSpec
+    * pins the salt key on the corpus-facing window. */
+  def dc1SourceCaps(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val w1 = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(CapSalts)))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val survivors = docs
+      .withColumn("lr", row_number().over(w1))
+      .filter(col("lr") <= SourceCap)
+      .drop("lr")
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    survivors
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= SourceCap)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rank"))
+      .orderBy(col("source"), col("rank"))
   }
 
   val QcDim = 1024 // hashed feature dimension (collisions are the hashing trick)
@@ -283,10 +321,19 @@ object Quality {
         |WHERE substring(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 8) <
         |  CASE WHEN w >= 1.0 THEN 'g'
         |    ELSE lpad(lower(to_hex(CAST(floor(w * 4294967296.0) AS BIGINT))), 8, '0') END
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "dc1_source_caps" ->
+      s"""SELECT doc_id, source, n_chars, rnk AS "rank"
+         |FROM (SELECT doc_id, source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= $SourceCap
+         |ORDER BY source, rnk""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_gopher_quality" -> (g1GopherQuality _),
     "imp1_importance_sample" -> (imp1ImportanceSample _),
-    "qc1_classifier_score" -> (qc1ClassifierScore _))
+    "qc1_classifier_score" -> (qc1ClassifierScore _),
+    "dc1_source_caps" -> (dc1SourceCaps _))
 }

@@ -607,6 +607,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t21: dictionary keyword tagging — per-document occurrence counts
+    * of a frozen phrase dictionary, the routing/taxonomy tagger every
+    * corpus pipeline runs (topic buckets, policy term flags, source
+    * classification). ONE compiled Aho–Corasick pass per document
+    * ([[org.apache.spark.sql.graft.KeywordMatches]]) counts ALL
+    * phrases simultaneously — the naive form is |dict| separate
+    * `contains`/regex passes over the full text, and its cost grows
+    * with the dictionary while the automaton's does not. The
+    * dictionary is frozen source (BpeVocab's plan-literal discipline:
+    * zero distribution cost), every phrase borderless so the
+    * all-occurrence count equals the SQL oracle's non-overlapping
+    * replace-count. Zero shuffles: scan → kernel → explode (a pure
+    * projection — only matched phrases materialize) → output sort. */
+  def t21KeywordTag(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.KeywordMatchExpr
+          .keywordMatches(col("text"))).as("m"))
+      .select(col("doc_id"), col("m.kw").as("kw"), col("m.hits").as("hits"))
+      .orderBy("doc_id", "kw")
+
   private def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
@@ -793,7 +814,18 @@ object TextAnalysis {
          |co AS (SELECT doc_id, sh FROM sh WHERE doc_id % $EvalHoldoutMod <> 0)
          |SELECT co.doc_id, COUNT(DISTINCT co.sh) AS n_shared_shingles,
          |  COUNT(DISTINCT eval_id) AS n_eval_docs
-         |FROM co JOIN ev USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM co JOIN ev USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t21_keyword_tag" -> {
+      val kws = org.apache.spark.sql.graft.KeywordDict.patterns
+        .map(p => s"'$p'").mkString("[", ",", "]")
+      s"""WITH k AS (SELECT unnest($kws) AS kw)
+         |SELECT d.doc_id, k.kw,
+         |  CAST((length(d.text) - length(replace(d.text, k.kw, '')))
+         |    // length(k.kw) AS BIGINT) AS hits
+         |FROM documents d CROSS JOIN k
+         |WHERE instr(d.text, k.kw) > 0
+         |ORDER BY doc_id, kw""".stripMargin
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
@@ -815,5 +847,6 @@ object TextAnalysis {
     "t17_surprisal" -> (t17Surprisal _),
     "t18_bpe_train" -> (t18BpeTrain _),
     "t19_html_extract" -> (t19HtmlExtract _),
-    "t20_bigram_perplexity" -> (t20BigramPerplexity _))
+    "t20_bigram_perplexity" -> (t20BigramPerplexity _),
+    "t21_keyword_tag" -> (t21KeywordTag _))
 }

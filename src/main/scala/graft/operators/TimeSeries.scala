@@ -110,6 +110,36 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  val ResampleSecs = 900 // 15-minute buckets
+
+  /** ts4: OHLC resampling — open/high/low/close/volume per
+    * (event_type, [[ResampleSecs]]-second bucket), the downsampling
+    * every metrics store and market-data pipeline runs before charting
+    * or modeling a finer-grained stream. NOT a per-bucket window or
+    * sort: open/close are `min_by`/`max_by` against the totally
+    * ordered (ts, event_id) struct key — partial-aggregable
+    * struct-extrema, so every executor combines map-side and the only
+    * shuffle is the keyed aggregate itself (bucket count grows with
+    * the time span, never one task's sort). Volume goes through an
+    * exact decimal sum (order-independent ⇒ bit-stable, SURVEY §4);
+    * open/high/low/close are exact picks of input doubles. The bucket
+    * key is epoch-seconds floored to the grain — engine-neutral, no
+    * timezone/format dependence. */
+  def ts4OhlcResample(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / ResampleSecs).cast("long") *
+          ResampleSecs).as("bucket"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min_by(col("value"), struct(col("ts"), col("event_id"))), 6).as("open"),
+        round(max(col("value")), 6).as("high"),
+        round(min(col("value")), 6).as("low"),
+        round(max_by(col("value"), struct(col("ts"), col("event_id"))), 6).as("close"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("volume"))
+      .orderBy(col("event_type"), col("bucket"))
+
   val oracles: Map[String, String] = Map(
     "ts3_trend" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
@@ -158,10 +188,21 @@ object TimeSeries {
         |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, n,
         |  v AS avg_value,
         |  max(v) OVER (PARTITION BY event_type, grp) AS filled_value
-        |FROM g ORDER BY 1, 2""".stripMargin)
+        |FROM g ORDER BY 1, 2""".stripMargin,
+    "ts4_ohlc_resample" ->
+      s"""SELECT event_type,
+         |  CAST(floor(epoch(ts) / $ResampleSecs) * $ResampleSecs AS BIGINT) AS bucket,
+         |  COUNT(*) AS n,
+         |  round(first(value ORDER BY ts, event_id), 6) AS open,
+         |  round(max(value), 6) AS high,
+         |  round(min(value), 6) AS low,
+         |  round(last(value ORDER BY ts, event_id), 6) AS close,
+         |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS volume
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts1_gap_fill" -> (ts1GapFill _),
     "ts2_locf_fill" -> (ts2LocfFill _),
-    "ts3_trend" -> (ts3Trend _))
+    "ts3_trend" -> (ts3Trend _),
+    "ts4_ohlc_resample" -> (ts4OhlcResample _))
 }

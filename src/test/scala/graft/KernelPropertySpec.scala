@@ -219,4 +219,44 @@ class KernelPropertySpec extends AnyFunSuite {
       got == want
     })
   }
+
+  test("AhoCorasick counts ALL occurrences, including overlapping ones") {
+    val ac = new org.apache.spark.sql.graft.AhoCorasick(Array("aba", "ba", "zz"))
+    // "ababa": aba at 0 and 2 (overlapping), ba at 1 and 3, zz absent
+    assert(ac.countsOf("ababa").toSeq == Seq(2L, 2L, 0L))
+    assert(ac.countsOf("").toSeq == Seq(0L, 0L, 0L))
+    // patterns that are substrings of each other both fire
+    val ac2 = new org.apache.spark.sql.graft.AhoCorasick(Array("scan", "can"))
+    assert(ac2.countsOf("scan can").toSeq == Seq(1L, 2L))
+  }
+
+  test("frozen keyword dictionary is borderless, so AC count == greedy count") {
+    // the t21 oracle counts non-overlapping occurrences via replace();
+    // a borderless pattern cannot overlap itself, so both counts agree
+    for (p <- org.apache.spark.sql.graft.KeywordDict.patterns;
+         b <- 1 until p.length)
+      assert(p.substring(0, b) != p.substring(p.length - b),
+        s"'$p' has a border of length $b")
+  }
+
+  test("KeywordMatchUtil equals a per-keyword indexOf scan over corpus docs") {
+    val docs = graft.GraftTestSpark.spark.read
+      .parquet(s"${graft.GraftTestSpark.sf}/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    def naive(text: String, kw: String): Long = {
+      var n = 0L; var i = text.indexOf(kw)
+      while (i >= 0) { n += 1; i = text.indexOf(kw, i + 1) } // all occurrences
+      n
+    }
+    var hits = 0L
+    docs.foreach { t =>
+      val got = org.apache.spark.sql.graft.KeywordMatchUtil.frozen.countsOf(t)
+      org.apache.spark.sql.graft.KeywordDict.patterns.zipWithIndex.foreach {
+        case (kw, i) =>
+          assert(got(i) == naive(t, kw), s"kw '$kw' in doc of len ${t.length}")
+      }
+      hits += got.sum
+    }
+    assert(hits > 0, "fixture must exercise at least one match")
+  }
 }

@@ -110,6 +110,38 @@ class MiningSpec extends GraftSpec {
     }
   }
 
+  test("f3 winsorized means and clip counts match a driver-side recompute") {
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // interpolated quantile, the percentile/quantile_cont definition
+    def qtl(sorted: Array[Double], q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val lo = pos.toInt
+      if (lo == sorted.length - 1) sorted(lo)
+      else sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val byType = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+    val got = Mining.f3Winsorize(spark, sf).collect()
+    assert(got.map(_.getAs[String]("event_type")).toSet == byType.keySet)
+    got.foreach { r =>
+      val vs = byType(r.getAs[String]("event_type")).map(_._2)
+      val sorted = vs.sorted
+      val lo = r6(qtl(sorted, Mining.WinsorLo))
+      val hi = r6(qtl(sorted, Mining.WinsorHi))
+      assert(r.getAs[Double]("lo_cut") == lo)
+      assert(r.getAs[Double]("hi_cut") == hi)
+      assert(r.getAs[Long]("n") == vs.length.toLong)
+      assert(r.getAs[Long]("n_clip_lo") == vs.count(_ < lo).toLong)
+      assert(r.getAs[Long]("n_clip_hi") == vs.count(_ > hi).toLong)
+      // winsorized mean lands between the cuts, raw mean is conserved
+      assert(r.getAs[Double]("mean_winsor") >= lo - 1e-9)
+      assert(r.getAs[Double]("mean_winsor") <= hi + 1e-9)
+      assert(math.abs(r.getAs[Double]("mean_raw") - vs.sum / vs.length) < 1e-4)
+    }
+  }
+
   test("e6 covers every event type with n summing to the table size") {
     val out = Mining.e6MadOutliers(spark, sf).collect()
     val total = Tables.events(spark, sf).count()

@@ -722,4 +722,29 @@ class PlanAuditSpec extends GraftSpec {
     assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
       s"no window/join in the encode path:\n$plan")
   }
+
+  test("t21: dictionary tagging shuffles nothing but the output sort") {
+    val plan = planOf(TextAnalysis.t21KeywordTag(spark, sf))
+    // one automaton pass + explode; the single Exchange is the
+    // rangepartitioning sort of the bounded tagged output
+    val exchanges = "Exchange (range|hash)partitioning".r
+      .findAllIn(plan).toSeq
+    assert(exchanges.forall(_.contains("range")) && exchanges.size <= 1,
+      s"tagging must not shuffle before the output sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"the dictionary is a plan literal, never a join side:\n$plan")
+  }
+
+  test("dc1: the corpus-facing window ranks (source, salt), never bare source") {
+    val q = graft.operators.Quality.dc1SourceCaps(spark, sf)
+    val plan = planOf(q)
+    // two Window nodes: the salted phase-1 pass and the bounded phase-2
+    val nWindows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(nWindows >= 2, s"expected the two-phase window pair:\n$plan")
+    // phase 1 partitions by (source, pmod(doc_id, salts)) — the pmod key
+    // must appear in a window partition spec, proving the corpus-sized
+    // pass is salted (the bare-source sort only sees ≤ salts×K rows)
+    assert(plan.contains("pmod(doc_id#"),
+      s"phase-1 window must carry the salt key:\n$plan")
+  }
 }

@@ -103,4 +103,22 @@ class QualitySpec extends GraftSpec {
     val b = Quality.imp1ImportanceSample(spark, sf).collect().map(_.toString)
     assert(a.sameElements(b))
   }
+
+  test("dc1 salted two-phase top-K equals the direct per-source ranking") {
+    // driver-side reference: full sort per source, no salting
+    val want = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+        rows.sortBy { case (id, _, n) => (-n, id) }
+          .take(Quality.SourceCap).zipWithIndex
+          .map { case ((id, _, n), i) => (id, src, n, i + 1) }
+      }.sortBy { case (id, src, n, rk) => (src, rk) }
+    val got = Quality.dc1SourceCaps(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars"), r.getAs[Int]("rank"))).toSeq
+    assert(got == want, s"got ${got.take(5)}…\nwant ${want.take(5)}…")
+    // every source is capped
+    assert(got.groupBy(_._2).values.forall(_.length <= Quality.SourceCap))
+  }
 }

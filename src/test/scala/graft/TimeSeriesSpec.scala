@@ -74,4 +74,34 @@ class TimeSeriesSpec extends GraftSpec {
       assert(math.abs(r.getAs[Double]("r2") - sxy * sxy / (sxx * syy)) < 1e-4)
     }
   }
+
+  test("ts4 OHLC buckets match a driver-side recompute and obey invariants") {
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "event_id", "value", "cast(ts as long) AS sec")
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value"), r.getAs[Long]("sec")))
+    val want = ev.groupBy { case (t, _, _, sec) =>
+        (t, sec / TimeSeries.ResampleSecs * TimeSeries.ResampleSecs)
+      }.view.mapValues { rows =>
+        val ordered = rows.sortBy { case (_, id, _, sec) => (sec, id) }
+        (ordered.length.toLong, r6(ordered.head._3),
+          r6(ordered.map(_._3).max), r6(ordered.map(_._3).min),
+          r6(ordered.last._3))
+      }.toMap
+    val got = TimeSeries.ts4OhlcResample(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Long]("bucket"))
+      val (n, open, high, low, close) = want(k)
+      assert(r.getAs[Long]("n") == n, s"$k n")
+      assert(r.getAs[Double]("open") == open, s"$k open")
+      assert(r.getAs[Double]("high") == high, s"$k high")
+      assert(r.getAs[Double]("low") == low, s"$k low")
+      assert(r.getAs[Double]("close") == close, s"$k close")
+      assert(low <= open && open <= high && low <= close && close <= high)
+    }
+  }
 }
