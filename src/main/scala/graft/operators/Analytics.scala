@@ -1128,6 +1128,56 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** Per-user sessions (e1's 30-min-gap rule) with RAW timestamps —
+    * the interval frame j6 overlaps; e1 itself emits formatted
+    * strings, so the boundary logic lives here once. */
+  private def sessionIntervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull ||
+          expr("timestampdiff(SECOND, prev, ts)") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+  }
+
+  /** j6: interval OVERLAP join — per session, how many other users'
+    * sessions were concurrent with it (the load/concurrency question
+    * behind capacity planning and the reference's connection-overlap
+    * view of active sync windows). Overlap (st ≤ en', st' ≤ en) is
+    * not an equi-predicate, and the naive form is a cartesian
+    * interval self-join. The j3 bin discipline makes it an EQUI-join:
+    * every session explodes into the hour bins it covers (fan-out =
+    * session length in hours, bounded by the session timeout), pairs
+    * meet on the bin key, the exact overlap predicate filters within
+    * the bin, and countDistinct collapses the multi-bin duplicates of
+    * long overlaps. Per-bin pair fan-out is quadratic only in
+    * per-hour concurrency — the intrinsic answer size — never in the
+    * corpus. Sessions with no overlap survive via the left join. */
+  def j6OverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val sess = sessionIntervals(s, dir).localCheckpoint()
+    def binned(p: String): DataFrame = sess.select(
+      col("user_id").as(s"${p}_user"), col("session_id").as(s"${p}_sess"),
+      col("st").as(s"${p}_st"), col("en").as(s"${p}_en"),
+      explode(expr("sequence(date_trunc('hour', st), date_trunc('hour', en), interval 1 hour)")).as(s"${p}_bin"))
+    val conc = binned("a")
+      .join(binned("b"), col("a_bin") === col("b_bin") && // the equi-key
+        col("a_user") =!= col("b_user") &&
+        col("a_st") <= col("b_en") && col("b_st") <= col("a_en"))
+      .groupBy(col("a_user"), col("a_sess"))
+      .agg(countDistinct(col("b_user"), col("b_sess")).as("n_concurrent"))
+    sess.join(conc,
+        col("user_id") === col("a_user") && col("session_id") === col("a_sess"),
+        "left")
+      .select(col("user_id"), col("session_id"),
+        Cols.fmtTs(col("st")).as("start_ts"), Cols.fmtTs(col("en")).as("end_ts"),
+        coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+      .orderBy("user_id", "session_id")
+  }
+
   val SketchDays = 7 // rollup window for a11
 
   /** a11: sketch rollup table — the incremental-aggregation idiom for
@@ -1770,6 +1820,31 @@ object Analytics {
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "j6_overlap_join" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000 > 1800
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess0 AS (
+        |  SELECT user_id, ts, CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |sess AS (SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+        |  FROM sess0 GROUP BY 1, 2),
+        |conc AS (SELECT a.user_id, a.session_id, COUNT(*) AS n_concurrent
+        |  FROM sess a JOIN sess b
+        |    ON a.user_id <> b.user_id AND a.st <= b.en AND b.st <= a.en
+        |  GROUP BY 1, 2)
+        |SELECT s.user_id, s.session_id,
+        |  strftime(s.st, '%Y-%m-%d %H:%M:%S') AS start_ts,
+        |  strftime(s.en, '%Y-%m-%d %H:%M:%S') AS end_ts,
+        |  COALESCE(c.n_concurrent, 0) AS n_concurrent
+        |FROM sess s LEFT JOIN conc c USING (user_id, session_id)
+        |ORDER BY 1, 2""".stripMargin,
     "a4_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -2156,6 +2231,7 @@ object Analytics {
     "w4_active_users" -> (w4ActiveUsers _),
     "sc1_scd2_history" -> (sc1Scd2History _),
     "j5_bloom_prefilter" -> (j5BloomPrefilter _),
+    "j6_overlap_join" -> (j6OverlapJoin _),
     "a11_sketch_rollup" -> (a11SketchRollup _),
     "a14_sketch_overlap" -> (a14SketchOverlap _),
     "w7_stickiness" -> (w7Stickiness _),

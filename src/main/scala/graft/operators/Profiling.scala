@@ -92,10 +92,47 @@ object Profiling {
       .orderBy("bucket")
   }
 
+  val SkewTopK = 3 // heavy keys reported per join column
+  private val SkewCols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+
+  /** prof3: join-key skew audit — per join column of the fact table,
+    * the key-frequency statistics that decide a shuffle-join plan
+    * BEFORE it runs: distinct-key count, the heaviest keys and their
+    * row counts, and the skew ratio max/avg (how many times the
+    * hottest shuffle partition's key exceeds the mean). This is the
+    * measurement plane behind j4's salting and the AQE skew-split
+    * audit — at 100 TB one profiles first, then picks salting/AQE
+    * thresholds from these numbers instead of from an incident.
+    * Per column: one keyed count aggregate (map-side partials), a
+    * 1-row stats aggregate of the key-frame, and a deterministic
+    * top-K via TakeOrderedAndProject (count desc, key asc) — the
+    * per-column frames are bounded (K rows each) before the union.
+    * The column set is #columns-bounded metadata, so the loop is a
+    * plan union, not a driver loop over data. */
+  def prof3SkewAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val frames = SkewCols.map { c =>
+      val counts = li.groupBy(col(c).as("key")).agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      val top = counts.orderBy(col("cnt").desc, col("key")).limit(SkewTopK)
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("key")))) // K collected rows only
+      top.crossJoin(broadcast(stats)) // 1-row bounded metadata
+        .select(lit(c).as("col_name"), col("rank"), col("key"), col("cnt"),
+          col("n_keys"), col("max_cnt"),
+          round(col("max_cnt") * col("n_keys") / col("n_rows").cast("double"), 6)
+            .as("skew_ratio"))
+    }
+    frames.reduce(_.unionAll(_)).orderBy("col_name", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prof1_column_profile" -> (prof1ColumnProfile _),
     "prof1b_approx_profile" -> (prof1bApproxProfile _),
-    "prof2_histogram" -> (prof2Histogram _))
+    "prof2_histogram" -> (prof2Histogram _),
+    "prof3_skew_audit" -> (prof3SkewAudit _))
 
   private def prof1OracleFor(c: String): String =
     s"""SELECT '$c' AS col_name, count(*) AS n_rows,
@@ -109,6 +146,24 @@ object Profiling {
     "prof1_column_profile" ->
       (ProfiledCols.map(prof1OracleFor).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n)") +
         " ORDER BY col_name"),
+    "prof3_skew_audit" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, rank, key, cnt, n_keys, max_cnt,
+           |  round(max_cnt * n_keys / CAST(n_rows AS DOUBLE), 6) AS skew_ratio
+           |FROM (
+           |  SELECT key, cnt,
+           |    row_number() OVER (ORDER BY cnt DESC, key) AS rank
+           |  FROM (SELECT $c AS key, CAST(count(*) AS BIGINT) AS cnt
+           |        FROM lineitem GROUP BY 1)
+           |) CROSS JOIN (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |    CAST(max(cnt) AS BIGINT) AS max_cnt
+           |  FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY $c))
+           |WHERE rank <= $SkewTopK""".stripMargin
+      SkewCols.map(one).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n)") +
+        " ORDER BY col_name, rank"
+    },
     "prof2_histogram" ->
       s"""WITH bounds AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
          |SELECT CAST(least(floor((l_extendedprice - lo) * $HistBuckets / (hi - lo)), $HistBuckets - 1) AS BIGINT) AS bucket,

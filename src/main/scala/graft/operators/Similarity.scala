@@ -735,6 +735,32 @@ object Similarity {
       .orderBy("query_id", "mmr_rank")
   }
 
+  /** n13: ANN recall evaluation, in-engine — recall@[[TopK]] of the
+    * LSH index (n2) against the exact baseline (n1), per query and as
+    * a macro average. The observability loop every ANN deployment
+    * needs: recall is a MEASURED quantity that drifts as the corpus
+    * grows or shifts, and re-checking it must not require exporting
+    * vectors to a notebook. Both inputs are bounded (queries × K
+    * rows), so the eval costs two semi-joined aggregates over
+    * metadata regardless of corpus size — the exact side's one
+    * corpus scan is the price of ground truth, paid on the SAME
+    * deterministic query set the recall specs use. rows-only (the
+    * LSH side is engine-specific by construction); the ScalaTest
+    * recomputes recall from the two collected frames. */
+  def n13RecallEval(s: SparkSession, dir: String): DataFrame = {
+    val exact = n1CosineTopk(s, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = n2AnnLsh(s, dir).select(col("query_id"), col("neighbor_id"))
+    val hit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hit, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit") / col("n_exact").cast("double"), 4))
+      .orderBy("query_id")
+  }
+
   val oracles: Map[String, String] = Map(
     "n10_knn_classify" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label,
@@ -806,5 +832,6 @@ object Similarity {
     "n9_pca_project" -> (n9PcaProject _),
     "n10_knn_classify" -> (n10KnnClassify _),
     "n11_mmr_rerank" -> (n11MmrRerank _),
-    "n12_pq_topk" -> (n12PqTopk _))
+    "n12_pq_topk" -> (n12PqTopk _),
+    "n13_recall_eval" -> (n13RecallEval _))
 }

@@ -140,6 +140,37 @@ object TimeSeries {
         round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("volume"))
       .orderBy(col("event_type"), col("bucket"))
 
+  val EwmaAlpha = 0.3 // smoothing weight on the newest observation
+
+  /** ts5: exponentially weighted moving average per series — the
+    * smoother behind every alerting baseline and "current level"
+    * estimate (reacts faster than a flat rolling mean, needs no
+    * window buffer). EWMA is inherently sequential (e_t = α·v_t +
+    * (1−α)·e_{t−1}), which no parallel window frame expresses — but
+    * the sequence it runs over is the HOURLY aggregate, bounded by
+    * the time span (ts1/ts2's spine argument), never raw events: the
+    * corpus-scale work is the same keyed hour aggregate, then each
+    * series' bounded (type, hour, v) list folds in-row with the
+    * `aggregate` higher-order function (one pass, exact left fold —
+    * both engines evaluate the identical double sequence, so the
+    * result is bit-deterministic and fully oracle-checkable against a
+    * recursive CTE). Initial condition e_1 = v_1. */
+  def ts5Ewma(s: SparkSession, dir: String): DataFrame =
+    hourly(s, dir)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("hr"), col("v")))).as("srt"))
+      .select(col("event_type"), explode(expr(
+        s"""aggregate(srt,
+           |  cast(array() as array<struct<hr: timestamp, v: double, e: double>>),
+           |  (acc, x) -> acc || array(named_struct('hr', x.hr, 'v', x.v,
+           |    'e', CASE WHEN size(acc) = 0 THEN x.v
+           |         ELSE $EwmaAlpha * x.v + ${1 - EwmaAlpha} * element_at(acc, -1).e
+           |    END)))""".stripMargin)).as("o"))
+      .select(col("event_type"),
+        date_format(col("o.hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("o.v").as("v"), round(col("o.e"), 6).as("ewma"))
+      .orderBy("event_type", "hr")
+
   val oracles: Map[String, String] = Map(
     "ts3_trend" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
@@ -189,6 +220,23 @@ object TimeSeries {
         |  v AS avg_value,
         |  max(v) OVER (PARTITION BY event_type, grp) AS filled_value
         |FROM g ORDER BY 1, 2""".stripMargin,
+    "ts5_ewma" ->
+      s"""WITH RECURSIVE h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*), 6) AS v
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (SELECT event_type, hr, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i
+         |  FROM h),
+         |r AS (
+         |  SELECT event_type, hr, v, i, v AS e FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT n.event_type, n.hr, n.v, n.i,
+         |    $EwmaAlpha * n.v + ${1 - EwmaAlpha} * r.e
+         |  FROM r JOIN idx n ON n.event_type = r.event_type AND n.i = r.i + 1)
+         |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, v,
+         |  round(e, 6) AS ewma
+         |FROM r ORDER BY 1, 2""".stripMargin,
     "ts4_ohlc_resample" ->
       s"""SELECT event_type,
          |  CAST(floor(epoch(ts) / $ResampleSecs) * $ResampleSecs AS BIGINT) AS bucket,
@@ -204,5 +252,6 @@ object TimeSeries {
     "ts1_gap_fill" -> (ts1GapFill _),
     "ts2_locf_fill" -> (ts2LocfFill _),
     "ts3_trend" -> (ts3Trend _),
-    "ts4_ohlc_resample" -> (ts4OhlcResample _))
+    "ts4_ohlc_resample" -> (ts4OhlcResample _),
+    "ts5_ewma" -> (ts5Ewma _))
 }

@@ -641,4 +641,40 @@ class AnalyticsSpec extends GraftSpec {
       s"c_count=0 bucket must hold the ${nCust - withOrders} customers with no qualifying orders")
     assert(got.values.sum == nCust, "every customer lands in exactly one bucket")
   }
+
+  test("j6: per-session concurrency equals a driver-side interval recompute") {
+    // reference sessions straight from e1's output (formatted bounds
+    // have second grain; j6 compares raw timestamps, so recompute from
+    // the events table with the same 30-min rule)
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var sid = 0L
+      ordered.foreach { case (_, _, t) =>
+        // e1's rule: timestampdiff(SECOND) > 1800 starts a new session
+        if (bounds.isEmpty || (t - bounds.last._3) / 1000000L > 1800) {
+          sid += 1; bounds += ((sid, t, t))
+        } else {
+          val (s0, st, _) = bounds.remove(bounds.length - 1)
+          bounds += ((s0, st, t))
+        }
+      }
+      bounds.map { case (s0, st, en) => (u, s0, st, en) }
+    }
+    val want = sessions.map { case (u, s0, st, en) =>
+      val n = sessions.count { case (u2, _, st2, en2) =>
+        u2 != u && st <= en2 && st2 <= en
+      }
+      ((u, s0), n.toLong)
+    }.toMap
+    val got = Analytics.j6OverlapJoin(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"))
+      assert(r.getAs[Long]("n_concurrent") == want(k), s"session $k")
+    }
+  }
 }

@@ -735,6 +735,16 @@ class PlanAuditSpec extends GraftSpec {
       s"the dictionary is a plan literal, never a join side:\n$plan")
   }
 
+  test("j6: interval overlap meets on the hour-bin equi-key, never a cartesian") {
+    val plan = planOf(Analytics.j6OverlapJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"overlap must ride the bin equi-join, not an interval cross join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the bin key:\n$plan")
+  }
+
   test("dc1: the corpus-facing window ranks (source, salt), never bare source") {
     val q = graft.operators.Quality.dc1SourceCaps(spark, sf)
     val plan = planOf(q)

@@ -81,4 +81,28 @@ class ProfilingSpec extends GraftSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"1-row bounds should broadcast:\n$plan")
   }
+
+  test("prof3: skew stats match a driver-side frequency recompute") {
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Profiling.prof3SkewAudit(spark, sf).collect()
+    for (c <- Seq("l_orderkey", "l_partkey", "l_suppkey")) {
+      val keys = Tables.lineitem(spark, sf).select(c).collect().map(_.getLong(0))
+      val freq = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val top = freq.toSeq.sortBy { case (k, n) => (-n, k) }
+        .take(Profiling.SkewTopK)
+      val rows = got.filter(_.getAs[String]("col_name") == c)
+        .sortBy(_.getAs[Int]("rank"))
+      assert(rows.length == Profiling.SkewTopK)
+      rows.zip(top).zipWithIndex.foreach { case ((r, (k, n)), i) =>
+        assert(r.getAs[Int]("rank") == i + 1)
+        assert(r.getAs[Long]("key") == k, s"$c rank ${i + 1} key")
+        assert(r.getAs[Long]("cnt") == n, s"$c rank ${i + 1} cnt")
+        assert(r.getAs[Long]("n_keys") == freq.size.toLong)
+        assert(r.getAs[Long]("max_cnt") == freq.values.max)
+        assert(r.getAs[Double]("skew_ratio") ==
+          r6(freq.values.max.toDouble * freq.size / keys.length))
+      }
+    }
+  }
 }

@@ -189,4 +189,25 @@ class SimilaritySpec extends GraftSpec {
         s"query $qid: got ($trueL,$pred,$votes) expected ($qlabel,$predLabel,$nVotes)")
     }
   }
+
+  test("n13 recall equals a recompute from the n1/n2 frames it joins") {
+    def keyset(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = keyset(Similarity.n1CosineTopk(spark, sf))
+    val approx = keyset(Similarity.n2AnnLsh(spark, sf))
+    val got = Similarity.n13RecallEval(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("query_id")).toSet == exact.keySet)
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val hits = exact(q).intersect(approx.getOrElse(q, Set.empty)).size
+      assert(r.getAs[Long]("n_exact") == exact(q).size.toLong)
+      assert(r.getAs[Long]("n_hit") == hits.toLong, s"query $q hits")
+      val want = BigDecimal(hits.toDouble / exact(q).size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("recall") == want)
+      assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
+    }
+  }
 }

@@ -104,4 +104,22 @@ class TimeSeriesSpec extends GraftSpec {
       assert(low <= open && open <= high && low <= close && close <= high)
     }
   }
+
+  test("ts5 EWMA equals a driver-side sequential fold over each series") {
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TimeSeries.ts5Ewma(spark, sf).collect()
+    val series = got.groupBy(_.getAs[String]("event_type"))
+    assert(series.nonEmpty)
+    series.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getAs[String]("hr"))
+      var e = ordered.head.getAs[Double]("v")
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        if (i > 0) e = TimeSeries.EwmaAlpha * r.getAs[Double]("v") +
+          (1 - TimeSeries.EwmaAlpha) * e
+        assert(r.getAs[Double]("ewma") == r6(e),
+          s"${r.getAs[String]("event_type")} @ ${r.getAs[String]("hr")}")
+      }
+    }
+  }
 }
