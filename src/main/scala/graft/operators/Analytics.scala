@@ -1242,6 +1242,44 @@ object Analytics {
         col("orphan_li_supp"), col("orphan_ord_cust"))
   }
 
+  /** a16: chi-square test of independence — market segment × customer
+    * region (Pearson χ², degrees of freedom, Cramér's V effect size),
+    * the categorical-association test behind "does segment mix differ
+    * by geography" and every mix-shift alert. The only corpus-scale
+    * work is ONE keyed count to the (segment, region) contingency
+    * table after a broadcast dim join; everything downstream (row /
+    * column totals, expected counts, the χ² fold) runs over the
+    * domain-bounded cell frame (|segments| × |regions|), attached via
+    * broadcast joins — no unpartitioned window, no driver math. The
+    * χ² sum folds ~25 doubles (≪ round-6 noise floor), so the result
+    * is cross-engine stable. */
+  def a16Chi2(s: SparkSession, dir: String): DataFrame = {
+    val nr = Tables.nation(s, dir)
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    val obs = Tables.customer(s, dir)
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("r_name").as("reg"))
+      .agg(count(lit(1)).as("o"))
+    val rt = obs.groupBy(col("seg")).agg(sum(col("o")).as("rt"))
+    val ct = obs.groupBy(col("reg")).agg(sum(col("o")).as("ct"))
+    val tot = obs.agg(sum(col("o")).as("n"))
+    obs.join(broadcast(rt), "seg").join(broadcast(ct), "reg")
+      .crossJoin(broadcast(tot)) // 1-row bounded metadata
+      // rt·ct in DOUBLE: a 100 TB row count squared overflows int64
+      .withColumn("e",
+        col("rt").cast("double") * col("ct") / col("n").cast("double"))
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("seg")).as("n_seg"),
+        countDistinct(col("reg")).as("n_reg"),
+        ((countDistinct(col("seg")) - 1) *
+          (countDistinct(col("reg")) - 1)).as("df"),
+        round(sum(pow(col("o") - col("e"), 2) / col("e")), 6).as("chi2"),
+        round(sqrt(sum(pow(col("o") - col("e"), 2) / col("e")) /
+          (max(col("n")) * least(countDistinct(col("seg")) - 1,
+            countDistinct(col("reg")) - 1))), 6).as("cramers_v"))
+  }
+
   val StickinessWindow = 7 // trailing days in the WAU window
 
   /** w7: stickiness — DAU over trailing-[[StickinessWindow]]-day WAU
@@ -1476,6 +1514,47 @@ object Analytics {
         round(expr("percentile(lag_s, 0.9D)"), 4).as("p90_lag_s"))
   }
 
+  val AttributionWindowUs: Long = 72L * 3600 * 1000000 // 72-hour lookback
+
+  /** e7: last-touch attribution — every purchase is credited to the
+    * most recent PRIOR click/view by the same user within a 72-hour
+    * lookback, else to the 'none' channel (the marketing-analytics
+    * question behind every channel-budget decision; reference analog:
+    * the updates feed joined to its originating connection). One
+    * shuffle by user_id; the "most recent prior touch" is a running
+    * struct-max over a window PARTITIONED by user (per-user history,
+    * never corpus-wide) with the totally ordered (ts_us, event_id)
+    * key — no self-join of purchases against touches, so a hot user
+    * costs one partition's sort, not a quadratic blowup. Channel
+    * totals are partial-aggregable (decimal revenue sum ⇒ bit-stable;
+    * mean lag divides an exact integer µs sum). */
+  def e7Attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("lt", max(when(col("event_type") =!= "purchase",
+        struct(col("ts_us"), col("event_id"), col("event_type")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("lt").isNull ||
+            col("ts_us") - col("lt.ts_us") > AttributionWindowUs, lit("none"))
+          .otherwise(col("lt.event_type")).as("channel"),
+        col("value"),
+        when(col("lt").isNotNull &&
+            col("ts_us") - col("lt.ts_us") <= AttributionWindowUs,
+          col("ts_us") - col("lt.ts_us")).as("lag_us"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+          .as("revenue"),
+        round(avg(col("lag_us")) / 1e6, 6).as("avg_lag_s"))
+      .orderBy(col("channel"))
+  }
+
   val DriftTrail = 7 // trailing days in the a12 baseline window
 
   /** a12: volume-drift anomaly detection — the data-quality monitor a
@@ -1503,6 +1582,26 @@ object Analytics {
   private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracles: Map[String, String] = Map(
+    "a16_chi2" ->
+      """WITH nr AS (SELECT n_nationkey, r_name FROM nation
+        |    JOIN region ON n_regionkey = r_regionkey),
+        |obs AS (SELECT c_mktsegment AS seg, r_name AS reg, count(*) AS o
+        |  FROM customer c JOIN nr ON c.c_nationkey = nr.n_nationkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT reg, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        |cells AS (SELECT seg, reg, o, rt.rt, ct.ct, tot.n,
+        |    CAST(rt.rt AS DOUBLE) * ct.ct / CAST(tot.n AS DOUBLE) AS e
+        |  FROM obs JOIN rt USING (seg) JOIN ct USING (reg) CROSS JOIN tot)
+        |SELECT max(n) AS n,
+        |  count(DISTINCT seg) AS n_seg, count(DISTINCT reg) AS n_reg,
+        |  (count(DISTINCT seg) - 1) * (count(DISTINCT reg) - 1) AS df,
+        |  round(sum(power(o - e, 2) / e), 6) AS chi2,
+        |  round(sqrt(sum(power(o - e, 2) / e) /
+        |    (max(n) * least(count(DISTINCT seg) - 1,
+        |      count(DISTINCT reg) - 1))), 6) AS cramers_v
+        |FROM cells""".stripMargin,
     "a15_fk_audit" ->
       """SELECT
         |  (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
@@ -2073,6 +2172,27 @@ object Analytics {
          |FROM r JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "e7_attribution" ->
+      s"""WITH ev AS (SELECT event_id, user_id, event_type, value,
+         |    epoch_us(ts) AS ts_us
+         |  FROM events WHERE event_type IN ('purchase', 'click', 'view')),
+         |p AS (SELECT *, max(CASE WHEN event_type <> 'purchase'
+         |      THEN {'ts_us': ts_us, 'eid': event_id, 'et': event_type} END)
+         |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+         |  FROM ev),
+         |a AS (SELECT CASE WHEN lt IS NULL
+         |        OR ts_us - lt.ts_us > $AttributionWindowUs THEN 'none'
+         |      ELSE lt.et END AS channel, value,
+         |    CASE WHEN lt IS NOT NULL
+         |        AND ts_us - lt.ts_us <= $AttributionWindowUs
+         |      THEN ts_us - lt.ts_us END AS lag_us
+         |  FROM p WHERE event_type = 'purchase')
+         |SELECT channel, count(*) AS n_purchases,
+         |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+         |    AS revenue,
+         |  round(avg(lag_us) / 1e6, 6) AS avg_lag_s
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "e5_conversion_lag" ->
       """WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS s_us FROM events
         |    WHERE event_type = 'signup' GROUP BY 1),
@@ -2236,6 +2356,7 @@ object Analytics {
     "a14_sketch_overlap" -> (a14SketchOverlap _),
     "w7_stickiness" -> (w7Stickiness _),
     "a15_fk_audit" -> (a15FkAudit _),
+    "a16_chi2" -> (a16Chi2 _),
     "q4_priority_exists" -> (q4PriorityExists _),
     "q6_revenue_delta" -> (q6RevenueDelta _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
@@ -2243,5 +2364,6 @@ object Analytics {
     "w5_sliding_window" -> (w5SlidingWindow _),
     "e4_transitions" -> (e4Transitions _),
     "e5_conversion_lag" -> (e5ConversionLag _),
+    "e7_attribution" -> (e7Attribution _),
     "a12_volume_drift" -> (a12VolumeDrift _))
 }

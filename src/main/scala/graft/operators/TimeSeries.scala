@@ -171,7 +171,48 @@ object TimeSeries {
         col("o.v").as("v"), round(col("o.e"), 6).as("ewma"))
       .orderBy("event_type", "hr")
 
+  val AutocorrMaxLag = 3 // lags 1..3 hours
+
+  /** ts6: per-series lag-k autocorrelation (k = 1..[[AutocorrMaxLag]])
+    * of the hourly mean-value series — the seasonality/persistence
+    * diagnostic behind "is this metric mean-reverting, trending, or
+    * noise" and the standard pre-check before fitting any AR-family
+    * forecaster. Pearson corr of the series against its own k-hour
+    * lag: the lags come from a window PARTITIONED by event_type over
+    * the hourly aggregate (bounded by the time span — ts1's spine
+    * argument), and `corr` is a partial-aggregable moment sum, so the
+    * corpus-scale work remains the one keyed hour aggregate. Hourly
+    * means are rounded to 6dp BEFORE the corr (both engines correlate
+    * the identical double sequence) and the corr itself rounds to 6dp,
+    * far above the ~1e-13 moment-order noise — cross-engine stable. */
+  def ts6Autocorr(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val lagged = hourly(s, dir).select(
+      col("event_type") +: col("v") +:
+        (1 to AutocorrMaxLag).map(k => lag(col("v"), k).over(w).as(s"v_$k")): _*)
+    lagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        (1 to AutocorrMaxLag).map(k =>
+          round(corr(col("v"), col(s"v_$k")), 6).as(s"ac_$k")): _*)
+      .orderBy(col("event_type"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "ts6_autocorr" ->
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*), 6) AS v
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_type, v,
+         |    lag(v, 1) OVER (PARTITION BY event_type ORDER BY hr) AS v_1,
+         |    lag(v, 2) OVER (PARTITION BY event_type ORDER BY hr) AS v_2,
+         |    lag(v, 3) OVER (PARTITION BY event_type ORDER BY hr) AS v_3
+         |  FROM h)
+         |SELECT event_type, count(*) AS n_hours,
+         |  round(corr(v, v_1), 6) AS ac_1,
+         |  round(corr(v, v_2), 6) AS ac_2,
+         |  round(corr(v, v_3), 6) AS ac_3
+         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts3_trend" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
         |    count(*) AS n FROM events GROUP BY 1, 2),
@@ -253,5 +294,6 @@ object TimeSeries {
     "ts2_locf_fill" -> (ts2LocfFill _),
     "ts3_trend" -> (ts3Trend _),
     "ts4_ohlc_resample" -> (ts4OhlcResample _),
-    "ts5_ewma" -> (ts5Ewma _))
+    "ts5_ewma" -> (ts5Ewma _),
+    "ts6_autocorr" -> (ts6Autocorr _))
 }

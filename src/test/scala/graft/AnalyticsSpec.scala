@@ -677,4 +677,61 @@ class AnalyticsSpec extends GraftSpec {
       assert(r.getAs[Long]("n_concurrent") == want(k), s"session $k")
     }
   }
+
+  test("e7 attribution conserves purchases and matches a driver-side walk") {
+    val got = Analytics.e7Attribution(spark, sf).collect()
+    val totalPurchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(got.map(_.getAs[Long]("n_purchases")).sum == totalPurchases,
+      "every purchase lands in exactly one channel")
+    // brute-force walk: per user, scan ordered events; credit each
+    // purchase to the latest prior click/view within the lookback
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("ts_us")))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._2))
+      var lastTouch: Option[(Long, String)] = None
+      ordered.flatMap { case (_, _, et, ts) =>
+        if (et != "purchase") { lastTouch = Some((ts, et)); None }
+        else Some(lastTouch match {
+          case Some((t, c)) if ts - t <= Analytics.AttributionWindowUs => c
+          case _ => "none"
+        })
+      }
+    }.groupBy(identity).map { case (c, xs) => (c, xs.size.toLong) }
+    got.foreach { r =>
+      val c = r.getAs[String]("channel")
+      assert(r.getAs[Long]("n_purchases") == want(c), s"channel $c")
+    }
+    assert(got.map(_.getAs[String]("channel")).toSet.subsetOf(
+      Set("click", "view", "none")))
+  }
+
+  test("a16 chi-square statistic matches a driver-side contingency recompute") {
+    val r = Analytics.a16Chi2(spark, sf).collect().head
+    val nSeg = r.getAs[Long]("n_seg"); val nReg = r.getAs[Long]("n_reg")
+    assert(r.getAs[Long]("df") == (nSeg - 1) * (nReg - 1))
+    val chi2 = r.getAs[Double]("chi2"); val v = r.getAs[Double]("cramers_v")
+    assert(chi2 >= 0.0 && v >= 0.0 && v <= 1.0)
+    // recompute χ² from the raw contingency table
+    val nr = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    val cells = Tables.customer(spark, sf)
+      .join(nr, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment"), col("r_name")).count().collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getAs[Long]("count")))
+    val n = cells.map(_._2).sum.toDouble
+    val rowT = cells.groupBy(_._1._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val colT = cells.groupBy(_._1._2).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val expected = cells.map { case ((s0, r0), o) =>
+      val e = rowT(s0) * colT(r0) / n; (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(chi2 - expected) < 1e-5, s"chi2=$chi2 expected=$expected")
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TimeSeries
+import org.apache.spark.sql.functions._
 
 /** Gap filling (row 163) and LOCF interpolation (row 164). The spine
   * invariants (full coverage, conserved counts) pin ts1; ts2's carried
@@ -119,6 +120,38 @@ class TimeSeriesSpec extends GraftSpec {
           (1 - TimeSeries.EwmaAlpha) * e
         assert(r.getAs[Double]("ewma") == r6(e),
           s"${r.getAs[String]("event_type")} @ ${r.getAs[String]("hr")}")
+      }
+    }
+  }
+
+  test("ts6 lag-1 autocorrelation matches a driver-side Pearson recompute") {
+    val got = TimeSeries.ts6Autocorr(spark, sf).collect()
+    assert(got.nonEmpty)
+    // rebuild each hourly series the same way the operator does, then
+    // compute corr(v_t, v_{t-1}) with plain two-pass Pearson
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("v"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("hr").getTime, r.getAs[Double]("v")))
+      .groupBy(_._1)
+    got.foreach { r =>
+      val series = hourly(r.getAs[String]("event_type"))
+        .sortBy(_._2).map(_._3)
+      assert(r.getAs[Long]("n_hours") == series.length)
+      val x = series.dropRight(1); val y = series.drop(1)
+      val mx = x.sum / x.length; val my = y.sum / y.length
+      val cov = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val expected = cov / math.sqrt(
+        x.map(a => (a - mx) * (a - mx)).sum * y.map(b => (b - my) * (b - my)).sum)
+      val ac1 = r.getAs[Double]("ac_1")
+      assert(math.abs(ac1 - expected) < 1e-6,
+        s"${r.getAs[String]("event_type")}: ac_1=$ac1 expected=$expected")
+      Seq("ac_1", "ac_2", "ac_3").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"$c out of range: $v")
       }
     }
   }
