@@ -151,7 +151,74 @@ object Graph {
       .orderBy(col("n_triangles").desc, col("part"))
       .limit(TriTopK)
 
+  val LpMaxDeg = 50  // hub-customer cap on pair generation
+  val LpTopK = 100
+
+  /** g4: link prediction over the customer–supplier bipartite graph —
+    * for every supplier pair sharing customers: common-neighbor count,
+    * Jaccard overlap, and Adamic-Adar score (Σ 1/ln deg(c) over shared
+    * customers — rare shared customers weigh more; Adamic & Adar 2003,
+    * Liben-Nowell & Kleinberg 2003), the "which suppliers serve the
+    * same demand" signal behind substitution and consolidation
+    * decisions. Pair generation is g3/b1's IN-ROW discipline: one
+    * distinct (customer, supplier) edge shuffle, per-customer supplier
+    * sets pair up inside the row — never a fact self-join — and hub
+    * customers past [[LpMaxDeg]] are dropped before pairing (the
+    * quadratic killer; they carry ~no signal, the d2 DF-cap argument).
+    * Supplier degrees for Jaccard come from the UNCAPPED edge set via
+    * two keyed joins. Determinism: each 1/ln(deg) term is rounded to
+    * 9dp before the order-dependent sum (both engines then fold
+    * identical doubles), scores round to 6dp, key-tiebroken top-K. */
+  def g4LinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+      .localCheckpoint() // pairs + degrees both read it; scan once
+    val sdeg = cs.groupBy(col("sk")).agg(count(lit(1)).as("sdeg"))
+    val pairs = cs.groupBy(col("c"))
+      .agg(array_sort(collect_set(col("sk"))).as("ss"))
+      .filter(size(col("ss")).between(2, LpMaxDeg))
+      .select(size(col("ss")).as("deg"), explode(expr(
+        """flatten(transform(sequence(0, size(ss) - 2), i ->
+          |  transform(slice(ss, i + 2, size(ss) - i - 1), y ->
+          |    struct(element_at(ss, i + 1) AS u, y AS v))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.u").as("s1"), col("p.v").as("s2"))
+      .agg(count(lit(1)).as("common"),
+        round(sum(round(lit(1.0) / log(col("deg")), 9)), 6).as("adamic_adar"))
+    pairs
+      .join(sdeg.select(col("sk").as("s1"), col("sdeg").as("d1")), Seq("s1"))
+      .join(sdeg.select(col("sk").as("s2"), col("sdeg").as("d2")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("common"),
+        round(col("common").cast("double") /
+          (col("d1") + col("d2") - col("common")), 6).as("jaccard"),
+        col("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("s1"), col("s2"))
+      .limit(LpTopK)
+  }
+
   val oracles: Map[String, String] = Map(
+    "g4_link_predict" ->
+      s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |cdeg AS (SELECT c, count(*) AS deg FROM cs GROUP BY 1),
+         |keep AS (SELECT c, deg FROM cdeg
+         |  WHERE deg BETWEEN 2 AND $LpMaxDeg),
+         |sdeg AS (SELECT sk, count(*) AS sdeg FROM cs GROUP BY 1),
+         |p AS (SELECT a.sk AS s1, b.sk AS s2, k.deg
+         |  FROM cs a JOIN cs b ON a.c = b.c AND a.sk < b.sk
+         |  JOIN keep k ON a.c = k.c),
+         |g AS (SELECT s1, s2, count(*) AS common,
+         |    round(sum(round(1 / ln(deg), 9)), 6) AS adamic_adar
+         |  FROM p GROUP BY 1, 2)
+         |SELECT g.s1, g.s2, common,
+         |  round(CAST(common AS DOUBLE) / (d1.sdeg + d2.sdeg - common), 6)
+         |    AS jaccard,
+         |  adamic_adar
+         |FROM g JOIN sdeg d1 ON g.s1 = d1.sk JOIN sdeg d2 ON g.s2 = d2.sk
+         |ORDER BY adamic_adar DESC, s1, s2 LIMIT $LpTopK""".stripMargin,
     "g3_triangle_count" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -168,5 +235,6 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g2_pagerank" -> (g2Pagerank _),
-    "g3_triangle_count" -> (g3TriangleCount _))
+    "g3_triangle_count" -> (g3TriangleCount _),
+    "g4_link_predict" -> (g4LinkPredict _))
 }

@@ -228,11 +228,74 @@ object Multimodal {
       .orderBy("file")
   }
 
+  val PhashLevels = 8    // thermometer quantization levels per feature
+  val PhashBands = 4     // 2 features per band
+  val PhashMaxHamming = 6
+
+  /** m5: perceptual-hash near-duplicate detection for media — the
+    * image/video dedup step every multimodal training corpus runs
+    * (exact-byte dedup misses re-encodes; embedding cosine is the
+    * expensive path; pHash banding is the cheap middle). Each payload's
+    * codec embedding is THERMOMETER-quantized ([[PhashLevels]] levels
+    * per feature, unary-coded), so hamming distance between hashes
+    * equals the L1 distance of the quantized feature vectors — the
+    * property that makes banding sound. Candidate pairs come from a
+    * [[PhashBands]]-band equi-join (d4's SimHash discipline: a pair
+    * collides iff some band matches exactly — at corpus scale the
+    * shuffle key is (band, band-value) and candidates are
+    * band-bucket-confined, never all-pairs); survivors are scored with
+    * the exact hamming fold and kept under [[PhashMaxHamming]].
+    * Quantization uses only +,*,/ and floor on the codec's doubles —
+    * IEEE-identical across engines, so the whole pipeline (unlike raw
+    * pHash DCTs) is hash-checkable against the SQL oracle. */
+  def m5PhashNeardup(s: SparkSession, dir: String,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    val q = mediaEmbeddings(s, dir, codec)
+      .select(col("doc_id"), expr(
+        s"transform(embedding, f -> cast(floor(f * $PhashLevels) as int))")
+        .as("q"))
+    val banded = q.select(col("doc_id"), col("q"), explode(expr(
+      s"""transform(sequence(0, ${PhashBands - 1}), b ->
+         |  struct(b AS band, q[b*2] AS q0, q[b*2+1] AS q1))""".stripMargin))
+      .as("bd"))
+      .select(col("doc_id"), col("q"),
+        col("bd.band").as("band"), col("bd.q0").as("q0"), col("bd.q1").as("q1"))
+    banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band") &&
+        col("x.q0") === col("y.q0") && col("x.q1") === col("y.q1") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.q").as("qa"), col("y.q").as("qb"))
+      .distinct() // a pair may collide in several bands
+      .select(col("a"), col("b"), expr(
+        "aggregate(zip_with(qa, qb, (u, v) -> abs(u - v)), 0, (acc, x) -> acc + x)")
+        .as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** The oracles reproduce the md5-based stub exactly. The documents
     * corpus is ASCII, so DuckDB's character offsets (substr) equal the
     * codec's UTF-8 byte offsets and strlen(text) equals the payload
     * byte length — asserted implicitly by the hash comparison. */
   val oracles: Map[String, String] = Map(
+    "m5_phash_neardup" -> {
+      def qe(i: Int): String = {
+        val (src, at) = if (i < 4) ("md5(text)", i * 6 + 1)
+          else ("md5('g' || text)", (i - 4) * 6 + 1)
+        s"CAST(floor(CAST(('0x' || substr($src, $at, 6))::BIGINT % 1000 AS DOUBLE) / 1000.0 * $PhashLevels) AS INT) AS q$i"
+      }
+      val bandCond = (0 until PhashBands).map(b =>
+        s"(a.q${b * 2} = b.q${b * 2} AND a.q${b * 2 + 1} = b.q${b * 2 + 1})")
+        .mkString("(", " OR ", ")")
+      val ham = (0 to 7).map(i => s"abs(a.q$i - b.q$i)").mkString(" + ")
+      s"""WITH e AS (SELECT doc_id, ${(0 to 7).map(qe).mkString(", ")}
+         |  FROM documents)
+         |SELECT a.doc_id AS a, b.doc_id AS b, CAST($ham AS INT) AS hamming
+         |FROM e a JOIN e b ON a.doc_id < b.doc_id AND $bandCond
+         |WHERE $ham <= $PhashMaxHamming
+         |ORDER BY a, b""".stripMargin
+    },
     "m4_binary_ingest" ->
       s"""SELECT 'doc_' || doc_id || '.bin' AS file,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
@@ -283,5 +346,6 @@ object Multimodal {
     "m1_multimodal_meta" -> ((s: SparkSession, d: String) => m1MultimodalMeta(s, d)),
     "m2_frame_sample" -> ((s: SparkSession, d: String) => m2FrameSample(s, d)),
     "m3_media_embedding" -> ((s: SparkSession, d: String) => m3MediaEmbedding(s, d)),
-    "m4_binary_ingest" -> (m4BinaryIngest _))
+    "m4_binary_ingest" -> (m4BinaryIngest _),
+    "m5_phash_neardup" -> ((s: SparkSession, d: String) => m5PhashNeardup(s, d)))
 }

@@ -628,12 +628,68 @@ object TextAnalysis {
       .select(col("doc_id"), col("m.kw").as("kw"), col("m.hits").as("hits"))
       .orderBy("doc_id", "kw")
 
+  val ZipfTopN = 1000 // head terms fitted by the rank-frequency OLS
+
+  /** t22: Zipf rank-frequency profile of the corpus vocabulary — the
+    * one-row corpus-health fingerprint (Zipf's-law slope ≈ −1 for
+    * natural text; a flat slope flags synthetic/templated text, a
+    * cliff flags boilerplate; hapax fraction tracks OCR noise and
+    * tokenizer fit — standard corpus-linguistics QA before training).
+    * One token shuffle to term counts (map-side combined); vocabulary
+    * stats are a 1-row aggregate; the OLS runs over the top-
+    * [[ZipfTopN]] head selected by TakeOrderedAndProject (count desc,
+    * term tie-break), so the rank window orders a CONSTANT-bounded
+    * frame — never a vocabulary-sized single-partition sort (the
+    * q11/q15 lesson). regr_slope/r2 over ln/ln are moment sums;
+    * round-6 sits far above ulp-level ln() divergence. */
+  def t22ZipfProfile(s: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val stats = tc.agg(sum(col("n")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("n") === 1, 1).otherwise(0)).as("hapax"))
+    val top = tc.orderBy(col("n").desc, col("w")).limit(ZipfTopN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("w"))))
+    val fit = top
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n_fit"),
+        round(regr_slope(col("y"), col("x")), 6).as("zipf_slope"),
+        round(regr_r2(col("y"), col("x")), 6).as("zipf_r2"))
+    fit.crossJoin(broadcast(stats)) // 1-row bounded metadata
+      .select(col("n_tokens"), col("vocab"), col("hapax"),
+        round(col("hapax") / col("vocab").cast("double"), 6).as("hapax_frac"),
+        col("n_fit"), col("zipf_slope"), col("zipf_r2"))
+  }
+
   private def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
   }
 
   val oracles: Map[String, String] = Map(
+    "t22_zipf_profile" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |tc AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+         |stats AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+         |    count(*) AS vocab,
+         |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS hapax FROM tc),
+         |top AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rank
+         |  FROM tc ORDER BY n DESC, w LIMIT $ZipfTopN),
+         |fit AS (SELECT count(*) AS n_fit,
+         |    round(regr_slope(ln(CAST(n AS DOUBLE)),
+         |      ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
+         |    round(regr_r2(ln(CAST(n AS DOUBLE)),
+         |      ln(CAST(rank AS DOUBLE))), 6) AS zipf_r2
+         |  FROM top)
+         |SELECT n_tokens, vocab, hapax,
+         |  round(CAST(hapax AS DOUBLE) / vocab, 6) AS hapax_frac,
+         |  n_fit, zipf_slope, zipf_r2
+         |FROM fit CROSS JOIN stats""".stripMargin,
     "t19_html_extract" ->
       """WITH s1 AS (SELECT doc_id,
         |    len(regexp_extract_all(text, '<[^>]*>')) AS n_tags,
@@ -848,5 +904,6 @@ object TextAnalysis {
     "t18_bpe_train" -> (t18BpeTrain _),
     "t19_html_extract" -> (t19HtmlExtract _),
     "t20_bigram_perplexity" -> (t20BigramPerplexity _),
-    "t21_keyword_tag" -> (t21KeywordTag _))
+    "t21_keyword_tag" -> (t21KeywordTag _),
+    "t22_zipf_profile" -> (t22ZipfProfile _))
 }

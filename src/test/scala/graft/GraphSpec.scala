@@ -94,4 +94,41 @@ class GraphSpec extends GraftSpec {
       .toMap
     assert(got == want, s"got ${got.size} nodes, want ${want.size}")
   }
+
+  test("g4 link-prediction scores match a brute-force set recompute") {
+    val cs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("c"), r.getAs[Long]("sk")))
+    val byCust = cs.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    val sdeg = cs.groupBy(_._2).map { case (s0, xs) => s0 -> xs.size }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Graph.g4LinkPredict(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Graph.LpTopK)
+    rows.foreach { r =>
+      val s1 = r.getAs[Long]("s1"); val s2 = r.getAs[Long]("s2")
+      assert(s1 < s2, "canonical pair order")
+      val shared = byCust.valuesIterator.filter(ss =>
+        ss.size >= 2 && ss.size <= Graph.LpMaxDeg &&
+          ss(s1) && ss(s2)).toSeq
+      assert(r.getAs[Long]("common") == shared.size, s"common($s1,$s2)")
+      val aa = r6(shared.map(ss => r9(1.0 / math.log(ss.size))).sum)
+      assert(math.abs(r.getAs[Double]("adamic_adar") - aa) < 1e-9)
+      val jac = r6(shared.size.toDouble /
+        (sdeg(s1) + sdeg(s2) - shared.size))
+      assert(math.abs(r.getAs[Double]("jaccard") - jac) < 1e-9)
+    }
+    // ranking is by score desc with key tie-break
+    val scores = rows.map(r => (r.getAs[Double]("adamic_adar"),
+      r.getAs[Long]("s1"), r.getAs[Long]("s2")))
+    assert(scores.sliding(2).forall { case Array(a, b) =>
+      a._1 > b._1 || (a._1 == b._1 &&
+        (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)))
+    })
+  }
 }

@@ -359,4 +359,57 @@ class TextMultimodalSpec extends GraftSpec {
     assert(math.abs(weighted - entropy) < 1e-4,
       s"weighted-mean surprisal $weighted != corpus entropy $entropy")
   }
+
+  test("m5 pHash pairs: banding finds every pair a brute-force scan keeps") {
+    // brute force: quantize every embedding, score ALL pairs, keep
+    // those under the threshold AND sharing >= 1 exact band
+    val emb = Multimodal.mediaEmbeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Seq[Double]]("embedding").map(f =>
+          math.floor(f * Multimodal.PhashLevels).toInt).toArray)
+    val want = (for {
+      (a, qa) <- emb; (b, qb) <- emb if a < b
+      band = (0 until Multimodal.PhashBands).exists(k =>
+        qa(k * 2) == qb(k * 2) && qa(k * 2 + 1) == qb(k * 2 + 1))
+      ham = qa.zip(qb).map { case (u, v) => math.abs(u - v) }.sum
+      if band && ham <= Multimodal.PhashMaxHamming
+    } yield (a, b) -> ham).toMap
+    val got = Multimodal.m5PhashNeardup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty, "fixture should contain pHash near-dups")
+    // hamming of thermometer codes IS the L1 distance of quantized
+    // features: exact duplicates must score 0
+    val dupTexts = Tables.documents(spark, sf)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2).collect()
+    dupTexts.foreach { r =>
+      val ids = r.getAs[Seq[Long]]("ids").sorted
+      assert(got((ids(0), ids(1))) == 0, s"exact dup pair $ids")
+    }
+  }
+
+  test("t22 Zipf profile matches a driver-side rank-frequency fit") {
+    val r = TextAnalysis.t22ZipfProfile(spark, sf).collect().head
+    val counts = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.getAs[Long]("n_tokens") == counts.map(_._2).sum)
+    assert(r.getAs[Long]("vocab") == counts.length)
+    assert(r.getAs[Long]("hapax") == counts.count(_._2 == 1L))
+    val top = counts.sortBy { case (w, n) => (-n, w) }
+      .take(TextAnalysis.ZipfTopN).zipWithIndex
+    assert(r.getAs[Long]("n_fit") == top.length)
+    val xs = top.map { case (_, i) => math.log(i + 1.0) }
+    val ys = top.map { case ((_, n), _) => math.log(n.toDouble) }
+    val mx = xs.sum / xs.length; val my = ys.sum / ys.length
+    val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    assert(math.abs(r.getAs[Double]("zipf_slope") - slope) < 1e-5)
+    assert(r.getAs[Double]("zipf_slope") < 0, "frequency falls with rank")
+    val r2 = r.getAs[Double]("zipf_r2")
+    assert(r2 >= 0 && r2 <= 1)
+  }
 }
