@@ -757,4 +757,43 @@ class PlanAuditSpec extends GraftSpec {
     assert(plan.contains("pmod(doc_id#"),
       s"phase-1 window must carry the salt key:\n$plan")
   }
+
+  test("g4: pair generation is in-row; degree joins are keyed, never cartesian") {
+    val plan = planOf(graft.operators.Graph.g4LinkPredict(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"supplier pairs must come from the in-row explode, not a self-join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global sort:\n$plan")
+    // the only explode is the per-customer pair generator (formatted
+    // explain puts the node name and its Arguments on separate lines)
+    assert(plan.contains("Generate") &&
+      plan.contains("explode(flatten(transform"),
+      s"expected the in-row pair explode:\n$plan")
+  }
+
+  test("m5: candidates ride the band equi-join, never an all-pairs loop") {
+    val plan = planOf(graft.operators.Multimodal.m5PhashNeardup(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pHash candidates must be band-bucket-confined:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected an equi-join on (band, value):\n$plan")
+  }
+
+  test("t22: the rank window orders the top-1000 head, not the vocabulary") {
+    val plan = planOf(TextAnalysis.t22ZipfProfile(spark, sf))
+    // the head selection must be a TakeOrdered, and the single global
+    // window must sit ABOVE it (bounded input), not over the term frame
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"head selection must be TakeOrdered, not a global sort:\n$plan")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, s"expected the rank window:\n$plan")
+    // formatted explain lists operators leaves-last: the window node
+    // must appear BEFORE the TakeOrdered that feeds it
+    assert(winIdx < takeIdx,
+      s"rank window must consume the TakeOrdered head:\n$plan")
+  }
 }
