@@ -210,12 +210,18 @@ object Quality {
         (-(col("label") * log(greatest(col("p"), lit(1e-12))) +
           (lit(1.0) - col("label")) *
             log(greatest(lit(1.0) - col("p"), lit(1e-12))))).as("ll"))
-      val loss = errs.agg(avg(col("ll"))).collect().head.getDouble(0)
-      losses += loss
-      val grad = f.join(broadcast(errs.select(col("doc_id"), col("e"))), Seq("doc_id"))
+      // ONE margin computation per round: errs is |docs|×3 bounded
+      // metadata — materialize it eagerly so the loss/bias collect and
+      // the gradient join both read the cached frame instead of each
+      // re-running the doc-keyed margin aggregate (3 computations → 1)
+      val errsC = errs.localCheckpoint()
+      val lb = errsC.agg(avg(col("ll")).as("ll"), sum(col("e")).as("be"))
+        .collect().head
+      losses += lb.getDouble(0)
+      val biasGrad = lb.getDouble(1)
+      val grad = f.join(broadcast(errsC.select(col("doc_id"), col("e"))), Seq("doc_id"))
         .groupBy(col("idx")).agg(sum(col("e") * col("v")).as("g"))
         .collect().map(r => r.getAs[Int]("idx") -> r.getAs[Double]("g")).toMap
-      val biasGrad = errs.agg(sum(col("e"))).collect().head.getDouble(0)
       wts = Array.tabulate(QcDim)(i => wts(i) - lr / n * grad.getOrElse(i, 0.0))
       bias -= lr / n * biasGrad
     }
