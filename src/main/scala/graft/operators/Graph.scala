@@ -45,27 +45,38 @@ object Graph {
       : DataFrame = {
     val e = edgeDf.localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // the dangling node SET is static across rounds — resolve it ONCE
+    // (left join against out-degrees) and carry (outdeg, dangling) as
+    // columns of the rank vector, so each round's dangling-mass
+    // aggregate is a pure scan of the checkpointed ranks and the
+    // share division needs no per-round ranks⋈outdeg join at all
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint()
+      .union(e.select(col("dst"))).distinct()
+      .join(outdeg, col("node") === col("src"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .localCheckpoint()
     val n = nodes.count().toDouble
     var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
-    for (_ <- 0 until iters) {
-      val withDeg = ranks.join(outdeg, col("node") === col("src"), "left")
+    for (i <- 0 until iters) {
       // nodes with no out-edges contribute their whole rank as
       // uniformly-teleported dangling mass — a 1-row bounded aggregate
-      val dangling = withDeg.filter(col("outdeg").isNull)
+      val dangling = ranks.filter(col("outdeg") === 0L)
         .agg(coalesce(sum(col("r")), lit(0.0)).as("dmass"))
       val contrib = e.join(
-        ranks.join(outdeg, col("node") === col("src")).select(
+        ranks.filter(col("outdeg") > 0L).select(
           col("node").as("csrc"), (col("r") / col("outdeg")).as("share")),
         col("src") === col("csrc"))
         .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+      val next = nodes.join(contrib, col("node") === col("dst"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("outdeg"),
           (lit((1.0 - Damping) / n) + lit(Damping) *
             (coalesce(col("inflow"), lit(0.0)) + col("dmass") / n)).as("r"))
-        .localCheckpoint()
+      // lineage-truncate every SECOND round (and on the last): one
+      // materialization job covers two rounds' plans, which stay
+      // shallow enough for codegen while halving the action count
+      ranks = if (i % 2 == 1 || i == iters - 1) next.localCheckpoint()
+        else next
     }
     ranks
   }
