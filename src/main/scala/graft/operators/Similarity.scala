@@ -476,14 +476,26 @@ object Similarity {
       element_at(element_at(col("luts"), m + 1),
         element_at(col("codes"), m + 1) + 1))
       .reduce(_ + _)
-    val candidates = broadcast(qDf)
-      .join(coded, col("query_id") =!= col("vec_id"))
-      .withColumn("approx", adc / (col("qn") * col("nrm")))
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("approx"))
+    // the candidate window ranks SLIM (query, neighbor, approx) rows —
+    // carrying the float vectors through its shuffle would move
+    // dim-sized arrays for every (query × corpus) pair; instead the
+    // TopK×RerankFactor survivors (a broadcastable handful) pull their
+    // vectors back with one keyed join against the corpus scan
+    val candidates = broadcast(qDf.select(col("query_id"), col("luts"),
+        col("qn").as("qn0")))
+      .join(coded.select(col("vec_id"), col("codes"), col("nrm")),
+        col("query_id") =!= col("vec_id"))
+      .withColumn("approx", adc / (col("qn0") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("approx"))
       .withColumn("crank", row_number().over(wApprox))
       .filter(col("crank") <= TopK * PqRerankFactor)
-    rankTopK(candidates
+      .select(col("query_id"), col("neighbor_id"))
+    val rerank = e
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+      .join(broadcast(candidates
+        .join(qDf.select(col("query_id"), col("qv"), col("qn")), "query_id")),
+        "neighbor_id")
+    rankTopK(rerank
       .withColumn("cos_raw", VectorFunctions.cosineFromParts(
         VectorFunctions.dotNative("qv", "v"), col("qn"), col("nrm")))
       .select(col("query_id"), col("neighbor_id"), col("cos_raw")))
