@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A decoded media record. */
@@ -231,6 +232,15 @@ object Multimodal {
   val PhashLevels = 8    // thermometer quantization levels per feature
   val PhashBands = 4     // 2 features per band
   val PhashMaxHamming = 6
+  /** Band-bucket size cap (d2's hot-shingle discipline): a bucket of B
+    * rows yields B²/2 candidate pairs, so hot buckets — near-certain
+    * with the stub's 64-value bands, rare with a real 16-bit pHash
+    * band — are dropped from candidate generation before the
+    * self-join. Mirrored in the oracle, so correctness is checked on
+    * the capped semantics; sized above every sf0.01 bucket (max 15),
+    * so the gate compares uncapped behavior too, while at sf1 the
+    * ~10× buckets (~980) get dropped — candidates stay near-linear. */
+  val PhashBucketCap = 100
 
   /** m5: perceptual-hash near-duplicate detection for media — the
     * image/video dedup step every multimodal training corpus runs
@@ -254,12 +264,20 @@ object Multimodal {
       .select(col("doc_id"), expr(
         s"transform(embedding, f -> cast(floor(f * $PhashLevels) as int))")
         .as("q"))
-    val banded = q.select(col("doc_id"), col("q"), explode(expr(
+    val banded0 = q.select(col("doc_id"), col("q"), explode(expr(
       s"""transform(sequence(0, ${PhashBands - 1}), b ->
          |  struct(b AS band, q[b*2] AS q0, q[b*2+1] AS q1))""".stripMargin))
       .as("bd"))
       .select(col("doc_id"), col("q"),
         col("bd.band").as("band"), col("bd.q0").as("q0"), col("bd.q1").as("q1"))
+    // hot-bucket cap: the count window is PARTITIONED by the bucket
+    // key, so no global sort; dropped buckets only lose candidates a
+    // real pHash band would not have collided on
+    val banded = banded0
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("q0"), col("q1"))))
+      .filter(col("bsz") <= PhashBucketCap)
+      .drop("bsz")
     banded.as("x")
       .join(banded.as("y"), col("x.band") === col("y.band") &&
         col("x.q0") === col("y.q0") && col("x.q1") === col("y.q1") &&
@@ -285,14 +303,26 @@ object Multimodal {
           else ("md5('g' || text)", (i - 4) * 6 + 1)
         s"CAST(floor(CAST(('0x' || substr($src, $at, 6))::BIGINT % 1000 AS DOUBLE) / 1000.0 * $PhashLevels) AS INT) AS q$i"
       }
+      // a band only generates candidates while its bucket is under the
+      // cap — mirrored per side via per-band bucket-count joins
       val bandCond = (0 until PhashBands).map(b =>
-        s"(a.q${b * 2} = b.q${b * 2} AND a.q${b * 2 + 1} = b.q${b * 2 + 1})")
+        s"""(a.q${b * 2} = b.q${b * 2} AND a.q${b * 2 + 1} = b.q${b * 2 + 1}
+           | AND a.n$b <= $PhashBucketCap)""".stripMargin.replace("\n", ""))
         .mkString("(", " OR ", ")")
+      val buckets = (0 until PhashBands).map(b =>
+        s"b$b AS (SELECT q${b * 2}, q${b * 2 + 1}, count(*) AS n FROM e GROUP BY 1, 2)")
+        .mkString(",\n")
+      val bJoins = (0 until PhashBands).map(b =>
+        s"JOIN b$b c$b ON e.q${b * 2} = c$b.q${b * 2} AND e.q${b * 2 + 1} = c$b.q${b * 2 + 1}")
+        .mkString(" ")
       val ham = (0 to 7).map(i => s"abs(a.q$i - b.q$i)").mkString(" + ")
       s"""WITH e AS (SELECT doc_id, ${(0 to 7).map(qe).mkString(", ")}
-         |  FROM documents)
+         |  FROM documents),
+         |$buckets,
+         |e2 AS (SELECT e.*, ${(0 until PhashBands).map(b => s"c$b.n AS n$b").mkString(", ")}
+         |  FROM e $bJoins)
          |SELECT a.doc_id AS a, b.doc_id AS b, CAST($ham AS INT) AS hamming
-         |FROM e a JOIN e b ON a.doc_id < b.doc_id AND $bandCond
+         |FROM e2 a JOIN e2 b ON a.doc_id < b.doc_id AND $bandCond
          |WHERE $ham <= $PhashMaxHamming
          |ORDER BY a, b""".stripMargin
     },

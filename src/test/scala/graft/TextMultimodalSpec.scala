@@ -367,10 +367,16 @@ class TextMultimodalSpec extends GraftSpec {
       .map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Seq[Double]]("embedding").map(f =>
           math.floor(f * Multimodal.PhashLevels).toInt).toArray)
+    // per-band bucket sizes, for the hot-bucket cap
+    val bucketN = (0 until Multimodal.PhashBands).map { k =>
+      emb.groupBy { case (_, q) => (q(k * 2), q(k * 2 + 1)) }
+        .map { case (key, xs) => key -> xs.size }
+    }
     val want = (for {
       (a, qa) <- emb; (b, qb) <- emb if a < b
       band = (0 until Multimodal.PhashBands).exists(k =>
-        qa(k * 2) == qb(k * 2) && qa(k * 2 + 1) == qb(k * 2 + 1))
+        qa(k * 2) == qb(k * 2) && qa(k * 2 + 1) == qb(k * 2 + 1) &&
+          bucketN(k)((qa(k * 2), qa(k * 2 + 1))) <= Multimodal.PhashBucketCap)
       ham = qa.zip(qb).map { case (u, v) => math.abs(u - v) }.sum
       if band && ham <= Multimodal.PhashMaxHamming
     } yield (a, b) -> ham).toMap
