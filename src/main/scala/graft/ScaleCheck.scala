@@ -57,7 +57,11 @@ object ScaleCheck {
     // round-8 session-3 newcomers (graph / PQ / ER / TS / skyline)
     "g2_pagerank", "g3_triangle_count", "n12_pq_topk",
     "er2_entity_clusters", "w7_stickiness", "ts2_locf_fill",
-    "sky1_pareto_front")
+    "sky1_pareto_front",
+    // round-8 session-4 newcomers (autocorr / attribution / chi² /
+    // link prediction / pHash dedup / Zipf)
+    "ts6_autocorr", "e7_attribution", "a16_chi2",
+    "g4_link_predict", "m5_phash_neardup", "t22_zipf_profile")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

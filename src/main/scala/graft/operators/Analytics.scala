@@ -1514,6 +1514,44 @@ object Analytics {
         round(expr("percentile(lag_s, 0.9D)"), 4).as("p90_lag_s"))
   }
 
+  val PathLen = 3    // journey n-gram length
+  val PathTopK = 20
+  val PathGapUs: Long = 1800L * 1000000 // e1's 30-minute session rule
+
+  /** e9: common user journeys — the top event-type [[PathLen]]-grams
+    * across sessions (e1's 30-minute-gap rule), the "what do users
+    * actually do, in order" question behind funnel design; e4's Markov
+    * transitions summarize one step, e9 surfaces whole multi-step
+    * paths. Per-user window (partitioned, never global) splits
+    * sessions; each session's ordered type list is assembled in-row
+    * (array_sort over the totally ordered (ts, event_id) struct) and
+    * its n-grams generate IN-ROW (g3/b1's discipline — path count per
+    * session is bounded by session length, never a self-join); one
+    * path-keyed count with map-side partials, key-tiebroken top-K. */
+  def e9CommonPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("brk", when(lag(col("ts_us"), 1).over(w).isNull ||
+        col("ts_us") - lag(col("ts_us"), 1).over(w) > PathGapUs, 1)
+        .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(array_sort(collect_list(
+        struct(col("ts_us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(expr("transform(evs, x -> x.event_type)").as("types"))
+      .filter(size(col("types")) >= PathLen)
+      .select(explode(expr(
+        s"""transform(sequence(0, size(types) - $PathLen),
+           |  i -> concat_ws('>', slice(types, i + 1, $PathLen)))""".stripMargin))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(PathTopK)
+  }
+
   val AttributionWindowUs: Long = 72L * 3600 * 1000000 // 72-hour lookback
 
   /** e7: last-touch attribution — every purchase is credited to the
@@ -2172,6 +2210,24 @@ object Analytics {
          |FROM r JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "e9_common_paths" ->
+      s"""WITH ev AS (SELECT user_id, event_type, event_id,
+         |    epoch_us(ts) AS ts_us FROM events),
+         |b AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+         |      OR ts_us - lag(ts_us) OVER w > $PathGapUs THEN 1
+         |      ELSE 0 END AS brk
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |s2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM b),
+         |l AS (SELECT user_id, sid,
+         |    list(event_type ORDER BY ts_us, event_id) AS types
+         |  FROM s2 GROUP BY 1, 2),
+         |p AS (SELECT unnest([array_to_string(types[i:i+${PathLen - 1}], '>')
+         |    FOR i IN generate_series(1, len(types) - ${PathLen - 1})]) AS path
+         |  FROM l WHERE len(types) >= $PathLen)
+         |SELECT path, count(*) AS n FROM p GROUP BY 1
+         |ORDER BY n DESC, path LIMIT $PathTopK""".stripMargin,
     "e7_attribution" ->
       s"""WITH ev AS (SELECT event_id, user_id, event_type, value,
          |    epoch_us(ts) AS ts_us
@@ -2365,5 +2421,6 @@ object Analytics {
     "e4_transitions" -> (e4Transitions _),
     "e5_conversion_lag" -> (e5ConversionLag _),
     "e7_attribution" -> (e7Attribution _),
+    "e9_common_paths" -> (e9CommonPaths _),
     "a12_volume_drift" -> (a12VolumeDrift _))
 }

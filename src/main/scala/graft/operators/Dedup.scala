@@ -65,6 +65,29 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
+  /** d11: duplication audit report — the cluster-size histogram of
+    * exact-duplicate groups (how many singletons / pairs / k-way
+    * copies, and the removable-row count per size): the one-page
+    * answer to "how duplicated is this corpus and what does dedup buy
+    * us", produced BEFORE committing to a d1 pass — every corpus-prep
+    * run reports this next to its token counts. Grouping key is
+    * md5(text), not the text itself, so the first shuffle moves 32-
+    * byte digests instead of document bodies; the histogram is a
+    * second aggregate over the group-size frame (bounded by #distinct
+    * sizes). All-integer ⇒ bit-exact across engines. */
+  private[graft] def dupHistogram(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"),
+        ((col("group_size") - 1) * col("n_groups")).as("n_removable"))
+      .orderBy("group_size")
+
+  def d11DupHistogram(s: SparkSession, dir: String): DataFrame =
+    dupHistogram(Tables.documents(s, dir))
+
   /** d2: exact n-gram Jaccard near-dup pairs. Candidates = pairs that
     * share ≥1 surviving (DF-capped) shingle (equi-join on shingle),
     * so disjoint documents are never compared and hot shingles never
@@ -470,6 +493,13 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d11_dup_histogram" ->
+      """WITH g AS (SELECT md5(text) AS h, count(*) AS sz
+        |  FROM documents GROUP BY 1)
+        |SELECT sz AS group_size, count(*) AS n_groups,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+        |  CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "d9_substring_dedup" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |occ AS (SELECT doc_id, i AS pidx,
@@ -673,5 +703,6 @@ object Dedup {
     "d4_simhash" -> (d4Simhash _),
     "d5_embedding_neardup" -> (d5EmbeddingNeardup _),
     "d6_dedup_clusters" -> (d6DedupClusters _),
-    "d10_canonical_pick" -> (d10CanonicalPick _))
+    "d10_canonical_pick" -> (d10CanonicalPick _),
+    "d11_dup_histogram" -> (d11DupHistogram _))
 }

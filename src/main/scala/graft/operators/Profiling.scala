@@ -128,11 +128,49 @@ object Profiling {
     frames.reduce(_.unionAll(_)).orderBy("col_name", "rank")
   }
 
+  /** (left table, left key, right table, right key) per audited join */
+  private val CardJoins = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"))
+
+  /** prof4: exact join-cardinality audit — for each star-schema join,
+    * the output size Σₖ n_left(k)·n_right(k), the heaviest key's pair
+    * count, and the row-amplification factor: the numbers a planner
+    * (or an engineer sizing a 100 TB shuffle) needs BEFORE running the
+    * join, and the companion to prof3's per-side skew stats (prof3
+    * profiles one side's key distribution; prof4 crosses both sides).
+    * Per join: two keyed count aggregates (map-side partials) met by
+    * ONE key-domain-sized equi-join of aggregates — never a row-grain
+    * join — then a 1-row reduction; table totals attach by broadcast.
+    * All-integer arithmetic ⇒ bit-exact across engines. */
+  def prof4JoinCardinality(s: SparkSession, dir: String): DataFrame = {
+    val frames = CardJoins.map { case (ln, lk, rn, rk) =>
+      val left = Tables.byName(s, dir, ln)
+      val right = Tables.byName(s, dir, rn)
+      val l = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("nl"))
+      val r = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("nr"))
+      val j = l.join(r, "k")
+        .agg(count(lit(1)).as("n_join_keys"),
+          sum(col("nl") * col("nr")).as("join_rows"),
+          max(col("nl") * col("nr")).as("max_key_pairs"))
+      j.crossJoin(broadcast(left.agg(count(lit(1)).as("left_rows"))))
+        .crossJoin(broadcast(right.agg(count(lit(1)).as("right_rows"))))
+        .select(lit(s"${ln}_$rn").as("join_name"),
+          col("left_rows"), col("right_rows"), col("n_join_keys"),
+          col("join_rows"), col("max_key_pairs"),
+          round(col("join_rows") / col("left_rows").cast("double"), 6)
+            .as("amplification"))
+    }
+    frames.reduce(_.unionAll(_)).orderBy("join_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prof1_column_profile" -> (prof1ColumnProfile _),
     "prof1b_approx_profile" -> (prof1bApproxProfile _),
     "prof2_histogram" -> (prof2Histogram _),
-    "prof3_skew_audit" -> (prof3SkewAudit _))
+    "prof3_skew_audit" -> (prof3SkewAudit _),
+    "prof4_join_cardinality" -> (prof4JoinCardinality _))
 
   private def prof1OracleFor(c: String): String =
     s"""SELECT '$c' AS col_name, count(*) AS n_rows,
@@ -142,7 +180,25 @@ object Profiling {
        |  CAST(sum(CAST($c AS DECIMAL(12,2))) AS DOUBLE) AS sum_v
        |FROM lineitem""".stripMargin
 
+  private def prof4OracleFor(ln: String, lk: String, rn: String,
+      rk: String): String =
+    s"""SELECT '${ln}_$rn' AS join_name, lt.n AS left_rows,
+       |  rt.n AS right_rows, j.nk AS n_join_keys, j.jr AS join_rows,
+       |  j.mk AS max_key_pairs,
+       |  round(j.jr / CAST(lt.n AS DOUBLE), 6) AS amplification
+       |FROM (SELECT count(*) AS nk, CAST(sum(nl * nr) AS BIGINT) AS jr,
+       |    CAST(max(nl * nr) AS BIGINT) AS mk
+       |  FROM (SELECT $lk AS k, count(*) AS nl FROM $ln GROUP BY 1) l
+       |  JOIN (SELECT $rk AS k, count(*) AS nr FROM $rn GROUP BY 1) r
+       |    USING (k)) j
+       |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM $ln) lt
+       |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM $rn) rt""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "prof4_join_cardinality" ->
+      (CardJoins.map { case (ln, lk, rn, rk) => prof4OracleFor(ln, lk, rn, rk) }
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n)") +
+        " ORDER BY join_name"),
     "prof1_column_profile" ->
       (ProfiledCols.map(prof1OracleFor).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n)") +
         " ORDER BY col_name"),

@@ -712,6 +712,35 @@ class AnalyticsSpec extends GraftSpec {
       Set("click", "view", "none")))
   }
 
+  test("e9 top paths match a driver-side session walk") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("ts_us")))
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._3))
+      // split sessions on >30 min gaps, then emit per-session 3-grams
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      var prev = Long.MinValue
+      ordered.foreach { case (_, et, _, ts) =>
+        if (prev != Long.MinValue && ts - prev > Analytics.PathGapUs)
+          sessions += scala.collection.mutable.ArrayBuffer.empty[String]
+        sessions.last += et; prev = ts
+      }
+      sessions.filter(_.length >= Analytics.PathLen).flatMap(
+        _.sliding(Analytics.PathLen).map(_.mkString(">")))
+    }
+    val want = paths.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val topWant = want.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(Analytics.PathTopK)
+    val got = Analytics.e9CommonPaths(spark, sf).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n")))
+    assert(got.toSeq == topWant, s"got ${got.toSeq}\nwant $topWant")
+  }
+
   test("a16 chi-square statistic matches a driver-side contingency recompute") {
     val r = Analytics.a16Chi2(spark, sf).collect().head
     val nSeg = r.getAs[Long]("n_seg"); val nReg = r.getAs[Long]("n_reg")

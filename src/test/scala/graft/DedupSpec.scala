@@ -303,4 +303,25 @@ class DedupSpec extends GraftSpec {
       assert(math.abs(gotMap((a, b)) - c) <= 1e-6, s"cosine mismatch for ($a,$b)")
     }
   }
+
+  test("d11 histogram: planted duplicate groups land in exact size buckets") {
+    import spark.implicits._
+    // 4 copies of A, 2 of B, 3 distinct singletons
+    val docs = (Seq.fill(4)("aaa") ++ Seq.fill(2)("bbb") ++
+      Seq("c", "d", "e")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.dupHistogram(docs).collect()
+      .map(r => r.getAs[Long]("group_size") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_removable"))).toMap
+    assert(got == Map(1L -> ((3L, 3L, 0L)), 2L -> ((1L, 2L, 1L)),
+      4L -> ((1L, 4L, 3L))))
+    // corpus invariant: doc mass is conserved and removable = docs −
+    // groups, in total
+    val corpus = Dedup.d11DupHistogram(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(corpus.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(corpus.map(_.getAs[Long]("n_removable")).sum ==
+      nDocs - corpus.map(_.getAs[Long]("n_groups")).sum)
+  }
 }

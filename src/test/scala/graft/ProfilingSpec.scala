@@ -105,4 +105,28 @@ class ProfilingSpec extends GraftSpec {
       }
     }
   }
+
+  test("prof4 join cardinalities equal a driver-side count-product recompute") {
+    val rows = Profiling.prof4JoinCardinality(spark, sf).collect()
+      .map(r => r.getAs[String]("join_name") -> r).toMap
+    assert(rows.keySet == Set("lineitem_orders", "orders_customer",
+      "lineitem_part"))
+    // recompute lineitem⋈orders exactly
+    val nl = Tables.lineitem(spark, sf).groupBy(col("l_orderkey")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nr = Tables.orders(spark, sf).groupBy(col("o_orderkey")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shared = nl.keySet intersect nr.keySet
+    val r = rows("lineitem_orders")
+    assert(r.getAs[Long]("n_join_keys") == shared.size)
+    assert(r.getAs[Long]("join_rows") ==
+      shared.toSeq.map(k => nl(k) * nr(k)).sum)
+    assert(r.getAs[Long]("max_key_pairs") ==
+      shared.toSeq.map(k => nl(k) * nr(k)).max)
+    assert(r.getAs[Long]("left_rows") == nl.values.sum)
+    assert(r.getAs[Long]("right_rows") == nr.values.sum)
+    val amp = r.getAs[Double]("amplification")
+    assert(amp > 0 && math.abs(amp -
+      r.getAs[Long]("join_rows").toDouble / r.getAs[Long]("left_rows")) < 1e-5)
+  }
 }
