@@ -37,6 +37,32 @@ object Similarity {
 
   /** n1: exact cosine top-k per query vector (brute force baseline).
     * The query set broadcasts; one pass over the corpus. */
+  val RangeTau = 0.3 // cosine radius for range search
+
+  /** n14: range search — ALL neighbors within cosine ≥ [[RangeTau]]
+    * of each query, the other serving primitive next to top-k ("find
+    * everything this similar", the shape behind dedup candidate
+    * lookups and policy filters, where the answer size is
+    * data-dependent rather than fixed-k). Same broadcast-query scan
+    * as n1 — one corpus pass, no shuffle at all (the filter replaces
+    * n1's rank window): at 100 TB this is the brute-force baseline
+    * the n2/n3 index paths accelerate, and the exactness oracle for
+    * them. Filters on the RAW cosine (identical left-to-right fold in
+    * both engines), rounds only for display. */
+  def n14RangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    broadcast(q)
+      .join(e, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_raw", VectorFunctions.cosineFromParts(
+        VectorFunctions.dotNative("qv", "v"), col("qn"), col("nrm")))
+      .filter(col("cos_raw") >= RangeTau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   def n1CosineTopk(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
     val q = e.filter(col("vec_id") < NumQueries)
@@ -820,6 +846,15 @@ object Similarity {
         |  round(SUM(v[3]) / COUNT(*), 6) AS c2,
         |  round(SUM(v[4]) / COUNT(*), 6) AS c3
         |FROM e GROUP BY grp ORDER BY grp""".stripMargin,
+    "n14_range_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings)
+         |SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |  round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) AS cosine
+         |FROM e q JOIN e ON q.vec_id < $NumQueries AND e.vec_id <> q.vec_id
+         |WHERE list_dot_product(q.v, e.v) / (q.nrm * e.nrm) >= $RangeTau
+         |ORDER BY query_id, neighbor_id""".stripMargin,
     "n1_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -835,6 +870,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_cosine_topk" -> (n1CosineTopk _),
+    "n14_range_search" -> (n14RangeSearch _),
     "n2_ann_lsh" -> (n2AnnLsh _),
     "n3_ivf_ann" -> (n3IvfAnn _),
     "n5_centroids" -> (n5Centroids _),

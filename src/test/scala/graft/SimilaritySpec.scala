@@ -23,6 +23,32 @@ class SimilaritySpec extends GraftSpec {
     }
   }
 
+  test("n14 range search equals a brute-force radius filter and agrees with n1") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val want = (for {
+      (q, qv) <- vecs.toSeq if q < Similarity.NumQueries
+      (n, nv) <- vecs.toSeq if n != q
+      c = cos(qv, nv) if c >= Similarity.RangeTau
+    } yield (q, n)).toSet
+    val got = Similarity.n14RangeSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(got.toSet == want, s"got ${got.length}, want ${want.size}")
+    got.foreach { case (q, n) => assert(cos(vecs(q), vecs(n)) >= Similarity.RangeTau) }
+    // n1 consistency: every top-k hit at/above the radius is in range
+    Similarity.n1CosineTopk(spark, sf).collect()
+      .filter(_.getAs[Double]("cosine") >= Similarity.RangeTau)
+      .foreach { r =>
+        assert(want((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+      }
+  }
+
   // bounds match SURVEY §6's claims; measured with the default knobs:
   // n2 = 0.96/1.00 at sf0.001/sf0.01 (6 tables × 5 multiprobes),
   // n3 = 0.82 / 0.78
