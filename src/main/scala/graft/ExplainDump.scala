@@ -79,7 +79,17 @@ object ExplainDump {
       ("n12_pq_topk", "PQ-ADC serving: zero-shuffle code assignment against literal codebooks; per-query LUT lookups score candidates, exact rerank of 8k survivors",
         Similarity.n12PqTopk _),
       ("w7_stickiness", "rolling distinct via day-bin explode of the deduped (user,day) frame — raw events never fan out",
-        Analytics.w7Stickiness _))
+        Analytics.w7Stickiness _),
+      ("g4_link_predict", "supplier pairs from the in-row per-customer explode (hub cap); degree joins keyed; TakeOrderedAndProject top-K",
+        graft.operators.Graph.g4LinkPredict _),
+      ("m5_phash_neardup", "pHash candidates ride the (band, value) equi-join with hot buckets capped; exact hamming fold on survivors only",
+        (s: SparkSession, d: String) => graft.operators.Multimodal.m5PhashNeardup(s, d)),
+      ("t22_zipf_profile", "rank window consumes the TakeOrdered top-1000 head, never the vocabulary-sized term frame; stats attach by broadcast",
+        TextAnalysis.t22ZipfProfile _),
+      ("e9_common_paths", "sessions from a user-partitioned window; journey n-grams generate in-row; one path-keyed count",
+        Analytics.e9CommonPaths _),
+      ("prof4_join_cardinality", "join-size audit as a key-domain equi-join of count AGGREGATES — never a row-grain join; totals broadcast",
+        graft.operators.Profiling.prof4JoinCardinality _))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries (sf0.01, formatted explain)\n\n")
     sb.append("Generated by `sbt \"runMain graft.ExplainDump\"` from the live\n")
