@@ -1514,6 +1514,80 @@ object Analytics {
         round(expr("percentile(lag_s, 0.9D)"), 4).as("p90_lag_s"))
   }
 
+  /** rfm1: RFM customer segmentation — recency / frequency / monetary
+    * tertile scores per customer, aggregated to the 27-cell segment
+    * grid (the marketing-warehouse classic behind churn and campaign
+    * targeting). Deliberately NOT an ntile window: a global ntile
+    * sorts the whole customer dimension in ONE task (the q11/q15
+    * single-partition lesson) — instead the two tertile cuts per
+    * measure come from one 1-row percentile aggregate, broadcast onto
+    * the per-customer frame, so scoring is a row expression and the
+    * only shuffles are the two keyed aggregates (orders→customer,
+    * customer→segment). Per-customer measures use exact integer days
+    * / counts / decimal sums; the interpolated percentile is the same
+    * lo+(hi−lo)·frac arithmetic in both engines (a5's precedent). At
+    * 1.5B customers the exact percentile swaps for approx_percentile
+    * — the prof1→prof1b discipline. */
+  def rfm1Segments(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val maxD = o.agg(max(col("o_orderdate")).as("maxd"))
+    val c = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("lastd"),
+        count(lit(1)).as("f"),
+        sum(Cols.dec2(col("o_totalprice"))).as("msum"))
+      .crossJoin(broadcast(maxD)) // 1-row bounded metadata
+      .select(col("o_custkey"),
+        datediff(col("maxd"), col("lastd")).as("r"), col("f"),
+        col("msum").cast("double").as("m"))
+    val lo = 1.0 / 3; val hi = 2.0 / 3
+    // cuts round to 6dp on BOTH engines: with heavy integer ties the
+    // interpolation lo+(hi-lo)·g vs (1-g)·lo+g·hi can differ in the
+    // last ulp exactly when a value SITS on the cut — rounding makes
+    // the comparison identical
+    val cuts = c.agg(
+      round(expr(s"percentile(r, ${lo}D)"), 6).as("r33"),
+      round(expr(s"percentile(r, ${hi}D)"), 6).as("r67"),
+      round(expr(s"percentile(f, ${lo}D)"), 6).as("f33"),
+      round(expr(s"percentile(f, ${hi}D)"), 6).as("f67"),
+      round(expr(s"percentile(m, ${lo}D)"), 6).as("m33"),
+      round(expr(s"percentile(m, ${hi}D)"), 6).as("m67"))
+    def score(v: String, t33: String, t67: String) =
+      (lit(1) + when(col(v) > col(t33), 1).otherwise(0) +
+        when(col(v) > col(t67), 1).otherwise(0))
+    c.crossJoin(broadcast(cuts)) // 1-row bounded metadata
+      .select(score("r", "r33", "r67").as("r_score"),
+        score("f", "f33", "f67").as("f_score"),
+        score("m", "m33", "m67").as("m_score"), col("m"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("m").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** a17: cross-correlation matrix of the event-type hourly mean
+    * series — which metrics move together (the companion to ts6's
+    * autocorrelation: same span-bounded hourly frame, correlated
+    * ACROSS series instead of against its own lag). A self-join of
+    * the bounded hourly aggregate on the hour key (t1 < t2 canonical)
+    * feeds a per-pair `corr` moment aggregate — output bounded by
+    * (#types choose 2). Corpus-scale work stays the one keyed hour
+    * aggregate. */
+  def a17CrossCorr(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("v"))
+    h.select(col("event_type").as("t1"), col("hr"), col("v").as("v1"))
+      .join(h.select(col("event_type").as("t2"), col("hr"), col("v").as("v2")),
+        Seq("hr"))
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_hours"),
+        round(corr(col("v1"), col("v2")), 6).as("r"))
+      .orderBy("t1", "t2")
+  }
+
   val PathLen = 3    // journey n-gram length
   val PathTopK = 20
   val PathGapUs: Long = 1800L * 1000000 // e1's 30-minute session rule
@@ -2210,6 +2284,37 @@ object Analytics {
          |FROM r JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "rfm1_segments" ->
+      s"""WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+         |c AS (SELECT o_custkey,
+         |    date_diff('day', max(o_orderdate), mx.maxd) AS r,
+         |    count(*) AS f,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS m
+         |  FROM orders CROSS JOIN mx GROUP BY 1, mx.maxd),
+         |t AS (SELECT round(quantile_cont(r, ${1.0 / 3}), 6) AS r33,
+         |    round(quantile_cont(r, ${2.0 / 3}), 6) AS r67,
+         |    round(quantile_cont(f, ${1.0 / 3}), 6) AS f33,
+         |    round(quantile_cont(f, ${2.0 / 3}), 6) AS f67,
+         |    round(quantile_cont(m, ${1.0 / 3}), 6) AS m33,
+         |    round(quantile_cont(m, ${2.0 / 3}), 6) AS m67 FROM c),
+         |sc AS (SELECT
+         |    1 + CAST(r > r33 AS INT) + CAST(r > r67 AS INT) AS r_score,
+         |    1 + CAST(f > f33 AS INT) + CAST(f > f67 AS INT) AS f_score,
+         |    1 + CAST(m > m33 AS INT) + CAST(m > m67 AS INT) AS m_score,
+         |    m FROM c CROSS JOIN t)
+         |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+         |  round(CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE)
+         |    / count(*), 6) AS avg_monetary
+         |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "a17_cross_corr" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS t1, b.event_type AS t2,
+        |  count(*) AS n_hours, round(corr(a.v, b.v), 6) AS r
+        |FROM h a JOIN h b ON a.hr = b.hr AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e9_common_paths" ->
       s"""WITH ev AS (SELECT user_id, event_type, event_id,
          |    epoch_us(ts) AS ts_us FROM events),
@@ -2422,5 +2527,7 @@ object Analytics {
     "e5_conversion_lag" -> (e5ConversionLag _),
     "e7_attribution" -> (e7Attribution _),
     "e9_common_paths" -> (e9CommonPaths _),
+    "rfm1_segments" -> (rfm1Segments _),
+    "a17_cross_corr" -> (a17CrossCorr _),
     "a12_volume_drift" -> (a12VolumeDrift _))
 }

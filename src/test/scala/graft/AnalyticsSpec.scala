@@ -741,6 +741,59 @@ class AnalyticsSpec extends GraftSpec {
     assert(got.toSeq == topWant, s"got ${got.toSeq}\nwant $topWant")
   }
 
+  test("rfm1 segments conserve the customer base with scores in 1..3") {
+    val rows = Analytics.rfm1Segments(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust,
+      "every ordering customer lands in exactly one segment")
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Int](c); assert(v >= 1 && v <= 3, s"$c=$v")
+      }
+      assert(r.getAs[Long]("n_customers") > 0)
+    }
+    // tertile sanity: per dimension, no single score bucket may hold
+    // everything (the cuts actually cut)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val per = rows.groupBy(_.getAs[Int](c))
+        .map { case (k, g) => k -> g.map(_.getAs[Long]("n_customers")).sum }
+      assert(per.size >= 2, s"$c: cuts degenerate, all mass in one bucket")
+    }
+  }
+
+  test("a17 cross-correlations match a driver-side recompute per pair") {
+    val h = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("v"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("hr").getTime, r.getAs[Double]("v")))
+    val byType = h.groupBy(_._1)
+    val types = byType.keySet.toSeq.sorted
+    val got = Analytics.a17CrossCorr(spark, sf).collect()
+    assert(got.length == types.size * (types.size - 1) / 2,
+      "one row per unordered type pair")
+    got.foreach { r =>
+      val t1 = r.getAs[String]("t1"); val t2 = r.getAs[String]("t2")
+      assert(t1 < t2)
+      val m1 = byType(t1).map(x => x._2 -> x._3).toMap
+      val m2 = byType(t2).map(x => x._2 -> x._3).toMap
+      val shared = (m1.keySet intersect m2.keySet).toSeq.sorted
+      assert(r.getAs[Long]("n_hours") == shared.size)
+      val xs = shared.map(m1); val ys = shared.map(m2)
+      val mx = xs.sum / xs.length; val my = ys.sum / ys.length
+      val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val expected = cov / math.sqrt(
+        xs.map(a => (a - mx) * (a - mx)).sum *
+          ys.map(b => (b - my) * (b - my)).sum)
+      val rv = r.getAs[Double]("r")
+      assert(math.abs(rv - expected) < 1e-6, s"($t1,$t2): $rv vs $expected")
+      assert(rv >= -1.0 - 1e-9 && rv <= 1.0 + 1e-9)
+    }
+  }
+
   test("a16 chi-square statistic matches a driver-side contingency recompute") {
     val r = Analytics.a16Chi2(spark, sf).collect().head
     val nSeg = r.getAs[Long]("n_seg"); val nReg = r.getAs[Long]("n_reg")
