@@ -162,6 +162,34 @@ object SyncStream {
         col("click_id"), col("click_ts"))
   }
 
+  /** Row 199: stream-stream LEFT OUTER interval join — row 64's join
+    * with unmatched-purchase retention: a purchase with NO click in
+    * its 30-minute lookback must still come out (click_id NULL), but
+    * only once the watermark proves no matching click can still
+    * arrive — the "orphan conversion" feed an attribution pipeline
+    * (e7's streaming analog) alerts on. Outer stream-stream joins are
+    * exactly where Spark's state/watermark contract bites: the null
+    * row is emitted by state EXPIRY, so emission latency is the
+    * watermark delay, and without the time-interval condition state
+    * would grow unboundedly. Same bounded-state argument as row 64;
+    * the spec drives the watermark forward and pins both the matched
+    * rows and the null-emission timing. */
+  def streamingLeftOuterJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = clicks.withWatermark("ts", "40 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Row 71: streaming upsert sink — the reference's core sync loop
     * (poll updates → INSERT OR REPLACE keyed rows, server.mjs:129-142
     * driving db.mjs:270-278) as a streaming pipeline. Each micro-batch

@@ -220,6 +220,40 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("row 199: left-outer interval join emits orphans only after watermark expiry") {
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = SyncStream.streamingLeftOuterJoin(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("lojoin").outputMode("append").start()
+    try {
+      // user 1's purchase has a click in range; user 2's does not
+      clicks.addData(ev(1, 25, 1))
+      purchases.addData(ev(10, 30, 1), ev(12, 50, 2))
+      q.processAllAvailable()
+      def rows() = spark.table("lojoin")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .toSet
+      val early = rows()
+      assert(early.contains((10L, Some(1L))), s"matched pair missing: $early")
+      assert(!early.exists(r => r._1 == 12L && r._2.isEmpty),
+        "orphan purchase must NOT emit before the watermark proves no click can arrive")
+      // drive the watermark far past purchase 12's interval on BOTH
+      // streams (the global watermark is the min across inputs)
+      clicks.addData(ev(99, 500, 9)); purchases.addData(ev(98, 500, 9))
+      q.processAllAvailable()
+      // one more advance so the state-expiry batch runs after the
+      // watermark update is in force
+      clicks.addData(ev(97, 600, 9)); purchases.addData(ev(96, 600, 9))
+      q.processAllAvailable()
+      val late = rows()
+      assert(late.contains((12L, None)),
+        s"orphan purchase must emit with NULL click after expiry: $late")
+    } finally q.stop()
+  }
+
   test("row 71: streaming upsert target always holds the latest row per key") {
     implicit val sqlc = spark.sqlContext
     import spark.implicits._
