@@ -251,6 +251,40 @@ object Sources {
       .orderBy("day")
   }
 
+  /** k16: partition-scheme migration (relayout) — a table laid out by
+    * DAY is rewritten partitioned by MONTH: the lifecycle operation
+    * behind "our partition grain was wrong" (too many small
+    * partitions → listing/metadata pressure; day→month is the classic
+    * consolidation). The migration reads ONLY the old layout (month
+    * derives from the day partition value — never from columns the
+    * old layout may have dropped), writes the new scheme in one
+    * distributed pass, and the read-back month aggregate hash-matches
+    * the source-of-truth oracle, proving the relayout lossless. At
+    * 100 TB this runs month-by-month with k4's dynamic overwrite to
+    * stay incremental; the spec pins read-side partition pruning on
+    * the NEW scheme (a one-month read touches one directory). */
+  def k16Relayout(s: SparkSession, dir: String): DataFrame = {
+    val src = tmp("k16_day")
+    val dst = k16MonthPath(s)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(src)
+    s.read.parquet(src)
+      .withColumn("month", substring(col("day").cast("string"), 1, 7))
+      .drop("day")
+      .write.mode(SaveMode.Overwrite).partitionBy("month").parquet(dst)
+    s.read.parquet(dst)
+      .groupBy(col("month").cast("string").as("month"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event"),
+        Cols.moneySum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      .orderBy("month")
+  }
+
+  /** The k16 month-layout path (stable within a process) — spec hook
+    * for asserting partition pruning on the migrated scheme. */
+  private[graft] def k16MonthPath(s: SparkSession): String = tmp("k16_month")
+
   /** k4: dynamic partition overwrite — the reference's INSERT OR
     * REPLACE upsert (db.mjs:270-278) as an incremental batch pattern:
     * a base load partitioned by day, then an update batch that
@@ -948,6 +982,11 @@ object Sources {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_event
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k16_relayout" ->
+      """SELECT strftime(ts, '%Y-%m') AS month, COUNT(*) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_event,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "k1_partitioned_sink" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_event
@@ -1060,6 +1099,7 @@ object Sources {
     "k2_bucketed_join" -> (k2BucketedJoin _),
     "k3_retention_delete" -> (k3RetentionDelete _),
     "k4_dynamic_overwrite" -> (k4DynamicOverwrite _),
+    "k16_relayout" -> (k16Relayout _),
     "k5_merge_upsert" -> (k5MergeUpsert _),
     "k7_conditional_update" -> (k7ConditionalUpdate _),
     "k8_zorder_layout" -> (k8ZorderLayout _),

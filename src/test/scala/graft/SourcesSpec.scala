@@ -372,4 +372,30 @@ class SourcesSpec extends GraftSpec {
     assert(lateDays.join(initialDays, Seq("d"), "left_semi").count() > 0,
       "testdata no longer makes increments touch existing days")
   }
+
+  test("k16: relayout conserves rows, consolidates directories, and prunes reads") {
+    val out = Sources.k16Relayout(spark, sf).collect()
+    val months = Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM").as("m")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(out.map(_.getAs[String]("month")).toSeq.sorted.sameElements(months))
+    assert(out.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count(),
+      "relayout must be lossless")
+    // consolidation: strictly fewer month directories than day directories
+    def partDirs(path: String, prefix: String): Int = {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).count(_.getPath.getName.startsWith(prefix))
+    }
+    val monthPath = Sources.k16MonthPath(spark)
+    val dayPath = monthPath.stripSuffix("k16_month") + "k16_day"
+    assert(partDirs(dayPath, "day=") > partDirs(monthPath, "month="),
+      "day->month must consolidate partition directories")
+    // pruning: a one-month read touches only that month's directory
+    val m0 = months.head
+    val pruned = spark.read.parquet(monthPath).filter(col("month") === m0)
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains(s"month=$m0")),
+      s"one-month read must touch only month=$m0")
+  }
 }
