@@ -282,6 +282,57 @@ object Quality {
         (lit(1.0) / (lit(1.0) + exp(-(col("m") + bias)))).as("score"))
   }
 
+  val BootReplicates = 200
+  /** Poisson(1) CDF ladder: cumulative probabilities for k = 0..5
+    * (k = 6 is the tail). Inverse-CDF on a deterministic hash-uniform
+    * gives each (row, replicate) its resample weight. */
+  private val PoissonCdf =
+    Seq(0.36787944, 0.73575888, 0.91969860, 0.98101184, 0.99634015,
+      0.99940582)
+
+  /** imp2: bootstrap confidence interval for a corpus mean — the
+    * Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012): the classic resample-with-
+    * replacement is impossible distributed (it needs n IID draws from
+    * the WHOLE corpus per replicate), but Binomial(n, 1/n) → Poisson(1)
+    * per row makes each replicate's membership a per-row decision —
+    * embarrassingly parallel, one scan. Each (row, replicate) draws
+    * its weight by inverse-CDF on a deterministic xxhash64 uniform
+    * (re-runnable, no RNG state), the [[BootReplicates]]× fanout
+    * collapses into a replicate-keyed weighted-mean aggregate
+    * (map-side partials; B groups), and the CI is an exact percentile
+    * of the B replicate means — a B-row driver-free reduction.
+    * rows-only (xxhash64 is engine-specific); the spec pins
+    * determinism, point-mean coverage, and a sane width. */
+  def imp2BootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+    val w = PoissonCdf.zipWithIndex.reverse
+      .foldLeft(lit(PoissonCdf.size): Column) { case (acc, (p, k)) =>
+        when(col("r.u") < p, k).otherwise(acc)
+      }
+    val means = ev
+      .select(col("value"), explode(expr(
+        s"""transform(sequence(0, ${BootReplicates - 1}), b ->
+           |  named_struct('b', b,
+           |    'u', pmod(xxhash64(event_id, b), 1000000L) / 1000000.0D))"""
+          .stripMargin)).as("r"))
+      .select(col("value"), col("r.b").as("b"), w.as("w"))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("value")).as("wsum"), sum(col("w")).as("wn"))
+      .select((col("wsum") / col("wn")).as("mb"))
+    val point = ev.agg(count(lit(1)).as("n_rows"),
+      round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("point_mean"))
+    means
+      .agg(count(lit(1)).as("n_replicates"),
+        round(expr("percentile(mb, 0.025D)"), 6).as("ci_lo"),
+        round(expr("percentile(mb, 0.975D)"), 6).as("ci_hi"))
+      .crossJoin(broadcast(point)) // 1-row bounded metadata
+      .select(col("n_rows"), col("point_mean"), col("n_replicates"),
+        col("ci_lo"), col("ci_hi"),
+        round(col("ci_hi") - col("ci_lo"), 6).as("ci_width"))
+  }
+
   val oracles: Map[String, String] = Map(
     "g1_gopher_quality" ->
       s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words,
@@ -341,5 +392,6 @@ object Quality {
     "g1_gopher_quality" -> (g1GopherQuality _),
     "imp1_importance_sample" -> (imp1ImportanceSample _),
     "qc1_classifier_score" -> (qc1ClassifierScore _),
+    "imp2_bootstrap_ci" -> (imp2BootstrapCi _),
     "dc1_source_caps" -> (dc1SourceCaps _))
 }

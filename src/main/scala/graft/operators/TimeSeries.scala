@@ -197,7 +197,50 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** ts7: seasonality strength per series — the additive-decomposition
+    * diagnostic (classic STL reading): the hour-of-day profile is the
+    * seasonal component, and 1 − Var(v − s_hod)/Var(v) measures how
+    * much of the series routine daily rhythm explains — the number
+    * that decides whether an alert baseline needs a seasonal model or
+    * a flat EWMA (ts5). All work beyond the one keyed hour aggregate
+    * runs on the span-bounded hourly frame: the 24-row seasonal
+    * profile joins back by broadcast, and the variance fold is a
+    * moment aggregate. Variances ride exact decimal-rounded means
+    * (both engines fold identical doubles); round-6 output. */
+  def ts7Seasonality(s: SparkSession, dir: String): DataFrame = {
+    val h = hourly(s, dir)
+      .select(col("event_type"), col("v"), hour(col("hr")).as("hod"))
+    val prof = h.groupBy(col("event_type").as("pt"), col("hod").as("ph"))
+      .agg(round(sum(col("v").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("s"))
+    h.join(broadcast(prof),
+        col("event_type") === col("pt") && col("hod") === col("ph"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        round(var_pop(col("v")), 6).as("var_total"),
+        round(var_pop(col("v") - col("s")), 6).as("var_resid"),
+        round(lit(1.0) - var_pop(col("v") - col("s")) / var_pop(col("v")), 6)
+          .as("seasonal_strength"))
+      .orderBy(col("event_type"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "ts7_seasonality" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |hh AS (SELECT event_type, v, extract(hour FROM hr) AS hod FROM h),
+        |prof AS (SELECT event_type AS pt, hod AS ph,
+        |    round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS s
+        |  FROM hh GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_hours,
+        |  round(var_pop(v), 6) AS var_total,
+        |  round(var_pop(v - s), 6) AS var_resid,
+        |  round(1.0 - var_pop(v - s) / var_pop(v), 6) AS seasonal_strength
+        |FROM hh JOIN prof ON event_type = pt AND hod = ph
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts6_autocorr" ->
       s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
          |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
@@ -295,5 +338,6 @@ object TimeSeries {
     "ts3_trend" -> (ts3Trend _),
     "ts4_ohlc_resample" -> (ts4OhlcResample _),
     "ts5_ewma" -> (ts5Ewma _),
-    "ts6_autocorr" -> (ts6Autocorr _))
+    "ts6_autocorr" -> (ts6Autocorr _),
+    "ts7_seasonality" -> (ts7Seasonality _))
 }

@@ -121,4 +121,25 @@ class QualitySpec extends GraftSpec {
     // every source is capped
     assert(got.groupBy(_._2).values.forall(_.length <= Quality.SourceCap))
   }
+
+  test("imp2 bootstrap CI is deterministic, covers the mean, sane width") {
+    val r1 = Quality.imp2BootstrapCi(spark, sf).collect().head
+    val r2 = Quality.imp2BootstrapCi(spark, sf).collect().head
+    assert(r1 == r2, "hash-seeded bootstrap must be re-runnable bit-for-bit")
+    val mean = r1.getAs[Double]("point_mean")
+    val lo = r1.getAs[Double]("ci_lo"); val hi = r1.getAs[Double]("ci_hi")
+    assert(lo < mean && mean < hi,
+      s"point mean $mean outside CI [$lo, $hi]")
+    assert(r1.getAs[Long]("n_replicates") == Quality.BootReplicates.toLong)
+    // width within a loose factor of the CLT prediction 3.92·σ/√n
+    // (200 replicates carry real quantile-estimation noise)
+    val stats = Tables.events(spark, sf)
+      .agg(stddev_pop(col("value")).as("sd"), count(lit(1)).as("n"))
+      .collect().head
+    val predicted = 3.92 * stats.getAs[Double]("sd") /
+      math.sqrt(stats.getAs[Long]("n").toDouble)
+    val width = r1.getAs[Double]("ci_width")
+    assert(width > 0.5 * predicted && width < 2.0 * predicted,
+      s"CI width $width vs CLT prediction $predicted")
+  }
 }

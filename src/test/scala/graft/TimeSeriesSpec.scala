@@ -155,4 +155,36 @@ class TimeSeriesSpec extends GraftSpec {
       }
     }
   }
+
+  test("ts7 seasonal strength matches a driver-side ANOVA decomposition") {
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("v"))
+      .select(col("event_type"), hour(col("hr")).as("hod"), col("v"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("hod"),
+        r.getAs[Double]("v")))
+      .groupBy(_._1)
+    TimeSeries.ts7Seasonality(spark, sf).collect().foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val rows = hourly(t)
+      assert(r.getAs[Long]("n_hours") == rows.length)
+      def varp(xs: Seq[Double]) = {
+        val m = xs.sum / xs.length
+        xs.map(x => (x - m) * (x - m)).sum / xs.length
+      }
+      val vTotal = varp(rows.map(_._3).toSeq)
+      val prof = rows.groupBy(_._2)
+        .map { case (h, g) => h -> g.map(_._3).sum / g.length }
+      val vResid = varp(rows.map { case (_, h, v) => v - prof(h) }.toSeq)
+      val strength = r.getAs[Double]("seasonal_strength")
+      assert(math.abs(r.getAs[Double]("var_total") - vTotal) < 1e-4)
+      assert(math.abs(r.getAs[Double]("var_resid") - vResid) < 1e-4)
+      assert(math.abs(strength - (1 - vResid / vTotal)) < 1e-4)
+      // law of total variance: the hour-of-day profile can only EXPLAIN
+      // variance, never add it
+      assert(strength >= -1e-6 && strength <= 1.0 + 1e-9)
+    }
+  }
 }
