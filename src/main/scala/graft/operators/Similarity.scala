@@ -527,6 +527,79 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_raw")))
   }
 
+  /** n15: IVF+PQ — the FAISS-style composition of the two serving
+    * structures this library already proves separately: n3's inverted
+    * file routes each query to its [[IvfProbes]] nearest cells (so
+    * only ~probes/cells of the corpus is TOUCHED), and inside the
+    * probed cells candidates are scored by n12's PQ-ADC lookup tables
+    * (so the touched fraction is scanned as M byte-codes, never float
+    * vectors). At 100 TB this is THE billion-vector serving layout:
+    * cell routing bounds I/O, PQ bounds bytes-per-candidate, and the
+    * float vectors are read only for the TopK×rerank survivors.
+    * Probe selection runs driver-side over bounded metadata
+    * (NumQueries × IvfCells literal centroids); the candidate window
+    * ranks SLIM (query, neighbor, approx) rows — n12's lesson.
+    * rows-only (index + codebooks engine-specific); recall-vs-exact
+    * spec. */
+  def n15IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureAnnIndex(s, dir)
+    val refined = indexCells(s, root)
+    val assigned = graft.sources.AtomicPublish.readOutput(s, root, "assignments")
+    val books = pqCodebooks(assigned)
+    val sub = books.head.head.length
+    val coded = assigned.select(col("cell_id"), col("vec_id"), col("nrm"),
+      pqCodesCol(books).as("codes"))
+    // queries + their ADC LUTs + driver-side probe-cell routing
+    // (bounded: NumQueries × IvfCells metadata)
+    val qRows = assigned.filter(col("vec_id") < NumQueries).orderBy("vec_id")
+      .select("vec_id", "v", "nrm").collect()
+    import s.implicits._
+    val qDf = qRows.map { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val qn = r.getDouble(2)
+      val luts = Array.tabulate(PqM) { m =>
+        books(m).map { c =>
+          var d = 0.0; var i = 0
+          while (i < sub) { d += qv(m * sub + i) * c(i); i += 1 }
+          d
+        }
+      }
+      val cells = refined.map { case (id, cv, cn) =>
+        var d = 0.0; var i = 0
+        while (i < qv.length) { d += qv(i) * cv(i); i += 1 }
+        (id, d / (qn * cn))
+      }.sortBy { case (id, c) => (-c, id) }.take(IvfProbes).map(_._1)
+      (r.getLong(0), qn, luts, cells)
+    }.toSeq.toDF("query_id", "qn", "luts", "probe_cells")
+    val adc = (0 until PqM).map(m =>
+      element_at(element_at(col("luts"), m + 1),
+        element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val candidates = broadcast(qDf
+        .select(col("query_id"), col("qn"), col("luts"),
+          explode(col("probe_cells")).as("cell_id")))
+      .join(coded, Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("approx", adc / (col("qn") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("approx"))
+      .withColumn("crank", row_number().over(wApprox))
+      .filter(col("crank") <= TopK * PqRerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val rerank = assigned
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+      .join(broadcast(candidates.join(
+        assigned.filter(col("vec_id") < NumQueries).select(
+          col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn")), "query_id")),
+        "neighbor_id")
+    rankTopK(rerank
+      .withColumn("cos_raw", VectorFunctions.cosineFromParts(
+        VectorFunctions.dotNative("qv", "v"), col("qn"), col("nrm")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_raw")))
+  }
+
   /** Spec hook: (vec_id, code0..code{M-1}) for the whole corpus. */
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
@@ -881,5 +954,6 @@ object Similarity {
     "n10_knn_classify" -> (n10KnnClassify _),
     "n11_mmr_rerank" -> (n11MmrRerank _),
     "n12_pq_topk" -> (n12PqTopk _),
+    "n15_ivf_pq" -> (n15IvfPq _),
     "n13_recall_eval" -> (n13RecallEval _))
 }

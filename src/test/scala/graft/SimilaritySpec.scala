@@ -23,6 +23,27 @@ class SimilaritySpec extends GraftSpec {
     }
   }
 
+  test("n15 IVF+PQ recall >= 0.6 vs exact, and ranks are exact-cosine ordered") {
+    val exact = Similarity.n1CosineTopk(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val got = Similarity.n15IvfPq(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(got.keySet == exact.keySet)
+    val recalls = exact.map { case (q, want) =>
+      val have = got(q).map(_.getAs[Long]("neighbor_id")).toSet
+      (want intersect have).size.toDouble / want.size
+    }
+    val macroRecall = recalls.sum / recalls.size
+    assert(macroRecall >= 0.6, s"IVF+PQ macro recall $macroRecall < 0.6")
+    // within each query, output is ordered by the EXACT rerank cosine
+    got.values.foreach { rs =>
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+      val cosines = ordered.map(_.getAs[Double]("cosine"))
+      assert(cosines.sliding(2).forall { case Array(a, b) => a >= b })
+    }
+  }
+
   test("n14 range search equals a brute-force radius filter and agrees with n1") {
     val vecs = Tables.embeddings(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") ->
