@@ -1588,6 +1588,55 @@ object Analytics {
       .orderBy("t1", "t2")
   }
 
+  /** a18: cohort LTV curves — cumulative purchase revenue per signup
+    * cohort by weeks-since-signup, normalized per cohort member (the
+    * "when does a cohort pay back" curve behind every acquisition-
+    * spend decision; e3 tracks cohort RETENTION, a18 tracks cohort
+    * REVENUE). One events scan, one user_id exchange: the per-user
+    * first-signup tag is e5's min-over-window (reusing the user
+    * partitioning), week arithmetic is exact integer µs division, and
+    * everything after the (cohort, offset) aggregate — cohort sizes,
+    * the cumulative window — runs on the time-span-bounded cohort
+    * frame (the window partitions BY cohort; never corpus-sized).
+    * Decimal revenue sums ⇒ bit-stable. */
+  def a18CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+    val WeekUs = 7L * 86400 * 1000000
+    val tagged = Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(date_trunc("week", col("ts"))).as("wk_us"))
+      .withColumn("s_us",
+        min(when(col("event_type") === "signup", col("ts_us"))).over(wUser))
+      .withColumn("cohort_us",
+        min(when(col("event_type") === "signup", col("wk_us"))).over(wUser))
+      .filter(col("s_us").isNotNull)
+    val cohortSize = tagged
+      .filter(col("event_type") === "signup")
+      .groupBy(col("cohort_us"))
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    val rev = tagged
+      .filter(col("event_type") === "purchase" && col("ts_us") >= col("s_us"))
+      .withColumn("week_offset", expr(s"(ts_us - s_us) div $WeekUs"))
+      .groupBy(col("cohort_us"), col("week_offset"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,6)")).as("rev"))
+    val wCum = Window.partitionBy(col("cohort_us")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(cohortSize, Seq("cohort_us")) // cohort-bounded frames
+      .withColumn("cum_rev", sum(col("rev")).over(wCum))
+      .select(
+        date_format(timestamp_micros(col("cohort_us")), "yyyy-MM-dd")
+          .as("cohort_week"),
+        col("week_offset"), col("cohort_size"), col("n_purchases"),
+        round(col("rev").cast("double"), 6).as("revenue"),
+        round(col("cum_rev").cast("double"), 6).as("cum_revenue"),
+        round(col("cum_rev").cast("double") / col("cohort_size"), 6)
+          .as("ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val PathLen = 3    // journey n-gram length
   val PathTopK = 20
   val PathGapUs: Long = 1800L * 1000000 // e1's 30-minute session rule
@@ -2284,6 +2333,36 @@ object Analytics {
          |FROM r JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "a18_cohort_ltv" ->
+      s"""WITH ev AS (SELECT user_id, event_type, value,
+         |    epoch_us(ts) AS ts_us,
+         |    epoch_us(date_trunc('week', ts)) AS wk_us
+         |  FROM events WHERE event_type IN ('signup', 'purchase')),
+         |t AS (SELECT *,
+         |    min(CASE WHEN event_type = 'signup' THEN ts_us END)
+         |      OVER (PARTITION BY user_id) AS s_us,
+         |    min(CASE WHEN event_type = 'signup' THEN wk_us END)
+         |      OVER (PARTITION BY user_id) AS cohort_us
+         |  FROM ev),
+         |cs AS (SELECT cohort_us, count(DISTINCT user_id) AS cohort_size
+         |  FROM t WHERE event_type = 'signup' GROUP BY 1),
+         |r AS (SELECT cohort_us,
+         |    (ts_us - s_us) // ${7L * 86400 * 1000000} AS week_offset,
+         |    count(*) AS n_purchases,
+         |    SUM(CAST(value AS DECIMAL(18,6))) AS rev
+         |  FROM t WHERE event_type = 'purchase' AND s_us IS NOT NULL
+         |    AND ts_us >= s_us GROUP BY 1, 2),
+         |c AS (SELECT r.*, cs.cohort_size,
+         |    sum(rev) OVER (PARTITION BY r.cohort_us ORDER BY week_offset
+         |      ROWS UNBOUNDED PRECEDING) AS cum_rev
+         |  FROM r JOIN cs USING (cohort_us))
+         |SELECT strftime(make_timestamp(cohort_us), '%Y-%m-%d')
+         |    AS cohort_week,
+         |  week_offset, cohort_size, n_purchases,
+         |  round(CAST(rev AS DOUBLE), 6) AS revenue,
+         |  round(CAST(cum_rev AS DOUBLE), 6) AS cum_revenue,
+         |  round(CAST(cum_rev AS DOUBLE) / cohort_size, 6) AS ltv_per_user
+         |FROM c ORDER BY 1, 2""".stripMargin,
     "rfm1_segments" ->
       s"""WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
          |c AS (SELECT o_custkey,
@@ -2528,6 +2607,7 @@ object Analytics {
     "e7_attribution" -> (e7Attribution _),
     "e9_common_paths" -> (e9CommonPaths _),
     "rfm1_segments" -> (rfm1Segments _),
+    "a18_cohort_ltv" -> (a18CohortLtv _),
     "a17_cross_corr" -> (a17CrossCorr _),
     "a12_volume_drift" -> (a12VolumeDrift _))
 }

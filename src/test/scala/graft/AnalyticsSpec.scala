@@ -741,6 +741,36 @@ class AnalyticsSpec extends GraftSpec {
     assert(got.toSeq == topWant, s"got ${got.toSeq}\nwant $topWant")
   }
 
+  test("a18 LTV curves are cumulative, normalized, and conserve purchases") {
+    val rows = Analytics.a18CohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("cohort_week")).foreach { case (_, g) =>
+      val ordered = g.sortBy(_.getAs[Long]("week_offset"))
+      // cumulative revenue is non-decreasing and sums the per-week revenue
+      var cum = 0.0
+      ordered.foreach { r =>
+        cum += r.getAs[Double]("revenue")
+        assert(math.abs(r.getAs[Double]("cum_revenue") - cum) < 1e-4)
+        assert(math.abs(r.getAs[Double]("ltv_per_user") -
+          r.getAs[Double]("cum_revenue") / r.getAs[Long]("cohort_size")) < 1e-4)
+      }
+    }
+    // purchase conservation: every at-or-after-signup purchase of a
+    // signed-up user is counted exactly once
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("t")))
+    val firstSignup = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val eligible = ev.count { case (u, et, t) =>
+      et == "purchase" && firstSignup.get(u).exists(t >= _)
+    }
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == eligible)
+  }
+
   test("rfm1 segments conserve the customer base with scores in 1..3") {
     val rows = Analytics.rfm1Segments(spark, sf).collect()
     val nCust = Tables.orders(spark, sf)
