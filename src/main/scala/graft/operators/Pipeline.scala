@@ -182,7 +182,51 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  val EpochShards = 8
+  val EpochNo = 1 // the epoch this query materializes
+
+  /** mix4: deterministic epoch shuffle into training shards — the
+    * data-ordering step between curation and the trainer: every epoch
+    * needs a DIFFERENT, reproducible global permutation of the corpus,
+    * laid out as shard files a data loader streams in order.
+    * Shard and in-shard position both derive from the salted md5 of
+    * (epoch, doc_id) — so the permutation is portable, re-runnable,
+    * and changes completely between epochs with no RNG state. The
+    * in-shard rank window partitions BY shard: at 100 TB the shard
+    * count is chosen so corpus/shards is one output file's worth
+    * (~1 GB), which makes the per-shard sort exactly the
+    * sort-within-partitions of the shard-file write — bounded by
+    * design, never a global sort (the q11/q15 lesson). Fully
+    * oracle-checkable because the hash is md5 (mix3's discipline),
+    * not an engine-specific hash. */
+  private[graft] def epochOrder(docs: DataFrame, epoch: Int): DataFrame = {
+    val h = md5(concat(lit(s"ord:$epoch:"), col("doc_id").cast("string")))
+    val wShard = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard",
+        expr(s"cast(conv(substring(h, 1, 6), 16, 10) as bigint) % $EpochShards"))
+      .withColumn("position", row_number().over(wShard))
+      .select(col("doc_id"), col("shard"), col("position"))
+      .orderBy("shard", "position")
+  }
+
+  def mix4EpochOrder(s: SparkSession, dir: String): DataFrame =
+    epochOrder(Tables.documents(s, dir), EpochNo)
+
   val oracles: Map[String, String] = Map(
+    "mix4_epoch_order" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    md5('ord:$EpochNo:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |sh AS (SELECT doc_id, h,
+         |    ('0x' || substring(h, 1, 6))::BIGINT % $EpochShards AS shard
+         |  FROM h)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |    AS INT) AS position
+         |FROM sh ORDER BY shard, position""".stripMargin,
     "mix3_train_split" ->
       s"""SELECT doc_id,
          |  CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$SplitTrainThr' THEN 'train'
@@ -329,5 +373,6 @@ object Pipeline {
     "pipe3_publish_corpus" -> (pipe3PublishCorpus _),
     "mix1_domain_mixture" -> (mix1DomainMixture _),
     "mix2_token_budget" -> (mix2TokenBudget _),
-    "mix3_train_split" -> (mix3TrainSplit _))
+    "mix3_train_split" -> (mix3TrainSplit _),
+    "mix4_epoch_order" -> (mix4EpochOrder _))
 }

@@ -741,6 +741,33 @@ class AnalyticsSpec extends GraftSpec {
     assert(got.toSeq == topWant, s"got ${got.toSeq}\nwant $topWant")
   }
 
+  test("mix4 epoch order is a deterministic permutation that changes per epoch") {
+    import graft.operators.Pipeline
+    val docs = Tables.documents(spark, sf).select(col("doc_id"))
+    val e1 = Pipeline.epochOrder(docs, 1).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Int]("position")))
+    // permutation: every doc exactly once
+    assert(e1.map(_._1).distinct.length == docs.count())
+    // per shard, positions are contiguous 1..n
+    e1.groupBy(_._2).foreach { case (sh, g) =>
+      assert(g.map(_._3).sorted.sameElements(1 to g.length), s"shard $sh")
+    }
+    // deterministic across runs
+    val e1b = Pipeline.epochOrder(docs, 1).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Int]("position")))
+    assert(e1.sameElements(e1b))
+    // a different epoch yields a genuinely different assignment
+    val e2 = Pipeline.epochOrder(docs, 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Int]("position")))
+    val moved = e1.map(x => x._1 -> (x._2, x._3)).toMap
+    val changed = e2.count(x => moved(x._1) != ((x._2, x._3)))
+    assert(changed > e2.length / 2,
+      s"epoch 2 should reshuffle most docs (changed=$changed of ${e2.length})")
+  }
+
   test("a18 LTV curves are cumulative, normalized, and conserve purchases") {
     val rows = Analytics.a18CohortLtv(spark, sf).collect()
     assert(rows.nonEmpty)
