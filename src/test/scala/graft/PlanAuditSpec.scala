@@ -758,6 +758,51 @@ class PlanAuditSpec extends GraftSpec {
       s"phase-1 window must carry the salt key:\n$plan")
   }
 
+  test("e7/e9/a18: every corpus-facing window is PARTITIONED by user/shard") {
+    Seq(
+      ("e7", Analytics.e7Attribution(spark, sf)),
+      ("e9", Analytics.e9CommonPaths(spark, sf)),
+      ("a18", Analytics.a18CohortLtv(spark, sf))).foreach { case (n, df) =>
+      val plan = planOf(df)
+      // every windowspecdefinition must carry a partition key (the
+      // empty-frame form starts with the order spec directly)
+      val specs = "windowspecdefinition\\(([a-z_]+)#".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(specs.nonEmpty, s"$n: expected windows:\n$plan")
+      assert(specs.forall(k => k.nonEmpty), n)
+      // a18's cumulative window partitions by cohort; e7/e9 by user
+      val want = if (n == "a18") Set("user_id", "cohort_us")
+        else Set("user_id")
+      assert(specs.toSet.subsetOf(want),
+        s"$n: unexpected window partition keys $specs:\n$plan")
+    }
+  }
+
+  test("rfm1: scoring is a broadcast-cut row expression, never an ntile sort") {
+    val plan = planOf(Analytics.rfm1Segments(spark, sf))
+    assert(!plan.contains("Window"),
+      s"RFM must not rank customers with a window (global ntile):\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the percentile cuts must broadcast:\n$plan")
+  }
+
+  test("imp2: the bootstrap collapses into a replicate-keyed aggregate") {
+    val plan = planOf(graft.operators.Quality.imp2BootstrapCi(spark, sf))
+    assert(!plan.contains("Window"),
+      s"no window anywhere in the bootstrap:\n$plan")
+    assert(plan.contains("Generate") && plan.contains("HashAggregate"),
+      s"expected the replicate explode feeding a keyed aggregate:\n$plan")
+    // partial aggregation: the explode's fanout combines map-side
+    val partials = "HashAggregate".r.findAllIn(plan).size
+    assert(partials >= 2, s"expected partial+final aggregate pair:\n$plan")
+  }
+
+  test("mix4: the epoch-order rank window partitions by shard") {
+    val plan = planOf(graft.operators.Pipeline.mix4EpochOrder(spark, sf))
+    assert(plan.matches("(?s).*windowspecdefinition\\(shard#.*"),
+      s"rank window must be shard-partitioned, never global:\n$plan")
+  }
+
   test("g4: pair generation is in-row; degree joins are keyed, never cartesian") {
     val plan = planOf(graft.operators.Graph.g4LinkPredict(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
