@@ -65,6 +65,36 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
+  /** d12: sketch calibration — MinHash-vs-exact Jaccard error over the
+    * exact near-dup pair set (n13's "eval your index in-engine"
+    * discipline applied to d3's sketches): MAE, p90 |error|, signed
+    * bias, and the theoretical binomial SE √(J(1−J)/K) the errors
+    * should track. At 100 TB one runs this on a SAMPLE before trusting
+    * a K/band choice corpus-wide — sketch parameters are picked from
+    * measured calibration, not vibes. The exact pair set is d2's
+    * bounded output, so both signature joins are keyed lookups against
+    * it; the reduction is one row. rows-only (MinHash is
+    * engine-specific); the spec bounds MAE by the binomial SE. */
+  def d12SketchCalibration(s: SparkSession, dir: String): DataFrame = {
+    val exact = d2NgramJaccard(s, dir)
+    val wide = minhashWide(s, dir)
+    val agree = (0 until MinhashK)
+      .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    exact
+      .join(wide.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(wide.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("est", agree.cast("double") / MinhashK)
+      .select(col("jaccard"), col("est"),
+        abs(col("est") - col("jaccard")).as("abs_err"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("abs_err")), 6).as("mae"),
+        round(expr("percentile(abs_err, 0.9D)"), 6).as("p90_abs_err"),
+        round(avg(col("est") - col("jaccard")), 6).as("bias"),
+        round(avg(sqrt(col("jaccard") * (lit(1.0) - col("jaccard")) /
+          MinhashK)), 6).as("mean_theoretical_se"))
+  }
+
   /** d11: duplication audit report — the cluster-size histogram of
     * exact-duplicate groups (how many singletons / pairs / k-way
     * copies, and the removable-row count per size): the one-page
@@ -704,5 +734,6 @@ object Dedup {
     "d5_embedding_neardup" -> (d5EmbeddingNeardup _),
     "d6_dedup_clusters" -> (d6DedupClusters _),
     "d10_canonical_pick" -> (d10CanonicalPick _),
-    "d11_dup_histogram" -> (d11DupHistogram _))
+    "d11_dup_histogram" -> (d11DupHistogram _),
+    "d12_sketch_calibration" -> (d12SketchCalibration _))
 }

@@ -664,12 +664,45 @@ object TextAnalysis {
         col("n_fit"), col("zipf_slope"), col("zipf_r2"))
   }
 
+  val LenHistBuckets = 20
+
+  /** t23: document-length histogram — the token-count distribution
+    * over the corpus (the first chart in every corpus report, and the
+    * input to t8/t9's chunk/pack sizing: truncation loss and padding
+    * waste are both read straight off this shape). prof2's
+    * equi-width discipline on a text statistic: global min/max as a
+    * 1-row broadcast onto the same scan lineage, bucket index in PURE
+    * INTEGER arithmetic ((n−lo)·B div (hi−lo), clamped) so both
+    * engines bucket bit-identically with no float-boundary risk;
+    * output bounded by #buckets. */
+  def t23LengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(s, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val bounds = lens.agg(min(col("n_tok")).as("lo"), max(col("n_tok")).as("hi"))
+    lens.crossJoin(broadcast(bounds)) // 1-row bounded metadata
+      .select(least(
+        expr(s"(n_tok - lo) * $LenHistBuckets div greatest(hi - lo, 1)"),
+        lit(LenHistBuckets - 1L)).as("bucket"), col("n_tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .orderBy("bucket")
+  }
+
   private def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
   }
 
   val oracles: Map[String, String] = Map(
+    "t23_length_histogram" ->
+      s"""WITH l AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+         |    AS n_tok FROM documents),
+         |b AS (SELECT CAST(min(n_tok) AS BIGINT) AS lo,
+         |    CAST(max(n_tok) AS BIGINT) AS hi FROM l)
+         |SELECT least((n_tok - lo) * $LenHistBuckets
+         |    // greatest(hi - lo, 1), ${LenHistBuckets - 1}) AS bucket,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+         |FROM l CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin,
     "t22_zipf_profile" ->
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
          |  FROM documents),
@@ -905,5 +938,6 @@ object TextAnalysis {
     "t19_html_extract" -> (t19HtmlExtract _),
     "t20_bigram_perplexity" -> (t20BigramPerplexity _),
     "t21_keyword_tag" -> (t21KeywordTag _),
-    "t22_zipf_profile" -> (t22ZipfProfile _))
+    "t22_zipf_profile" -> (t22ZipfProfile _),
+    "t23_length_histogram" -> (t23LengthHistogram _))
 }

@@ -304,6 +304,21 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("d12 sketch calibration: MinHash error tracks the binomial bound") {
+    val r = Dedup.d12SketchCalibration(spark, sf).collect().head
+    assert(r.getAs[Long]("n_pairs") ==
+      Dedup.d2NgramJaccard(spark, sf).count(),
+      "calibration must cover every exact near-dup pair")
+    val mae = r.getAs[Double]("mae")
+    val se = r.getAs[Double]("mean_theoretical_se")
+    assert(mae >= 0 && se > 0)
+    // MAE of a binomial-SE estimator concentrates near 0.8·SE; allow
+    // a generous 2× for the small pair population
+    assert(mae <= 2.0 * se, s"MAE $mae vs theoretical SE $se")
+    assert(math.abs(r.getAs[Double]("bias")) <= mae + 1e-9)
+    assert(r.getAs[Double]("p90_abs_err") >= mae)
+  }
+
   test("d11 histogram: planted duplicate groups land in exact size buckets") {
     import spark.implicits._
     // 4 copies of A, 2 of B, 3 distinct singletons

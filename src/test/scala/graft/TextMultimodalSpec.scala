@@ -360,6 +360,23 @@ class TextMultimodalSpec extends GraftSpec {
       s"weighted-mean surprisal $weighted != corpus entropy $entropy")
   }
 
+  test("t23 length histogram matches a driver-side exact bucketing") {
+    val rows = TextAnalysis.t23LengthHistogram(spark, sf).collect()
+    val lens = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(_.getLong(0))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == lens.length)
+    assert(rows.map(_.getAs[Long]("sum_tokens")).sum == lens.sum)
+    val lo = lens.min; val hi = lens.max
+    val b = TextAnalysis.LenHistBuckets
+    val want = lens.groupBy(n =>
+      math.min((n - lo) * b / math.max(hi - lo, 1), b - 1L))
+      .map { case (k, g) => k -> (g.length.toLong, g.sum) }
+    val got = rows.map(r => r.getAs[Long]("bucket") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"))).toMap
+    assert(got == want)
+  }
+
   test("m5 pHash pairs: banding finds every pair a brute-force scan keeps") {
     // brute force: quantize every embedding, score ALL pairs, keep
     // those under the threshold AND sharing >= 1 exact band
