@@ -251,6 +251,85 @@ object Sources {
       .orderBy("day")
   }
 
+  /** One CDC application: take the batch's LATEST change per key
+    * ((ts, event_id)-ordered), upserts replace the stored row, deletes
+    * remove it. Partition-pruned like [[mergeIntoTarget]]; the one
+    * extra obligation deletes add: a touched partition whose every
+    * row was deleted is NOT in the dynamic-overwrite output, so its
+    * stale directory is removed explicitly (the classic
+    * dynamic-overwrite CDC hole). */
+  private[graft] def cdcApply(s: SparkSession, changes: DataFrame, path: String): Unit = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = changes
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+        col("op"))
+      .cache()
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) {
+      latest.filter(col("op") === "U").drop("op")
+        .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(path)
+    } else {
+      val touched = latest.select("event_type").distinct()
+        .collect().map(_.getString(0)).toSeq // bounded by the partition count
+      val survivors = s.read.parquet(path)
+        .filter(col("event_type").isin(touched: _*)) // partition-pruned scan
+        .join(latest.select("user_id", "event_type"),
+          Seq("user_id", "event_type"), "left_anti")
+      val merged = latest.filter(col("op") === "U").drop("op")
+        .unionByName(survivors.select(
+          col("user_id"), col("event_type"), col("value"), col("ts")))
+        .localCheckpoint()
+      merged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(path)
+      // fully-deleted touched partitions never appear in `merged`, so
+      // dynamic overwrite leaves their old directories — drop them
+      val remaining = merged.select("event_type").distinct()
+        .collect().map(_.getString(0)).toSet
+      touched.filterNot(remaining).foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"event_type=$p"), true)
+      }
+    }
+    latest.unpersist()
+  }
+
+  /** k17: CDC apply — a change stream with upserts AND deletes
+    * (tombstones) folded into a keyed table, k5's missing half: the
+    * reference's INSERT OR REPLACE never deletes, but every real CDC
+    * feed (Debezium-style I/U/D) does, and delete handling is where
+    * naive merge pipelines silently resurrect rows. Change batches
+    * apply in time order (bootstrap before the cutoff, increment
+    * after, k5's pay-once discipline); each application takes the
+    * batch-latest change per key, partition-prunes the target read,
+    * and rewrites only touched partitions — including REMOVING a
+    * partition whose rows were all tombstoned. Because the
+    * globally-latest change decides each key, the incremental path's
+    * final state hash-matches the oracle's direct one-shot QUALIFY
+    * computation — sequential-apply ≡ direct, proven not assumed. */
+  def k17CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("k17_cdc")
+    val cutoff = "2024-01-20"
+    // deterministic CDC derivation: every 10th event is a tombstone
+    val changes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+        col("event_id"),
+        when(pmod(col("event_id"), lit(10)) === 0, "D").otherwise("U").as("op"))
+    payOnce(s, path, dir) {
+      cdcApply(s, changes.filter(col("ts") < lit(cutoff).cast("timestamp")), path)
+    }
+    cdcApply(s, changes.filter(col("ts") >= lit(cutoff).cast("timestamp")), path)
+    s.read.parquet(path)
+      .groupBy(col("event_type").cast("string").as("event_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("user_id")).as("sum_user"),
+        sum(Cols.dec2(col("value"))).cast("double").as("sum_value"),
+        Cols.fmtTs(max(col("ts"))).as("max_ts"))
+      .orderBy("event_type")
+  }
+
   /** k16: partition-scheme migration (relayout) — a table laid out by
     * DAY is rewritten partitioned by MONTH: the lifecycle operation
     * behind "our partition grain was wrong" (too many small
@@ -982,6 +1061,18 @@ object Sources {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_event
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k17_cdc_apply" ->
+      """WITH c AS (SELECT user_id, event_type, value, ts, event_id,
+        |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |latest AS (SELECT * FROM c QUALIFY row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT event_type, count(*) AS n_keys,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+        |FROM latest WHERE op = 'U' GROUP BY 1 ORDER BY 1""".stripMargin,
     "k16_relayout" ->
       """SELECT strftime(ts, '%Y-%m') AS month, COUNT(*) AS n,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_event,
@@ -1100,6 +1191,7 @@ object Sources {
     "k3_retention_delete" -> (k3RetentionDelete _),
     "k4_dynamic_overwrite" -> (k4DynamicOverwrite _),
     "k16_relayout" -> (k16Relayout _),
+    "k17_cdc_apply" -> (k17CdcApply _),
     "k5_merge_upsert" -> (k5MergeUpsert _),
     "k7_conditional_update" -> (k7ConditionalUpdate _),
     "k8_zorder_layout" -> (k8ZorderLayout _),

@@ -373,6 +373,43 @@ class SourcesSpec extends GraftSpec {
       "testdata no longer makes increments touch existing days")
   }
 
+  test("k17: tombstones delete, later upserts resurrect, emptied partitions vanish") {
+    import spark.implicits._
+    val base = s"${graft.TmpRoots.perProcess("graft_sources")}/k17_spec_${System.nanoTime()}"
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def batch(rows: (Long, String, Double, Int, Long, String)*) =
+      rows.toSeq.toDF("user_id", "event_type", "value", "m", "event_id", "op")
+        .select(col("user_id"), col("event_type"), col("value"),
+          udf((m: Int) => ts(m)).apply(col("m")).as("ts"),
+          col("event_id"), col("op"))
+    def state() = spark.read.parquet(base)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // bootstrap: two partitions, three keys
+    Sources.cdcApply(spark, batch(
+      (1L, "click", 1.0, 0, 1L, "U"), (2L, "click", 2.0, 0, 2L, "U"),
+      (3L, "view", 3.0, 0, 3L, "U")), base)
+    assert(state() == Map((1L, "click") -> 1.0, (2L, "click") -> 2.0,
+      (3L, "view") -> 3.0))
+    // batch 2: tombstone user 2, update user 1, tombstone the WHOLE
+    // view partition
+    Sources.cdcApply(spark, batch(
+      (2L, "click", 0.0, 10, 4L, "D"), (1L, "click", 9.0, 11, 5L, "U"),
+      (3L, "view", 0.0, 12, 6L, "D")), base)
+    assert(state() == Map((1L, "click") -> 9.0),
+      "delete must remove keys; an emptied partition must not resurrect rows")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base, "event_type=view")),
+      "fully-tombstoned partition directory must be dropped")
+    // batch 3: a later upsert resurrects a deleted key; within-batch
+    // delete-then-upsert resolves by latest (ts, event_id)
+    Sources.cdcApply(spark, batch(
+      (2L, "click", 5.0, 20, 7L, "U"),
+      (1L, "click", 0.0, 21, 8L, "D"), (1L, "click", 7.0, 21, 9L, "U")), base)
+    assert(state() == Map((1L, "click") -> 7.0, (2L, "click") -> 5.0))
+  }
+
   test("k16: relayout conserves rows, consolidates directories, and prunes reads") {
     val out = Sources.k16Relayout(spark, sf).collect()
     val months = Tables.events(spark, sf)
