@@ -61,7 +61,12 @@ object ScaleCheck {
     // round-8 session-4 newcomers (autocorr / attribution / chi² /
     // link prediction / pHash dedup / Zipf)
     "ts6_autocorr", "e7_attribution", "a16_chi2",
-    "g4_link_predict", "m5_phash_neardup", "t22_zipf_profile")
+    "g4_link_predict", "m5_phash_neardup", "t22_zipf_profile",
+    // round-8 session-4 late additions (journeys / LTV / RFM /
+    // bootstrap / IVF+PQ / lifecycle / epoch order / calibration)
+    "e9_common_paths", "a18_cohort_ltv", "rfm1_segments",
+    "imp2_bootstrap_ci", "n15_ivf_pq", "k16_relayout", "k17_cdc_apply",
+    "mix4_epoch_order", "d12_sketch_calibration")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {
