@@ -246,7 +246,78 @@ object Mining {
       .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
   }
 
+  val RuleMinConf = 0.05
+  val RuleTopK = 50
+
+  /** b2: association rules — b1's co-occurring pairs upgraded to
+    * DIRECTED rules X→Y with confidence (P(Y|X)) and lift
+    * (P(X,Y)/P(X)P(Y)), the two numbers that separate "bought
+    * together because both are popular" from genuine affinity
+    * (lift > 1) — b1 ranks by raw support, which popularity dominates.
+    * Pair supports come from b1's in-row basket pair generation
+    * (never a fact self-join), item supports from one keyed distinct
+    * aggregate, the basket total from a 1-row broadcast; each
+    * unordered pair emits both rule directions and joins its two item
+    * supports by key. Confidence and lift are exact integer ratios
+    * (products in DOUBLE — int64 would overflow at 100 TB counts) ⇒
+    * identical doubles across engines; deterministic
+    * (lift desc, antecedent, consequent) top-K. */
+  def b2AssociationRules(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint() // baskets + item supports + total read it
+    val itemSup = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val tot = op.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val pairs = op.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(parts) - 2), i ->
+          |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
+          |    struct(element_at(parts, i + 1) AS a, y AS b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= BasketMinSupport)
+    val directed = pairs
+      .unionAll(pairs.select(col("b").as("a"), col("a").as("b"), col("n_xy")))
+    directed
+      .join(itemSup.select(col("l_partkey").as("a"), col("n_item").as("n_x")),
+        Seq("a"))
+      .join(itemSup.select(col("l_partkey").as("b"), col("n_item").as("n_y")),
+        Seq("b"))
+      .crossJoin(broadcast(tot)) // 1-row bounded metadata
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("n_xy"),
+        round(col("n_xy") / col("n_x").cast("double"), 6).as("confidence"),
+        round(col("n_baskets").cast("double") * col("n_xy") /
+          (col("n_x").cast("double") * col("n_y")), 6).as("lift"))
+      .filter(col("confidence") >= RuleMinConf)
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(RuleTopK)
+  }
+
   val oracles: Map[String, String] = Map(
+    "b2_association_rules" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |sup AS (SELECT l_partkey, count(*) AS n_item FROM li GROUP BY 1),
+         |tot AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM li),
+         |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n_xy
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $BasketMinSupport),
+         |d AS (SELECT a, b, n_xy FROM p
+         |  UNION ALL SELECT b, a, n_xy FROM p)
+         |SELECT d.a AS antecedent, d.b AS consequent, n_xy,
+         |  round(n_xy / CAST(x.n_item AS DOUBLE), 6) AS confidence,
+         |  round(CAST(tot.n_baskets AS DOUBLE) * n_xy /
+         |    (CAST(x.n_item AS DOUBLE) * y.n_item), 6) AS lift
+         |FROM d JOIN sup x ON d.a = x.l_partkey
+         |  JOIN sup y ON d.b = y.l_partkey CROSS JOIN tot
+         |WHERE n_xy / CAST(x.n_item AS DOUBLE) >= $RuleMinConf
+         |ORDER BY lift DESC, antecedent, consequent
+         |LIMIT $RuleTopK""".stripMargin,
     "f2_standardize" ->
       """WITH li AS (SELECT l_returnflag, l_extendedprice AS v FROM lineitem),
         |st AS (SELECT round(avg(v), 6) AS mu, round(stddev_samp(v), 6) AS sigma,
@@ -337,6 +408,7 @@ object Mining {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_basket_pairs" -> (b1BasketPairs _),
+    "b2_association_rules" -> (b2AssociationRules _),
     "sky1_pareto_front" -> (sky1ParetoFront _),
     "e6_mad_outliers" -> (e6MadOutliers _),
     "f1_feature_bins" -> (f1FeatureBins _),

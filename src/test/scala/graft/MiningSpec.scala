@@ -152,4 +152,35 @@ class MiningSpec extends GraftSpec {
       assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n"))
     }
   }
+
+  test("b2 rule confidence and lift match a driver-side basket recompute") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).map { case (o, xs) => o -> xs.map(_._2).toSet }
+    val itemSup = li.groupBy(_._2).map { case (p, xs) => p -> xs.size }
+    val nBaskets = byOrder.size
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Mining.b2AssociationRules(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Mining.RuleTopK)
+    rows.foreach { r =>
+      val a = r.getAs[Long]("antecedent"); val b = r.getAs[Long]("consequent")
+      val nxy = byOrder.valuesIterator.count(s0 => s0(a) && s0(b))
+      assert(r.getAs[Long]("n_xy") == nxy, s"support($a->$b)")
+      assert(nxy >= Mining.BasketMinSupport)
+      val conf = r6(nxy.toDouble / itemSup(a))
+      assert(math.abs(r.getAs[Double]("confidence") - conf) < 1e-9)
+      assert(conf >= Mining.RuleMinConf)
+      val lift = r6(nBaskets.toDouble * nxy / (itemSup(a).toDouble * itemSup(b)))
+      assert(math.abs(r.getAs[Double]("lift") - lift) < 1e-9)
+    }
+    // ranked by lift desc with key tie-break
+    val ks = rows.map(r => (r.getAs[Double]("lift"),
+      r.getAs[Long]("antecedent"), r.getAs[Long]("consequent")))
+    assert(ks.sliding(2).forall { case Array(x, y) =>
+      x._1 > y._1 || (x._1 == y._1 &&
+        (x._2 < y._2 || (x._2 == y._2 && x._3 < y._3)))
+    })
+  }
 }
