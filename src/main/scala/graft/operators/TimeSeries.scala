@@ -171,6 +171,45 @@ object TimeSeries {
         col("o.v").as("v"), round(col("o.e"), 6).as("ewma"))
       .orderBy("event_type", "hr")
 
+  val HoltAlpha = 0.3 // level smoothing
+  val HoltBeta = 0.1  // trend smoothing
+
+  /** ts8: Holt double exponential smoothing per series — ts5's EWMA
+    * plus an explicit trend term (l_t = α·v_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}), the level+slope baseline a
+    * drifting metric needs where a flat EWMA lags systematically; the
+    * one-step forecast l+b is the anomaly-alert reference value.
+    * Same scale shape as ts5: the sequential recurrence runs over the
+    * span-bounded HOURLY aggregate as an in-row `aggregate` fold —
+    * both engines evaluate the identical double sequence
+    * (l₁ = v₁, b₁ = 0), so the result is bit-deterministic and fully
+    * hash-checkable against a recursive-CTE oracle. */
+  def ts8Holt(s: SparkSession, dir: String): DataFrame =
+    hourly(s, dir)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("hr"), col("v")))).as("srt"))
+      .select(col("event_type"), explode(expr(
+        s"""aggregate(srt,
+           |  cast(array() as array<struct<hr: timestamp, v: double,
+           |    l: double, b: double>>),
+           |  (acc, x) -> acc || array(named_struct('hr', x.hr, 'v', x.v,
+           |    'l', CASE WHEN size(acc) = 0 THEN x.v
+           |         ELSE $HoltAlpha * x.v + ${1 - HoltAlpha} *
+           |           (element_at(acc, -1).l + element_at(acc, -1).b) END,
+           |    'b', CASE WHEN size(acc) = 0 THEN 0.0D
+           |         ELSE $HoltBeta *
+           |           (($HoltAlpha * x.v + ${1 - HoltAlpha} *
+           |             (element_at(acc, -1).l + element_at(acc, -1).b))
+           |            - element_at(acc, -1).l) +
+           |           ${1 - HoltBeta} * element_at(acc, -1).b END)))"""
+          .stripMargin)).as("o"))
+      .select(col("event_type"),
+        date_format(col("o.hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("o.v").as("v"), round(col("o.l"), 6).as("level"),
+        round(col("o.b"), 6).as("trend"),
+        round(col("o.l") + col("o.b"), 6).as("forecast_next"))
+      .orderBy("event_type", "hr")
+
   val AutocorrMaxLag = 3 // lags 1..3 hours
 
   /** ts6: per-series lag-k autocorrelation (k = 1..[[AutocorrMaxLag]])
@@ -225,6 +264,27 @@ object TimeSeries {
   }
 
   val oracles: Map[String, String] = Map(
+    "ts8_holt" ->
+      s"""WITH RECURSIVE h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*), 6) AS v
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (SELECT event_type, hr, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i
+         |  FROM h),
+         |r AS (
+         |  SELECT event_type, hr, v, i, v AS l, CAST(0.0 AS DOUBLE) AS b
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT n.event_type, n.hr, n.v, n.i,
+         |    $HoltAlpha * n.v + ${1 - HoltAlpha} * (r.l + r.b),
+         |    $HoltBeta * (($HoltAlpha * n.v + ${1 - HoltAlpha} * (r.l + r.b))
+         |      - r.l) + ${1 - HoltBeta} * r.b
+         |  FROM r JOIN idx n ON n.event_type = r.event_type AND n.i = r.i + 1)
+         |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, v,
+         |  round(l, 6) AS level, round(b, 6) AS trend,
+         |  round(l + b, 6) AS forecast_next
+         |FROM r ORDER BY 1, 2""".stripMargin,
     "ts7_seasonality" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
@@ -339,5 +399,6 @@ object TimeSeries {
     "ts4_ohlc_resample" -> (ts4OhlcResample _),
     "ts5_ewma" -> (ts5Ewma _),
     "ts6_autocorr" -> (ts6Autocorr _),
-    "ts7_seasonality" -> (ts7Seasonality _))
+    "ts7_seasonality" -> (ts7Seasonality _),
+    "ts8_holt" -> (ts8Holt _))
 }

@@ -156,6 +156,31 @@ class TimeSeriesSpec extends GraftSpec {
     }
   }
 
+  test("ts8 Holt level/trend equal a driver-side sequential recurrence") {
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TimeSeries.ts8Holt(spark, sf).collect()
+    val series = got.groupBy(_.getAs[String]("event_type"))
+    assert(series.nonEmpty)
+    val a = TimeSeries.HoltAlpha; val b = TimeSeries.HoltBeta
+    series.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getAs[String]("hr"))
+      var l = ordered.head.getAs[Double]("v"); var tr = 0.0
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        if (i > 0) {
+          val lNew = a * r.getAs[Double]("v") + (1 - a) * (l + tr)
+          tr = b * (lNew - l) + (1 - b) * tr
+          l = lNew
+        }
+        assert(r.getAs[Double]("level") == r6(l),
+          s"${r.getAs[String]("event_type")} @ ${r.getAs[String]("hr")} level")
+        assert(r.getAs[Double]("trend") == r6(tr),
+          s"${r.getAs[String]("event_type")} @ ${r.getAs[String]("hr")} trend")
+        assert(r.getAs[Double]("forecast_next") == r6(l + tr))
+      }
+    }
+  }
+
   test("ts7 seasonal strength matches a driver-side ANOVA decomposition") {
     val hourly = Tables.events(spark, sf)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
