@@ -162,6 +162,47 @@ object Graph {
       .orderBy(col("n_triangles").desc, col("part"))
       .limit(TriTopK)
 
+  val BfsMaxHops = 6
+
+  /** g6: BFS hop distances — shortest hops from a deterministic source
+    * (the minimum customer node) to every reachable node of the
+    * customer–supplier graph, the traversal primitive behind
+    * "blast-radius" questions (how far does a supplier outage
+    * propagate; degrees-of-separation in an entity graph). Standard
+    * distributed BFS: per round the FRONTIER (only) joins the edge
+    * list, discovered nodes are removed by an anti-join against the
+    * known set, and lineage truncates every round (the d6/g2
+    * discipline) — rounds = graph diameter, per-round work one keyed
+    * join on frontier size, never |V|×|E|. Bounded by [[BfsMaxHops]];
+    * fully oracle-checkable against a recursive-CTE BFS. */
+  def g6BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).localCheckpoint()
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint()
+    val s0 = e.agg(min(col("src"))).head().getLong(0) // min customer node
+    import s.implicits._
+    var known = Seq((s0, 0)).toDF("node", "hops").localCheckpoint()
+    var frontier = known
+    var hops = 0
+    while (hops < BfsMaxHops && !frontier.isEmpty) {
+      hops += 1
+      frontier = frontier.select(col("node").as("u"))
+        .join(und, Seq("u"))
+        .select(col("v").as("node")).distinct()
+        .join(known.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hops", lit(hops))
+        .localCheckpoint()
+      known = known.unionAll(frontier).localCheckpoint()
+    }
+    known
+      .select(col("node"),
+        when(pmod(col("node"), lit(2)) === 0, "customer")
+          .otherwise("supplier").as("kind"),
+        col("hops"))
+      .orderBy("hops", "node")
+  }
+
   val LpMaxDeg = 50  // hub-customer cap on pair generation
   val LpTopK = 100
 
@@ -211,6 +252,22 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "g6_bfs_hops" ->
+      s"""WITH RECURSIVE e AS (SELECT DISTINCT o_custkey * 2 AS src,
+         |    l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |und AS (SELECT src AS u, dst AS v FROM e
+         |  UNION ALL SELECT dst, src FROM e),
+         |s AS (SELECT min(src) AS s0 FROM e),
+         |bfs AS (
+         |  SELECT s0 AS node, 0 AS hops FROM s
+         |  UNION
+         |  SELECT und.v, bfs.hops + 1 FROM bfs JOIN und ON und.u = bfs.node
+         |  WHERE bfs.hops < $BfsMaxHops)
+         |SELECT node,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  CAST(min(hops) AS INT) AS hops
+         |FROM bfs GROUP BY 1, 2 ORDER BY hops, node""".stripMargin,
     "g4_link_predict" ->
       s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -247,5 +304,6 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g2_pagerank" -> (g2Pagerank _),
     "g3_triangle_count" -> (g3TriangleCount _),
-    "g4_link_predict" -> (g4LinkPredict _))
+    "g4_link_predict" -> (g4LinkPredict _),
+    "g6_bfs_hops" -> (g6BfsHops _))
 }

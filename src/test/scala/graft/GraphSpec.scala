@@ -95,6 +95,30 @@ class GraphSpec extends GraftSpec {
     assert(got == want, s"got ${got.size} nodes, want ${want.size}")
   }
 
+  test("g6 BFS hops equal a driver-side breadth-first search") {
+    val e = Graph.edges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val s0 = e.map(_._1).min
+    val want = scala.collection.mutable.Map(s0 -> 0)
+    var frontier = Set(s0); var h = 0
+    while (h < Graph.BfsMaxHops && frontier.nonEmpty) {
+      h += 1
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(want.contains)
+      frontier.foreach(n => want(n) = h)
+    }
+    val got = Graph.g6BfsHops(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Int]("hops")).toMap
+    assert(got == want.toMap, s"got ${got.size} nodes, want ${want.size}")
+    // bipartite sanity: even hops are customers, odd hops suppliers
+    Graph.g6BfsHops(spark, sf).collect().foreach { r =>
+      val even = r.getAs[Int]("hops") % 2 == 0
+      assert((r.getAs[String]("kind") == "customer") == even)
+    }
+  }
+
   test("g4 link-prediction scores match a brute-force set recompute") {
     val cs = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf),
