@@ -66,7 +66,11 @@ object ScaleCheck {
     // bootstrap / IVF+PQ / lifecycle / epoch order / calibration)
     "e9_common_paths", "a18_cohort_ltv", "rfm1_segments",
     "imp2_bootstrap_ci", "n15_ivf_pq", "k16_relayout", "k17_cdc_apply",
-    "mix4_epoch_order", "d12_sketch_calibration")
+    "mix4_epoch_order", "d12_sketch_calibration",
+    // round-8 session-4 closing additions (rules / Holt / BFS /
+    // rolling p95 / codec harness)
+    "b2_association_rules", "ts8_holt", "g6_bfs_hops",
+    "w9_rolling_percentile", "k18_codec_compare")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {
