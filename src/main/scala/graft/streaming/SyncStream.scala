@@ -103,6 +103,29 @@ object SyncStream {
     events.join(
       org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
 
+  /** Row 214: the composed streaming pipeline — the reference's whole
+    * poll loop as ONE declarative streaming plan: dedup (at-least-once
+    * delivery collapses within the watermark) → static-dim enrichment
+    * (broadcast probe per batch) → keyed latest-state upsert sink
+    * (k5's merge core via foreachBatch). Each stage is a proven row
+    * (38 → 159 → 71); this row proves they COMPOSE — one watermark
+    * flows through, the dedup's state and the sink's merge see the
+    * same event-time clock, and the target table equals the batch
+    * pipeline over the deduped input (the pipe1 discipline, stream-
+    * shaped). The enrichment GATES: only users present in the `dim`
+    * frame (column `segment` non-null) reach the sink — the
+    * reference's "registered connections only" rule
+    * (server.mjs:151-166), and the observable proof the dim join ran.
+    * The composition is exactly what a user replacing the reference's
+    * poll loop deploys. */
+  def streamingSyncPipeline(events: DataFrame, dim: DataFrame,
+      targetPath: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    streamingUpsert(
+      streamingEnrich(streamingDedup(events), dim)
+        .filter(org.apache.spark.sql.functions.col("segment").isNotNull),
+      targetPath, checkpoint)
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SyncSession(user_id: Long, n_updates: Long, last_status: String,

@@ -254,6 +254,32 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("row 214: the composed sync pipeline dedups, gates on the dim, and upserts") {
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    val base = s"${graft.TmpRoots.perProcess("graft_stream")}/pipe_${System.nanoTime()}"
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val input = MemoryStream[Ev]
+    val q = SyncStream.streamingSyncPipeline(input.toDF(), dim, base, base + "_ckpt")
+    try {
+      // duplicate event_id 1 must collapse; user 9 is NOT in the dim
+      input.addData(ev(1, 0, 1, "click", 1.0), ev(1, 0, 1, "click", 1.0),
+        ev(2, 1, 2, "view", 2.0), ev(3, 2, 9, "click", 3.0))
+      q.processAllAvailable()
+      // second batch updates user 1's key: latest wins through the sink
+      input.addData(ev(4, 5, 1, "click", 8.0), ev(2, 1, 2, "view", 2.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(base)
+        .select("user_id", "event_type", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(got == Map((1L, "click") -> 8.0, (2L, "view") -> 2.0),
+        s"got $got")
+      // the unknown user was gated out by the enrichment, and the
+      // re-delivered event_id 2 did not perturb the target
+      assert(!got.keySet.exists(_._1 == 9L))
+    } finally q.stop()
+  }
+
   test("row 71: streaming upsert target always holds the latest row per key") {
     implicit val sqlc = spark.sqlContext
     import spark.implicits._
