@@ -803,6 +803,44 @@ class PlanAuditSpec extends GraftSpec {
       s"rank window must be shard-partitioned, never global:\n$plan")
   }
 
+  test("b2: rule mining stays in-row + keyed — no fact self-join, TakeOrdered top-K") {
+    val plan = planOf(graft.operators.Mining.b2AssociationRules(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"pair supports must come from the in-row basket explode:\n$plan")
+    // the ONE nested-loop join allowed is the 1-row basket-total
+    // broadcast (the codebase-wide crossJoin(broadcast(...)) scalar
+    // pattern); a second would be a real pair self-join. Formatted
+    // explain lists each node twice (tree + detail), so count the
+    // numbered detail headers.
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"only the 1-row total may nested-loop:\n$plan")
+    assert(plan.contains("Generate") &&
+      plan.contains("explode(flatten(transform"),
+      s"expected the in-row pair explode:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must not be a global sort:\n$plan")
+  }
+
+  test("g6: BFS result reads checkpointed state — no edge-list rejoin in the output") {
+    val df = graft.operators.Graph.g6BfsHops(spark, sf)
+    val plan = planOf(df)
+    // the iterative work already ran (localCheckpoint per round); the
+    // emitted plan must be a scan of the known set, not a re-traversal
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning"),
+      s"output must read BFS state, not re-join the edge list:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("w9: the rolling-percentile window partitions by type with a ROWS frame") {
+    val plan = planOf(Analytics.w9RollingPercentile(spark, sf))
+    assert(plan.matches("(?s).*windowspecdefinition\\(event_type#.*"),
+      s"window must partition by event_type:\n$plan")
+    assert(plan.contains("rowsbetween") ||
+      plan.matches("(?s).*ROWS BETWEEN.*") ||
+      plan.contains("specifiedwindowframe(RowFrame"),
+      s"expected the constant ROWS frame:\n$plan")
+  }
+
   test("g4: pair generation is in-row; degree joins are keyed, never cartesian") {
     val plan = planOf(graft.operators.Graph.g4LinkPredict(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
