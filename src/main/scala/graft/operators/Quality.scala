@@ -282,6 +282,49 @@ object Quality {
         (lit(1.0) / (lit(1.0) + exp(-(col("m") + bias)))).as("score"))
   }
 
+  val CalibBuckets = 10
+
+  /** qc2: classifier calibration — the reliability curve and expected
+    * calibration error (ECE) of qc1's corpus scores: per score decile,
+    * predicted probability vs observed positive rate, plus the
+    * sample-weighted |gap| summary. A classifier that filters a
+    * 100 TB corpus by threshold is only as good as its calibration —
+    * an over-confident model silently shifts the kept-token mixture,
+    * and this is the one-page check that catches it (Guo et al. 2017,
+    * "On Calibration of Modern Neural Networks" — ECE; adaptive
+    * equal-count binning, which keeps every bin populated even when
+    * scores cluster — fixed deciles degenerate to one bin here). One
+    * pass over the scored frame: the bin cuts are ONE 1-row
+    * percentile aggregate broadcast back (f1/rfm1's discipline —
+    * never a global ntile sort), bucketing is a row expression, the
+    * curve a bucket-keyed aggregate (≤[[CalibBuckets]] rows), ECE a
+    * 1-row reduction attached by broadcast. rows-only (scores are
+    * engine-specific via the trained weights); spec recomputes the
+    * curve driver-side. */
+  def qc2Calibration(s: SparkSession, dir: String): DataFrame = {
+    val base = qc1ClassifierScore(s, dir)
+      .select(col("label").cast("double").as("label"), col("score"))
+      .localCheckpoint() // cuts + curve + ECE all read the scored frame
+    val qs = (1 until CalibBuckets).map(_.toDouble / CalibBuckets)
+    val cuts = base.agg(expr(
+      s"transform(percentile(score, array(${qs.mkString(",")})), x -> round(x, 6))")
+      .as("cs"))
+    val scored = base.crossJoin(broadcast(cuts)) // 1-row bounded metadata
+      .withColumn("bucket", size(expr("filter(cs, x -> score > x)")))
+    val curve = scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("score")), 6).as("mean_score"),
+        round(avg(col("label")), 6).as("frac_pos"))
+      .withColumn("abs_gap",
+        round(abs(col("mean_score") - col("frac_pos")), 6))
+    val ece = curve.agg(round(
+      sum(col("abs_gap") * col("n")) / sum(col("n")), 6).as("ece"))
+    curve.crossJoin(broadcast(ece)) // 1-row bounded metadata
+      .select(col("bucket"), col("n"), col("mean_score"), col("frac_pos"),
+        col("abs_gap"), col("ece"))
+      .orderBy("bucket")
+  }
+
   val BootReplicates = 200
   /** Poisson(1) CDF ladder: cumulative probabilities for k = 0..5
     * (k = 6 is the tail). Inverse-CDF on a deterministic hash-uniform
@@ -403,5 +446,6 @@ object Quality {
     "imp1_importance_sample" -> (imp1ImportanceSample _),
     "qc1_classifier_score" -> (qc1ClassifierScore _),
     "imp2_bootstrap_ci" -> (imp2BootstrapCi _),
+    "qc2_calibration" -> (qc2Calibration _),
     "dc1_source_caps" -> (dc1SourceCaps _))
 }

@@ -122,6 +122,32 @@ class QualitySpec extends GraftSpec {
     assert(got.groupBy(_._2).values.forall(_.length <= Quality.SourceCap))
   }
 
+  test("qc2 reliability curve matches a driver-side recompute; ECE is the weighted gap") {
+    val rows = Quality.qc2Calibration(spark, sf).collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    val scored = Quality.qc1ClassifierScore(spark, sf)
+      .select(col("label").cast("double"), col("score")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows.map(_.getAs[Long]("n")).sum == scored.length,
+      "every scored doc lands in exactly one bin")
+    assert(rows.length >= 2, "adaptive binning must populate several bins")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("abs_gap") -
+        r6(math.abs(r.getAs[Double]("mean_score") -
+          r.getAs[Double]("frac_pos")))) < 2e-6)
+    }
+    val ece = rows.head.getAs[Double]("ece")
+    val want = rows.map(r => r.getAs[Double]("abs_gap") * r.getAs[Long]("n")).sum /
+      rows.map(_.getAs[Long]("n")).sum
+    assert(math.abs(ece - want) < 1e-5, s"ece $ece vs $want")
+    assert(ece >= 0 && ece <= 1)
+    // bins are score-ordered: mean scores non-decreasing with bucket
+    val ms = rows.map(_.getAs[Double]("mean_score"))
+    assert(ms.sliding(2).forall { case Array(a, b) => a <= b })
+  }
+
   test("imp2 bootstrap CI is deterministic, covers the mean, sane width") {
     val r1 = Quality.imp2BootstrapCi(spark, sf).collect().head
     val r2 = Quality.imp2BootstrapCi(spark, sf).collect().head
