@@ -282,6 +282,51 @@ object Quality {
         (lit(1.0) / (lit(1.0) + exp(-(col("m") + bias)))).as("score"))
   }
 
+  val PsiBuckets = 10
+  val PsiSplit = "2024-01-20" // baseline = events before, current = at/after
+
+  /** psi1: population stability index — THE feature-drift metric of
+    * model monitoring (banking scorecards onward; rule of thumb:
+    * PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 retrain): the value
+    * distribution of a baseline window vs the current window, bucketed
+    * by the BASELINE's deciles, Σ (p_cur − p_base)·ln(p_cur/p_base).
+    * Complements a12 (volume drift) with DISTRIBUTION drift — volume
+    * can hold steady while the value mix silently shifts under a
+    * trained model. Scale shape: baseline decile cuts are ONE 1-row
+    * percentile aggregate broadcast back (f1/rfm1 discipline — no
+    * global sort), bucketing is a row expression, both windows
+    * aggregate to ≤[[PsiBuckets]] rows, and the PSI fold sums 10
+    * doubles. Laplace-smoothed counts keep empty buckets finite.
+    * Exact integer counts + round-6 ⇒ cross-engine stable. */
+  def psi1FeatureDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("value"), (col("ts") < lit(PsiSplit).cast("timestamp"))
+        .as("is_base"))
+    val qs = (1 until PsiBuckets).map(_.toDouble / PsiBuckets)
+    val cuts = ev.filter(col("is_base")).agg(expr(
+      s"transform(percentile(value, array(${qs.mkString(",")})), x -> round(x, 6))")
+      .as("cs"))
+    val counts = ev.crossJoin(broadcast(cuts)) // 1-row bounded metadata
+      .select(col("is_base"), size(expr("filter(cs, x -> value > x)")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_base"), 0L).otherwise(1L)).as("n_cur"))
+    val tot = counts.agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    val smoothed = counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        ((col("n_base") + 1).cast("double") / (col("tb") + PsiBuckets)).as("p_base"),
+        ((col("n_cur") + 1).cast("double") / (col("tc") + PsiBuckets)).as("p_cur"))
+    val psi = smoothed.agg(round(sum(
+      (col("p_cur") - col("p_base")) * log(col("p_cur") / col("p_base"))), 6)
+      .as("psi"))
+    smoothed
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        round(col("p_base"), 6).as("p_base"),
+        round(col("p_cur"), 6).as("p_cur"))
+      .crossJoin(broadcast(psi)) // 1-row bounded metadata
+      .orderBy("bucket")
+  }
+
   val CalibBuckets = 10
 
   /** qc2: classifier calibration — the reliability curve and expected
@@ -387,6 +432,35 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    "psi1_feature_drift" -> {
+      val qs = (1 until PsiBuckets).map(_.toDouble / PsiBuckets)
+      s"""WITH ev AS (SELECT value,
+         |    ts < TIMESTAMP '$PsiSplit' AS is_base FROM events),
+         |cuts AS (SELECT list_transform(
+         |    quantile_cont(value, [${qs.mkString(",")}]),
+         |    x -> round(x, 6)) AS cs
+         |  FROM ev WHERE is_base),
+         |bkt AS (SELECT is_base,
+         |    len(list_filter(cs, x -> value > x)) AS bucket
+         |  FROM ev CROSS JOIN cuts),
+         |counts AS (SELECT bucket,
+         |    CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_base,
+         |    CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_cur
+         |  FROM bkt GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+         |    CAST(sum(n_cur) AS BIGINT) AS tc FROM counts),
+         |sm AS (SELECT bucket, n_base, n_cur,
+         |    CAST(n_base + 1 AS DOUBLE) / (tb + $PsiBuckets) AS p_base,
+         |    CAST(n_cur + 1 AS DOUBLE) / (tc + $PsiBuckets) AS p_cur
+         |  FROM counts CROSS JOIN tot),
+         |psi AS (SELECT round(sum(
+         |    (p_cur - p_base) * ln(p_cur / p_base)), 6) AS psi FROM sm)
+         |SELECT bucket, n_base, n_cur,
+         |  round(p_base, 6) AS p_base, round(p_cur, 6) AS p_cur, psi
+         |FROM sm CROSS JOIN psi ORDER BY bucket""".stripMargin
+    },
     "g1_gopher_quality" ->
       s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words,
          |    string_split(text, chr(10)) AS lines FROM documents),
@@ -447,5 +521,6 @@ object Quality {
     "qc1_classifier_score" -> (qc1ClassifierScore _),
     "imp2_bootstrap_ci" -> (imp2BootstrapCi _),
     "qc2_calibration" -> (qc2Calibration _),
+    "psi1_feature_drift" -> (psi1FeatureDrift _),
     "dc1_source_caps" -> (dc1SourceCaps _))
 }

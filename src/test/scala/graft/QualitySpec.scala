@@ -122,6 +122,30 @@ class QualitySpec extends GraftSpec {
     assert(got.groupBy(_._2).values.forall(_.length <= Quality.SourceCap))
   }
 
+  test("psi1 drift index matches a driver-side recompute and is non-negative") {
+    val rows = Quality.psi1FeatureDrift(spark, sf).collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("n_base") + r.getAs[Long]("n_cur")).sum
+      == total, "every event lands in exactly one bucket")
+    // every (p − q)·ln(p/q) term is ≥ 0, so PSI is ≥ 0 by construction
+    val psi = rows.head.getAs[Double]("psi")
+    assert(psi >= 0)
+    val b = Quality.PsiBuckets
+    val tb = rows.map(_.getAs[Long]("n_base")).sum
+    val tc = rows.map(_.getAs[Long]("n_cur")).sum
+    val want = rows.map { r =>
+      val pb = (r.getAs[Long]("n_base") + 1).toDouble / (tb + b)
+      val pc = (r.getAs[Long]("n_cur") + 1).toDouble / (tc + b)
+      (pc - pb) * math.log(pc / pb)
+    }.sum
+    assert(math.abs(psi - want) < 1e-5, s"psi $psi vs $want")
+    // baseline deciles: bucket masses within 2% of each other
+    val nb = rows.map(_.getAs[Long]("n_base"))
+    assert(nb.max - nb.min <= math.max(4L, tb / 50),
+      s"baseline buckets should be ~equal-count deciles: ${nb.toSeq}")
+  }
+
   test("qc2 reliability curve matches a driver-side recompute; ECE is the weighted gap") {
     val rows = Quality.qc2Calibration(spark, sf).collect()
       .sortBy(_.getAs[Int]("bucket"))
