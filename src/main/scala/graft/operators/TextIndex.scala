@@ -50,13 +50,21 @@ object TextIndex {
         Seq("postings" -> buildPostings(Tables.documents(s, dir))))
     }
 
-  /** ix1: the inverted index itself — (term, df, sorted postings),
+  /** ix1: the inverted index itself — (term, df, posting-list digest),
     * read back from the PUBLISHED index (so the correctness gate
     * exercises the durable build+read path; the oracle recomputes the
-    * same table from the raw documents). */
+    * same table from the raw documents). The sorted posting list is
+    * emitted as an md5 over its comma-joined form rather than the raw
+    * array<bigint>: the digest covers the FULL list content (order and
+    * membership) for the hash gate while keeping the output schema
+    * scalar-only — the driver's pandas-based compare cannot sort/hash
+    * frames with top-level numpy-array columns (the r8 ix1 failure).
+    * ix2 still consumes the raw array form from the published table. */
   def ix1InvertedIndex(s: SparkSession, dir: String): DataFrame = {
     val root = ensureTextIndex(s, dir)
     graft.sources.AtomicPublish.readOutput(s, root, "postings")
+      .select(col("term"), col("df"),
+        md5(array_join(col("postings"), ",")).as("postings_md5"))
       .orderBy("term")
   }
 
@@ -84,7 +92,7 @@ object TextIndex {
       """WITH tok AS (SELECT DISTINCT doc_id,
         |    unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT term, COUNT(*) AS df,
-        |  list(doc_id ORDER BY doc_id) AS postings
+        |  md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS postings_md5
         |FROM tok GROUP BY term ORDER BY term""".stripMargin,
     "ix2_boolean_search" -> {
       val terms = QueryTerms.map(t => s"'$t'").mkString(", ")

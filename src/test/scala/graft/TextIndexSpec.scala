@@ -7,17 +7,39 @@ import org.apache.spark.sql.functions._
 class TextIndexSpec extends GraftSpec {
 
   test("ix1 postings are sorted, df-consistent, and cover the corpus") {
-    val rows = TextIndex.ix1InvertedIndex(spark, sf).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
+    // the raw array form lives in the published table; ix1's query
+    // output is the scalar digest of exactly that list
+    val root = {
+      TextIndex.ix2BooleanSearch(spark, sf).collect() // ensure built
+      TextIndex.indexRoot(sf)
+    }
+    val raw = graft.sources.AtomicPublish.readOutput(spark, root, "postings")
+      .collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
       val postings = r.getSeq[Long](r.fieldIndex("postings"))
       assert(postings == postings.sorted, "postings must be sorted")
       assert(postings.distinct.size == postings.size, "postings must be unique")
       assert(r.getAs[Long]("df") == postings.size)
     }
     // every doc appears in at least one posting list
-    val docsInIndex = rows.flatMap(_.getSeq[Long](2)).toSet
+    val docsInIndex =
+      raw.flatMap(r => r.getSeq[Long](r.fieldIndex("postings"))).toSet
     assert(docsInIndex.size == Tables.documents(spark, sf).count())
+    // ix1's digest is the md5 of the comma-joined raw list
+    val wantDigest = raw.map { r =>
+      val p = r.getSeq[Long](r.fieldIndex("postings"))
+      r.getAs[String]("term") ->
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(p.mkString(",").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+    }.toMap
+    val got = TextIndex.ix1InvertedIndex(spark, sf).collect()
+    assert(got.nonEmpty && got.length == raw.length)
+    got.foreach { r =>
+      assert(r.getAs[String]("postings_md5") ==
+        wantDigest(r.getAs[String]("term")))
+    }
   }
 
   test("ix2 equals a brute-force conjunctive search over the raw corpus") {
