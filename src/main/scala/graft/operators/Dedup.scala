@@ -385,9 +385,31 @@ object Dedup {
     * buffer. The driver loop only compares a (count, hash-sum)
     * fingerprint per round; it never holds edge data. */
   def d6DedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(d2NgramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    graft.sources.AtomicPublish
+      .readOutput(s, ensureClusterIndex(s, dir), "clusters")
       .orderBy("doc_id")
+
+  /** Durable near-dup cluster table (doc_id → cluster_id): the d6
+    * pipeline (d2 candidate pairs → connected components) published
+    * ONCE per corpus under a fingerprinted root, exactly like the ANN
+    * and text indexes. Downstream consumers (d10's canonical pick —
+    * and at 100 TB anything else keyed on duplicate groups) read the
+    * committed parquet instead of re-running pair generation + CC:
+    * clustering the corpus is a build step, not a per-query cost. */
+  private[graft] def clusterIndexRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.clusterindex.base",
+      s"${graft.GraftSession.defaultStateDir}/cluster_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet"))
+  }
+
+  private[graft] def ensureClusterIndex(s: SparkSession, dir: String): String =
+    graft.sources.DurableIndex.ensure(s, clusterIndexRoot(dir)) {
+      graft.sources.AtomicPublish.publish(s, clusterIndexRoot(dir),
+        Seq("clusters" -> connectedComponents(
+          d2NgramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"))))
+    }
 
   /** d10: canonical selection — collapse each near-dup cluster (d6's
     * components) to ONE canonical document by an explicit survival
@@ -397,11 +419,13 @@ object Dedup {
     * variant, not the accidental id minimum). The rule is a single
     * partial-aggregable struct-max per cluster (max(len, −id) ≡
     * "max len, then min id" — no per-cluster sort, no window); the
-    * member join touches only (doc_id, length) columns. */
+    * member join touches only (doc_id, length) columns. Consumes the
+    * PUBLISHED cluster table ([[ensureClusterIndex]]) — canonical
+    * selection at 100 TB reads the clustering build's output, it
+    * does not re-run pair generation + connected components. */
   def d10CanonicalPick(s: SparkSession, dir: String): DataFrame = {
-    val clusters = connectedComponents(
-      d2NgramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val clusters = graft.sources.AtomicPublish
+      .readOutput(s, ensureClusterIndex(s, dir), "clusters")
     val lens = Tables.documents(s, dir)
       .select(col("doc_id"), length(col("text")).as("len"))
     clusters.join(lens, Seq("doc_id"))
@@ -485,13 +509,15 @@ object Dedup {
       // per-round checkpoint: the star steps each reference their
       // input 2-3× (aggregate + emit join), so un-truncated lineage
       // grows GEOMETRICALLY in rounds — unlike plain propagation's
-      // linear growth, a cadence is not enough. Each round is
-      // materialized by the fingerprint action anyway, so the eager
-      // checkpoint costs no extra pass; it resets the plan to a leaf
-      // and bounds recovery lineage to one round. (On a cluster,
-      // swap localCheckpoint for reliable checkpoint to survive
-      // executor loss.)
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // linear growth, a cadence is not enough. The checkpoint is
+      // LAZY so the round runs as ONE action: the fingerprint
+      // aggregate below materializes the checkpoint blocks in the
+      // same job, instead of an eager-checkpoint job followed by a
+      // fingerprint job over the cached blocks. The plan still
+      // resets to a leaf and recovery lineage stays one round. (On
+      // a cluster, swap localCheckpoint for reliable checkpoint to
+      // survive executor loss.)
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       ccMaxPlanDepth = math.max(ccMaxPlanDepth, planDepth(next))
       val nfp = fingerprint(next)
       converged = nfp == fp // fixed point: stars around component minima

@@ -453,6 +453,20 @@ class PlanAuditSpec extends GraftSpec {
       s"the only exchange allowed is the output sort's range partitioning:\n$plan")
   }
 
+  test("d10: canonical pick consumes the published cluster table; d2+CC absent from its plan") {
+    graft.operators.Dedup.ensureClusterIndex(spark, sf)
+    val plan = planOf(Dedup.d10CanonicalPick(spark, sf))
+    assert(plan.contains("cluster_index"),
+      s"d10 must read the published cluster table:\n$plan")
+    assert(!plan.contains("graft_distinct_ngrams"),
+      s"d10 must not re-run d2 pair generation:\n$plan")
+    // only the (doc_id, length(text)) join against documents is allowed;
+    // a shingle/band/pair shuffle chain would show as >2 hash exchanges
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3,
+      s"d10 should be read + join + aggregate, got $exchanges exchanges:\n$plan")
+  }
+
   test("d2/d6: per-doc shingle dedup is in-row — no corpus-wide DISTINCT shuffle") {
     val plan = planOf(Dedup.shingles(spark, sf))
     assert(plan.contains("graft_distinct_ngrams"),
