@@ -70,7 +70,12 @@ object ScaleCheck {
     // round-8 session-4 closing additions (rules / Holt / BFS /
     // rolling p95 / codec harness)
     "b2_association_rules", "ts8_holt", "g6_bfs_hops",
-    "w9_rolling_percentile", "k18_codec_compare")
+    "w9_rolling_percentile", "k18_codec_compare",
+    // round-9 additions: the r8 verdict's missing expensive rows —
+    // d10 (now consuming the published cluster table; its sf1 number
+    // includes only the read+pick), j6/d11, and ix1's digest form
+    "d10_canonical_pick", "j6_overlap_join", "d11_dup_histogram",
+    "ix1_inverted_index")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

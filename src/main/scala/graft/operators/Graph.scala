@@ -219,8 +219,14 @@ object Graph {
     * quadratic killer; they carry ~no signal, the d2 DF-cap argument).
     * Supplier degrees for Jaccard come from the UNCAPPED edge set via
     * two keyed joins. Determinism: each 1/ln(deg) term is rounded to
-    * 9dp before the order-dependent sum (both engines then fold
-    * identical doubles), scores round to 6dp, key-tiebroken top-K. */
+    * 9dp and summed as decimal(28,9) — an exact, order-INdependent
+    * fold, so the score cannot flip at a rounding boundary when
+    * partitioning changes (the revenue-sum discipline); scores round
+    * to 6dp, key-tiebroken top-K. The supplier pair is packed into
+    * ONE int64 (s1<<32 | s2) before the pair shuffle — half the key
+    * bytes and a single-word hash/compare in the map-side combine —
+    * decoded after the aggregate; valid while supplier ids < 2^31
+    * (re-split the key if ids outgrow 32 bits). */
   def g4LinkPredict(s: SparkSession, dir: String): DataFrame = {
     val cs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
@@ -235,11 +241,15 @@ object Graph {
       .select(size(col("ss")).as("deg"), explode(expr(
         """flatten(transform(sequence(0, size(ss) - 2), i ->
           |  transform(slice(ss, i + 2, size(ss) - i - 1), y ->
-          |    struct(element_at(ss, i + 1) AS u, y AS v))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.u").as("s1"), col("p.v").as("s2"))
+          |    element_at(ss, i + 1) * 4294967296 + y)))""".stripMargin))
+        .as("pk"))
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("common"),
-        round(sum(round(lit(1.0) / log(col("deg")), 9)), 6).as("adamic_adar"))
+        round(sum(round(lit(1.0) / log(col("deg")), 9)
+          .cast("decimal(28,9)")).cast("double"), 6).as("adamic_adar"))
+      .select(shiftright(col("pk"), 32).as("s1"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("s2"),
+        col("common"), col("adamic_adar"))
     pairs
       .join(sdeg.select(col("sk").as("s1"), col("sdeg").as("d1")), Seq("s1"))
       .join(sdeg.select(col("sk").as("s2"), col("sdeg").as("d2")), Seq("s2"))
@@ -279,7 +289,8 @@ object Graph {
          |  FROM cs a JOIN cs b ON a.c = b.c AND a.sk < b.sk
          |  JOIN keep k ON a.c = k.c),
          |g AS (SELECT s1, s2, count(*) AS common,
-         |    round(sum(round(1 / ln(deg), 9)), 6) AS adamic_adar
+         |    round(CAST(sum(CAST(round(1 / ln(deg), 9) AS DECIMAL(28,9)))
+         |      AS DOUBLE), 6) AS adamic_adar
          |  FROM p GROUP BY 1, 2)
          |SELECT g.s1, g.s2, common,
          |  round(CAST(common AS DOUBLE) / (d1.sdeg + d2.sdeg - common), 6)

@@ -32,15 +32,22 @@ object Mining {
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
       .filter(size(col("parts")) >= 2)
     // in-row ordered pairs of the sorted basket: (parts[i], y) for
-    // every y after position i — SQL lambdas, stays in codegen
+    // every y after position i — SQL lambdas, stays in codegen. The
+    // pair is packed into ONE int64 (a<<32 | b) before the pair
+    // shuffle — half the key bytes, single-word hash/compare in the
+    // map-side combine — and decoded after the count; valid while
+    // part ids < 2^31 (re-split the key if ids outgrow 32 bits).
     baskets.select(explode(expr(
       """flatten(transform(sequence(0, size(parts) - 2), i ->
         |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
-        |    struct(element_at(parts, i + 1) AS part_a, y AS part_b))))""".stripMargin))
-      .as("p"))
-      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+        |    element_at(parts, i + 1) * 4294967296 + y)))""".stripMargin))
+      .as("pk"))
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= BasketMinSupport)
+      .select(shiftright(col("pk"), 32).as("part_a"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("part_b"),
+        col("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(BasketTopK)
   }
@@ -269,17 +276,21 @@ object Mining {
     val itemSup = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
     val tot = op.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
+    // b1's packed-pair shuffle: one int64 key through the exchange
+    // and map-side combine, decoded after the count
     val pairs = op.groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
       .filter(size(col("parts")) >= 2)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(parts) - 2), i ->
           |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
-          |    struct(element_at(parts, i + 1) AS a, y AS b))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          |    element_at(parts, i + 1) * 4294967296 + y)))""".stripMargin))
+        .as("pk"))
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("n_xy"))
       .filter(col("n_xy") >= BasketMinSupport)
+      .select(shiftright(col("pk"), 32).as("a"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("b"), col("n_xy"))
     val directed = pairs
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b"), col("n_xy")))
     directed
