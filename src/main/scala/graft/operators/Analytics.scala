@@ -1554,8 +1554,11 @@ object Analytics {
     def score(v: String, t33: String, t67: String) =
       (lit(1) + when(col(v) > col(t33), 1).otherwise(0) +
         when(col(v) > col(t67), 1).otherwise(0))
+    // recency follows marketing convention: HIGHER r_score = more
+    // recently active (days-since-last-order is a smaller-is-better
+    // measure, so its tertile score is inverted)
     c.crossJoin(broadcast(cuts)) // 1-row bounded metadata
-      .select(score("r", "r33", "r67").as("r_score"),
+      .select((lit(4) - score("r", "r33", "r67")).as("r_score"),
         score("f", "f33", "f67").as("f_score"),
         score("m", "m33", "m67").as("m_score"), col("m"))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
@@ -2419,7 +2422,7 @@ object Analytics {
          |    round(quantile_cont(m, ${1.0 / 3}), 6) AS m33,
          |    round(quantile_cont(m, ${2.0 / 3}), 6) AS m67 FROM c),
          |sc AS (SELECT
-         |    1 + CAST(r > r33 AS INT) + CAST(r > r67 AS INT) AS r_score,
+         |    4 - (1 + CAST(r > r33 AS INT) + CAST(r > r67 AS INT)) AS r_score,
          |    1 + CAST(f > f33 AS INT) + CAST(f > f67 AS INT) AS f_score,
          |    1 + CAST(m > m33 AS INT) + CAST(m > m67 AS INT) AS m_score,
          |    m FROM c CROSS JOIN t)

@@ -262,6 +262,15 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // g6 oracle cost note: the recursive CTE's UNION dedups on
+    // (node, hops) ROWS, so an already-visited node re-expands at
+    // every deeper hop level up to BfsMaxHops — fine at the sf0.01
+    // gate (bounded hops × small frontier), but on denser graphs or
+    // larger SFs the frontier grows multiplicatively, not like true
+    // BFS. If the gate ever runs g6 above sf0.01, restructure the
+    // oracle to aggregate min(hops) per node between recursion
+    // levels (DuckDB supports recursive CTE + GROUP BY via a
+    // materialized ladder) rather than raising BfsMaxHops.
     "g6_bfs_hops" ->
       s"""WITH RECURSIVE e AS (SELECT DISTINCT o_custkey * 2 AS src,
          |    l_suppkey * 2 + 1 AS dst
