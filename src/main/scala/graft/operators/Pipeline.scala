@@ -215,6 +215,47 @@ object Pipeline {
   def mix4EpochOrder(s: SparkSession, dir: String): DataFrame =
     epochOrder(Tables.documents(s, dir), EpochNo)
 
+  val PsiDrifting = 0.1   // PSI rule of thumb: < 0.1 stable
+  val PsiRetrain = 0.25   // > 0.25 retrain
+  val EceMax = 0.1        // calibration gap budget before recalibrating
+
+  /** pipe4: the composed monitoring plane — ONE health report row per
+    * check, the scheduled job a production pipeline runs after every
+    * ingest (the counterpart of pipe1-3's prep/publish composition on
+    * the monitoring side): volume drift (a12's anomaly-day count),
+    * feature drift (psi1's PSI, banked against the 0.1/0.25 rule of
+    * thumb), and classifier calibration (qc2's ECE). Each input is
+    * already a bounded frame (≤ #days / [[Quality.PsiBuckets]] /
+    * [[Quality.CalibBuckets]] rows), so the report is three tiny
+    * reductions unioned — the corpus is scanned only inside the
+    * composed operators, each with its own audited scale shape.
+    * rows-only: qc2's ECE depends on the engine-trained classifier
+    * weights; the spec cross-checks every row against its source
+    * operator and pins the threshold banding. */
+  def pipe4MonitorReport(s: SparkSession, dir: String): DataFrame = {
+    val vol = Analytics.a12VolumeDrift(s, dir)
+      .agg(sum(when(col("is_anomaly"), 1L).otherwise(0L))
+        .cast("double").as("value"))
+      .select(lit("volume_drift").as("check"),
+        lit("n_anomaly_days").as("metric"), col("value"),
+        when(col("value") > 0, "alert").otherwise("ok").as("status"))
+    // psi / ece repeat on every row of their frames; min==max==the scalar
+    val drift = Quality.psi1FeatureDrift(s, dir)
+      .agg(min(col("psi")).as("value"))
+      .select(lit("feature_drift").as("check"), lit("psi").as("metric"),
+        col("value"),
+        when(col("value") > PsiRetrain, "retrain")
+          .when(col("value") > PsiDrifting, "drifting")
+          .otherwise("stable").as("status"))
+    val calib = Quality.qc2Calibration(s, dir)
+      .agg(min(col("ece")).as("value"))
+      .select(lit("calibration").as("check"), lit("ece").as("metric"),
+        col("value"),
+        when(col("value") > EceMax, "recalibrate")
+          .otherwise("ok").as("status"))
+    vol.unionAll(drift).unionAll(calib).orderBy("check")
+  }
+
   val oracles: Map[String, String] = Map(
     "mix4_epoch_order" ->
       s"""WITH h AS (SELECT doc_id,
@@ -374,5 +415,6 @@ object Pipeline {
     "mix1_domain_mixture" -> (mix1DomainMixture _),
     "mix2_token_budget" -> (mix2TokenBudget _),
     "mix3_train_split" -> (mix3TrainSplit _),
-    "mix4_epoch_order" -> (mix4EpochOrder _))
+    "mix4_epoch_order" -> (mix4EpochOrder _),
+    "pipe4_monitor_report" -> (pipe4MonitorReport _))
 }

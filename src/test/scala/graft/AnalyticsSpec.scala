@@ -137,6 +137,29 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("pipe4 report rows equal their source operators with correct status banding") {
+    import graft.operators.{Pipeline, Quality}
+    val rows = Pipeline.pipe4MonitorReport(spark, sf).collect()
+      .map(r => r.getAs[String]("check") ->
+        (r.getAs[String]("metric"), r.getAs[Double]("value"),
+          r.getAs[String]("status"))).toMap
+    assert(rows.keySet == Set("calibration", "feature_drift", "volume_drift"))
+    val wantAnoms = Analytics.a12VolumeDrift(spark, sf).collect()
+      .count(_.getAs[Boolean]("is_anomaly")).toDouble
+    assert(rows("volume_drift") == (("n_anomaly_days", wantAnoms,
+      if (wantAnoms > 0) "alert" else "ok")))
+    val wantPsi = Quality.psi1FeatureDrift(spark, sf)
+      .select("psi").head().getDouble(0)
+    val psiStatus =
+      if (wantPsi > Pipeline.PsiRetrain) "retrain"
+      else if (wantPsi > Pipeline.PsiDrifting) "drifting" else "stable"
+    assert(rows("feature_drift") == (("psi", wantPsi, psiStatus)))
+    val wantEce = Quality.qc2Calibration(spark, sf)
+      .select("ece").head().getDouble(0)
+    assert(rows("calibration") == (("ece", wantEce,
+      if (wantEce > Pipeline.EceMax) "recalibrate" else "ok")))
+  }
+
   test("w4 cumulative users is monotone and ends at the distinct user count") {
     val rows = Analytics.w4ActiveUsers(spark, sf).collect()
     val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
