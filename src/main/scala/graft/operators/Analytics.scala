@@ -1312,6 +1312,32 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** w8: longest consecutive-day activity streak per user, reported
+    * as a streak-length histogram — the classic gaps-and-islands
+    * pattern (day − row_number() is CONSTANT within a consecutive
+    * run, so runs fall out of one keyed aggregate; no self-join, no
+    * recursive CTE). Engagement teams read this as the "habit curve":
+    * how many users ever sustained k consecutive days. Scale shape:
+    * one distinct (user, day) shuffle; the islands window partitions
+    * BY user (millions of tiny partitions hash-spread across the
+    * cluster — never a global sort); everything after the per-user
+    * max collapses to ≤ #distinct-streak-lengths rows. */
+  def w8ActiveStreaks(s: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val streaks = days
+      .withColumn("grp", date_sub(col("day"), row_number().over(wU)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest"))
+    streaks.groupBy(col("longest").as("streak_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("streak_days")
+  }
+
   val OverlapCohortA = "click"
   val OverlapCohortB = "view"
 
@@ -1684,6 +1710,64 @@ object Analytics {
     * its n-grams generate IN-ROW (g3/b1's discipline — path count per
     * session is bounded by session length, never a self-join); one
     * path-keyed count with map-side partials, key-tiebroken top-K. */
+  /** e8: Kaplan–Meier survival curve for signup → first purchase
+    * (Kaplan & Meier 1958) — the right-censoring-aware time-to-convert
+    * estimator: e5's conversion-lag histogram silently drops users who
+    * HAVEN'T converted yet, biasing lag estimates optimistic; KM keeps
+    * them at-risk until the observation end (max event day) and steps
+    * the survival probability only at event times, S(t) = Π(1−dᵢ/nᵢ).
+    * Scale shape: per-user durations are one user-keyed aggregate over
+    * the signup/purchase scan (a18's window-tag discipline for
+    * "purchase at/after signup"); the KM table then lives on the
+    * DISTINCT-duration frame — bounded by the corpus day span, so its
+    * cumulative windows order bounded metadata (the a12 pattern),
+    * never corpus rows. Determinism: each hazard factor's ln is
+    * rounded to 9dp before the SEQUENTIAL cumulative sum (both
+    * engines fold identical doubles in the same t-order), survival
+    * rounds to 6dp. */
+  def e8SurvivalCurve(s: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+    val tagged = Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      .withColumn("sday",
+        min(when(col("event_type") === "signup", col("day"))).over(wUser))
+      .filter(col("sday").isNotNull)
+    val maxd = Tables.events(s, dir).agg(max(to_date(col("ts"))).as("maxd"))
+    val durs = tagged
+      .groupBy(col("user_id"), col("sday"))
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("day") >= col("sday"), col("day"))).as("pday"))
+      .crossJoin(broadcast(maxd)) // 1-row bounded metadata
+      .select(
+        when(col("pday").isNotNull, datediff(col("pday"), col("sday")))
+          .otherwise(datediff(col("maxd"), col("sday"))).as("t"),
+        col("pday").isNotNull.as("event"))
+    val byT = durs.groupBy(col("t"))
+      .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("obs"))
+    val tot = durs.agg(count(lit(1)).as("n"))
+    // bounded-metadata windows: ≤ day-span rows (the a12 pattern)
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT.crossJoin(broadcast(tot)) // 1-row bounded metadata
+      .withColumn("n_risk",
+        col("n") - coalesce(sum(col("obs")).over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+      // clamp: when the last at-risk subject events, 1 − d/n = 0 and
+      // ln diverges (DuckDB raises, Spark yields −Inf) — the 1e-12
+      // floor makes survival round to exactly 0.0 in both engines
+      .withColumn("lnf",
+        round(log(greatest(lit(1e-12),
+          lit(1.0) - col("d").cast("double") / col("n_risk"))), 9))
+      .withColumn("survival", round(exp(sum(col("lnf")).over(wCum)), 6))
+      .select(col("t").as("t_days"), col("n_risk"),
+        col("d").as("n_events"), col("survival"))
+      .orderBy("t_days")
+  }
+
   def e9CommonPaths(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
@@ -2457,6 +2541,50 @@ object Analytics {
          |  FROM l WHERE len(types) >= $PathLen)
          |SELECT path, count(*) AS n FROM p GROUP BY 1
          |ORDER BY n DESC, path LIMIT $PathTopK""".stripMargin,
+    "w8_active_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |    FROM events),
+        |isl AS (SELECT user_id, day - CAST(row_number() OVER (
+        |      PARTITION BY user_id ORDER BY day) AS INT) AS grp FROM days),
+        |runs AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2),
+        |lg AS (SELECT user_id, max(len) AS longest FROM runs GROUP BY 1)
+        |SELECT longest AS streak_days, count(*) AS n_users
+        |FROM lg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e8_survival_curve" ->
+      """WITH pe AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day
+        |    FROM events WHERE event_type IN ('signup', 'purchase')),
+        |su AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN day END) AS sday
+        |  FROM pe GROUP BY 1),
+        |mx AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+        |fp AS (SELECT pe.user_id, min(pe.day) AS pday
+        |  FROM pe JOIN su ON pe.user_id = su.user_id
+        |  WHERE pe.event_type = 'purchase' AND pe.day >= su.sday
+        |  GROUP BY 1),
+        |du AS (SELECT
+        |    CASE WHEN fp.pday IS NOT NULL
+        |      THEN date_diff('day', su.sday, fp.pday)
+        |      ELSE date_diff('day', su.sday, mx.maxd) END AS t,
+        |    fp.pday IS NOT NULL AS event
+        |  FROM su CROSS JOIN mx LEFT JOIN fp ON su.user_id = fp.user_id
+        |  WHERE su.sday IS NOT NULL),
+        |byt AS (SELECT t, CAST(sum(CASE WHEN event THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d,
+        |    count(*) AS obs FROM du GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM du),
+        |r AS (SELECT t, d, CAST(n - COALESCE(sum(obs) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n_risk
+        |  FROM byt CROSS JOIN tot),
+        |e AS (SELECT t, d, n_risk,
+        |    round(ln(greatest(1e-12,
+        |      1.0 - CAST(d AS DOUBLE) / n_risk)), 9) AS lnf
+        |  FROM r WHERE d > 0)
+        |SELECT t AS t_days, n_risk, d AS n_events,
+        |  round(exp(sum(lnf) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |    AS survival
+        |FROM e ORDER BY t_days""".stripMargin,
     "e7_attribution" ->
       s"""WITH ev AS (SELECT event_id, user_id, event_type, value,
          |    epoch_us(ts) AS ts_us
@@ -2650,6 +2778,8 @@ object Analytics {
     "e4_transitions" -> (e4Transitions _),
     "e5_conversion_lag" -> (e5ConversionLag _),
     "e7_attribution" -> (e7Attribution _),
+    "e8_survival_curve" -> (e8SurvivalCurve _),
+    "w8_active_streaks" -> (w8ActiveStreaks _),
     "e9_common_paths" -> (e9CommonPaths _),
     "rfm1_segments" -> (rfm1Segments _),
     "a18_cohort_ltv" -> (a18CohortLtv _),

@@ -149,6 +149,20 @@ object Dedup {
     // partition count: a bare repartition(col) is subject to AQE
     // coalescing, which at this frame's byte size would fold it back
     // to one partition and resurrect the regression.
+    shingleOverlap(s, dir)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Shared candidate machinery for d2/d7: per-pair shingle
+    * intersection counts plus both set sizes, from the DF-capped
+    * hashed-shingle equi-join (all the scale commentary in
+    * [[d2NgramJaccard]] applies — this IS that plan, minus the final
+    * scoring arithmetic). */
+  private[graft] def shingleOverlap(s: SparkSession, dir: String): DataFrame = {
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val sh = capByDf(shingles(s, dir)
       .select(col("doc_id"), xxhash64(col("sh")).as("sh")))
@@ -162,12 +176,32 @@ object Dedup {
     inter
       .join(sz.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("x.n") + col("y.n") - col("inter")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
   }
+
+  val ContainmentTau = 0.8 // min overlap fraction of the SMALLER set
+
+  /** d7: containment near-dup pairs — |A∩B| / min(|A|,|B|) ≥
+    * [[ContainmentTau]] over the same capped shingle space as d2.
+    * Jaccard misses ASYMMETRIC duplication by construction: a page
+    * quoted whole inside a 10× larger page has J ≈ 0.1 but
+    * containment 1.0, and web corpora are full of exactly that
+    * (boilerplate-wrapped articles, quoted posts, aggregator pages —
+    * the case Broder's resemblance/containment split was invented
+    * for, SEQUENCES'97). Emits which doc is the contained one (the
+    * smaller set; ties to doc_a). Same candidate plan as d2 —
+    * DF-capped equi-join, never all-pairs — so the scale story is
+    * d2's, and exact integer ratios keep it fully hash-checkable. */
+  def d7ContainmentDedup(s: SparkSession, dir: String): DataFrame =
+    shingleOverlap(s, dir)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= ContainmentTau)
+      .select(col("doc_a"), col("doc_b"), col("containment"),
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_id"))
+      .orderBy("doc_a", "doc_b")
 
   val MinhashK = 32 // signature length
   val BandSize = 4 // rows per LSH band → 8 bands: P(miss a 0.8-Jaccard
@@ -588,6 +622,24 @@ object Dedup {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "d7_containment_dedup" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]) AS sh
+        |  FROM tok),
+        |sh AS (SELECT doc_id, sh FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= $ShingleDfCap),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / least(x.n, y.n) AS containment,
+        |  CASE WHEN x.n <= y.n THEN doc_a ELSE doc_b END AS contained_id
+        |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / least(x.n, y.n) >= $ContainmentTau
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "d2_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),
@@ -755,6 +807,7 @@ object Dedup {
     "d8_incremental_dedup" -> (d8IncrementalDedup _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
+    "d7_containment_dedup" -> (d7ContainmentDedup _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash" -> (d4Simhash _),
     "d5_embedding_neardup" -> (d5EmbeddingNeardup _),

@@ -203,6 +203,42 @@ object Graph {
       .orderBy("hops", "node")
   }
 
+  /** g5: degree-distribution profile of the customer–supplier
+    * bipartite graph — per side (customer / supplier), the degree
+    * histogram plus the log-log OLS slope over the histogram (the
+    * power-law check: heavy-tailed degree ⇒ hub-capped algorithms
+    * like g4's LpMaxDeg are mandatory; near-uniform ⇒ they're free).
+    * This is the graph-side analog of t22's Zipf profile, and the
+    * measurement that JUSTIFIES the caps used across g3/g4/d2. Scale
+    * shape: one distinct edge shuffle, two keyed degree aggregates,
+    * then everything runs on the ≤ #distinct-degrees histogram
+    * (bounded metadata); the per-side slope is a covar_pop/var_pop
+    * aggregate over 9dp-rounded ln pairs, attached back by a
+    * side-keyed broadcast join. */
+  def g5DegreeProfile(s: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+      .localCheckpoint() // both degree aggregates read it; scan once
+    def hist(keyCol: String, side: String) =
+      cs.groupBy(col(keyCol)).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .select(lit(side).as("side"), col("deg"), col("n_nodes"))
+    val h = hist("c", "customer").unionAll(hist("sk", "supplier"))
+    val fit = h
+      .select(col("side"), round(log(col("deg").cast("double")), 9).as("x"),
+        round(log(col("n_nodes").cast("double")), 9).as("y"))
+      .groupBy(col("side"))
+      .agg(round(covar_pop(col("x"), col("y")) / var_pop(col("x")), 6)
+        .as("slope"))
+    h.join(broadcast(fit), Seq("side"))
+      .select(col("side"), col("deg").as("degree"), col("n_nodes"),
+        col("slope"))
+      .orderBy("side", "degree")
+  }
+
   val LpMaxDeg = 50  // hub-customer cap on pair generation
   val LpTopK = 100
 
@@ -287,6 +323,23 @@ object Graph {
          |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  CAST(min(hops) AS INT) AS hops
          |FROM bfs GROUP BY 1, 2 ORDER BY hops, node""".stripMargin,
+    "g5_degree_profile" ->
+      """WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h AS (
+        |  SELECT 'customer' AS side, deg, count(*) AS n_nodes FROM (
+        |    SELECT c, count(*) AS deg FROM cs GROUP BY 1) GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'supplier' AS side, deg, count(*) AS n_nodes FROM (
+        |    SELECT sk, count(*) AS deg FROM cs GROUP BY 1) GROUP BY 2),
+        |f AS (SELECT side,
+        |    round(covar_pop(round(ln(CAST(deg AS DOUBLE)), 9),
+        |        round(ln(CAST(n_nodes AS DOUBLE)), 9)) /
+        |      var_pop(round(ln(CAST(deg AS DOUBLE)), 9)), 6) AS slope
+        |  FROM h GROUP BY 1)
+        |SELECT h.side, deg AS degree, n_nodes, f.slope
+        |FROM h JOIN f ON h.side = f.side
+        |ORDER BY h.side, degree""".stripMargin,
     "g4_link_predict" ->
       s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -325,5 +378,6 @@ object Graph {
     "g2_pagerank" -> (g2Pagerank _),
     "g3_triangle_count" -> (g3TriangleCount _),
     "g4_link_predict" -> (g4LinkPredict _),
+    "g5_degree_profile" -> (g5DegreeProfile _),
     "g6_bfs_hops" -> (g6BfsHops _))
 }

@@ -693,6 +693,49 @@ object Similarity {
       .orderBy("grp")
   }
 
+  /** n4: IVF cell-quality audit — the index-maintenance report that
+    * decides when to RE-TRAIN the cells (n13 evaluates query recall;
+    * n4 evaluates the partitioning itself): per cell, the population,
+    * the mean cosine to the OWN centroid (tightness), the mean cosine
+    * to the best OTHER centroid (separation), and the assignment
+    * margin own−other (≥0 for every vector BY CONSTRUCTION, since
+    * assignment is the cosine argmax — the spec pins this invariant),
+    * plus the population share (imbalance ⇒ hot probe cells). All
+    * per-vector scores fold IN-ROW against the ≤[[IvfCells]]×dim
+    * literal centroid array (n3's zero-shuffle argmax pattern — no
+    * explode fan-out, no join), so the whole audit is one corpus scan
+    * into a ≤IvfCells-row aggregate. rows-only (trained centroids are
+    * engine-specific). */
+  def n4CellAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureAnnIndex(s, dir)
+    val cells = indexCells(s, root)
+    val assigned = graft.sources.AtomicPublish.readOutput(s, root, "assignments")
+    val cosCols = cells.map { case (id, cv, cn) =>
+      id -> VectorFunctions.cosineFromParts(
+        org.apache.spark.sql.graft.ArrayMathExpr.dotNative(col("v"), typedlit(cv)),
+        col("nrm"), lit(cn))
+    }
+    val ownCos = greatest(cosCols.map(_._2): _*)
+    val otherCos = greatest(cosCols.map { case (id, c) =>
+      when(col("cell_id") =!= id, c)
+    }: _*)
+    val perVec = assigned.select(col("cell_id"),
+      ownCos.as("own_cos"), otherCos.as("other_cos"))
+    val tot = assigned.agg(count(lit(1)).as("n_total"))
+    perVec.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("own_cos")), 6).as("mean_own_cos"),
+        round(avg(col("other_cos")), 6).as("mean_other_cos"),
+        round(avg(col("own_cos") - col("other_cos")), 6).as("mean_margin"),
+        round(min(col("own_cos") - col("other_cos")), 6).as("min_margin"))
+      .crossJoin(broadcast(tot)) // 1-row bounded metadata
+      .select(col("cell_id"), col("n_vectors"),
+        round(col("n_vectors") / col("n_total").cast("double"), 6).as("share"),
+        col("mean_own_cos"), col("mean_other_cos"),
+        col("mean_margin"), col("min_margin"))
+      .orderBy("cell_id")
+  }
+
   val PcaK = 4 // projected dimensions
 
   /** PCA model from ONE distributed pass: n, the mean vector, and the
@@ -946,6 +989,7 @@ object Similarity {
     "n14_range_search" -> (n14RangeSearch _),
     "n2_ann_lsh" -> (n2AnnLsh _),
     "n3_ivf_ann" -> (n3IvfAnn _),
+    "n4_cell_audit" -> (n4CellAudit _),
     "n5_centroids" -> (n5Centroids _),
     "n6_semantic_dedup" -> (n6SemanticDedup _),
     "n7_quantize_i8" -> (n7QuantizeI8 _),

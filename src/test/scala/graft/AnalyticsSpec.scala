@@ -160,6 +160,78 @@ class AnalyticsSpec extends GraftSpec {
       if (wantEce > Pipeline.EceMax) "recalibrate" else "ok")))
   }
 
+  test("w8 streak histogram matches a driver-side gaps-and-islands recompute") {
+    val got = Analytics.w8ActiveStreaks(spark, sf).collect()
+      .map(r => r.getAs[Long]("streak_days") -> r.getAs[Long]("n_users")).toMap
+    val perUser = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .distinct().collect()
+      .map(r => r.getLong(0) -> java.time.LocalDate.parse(r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.toEpochDay))
+    val want = perUser.values.map { days =>
+      var longest = 1L; var cur = 1L
+      days.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          cur = if (b.toEpochDay == a.toEpochDay + 1) cur + 1 else 1
+          longest = math.max(longest, cur)
+        case _ =>
+      }
+      longest
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+  }
+
+  test("e8 Kaplan-Meier curve matches a driver-side recompute and is monotone") {
+    val rows = Analytics.e8SurvivalCurve(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // monotone: survival non-increasing, n_risk strictly decreasing in t
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("survival") >= b.getAs[Double]("survival"))
+        assert(a.getAs[Long]("n_risk") > b.getAs[Long]("n_risk"))
+      case _ =>
+    }
+    // driver recompute from raw events
+    val evs = Tables.events(spark, sf)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).cast("string").as("day")).collect()
+      .map(r => (r.getLong(0), r.getString(1), java.time.LocalDate.parse(r.getString(2))))
+    val maxd = Tables.events(spark, sf)
+      .agg(max(to_date(col("ts")).cast("string"))).head().getString(0)
+    val censor = java.time.LocalDate.parse(maxd)
+    val byUser = evs.groupBy(_._1)
+    val durs = byUser.values.flatMap { rs =>
+      val sdays = rs.filter(_._2 == "signup").map(_._3)
+      if (sdays.isEmpty) None
+      else {
+        val s0 = sdays.minBy(_.toEpochDay)
+        val p = rs.filter(r => r._2 == "purchase" && !r._3.isBefore(s0))
+          .map(_._3)
+        if (p.nonEmpty)
+          Some((p.minBy(_.toEpochDay).toEpochDay - s0.toEpochDay, true))
+        else Some((censor.toEpochDay - s0.toEpochDay, false))
+      }
+    }.toSeq
+    val n = durs.size.toLong
+    val byT = durs.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = n; var lnSum = 0.0
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    byT.foreach { case (t, obs) =>
+      val d = obs.count(_._2).toLong
+      if (d > 0) {
+        lnSum += math.rint(math.log(math.max(1e-12,
+          1.0 - d.toDouble / atRisk)) * 1e9) / 1e9
+        want += ((t, atRisk, d,
+          math.rint(math.exp(lnSum) * 1e6) / 1e6))
+      }
+      atRisk -= obs.size
+    }
+    val gotT = rows.map(r => (r.getAs[Int]("t_days").toLong, r.getAs[Long]("n_risk"),
+      r.getAs[Long]("n_events"), r.getAs[Double]("survival"))).toSeq
+    assert(gotT == want.toSeq, s"${gotT.take(3)} vs ${want.take(3)}")
+  }
+
   test("w4 cumulative users is monotone and ends at the distinct user count") {
     val rows = Analytics.w4ActiveUsers(spark, sf).collect()
     val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()

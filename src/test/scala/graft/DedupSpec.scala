@@ -339,4 +339,25 @@ class DedupSpec extends GraftSpec {
     assert(corpus.map(_.getAs[Long]("n_removable")).sum ==
       nDocs - corpus.map(_.getAs[Long]("n_groups")).sum)
   }
+
+  test("d7 containment bounds hold and it subsumes high-Jaccard d2 pairs") {
+    val d7 = Dedup.d7ContainmentDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment"),
+        r.getAs[Long]("contained_id")))
+    assert(d7.nonEmpty)
+    d7.foreach { case (a, b, c, cid) =>
+      assert(a < b)
+      assert(c >= Dedup.ContainmentTau && c <= 1.0 + 1e-12, s"containment $c")
+      assert(cid == a || cid == b)
+    }
+    // containment ≥ jaccard always (min(|A|,|B|) ≤ |A∪B|), so every d2
+    // pair at/above the containment threshold must appear in d7
+    val d7Pairs = d7.map(t => (t._1, t._2)).toSet
+    Dedup.d2NgramJaccard(spark, sf).collect()
+      .filter(_.getAs[Double]("jaccard") >= Dedup.ContainmentTau)
+      .foreach { r =>
+        assert(d7Pairs.contains((r.getLong(0), r.getLong(1))),
+          s"high-Jaccard pair (${r.getLong(0)},${r.getLong(1)}) missing from d7")
+      }
+  }
 }

@@ -155,4 +155,33 @@ class GraphSpec extends GraftSpec {
         (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)))
     })
   }
+
+  test("g5 degree histogram conserves edges and nodes; slope matches a driver OLS") {
+    import org.apache.spark.sql.functions._
+    val rows = Graph.g5DegreeProfile(spark, sf).collect()
+    val edges = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+    val nEdges = edges.count()
+    Seq("customer", "supplier").foreach { side =>
+      val h = rows.filter(_.getString(0) == side)
+      assert(h.nonEmpty)
+      // Σ degree × n_nodes = |edges| per side (each edge counted once)
+      assert(h.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_nodes")).sum
+        == nEdges, s"$side histogram does not conserve edges")
+      // slope equals a driver-side OLS over the same rounded ln pairs
+      val pts = h.map(r => (math.rint(math.log(r.getAs[Long]("degree").toDouble) * 1e9) / 1e9,
+        math.rint(math.log(r.getAs[Long]("n_nodes").toDouble) * 1e9) / 1e9))
+      val mx = pts.map(_._1).sum / pts.length
+      val my = pts.map(_._2).sum / pts.length
+      val want = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
+        pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      val got = h.head.getAs[Double]("slope")
+      assert(math.abs(got - math.rint(want * 1e6) / 1e6) <= 1e-6,
+        s"$side slope $got vs driver $want")
+      assert(h.forall(_.getAs[Double]("slope") == got), "slope constant per side")
+    }
+  }
 }

@@ -257,4 +257,20 @@ class SimilaritySpec extends GraftSpec {
       assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
     }
   }
+
+  test("n4 cell audit: population conserved, shares sum to 1, argmax margin never negative") {
+    val rows = graft.operators.Similarity.n4CellAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == nVecs)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      // assignment IS the cosine argmax, so own ≥ best-other for every
+      // member — the per-cell min margin cannot be negative
+      assert(r.getAs[Double]("min_margin") >= -1e-9,
+        s"cell ${r.getLong(0)} has a misassigned vector")
+      assert(r.getAs[Double]("mean_own_cos") >= r.getAs[Double]("mean_other_cos") - 1e-9)
+      assert(r.getAs[Double]("mean_own_cos") <= 1.0 + 1e-9)
+    }
+  }
 }
