@@ -215,6 +215,37 @@ object Pipeline {
   def mix4EpochOrder(s: SparkSession, dir: String): DataFrame =
     epochOrder(Tables.documents(s, dir), EpochNo)
 
+  val CurriculumBands = 4 // quality quartile bands, ordered low → high
+
+  /** mix5: curriculum ordering — the corpus banded by t2's quality
+    * score into [[CurriculumBands]] fixed-threshold bands and
+    * epoch-shuffled WITHIN each band (mix4's deterministic md5 shard/
+    * position machinery), bands emitted low-quality-first: the
+    * data-ordering step behind curriculum pretraining and quality
+    * annealing (train on the broad corpus first, END on the highest-
+    * quality band — the practice popularized by phase-split
+    * pretraining recipes). Fixed thresholds (not quantiles) keep the
+    * banding row-local and bit-stable across engines; within-band
+    * order is hash-uniform so each band still streams shuffled. Scale
+    * shape: quality is a row expression on one scan, the rank window
+    * partitions by (band, shard) — shard count chosen at 100 TB so a
+    * shard is one output file's worth, the mix4 discipline — never a
+    * global or band-global sort. */
+  def mix5Curriculum(s: SparkSession, dir: String): DataFrame = {
+    val wShard = Window.partitionBy(col("band"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    TextAnalysis.t2QualityScore(s, dir)
+      .select(col("doc_id"), col("quality"),
+        md5(concat(lit("cur:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("band", least(floor(col("quality") * CurriculumBands)
+        .cast("int"), lit(CurriculumBands - 1)))
+      .withColumn("shard",
+        expr(s"cast(conv(substring(h, 1, 6), 16, 10) as bigint) % $EpochShards"))
+      .withColumn("position", row_number().over(wShard))
+      .select(col("doc_id"), col("band"), col("shard"), col("position"))
+      .orderBy("band", "shard", "position")
+  }
+
   val PsiDrifting = 0.1   // PSI rule of thumb: < 0.1 stable
   val PsiRetrain = 0.25   // > 0.25 retrain
   val EceMax = 0.1        // calibration gap budget before recalibrating
@@ -257,6 +288,29 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "mix5_curriculum" -> {
+      val en = TextAnalysis.sqlStopCount(TextAnalysis.stoplists("en"))
+      s"""WITH base AS (SELECT doc_id,
+         |    round(0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE)
+         |        / 100.0, 1.0)
+         |      + 0.3 * (1.0 - CAST(length(regexp_replace(text,
+         |          '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |        / greatest(length(text), 1))
+         |      + 0.3 * CAST($en AS DOUBLE)
+         |        / greatest(len(string_split(text, ' ')), 1), 6) AS q
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    least(CAST(floor(q * $CurriculumBands) AS INT),
+         |      $CurriculumBands - 1) AS band,
+         |    md5('cur:' || CAST(doc_id AS VARCHAR)) AS h FROM base),
+         |sh AS (SELECT doc_id, band, h,
+         |    ('0x' || substring(h, 1, 6))::BIGINT % $EpochShards AS shard
+         |  FROM b)
+         |SELECT doc_id, band, shard,
+         |  CAST(row_number() OVER (PARTITION BY band, shard
+         |    ORDER BY h, doc_id) AS INT) AS position
+         |FROM sh ORDER BY band, shard, position""".stripMargin
+    },
     "mix4_epoch_order" ->
       s"""WITH h AS (SELECT doc_id,
          |    md5('ord:$EpochNo:' || CAST(doc_id AS VARCHAR)) AS h
@@ -416,5 +470,6 @@ object Pipeline {
     "mix2_token_budget" -> (mix2TokenBudget _),
     "mix3_train_split" -> (mix3TrainSplit _),
     "mix4_epoch_order" -> (mix4EpochOrder _),
+    "mix5_curriculum" -> (mix5Curriculum _),
     "pipe4_monitor_report" -> (pipe4MonitorReport _))
 }

@@ -688,7 +688,7 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
-  private def sqlStopCount(words: Seq[String]): String = {
+  private[graft] def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
   }

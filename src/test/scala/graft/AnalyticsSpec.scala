@@ -160,6 +160,27 @@ class AnalyticsSpec extends GraftSpec {
       if (wantEce > Pipeline.EceMax) "recalibrate" else "ok")))
   }
 
+  test("mix5 bands follow the quality thresholds with dense in-shard positions") {
+    import graft.operators.{Pipeline, TextAnalysis}
+    val q = TextAnalysis.t2QualityScore(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = Pipeline.mix5Curriculum(spark, sf).collect()
+    assert(rows.length == q.size, "every doc gets a curriculum slot")
+    rows.foreach { r =>
+      val want = math.min(
+        math.floor(q(r.getLong(0)) * Pipeline.CurriculumBands).toInt,
+        Pipeline.CurriculumBands - 1)
+      assert(r.getAs[Int]("band") == want, s"doc ${r.getLong(0)}")
+    }
+    // positions are dense 1..n within every (band, shard)
+    rows.groupBy(r => (r.getAs[Int]("band"), r.getAs[Long]("shard")))
+      .foreach { case (k, rs) =>
+        assert(rs.map(_.getAs[Int]("position")).sorted.toSeq == (1 to rs.size),
+          s"non-dense positions in $k")
+      }
+  }
+
   test("w8 streak histogram matches a driver-side gaps-and-islands recompute") {
     val got = Analytics.w8ActiveStreaks(spark, sf).collect()
       .map(r => r.getAs[Long]("streak_days") -> r.getAs[Long]("n_users")).toMap
