@@ -243,21 +243,56 @@ object Quality {
     * than only promised. */
   val QcTrainSampleTarget = 1000
 
+  /** Durable model registry root for the trained qc weights — the
+    * index build-once pattern (DurableIndex fence + AtomicPublish
+    * version + corpus fingerprint) applied to MODEL artifacts: the
+    * trainer is deterministic per corpus, so qc1/qc2/pipe4 each
+    * re-training it per query was pure waste (3× the T-round
+    * training cost per bench pass). Train once, publish the
+    * (bias, weights) row, score everywhere — exactly how a 100 TB
+    * pipeline consumes its quality classifier (training is a
+    * registry write, scoring is the corpus-scale job). */
+  private[graft] def qcModelRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.qcmodel.base",
+      s"${graft.GraftSession.defaultStateDir}/qc_model")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet"))
+  }
+
+  /** Ensure the trained model is published; return (weights, bias)
+    * read back through the committed pointer (bounded metadata:
+    * QcDim doubles). */
+  private[graft] def ensureQcModel(s: SparkSession, dir: String)
+      : (Array[Double], Double) = {
+    val root = graft.sources.DurableIndex.ensure(s, qcModelRoot(dir)) {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))
+      // deterministic uniform training sample: keep-rate target/n, same
+      // salted-md5 hex threshold as mix1/imp1 (portable, re-runnable)
+      val n = math.max(1L, docs.count())
+      val rate = math.min(1.0, QcTrainSampleTarget.toDouble / n)
+      val thr =
+        if (rate >= 1.0) "g" // 'g' sorts above any hex digit
+        else f"${math.floor(rate * 4294967296.0).toLong}%08x"
+      val trainDocs = docs.filter(
+        substring(md5(concat(lit("qc:"), col("doc_id").cast("string"))), 1, 8) < thr)
+      val (wts, bias, _) = qcTrain(qcFeatures(trainDocs))
+      import s.implicits._
+      graft.sources.AtomicPublish.publish(s, qcModelRoot(dir),
+        Seq("weights" -> Seq((bias, wts.toSeq)).toDF("bias", "w")))
+    }
+    val row = graft.sources.AtomicPublish.readOutput(s, root, "weights")
+      .collect().head
+    (row.getSeq[Double](row.fieldIndex("w")).toArray, row.getDouble(0))
+  }
+
   def qc1ClassifierScore(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))
-    // deterministic uniform training sample: keep-rate target/n, same
-    // salted-md5 hex threshold as mix1/imp1 (portable, re-runnable)
-    val n = math.max(1L, docs.count())
-    val rate = math.min(1.0, QcTrainSampleTarget.toDouble / n)
-    val thr =
-      if (rate >= 1.0) "g" // 'g' sorts above any hex digit
-      else f"${math.floor(rate * 4294967296.0).toLong}%08x"
-    val trainDocs = docs.filter(
-      substring(md5(concat(lit("qc:"), col("doc_id").cast("string"))), 1, 8) < thr)
     val feats = qcFeatures(docs)
-    val (wts, bias, _) = qcTrain(qcFeatures(trainDocs))
+    val (wts, bias) = ensureQcModel(s, dir)
     val wlit = array(wts.map(lit): _*)
     feats.groupBy(col("doc_id"), col("label"))
       .agg(sum(element_at(wlit, col("idx") + 1) * col("v")).as("m"))

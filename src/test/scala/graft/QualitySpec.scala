@@ -86,6 +86,16 @@ class QualitySpec extends GraftSpec {
     assert(acc >= 0.95, s"expected near-perfect separation, got $acc")
   }
 
+  test("qc model registry is build-once: a second scorer reuses the committed version") {
+    import graft.operators.Quality
+    Quality.qc1ClassifierScore(spark, sf).collect()
+    val root = Quality.qcModelRoot(sf)
+    val v1 = graft.sources.AtomicPublish.currentVersion(spark, root)
+    Quality.qc2Calibration(spark, sf).collect()
+    val v2 = graft.sources.AtomicPublish.currentVersion(spark, root)
+    assert(v1.nonEmpty && v1 == v2, s"model retrained: $v1 -> $v2")
+  }
+
   test("qc1 corpus scoring emits calibrated probabilities for every doc") {
     val out = Quality.qc1ClassifierScore(spark, sf).collect()
     assert(out.length == Tables.documents(spark, sf).count())
