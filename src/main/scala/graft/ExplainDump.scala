@@ -89,7 +89,21 @@ object ExplainDump {
       ("e9_common_paths", "sessions from a user-partitioned window; journey n-grams generate in-row; one path-keyed count",
         Analytics.e9CommonPaths _),
       ("prof4_join_cardinality", "join-size audit as a key-domain equi-join of count AGGREGATES — never a row-grain join; totals broadcast",
-        graft.operators.Profiling.prof4JoinCardinality _))
+        graft.operators.Profiling.prof4JoinCardinality _),
+      ("d10_canonical_pick", "consumes the PUBLISHED cluster table (no d2+CC recompute); struct-max survival rule, (doc_id,len)-only member join",
+        Dedup.d10CanonicalPick _),
+      ("d7_containment_dedup", "d2's DF-capped shingle equi-join core re-scored as |A∩B|/min — asymmetric duplication Jaccard misses",
+        Dedup.d7ContainmentDedup _),
+      ("w8_active_streaks", "gaps-and-islands: per-user window over the deduped (user,day) frame; histogram collapses to bounded rows",
+        Analytics.w8ActiveStreaks _),
+      ("e8_survival_curve", "KM: user-keyed duration aggregate; cumulative windows only on the bounded distinct-duration frame",
+        Analytics.e8SurvivalCurve _),
+      ("n4_cell_audit", "per-vector own/best-other cosine folded IN-ROW vs literal centroids; one scan to a 10-row aggregate",
+        Similarity.n4CellAudit _),
+      ("qc1_classifier_score", "scores against the PUBLISHED model registry weights: one scan + doc-keyed aggregate, zero training jobs",
+        graft.operators.Quality.qc1ClassifierScore _),
+      ("mix5_curriculum", "row-local quality banding; rank windows partition by (band, shard) — never a band-global sort",
+        graft.operators.Pipeline.mix5Curriculum _))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries (sf0.01, formatted explain)\n\n")
     sb.append("Generated by `sbt \"runMain graft.ExplainDump\"` from the live\n")

@@ -1147,34 +1147,67 @@ object Analytics {
   /** j6: interval OVERLAP join — per session, how many other users'
     * sessions were concurrent with it (the load/concurrency question
     * behind capacity planning and the reference's connection-overlap
-    * view of active sync windows). Overlap (st ≤ en', st' ≤ en) is
-    * not an equi-predicate, and the naive form is a cartesian
-    * interval self-join. The j3 bin discipline makes it an EQUI-join:
-    * every session explodes into the hour bins it covers (fan-out =
-    * session length in hours, bounded by the session timeout), pairs
-    * meet on the bin key, the exact overlap predicate filters within
-    * the bin, and countDistinct collapses the multi-bin duplicates of
-    * long overlaps. Per-bin pair fan-out is quadratic only in
-    * per-hour concurrency — the intrinsic answer size — never in the
-    * corpus. Sessions with no overlap survive via the left join. */
+    * view of active sync windows). NOT a pair join at all: because
+    * same-user sessions never overlap (sessionize splits on gaps >
+    * the timeout), the count is pure inclusion–exclusion over
+    * boundary ORDER STATISTICS — n_concurrent(i) = #{st_j ≤ en_i} −
+    * #{en_j < st_i} − 1 (self) — so no (a, b) pair row ever
+    * materializes. The r8 bin-join form materialized per-hour pairs
+    * and went ~20× on 10× data at the sf1 checkpoint (pair mass is
+    * quadratic in per-hour density); this form is O(S · per-minute
+    * density): boundary counts per MINUTE are one bounded aggregate,
+    * their cumulative sums a window over span-minutes metadata (the
+    * a12 pattern) broadcast back, and the sub-minute remainder two
+    * minute-keyed joins against per-(minute, value) boundary counts
+    * whose fan-out is the minute's distinct-boundary count. The
+    * unchanged pairwise SQL oracle PROVES the reformulation: the
+    * gate hash-matches this plan against the naive overlap join. */
   def j6OverlapJoin(s: SparkSession, dir: String): DataFrame = {
     val sess = sessionIntervals(s, dir).localCheckpoint()
-    def binned(p: String): DataFrame = sess.select(
-      col("user_id").as(s"${p}_user"), col("session_id").as(s"${p}_sess"),
-      col("st").as(s"${p}_st"), col("en").as(s"${p}_en"),
-      explode(expr("sequence(date_trunc('hour', st), date_trunc('hour', en), interval 1 hour)")).as(s"${p}_bin"))
-    val conc = binned("a")
-      .join(binned("b"), col("a_bin") === col("b_bin") && // the equi-key
-        col("a_user") =!= col("b_user") &&
-        col("a_st") <= col("b_en") && col("b_st") <= col("a_en"))
-      .groupBy(col("a_user"), col("a_sess"))
-      .agg(countDistinct(col("b_user"), col("b_sess")).as("n_concurrent"))
-    sess.join(conc,
-        col("user_id") === col("a_user") && col("session_id") === col("a_sess"),
-        "left")
+    val minuteSt = date_trunc("minute", col("st"))
+    val minuteEn = date_trunc("minute", col("en"))
+    // boundary-minute table: per minute, #starts/#ends in it and the
+    // cumulative counts BEFORE it (bounded: ≤ span-minutes rows; every
+    // session's stm/enm appears, so the lookups below are inner-safe)
+    val wCum = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = sess.select(minuteSt.as("m"), lit(1L).as("s"), lit(0L).as("e"))
+      .unionAll(sess.select(minuteEn.as("m"), lit(0L).as("s"), lit(1L).as("e")))
+      .groupBy(col("m"))
+      .agg(sum(col("s")).as("cs"), sum(col("e")).as("ce"))
+      .withColumn("cum_st_before", coalesce(sum(col("cs")).over(wCum), lit(0L)))
+      .withColumn("cum_en_before", coalesce(sum(col("ce")).over(wCum), lit(0L)))
+      .select(col("m"), col("cum_st_before"), col("cum_en_before"))
+      .localCheckpoint() // bounded metadata; two broadcast consumers
+    // sub-minute remainder: distinct boundary values per minute
+    val enVals = sess.groupBy(minuteEn.as("m"), col("en").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val stVals = sess.groupBy(minuteSt.as("m"), col("st").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val base = sess.select(col("user_id"), col("session_id"),
+      col("st"), col("en"), minuteSt.as("stm"), minuteEn.as("enm"))
+    val refA = base // #{en_j in minute(st_i) with en_j < st_i}
+      .join(enVals.withColumnRenamed("m", "stm"), Seq("stm"))
+      .filter(col("v") < col("st"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sum(col("c")).as("ref_a"))
+    val refB = base // #{st_j in minute(en_i) with st_j ≤ en_i}
+      .join(stVals.withColumnRenamed("m", "enm"), Seq("enm"))
+      .filter(col("v") <= col("en"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sum(col("c")).as("ref_b"))
+    base
+      .join(broadcast(bounds.select(col("m").as("stm"),
+        col("cum_en_before"))), Seq("stm"))
+      .join(broadcast(bounds.select(col("m").as("enm"),
+        col("cum_st_before"))), Seq("enm"))
+      .join(refA, Seq("user_id", "session_id"), "left")
+      .join(refB, Seq("user_id", "session_id"), "left")
       .select(col("user_id"), col("session_id"),
         Cols.fmtTs(col("st")).as("start_ts"), Cols.fmtTs(col("en")).as("end_ts"),
-        coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+        (col("cum_st_before") + coalesce(col("ref_b"), lit(0L)) // #{st_j ≤ en_i}
+          - col("cum_en_before") - coalesce(col("ref_a"), lit(0L)) // − #{en_j < st_i}
+          - 1L).as("n_concurrent")) // − self
       .orderBy("user_id", "session_id")
   }
 

@@ -749,14 +749,18 @@ class PlanAuditSpec extends GraftSpec {
       s"the dictionary is a plan literal, never a join side:\n$plan")
   }
 
-  test("j6: interval overlap meets on the hour-bin equi-key, never a cartesian") {
+  test("j6: concurrency via boundary counting — no pair join, no cartesian, no Expand") {
     val plan = planOf(Analytics.j6OverlapJoin(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
-      s"overlap must ride the bin equi-join, not an interval cross join:\n$plan")
-    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
-      plan.contains("BroadcastHashJoin"),
-      s"expected an equi-join on the bin key:\n$plan")
+      s"overlap counting must never cross-join intervals:\n$plan")
+    // the r8 pair-join form needed a countDistinct Expand over the pair
+    // mass (the sf1 20× scaler); the order-statistics form has none
+    assert(!plan.contains("Expand"),
+      s"no distinct-pair Expand allowed — pairs must not materialize:\n$plan")
+    // cumulative boundary tables attach by broadcast, not shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bounded cum tables must broadcast:\n$plan")
   }
 
   test("dc1: the corpus-facing window ranks (source, salt), never bare source") {
