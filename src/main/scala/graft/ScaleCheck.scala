@@ -75,7 +75,12 @@ object ScaleCheck {
     // d10 (now consuming the published cluster table; its sf1 number
     // includes only the read+pick), j6/d11, and ix1's digest form
     "d10_canonical_pick", "j6_overlap_join", "d11_dup_histogram",
-    "ix1_inverted_index")
+    "ix1_inverted_index",
+    // round-9 new operators (containment / monitoring / curriculum /
+    // survival / streaks / degree profile / cell audit / calibration)
+    "d7_containment_dedup", "pipe4_monitor_report", "qc2_calibration",
+    "mix5_curriculum", "e8_survival_curve", "w8_active_streaks",
+    "g5_degree_profile", "n4_cell_audit")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {
