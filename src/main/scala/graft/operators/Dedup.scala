@@ -157,18 +157,51 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Durable DF-capped shingle index: the (doc_id, sh) postings frame
+    * at word-trigram grain plus the per-doc set sizes, built ONCE per
+    * corpus fingerprint and published through [[graft.sources.AtomicPublish]]
+    * (the ANN/text/cluster index pattern applied one layer deeper).
+    * Three consumers read it — d2's Jaccard scoring, d7's containment
+    * scoring, and the cluster-index build (via d2) — and before this
+    * each of them re-ran the shingle kernel scan + the DF-cap
+    * aggregate over the whole corpus. At 100 TB the shingle frame is
+    * an ingest-time artifact: every near-dup sweep is a read-path
+    * equi-join against committed parquet, never a corpus re-scan. */
+  private[graft] def shingleIndexRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.shingleindex.base",
+      s"${graft.GraftSession.defaultStateDir}/shingle_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet"))
+  }
+
+  private[graft] def ensureShingleIndex(s: SparkSession, dir: String): String =
+    graft.sources.DurableIndex.ensure(s, shingleIndexRoot(dir)) {
+      // localCheckpoint: both published outputs derive from the capped
+      // frame; without it the "sizes" stage would re-run the kernel
+      // scan + cap aggregate (blocks are freed when the build returns)
+      val sh = capByDf(shingles(s, dir)
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh")))
+        .localCheckpoint()
+      graft.sources.AtomicPublish.publish(s, shingleIndexRoot(dir),
+        Seq("shingles" -> sh,
+          "sizes" -> sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))))
+    }
+
   /** Shared candidate machinery for d2/d7: per-pair shingle
     * intersection counts plus both set sizes, from the DF-capped
     * hashed-shingle equi-join (all the scale commentary in
     * [[d2NgramJaccard]] applies — this IS that plan, minus the final
-    * scoring arithmetic). */
+    * scoring arithmetic). Reads the PUBLISHED shingle index
+    * ([[ensureShingleIndex]]); the two self-join sides are the same
+    * scan+exchange subplan, so AQE ReuseExchange materializes the
+    * sh-partitioned frame once — the role the explicit
+    * repartition+localCheckpoint played when this was an inline
+    * recompute (PlanAuditSpec pins ≤1 hashpartitioning(sh) exchange
+    * and no document-kernel scan in the read path). */
   private[graft] def shingleOverlap(s: SparkSession, dir: String): DataFrame = {
-    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val sh = capByDf(shingles(s, dir)
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh")))
-      .repartition(nPart, col("sh"))
-      .localCheckpoint()
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val root = ensureShingleIndex(s, dir)
+    val sh = graft.sources.AtomicPublish.readOutput(s, root, "shingles")
+    val sz = graft.sources.AtomicPublish.readOutput(s, root, "sizes")
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -475,17 +475,23 @@ class PlanAuditSpec extends GraftSpec {
       s"per-doc dedup must not shuffle (doc, shingle) rows:\n$plan")
   }
 
-  test("d2: the candidate self-join reads the hash(sh)-partitioned checkpoint, no re-exchange") {
-    // The r8 sf1 regression in reverse: the in-row-dedup kernel removed
-    // the corpus DISTINCT and with it the shuffle that spread the
-    // shingle frame, so the checkpoint inherited raw-scan partitioning
-    // and the 44M-pair self-join ran starved (66 s vs 19 s at sf1).
-    // The fix repartitions on sh BEFORE the checkpoint; since
-    // localCheckpoint preserves output partitioning, the self-join must
-    // now show NO hashpartitioning(sh) exchange at all.
-    val plan = planOf(Dedup.d2NgramJaccard(spark, sf))
-    assert(detailIds(plan, "Exchange", "Arguments: hashpartitioning\\(sh").isEmpty,
-      s"self-join must reuse the checkpoint's sh-partitioning:\n$plan")
+  test("d2: scoring reads the published shingle index; the self-join shares one sh-exchange") {
+    // Read-path discipline: once the durable shingle index is built,
+    // d2's plan must contain NO document-kernel scan (the build owns
+    // that), and the candidate self-join's two identical index-scan
+    // sides must share a single materialized sh-exchange via AQE
+    // ReuseExchange — two independent hashpartitioning(sh) exchanges
+    // would shuffle the postings frame twice.
+    graft.operators.Dedup.ensureShingleIndex(spark, sf)
+    val df = Dedup.d2NgramJaccard(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("shingle_index"),
+      s"d2 must read the published shingle index:\n$plan")
+    assert(!plan.contains("graft_distinct_ngrams"),
+      s"d2's read path must not re-run the shingle kernel:\n$plan")
+    val finalPlan = finalTreeOf(df)
+    assert(detailIds(finalPlan, "Exchange", "Arguments: hashpartitioning\\(sh").size <= 1,
+      s"self-join sides must reuse one sh-exchange:\n$finalPlan")
   }
 
   test("t16/t17: the shared term-freq frame is kernel-computed — no token-stream shuffle") {
