@@ -302,32 +302,39 @@ object Graph {
       .limit(LpTopK)
   }
 
+  /** g6 oracle: an UNROLLED BFS ladder (v0..v[[BfsMaxHops]]), each
+    * level adding only the UNVISITED neighbors of the previous
+    * level's new frontier. The earlier recursive-CTE form deduped on
+    * (node, hops) ROWS, so an already-visited node re-expanded at
+    * every deeper level — multiplicative frontier growth on denser
+    * graphs risked oracle-side timeouts above sf0.01 (this is true
+    * per-level BFS, linear in edges × levels). Results are identical:
+    * each node appears once with its min hop count. */
+  private def g6OracleSql: String = {
+    val ladder = (1 to BfsMaxHops).map { h =>
+      s"""v$h AS (SELECT node, hops FROM v${h - 1}
+         |  UNION ALL
+         |  SELECT nx.node, $h AS hops FROM (
+         |    SELECT DISTINCT und.v AS node FROM und
+         |    JOIN v${h - 1} f ON und.u = f.node AND f.hops = ${h - 1}) nx
+         |  WHERE nx.node NOT IN (SELECT node FROM v${h - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |und AS (SELECT src AS u, dst AS v FROM e
+       |  UNION ALL SELECT dst, src FROM e),
+       |s AS (SELECT min(src) AS s0 FROM e),
+       |v0 AS (SELECT s0 AS node, 0 AS hops FROM s),
+       |$ladder
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  CAST(hops AS INT) AS hops
+       |FROM v$BfsMaxHops ORDER BY hops, node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    // g6 oracle cost note: the recursive CTE's UNION dedups on
-    // (node, hops) ROWS, so an already-visited node re-expands at
-    // every deeper hop level up to BfsMaxHops — fine at the sf0.01
-    // gate (bounded hops × small frontier), but on denser graphs or
-    // larger SFs the frontier grows multiplicatively, not like true
-    // BFS. If the gate ever runs g6 above sf0.01, restructure the
-    // oracle to aggregate min(hops) per node between recursion
-    // levels (DuckDB supports recursive CTE + GROUP BY via a
-    // materialized ladder) rather than raising BfsMaxHops.
-    "g6_bfs_hops" ->
-      s"""WITH RECURSIVE e AS (SELECT DISTINCT o_custkey * 2 AS src,
-         |    l_suppkey * 2 + 1 AS dst
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |und AS (SELECT src AS u, dst AS v FROM e
-         |  UNION ALL SELECT dst, src FROM e),
-         |s AS (SELECT min(src) AS s0 FROM e),
-         |bfs AS (
-         |  SELECT s0 AS node, 0 AS hops FROM s
-         |  UNION
-         |  SELECT und.v, bfs.hops + 1 FROM bfs JOIN und ON und.u = bfs.node
-         |  WHERE bfs.hops < $BfsMaxHops)
-         |SELECT node,
-         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
-         |  CAST(min(hops) AS INT) AS hops
-         |FROM bfs GROUP BY 1, 2 ORDER BY hops, node""".stripMargin,
+    "g6_bfs_hops" -> g6OracleSql,
     "g5_degree_profile" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
         |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
