@@ -197,10 +197,18 @@ object Dedup {
     * sh-partitioned frame once — the role the explicit
     * repartition+localCheckpoint played when this was an inline
     * recompute (PlanAuditSpec pins ≤1 hashpartitioning(sh) exchange
-    * and no document-kernel scan in the read path). */
+    * and no document-kernel scan in the read path). The repartition
+    * carries an EXPLICIT partition count for the same reason the old
+    * checkpoint did: the postings frame is small in BYTES (64-bit
+    * hashes), so AQE coalescing would fold the exchange to ~1
+    * partition and the 44M-pair self-join would run starved — the r8
+    * sf1 regression (66 s), re-measured at 107 s when this read path
+    * first shipped with a bare scan. */
   private[graft] def shingleOverlap(s: SparkSession, dir: String): DataFrame = {
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val root = ensureShingleIndex(s, dir)
     val sh = graft.sources.AtomicPublish.readOutput(s, root, "shingles")
+      .repartition(nPart, col("sh"))
     val sz = graft.sources.AtomicPublish.readOutput(s, root, "sizes")
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
