@@ -88,7 +88,84 @@ object EntityResolution {
       .orderBy(col("cluster_key"), col("p_name"))
   }
 
+  /** er3: blocking-quality evaluation — the two numbers that decide
+    * whether er1's head-token blocking is SOUND before anyone trusts
+    * er2's clusters (Christen's blocking-evaluation framework, TKDE
+    * 2012): pair completeness (what fraction of TRUE matches share a
+    * block — blocking recall) and reduction ratio (what fraction of
+    * all comparisons blocking avoids). n13's "evaluate your index
+    * in-engine" discipline applied to ER. Ground truth needs pairs
+    * BEYOND the blocks, so it joins the catalog on a LENGTH-BAND key —
+    * complete for edit distance ≤ [[MaxEditDistance]] because
+    * |len(a)−len(b)| ≤ lev(a,b), so no true match can escape the band:
+    * the truth set is EXACT, never all-pairs. Affordable for the same
+    * reason er1 is: the distinct-name catalog is vocabulary-bounded
+    * (at 100 TB a catalog too large for length-band truth gets the
+    * dc1 treatment — evaluate on a deterministic key sample — but
+    * that cap must never silently ship inside the metric). Every
+    * output derives from exact integer counts ⇒ fully
+    * hash-checkable. */
+  def er3BlockingEval(s: SparkSession, dir: String): DataFrame = {
+    val names = nameCatalog(s, dir)
+    val a = names.select(col("p_name").as("name_a"),
+      col("block").as("block_a"), length(col("p_name")).as("la"))
+    val b = names.select(col("p_name").as("name_b"),
+      col("block").as("block_b"), length(col("p_name")).as("lb"))
+    // each unordered pair within the ±MaxEditDistance length band
+    // matches on exactly one key (A emits its 2d+1-key band, B its
+    // own length), then name_a < name_b keeps one orientation
+    val pairs = a
+      .select(col("name_a"), col("block_a"), col("la"),
+        explode(sequence(col("la") - MaxEditDistance,
+          col("la") + MaxEditDistance)).as("lk"))
+      .join(b, col("lk") === col("lb") && col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        (col("block_a") === col("block_b")).as("in_block"),
+        (levenshtein(col("name_a"), col("name_b")) <= MaxEditDistance)
+          .as("is_true"))
+    val tot = names.agg(count(lit(1)).as("n_names"))
+    pairs
+      .agg(sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("in_block"), 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("is_true") && col("in_block"), 1L).otherwise(0L))
+          .as("n_true_in_block"))
+      .crossJoin(broadcast(tot)) // 1-row bounded metadata
+      .select(col("n_names"), col("n_true"), col("n_candidates"),
+        col("n_true_in_block"),
+        when(col("n_true") > 0, round(col("n_true_in_block").cast("double") /
+          col("n_true"), 6)).as("pair_completeness"),
+        round(lit(1.0) - col("n_candidates").cast("double") /
+          (col("n_names").cast("double") * (col("n_names") - 1) / 2), 6)
+          .as("reduction_ratio"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "er3_blocking_eval" ->
+      s"""WITH names AS (SELECT p_name, min(p_partkey) AS canon,
+         |    split_part(p_name, ' ', -1) AS block
+         |  FROM part GROUP BY 1, 3),
+         |s AS (SELECT * FROM names),
+         |p AS (SELECT a.block = b.block AS in_block,
+         |    levenshtein(a.p_name, b.p_name) <= $MaxEditDistance AS is_true
+         |  FROM s a JOIN s b ON a.p_name < b.p_name
+         |    AND abs(length(a.p_name) - length(b.p_name)) <= $MaxEditDistance),
+         |t AS (SELECT count(*) AS n_names FROM s)
+         |SELECT t.n_names,
+         |  CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN in_block THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_candidates,
+         |  CAST(SUM(CASE WHEN is_true AND in_block THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_true_in_block,
+         |  CASE WHEN SUM(CASE WHEN is_true THEN 1 ELSE 0 END) > 0
+         |    THEN round(CAST(SUM(CASE WHEN is_true AND in_block THEN 1
+         |      ELSE 0 END) AS DOUBLE)
+         |      / SUM(CASE WHEN is_true THEN 1 ELSE 0 END), 6) END
+         |    AS pair_completeness,
+         |  round(1.0 - CAST(SUM(CASE WHEN in_block THEN 1 ELSE 0 END)
+         |      AS DOUBLE)
+         |    / (CAST(t.n_names AS DOUBLE) * (t.n_names - 1) / 2), 6)
+         |    AS reduction_ratio
+         |FROM p CROSS JOIN t GROUP BY t.n_names""".stripMargin,
     "er2_entity_clusters" ->
       s"""WITH RECURSIVE names AS (SELECT p_name, count(*) AS n_parts,
          |    min(p_partkey) AS canon,
@@ -129,5 +206,6 @@ object EntityResolution {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er1_fuzzy_match" -> (er1FuzzyMatch _),
-    "er2_entity_clusters" -> (er2EntityClusters _))
+    "er2_entity_clusters" -> (er2EntityClusters _),
+    "er3_blocking_eval" -> (er3BlockingEval _))
 }

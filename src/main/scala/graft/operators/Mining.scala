@@ -221,6 +221,40 @@ object Mining {
       .orderBy("event_type")
   }
 
+  val TargetEncodeM = 20.0 // m-estimate pseudo-observations toward the global mean
+
+  /** f4: smoothed target encoding per category — the m-estimate
+    * (Micci-Barreca, SIGKDD Expl. 2001): encode event_type as
+    * (Σ target + m·global_mean) / (n + m), shrinking rare categories
+    * toward the global mean so a category seen 3 times cannot memorize
+    * its 3 labels — THE standard high-cardinality categorical encoding
+    * in training pipelines. Alongside it, the leave-one-out extremes
+    * ((Σ − max)/(n−1), (Σ − min)/(n−1)) bound the per-row LOO encoding
+    * range — the leakage-audit number an ML reviewer asks for. One
+    * keyed aggregate over exact decimal sums + a 1-row broadcast
+    * global; at 100 TB this is a map-side-combinable pass with a
+    * category-cardinality-bounded output, and every ratio derives from
+    * exact integer/decimal aggregates ⇒ bit-stable (SURVEY §4). */
+  def f4TargetEncode(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("value").cast("decimal(18,6)").as("v"))
+    val global = ev.agg(
+      (sum(col("v")).cast("double") / count(lit(1))).as("gmean"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .crossJoin(broadcast(global)) // 1-row bounded metadata
+      .select(col("event_type"), col("n"),
+        round(col("sv").cast("double") / col("n"), 6).as("raw_mean"),
+        round((col("sv").cast("double") + lit(TargetEncodeM) * col("gmean")) /
+          (col("n") + lit(TargetEncodeM)), 6).as("encoded"),
+        round((col("sv") - col("vmax")).cast("double") / (col("n") - 1), 6)
+          .as("loo_min"),
+        round((col("sv") - col("vmin")).cast("double") / (col("n") - 1), 6)
+          .as("loo_max"))
+      .orderBy("event_type")
+  }
+
   /** sky1: Pareto frontier (skyline) per brand — parts where no same-
     * brand part is at-most-equal on price AND at-least-equal on size
     * with one strict inequality (Börzsönyi et al. ICDE'01's SKYLINE
@@ -401,6 +435,18 @@ object Mining {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          |FROM dev d JOIN mad USING (event_type)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f4_target_encode" ->
+      s"""WITH ev AS (SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v
+         |  FROM events),
+         |g AS (SELECT CAST(SUM(v) AS DOUBLE) / count(*) AS gmean FROM ev)
+         |SELECT event_type, count(*) AS n,
+         |  round(CAST(SUM(v) AS DOUBLE) / count(*), 6) AS raw_mean,
+         |  round((CAST(SUM(v) AS DOUBLE) + $TargetEncodeM * g.gmean)
+         |    / (count(*) + $TargetEncodeM), 6) AS encoded,
+         |  round(CAST(SUM(v) - MAX(v) AS DOUBLE) / (count(*) - 1), 6) AS loo_min,
+         |  round(CAST(SUM(v) - MIN(v) AS DOUBLE) / (count(*) - 1), 6) AS loo_max
+         |FROM ev CROSS JOIN g
+         |GROUP BY event_type, g.gmean ORDER BY event_type""".stripMargin,
     "f3_winsorize" ->
       s"""WITH cuts AS (SELECT event_type,
          |    round(quantile_cont(value, $WinsorLo), 6) AS lo_cut,
@@ -425,5 +471,6 @@ object Mining {
     "f1_feature_bins" -> (f1FeatureBins _),
     "f2_standardize" -> (f2Standardize _),
     "f3_winsorize" -> (f3Winsorize _),
+    "f4_target_encode" -> (f4TargetEncode _),
     "a13_ab_test" -> (a13AbTest _))
 }

@@ -263,7 +263,258 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  val ZscoreWindow = 24 // trailing hours in the rolling baseline
+  val ZscoreMinObs = 12 // below this the baseline is too thin to score
+  val ZscoreTau = 3.0   // |z| at or above this flags an anomaly
+
+  /** ts9: rolling z-score anomaly flags — each hour scored against the
+    * mean/stddev of the PRECEDING [[ZscoreWindow]] observed hours
+    * (frame ends at 1 PRECEDING, so a spike never suppresses itself by
+    * inflating its own baseline). This is the LOCAL-spike complement
+    * to e6's global median/MAD outliers: a value that is normal
+    * corpus-wide but 5σ above its recent trailing level is exactly
+    * what a paging alert needs. Scale shape: the window is PARTITIONED
+    * by event_type over the span-bounded hourly aggregate (ts1's spine
+    * argument) — corpus-scale work remains the one keyed hour
+    * aggregate. Determinism: the rolling moments are DECIMAL window
+    * sums (order-independent, exact), converted to double only for the
+    * final mean/variance arithmetic — both engines then evaluate
+    * identical doubles, so the z-scores and the ≥τ flag are
+    * bit-stable (SURVEY §4). */
+  def ts9RollingZscore(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(-ZscoreWindow, -1)
+    val vd = col("v").cast("decimal(18,6)")
+    val withMoments = hourly(s, dir)
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum", sum(vd).over(w))
+      .withColumn("roll_sum2", sum(vd * vd).over(w))
+    val n = col("roll_n").cast("double")
+    val sm = col("roll_sum").cast("double")
+    val s2 = col("roll_sum2").cast("double")
+    val mean = sm / n
+    val variance = (s2 * n - sm * sm) / (n * n * (n - lit(1.0)))
+    withMoments
+      .withColumn("z",
+        when(col("roll_n") >= ZscoreMinObs && variance > 0,
+          round((col("v") - mean) / sqrt(variance), 4)))
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("v"), col("roll_n"), col("z"),
+        when(abs(col("z")) >= ZscoreTau, 1).otherwise(0).as("is_anomaly"))
+      .orderBy("event_type", "hr")
+  }
+
+  val CusumK = 0.5 // slack, in sigmas: drift below k·sigma accumulates nothing
+  val CusumH = 4.0 // alarm threshold, in sigmas (the standard (0.5, 4) tuning)
+
+  /** Cross-engine-exact 6dp quantization: floor(x·1e6 + 0.5)/1e6.
+    * Unlike round(double, 6) / a decimal cast, every step is an IEEE
+    * op on bit-identical inputs, so both engines produce the same
+    * double (SURVEY §4, the g4 int64-quantization rule). */
+  private def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+
+  /** ts10: CUSUM changepoint detection per series — the two one-sided
+    * cumulative sums S⁺ₜ = max(0, S⁺ₜ₋₁ + (vₜ−μ−kσ)) and
+    * S⁻ₜ = max(0, S⁻ₜ₋₁ + (μ−vₜ−kσ)) (Page 1954), which accumulate
+    * SUSTAINED drift from the series' own baseline and alarm when
+    * either side crosses hσ — the level-shift detector where ts9's
+    * z-score only sees single-hour spikes. Sequential by definition,
+    * so it follows ts5/ts8's shape exactly: the recurrence folds
+    * in-row over each series' span-bounded hourly list; μ and σ are
+    * exact decimal moments of the same series rounded to 6dp BEFORE
+    * the fold, so both engines fold the identical double sequence and
+    * the whole output (sums, alarms) is hash-checkable against a
+    * recursive-CTE oracle. */
+  def ts10Cusum(s: SparkSession, dir: String): DataFrame = {
+    val stats = hourly(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("sn"),
+        sum(col("v").cast("decimal(18,6)")).as("sv"),
+        sum(col("v").cast("decimal(18,6)") * col("v").cast("decimal(18,6)"))
+          .as("sv2"))
+      .select(col("event_type"),
+        // INT64-quantize (floor(x·1e6 + 0.5) / 1e6), never
+        // round(double, 6) or a decimal cast: Spark's double→decimal
+        // path goes through the shortest STRING representation while
+        // DuckDB scales the BINARY value, so the two can disagree by
+        // 1e-6 at half boundaries — and mu/σ enter EVERY fold step,
+        // so one such disagreement compounds across the series
+        // (measured: 1 row in 3385 off by 1e-6 under both round()
+        // and decimal-cast quantization; the g4 adamic_adar lesson,
+        // SURVEY §4). floor/×/÷ on bit-identical doubles are IEEE-
+        // identical in both engines.
+        q6(col("sv").cast("double") / col("sn")).as("mu"),
+        q6(sqrt((col("sv2").cast("double") * col("sn") -
+          col("sv").cast("double") * col("sv").cast("double")) /
+          (col("sn").cast("double") * col("sn").cast("double") -
+            col("sn").cast("double")))).as("sigma"))
+    hourly(s, dir)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("hr"), col("v")))).as("srt"))
+      .join(stats, Seq("event_type"))
+      .select(col("event_type"), col("mu"), col("sigma"), explode(expr(
+        s"""aggregate(srt,
+           |  cast(array() as array<struct<hr: timestamp, v: double,
+           |    sp: double, sn: double>>),
+           |  (acc, x) -> acc || array(named_struct('hr', x.hr, 'v', x.v,
+           |    'sp', greatest(cast(0.0 as double),
+           |      CASE WHEN size(acc) = 0 THEN x.v - mu - $CusumK * sigma
+           |           ELSE element_at(acc, -1).sp + x.v - mu - $CusumK * sigma END),
+           |    'sn', greatest(cast(0.0 as double),
+           |      CASE WHEN size(acc) = 0 THEN mu - x.v - $CusumK * sigma
+           |           ELSE element_at(acc, -1).sn + mu - x.v - $CusumK * sigma END))))"""
+          .stripMargin)).as("o"))
+      .select(col("event_type"),
+        date_format(col("o.hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("o.v").as("v"),
+        // int64-quantize, same cross-engine argument as mu/σ above,
+        // here on the OUTPUT boundary
+        q6(col("o.sp")).as("cusum_pos"),
+        q6(col("o.sn")).as("cusum_neg"),
+        when(col("o.sp") > lit(CusumH) * col("sigma") ||
+          col("o.sn") > lit(CusumH) * col("sigma"), 1).otherwise(0).as("alarm"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** ts11: LINEAR interpolation across gaps — ts2's LOCF holds the
+    * last level flat, which biases any downstream rate/derivative
+    * when the underlying signal moves during the hole; the standard
+    * alternative reconstructs the straight line between the two
+    * nearest OBSERVED neighbors. Same bounded-spine scale shape as
+    * ts2; the prev/next anchors come from four IGNORE-NULLS window
+    * picks (value + hour index each way), all PARTITIONED by type.
+    * Edge holes (before the first / after the last observation) have
+    * one anchor only and stay null, labeled by the method column.
+    * Arithmetic is exact picks + one fraction on identical doubles →
+    * hash-stable. */
+  def ts11LinearInterp(s: SparkSession, dir: String): DataFrame = {
+    val joined = spine(s, dir)
+      .join(hourly(s, dir), Seq("event_type", "hr"), "left")
+      .withColumn("i", (col("hr").cast("long") / 3600L).cast("long"))
+      .withColumn("oi", when(col("v").isNotNull, col("i")))
+    val back = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val interp = col("pv") +
+      (col("nv") - col("pv")) * (col("i") - col("pi")) / (col("ni") - col("pi"))
+    joined
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pi", last(col("oi"), ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("ni", first(col("oi"), ignoreNulls = true).over(fwd))
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNotNull && col("nv").isNotNull, round(interp, 6))
+          .as("value"),
+        when(col("v").isNotNull, "obs")
+          .when(col("pv").isNotNull && col("nv").isNotNull, "interp")
+          .otherwise("edge").as("method"))
+      .orderBy("event_type", "hr")
+  }
+
   val oracles: Map[String, String] = Map(
+    "ts9_rolling_zscore" ->
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*), 6) AS v
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, hr, v,
+         |    count(*) OVER w AS roll_n,
+         |    SUM(CAST(v AS DECIMAL(18,6))) OVER w AS roll_sum,
+         |    SUM(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)))
+         |      OVER w AS roll_sum2
+         |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr
+         |    ROWS BETWEEN $ZscoreWindow PRECEDING AND 1 PRECEDING)),
+         |z AS (SELECT event_type, hr, v, roll_n,
+         |    CASE WHEN roll_n >= $ZscoreMinObs AND
+         |      (CAST(roll_sum2 AS DOUBLE) * roll_n
+         |        - CAST(roll_sum AS DOUBLE) * CAST(roll_sum AS DOUBLE))
+         |        / (CAST(roll_n AS DOUBLE) * roll_n * (roll_n - 1.0)) > 0
+         |    THEN round((v - CAST(roll_sum AS DOUBLE) / roll_n) /
+         |      sqrt((CAST(roll_sum2 AS DOUBLE) * roll_n
+         |        - CAST(roll_sum AS DOUBLE) * CAST(roll_sum AS DOUBLE))
+         |        / (CAST(roll_n AS DOUBLE) * roll_n * (roll_n - 1.0))), 4)
+         |    END AS z
+         |  FROM m)
+         |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, v,
+         |  roll_n, z,
+         |  CASE WHEN abs(z) >= $ZscoreTau THEN 1 ELSE 0 END AS is_anomaly
+         |FROM z ORDER BY 1, 2""".stripMargin,
+    "ts10_cusum" ->
+      s"""WITH RECURSIVE h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*), 6) AS v
+         |  FROM events GROUP BY 1, 2),
+         |st AS (SELECT event_type,
+         |    CAST(floor(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*) * 1e6 + 0.5) AS BIGINT) / 1e6 AS mu,
+         |    CAST(floor(sqrt((CAST(SUM(CAST(v AS DECIMAL(18,6))
+         |        * CAST(v AS DECIMAL(18,6))) AS DOUBLE) * count(*)
+         |      - CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+         |        * CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE))
+         |      / (CAST(count(*) AS DOUBLE) * count(*) - count(*)))
+         |      * 1e6 + 0.5) AS BIGINT) / 1e6 AS sigma
+         |  FROM h GROUP BY 1),
+         |idx AS (SELECT h.event_type, h.hr, h.v, st.mu, st.sigma,
+         |    row_number() OVER (PARTITION BY h.event_type ORDER BY h.hr) AS i
+         |  FROM h JOIN st USING (event_type)),
+         |r AS (
+         |  SELECT event_type, hr, v, mu, sigma, i,
+         |    greatest(CAST(0.0 AS DOUBLE), v - mu - $CusumK * sigma) AS sp,
+         |    greatest(CAST(0.0 AS DOUBLE), mu - v - $CusumK * sigma) AS sn
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT n.event_type, n.hr, n.v, n.mu, n.sigma, n.i,
+         |    greatest(CAST(0.0 AS DOUBLE), r.sp + n.v - n.mu - $CusumK * n.sigma),
+         |    greatest(CAST(0.0 AS DOUBLE), r.sn + n.mu - n.v - $CusumK * n.sigma)
+         |  FROM r JOIN idx n ON n.event_type = r.event_type AND n.i = r.i + 1)
+         |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, v,
+         |  CAST(floor(sp * 1e6 + 0.5) AS BIGINT) / 1e6 AS cusum_pos,
+         |  CAST(floor(sn * 1e6 + 0.5) AS BIGINT) / 1e6 AS cusum_neg,
+         |  CASE WHEN sp > $CusumH * sigma OR sn > $CusumH * sigma
+         |    THEN 1 ELSE 0 END AS alarm
+         |FROM r ORDER BY 1, 2""".stripMargin,
+    "ts11_linear_interp" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    count(*) AS n,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |    date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT t.event_type, g.hr
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+        |    INTERVAL 1 HOUR)) AS hr FROM span) g),
+        |j AS (SELECT s.event_type, s.hr, COALESCE(h.n, 0) AS n, h.v,
+        |    CAST(epoch(s.hr) AS BIGINT) / 3600 AS i,
+        |    CASE WHEN h.v IS NOT NULL
+        |      THEN CAST(epoch(s.hr) AS BIGINT) / 3600 END AS oi
+        |  FROM spine s LEFT JOIN h USING (event_type, hr)),
+        |a AS (SELECT *,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(oi IGNORE NULLS) OVER wb AS pi,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(oi IGNORE NULLS) OVER wf AS ni
+        |  FROM j WINDOW
+        |    wb AS (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    wf AS (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, n,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |         THEN round(pv + (nv - pv) * (i - pi) / (ni - pi), 6)
+        |  END AS value,
+        |  CASE WHEN v IS NOT NULL THEN 'obs'
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+        |       ELSE 'edge' END AS method
+        |FROM a ORDER BY 1, 2""".stripMargin,
     "ts8_holt" ->
       s"""WITH RECURSIVE h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
          |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
@@ -400,5 +651,8 @@ object TimeSeries {
     "ts5_ewma" -> (ts5Ewma _),
     "ts6_autocorr" -> (ts6Autocorr _),
     "ts7_seasonality" -> (ts7Seasonality _),
-    "ts8_holt" -> (ts8Holt _))
+    "ts8_holt" -> (ts8Holt _),
+    "ts9_rolling_zscore" -> (ts9RollingZscore _),
+    "ts10_cusum" -> (ts10Cusum _),
+    "ts11_linear_interp" -> (ts11LinearInterp _))
 }

@@ -40,6 +40,40 @@ class EntityResolutionSpec extends GraftSpec {
     assert(got.nonEmpty, "fixture should contain fuzzy matches")
   }
 
+  test("er3 blocking metrics match a driver-side all-pairs ground truth") {
+    val names = Tables.part(spark, sf).groupBy("p_name").count().collect()
+      .map(_.getString(0)).toSeq.sorted
+    var nTrue = 0L
+    var nCand = 0L
+    var nTrueInBlock = 0L
+    for {
+      a <- names; b <- names
+      if a < b && math.abs(a.length - b.length) <= EntityResolution.MaxEditDistance
+    } {
+      val inBlock = a.split(" ").last == b.split(" ").last
+      val isTrue = editDistance(a, b) <= EntityResolution.MaxEditDistance
+      if (inBlock) nCand += 1
+      if (isTrue) { nTrue += 1; if (inBlock) nTrueInBlock += 1 }
+    }
+    val r = EntityResolution.er3BlockingEval(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_names") == names.length)
+    assert(row.getAs[Long]("n_true") == nTrue)
+    assert(row.getAs[Long]("n_candidates") == nCand)
+    assert(row.getAs[Long]("n_true_in_block") == nTrueInBlock)
+    assert(nTrue > 0, "fixture should contain true matches")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("pair_completeness") ==
+      r6(nTrueInBlock.toDouble / nTrue))
+    val total = names.length.toDouble * (names.length - 1) / 2
+    assert(row.getAs[Double]("reduction_ratio") == r6(1.0 - nCand / total))
+    // head-token blocking on this catalog must be both sound and useful
+    assert(row.getAs[Double]("pair_completeness") >= 0.9)
+    assert(row.getAs[Double]("reduction_ratio") >= 0.5)
+  }
+
   test("er2 clusters match a driver-side union-find over the er1 pairs") {
     val catalog = Tables.part(spark, sf)
       .groupBy("p_name").agg(

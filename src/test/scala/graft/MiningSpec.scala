@@ -183,4 +183,42 @@ class MiningSpec extends GraftSpec {
         (x._2 < y._2 || (x._2 == y._2 && x._3 < y._3)))
     })
   }
+
+  test("f4 target encodings match a driver-side recompute and shrink correctly") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => r.getString(0) ->
+        BigDecimal(r.getAs[Double]("value"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    val gmean = (raw.map(_._2).sum / raw.length).toDouble
+    val byType = raw.groupBy(_._1)
+    val rows = Mining.f4TargetEncode(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet == byType.keySet)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val vs = byType(t).map(_._2)
+      val n = vs.length
+      val sv = vs.sum
+      assert(r.getAs[Long]("n") == n)
+      val rawMean = r6((sv / n).toDouble)
+      assert(r.getAs[Double]("raw_mean") == rawMean, s"$t raw_mean")
+      val enc = r6((sv.toDouble + Mining.TargetEncodeM * gmean) /
+        (n + Mining.TargetEncodeM))
+      assert(math.abs(r.getAs[Double]("encoded") - enc) < 1e-9, s"$t encoded")
+      // shrinkage: encoded lies strictly between the raw mean and the
+      // global mean (or equals both when they coincide)
+      val lo = math.min(r.getAs[Double]("raw_mean"), r6(gmean))
+      val hi = math.max(r.getAs[Double]("raw_mean"), r6(gmean))
+      assert(r.getAs[Double]("encoded") >= lo - 1e-9 &&
+        r.getAs[Double]("encoded") <= hi + 1e-9, s"$t shrink range")
+      // LOO extremes: dropping the max pulls the mean down the most
+      val looMin = r6(((sv - vs.max) / (n - 1)).toDouble)
+      val looMax = r6(((sv - vs.min) / (n - 1)).toDouble)
+      assert(r.getAs[Double]("loo_min") == looMin, s"$t loo_min")
+      assert(r.getAs[Double]("loo_max") == looMax, s"$t loo_max")
+      assert(looMin <= r.getAs[Double]("raw_mean") + 1e-9 &&
+        r.getAs[Double]("raw_mean") <= looMax + 1e-9)
+    }
+  }
 }

@@ -212,4 +212,95 @@ class TimeSeriesSpec extends GraftSpec {
       assert(strength >= -1e-6 && strength <= 1.0 + 1e-9)
     }
   }
+
+  test("ts9 rolling z-scores match a driver-side trailing-window recompute") {
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TimeSeries.ts9RollingZscore(spark, sf).collect()
+    assert(got.nonEmpty)
+    var scored = 0
+    got.groupBy(_.getAs[String]("event_type")).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getAs[String]("hr"))
+      val vs = ordered.map(r => BigDecimal(r.getAs[Double]("v")))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val w = vs.slice(math.max(0, i - TimeSeries.ZscoreWindow), i)
+        assert(r.getAs[Long]("roll_n") == w.length)
+        if (w.length >= TimeSeries.ZscoreMinObs) {
+          val n = w.length.toDouble
+          val sm = w.sum.toDouble
+          val s2 = w.map(x => x * x).sum.toDouble
+          val variance = (s2 * n - sm * sm) / (n * n * (n - 1.0))
+          if (variance > 0) {
+            val z = r4((r.getAs[Double]("v") - sm / n) / math.sqrt(variance))
+            assert(r.getAs[Double]("z") == z,
+              s"${r.getAs[String]("event_type")} @ ${r.getAs[String]("hr")}")
+            assert((r.getAs[Int]("is_anomaly") == 1) ==
+              (math.abs(z) >= TimeSeries.ZscoreTau))
+            scored += 1
+          }
+        } else assert(r.isNullAt(r.fieldIndex("z")), "thin baseline must not score")
+      }
+    }
+    assert(scored > 10, s"expected a scored tail of hours, got $scored")
+  }
+
+  test("ts10 CUSUM sums equal a driver-side sequential fold; alarms consistent") {
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = TimeSeries.ts10Cusum(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getAs[String]("event_type")).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getAs[String]("hr"))
+      val vs = ordered.map(r => BigDecimal(r.getAs[Double]("v")))
+      val n = vs.length.toDouble
+      val sm = vs.sum.toDouble
+      val s2 = vs.map(x => x * x).sum.toDouble
+      val mu = q6(sm / n)
+      val sigma = q6(math.sqrt((s2 * n - sm * sm) / (n * n - n)))
+      var sp = 0.0
+      var sn = 0.0
+      ordered.foreach { r =>
+        val v = r.getAs[Double]("v")
+        sp = math.max(0.0, sp + v - mu - TimeSeries.CusumK * sigma)
+        sn = math.max(0.0, sn + mu - v - TimeSeries.CusumK * sigma)
+        assert(r.getAs[Double]("cusum_pos") == q6(sp),
+          s"sp @ ${r.getAs[String]("hr")}")
+        assert(r.getAs[Double]("cusum_neg") == q6(sn),
+          s"sn @ ${r.getAs[String]("hr")}")
+        assert((r.getAs[Int]("alarm") == 1) ==
+          (sp > TimeSeries.CusumH * sigma || sn > TimeSeries.CusumH * sigma))
+      }
+    }
+  }
+
+  test("ts11 interpolated holes lie on the line between their observed anchors") {
+    val got = TimeSeries.ts11LinearInterp(spark, sf).collect()
+    assert(got.nonEmpty)
+    var interped = 0
+    got.groupBy(_.getAs[String]("event_type")).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getAs[String]("hr")).zipWithIndex
+      val obs = ordered.filter(_._1.getAs[String]("method") == "obs")
+      ordered.foreach { case (r, i) =>
+        r.getAs[String]("method") match {
+          case "obs" =>
+            assert(r.getAs[Long]("n") > 0)
+          case "interp" =>
+            val prev = obs.filter(_._2 < i).lastOption
+            val next = obs.find(_._2 > i)
+            assert(prev.isDefined && next.isDefined, "interp needs both anchors")
+            val (pv, pi) = (prev.get._1.getAs[Double]("value"), prev.get._2)
+            val (nv, ni) = (next.get._1.getAs[Double]("value"), next.get._2)
+            val expect = BigDecimal(pv + (nv - pv) * (i - pi) / (ni - pi))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            assert(math.abs(r.getAs[Double]("value") - expect) < 1e-9,
+              s"@ ${r.getAs[String]("hr")}")
+            interped += 1
+          case "edge" =>
+            // no anchor on at least one side
+            assert(obs.isEmpty || i < obs.head._2 || i > obs.last._2)
+            assert(r.isNullAt(r.fieldIndex("value")))
+        }
+      }
+    }
+    assert(interped > 0, "corpus should contain at least one interpolated hole")
+  }
 }
