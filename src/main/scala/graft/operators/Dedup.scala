@@ -171,7 +171,10 @@ object Dedup {
     val base = sys.props.getOrElse("graft.shingleindex.base",
       s"${graft.GraftSession.defaultStateDir}/shingle_index")
     graft.sources.DurableIndex.root(base, dir,
-      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet"))
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
+        // build-recipe salt: a cap/kernel change must NOT silently
+        // serve an index built under the old parameters
+        s"shingle-v1;dfcap=$ShingleDfCap;kernel=word3gram-xxh64"))
   }
 
   private[graft] def ensureShingleIndex(s: SparkSession, dir: String): String =
@@ -475,7 +478,8 @@ object Dedup {
     val base = sys.props.getOrElse("graft.clusterindex.base",
       s"${graft.GraftSession.defaultStateDir}/cluster_index")
     graft.sources.DurableIndex.root(base, dir,
-      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet"))
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
+        s"cluster-v1;dfcap=$ShingleDfCap;tau=0.5"))
   }
 
   private[graft] def ensureClusterIndex(s: SparkSession, dir: String): String =

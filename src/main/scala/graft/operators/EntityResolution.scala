@@ -98,7 +98,14 @@ object EntityResolution {
     * BEYOND the blocks, so it joins the catalog on a LENGTH-BAND key —
     * complete for edit distance ≤ [[MaxEditDistance]] because
     * |len(a)−len(b)| ≤ lev(a,b), so no true match can escape the band:
-    * the truth set is EXACT, never all-pairs. Affordable for the same
+    * the truth set is EXACT, never all-pairs. Metric definition note:
+    * `n_candidates` counts same-block pairs INSIDE that length band,
+    * so `reduction_ratio` measures the block + length-prune
+    * combination — the comparisons er1's matcher actually runs (its
+    * kernel-invocation count) — which reads HIGHER than Christen's
+    * textbook RR over all same-block pairs. Deliberate: the band is
+    * part of this engine's candidate generation, so the metric scores
+    * the deployed pipeline, not the blocking key in isolation. Affordable for the same
     * reason er1 is: the distinct-name catalog is vocabulary-bounded
     * (at 100 TB a catalog too large for length-band truth gets the
     * dc1 treatment — evaluate on a deterministic key sample — but

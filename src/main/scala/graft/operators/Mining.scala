@@ -248,9 +248,14 @@ object Mining {
         round(col("sv").cast("double") / col("n"), 6).as("raw_mean"),
         round((col("sv").cast("double") + lit(TargetEncodeM) * col("gmean")) /
           (col("n") + lit(TargetEncodeM)), 6).as("encoded"),
-        round((col("sv") - col("vmax")).cast("double") / (col("n") - 1), 6)
+        // n == 1 ⇒ LOO is undefined; guard EXPLICITLY because the two
+        // engines disagree on 0/0 here (Spark's Divide → NULL, DuckDB's
+        // IEEE default → NaN) — both sides emit NULL for singletons.
+        when(col("n") > 1,
+          round((col("sv") - col("vmax")).cast("double") / (col("n") - 1), 6))
           .as("loo_min"),
-        round((col("sv") - col("vmin")).cast("double") / (col("n") - 1), 6)
+        when(col("n") > 1,
+          round((col("sv") - col("vmin")).cast("double") / (col("n") - 1), 6))
           .as("loo_max"))
       .orderBy("event_type")
   }
@@ -443,8 +448,12 @@ object Mining {
          |  round(CAST(SUM(v) AS DOUBLE) / count(*), 6) AS raw_mean,
          |  round((CAST(SUM(v) AS DOUBLE) + $TargetEncodeM * g.gmean)
          |    / (count(*) + $TargetEncodeM), 6) AS encoded,
-         |  round(CAST(SUM(v) - MAX(v) AS DOUBLE) / (count(*) - 1), 6) AS loo_min,
-         |  round(CAST(SUM(v) - MIN(v) AS DOUBLE) / (count(*) - 1), 6) AS loo_max
+         |  CASE WHEN count(*) > 1 THEN
+         |    round(CAST(SUM(v) - MAX(v) AS DOUBLE) / (count(*) - 1), 6)
+         |  END AS loo_min,
+         |  CASE WHEN count(*) > 1 THEN
+         |    round(CAST(SUM(v) - MIN(v) AS DOUBLE) / (count(*) - 1), 6)
+         |  END AS loo_max
          |FROM ev CROSS JOIN g
          |GROUP BY event_type, g.gmean ORDER BY event_type""".stripMargin,
     "f3_winsorize" ->

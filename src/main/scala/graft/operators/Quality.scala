@@ -256,7 +256,8 @@ object Quality {
     val base = sys.props.getOrElse("graft.qcmodel.base",
       s"${graft.GraftSession.defaultStateDir}/qc_model")
     graft.sources.DurableIndex.root(base, dir,
-      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet"))
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
+        s"qcmodel-v1;dim=$QcDim;iters=$QcIters;lr=$QcLr;n=$QcTrainSampleTarget"))
   }
 
   /** Ensure the trained model is published; return (weights, bias)
@@ -405,7 +406,20 @@ object Quality {
       .orderBy("bucket")
   }
 
-  val BootReplicates = 200
+  /** Bootstrap replicate budget B — the imp2 cost/accuracy knob
+    * (`-Dgraft.imp2.replicates=…` to override). Cost is linear in B
+    * (every row folds a B-wide weight vector, the aggregate carries
+    * B partials); the CI's WIDTH is a property of the data (≈
+    * 3.92·σ/√n, independent of B) while the Monte-Carlo error of the
+    * CI *endpoints* shrinks as 1/√B — the quantile-estimator CLT. So
+    * doubling B halves nothing visible until endpoint noise dominates:
+    * B=100 puts endpoint noise well under the 6dp output rounding for
+    * this corpus and halves the suite's largest absolute bench row
+    * (37 s at sf1 under B=200); audits that need tighter tails raise
+    * the knob per-run instead of everyone paying for them. The spec
+    * pins the 1/√B endpoint-noise scaling empirically. */
+  val BootReplicates: Int =
+    sys.props.get("graft.imp2.replicates").map(_.toInt).getOrElse(100)
   /** Poisson(1) CDF ladder: cumulative probabilities for k = 0..5
     * (k = 6 is the tail). Inverse-CDF on a deterministic hash-uniform
     * gives each (row, replicate) its resample weight. */
@@ -427,25 +441,30 @@ object Quality {
     * of the B replicate means — a B-row driver-free reduction.
     * rows-only (xxhash64 is engine-specific); the spec pins
     * determinism, point-mean coverage, and a sane width. */
-  def imp2BootstrapCi(s: SparkSession, dir: String): DataFrame = {
+  def imp2BootstrapCi(s: SparkSession, dir: String): DataFrame =
+    imp2BootstrapCiB(s, dir, BootReplicates)
+
+  /** The B replicate weighted means (one row each) — the bootstrap's
+    * sampling distribution of the corpus mean. The B× fanout never
+    * materializes as ROWS: each row builds its B-element weight vector
+    * in-row (two nested transforms — hash uniforms, then the
+    * inverse-CDF ladder) and the elementwise VectorSumAgg kernel folds
+    * Σw·v and Σw per replicate map-side. The exploded form measured
+    * 8.7× at the sf1 checkpoint purely from B×|rows| row
+    * materialization; this form is one scan with two fixed-width
+    * array aggregates. */
+  private[graft] def bootstrapMeans(s: SparkSession, dir: String,
+      replicates: Int): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
-    // the B× fanout never materializes as ROWS: each row builds its
-    // B-element weight vector in-row (two nested transforms — hash
-    // uniforms, then the inverse-CDF ladder) and the elementwise
-    // VectorSumAgg kernel folds Σw·v and Σw per replicate map-side.
-    // The exploded form measured 8.7× at the sf1 checkpoint purely
-    // from 200×|rows| row materialization; this form is one scan with
-    // two fixed-width array aggregates.
     val ladder = PoissonCdf.zipWithIndex
       .map { case (p, k) => s"WHEN u < $p THEN ${k}D" }
       .mkString("CASE ", " ", s" ELSE ${PoissonCdf.size}D END")
     val wArr = expr(
       s"""transform(
-         |  transform(sequence(0, ${BootReplicates - 1}),
+         |  transform(sequence(0, ${replicates - 1}),
          |    b -> pmod(xxhash64(event_id, b), 1000000L) / 1000000.0D),
          |  u -> $ladder)""".stripMargin)
-    val means = ev
-      .select(wArr.as("w"), col("value"))
+    ev.select(wArr.as("w"), col("value"))
       .select(col("w"),
         expr("transform(w, x -> x * value)").as("wv"))
       .agg(org.apache.spark.sql.graft.VectorSumAggExpr.vectorSum(col("wv"))
@@ -453,6 +472,14 @@ object Quality {
         org.apache.spark.sql.graft.VectorSumAggExpr.vectorSum(col("w"))
           .as("wn"))
       .select(explode(expr("zip_with(wsum, wn, (a, b) -> a / b)")).as("mb"))
+  }
+
+  /** imp2 with an explicit replicate budget — the spec drives this at
+    * several B values to pin the 1/√B endpoint-noise curve. */
+  private[graft] def imp2BootstrapCiB(s: SparkSession, dir: String,
+      replicates: Int): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+    val means = bootstrapMeans(s, dir, replicates)
     val point = ev.agg(count(lit(1)).as("n_rows"),
       round(sum(col("value").cast("decimal(18,6)")).cast("double") /
         count(lit(1)), 6).as("point_mean"))

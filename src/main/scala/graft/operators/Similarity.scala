@@ -272,7 +272,8 @@ object Similarity {
     val base = sys.props.getOrElse("graft.ann.base",
       s"${graft.GraftSession.defaultStateDir}/ann_index")
     graft.sources.DurableIndex.root(base, dir,
-      graft.sources.DurableIndex.fingerprint(s"$dir/embeddings.parquet"))
+      graft.sources.DurableIndex.fingerprint(s"$dir/embeddings.parquet",
+        s"ann-v1;ivf=$IvfCells;lsh=${LshTables}x$LshBits;pq=m$PqM"))
   }
 
   private[graft] def ensureAnnIndex(s: SparkSession, dir: String): String = {

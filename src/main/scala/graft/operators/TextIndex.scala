@@ -23,7 +23,8 @@ object TextIndex {
     val base = sys.props.getOrElse("graft.textindex.base",
       s"${graft.GraftSession.defaultStateDir}/text_index")
     graft.sources.DurableIndex.root(base, dir,
-      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet"))
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
+        "textindex-v1;grain=word1-distinct"))
   }
 
   /** Posting-list frame from the raw corpus: one row per (term) with

@@ -296,8 +296,13 @@ object TimeSeries {
     val variance = (s2 * n - sm * sm) / (n * n * (n - lit(1.0)))
     withMoments
       .withColumn("z",
+        // int64-quantize at the output boundary (q4 = floor(x·1e4+0.5)
+        // /1e4), never round(double, 4): the ts10 mu/σ lesson — Spark
+        // rounds via the shortest decimal STRING while DuckDB rounds
+        // the binary value, so they can disagree by 1e-4 exactly at
+        // half boundaries. floor/×/÷ are IEEE-identical in both.
         when(col("roll_n") >= ZscoreMinObs && variance > 0,
-          round((col("v") - mean) / sqrt(variance), 4)))
+          q4((col("v") - mean) / sqrt(variance))))
       .select(col("event_type"),
         date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
         col("v"), col("roll_n"), col("z"),
@@ -314,6 +319,10 @@ object TimeSeries {
     * double (SURVEY §4, the g4 int64-quantization rule). */
   private def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+
+  /** 4dp variant of [[q6]] for ts9's z-score output boundary. */
+  private def q4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1e4) + lit(0.5)).cast("double") / lit(1e4)
 
   /** ts10: CUSUM changepoint detection per series — the two one-sided
     * cumulative sums S⁺ₜ = max(0, S⁺ₜ₋₁ + (vₜ−μ−kσ)) and
@@ -409,7 +418,9 @@ object TimeSeries {
         date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
         coalesce(col("n"), lit(0L)).as("n"),
         when(col("v").isNotNull, col("v"))
-          .when(col("pv").isNotNull && col("nv").isNotNull, round(interp, 6))
+          // q6 int64 quantization, not round(double, 6) — the same
+          // cross-engine half-boundary argument as ts9/ts10
+          .when(col("pv").isNotNull && col("nv").isNotNull, q6(interp))
           .as("value"),
         when(col("v").isNotNull, "obs")
           .when(col("pv").isNotNull && col("nv").isNotNull, "interp")
@@ -435,10 +446,11 @@ object TimeSeries {
          |      (CAST(roll_sum2 AS DOUBLE) * roll_n
          |        - CAST(roll_sum AS DOUBLE) * CAST(roll_sum AS DOUBLE))
          |        / (CAST(roll_n AS DOUBLE) * roll_n * (roll_n - 1.0)) > 0
-         |    THEN round((v - CAST(roll_sum AS DOUBLE) / roll_n) /
+         |    THEN CAST(floor((v - CAST(roll_sum AS DOUBLE) / roll_n) /
          |      sqrt((CAST(roll_sum2 AS DOUBLE) * roll_n
          |        - CAST(roll_sum AS DOUBLE) * CAST(roll_sum AS DOUBLE))
-         |        / (CAST(roll_n AS DOUBLE) * roll_n * (roll_n - 1.0))), 4)
+         |        / (CAST(roll_n AS DOUBLE) * roll_n * (roll_n - 1.0)))
+         |      * 1e4 + 0.5) AS BIGINT) / 1e4
          |    END AS z
          |  FROM m)
          |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, v,
@@ -509,7 +521,8 @@ object TimeSeries {
         |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, n,
         |  CASE WHEN v IS NOT NULL THEN v
         |       WHEN pv IS NOT NULL AND nv IS NOT NULL
-        |         THEN round(pv + (nv - pv) * (i - pi) / (ni - pi), 6)
+        |         THEN CAST(floor((pv + (nv - pv) * (i - pi) / (ni - pi))
+        |           * 1e6 + 0.5) AS BIGINT) / 1e6
         |  END AS value,
         |  CASE WHEN v IS NOT NULL THEN 'obs'
         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'

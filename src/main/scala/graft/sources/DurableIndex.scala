@@ -29,8 +29,16 @@ object DurableIndex {
     * mtimes — no data scan; the object-store analog hashes the
     * listing's ETags). A regenerated corpus changes the fingerprint,
     * forcing a rebuild at a NEW root while readers mid-flight on the
-    * old corpus keep a consistent old index. */
-  def fingerprint(parquetPath: String): String = {
+    * old corpus keep a consistent old index.
+    *
+    * `params` salts the digest with the BUILD parameters (cap
+    * constants, kernel/schema version): an index is a function of
+    * (corpus, build recipe), and fingerprinting only the corpus would
+    * silently serve an index built under old parameters after a code
+    * change — every caller passes a params string naming its recipe,
+    * and bumping it forces a rebuild at a new root (the old one is
+    * vacuumed after the grace window like any orphan). */
+  def fingerprint(parquetPath: String, params: String = ""): String = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(parquetPath)
     val entries: Seq[String] =
@@ -46,7 +54,7 @@ object DurableIndex {
         Seq(s"${Files.size(root)}:${Files.getLastModifiedTime(root).toMillis}")
       else Seq("absent")
     java.security.MessageDigest.getInstance("MD5")
-      .digest(entries.mkString("\n").getBytes("UTF-8"))
+      .digest((entries :+ s"params:$params").mkString("\n").getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
   }
 

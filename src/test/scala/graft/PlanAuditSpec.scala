@@ -179,18 +179,25 @@ class PlanAuditSpec extends GraftSpec {
       s"corpus side must not shuffle for the join:\n$plan")
   }
 
-  test("t16: documents is scanned exactly once — tf materialized, consumers read it") {
-    // the tf job itself: ONE documents scan (each physical scan node
-    // prints its Location once in the formatted plan)
-    val tfPlan = planOf(graft.operators.TextAnalysis.t16TermFreq(spark, sf))
-    assert("documents\\.parquet".r.findAllIn(tfPlan).size == 1,
-      s"tf job should scan documents once:\n$tfPlan")
-    // the full query: ZERO further documents scans — tf's three
-    // differently-pruned consumers (join side, df, N) all read the
-    // materialized frame instead of re-running scan+explode
-    val plan = planOf(graft.operators.TextAnalysis.t16TfIdf(spark, sf))
-    assert(!plan.contains("documents.parquet"),
-      s"a consumer re-scans documents instead of reusing tf:\n$plan")
+  test("t16/t17/t22: consumers read the published term index — no corpus scan, no kernel") {
+    // the build lineage: ONE documents scan through the kernel
+    val buildPlan = planOf(graft.operators.TextAnalysis.termFreqBuild(spark, sf))
+    assert("documents\\.parquet".r.findAllIn(buildPlan).size == 1,
+      s"term-index build should scan documents once:\n$buildPlan")
+    assert(buildPlan.contains("graft_term_freqs"),
+      s"build must use the native kernel:\n$buildPlan")
+    // every consumer: ZERO documents scans, ZERO kernel invocations —
+    // all lexical statistics read the committed termfreq parquet
+    for ((name, df) <- Seq(
+        "t16" -> graft.operators.TextAnalysis.t16TfIdf(spark, sf),
+        "t17" -> graft.operators.TextAnalysis.t17Surprisal(spark, sf),
+        "t22" -> graft.operators.TextAnalysis.t22ZipfProfile(spark, sf))) {
+      val plan = planOf(df)
+      assert(!plan.contains("documents.parquet"),
+        s"$name re-scans documents instead of reading the term index:\n$plan")
+      assert(!plan.contains("graft_term_freqs"),
+        s"$name re-runs the term-freq kernel:\n$plan")
+    }
   }
 
   test("s5: the hash-threshold pre-filter sits below the per-group window sort") {
@@ -494,8 +501,8 @@ class PlanAuditSpec extends GraftSpec {
       s"self-join sides must reuse one sh-exchange:\n$finalPlan")
   }
 
-  test("t16/t17: the shared term-freq frame is kernel-computed — no token-stream shuffle") {
-    val plan = planOf(TextAnalysis.t16TermFreq(spark, sf))
+  test("t16/t17: the term-freq build lineage is kernel-computed — no token-stream shuffle") {
+    val plan = planOf(TextAnalysis.termFreqBuild(spark, sf))
     assert(plan.contains("graft_term_freqs"),
       s"native term-freq kernel missing:\n$plan")
     assert(!plan.contains("HashAggregate") && !plan.contains("Exchange"),

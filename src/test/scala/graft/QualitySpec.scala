@@ -192,7 +192,7 @@ class QualitySpec extends GraftSpec {
       s"point mean $mean outside CI [$lo, $hi]")
     assert(r1.getAs[Long]("n_replicates") == Quality.BootReplicates.toLong)
     // width within a loose factor of the CLT prediction 3.92·σ/√n
-    // (200 replicates carry real quantile-estimation noise)
+    // (a finite replicate budget carries real quantile-estimation noise)
     val stats = Tables.events(spark, sf)
       .agg(stddev_pop(col("value")).as("sd"), count(lit(1)).as("n"))
       .collect().head
@@ -201,5 +201,32 @@ class QualitySpec extends GraftSpec {
     val width = r1.getAs[Double]("ci_width")
     assert(width > 0.5 * predicted && width < 2.0 * predicted,
       s"CI width $width vs CLT prediction $predicted")
+  }
+
+  test("imp2 replicate budget B: width is data-determined, endpoint noise ~ 1/sqrt(B)") {
+    // The knob's documented curve: the CI width estimates 3.92·σ/√n
+    // regardless of B; B only controls Monte-Carlo noise on the CI
+    // ENDPOINTS (quantile-estimator CLT, se ∝ 1/√B). Empirics:
+    //  (a) B=100 and B=200 produce CIs whose endpoints differ by a
+    //      small fraction of the width (B=100 is already converged
+    //      relative to the interval being estimated);
+    //  (b) the replicate-mean spread matches σ/√n — the quantity whose
+    //      quantiles the CI reads off.
+    val r100 = Quality.imp2BootstrapCiB(spark, sf, 100).collect().head
+    val r200 = Quality.imp2BootstrapCiB(spark, sf, 200).collect().head
+    val width = r200.getAs[Double]("ci_width")
+    assert(math.abs(r100.getAs[Double]("ci_lo") - r200.getAs[Double]("ci_lo"))
+      < 0.35 * width, "ci_lo moved more than endpoint noise allows")
+    assert(math.abs(r100.getAs[Double]("ci_hi") - r200.getAs[Double]("ci_hi"))
+      < 0.35 * width, "ci_hi moved more than endpoint noise allows")
+    val ms = Quality.bootstrapMeans(spark, sf, 200)
+      .agg(stddev_pop(col("mb")).as("sd")).collect().head.getAs[Double]("sd")
+    val stats = Tables.events(spark, sf)
+      .agg(stddev_pop(col("value")).as("sd"), count(lit(1)).as("n"))
+      .collect().head
+    val clt = stats.getAs[Double]("sd") /
+      math.sqrt(stats.getAs[Long]("n").toDouble)
+    assert(ms > 0.6 * clt && ms < 1.7 * clt,
+      s"replicate-mean sd $ms vs CLT sigma/sqrt(n) $clt")
   }
 }
