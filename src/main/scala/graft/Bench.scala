@@ -18,10 +18,14 @@ import org.apache.spark.sql.SparkSession
   *     they are caught (query name + pass + stack head), so a killed
   *     run also keeps the error that made it slow.
   *  3. SPARK_GRAFT_TIME_BUDGET (seconds, default 540) is honored: a
-  *     pass is only started if the budget fits elapsed + 1.15× the
-  *     previous pass's duration, so the run ENDS cleanly — printing
-  *     its one-line JSON to stdout — instead of being killed mid-pass.
-  *     The line reports `passes` completed vs `runs_requested`.
+  *     pass is only started if the budget fits elapsed + 1.08× the
+  *     fastest completed pass (the steady-state estimate — pass 1 is
+  *     inflated by one-time index builds), so the run ENDS cleanly —
+  *     printing its one-line JSON to stdout — instead of being killed
+  *     mid-pass. The line reports `passes` completed vs
+  *     `runs_requested`; `partial` is reserved for truncated evidence
+  *     (a mid-pass kill), because a clean budget stop after N full
+  *     passes is a complete min-of-N measurement.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -102,13 +106,18 @@ object Bench {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     var passesDone = 0
-    var lastPassSec = 0.0
+    var minPassSec = Double.MaxValue
     var stoppedOnBudget = false
     for (pass <- 1 to runsReq if !stoppedOnBudget) {
       // Start a pass only if it plausibly fits: first pass always runs
       // (there is no estimate yet, and zero passes is worse evidence
-      // than one truncated-but-flushed pass).
-      if (pass > 1 && elapsed + 1.15 * lastPassSec > budgetSec) {
+      // than one truncated-but-flushed pass). The estimate is the MIN
+      // completed-pass duration — pass 1 carries the one-time index
+      // builds, so gating pass 3 on pass 2's steady-state time (not an
+      // inflated pass-1 reading) is what lets a 3-pass run fit the
+      // budget; 8% headroom absorbs host noise, and a mis-estimate is
+      // bounded harm because bench_last.json flushes after every query.
+      if (pass > 1 && elapsed + 1.08 * minPassSec > budgetSec) {
         stoppedOnBudget = true
       } else {
         val tPass = System.nanoTime()
@@ -128,11 +137,17 @@ object Bench {
           best.updateWith(name)(v => Some(v.fold(dt)(math.min(_, dt))))
           flush(passesDone, partial = true)
         }
-        lastPassSec = (System.nanoTime() - tPass) / 1e9
+        minPassSec = math.min(minPassSec, (System.nanoTime() - tPass) / 1e9)
         passesDone += 1
         flush(passesDone, partial = false)
       }
     }
+    // `partial` flags TRUNCATED evidence (a kill mid-pass — the
+    // per-query flushes above carry partial=true until a pass
+    // completes). A clean budget stop after N full passes is a
+    // complete min-of-N measurement: every query holds N full
+    // observations, and `passes` vs `runs_requested` records that the
+    // budget, not a failure, bounded N.
     val line = jsonLine(passesDone, partial = false)
     println(line)
     flush(passesDone, partial = false)
@@ -143,7 +158,7 @@ object Bench {
     // {"metric","value","unit","sf"} contract and pointing at the
     // committed bench_last.json for per-query detail.
     val total = queries.flatMap { case (n, _) => best.get(n) }.sum
-    println(compactLine(best, errs0, total, passesDone, runsReq, stoppedOnBudget, sfDir))
+    println(compactLine(best, errs0, total, passesDone, runsReq, sfDir))
     spark.stop()
   }
 
@@ -170,11 +185,11 @@ object Bench {
   private def compactLine(best: collection.Map[String, Double],
                           errs: collection.Map[String, String],
                           total: Double, passes: Int, runsReq: Int,
-                          stoppedOnBudget: Boolean, sfDir: String): String = {
+                          sfDir: String): String = {
     val gmJson = geomeanVsBaseline(best).map { case (g, n) =>
       s""","geomean_vs_baseline":${math.rint(g * 1000) / 1000},"shared_queries":$n"""
     }.getOrElse("")
-    val out = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"n_errors":${errs.size},"passes":$passes,"runs_requested":$runsReq,"partial":$stoppedOnBudget$gmJson,"detail":"bench_last.json"}"""
+    val out = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"n_errors":${errs.size},"passes":$passes,"runs_requested":$runsReq,"partial":false$gmJson,"detail":"bench_last.json"}"""
     // Belt and braces: the whole point is fitting the driver's tail.
     if (out.length < 1900) out
     else s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","sf":"$sfDir","detail":"bench_last.json"}"""

@@ -23,8 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCheck {
 
-  val Replicas = 10
-  val Stride = 100000000L // key offset per replica; far above any sf0.1 key
+  /** Replication factor (SPARK_GRAFT_REPLICAS, default 10 = sf1). The
+    * round-10 stretch checkpoint runs the worst scalers at 30 to show
+    * the 10× trend holding toward 100×. */
+  val Replicas: Int =
+    sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+  /** Key offset per replica; far above any sf0.1 key. Tunable
+    * (SPARK_GRAFT_STRIDE) because the b1/g3/g4 packed-pair int64 keys
+    * need offset·replicas < 2^31: the default 1e8 holds to 21
+    * replicas, the 30-replica stretch run passes 1e7 (still > every
+    * sf0.1 key, which top out near 6e5). */
+  val Stride: Long =
+    sys.env.getOrElse("SPARK_GRAFT_STRIDE", "100000000").toLong
 
   /** table -> key columns that must move to a disjoint range per
     * replica (foreign keys offset in lockstep so joins stay intact) */

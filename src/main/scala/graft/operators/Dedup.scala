@@ -261,13 +261,42 @@ object Dedup {
     * corpus-wide DISTINCT + 32-min aggregate it replaces paid two
     * corpus shuffles. Docs with <3 tokens have no shingles and are
     * dropped, mirroring the aggregate form. */
-  private def minhashWide(s: SparkSession, dir: String): DataFrame =
+  private def minhashBuild(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
         org.apache.spark.sql.graft.MinHash32.minhash32(col("text")).as("mh"))
       .filter(size(col("mh")) === MinhashK)
       .select((col("doc_id") +:
         (0 until MinhashK).map(i => col("mh")(i).as(s"mh$i"))): _*)
+
+  /** Durable signature index: MinHash-32 and SimHash-64 signatures
+    * per document, built ONCE per corpus fingerprint and published
+    * together (one fence, two outputs — they share the rebuild
+    * trigger). Sketch signatures are THE canonical ingest-time
+    * artifact of a dedup pipeline: d3's banding, d4's hamming
+    * chunks, and d12's calibration all consume committed 33-column /
+    * 2-column parquet instead of re-running the signature kernels
+    * over the corpus per query. */
+  private[graft] def sigIndexRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.sigindex.base",
+      s"${graft.GraftSession.defaultStateDir}/sig_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
+        s"sig-v1;minhash=k$MinhashK-xxh64;simhash=64-seed42"))
+  }
+
+  private[graft] def ensureSigIndex(s: SparkSession, dir: String): String =
+    graft.sources.DurableIndex.ensure(s, sigIndexRoot(dir)) {
+      graft.sources.AtomicPublish.publish(s, sigIndexRoot(dir),
+        Seq("minhash" -> minhashBuild(s, dir),
+          "simhash" -> simhashBuild(s, dir)))
+    }
+
+  /** The wide (doc_id, mh0..mh31) signature frame, read from the
+    * published signature index. */
+  private def minhashWide(s: SparkSession, dir: String): DataFrame =
+    graft.sources.AtomicPublish.readOutput(s,
+      ensureSigIndex(s, dir), "minhash")
 
   /** d3: MinHash + LSH banding. Signatures band into MinhashK/BandSize
     * buckets; docs colliding in ≥1 band become candidates; the
@@ -277,9 +306,10 @@ object Dedup {
     * rows-only check (hash-family specific); ScalaTest asserts the
     * candidates cover all true Jaccard≥0.8 pairs from d2. */
   def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint (not cache) — same reuse-without-leak reasoning
-    // as d2: banding + both verification sides read the signatures.
-    val wide = minhashWide(s, dir).localCheckpoint()
+    // index-backed: banding + both verification sides re-read the
+    // published parquet (cheap, column-pruned) — the localCheckpoint
+    // that shared the kernel scan is no longer needed
+    val wide = minhashWide(s, dir)
     val bandKeys = array((0 until MinhashK / BandSize).map(b =>
       xxhash64((lit(b) +: (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))): _*)): _*)
     val bands = wide.select(col("doc_id"), explode(bandKeys).as("band_key"))
@@ -334,10 +364,16 @@ object Dedup {
     * aggregate this replaces shuffled corpus×tokens rows just to
     * compute a per-document value (DedupSpec pins bit-identical
     * signatures against that aggregate formulation). */
-  private[operators] def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+  private[graft] def simhashBuild(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
         org.apache.spark.sql.graft.SimHash64.simhash64(col("text")).as("simhash"))
+
+  /** The (doc_id, simhash) frame, read from the published signature
+    * index (see [[sigIndexRoot]]). */
+  private[operators] def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+    graft.sources.AtomicPublish.readOutput(s,
+      ensureSigIndex(s, dir), "simhash")
 
   val NeardupTau = 0.4 // cosine threshold for d5 near-dup pairs
 

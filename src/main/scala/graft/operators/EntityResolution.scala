@@ -63,20 +63,44 @@ object EntityResolution {
     * row: its cluster key (component-min canonical part key —
     * singletons label themselves) and the cluster's name count, the
     * canonical-entity mapping a downstream join normalizes against. */
+  /** Durable ER cluster index: the (canon_key, label) component map
+    * from er1's match edges, built ONCE per part-catalog fingerprint
+    * and published through AtomicPublish — the d6→d10 cluster-index
+    * pattern applied to entities. Match edges + connected components
+    * are a resolve-time artifact: every downstream normalization (er2
+    * here; at 100 TB any join against canonical entities) reads the
+    * committed map instead of re-running block-join + levenshtein +
+    * O(log d) CC rounds per query. */
+  private[graft] def erClusterRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.ercluster.base",
+      s"${graft.GraftSession.defaultStateDir}/er_cluster_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/part.parquet",
+        s"ercluster-v1;block=lasttoken;maxdist=$MaxEditDistance"))
+  }
+
+  private[graft] def ensureErClusterIndex(s: SparkSession, dir: String): String =
+    graft.sources.DurableIndex.ensure(s, erClusterRoot(dir)) {
+      val names = nameCatalog(s, dir)
+      val a = names.select(col("p_name").as("name_a"), col("block"),
+        col("canon_key").as("canon_a"))
+      val b = names.select(col("p_name").as("name_b"), col("block"),
+        col("canon_key").as("canon_b"))
+      val edges = a.join(b, Seq("block"))
+        .filter(col("name_a") < col("name_b"))
+        .filter(abs(length(col("name_a")) - length(col("name_b"))) <=
+          MaxEditDistance)
+        .filter(levenshtein(col("name_a"), col("name_b")) <= MaxEditDistance)
+        .select(col("canon_a"), col("canon_b"))
+      graft.sources.AtomicPublish.publish(s, erClusterRoot(dir),
+        Seq("clusters" -> Dedup.connectedComponents(edges)
+          .select(col("id").as("canon_key"), col("label"))))
+    }
+
   def er2EntityClusters(s: SparkSession, dir: String): DataFrame = {
     val names = nameCatalog(s, dir)
-    val a = names.select(col("p_name").as("name_a"), col("block"),
-      col("canon_key").as("canon_a"))
-    val b = names.select(col("p_name").as("name_b"), col("block"),
-      col("canon_key").as("canon_b"))
-    val edges = a.join(b, Seq("block"))
-      .filter(col("name_a") < col("name_b"))
-      .filter(abs(length(col("name_a")) - length(col("name_b"))) <=
-        MaxEditDistance)
-      .filter(levenshtein(col("name_a"), col("name_b")) <= MaxEditDistance)
-      .select(col("canon_a"), col("canon_b"))
-    val cc = Dedup.connectedComponents(edges)
-      .select(col("id").as("canon_key"), col("label"))
+    val cc = graft.sources.AtomicPublish.readOutput(s,
+      ensureErClusterIndex(s, dir), "clusters")
     val labeled = names.join(cc, Seq("canon_key"), "left")
       .select(col("p_name"), col("n_parts"),
         coalesce(col("label"), col("canon_key")).as("cluster_key"))
