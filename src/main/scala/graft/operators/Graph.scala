@@ -43,7 +43,16 @@ object Graph {
     * counter. */
   private[graft] def pagerank(edgeDf: DataFrame, iters: Int = PrIters)
       : DataFrame = {
-    val e = edgeDf.localCheckpoint()
+    // BOTH static frames are hash-partitioned on their join key before
+    // the checkpoint (localCheckpoint preserves output partitioning —
+    // the d2 discipline): e on src and nodes/ranks on node means the
+    // per-round contributions join reads co-partitioned blocks with NO
+    // exchange on either side, and the new-rank join (node === dst)
+    // lines up with the dst-keyed aggregate's partitioning — leaving
+    // the contributions shuffle as each round's ONLY exchange.
+    val nPart = edgeDf.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val e = edgeDf.repartition(nPart, col("src")).localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // the dangling node SET is static across rounds — resolve it ONCE
     // (left join against out-degrees) and carry (outdeg, dangling) as
@@ -54,6 +63,7 @@ object Graph {
       .union(e.select(col("dst"))).distinct()
       .join(outdeg, col("node") === col("src"), "left")
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .repartition(nPart, col("node"))
       .localCheckpoint()
     val n = nodes.count().toDouble
     var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
@@ -72,10 +82,11 @@ object Graph {
         .select(col("node"), col("outdeg"),
           (lit((1.0 - Damping) / n) + lit(Damping) *
             (coalesce(col("inflow"), lit(0.0)) + col("dmass") / n)).as("r"))
-      // lineage-truncate every SECOND round (and on the last): one
-      // materialization job covers two rounds' plans, which stay
-      // shallow enough for codegen while halving the action count
-      ranks = if (i % 2 == 1 || i == iters - 1) next.localCheckpoint()
+      // lineage-truncate every THIRD round (and on the last): one
+      // materialization job covers three rounds' plans — still shallow
+      // enough for codegen (measured; a deeper span regresses compile
+      // time) while cutting the action count to ~iters/3
+      ranks = if (i % 3 == 2 || i == iters - 1) next.localCheckpoint()
         else next
     }
     ranks
@@ -107,15 +118,15 @@ object Graph {
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
       .filter(size(col("parts")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(parts) - 2), i ->
-          |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
-          |    struct(element_at(parts, i + 1) AS u, y AS v))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      // packed-pair kernel (see b1): one int64 key through the count
+      // shuffle, decoded after the support filter
+      .select(explode(org.apache.spark.sql.graft.PackedPairsExpr
+        .packedPairs(col("parts"))).as("pk"))
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= TriMinSupport)
-      .select(col("u"), col("v"))
+      .select(shiftright(col("pk"), 32).as("u"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("v"))
 
   /** Per-node triangle counts of an undirected (u, v) edge frame via
     * DEGREE-ORDERED orientation (the Suri & Vassilvitskii WWW'11 /
@@ -193,7 +204,12 @@ object Graph {
         .join(known.select(col("node")), Seq("node"), "left_anti")
         .withColumn("hops", lit(hops))
         .localCheckpoint()
-      known = known.unionAll(frontier).localCheckpoint()
+      // known stays LAZY: it is a union of ≤BfsMaxHops already-
+      // checkpointed frontiers, so the plan is permanently shallow and
+      // checkpointing it per hop only added a full materialization job
+      // (the hop count bounds the union depth, unlike d6's unbounded
+      // CC rounds where truncation is load-bearing)
+      known = known.unionAll(frontier)
     }
     known
       .select(col("node"),
@@ -275,19 +291,21 @@ object Graph {
     val pairs = cs.groupBy(col("c"))
       .agg(array_sort(collect_set(col("sk"))).as("ss"))
       .filter(size(col("ss")).between(2, LpMaxDeg))
-      .select(size(col("ss")).as("deg"), explode(expr(
-        """flatten(transform(sequence(0, size(ss) - 2), i ->
-          |  transform(slice(ss, i + 2, size(ss) - i - 1), y ->
-          |    element_at(ss, i + 1) * 4294967296 + y)))""".stripMargin))
-        .as("pk"))
+      // the per-customer 1/ln(deg) Adamic-Adar term is quantized ONCE
+      // per customer (it is constant across that customer's pairs; the
+      // old form re-evaluated log+round per pair row inside the
+      // partial aggregate), and pairs come from the compiled
+      // PackedPairs kernel (see b1)
+      .select(round(lit(1e9) / log(size(col("ss"))), 0).cast("long")
+        .as("invq"), explode(org.apache.spark.sql.graft.PackedPairsExpr
+        .packedPairs(col("ss"))).as("pk"))
       .groupBy(col("pk"))
       .agg(count(lit(1)).as("common"),
         // order-independent EXACT fold without decimal's boxing cost:
         // each 1/ln(deg) term quantized to an int64 at 1e-9 grain and
         // summed as a long (terms ≤ 1.45e9, so overflow needs ~6e9
         // shared customers per pair — far past any real corpus)
-        round(sum(round(lit(1e9) / log(col("deg")), 0).cast("long"))
-          .cast("double") / 1e9, 6).as("adamic_adar"))
+        round(sum(col("invq")).cast("double") / 1e9, 6).as("adamic_adar"))
       .select(shiftright(col("pk"), 32).as("s1"),
         col("pk").bitwiseAND(lit(4294967295L)).as("s2"),
         col("common"), col("adamic_adar"))

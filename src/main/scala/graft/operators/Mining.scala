@@ -31,17 +31,16 @@ object Mining {
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
       .filter(size(col("parts")) >= 2)
-    // in-row ordered pairs of the sorted basket: (parts[i], y) for
-    // every y after position i — SQL lambdas, stays in codegen. The
-    // pair is packed into ONE int64 (a<<32 | b) before the pair
-    // shuffle — half the key bytes, single-word hash/compare in the
-    // map-side combine — and decoded after the count; valid while
-    // part ids < 2^31 (re-split the key if ids outgrow 32 bits).
-    baskets.select(explode(expr(
-      """flatten(transform(sequence(0, size(parts) - 2), i ->
-        |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
-        |    element_at(parts, i + 1) * 4294967296 + y)))""".stripMargin))
-      .as("pk"))
+    // in-row ordered pairs of the sorted basket from the compiled
+    // PackedPairs kernel (one flat loop, primitive long[] — the SQL
+    // higher-order-function form it replaces ran its lambdas
+    // interpreted and re-sliced the array per outer index). The pair
+    // is packed into ONE int64 (a<<32 | b) before the pair shuffle —
+    // half the key bytes, single-word hash/compare in the map-side
+    // combine — and decoded after the count; valid while part ids <
+    // 2^31 (re-split the key if ids outgrow 32 bits).
+    baskets.select(explode(org.apache.spark.sql.graft.PackedPairsExpr
+      .packedPairs(col("parts"))).as("pk"))
       .groupBy(col("pk"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= BasketMinSupport)
@@ -320,11 +319,8 @@ object Mining {
     val pairs = op.groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
       .filter(size(col("parts")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(parts) - 2), i ->
-          |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
-          |    element_at(parts, i + 1) * 4294967296 + y)))""".stripMargin))
-        .as("pk"))
+      .select(explode(org.apache.spark.sql.graft.PackedPairsExpr
+        .packedPairs(col("parts"))).as("pk"))
       .groupBy(col("pk"))
       .agg(count(lit(1)).as("n_xy"))
       .filter(col("n_xy") >= BasketMinSupport)

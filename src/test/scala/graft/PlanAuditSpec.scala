@@ -846,8 +846,8 @@ class PlanAuditSpec extends GraftSpec {
     assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
       s"only the 1-row total may nested-loop:\n$plan")
     assert(plan.contains("Generate") &&
-      plan.contains("explode(flatten(transform"),
-      s"expected the in-row pair explode:\n$plan")
+      plan.contains("explode(graft_packed_pairs"),
+      s"expected the in-row compiled pair explode:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-K must not be a global sort:\n$plan")
   }
@@ -882,8 +882,8 @@ class PlanAuditSpec extends GraftSpec {
     // the only explode is the per-customer pair generator (formatted
     // explain puts the node name and its Arguments on separate lines)
     assert(plan.contains("Generate") &&
-      plan.contains("explode(flatten(transform"),
-      s"expected the in-row pair explode:\n$plan")
+      plan.contains("explode(graft_packed_pairs"),
+      s"expected the in-row compiled pair explode:\n$plan")
   }
 
   test("m5: candidates ride the band equi-join, never an all-pairs loop") {
