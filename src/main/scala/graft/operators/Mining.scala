@@ -107,7 +107,12 @@ object Mining {
       .as("bs"))
     li.crossJoin(broadcast(bounds)) // 1-row bounded metadata
       .select(col("v"),
-        (lit(1) + size(expr("filter(bs, x -> v > x)"))).as("bin"))
+        // bin = 1 + #bounds strictly below v, as NumBins−1 codegen'd
+        // comparisons — the filter(bs, x -> v > x) lambda form ran
+        // interpreted per row (HOFs are outside whole-stage codegen)
+        (1 until NumBins).map(i =>
+          when(col("v") > element_at(col("bs"), i), 1).otherwise(0))
+          .reduce(_ + _).+(lit(1)).as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         round(min(col("v")), 4).as("lo"),

@@ -423,7 +423,7 @@ object Quality {
   /** Poisson(1) CDF ladder: cumulative probabilities for k = 0..5
     * (k = 6 is the tail). Inverse-CDF on a deterministic hash-uniform
     * gives each (row, replicate) its resample weight. */
-  private val PoissonCdf =
+  private[graft] val PoissonCdf: Seq[Double] =
     Seq(0.36787944, 0.73575888, 0.91969860, 0.98101184, 0.99634015,
       0.99940582)
 
@@ -456,22 +456,19 @@ object Quality {
   private[graft] def bootstrapMeans(s: SparkSession, dir: String,
       replicates: Int): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
-    val ladder = PoissonCdf.zipWithIndex
-      .map { case (p, k) => s"WHEN u < $p THEN ${k}D" }
-      .mkString("CASE ", " ", s" ELSE ${PoissonCdf.size}D END")
-    val wArr = expr(
-      s"""transform(
-         |  transform(sequence(0, ${replicates - 1}),
-         |    b -> pmod(xxhash64(event_id, b), 1000000L) / 1000000.0D),
-         |  u -> $ladder)""".stripMargin)
-    ev.select(wArr.as("w"), col("value"))
-      .select(col("w"),
-        expr("transform(w, x -> x * value)").as("wv"))
-      .agg(org.apache.spark.sql.graft.VectorSumAggExpr.vectorSum(col("wv"))
-          .as("wsum"),
-        org.apache.spark.sql.graft.VectorSumAggExpr.vectorSum(col("w"))
-          .as("wn"))
-      .select(explode(expr("zip_with(wsum, wn, (a, b) -> a / b)")).as("mb"))
+    // the per-row (w, w·v) pair comes from ONE compiled kernel call
+    // (BootWeightPair — bit-identical xxhash64 chain and ladder to the
+    // SQL-lambda form it replaces, which ran ~rows×B×3 interpreted
+    // closure dispatches); the 2B-wide fused array feeds a single
+    // VectorSumAgg and the two halves split after the 1-row reduce
+    ev.select(org.apache.spark.sql.graft.BootWeightsExpr
+        .bootWeightPair(col("event_id"), col("value").cast("double"),
+          replicates).as("wwv"))
+      .agg(org.apache.spark.sql.graft.VectorSumAggExpr.vectorSum(col("wwv"))
+        .as("s2"))
+      .select(explode(expr(
+        s"zip_with(slice(s2, ${replicates + 1}, $replicates), " +
+          s"slice(s2, 1, $replicates), (a, b) -> a / b)")).as("mb"))
   }
 
   /** imp2 with an explicit replicate budget — the spec drives this at

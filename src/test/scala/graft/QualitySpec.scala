@@ -203,6 +203,33 @@ class QualitySpec extends GraftSpec {
       s"CI width $width vs CLT prediction $predicted")
   }
 
+  test("imp2 boot-weight kernel matches the SQL xxhash64+ladder form bit-for-bit") {
+    // the retired SQL-lambda formulation as semantic reference: the
+    // kernel must reproduce its weights exactly (same hash chain, same
+    // Poisson CDF table) or the bootstrap's determinism story breaks
+    assert(org.apache.spark.sql.graft.BootWeightsUtil.PoissonCdf.toSeq ==
+      Quality.PoissonCdf, "kernel and Quality CDF tables diverged")
+    val b = 16
+    val ladder = Quality.PoissonCdf.zipWithIndex
+      .map { case (p, k) => s"WHEN u < $p THEN ${k}D" }
+      .mkString("CASE ", " ", s" ELSE ${Quality.PoissonCdf.size}D END")
+    val ref = Tables.events(spark, sf).limit(500)
+      .select(col("event_id"), col("value"),
+        expr(s"""transform(transform(sequence(0, ${b - 1}),
+             |  bb -> pmod(xxhash64(event_id, bb), 1000000L) / 1000000.0D),
+             |  u -> $ladder)""".stripMargin).as("w"))
+      .select(col("event_id"),
+        expr("concat(w, transform(w, x -> x * value))").as("expected"),
+        org.apache.spark.sql.graft.BootWeightsExpr
+          .bootWeightPair(col("event_id"), col("value").cast("double"), b)
+          .as("got"))
+      .collect()
+    ref.foreach { r =>
+      assert(r.getSeq[Double](1) == r.getSeq[Double](2),
+        s"kernel diverged for event ${r.getLong(0)}")
+    }
+  }
+
   test("imp2 replicate budget B: width is data-determined, endpoint noise ~ 1/sqrt(B)") {
     // The knob's documented curve: the CI width estimates 3.92·σ/√n
     // regardless of B; B only controls Monte-Carlo noise on the CI
