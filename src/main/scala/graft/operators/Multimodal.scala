@@ -160,7 +160,22 @@ object Multimodal {
     * ANN-ready vectors. Same iterator/batch semantics as m1/m2;
     * codec-agnostic (a real encoder model loads in `open()`). */
   def mediaEmbeddings(s: SparkSession, dir: String,
-      codec: MediaCodec = StubCodec): DataFrame = {
+      codec: MediaCodec = StubCodec): DataFrame =
+    // the default-codec path reads the PUBLISHED media-embedding
+    // index: decode+embed is an ingest-time pass in any real media
+    // pipeline (you embed a video once, not per query), so m3/m5 are
+    // read-path consumers. A custom codec (spec-injected) bypasses
+    // the index and embeds inline — the index is keyed to the
+    // default codec's identity in its fingerprint salt.
+    if (codec eq StubCodec)
+      graft.sources.AtomicPublish.readOutput(s,
+        ensureMediaIndex(s, dir), "embeddings")
+    else mediaEmbeddingsCompute(s, dir, codec)
+
+  /** The decode+embed pass itself (the media-index BUILD lineage, and
+    * the inline path for spec-injected codecs). */
+  private[graft] def mediaEmbeddingsCompute(s: SparkSession, dir: String,
+      codec: MediaCodec): DataFrame = {
     import s.implicits._
     val bin = Tables.documents(s, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -170,6 +185,20 @@ object Multimodal {
       it.map { case (id, payload) => (id, codec.embed(id, payload)) }
     }.toDF("doc_id", "embedding")
   }
+
+  private[graft] def mediaIndexRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.mediaindex.base",
+      s"${graft.GraftSession.defaultStateDir}/media_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
+        "media-v1;codec=stub-md5"))
+  }
+
+  private[graft] def ensureMediaIndex(s: SparkSession, dir: String): String =
+    graft.sources.DurableIndex.ensure(s, mediaIndexRoot(dir)) {
+      graft.sources.AtomicPublish.publish(s, mediaIndexRoot(dir),
+        Seq("embeddings" -> mediaEmbeddingsCompute(s, dir, StubCodec)))
+    }
 
   /** m3 query form: SQL-reproducible digests of the embedding (three
     * probe dimensions + the L2 norm computed through the same native
