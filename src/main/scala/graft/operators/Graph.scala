@@ -43,16 +43,15 @@ object Graph {
     * counter. */
   private[graft] def pagerank(edgeDf: DataFrame, iters: Int = PrIters)
       : DataFrame = {
-    // BOTH static frames are hash-partitioned on their join key before
-    // the checkpoint (localCheckpoint preserves output partitioning —
-    // the d2 discipline): e on src and nodes/ranks on node means the
-    // per-round contributions join reads co-partitioned blocks with NO
-    // exchange on either side, and the new-rank join (node === dst)
-    // lines up with the dst-keyed aggregate's partitioning — leaving
-    // the contributions shuffle as each round's ONLY exchange.
-    val nPart = edgeDf.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    val e = edgeDf.repartition(nPart, col("src")).localCheckpoint()
+    // Plain checkpointed loop inputs, ON PURPOSE: a checkpointed frame
+    // reports UnknownPartitioning at the SQL layer (measured — a
+    // pre-checkpoint repartition buys nothing downstream), and the
+    // §5-recorded round-10 probe showed every "fix" for the per-round
+    // edge re-exchange (bucketed tables, cache+co-partition,
+    // cache+merge-hints) LOSES to this baseline, because AQE already
+    // converts each round's join to a broadcast of the true-small rank
+    // vector and re-reads the edge exchange's map outputs locally.
+    val e = edgeDf.localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // the dangling node SET is static across rounds — resolve it ONCE
     // (left join against out-degrees) and carry (outdeg, dangling) as
@@ -63,7 +62,6 @@ object Graph {
       .union(e.select(col("dst"))).distinct()
       .join(outdeg, col("node") === col("src"), "left")
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-      .repartition(nPart, col("node"))
       .localCheckpoint()
     val n = nodes.count().toDouble
     var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
