@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ArrayMathExpr
 
 /** A decoded media record. */
 case class MediaFeature(doc_id: Long, kind: String, n_bytes: Int,
@@ -314,9 +315,11 @@ object Multimodal {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.q").as("qa"), col("y.q").as("qb"))
       .distinct() // a pair may collide in several bands
-      .select(col("a"), col("b"), expr(
-        "aggregate(zip_with(qa, qb, (u, v) -> abs(u - v)), 0, (acc, x) -> acc + x)")
-        .as("hamming"))
+      // compiled L1 kernel (ArrayMathExpr.l1Native) — runs once per
+      // candidate pair, where the aggregate(zip_with(...)) HOF form
+      // paid interpreted per-element dispatch; same integer sum
+      .select(col("a"), col("b"),
+        ArrayMathExpr.l1Native(col("qa"), col("qb")).as("hamming"))
       .filter(col("hamming") <= PhashMaxHamming)
       .orderBy(col("a"), col("b"))
   }

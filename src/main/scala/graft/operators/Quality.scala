@@ -54,8 +54,11 @@ object Quality {
   def gopherStats(docs: DataFrame): DataFrame = {
     val nWords = size(words)
     val nLines = size(lines)
+    // Σ length(part) over split(text, ' ') ≡ length(text) − #spaces —
+    // the parts partition the non-separator chars — so the interpreted
+    // per-word aggregate() HOF collapses to one codegen'd translate
     val sumWordLen =
-      expr("aggregate(split(text, ' '), 0L, (a, x) -> a + length(x))")
+      length(translate(col("text"), " ", "")).cast("long")
     val hashCount = length(col("text")) -
       length(regexp_replace(col("text"), "#", ""))
     val ellipsisCount = ((length(col("text")) -

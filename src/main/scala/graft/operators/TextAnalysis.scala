@@ -83,7 +83,9 @@ object TextAnalysis {
       size(tokens).as("ws_tokens"),
       size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
         .as("regex_tokens"),
-      expr("aggregate(split(text, ' '), 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS BIGINT))")
+      // compiled one-pass kernel (TokenEstExpr) — same Σ ceil(len/4)
+      // as the interpreted aggregate(split(...)) fold it replaces
+      org.apache.spark.sql.graft.TokenEstExpr.bpeEst(col("text"))
         .as("bpe_est"))
       .orderBy("doc_id")
 

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SeriesFoldExpr
 
 /** Time-series shaping over the event stream (SURVEY §2 rows 163-164):
   * calendar densification (gap filling) and last-observation-carried-
@@ -159,16 +160,15 @@ object TimeSeries {
     hourly(s, dir)
       .groupBy(col("event_type"))
       .agg(array_sort(collect_list(struct(col("hr"), col("v")))).as("srt"))
-      .select(col("event_type"), explode(expr(
-        s"""aggregate(srt,
-           |  cast(array() as array<struct<hr: timestamp, v: double, e: double>>),
-           |  (acc, x) -> acc || array(named_struct('hr', x.hr, 'v', x.v,
-           |    'e', CASE WHEN size(acc) = 0 THEN x.v
-           |         ELSE $EwmaAlpha * x.v + ${1 - EwmaAlpha} * element_at(acc, -1).e
-           |    END)))""".stripMargin)).as("o"))
+      // compiled O(n) recurrence (SeriesFoldExpr) replacing the
+      // interpreted O(n²)-append `aggregate` HOF; identical fold
+      // arithmetic, so the recursive-CTE oracle hash is unchanged
+      .withColumn("e", SeriesFoldExpr.ewmaFold(col("srt"), EwmaAlpha))
+      .select(col("event_type"), col("e"), posexplode(col("srt")))
       .select(col("event_type"),
-        date_format(col("o.hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
-        col("o.v").as("v"), round(col("o.e"), 6).as("ewma"))
+        date_format(col("col.hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("col.v").as("v"),
+        round(element_at(col("e"), col("pos") + 1), 6).as("ewma"))
       .orderBy("event_type", "hr")
 
   val HoltAlpha = 0.3 // level smoothing
@@ -184,31 +184,24 @@ object TimeSeries {
     * both engines evaluate the identical double sequence
     * (l₁ = v₁, b₁ = 0), so the result is bit-deterministic and fully
     * hash-checkable against a recursive-CTE oracle. */
-  def ts8Holt(s: SparkSession, dir: String): DataFrame =
+  def ts8Holt(s: SparkSession, dir: String): DataFrame = {
+    // compiled O(n) level+trend recurrence (SeriesFoldExpr), packed
+    // [l..., b...]; same arithmetic order as the replaced HOF fold
+    val lAt = element_at(col("lb"), col("pos") + 1)
+    val bAt = element_at(col("lb"), col("nn") + col("pos") + 1)
     hourly(s, dir)
       .groupBy(col("event_type"))
       .agg(array_sort(collect_list(struct(col("hr"), col("v")))).as("srt"))
-      .select(col("event_type"), explode(expr(
-        s"""aggregate(srt,
-           |  cast(array() as array<struct<hr: timestamp, v: double,
-           |    l: double, b: double>>),
-           |  (acc, x) -> acc || array(named_struct('hr', x.hr, 'v', x.v,
-           |    'l', CASE WHEN size(acc) = 0 THEN x.v
-           |         ELSE $HoltAlpha * x.v + ${1 - HoltAlpha} *
-           |           (element_at(acc, -1).l + element_at(acc, -1).b) END,
-           |    'b', CASE WHEN size(acc) = 0 THEN 0.0D
-           |         ELSE $HoltBeta *
-           |           (($HoltAlpha * x.v + ${1 - HoltAlpha} *
-           |             (element_at(acc, -1).l + element_at(acc, -1).b))
-           |            - element_at(acc, -1).l) +
-           |           ${1 - HoltBeta} * element_at(acc, -1).b END)))"""
-          .stripMargin)).as("o"))
+      .withColumn("lb", SeriesFoldExpr.holtFold(col("srt"), HoltAlpha, HoltBeta))
+      .withColumn("nn", size(col("srt")))
+      .select(col("event_type"), col("lb"), col("nn"), posexplode(col("srt")))
       .select(col("event_type"),
-        date_format(col("o.hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
-        col("o.v").as("v"), round(col("o.l"), 6).as("level"),
-        round(col("o.b"), 6).as("trend"),
-        round(col("o.l") + col("o.b"), 6).as("forecast_next"))
+        date_format(col("col.hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("col.v").as("v"), round(lAt, 6).as("level"),
+        round(bAt, 6).as("trend"),
+        round(lAt + bAt, 6).as("forecast_next"))
       .orderBy("event_type", "hr")
+  }
 
   val AutocorrMaxLag = 3 // lags 1..3 hours
 
@@ -359,31 +352,30 @@ object TimeSeries {
           col("sv").cast("double") * col("sv").cast("double")) /
           (col("sn").cast("double") * col("sn").cast("double") -
             col("sn").cast("double")))).as("sigma"))
+    // compiled O(n) two-sided recurrence (SeriesFoldExpr), packed
+    // [sp..., sn...]; fold arithmetic order matches the replaced HOF
+    // form exactly (S⁺₀ = 0, so step 1's 0 + v − μ − kσ ≡ the old
+    // CASE's v − μ − kσ bit-for-bit)
+    val spAt = element_at(col("cs"), col("pos") + 1)
+    val snAt = element_at(col("cs"), col("nn") + col("pos") + 1)
     hourly(s, dir)
       .groupBy(col("event_type"))
       .agg(array_sort(collect_list(struct(col("hr"), col("v")))).as("srt"))
       .join(stats, Seq("event_type"))
-      .select(col("event_type"), col("mu"), col("sigma"), explode(expr(
-        s"""aggregate(srt,
-           |  cast(array() as array<struct<hr: timestamp, v: double,
-           |    sp: double, sn: double>>),
-           |  (acc, x) -> acc || array(named_struct('hr', x.hr, 'v', x.v,
-           |    'sp', greatest(cast(0.0 as double),
-           |      CASE WHEN size(acc) = 0 THEN x.v - mu - $CusumK * sigma
-           |           ELSE element_at(acc, -1).sp + x.v - mu - $CusumK * sigma END),
-           |    'sn', greatest(cast(0.0 as double),
-           |      CASE WHEN size(acc) = 0 THEN mu - x.v - $CusumK * sigma
-           |           ELSE element_at(acc, -1).sn + mu - x.v - $CusumK * sigma END))))"""
-          .stripMargin)).as("o"))
+      .withColumn("cs",
+        SeriesFoldExpr.cusumFold(col("srt"), col("mu"), col("sigma"), CusumK))
+      .withColumn("nn", size(col("srt")))
+      .select(col("event_type"), col("sigma"), col("cs"), col("nn"),
+        posexplode(col("srt")))
       .select(col("event_type"),
-        date_format(col("o.hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
-        col("o.v").as("v"),
+        date_format(col("col.hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("col.v").as("v"),
         // int64-quantize, same cross-engine argument as mu/σ above,
         // here on the OUTPUT boundary
-        q6(col("o.sp")).as("cusum_pos"),
-        q6(col("o.sn")).as("cusum_neg"),
-        when(col("o.sp") > lit(CusumH) * col("sigma") ||
-          col("o.sn") > lit(CusumH) * col("sigma"), 1).otherwise(0).as("alarm"))
+        q6(spAt).as("cusum_pos"),
+        q6(snAt).as("cusum_neg"),
+        when(spAt > lit(CusumH) * col("sigma") ||
+          snAt > lit(CusumH) * col("sigma"), 1).otherwise(0).as("alarm"))
       .orderBy("event_type", "hr")
   }
 

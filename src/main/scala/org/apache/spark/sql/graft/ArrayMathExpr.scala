@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for the sequential dot product of two
   * `array<double>` columns.
@@ -72,6 +72,57 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** L1 distance of two `array<int>` columns — m5's hamming score over
+  * thermometer-quantized pHash codes (hamming on unary codes ≡ L1 on
+  * the quantized features). Runs once per band-collision CANDIDATE
+  * PAIR, where the `aggregate(zip_with(...))` HOF form it replaces
+  * paid interpreted per-element lambda dispatch plus a materialized
+  * intermediate diff array. Same flat-loop shape as [[DotProduct]];
+  * integer accumulation is order-free, so equivalence to the SQL
+  * oracle's `list_sum(list_transform(...))` is exact. */
+case class L1DistInt(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_l1_int"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc += math.abs(x.getInt(i) - y.getInt(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Math.abs($a.getInt($i) - $b.getInt($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native array-math kernels. */
 object ArrayMathExpr {
   /** Sequential dot product of two array<double> columns via the
@@ -79,4 +130,10 @@ object ArrayMathExpr {
   def dotNative(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** L1 distance of two array<int> columns via the codegen'd
+    * [[L1DistInt]] kernel. */
+  def l1Native(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      L1DistInt(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 /** Text-analysis invariants (rows 32-35) + multimodal plumbing (36). */
 class TextMultimodalSpec extends GraftSpec {
 
+  test("t3/g1 compiled folds equal the retired HOF forms on edge-case text") {
+    // the kernels replaced interpreted aggregate(split(...)) lambdas;
+    // equivalence must hold on the shapes the identity arguments rely
+    // on: empty string, consecutive/leading/trailing spaces (empty
+    // split parts), and multi-byte code points (char-count semantics)
+    val rows = Seq("", " ", "  ", "a", "abcd efg  hi ", " señor żółć 日本語テキスト x",
+      "word " * 40 + "tail")
+    val df = spark.createDataFrame(rows.map(Tuple1.apply)).toDF("text")
+    val got = df.select(
+      org.apache.spark.sql.graft.TokenEstExpr.bpeEst(col("text")).as("k"),
+      expr("aggregate(split(text, ' '), 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS BIGINT))").as("h"),
+      length(translate(col("text"), " ", "")).cast("long").as("kl"),
+      expr("aggregate(split(text, ' '), 0L, (a, x) -> a + length(x))").as("hl"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("k") == r.getAs[Long]("h"), s"bpe_est: $r")
+      assert(r.getAs[Long]("kl") == r.getAs[Long]("hl"), s"sum_word_len: $r")
+    }
+  }
+
   test("t1 predicts a valid language, 'und' iff no stopword hits") {
     // note: the fixture's `lang` column is random (uncorrelated with
     // the text), so accuracy-vs-label is meaningless; the contract is

@@ -1,9 +1,14 @@
 #!/usr/bin/env python3
-"""Merge N ScaleCheck passes into the committed SCALECHECK_sf1.json:
-per-query min across passes, plus ratio_vs_sf01 computed against the
-committed sf0.1 bench (bench_last.json).
+"""Merge N ScaleCheck passes into a committed SCALECHECK_*.json:
+per-query min across passes, plus a ratio column against a reference
+timing file.
 
-Usage: tools/scalecheck_merge.py <pass1.log> [<pass2.log> ...]
+Usage: tools/scalecheck_merge.py [--out=FILE] [--base=FILE] <pass1.log> [...]
+  --out   output artifact (default SCALECHECK_sf1.json)
+  --base  reference timings for the ratio column (default
+          bench_last.json, the committed sf0.1 mins). For the 30x
+          stretch artifact pass --base=SCALECHECK_sf1.json so the
+          ratio reads "3x more data costs how much".
 Each log's last scale_check JSON line is used.
 """
 import sys, json
@@ -15,13 +20,26 @@ def last_json(path):
     return json.loads(lines[-1])
 
 
-def main(paths):
+def main(argv):
+    out_path = "SCALECHECK_sf1.json"
+    base_path = "bench_last.json"
+    paths = []
+    for a in argv:
+        if a.startswith("--out="):
+            out_path = a[len("--out="):]
+        elif a.startswith("--base="):
+            base_path = a[len("--base="):]
+        else:
+            paths.append(a)
     passes = [last_json(p) for p in paths]
     base = passes[-1]
     mins = {q: min(p["queries"][q] for p in passes if q in p["queries"])
             for q in passes[0]["queries"]}
-    bench = json.load(open("bench_last.json"))["queries"]
-    ratios = {q: round(mins[q] / bench[q], 2) if q in bench else None
+    ref = json.load(open(base_path))["queries"]
+    ratio_key = ("ratio_vs_sf01" if base_path == "bench_last.json"
+                 else "ratio_vs_" + base_path.replace("SCALECHECK_", "")
+                 .replace(".json", ""))
+    ratios = {q: round(mins[q] / ref[q], 2) if q in ref else None
               for q in mins}
     out = {
         "metric": "scale_check",
@@ -38,18 +56,18 @@ def main(paths):
         "commit": base["commit"],
         "scanned_at": base["scanned_at"],
         "passes": len(passes),
-        "ratio_vs_sf01": ratios,
-        "note": ("min of %d passes on replicated 10x data (/tmp/graft_sf1); "
-                 "ratio_vs_sf01 divides by the committed sf0.1 bench min "
-                 "(bench_last.json, same build). Linear ops sit ~3-6x (32 "
-                 "threads absorb part of the 10x); ~10x means output bytes "
-                 "scale with the data and threads were already saturated "
-                 "(obt1 materializes the full denormalized width); "
-                 "sub-linear = cost tracks a bounded set." % len(passes)),
+        ratio_key: ratios,
+        "note": ("min of %d passes on replicated %dx data; the ratio "
+                 "column divides by the per-query mins in %s (same "
+                 "build). Linear ops sit well below the replica factor "
+                 "while 32 threads have headroom; ~factor means output "
+                 "bytes scale with the data and threads were already "
+                 "saturated; sub-linear = cost tracks a bounded set."
+                 % (len(passes), base["replicas"], base_path)),
     }
-    json.dump(out, open("SCALECHECK_sf1.json", "w"), indent=1)
+    json.dump(out, open(out_path, "w"), indent=1)
     worst = sorted(((r or 0, q) for q, r in ratios.items()), reverse=True)[:6]
-    print("wrote SCALECHECK_sf1.json;", len(mins), "queries, worst ratios:", worst)
+    print("wrote %s;" % out_path, len(mins), "queries, worst ratios:", worst)
 
 
 if __name__ == "__main__":
