@@ -16,8 +16,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-scoped relation cache. Every `spark.read.parquet` call
+    * re-lists the directory and re-reads the parquet footer for schema
+    * inference — driver-side work a metastore-backed catalog does ONCE
+    * per table. The sf dirs are immutable corpus snapshots (the
+    * ScaleCheck replicas are build-once behind a `_BUILT` marker), so
+    * caching the resolved relation per (session, dir, table) is
+    * exactly the metadata caching a catalog table gives on a cluster;
+    * mutable scratch dirs (sinks, publishes) never come through
+    * [[load]]. Keyed on the session because plans are session-bound;
+    * sessions per JVM are few and bounded, so strong keys are fine. */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Measurement escape hatch: SPARK_GRAFT_NO_REL_CACHE=1 restores the
+    * per-call read so the cache's contribution stays measurable. */
+  private val cacheOff = sys.env.get("SPARK_GRAFT_NO_REL_CACHE").contains("1")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (cacheOff) spark.read.parquet(s"$dir/$name.parquet")
+    else relationCache.computeIfAbsent((spark, dir, name),
+      key => key._1.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -750,12 +750,74 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** t24: Flesch reading-ease scoring — the classic readability
+    * filter in corpus-quality stacks (very low scores flag legal/
+    * boilerplate text, implausibly high ones flag word salad; used as
+    * a band feature alongside g1/t2). Counts are REGEX-RUN counts so
+    * both engines agree exactly: sentences = maximal `[.!?]+` runs,
+    * words = maximal ASCII-letter runs, syllables = maximal vowel-
+    * group runs in the lowercased text (the standard heuristic). The
+    * score 206.835 − 1.015·(w/s) − 84.6·(syl/w) is written in the
+    * SAME operation order in both engines (IEEE doubles are
+    * deterministic given order) and int64-quantized at the output
+    * boundary (the ts9/ts10 rule). Docs with zero words or zero
+    * sentences score NULL in both engines. Embarrassingly parallel —
+    * one corpus scan, no shuffle before the final order. */
+  /** Cross-engine-exact 4dp quantization (the ts9/ts10 rule): every
+    * step is an IEEE double op on bit-identical inputs, unlike
+    * round(double, n) whose tie behavior differs between engines. */
+  private def q4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1e4) + lit(0.5)).cast("double") / lit(1e4)
+
+  def t24Readability(s: SparkSession, dir: String): DataFrame = {
+    val nSents = size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long")
+    val nWords = size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).cast("long")
+    val nSyll = size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long")
+    // a document with no terminator is ONE sentence (the standard
+    // fallback — without it a punctuation-less corpus is all-unscored)
+    val flesch = lit(206.835) -
+      lit(1.015) * (col("n_words").cast("double") /
+        greatest(col("n_sents"), lit(1L)).cast("double")) -
+      lit(84.6) * (col("n_syll").cast("double") / col("n_words").cast("double"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nSents.as("n_sents"), nWords.as("n_words"),
+        nSyll.as("n_syll"))
+      .withColumn("flesch", when(col("n_words") > 0, q4(flesch)))
+      .withColumn("band",
+        when(col("flesch").isNull, "unscored")
+          .when(col("flesch") >= 60.0, "easy")
+          .when(col("flesch") >= 30.0, "medium")
+          .otherwise("hard"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
   }
 
   val oracles: Map[String, String] = Map(
+    "t24_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sents,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |      AS n_syll
+        |  FROM documents),
+        |f AS (SELECT *,
+        |    CASE WHEN n_words > 0 THEN
+        |      CAST(floor((206.835
+        |        - 1.015 * (CAST(n_words AS DOUBLE)
+        |          / CAST(greatest(n_sents, 1) AS DOUBLE))
+        |        - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)))
+        |        * 1e4 + 0.5) AS DOUBLE) / 1e4
+        |    END AS flesch FROM c)
+        |SELECT doc_id, n_sents, n_words, n_syll, flesch,
+        |  CASE WHEN flesch IS NULL THEN 'unscored'
+        |       WHEN flesch >= 60.0 THEN 'easy'
+        |       WHEN flesch >= 30.0 THEN 'medium'
+        |       ELSE 'hard' END AS band
+        |FROM f ORDER BY doc_id""".stripMargin,
     "t23_length_histogram" ->
       s"""WITH l AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
          |    AS n_tok FROM documents),
@@ -1001,5 +1063,6 @@ object TextAnalysis {
     "t20_bigram_perplexity" -> (t20BigramPerplexity _),
     "t21_keyword_tag" -> (t21KeywordTag _),
     "t22_zipf_profile" -> (t22ZipfProfile _),
-    "t23_length_histogram" -> (t23LengthHistogram _))
+    "t23_length_histogram" -> (t23LengthHistogram _),
+    "t24_readability" -> (t24Readability _))
 }

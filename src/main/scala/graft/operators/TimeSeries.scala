@@ -420,7 +420,53 @@ object TimeSeries {
       .orderBy("event_type", "hr")
   }
 
+  /** ts12: time-weighted average of `value` per event_type — the
+    * correct aggregate for irregularly-sampled state series (a value
+    * "holds" until the user's next observation, so a reading that
+    * stood for an hour must weigh 3600× one that stood a second;
+    * the plain AVG r11-style is sample-biased toward chatty users).
+    * Weight = microseconds until the SAME user's next event (lead
+    * over a per-user window — high-cardinality partition key, so the
+    * one shuffle scales; each user's last event has no hold duration
+    * and drops in both engines). Numerator Σ value·dt runs in DECIMAL
+    * (exact, order-free — the §4 money-sum rule) with dt an exact
+    * int64 of µs; the single final divide is quantized at the output
+    * boundary. */
+  def ts12TimeWeighted(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("hold_us"),
+        sum(col("v") * col("dt")).as("vdt"))
+      .select(col("event_type"), col("n_intervals"), col("hold_us"),
+        q6(col("vdt").cast("double") / col("hold_us").cast("double"))
+          .as("twa"))
+      .orderBy("event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "ts12_time_weighted" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) AS us,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |d AS (SELECT event_type, v,
+        |    lead(us, 1) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) - us AS dt
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_intervals,
+        |  CAST(SUM(dt) AS BIGINT) AS hold_us,
+        |  CAST(floor(CAST(SUM(v * dt) AS DOUBLE)
+        |    / CAST(SUM(dt) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS twa
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts9_rolling_zscore" ->
       s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
          |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
@@ -659,5 +705,6 @@ object TimeSeries {
     "ts8_holt" -> (ts8Holt _),
     "ts9_rolling_zscore" -> (ts9RollingZscore _),
     "ts10_cusum" -> (ts10Cusum _),
-    "ts11_linear_interp" -> (ts11LinearInterp _))
+    "ts11_linear_interp" -> (ts11LinearInterp _),
+    "ts12_time_weighted" -> (ts12TimeWeighted _))
 }

@@ -26,6 +26,33 @@ class TextMultimodalSpec extends GraftSpec {
     }
   }
 
+  test("t24 flesch score matches a driver-side regex recompute") {
+    val got = graft.operators.TextAnalysis.t24Readability(spark, sf).collect()
+    assert(got.length == Tables.documents(spark, sf).count())
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    var scored = 0
+    got.foreach { r =>
+      val text = texts(r.getAs[Long]("doc_id"))
+      val sents = "[.!?]+".r.findAllIn(text).length.toLong
+      val words = "[A-Za-z]+".r.findAllIn(text).length.toLong
+      val syll = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
+      assert(r.getAs[Long]("n_sents") == sents)
+      assert(r.getAs[Long]("n_words") == words)
+      assert(r.getAs[Long]("n_syll") == syll)
+      if (words > 0) {
+        val f = 206.835 - 1.015 * (words.toDouble / math.max(sents, 1L)) -
+          84.6 * (syll.toDouble / words)
+        val q = math.floor(f * 1e4 + 0.5) / 1e4
+        assert(math.abs(r.getAs[Double]("flesch") - q) < 1e-9)
+        val band = if (q >= 60.0) "easy" else if (q >= 30.0) "medium" else "hard"
+        assert(r.getAs[String]("band") == band)
+        scored += 1
+      } else assert(r.getAs[String]("band") == "unscored")
+    }
+    assert(scored > 0)
+  }
+
   test("t1 predicts a valid language, 'und' iff no stopword hits") {
     // note: the fixture's `lang` column is random (uncorrelated with
     // the text), so accuracy-vs-label is meaningless; the contract is

@@ -303,4 +303,38 @@ class TimeSeriesSpec extends GraftSpec {
     }
     assert(interped > 0, "corpus should contain at least one interpolated hole")
   }
+
+  test("ts12 time-weighted average matches a driver-side hold-duration walk") {
+    val got = TimeSeries.ts12TimeWeighted(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("hold_us"),
+          r.getAs[Double]("twa"))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("us"),
+        r.getAs[Double]("value")))
+    // per user: each event's value holds until that user's next event
+    val byType = scala.collection.mutable.Map.empty[String, (Long, Long, BigDecimal)]
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sortBy(r => (r._4, r._3)).sliding(2).foreach {
+        case Array((_, et, _, us1, v), (_, _, _, us2, _)) =>
+          val dt = us2 - us1
+          val (n, h, s) = byType.getOrElse(et, (0L, 0L, BigDecimal(0)))
+          byType(et) = (n + 1, h + dt,
+            s + BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP) * dt)
+        case _ => // single-event user: no hold interval
+      }
+    }
+    assert(byType.keySet == got.keySet)
+    byType.foreach { case (et, (n, h, s)) =>
+      val (gn, gh, twa) = got(et)
+      assert(gn == n, s"$et n_intervals")
+      assert(gh == h, s"$et hold_us")
+      assert(math.abs(twa - (s / h).toDouble) < 1e-5, s"$et twa")
+    }
+  }
 }
