@@ -112,7 +112,18 @@ object ScaleCheck {
         }
         crossed.select(cols.toIndexedSeq: _*)
       }
-    out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    // Write SPLITTABLE replicas (r10 fix): crossJoin(broadcast) keeps
+    // the source's 1-2 scan tasks, so the old build emitted one giant
+    // row group per table (sf1 lineitem: a single 6M-row group) — and
+    // parquet can't split a row group, so every downstream sf1 scan
+    // ran on ONE thread and the checkpoint measured scan starvation,
+    // not operator scaling (obt1: 44.5 s on the old layout, 7× the
+    // rewritten one). A real corpus at this volume is many files; the
+    // fixed-count repartition below mirrors that (round-robin, ~a few
+    // MB per file at 10-30×).
+    val parts = if (keys.isEmpty) 1 else 32
+    out.repartition(parts).write.mode("overwrite")
+      .parquet(s"$outDir/$name.parquet")
   }
 
   def main(args: Array[String]): Unit = {
