@@ -916,7 +916,62 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** n16: exact mean pairwise cosine of the corpus — the standard
+    * one-number embedding-diversity diagnostic (a collapsing/templated
+    * corpus drifts toward 1; SemDeDup's premise made measurable) —
+    * WITHOUT the n² pair join, via the sum-vector identity:
+    * Σ_{i≠j} cos(vᵢ,vⱼ) = ‖Σᵢ v̂ᵢ‖² − n for unit vectors. The whole
+    * computation is one posexplode + a d-group aggregate + a 1-row
+    * fold — at 100 TB it is a single map-side-combined shuffle of
+    * d×partitions rows, where the naive form is an n²/2 join.
+    * Cross-engine exactness: each unit component is int64-quantized
+    * at 1e-9 BEFORE summing (order-free long sums), the per-dim sums
+    * are squared and summed in DECIMAL (exact to ~1e9 vectors:
+    * s_d ≤ n·1e9 fits DECIMAL(19,0), Σ_d s_d² ≤ 64·1e36 fits
+    * DECIMAL(38,0)), and the one final divide is quantized. The 1e-9
+    * quantization bias on the IDENTITY (vs true cosine) is bounded by
+    * d·2e-9 per pair — diagnostic-irrelevant, and both engines agree
+    * bit-for-bit, which is what the gate checks. */
+  def n16CorpusDiversity(s: SparkSession, dir: String): DataFrame = {
+    val unit = corpus(s, dir)
+      .select(posexplode(col("v")), col("nrm"))
+      .select(col("pos").as("d"),
+        floor(col("col") / col("nrm") * lit(1e9) + lit(0.5))
+          .cast("long").as("q"))
+    val dimSums = unit.groupBy(col("d"))
+      .agg(sum(col("q")).cast("decimal(19,0)").as("sd"))
+    val nRow = corpus(s, dir).agg(count(lit(1)).as("n_vectors"))
+    dimSums
+      .agg(count(lit(1)).as("n_dims"), sum(col("sd") * col("sd")).as("ssum"))
+      .crossJoin(broadcast(nRow)) // 1-row bounded metadata
+      .select(col("n_vectors"), col("n_dims"),
+        (floor((col("ssum").cast("double") / lit(1e18) -
+          col("n_vectors").cast("double")) /
+          (col("n_vectors").cast("double") *
+            (col("n_vectors").cast("double") - lit(1.0))) * lit(1e6) +
+          lit(0.5)).cast("double") / lit(1e6)).as("mean_pairwise_cosine"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "n16_corpus_diversity" ->
+      """WITH u AS (SELECT embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT unnest(range(len(v))) AS d,
+        |    CAST(floor(unnest(v) / nrm * 1e9 + 0.5) AS BIGINT) AS q
+        |  FROM u),
+        |s AS (SELECT d, CAST(SUM(q) AS DECIMAL(19,0)) AS sd
+        |  FROM q GROUP BY 1),
+        |agg AS (SELECT count(*) AS n_dims, SUM(sd * sd) AS ssum FROM s),
+        |n AS (SELECT count(*) AS n_vectors FROM u)
+        |SELECT n.n_vectors, agg.n_dims,
+        |  CAST(floor((CAST(agg.ssum AS DOUBLE) / 1e18
+        |      - CAST(n.n_vectors AS DOUBLE))
+        |    / (CAST(n.n_vectors AS DOUBLE)
+        |      * (CAST(n.n_vectors AS DOUBLE) - 1.0)) * 1e6 + 0.5) AS BIGINT)
+        |    / 1e6 AS mean_pairwise_cosine
+        |FROM agg, n""".stripMargin,
     "n10_knn_classify" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -1000,5 +1055,6 @@ object Similarity {
     "n11_mmr_rerank" -> (n11MmrRerank _),
     "n12_pq_topk" -> (n12PqTopk _),
     "n15_ivf_pq" -> (n15IvfPq _),
-    "n13_recall_eval" -> (n13RecallEval _))
+    "n13_recall_eval" -> (n13RecallEval _),
+    "n16_corpus_diversity" -> (n16CorpusDiversity _))
 }

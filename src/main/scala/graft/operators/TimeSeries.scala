@@ -451,7 +451,51 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** ts9's oracle body — shared so e10's episode oracle can wrap the
+    * exact same anomaly frame as a subquery. */
+  private val Ts9OracleSql: String =
+    s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+       |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*), 6) AS v
+       |  FROM events GROUP BY 1, 2),
+       |m AS (SELECT event_type, hr, v,
+       |    count(*) OVER w AS roll_n,
+       |    SUM(CAST(v AS DECIMAL(18,6))) OVER w AS roll_sum,
+       |    SUM(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)))
+       |      OVER w AS roll_sum2
+       |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr
+       |    ROWS BETWEEN $ZscoreWindow PRECEDING AND 1 PRECEDING)),
+       |z AS (SELECT event_type, hr, v, roll_n,
+       |    CASE WHEN roll_n >= $ZscoreMinObs AND
+       |      (CAST(roll_sum2 AS DOUBLE) * roll_n
+       |        - CAST(roll_sum AS DOUBLE) * CAST(roll_sum AS DOUBLE))
+       |        / (CAST(roll_n AS DOUBLE) * roll_n * (roll_n - 1.0)) > 0
+       |    THEN CAST(floor((v - CAST(roll_sum AS DOUBLE) / roll_n) /
+       |      sqrt((CAST(roll_sum2 AS DOUBLE) * roll_n
+       |        - CAST(roll_sum AS DOUBLE) * CAST(roll_sum AS DOUBLE))
+       |        / (CAST(roll_n AS DOUBLE) * roll_n * (roll_n - 1.0)))
+       |      * 1e4 + 0.5) AS BIGINT) / 1e4
+       |    END AS z
+       |  FROM m)
+       |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, v,
+       |  roll_n, z,
+       |  CASE WHEN abs(z) >= $ZscoreTau THEN 1 ELSE 0 END AS is_anomaly
+       |FROM z ORDER BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "e10_anomaly_episodes" ->
+      s"""WITH a AS (SELECT event_type, hr, z, is_anomaly,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hr)
+         |      AS rn_all
+         |  FROM ($Ts9OracleSql)),
+         |g AS (SELECT event_type, hr, z,
+         |    rn_all - row_number() OVER (PARTITION BY event_type
+         |      ORDER BY hr) AS grp
+         |  FROM a WHERE is_anomaly = 1)
+         |SELECT event_type, min(hr) AS start_hr, max(hr) AS end_hr,
+         |  count(*) AS n_hours, max(abs(z)) AS peak_z
+         |FROM g GROUP BY event_type, grp
+         |ORDER BY event_type, start_hr""".stripMargin,
     "ts12_time_weighted" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
         |    epoch_us(ts) AS us,
@@ -467,34 +511,7 @@ object TimeSeries {
         |    / CAST(SUM(dt) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS twa
         |FROM d WHERE dt IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "ts9_rolling_zscore" ->
-      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-         |      / count(*), 6) AS v
-         |  FROM events GROUP BY 1, 2),
-         |m AS (SELECT event_type, hr, v,
-         |    count(*) OVER w AS roll_n,
-         |    SUM(CAST(v AS DECIMAL(18,6))) OVER w AS roll_sum,
-         |    SUM(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)))
-         |      OVER w AS roll_sum2
-         |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr
-         |    ROWS BETWEEN $ZscoreWindow PRECEDING AND 1 PRECEDING)),
-         |z AS (SELECT event_type, hr, v, roll_n,
-         |    CASE WHEN roll_n >= $ZscoreMinObs AND
-         |      (CAST(roll_sum2 AS DOUBLE) * roll_n
-         |        - CAST(roll_sum AS DOUBLE) * CAST(roll_sum AS DOUBLE))
-         |        / (CAST(roll_n AS DOUBLE) * roll_n * (roll_n - 1.0)) > 0
-         |    THEN CAST(floor((v - CAST(roll_sum AS DOUBLE) / roll_n) /
-         |      sqrt((CAST(roll_sum2 AS DOUBLE) * roll_n
-         |        - CAST(roll_sum AS DOUBLE) * CAST(roll_sum AS DOUBLE))
-         |        / (CAST(roll_n AS DOUBLE) * roll_n * (roll_n - 1.0)))
-         |      * 1e4 + 0.5) AS BIGINT) / 1e4
-         |    END AS z
-         |  FROM m)
-         |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, v,
-         |  roll_n, z,
-         |  CASE WHEN abs(z) >= $ZscoreTau THEN 1 ELSE 0 END AS is_anomaly
-         |FROM z ORDER BY 1, 2""".stripMargin,
+    "ts9_rolling_zscore" -> Ts9OracleSql,
     "ts10_cusum" ->
       s"""WITH RECURSIVE h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
          |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
