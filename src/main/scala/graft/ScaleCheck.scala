@@ -90,7 +90,12 @@ object ScaleCheck {
     // survival / streaks / degree profile / cell audit / calibration)
     "d7_containment_dedup", "pipe4_monitor_report", "qc2_calibration",
     "mix5_curriculum", "e8_survival_curve", "w8_active_streaks",
-    "g5_degree_profile", "n4_cell_audit")
+    "g5_degree_profile", "n4_cell_audit",
+    // round-10 newcomers (time-weighted avg / readability / anomaly
+    // episodes / corpus diversity / Theil–Sen / split leakage / MI)
+    "ts12_time_weighted", "t24_readability", "e10_anomaly_episodes",
+    "n16_corpus_diversity", "ts13_theil_sen", "mix6_split_leakage",
+    "prof5_mutual_info")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {
@@ -145,17 +150,42 @@ object ScaleCheck {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSeq).getOrElse(DefaultQueries)
     val all = SparkEntry.queries
+    // IN-PROCESS min-of-N passes (SPARK_GRAFT_PASSES, default 4), the
+    // Bench discipline: the state dir is per-PROCESS, so every durable
+    // index (shingle/cluster/ANN/term/sig/model/…) is rebuilt on the
+    // first touch — a separate-process-per-pass protocol (the r9/early-
+    // r10 artifacts) therefore measured BUILD+query on every pass, and
+    // the "min of 4" for index consumers (d6 at 19.4×, d2 at 8.7×) was
+    // really the per-corpus build cost divided by a warm sf0.1 read.
+    // In-process passes put the builds in pass 1 where they are
+    // amortized (exactly like the committed bench mins this artifact is
+    // ratioed against), so ratio_vs_sf01 compares steady state to
+    // steady state. Pass 1's build-inclusive total is still reported
+    // (pass1_sec) because at 100 TB the build IS a real cost — it is
+    // just a per-corpus one, not a per-query one. A min-line is printed
+    // after every completed pass, so a timeout kill loses at most the
+    // in-flight pass and tools/scalecheck_merge.py reads the last line.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt.max(1)
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var d6RoundsScaled = -1
-    for (name <- only) {
-      val t = System.nanoTime()
-      try all(name)(spark, outDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errs(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+    var pass1Sec = 0.0
+    for (pass <- 1 to passes) {
+      val p0 = System.nanoTime()
+      for (name <- only) {
+        val t = System.nanoTime()
+        try all(name)(spark, outDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          errs(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+        }
+        val sec = (System.nanoTime() - t) / 1e9
+        times(name) = times.get(name).fold(sec)(math.min(_, sec))
+        if (pass == 1 && name == "d6_dedup_clusters")
+          d6RoundsScaled = graft.operators.Dedup.ccRounds
       }
-      times(name) = (System.nanoTime() - t) / 1e9
-      if (name == "d6_dedup_clusters") d6RoundsScaled = graft.operators.Dedup.ccRounds
+      if (pass == 1) pass1Sec = (System.nanoTime() - p0) / 1e9
+      emit(times, errs, passes = pass, pass1Sec, buildSec, srcDir,
+        d6RoundsBase = -1, d6RoundsScaled)
     }
     // the O(log diameter) claim, MEASURED: replicas add components, not
     // diameter, so the star-contraction round count must not grow with
@@ -166,11 +196,19 @@ object ScaleCheck {
         .write.format("noop").mode("overwrite").save()
       d6RoundsBase = graft.operators.Dedup.ccRounds
     }
+    emit(times, errs, passes, pass1Sec, buildSec, srcDir,
+      d6RoundsBase, d6RoundsScaled)
+    spark.stop()
+  }
+
+  private def emit(times: collection.Map[String, Double],
+      errs: collection.Map[String, String], passes: Int, pass1Sec: Double,
+      buildSec: Double, srcDir: String,
+      d6RoundsBase: Int, d6RoundsScaled: Int): Unit = {
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) =>
       "\"" + k + "\":\"" + JsonUtil.escape(v) + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_check","value":${times.values.sum},"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errs.size},"replicas":$Replicas,"base":"$srcDir","build_sec":$buildSec,"d6_rounds_base":$d6RoundsBase,"d6_rounds_scaled":$d6RoundsScaled,"commit":"${JsonUtil.gitHead()}","scanned_at":"${JsonUtil.nowIso()}"}""")
-    spark.stop()
+    println(s"""{"metric":"scale_check","value":${times.values.sum},"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errs.size},"replicas":$Replicas,"base":"$srcDir","build_sec":$buildSec,"pass1_sec":$pass1Sec,"passes":$passes,"d6_rounds_base":$d6RoundsBase,"d6_rounds_scaled":$d6RoundsScaled,"commit":"${JsonUtil.gitHead()}","scanned_at":"${JsonUtil.nowIso()}"}""")
   }
 }

@@ -663,6 +663,36 @@ object Dedup {
     depth(df.queryExecution.logical)
   }
 
+  /** The d6 cluster assignment as a reusable DuckDB CTE block (ends at
+    * a `cl(doc_id, cluster_id)` relation): shingle → DF-capped
+    * Jaccard pairs → recursive-CTE reachability → min-label clusters.
+    * Shared by the d6 oracle and every oracle that audits something
+    * PER near-dup cluster (mix6's split-leakage check) so the oracle
+    * cluster definition can never drift from d6's. */
+  private[graft] val ClusterOracleCte: String =
+    s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id,
+      |    unnest([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]) AS sh
+      |  FROM tok),
+      |sh AS (SELECT doc_id, sh FROM sh0
+      |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= $ShingleDfCap),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b
+      |  FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+      |  FROM reach GROUP BY a)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d11_dup_histogram" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS sz
@@ -770,28 +800,8 @@ object Dedup {
         |GROUP BY m.cluster_id, mx.keep_len, mx.n_members
         |ORDER BY m.cluster_id""".stripMargin,
     "d6_dedup_clusters" ->
-      s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh0 AS (SELECT DISTINCT doc_id,
-        |    unnest([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]) AS sh
-        |  FROM tok),
-        |sh AS (SELECT doc_id, sh FROM sh0
-        |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= $ShingleDfCap),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b
-        |  FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-        |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT a, a FROM (SELECT DISTINCT a FROM e) t
-        |  UNION
-        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
-        |SELECT a AS doc_id, MIN(b) AS cluster_id
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+      s"""$ClusterOracleCte
+        |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
     "d5_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm

@@ -246,6 +246,38 @@ object Pipeline {
       .orderBy("band", "shard", "position")
   }
 
+  /** mix6: split-leakage audit — for every near-dup cluster (d6's
+    * published components), do its members stay inside ONE of mix3's
+    * train/val/test splits? A near-duplicate of a training document
+    * sitting in the eval split silently inflates every benchmark the
+    * split was frozen for — the audit every dedup-aware split pipeline
+    * runs before publishing an eval set (the reason modern corpus
+    * recipes split by cluster/domain, not by row). One row per
+    * multi-member cluster: member count, distinct splits touched, the
+    * sorted split list, and a leaked flag. Scale shape: the cluster
+    * side is the PUBLISHED cluster index (a build artifact, pair-
+    * bounded); the split side is mix3's row-local hash expression on
+    * the documents scan; one keyed join + one keyed aggregate over the
+    * cluster-member frame — never pair generation, never a corpus
+    * self-join. Fully oracle-checkable: the cluster definition is the
+    * same recursive-CTE block as d6's oracle, the split the same md5
+    * CASE as mix3's. */
+  def mix6SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.sources.AtomicPublish
+      .readOutput(s, Dedup.ensureClusterIndex(s, dir), "clusters")
+    val splits = mix3TrainSplit(s, dir).select(col("doc_id"), col("split"))
+    clusters.join(splits, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        array_join(array_sort(collect_set(col("split"))), ",").as("splits"),
+        min(col("doc_id")).as("min_doc"))
+      .select(col("cluster_id"), col("n_docs"), col("n_splits"),
+        col("splits"), col("min_doc"),
+        when(col("n_splits") > 1, 1).otherwise(0).as("leaked"))
+      .orderBy("cluster_id")
+  }
+
   val PsiDrifting = 0.1   // PSI rule of thumb: < 0.1 stable
   val PsiRetrain = 0.25   // > 0.25 retrain
   val EceMax = 0.1        // calibration gap budget before recalibrating
@@ -288,6 +320,20 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "mix6_split_leakage" ->
+      s"""${Dedup.ClusterOracleCte},
+        |s AS (SELECT doc_id,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$SplitTrainThr' THEN 'train'
+        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$SplitValThr' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT cl.cluster_id, count(*) AS n_docs,
+        |  count(DISTINCT s.split) AS n_splits,
+        |  array_to_string(list_sort(list(DISTINCT s.split)), ',') AS splits,
+        |  min(cl.doc_id) AS min_doc,
+        |  CASE WHEN count(DISTINCT s.split) > 1 THEN 1 ELSE 0 END AS leaked
+        |FROM cl JOIN s USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "mix5_curriculum" -> {
       val en = TextAnalysis.sqlStopCount(TextAnalysis.stoplists("en"))
       s"""WITH base AS (SELECT doc_id,
@@ -471,5 +517,6 @@ object Pipeline {
     "mix3_train_split" -> (mix3TrainSplit _),
     "mix4_epoch_order" -> (mix4EpochOrder _),
     "mix5_curriculum" -> (mix5Curriculum _),
+    "mix6_split_leakage" -> (mix6SplitLeakage _),
     "pipe4_monitor_report" -> (pipe4MonitorReport _))
 }

@@ -165,7 +165,70 @@ object Profiling {
     frames.reduce(_.unionAll(_)).orderBy("join_name")
   }
 
+  /** int64 output quantization (the TimeSeries q6 / SURVEY §4 rule):
+    * every step an IEEE op on bit-identical inputs, so both engines
+    * land on the same double where round(double, 6) can diverge at
+    * half boundaries. */
+  private def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+
+  /** (table, x column, y column) pairs audited for statistical
+    * dependence — the categorical column pairs a profiler flags as
+    * redundant (high NMI) or independent (NMI ≈ 0). */
+  private val MiPairs = Seq(
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("lineitem", "l_returnflag", "l_linestatus"))
+
+  /** prof5: mutual information between categorical column pairs —
+    * MI(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), the marginal entropies,
+    * and the normalized NMI = MI/√(H(X)·H(Y)) (Strehl & Ghosh 2002's
+    * form): the dependence profile behind column-redundancy pruning
+    * and feature audits, one step past a16's chi² test statistic
+    * (chi² answers "dependent at all?", MI answers "how many nats of
+    * shared structure?"). Scale shape: per pair ONE corpus-scale keyed
+    * aggregate to the (x, y) contingency cells (map-side partials;
+    * cell count is the product of two bounded category domains);
+    * marginals and totals derive FROM the cell frame — never a second
+    * fact scan — and the final reduction is cells-sized. All count
+    * arithmetic is exact int64; the ln/divide expressions are written
+    * identically in the oracle (the t17 surprisal discipline), with
+    * one round(·,6) at each output boundary. */
+  def prof5MutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val frames = MiPairs.map { case (t, xc, yc) =>
+      val cells = Tables.byName(s, dir, t)
+        .groupBy(col(xc).as("x"), col(yc).as("y"))
+        .agg(count(lit(1)).as("cxy"))
+      val xm = cells.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+      val ym = cells.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
+      val tot = cells.agg(sum(col("cxy")).as("n"),
+        count(lit(1)).as("n_cells"))
+      val mi = cells.join(xm, "x").join(ym, "y").crossJoin(broadcast(tot))
+        .agg(sum((col("cxy").cast("double") / col("n")) *
+          log((col("cxy").cast("double") * col("n")) /
+            (col("cx").cast("double") * col("cy")))).as("mi"))
+      val hx = xm.crossJoin(broadcast(tot.select(col("n"))))
+        .agg(count(lit(1)).as("nx"),
+          (-sum((col("cx").cast("double") / col("n")) *
+            log(col("cx").cast("double") / col("n")))).as("hx"))
+      val hy = ym.crossJoin(broadcast(tot.select(col("n"))))
+        .agg(count(lit(1)).as("ny"),
+          (-sum((col("cy").cast("double") / col("n")) *
+            log(col("cy").cast("double") / col("n")))).as("hy"))
+      mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .crossJoin(broadcast(tot)) // all 1-row bounded metadata
+        .select(lit(s"${t}.${xc}_$yc").as("pair_name"),
+          col("n").as("n_rows"), col("nx"), col("ny"), col("n_cells"),
+          q6(col("mi")).as("mi"),
+          q6(col("hx")).as("h_x"),
+          q6(col("hy")).as("h_y"),
+          when(col("hx") > 0 && col("hy") > 0,
+            q6(col("mi") / sqrt(col("hx") * col("hy")))).as("nmi"))
+    }
+    frames.reduce(_.unionAll(_)).orderBy("pair_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prof5_mutual_info" -> (prof5MutualInfo _),
     "prof1_column_profile" -> (prof1ColumnProfile _),
     "prof1b_approx_profile" -> (prof1bApproxProfile _),
     "prof2_histogram" -> (prof2Histogram _),
@@ -194,7 +257,52 @@ object Profiling {
        |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM $ln) lt
        |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM $rn) rt""".stripMargin
 
+  /** One pair's MI/entropy block; CTE names prefixed so two pairs can
+    * share a single WITH. Expressions mirror the Spark plan 1:1 (same
+    * casts, same ln arguments, same q6 quantization). */
+  private def prof5OracleFor(p: String, t: String, xc: String,
+      yc: String): (String, String) = {
+    val ctes =
+      s"""${p}cells AS (SELECT $xc AS x, $yc AS y, count(*) AS cxy
+         |  FROM $t GROUP BY 1, 2),
+         |${p}xm AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx
+         |  FROM ${p}cells GROUP BY 1),
+         |${p}ym AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy
+         |  FROM ${p}cells GROUP BY 1),
+         |${p}tot AS (SELECT CAST(sum(cxy) AS BIGINT) AS n,
+         |    count(*) AS n_cells FROM ${p}cells),
+         |${p}mi AS (SELECT sum((CAST(cxy AS DOUBLE) / n) *
+         |      ln((CAST(cxy AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy)))
+         |    AS mi
+         |  FROM ${p}cells JOIN ${p}xm USING (x) JOIN ${p}ym USING (y)
+         |  CROSS JOIN ${p}tot),
+         |${p}hx AS (SELECT count(*) AS nx,
+         |    -sum((CAST(cx AS DOUBLE) / n) * ln(CAST(cx AS DOUBLE) / n)) AS hx
+         |  FROM ${p}xm CROSS JOIN ${p}tot),
+         |${p}hy AS (SELECT count(*) AS ny,
+         |    -sum((CAST(cy AS DOUBLE) / n) * ln(CAST(cy AS DOUBLE) / n)) AS hy
+         |  FROM ${p}ym CROSS JOIN ${p}tot)""".stripMargin
+    val sel =
+      s"""SELECT '$t.${xc}_$yc' AS pair_name, n AS n_rows, nx, ny, n_cells,
+         |  CAST(floor(mi * 1e6 + 0.5) AS BIGINT) / 1e6 AS mi,
+         |  CAST(floor(hx * 1e6 + 0.5) AS BIGINT) / 1e6 AS h_x,
+         |  CAST(floor(hy * 1e6 + 0.5) AS BIGINT) / 1e6 AS h_y,
+         |  CASE WHEN hx > 0 AND hy > 0 THEN
+         |    CAST(floor(mi / sqrt(hx * hy) * 1e6 + 0.5) AS BIGINT) / 1e6
+         |  END AS nmi
+         |FROM ${p}mi CROSS JOIN ${p}hx CROSS JOIN ${p}hy CROSS JOIN ${p}tot""".stripMargin
+    (ctes, sel)
+  }
+
   def oracles: Map[String, String] = Map(
+    "prof5_mutual_info" -> {
+      val blocks = MiPairs.zipWithIndex.map { case ((t, xc, yc), i) =>
+        prof5OracleFor(s"p$i", t, xc, yc)
+      }
+      "WITH " + blocks.map(_._1).mkString(",\n") +
+        "\nSELECT * FROM (\n" + blocks.map(_._2).mkString("\nUNION ALL\n") +
+        "\n) ORDER BY pair_name"
+    },
     "prof4_join_cardinality" ->
       (CardJoins.map { case (ln, lk, rn, rk) => prof4OracleFor(ln, lk, rn, rk) }
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n)") +

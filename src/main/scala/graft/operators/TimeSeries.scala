@@ -451,6 +451,71 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** e10: anomaly EPISODES — ts9's per-hour anomaly flags collapsed
+    * into contiguous runs (start/end hour, length, peak |z|): what an
+    * alerting pipeline actually pages on (one 6-hour incident, not six
+    * point alerts). The standard gaps-and-islands grouping — global
+    * row number minus anomalous-rows row number is constant exactly
+    * within a consecutive anomalous run — with BOTH windows
+    * partitioned by series over the span-bounded hourly z frame
+    * (ts9's spine argument: the corpus-scale work is ts9's one keyed
+    * aggregate; everything here is #types × #hours metadata). Episode
+    * bounds are exact string picks, peak_z an exact max of ts9's
+    * already-quantized z — nothing new to quantize. */
+  def e10AnomalyEpisodes(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    ts9RollingZscore(s, dir)
+      .withColumn("rn_all", row_number().over(wAll))
+      .filter(col("is_anomaly") === 1)
+      .withColumn("grp", col("rn_all") - row_number().over(wAll))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(min(col("hr")).as("start_hr"), max(col("hr")).as("end_hr"),
+        count(lit(1)).as("n_hours"), max(abs(col("z"))).as("peak_z"))
+      .select(col("event_type"), col("start_hr"), col("end_hr"),
+        col("n_hours"), col("peak_z"))
+      .orderBy("event_type", "start_hr")
+  }
+
+  /** ts13: Theil–Sen robust trend per series — the median of all
+    * pairwise slopes of the daily-count series (Theil 1950 / Sen 1968;
+    * the standard robust alternative to ts3's OLS, unmoved by up to
+    * ~29% outlier days, where one traffic spike drags an OLS slope).
+    * Intercept = median residual at the chosen slope (Sen's form).
+    * Scale shape: the only corpus-scale work is the SAME day-grain
+    * keyed aggregate ts3 runs; the pairwise self-join runs over the
+    * bounded (type × span-days) day frame — O(m²) pairs per series
+    * with m the calendar span, metadata-sized like ts6's lag products,
+    * never a fact-row join. The slope is quantized (q6, the int64
+    * rule) BEFORE the residual pass so both engines compute residual
+    * medians against bit-identical slopes; both medians interpolate
+    * identically on even counts and are re-quantized at the output
+    * boundary. */
+  def ts13TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lo = daily.agg(min(col("day")).as("lo"))
+    val d = daily.crossJoin(broadcast(lo)) // 1-row bounded metadata
+      .select(col("event_type"),
+        datediff(col("day"), col("lo")).cast("double").as("x"),
+        col("n").cast("double").as("y"))
+    val slopes = d.select(col("event_type"), col("x").as("x1"), col("y").as("y1"))
+      .join(d.select(col("event_type").as("et2"), col("x").as("x2"),
+        col("y").as("y2")),
+        col("event_type") === col("et2") && col("x1") < col("x2"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        q6(median((col("y2") - col("y1")) / (col("x2") - col("x1"))))
+          .as("slope"))
+    d.join(slopes, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("n_pairs")).as("n_pairs"), // constant per type
+        max(col("slope")).as("slope"),
+        q6(median(col("y") - col("slope") * col("x"))).as("intercept"))
+      .orderBy("event_type")
+  }
+
   /** ts9's oracle body — shared so e10's episode oracle can wrap the
     * exact same anomaly frame as a subquery. */
   private val Ts9OracleSql: String =
@@ -635,6 +700,25 @@ object TimeSeries {
          |  round(corr(v, v_2), 6) AS ac_2,
          |  round(corr(v, v_3), 6) AS ac_3
          |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts13_theil_sen" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |lo AS (SELECT min(day) AS lo FROM daily),
+        |d AS (SELECT dd.event_type,
+        |    CAST(date_diff('day', lo.lo, dd.day) AS DOUBLE) AS x,
+        |    CAST(dd.n AS DOUBLE) AS y
+        |  FROM daily dd CROSS JOIN lo),
+        |sl AS (SELECT a.event_type, count(*) AS n_pairs,
+        |    CAST(floor(median((b.y - a.y) / (b.x - a.x)) * 1e6 + 0.5)
+        |      AS BIGINT) / 1e6 AS slope
+        |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x
+        |  GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n_days, max(sl.n_pairs) AS n_pairs,
+        |  max(sl.slope) AS slope,
+        |  CAST(floor(median(d.y - sl.slope * d.x) * 1e6 + 0.5) AS BIGINT)
+        |    / 1e6 AS intercept
+        |FROM d JOIN sl ON d.event_type = sl.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts3_trend" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
         |    count(*) AS n FROM events GROUP BY 1, 2),
@@ -723,5 +807,7 @@ object TimeSeries {
     "ts9_rolling_zscore" -> (ts9RollingZscore _),
     "ts10_cusum" -> (ts10Cusum _),
     "ts11_linear_interp" -> (ts11LinearInterp _),
-    "ts12_time_weighted" -> (ts12TimeWeighted _))
+    "ts12_time_weighted" -> (ts12TimeWeighted _),
+    "ts13_theil_sen" -> (ts13TheilSen _),
+    "e10_anomaly_episodes" -> (e10AnomalyEpisodes _))
 }

@@ -636,6 +636,27 @@ class AnalyticsSpec extends GraftSpec {
     half.foreach { case (id, s) => assert(full(id) == s) }
   }
 
+  test("mix6 leakage audit equals the d6 × mix3 join recomputed on the driver") {
+    import graft.operators.{Dedup, Pipeline}
+    val clusters = Dedup.d6DedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    assert(clusters.nonEmpty, "fixture should contain near-dup clusters")
+    val split = Pipeline.mix3TrainSplit(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val rows = Pipeline.mix6SplitLeakage(spark, sf).collect()
+    val byCluster = clusters.groupBy(_._2)
+    assert(rows.length == byCluster.size)
+    rows.foreach { r =>
+      val members = byCluster(r.getAs[Long]("cluster_id")).map(_._1)
+      val splits = members.map(split).distinct.sorted
+      assert(r.getAs[Long]("n_docs") == members.length)
+      assert(r.getAs[Long]("n_splits") == splits.length)
+      assert(r.getAs[String]("splits") == splits.mkString(","))
+      assert(r.getAs[Long]("min_doc") == members.min)
+      assert(r.getAs[Int]("leaked") == (if (splits.length > 1) 1 else 0))
+    }
+  }
+
   test("mix2 fills each domain's budget with the md5-order greedy prefix") {
     import graft.operators.Pipeline
     val rows = Pipeline.mix2TokenBudget(spark, sf).collect()

@@ -129,4 +129,38 @@ class ProfilingSpec extends GraftSpec {
     assert(amp > 0 && math.abs(amp -
       r.getAs[Long]("join_rows").toDouble / r.getAs[Long]("left_rows")) < 1e-5)
   }
+
+  test("prof5 MI and entropies match a driver-side contingency recompute") {
+    val rows = Profiling.prof5MutualInfo(spark, sf).collect()
+      .map(r => r.getAs[String]("pair_name") -> r).toMap
+    assert(rows.keySet == Set("orders.o_orderpriority_o_orderstatus",
+      "lineitem.l_returnflag_l_linestatus"))
+    val cells = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val n = cells.values.sum.toDouble
+    val cx = cells.groupBy(_._1._1).map { case (k, g) => k -> g.values.sum }
+    val cy = cells.groupBy(_._1._2).map { case (k, g) => k -> g.values.sum }
+    val mi = cells.map { case ((x, y), c) =>
+      (c / n) * math.log(c * n / (cx(x).toDouble * cy(y)))
+    }.sum
+    def ent(m: Map[String, Long]) =
+      -m.values.map(c => (c / n) * math.log(c / n)).sum
+    val r = rows("orders.o_orderpriority_o_orderstatus")
+    assert(r.getAs[Long]("n_rows") == n.toLong)
+    assert(r.getAs[Long]("nx") == cx.size && r.getAs[Long]("ny") == cy.size)
+    assert(r.getAs[Long]("n_cells") == cells.size)
+    assert(math.abs(r.getAs[Double]("mi") - mi) < 2e-6, s"mi=$mi")
+    assert(math.abs(r.getAs[Double]("h_x") - ent(cx)) < 2e-6)
+    assert(math.abs(r.getAs[Double]("h_y") - ent(cy)) < 2e-6)
+    // information-theory invariants: 0 ≤ MI ≤ min(H_x, H_y); NMI in [0,1]
+    rows.values.foreach { row =>
+      val (m, hx, hy) = (row.getAs[Double]("mi"),
+        row.getAs[Double]("h_x"), row.getAs[Double]("h_y"))
+      assert(m >= -1e-6 && m <= math.min(hx, hy) + 1e-6)
+      val nmi = row.getAs[Double]("nmi")
+      assert(nmi >= -1e-6 && nmi <= 1 + 1e-6)
+    }
+  }
 }

