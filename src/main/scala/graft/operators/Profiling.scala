@@ -194,35 +194,50 @@ object Profiling {
     * identically in the oracle (the t17 surprisal discipline), with
     * one round(·,6) at each output boundary. */
   def prof5MutualInfo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val frames = MiPairs.map { case (t, xc, yc) =>
+      // ONE TREE, ONE SCAN: marginals/totals as WINDOWS over the
+      // bounded cell frame, entropies as first-in-group conditional
+      // sums in the SAME final aggregate. The naive "derive xm/ym/tot
+      // from cells as separate frames" reads as one scan logically,
+      // but Catalyst collapses each marginal's aggregate-of-aggregate
+      // into its own direct scan+aggregate and AQE gets nothing to
+      // reuse — the measured plan ran FOUR fact scans per table (the
+      // PlanAuditSpec row exists because of this). Every window below
+      // partitions the ≤|X|·|Y|-row cell frame — bounded metadata,
+      // never the fact table.
       val cells = Tables.byName(s, dir, t)
         .groupBy(col(xc).as("x"), col(yc).as("y"))
         .agg(count(lit(1)).as("cxy"))
-      val xm = cells.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
-      val ym = cells.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
-      val tot = cells.agg(sum(col("cxy")).as("n"),
-        count(lit(1)).as("n_cells"))
-      val mi = cells.join(xm, "x").join(ym, "y").crossJoin(broadcast(tot))
-        .agg(sum((col("cxy").cast("double") / col("n")) *
-          log((col("cxy").cast("double") * col("n")) /
-            (col("cx").cast("double") * col("cy")))).as("mi"))
-      val hx = xm.crossJoin(broadcast(tot.select(col("n"))))
-        .agg(count(lit(1)).as("nx"),
-          (-sum((col("cx").cast("double") / col("n")) *
-            log(col("cx").cast("double") / col("n")))).as("hx"))
-      val hy = ym.crossJoin(broadcast(tot.select(col("n"))))
-        .agg(count(lit(1)).as("ny"),
-          (-sum((col("cy").cast("double") / col("n")) *
-            log(col("cy").cast("double") / col("n")))).as("hy"))
-      mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
-        .crossJoin(broadcast(tot)) // all 1-row bounded metadata
+      val w = cells
+        .withColumn("cx", sum(col("cxy")).over(Window.partitionBy(col("x"))))
+        .withColumn("cy", sum(col("cxy")).over(Window.partitionBy(col("y"))))
+        .withColumn("n", sum(col("cxy")).over(Window.partitionBy()))
+        .withColumn("rnx", row_number().over(
+          Window.partitionBy(col("x")).orderBy(col("y"))))
+        .withColumn("rny", row_number().over(
+          Window.partitionBy(col("y")).orderBy(col("x"))))
+      w.agg(
+          sum(col("cxy")).as("n_rows_s"),
+          sum(when(col("rnx") === 1, 1L).otherwise(0L)).as("nx"),
+          sum(when(col("rny") === 1, 1L).otherwise(0L)).as("ny"),
+          count(lit(1)).as("n_cells"),
+          sum((col("cxy").cast("double") / col("n")) *
+            log((col("cxy").cast("double") * col("n")) /
+              (col("cx").cast("double") * col("cy")))).as("mi_raw"),
+          (-sum(when(col("rnx") === 1,
+            (col("cx").cast("double") / col("n")) *
+              log(col("cx").cast("double") / col("n"))))).as("hx"),
+          (-sum(when(col("rny") === 1,
+            (col("cy").cast("double") / col("n")) *
+              log(col("cy").cast("double") / col("n"))))).as("hy"))
         .select(lit(s"${t}.${xc}_$yc").as("pair_name"),
-          col("n").as("n_rows"), col("nx"), col("ny"), col("n_cells"),
-          q6(col("mi")).as("mi"),
+          col("n_rows_s").as("n_rows"), col("nx"), col("ny"), col("n_cells"),
+          q6(col("mi_raw")).as("mi"),
           q6(col("hx")).as("h_x"),
           q6(col("hy")).as("h_y"),
           when(col("hx") > 0 && col("hy") > 0,
-            q6(col("mi") / sqrt(col("hx") * col("hy")))).as("nmi"))
+            q6(col("mi_raw") / sqrt(col("hx") * col("hy")))).as("nmi"))
     }
     frames.reduce(_.unionAll(_)).orderBy("pair_name")
   }
@@ -265,32 +280,34 @@ object Profiling {
     val ctes =
       s"""${p}cells AS (SELECT $xc AS x, $yc AS y, count(*) AS cxy
          |  FROM $t GROUP BY 1, 2),
-         |${p}xm AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx
-         |  FROM ${p}cells GROUP BY 1),
-         |${p}ym AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy
-         |  FROM ${p}cells GROUP BY 1),
-         |${p}tot AS (SELECT CAST(sum(cxy) AS BIGINT) AS n,
-         |    count(*) AS n_cells FROM ${p}cells),
-         |${p}mi AS (SELECT sum((CAST(cxy AS DOUBLE) / n) *
+         |${p}w AS (SELECT x, y, cxy,
+         |    CAST(sum(cxy) OVER (PARTITION BY x) AS BIGINT) AS cx,
+         |    CAST(sum(cxy) OVER (PARTITION BY y) AS BIGINT) AS cy,
+         |    CAST(sum(cxy) OVER () AS BIGINT) AS n,
+         |    row_number() OVER (PARTITION BY x ORDER BY y) AS rnx,
+         |    row_number() OVER (PARTITION BY y ORDER BY x) AS rny
+         |  FROM ${p}cells),
+         |${p}a AS (SELECT CAST(sum(cxy) AS BIGINT) AS n_rows,
+         |    CAST(sum(CASE WHEN rnx = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+         |    CAST(sum(CASE WHEN rny = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ny,
+         |    count(*) AS n_cells,
+         |    sum((CAST(cxy AS DOUBLE) / n) *
          |      ln((CAST(cxy AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy)))
-         |    AS mi
-         |  FROM ${p}cells JOIN ${p}xm USING (x) JOIN ${p}ym USING (y)
-         |  CROSS JOIN ${p}tot),
-         |${p}hx AS (SELECT count(*) AS nx,
-         |    -sum((CAST(cx AS DOUBLE) / n) * ln(CAST(cx AS DOUBLE) / n)) AS hx
-         |  FROM ${p}xm CROSS JOIN ${p}tot),
-         |${p}hy AS (SELECT count(*) AS ny,
-         |    -sum((CAST(cy AS DOUBLE) / n) * ln(CAST(cy AS DOUBLE) / n)) AS hy
-         |  FROM ${p}ym CROSS JOIN ${p}tot)""".stripMargin
+         |      AS mi_raw,
+         |    -sum(CASE WHEN rnx = 1 THEN (CAST(cx AS DOUBLE) / n)
+         |      * ln(CAST(cx AS DOUBLE) / n) END) AS hx,
+         |    -sum(CASE WHEN rny = 1 THEN (CAST(cy AS DOUBLE) / n)
+         |      * ln(CAST(cy AS DOUBLE) / n) END) AS hy
+         |  FROM ${p}w)""".stripMargin
     val sel =
-      s"""SELECT '$t.${xc}_$yc' AS pair_name, n AS n_rows, nx, ny, n_cells,
-         |  CAST(floor(mi * 1e6 + 0.5) AS BIGINT) / 1e6 AS mi,
+      s"""SELECT '$t.${xc}_$yc' AS pair_name, n_rows, nx, ny, n_cells,
+         |  CAST(floor(mi_raw * 1e6 + 0.5) AS BIGINT) / 1e6 AS mi,
          |  CAST(floor(hx * 1e6 + 0.5) AS BIGINT) / 1e6 AS h_x,
          |  CAST(floor(hy * 1e6 + 0.5) AS BIGINT) / 1e6 AS h_y,
          |  CASE WHEN hx > 0 AND hy > 0 THEN
-         |    CAST(floor(mi / sqrt(hx * hy) * 1e6 + 0.5) AS BIGINT) / 1e6
+         |    CAST(floor(mi_raw / sqrt(hx * hy) * 1e6 + 0.5) AS BIGINT) / 1e6
          |  END AS nmi
-         |FROM ${p}mi CROSS JOIN ${p}hx CROSS JOIN ${p}hy CROSS JOIN ${p}tot""".stripMargin
+         |FROM ${p}a""".stripMargin
     (ctes, sel)
   }
 

@@ -200,6 +200,33 @@ class PlanAuditSpec extends GraftSpec {
     }
   }
 
+  test("mix6: leakage audit reads the published cluster index — no pair generation") {
+    val plan = planOf(graft.operators.Pipeline.mix6SplitLeakage(spark, sf))
+    // ONE documents scan (mix3's row-local split hash) — the cluster
+    // side must come from the committed parquet, not a d2 re-run
+    assert("documents\\.parquet".r.findAllIn(plan).size == 1,
+      s"mix6 should scan documents exactly once (split side):\n$plan")
+    assert(plan.contains("cluster_index"),
+      s"mix6 must read the published cluster index:\n$plan")
+    // no shingle machinery anywhere in the read path
+    assert(!plan.contains("xxhash64"),
+      s"mix6 must not re-run shingle hashing:\n$plan")
+  }
+
+  test("prof5: marginals derive from the cell aggregate — one scan per audited table") {
+    val tree = finalTreeOf(graft.operators.Profiling.prof5MutualInfo(spark, sf))
+    // marginals/totals are WINDOWS over the bounded cell frame inside
+    // one tree — exactly one fact scan per audited table (the union
+    // has two tables → two scans). The rejected frame-per-marginal
+    // form measured FOUR scans per table: Catalyst collapses each
+    // aggregate-of-aggregate into its own direct scan+aggregate and
+    // AQE gets nothing to reuse — the 100 TB regression this row pins.
+    val n = "Scan parquet".r.findAllIn(tree).size
+    assert(n == MiPairsCount,
+      s"prof5 should scan each audited table exactly once, saw $n scans:\n$tree")
+  }
+  private val MiPairsCount = 2 // (orders, lineitem) — one scan each
+
   test("s5: the hash-threshold pre-filter sits below the per-group window sort") {
     val plan = planOf(Analytics.s5ReservoirSample(spark, sf))
     // the window operator must consume the FILTERED side: the plan has a
