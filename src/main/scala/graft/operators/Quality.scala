@@ -493,7 +493,80 @@ object Quality {
         round(col("ci_hi") - col("ci_lo"), 6).as("ci_width"))
   }
 
+  /** Total sample budget the imp3 allocation distributes. */
+  val NeymanBudget = 10000L
+
+  /** imp3: Neyman-optimal stratified sample allocation (Neyman 1934)
+    * — given a total budget of [[NeymanBudget]] rows, how many should
+    * each stratum (event_type) contribute? Proportional allocation
+    * (n_h ∝ N_h) is what naive sampling does; Neyman allocation
+    * (n_h ∝ N_h·σ_h) minimizes the estimator variance for a fixed
+    * budget by spending rows where the VALUE is noisy, not merely
+    * where rows are many — the sampling-design step that comes before
+    * imp1's deterministic thinning at 100 TB (you size the strata from
+    * this table, then imp1's hash thresholds implement it). One keyed
+    * aggregate of exact decimal moments per stratum (map-side
+    * partials), then everything is windows over the #strata-bounded
+    * frame (the prof5 one-tree rule — no second fact scan). σ from
+    * the same exact-decimal moment algebra as ts9, int64-quantized
+    * BEFORE the share arithmetic so both engines divide bit-identical
+    * inputs; allocations floor(x+0.5)-rounded to exact int64. */
+  def imp3NeymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vd = col("value").cast("decimal(18,6)")
+    val strata = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(vd).as("s1"),
+        sum(vd * vd).as("s2"))
+    val n = col("n_rows").cast("double")
+    val sigmaRaw = sqrt(
+      (col("s2").cast("double") * n -
+        col("s1").cast("double") * col("s1").cast("double")) /
+        (n * n - n))
+    val q6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val all = Window.partitionBy()
+    strata
+      .withColumn("sigma", q6(sigmaRaw))
+      .withColumn("nsig", n * col("sigma"))
+      .withColumn("tot_rows", sum(col("n_rows")).over(all))
+      .withColumn("tot_nsig", sum(col("nsig")).over(all))
+      .select(col("event_type"), col("n_rows"), col("sigma"),
+        floor(lit(NeymanBudget) * col("nsig") / col("tot_nsig") + lit(0.5))
+          .cast("long").as("neyman_n"),
+        floor(lit(NeymanBudget) * n / col("tot_rows").cast("double") +
+          lit(0.5)).cast("long").as("prop_n"),
+        q6(col("nsig") / col("tot_nsig")).as("neyman_share"))
+      .orderBy("event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "imp3_neyman_allocation" ->
+      s"""WITH st AS (SELECT event_type, count(*) AS n_rows,
+         |    SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+         |    SUM(CAST(value AS DECIMAL(18,6))
+         |      * CAST(value AS DECIMAL(18,6))) AS s2
+         |  FROM events GROUP BY 1),
+         |sg AS (SELECT event_type, n_rows,
+         |    CAST(floor(sqrt((CAST(s2 AS DOUBLE) * CAST(n_rows AS DOUBLE)
+         |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         |      / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+         |        - CAST(n_rows AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) / 1e6
+         |      AS sigma
+         |  FROM st),
+         |w AS (SELECT event_type, n_rows, sigma,
+         |    CAST(n_rows AS DOUBLE) * sigma AS nsig,
+         |    CAST(sum(n_rows) OVER () AS BIGINT) AS tot_rows,
+         |    sum(CAST(n_rows AS DOUBLE) * sigma) OVER () AS tot_nsig
+         |  FROM sg)
+         |SELECT event_type, n_rows, sigma,
+         |  CAST(floor($NeymanBudget * nsig / tot_nsig + 0.5) AS BIGINT)
+         |    AS neyman_n,
+         |  CAST(floor($NeymanBudget * CAST(n_rows AS DOUBLE)
+         |    / CAST(tot_rows AS DOUBLE) + 0.5) AS BIGINT) AS prop_n,
+         |  CAST(floor(nsig / tot_nsig * 1e6 + 0.5) AS BIGINT) / 1e6
+         |    AS neyman_share
+         |FROM w ORDER BY event_type""".stripMargin,
     "psi1_feature_drift" -> {
       val qs = (1 until PsiBuckets).map(_.toDouble / PsiBuckets)
       s"""WITH ev AS (SELECT value,
@@ -582,6 +655,7 @@ object Quality {
     "imp1_importance_sample" -> (imp1ImportanceSample _),
     "qc1_classifier_score" -> (qc1ClassifierScore _),
     "imp2_bootstrap_ci" -> (imp2BootstrapCi _),
+    "imp3_neyman_allocation" -> (imp3NeymanAllocation _),
     "qc2_calibration" -> (qc2Calibration _),
     "psi1_feature_drift" -> (psi1FeatureDrift _),
     "dc1_source_caps" -> (dc1SourceCaps _))

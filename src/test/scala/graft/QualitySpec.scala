@@ -256,4 +256,42 @@ class QualitySpec extends GraftSpec {
     assert(ms > 0.6 * clt && ms < 1.7 * clt,
       s"replicate-mean sd $ms vs CLT sigma/sqrt(n) $clt")
   }
+
+  test("imp3 Neyman allocation matches a driver recompute and beats proportional where sigma is high") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val strata = ev.groupBy(_._1).map { case (t, g) =>
+      val n = g.length.toDouble
+      val s1 = g.map(_._2).sum; val s2 = g.map(v => v._2 * v._2).sum
+      (t, g.length.toLong, q6(math.sqrt((s2 * n - s1 * s1) / (n * n - n))))
+    }.toSeq.sortBy(_._1)
+    val totRows = strata.map(_._2).sum.toDouble
+    val totNsig = strata.map(s => s._2 * s._3).sum
+    val rows = Quality.imp3NeymanAllocation(spark, sf).collect()
+    assert(rows.length == strata.length)
+    rows.zip(strata).foreach { case (r, (t, nh, sg)) =>
+      assert(r.getAs[String]("event_type") == t)
+      assert(r.getAs[Long]("n_rows") == nh)
+      assert(math.abs(r.getAs[Double]("sigma") - sg) < 1.1e-6)
+      val ney = math.floor(Quality.NeymanBudget * nh * sg / totNsig + 0.5).toLong
+      val prop = math.floor(Quality.NeymanBudget * nh / totRows + 0.5).toLong
+      assert(math.abs(r.getAs[Long]("neyman_n") - ney) <= 1, s"$t neyman")
+      assert(math.abs(r.getAs[Long]("prop_n") - prop) <= 1, s"$t prop")
+    }
+    // budget conservation within per-stratum rounding
+    val totAlloc = rows.map(_.getAs[Long]("neyman_n")).sum
+    assert(math.abs(totAlloc - Quality.NeymanBudget) <= strata.length,
+      s"allocated $totAlloc of ${Quality.NeymanBudget}")
+    // Neyman spends MORE than proportional exactly on above-average-sigma strata
+    val avgSigma = totNsig / totRows
+    rows.foreach { r =>
+      val dir = r.getAs[Long]("neyman_n").toDouble - r.getAs[Long]("prop_n")
+      val hi = r.getAs[Double]("sigma") > avgSigma
+      if (math.abs(dir) > 1) assert((dir > 0) == hi,
+        s"${r.getAs[String]("event_type")}: neyman-prop=$dir sigma=${r.getAs[Double]("sigma")} avg=$avgSigma")
+    }
+  }
 }
