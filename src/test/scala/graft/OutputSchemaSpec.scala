@@ -28,4 +28,14 @@ class OutputSchemaSpec extends GraftSpec {
     assert(offenders.isEmpty,
       s"driver-hostile top-level columns (digest them):\n${offenders.mkString("\n")}")
   }
+
+  test("every oracle key has a queries entry (an orphaned oracle is a guaranteed gate failure)") {
+    // r10 postmortem: e10's oracle was committed by the end-of-round
+    // sweep without its Spark query — the driver gate then reports
+    // MISSING-OUTPUT for a query that never ran. The contract is
+    // oracleSql.keySet ⊆ queries.keySet, enforced here so a half-landed
+    // operator fails the suite instead of the round's correctness gate.
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
 }
