@@ -769,27 +769,7 @@ object Dedup {
         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "d10_canonical_pick" ->
-      s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh0 AS (SELECT DISTINCT doc_id,
-        |    unnest([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]) AS sh
-        |  FROM tok),
-        |sh AS (SELECT doc_id, sh FROM sh0
-        |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= $ShingleDfCap),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b
-        |  FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-        |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT a, a FROM (SELECT DISTINCT a FROM e) t
-        |  UNION
-        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-        |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+      s"""$ClusterOracleCte,
         |m AS (SELECT cl.cluster_id, cl.doc_id, length(d.text) AS len
         |  FROM cl JOIN documents d USING (doc_id)),
         |mx AS (SELECT cluster_id, MAX(len) AS keep_len, COUNT(*) AS n_members

@@ -278,6 +278,42 @@ object Pipeline {
       .orderBy("cluster_id")
   }
 
+  /** Repeat-weight ceiling: a 10 000-copy boilerplate cluster must not
+    * dominate the mixture just because it was big pre-dedup. */
+  val DedupWeightCap = 10L
+
+  /** mix7: dedup-then-upweight corpus weights — after near-dup
+    * clustering, keep ONE canonical document per cluster (d10's
+    * survival rule: longest text, ties to smallest doc_id) and carry
+    * the collapsed cluster's size as a capped repeat weight; singleton
+    * docs pass through at weight 1. This is the "count duplicates,
+    * don't train on them" recipe (a document that appeared 8× in the
+    * wild is upweighted 8×, but through ONE clean copy, and a
+    * boilerplate cluster is capped at [[DedupWeightCap]]) — the
+    * mixture step that consumes d6/d10's machinery the way mix6
+    * audits it. Scale shape: the cluster side is the PUBLISHED
+    * cluster index; the corpus side is one (doc_id, length) scan;
+    * one keyed left join + one cluster-keyed aggregate — never pair
+    * generation. Weights are exact int64 ⇒ fully hash-checkable. */
+  def mix7DedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.sources.AtomicPublish
+      .readOutput(s, Dedup.ensureClusterIndex(s, dir), "clusters")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val m = docs.join(clusters, Seq("doc_id"), "left")
+    val kept = m.filter(col("cluster_id").isNotNull)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("len").as("len"), (-col("doc_id")).as("nid")))
+          .as("best"))
+      .select((-col("best.nid")).as("doc_id"),
+        least(col("cluster_size"), lit(DedupWeightCap)).as("weight"),
+        lit(1).as("clustered"))
+    val solo = m.filter(col("cluster_id").isNull)
+      .select(col("doc_id"), lit(1L).as("weight"), lit(0).as("clustered"))
+    solo.unionAll(kept).orderBy("doc_id")
+  }
+
   val PsiDrifting = 0.1   // PSI rule of thumb: < 0.1 stable
   val PsiRetrain = 0.25   // > 0.25 retrain
   val EceMax = 0.1        // calibration gap budget before recalibrating
@@ -320,6 +356,23 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "mix7_dedup_weights" ->
+      s"""${Dedup.ClusterOracleCte},
+        |m AS (SELECT cl.cluster_id, cl.doc_id, length(d.text) AS len
+        |  FROM cl JOIN documents d USING (doc_id)),
+        |mx AS (SELECT cluster_id, MAX(len) AS keep_len,
+        |    COUNT(*) AS n_members FROM m GROUP BY 1),
+        |keep AS (SELECT m.cluster_id, MIN(m.doc_id) AS doc_id,
+        |    least(mx.n_members, $DedupWeightCap) AS weight
+        |  FROM m JOIN mx ON m.cluster_id = mx.cluster_id
+        |    AND m.len = mx.keep_len
+        |  GROUP BY m.cluster_id, mx.n_members)
+        |SELECT doc_id, CAST(weight AS BIGINT) AS weight, 1 AS clustered
+        |FROM keep
+        |UNION ALL
+        |SELECT d.doc_id, CAST(1 AS BIGINT) AS weight, 0 AS clustered
+        |FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM cl)
+        |ORDER BY doc_id""".stripMargin,
     "mix6_split_leakage" ->
       s"""${Dedup.ClusterOracleCte},
         |s AS (SELECT doc_id,
@@ -518,5 +571,6 @@ object Pipeline {
     "mix4_epoch_order" -> (mix4EpochOrder _),
     "mix5_curriculum" -> (mix5Curriculum _),
     "mix6_split_leakage" -> (mix6SplitLeakage _),
+    "mix7_dedup_weights" -> (mix7DedupWeights _),
     "pipe4_monitor_report" -> (pipe4MonitorReport _))
 }

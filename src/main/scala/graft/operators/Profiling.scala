@@ -242,8 +242,52 @@ object Profiling {
     frames.reduce(_.unionAll(_)).orderBy("pair_name")
   }
 
+  /** (table, determinant X, dependent Y) candidate functional
+    * dependencies — two that genuinely hold on the star schema (a
+    * dimension key determines its parent key; a primary key determines
+    * everything) and two that don't (the violation path must be
+    * exercised too). */
+  private val FdCandidates = Seq(
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("events", "user_id", "event_type"))
+
+  /** prof6: functional-dependency audit — does X → Y hold (every X
+    * value maps to exactly one Y)? The FD-discovery primitive behind
+    * normalization checks, key detection and "is this column
+    * derivable" profiling (Papenbrock et al., VLDB 2015 frame the
+    * search problem; this is the verification kernel it repeats). Per
+    * candidate: distinct (X,Y) pairs via one keyed aggregate
+    * (map-side partials), then distinct-Y-per-X from that pair frame
+    * — a two-level aggregate, everything combinable, the final
+    * reduction one row; all-integer counts ⇒ bit-exact. At 100 TB
+    * |X| can be key-sized — still one shuffle at (X,Y) grain and one
+    * at X grain, never a row-grain join. */
+  def prof6FunctionalDependency(s: SparkSession, dir: String): DataFrame = {
+    val frames = FdCandidates.map { case (t, xc, yc) =>
+      Tables.byName(s, dir, t)
+        .groupBy(col(xc).as("x"), col(yc).as("y"))
+        .agg(count(lit(1)).as("nrows"))
+        .groupBy(col("x"))
+        .agg(count(lit(1)).as("ys"), sum(col("nrows")).as("xrows"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(col("ys")).as("n_pairs"),
+          sum(when(col("ys") > 1, 1L).otherwise(0L)).as("n_violating_lhs"),
+          max(col("ys")).as("max_y_per_x"))
+        .select(lit(s"$t.$xc->$yc").as("fd"),
+          col("n_lhs"), col("n_pairs"), col("n_violating_lhs"),
+          col("max_y_per_x"),
+          q6(col("n_violating_lhs").cast("double") / col("n_lhs"))
+            .as("violation_rate"),
+          when(col("n_violating_lhs") === 0, 1).otherwise(0).as("holds"))
+    }
+    frames.reduce(_.unionAll(_)).orderBy("fd")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prof5_mutual_info" -> (prof5MutualInfo _),
+    "prof6_functional_dependency" -> (prof6FunctionalDependency _),
     "prof1_column_profile" -> (prof1ColumnProfile _),
     "prof1b_approx_profile" -> (prof1bApproxProfile _),
     "prof2_histogram" -> (prof2Histogram _),
@@ -311,7 +355,25 @@ object Profiling {
     (ctes, sel)
   }
 
+  private def prof6OracleFor(t: String, xc: String, yc: String): String =
+    s"""SELECT '$t.$xc->$yc' AS fd, count(*) AS n_lhs,
+       |  CAST(sum(ys) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN ys > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_violating_lhs,
+       |  CAST(max(ys) AS BIGINT) AS max_y_per_x,
+       |  CAST(floor(CAST(sum(CASE WHEN ys > 1 THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / count(*) * 1e6 + 0.5) AS BIGINT) / 1e6
+       |    AS violation_rate,
+       |  CASE WHEN sum(CASE WHEN ys > 1 THEN 1 ELSE 0 END) = 0
+       |    THEN 1 ELSE 0 END AS holds
+       |FROM (SELECT $xc AS x, count(DISTINCT $yc) AS ys
+       |      FROM $t GROUP BY 1)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "prof6_functional_dependency" ->
+      (FdCandidates.map { case (t, xc, yc) => prof6OracleFor(t, xc, yc) }
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n)") +
+        " ORDER BY fd"),
     "prof5_mutual_info" -> {
       val blocks = MiPairs.zipWithIndex.map { case ((t, xc, yc), i) =>
         prof5OracleFor(s"p$i", t, xc, yc)

@@ -657,6 +657,36 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("mix7 keeps one max-length doc per cluster at capped weight; singletons pass at 1") {
+    import graft.operators.{Dedup, Pipeline}
+    val clusters = Dedup.d6DedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).as("len")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Pipeline.mix7DedupWeights(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("weight"),
+        r.getAs[Int]("clustered")))
+    val byCluster = clusters.groupBy(_._2)
+    val memberSet = clusters.map(_._1).toSet
+    // every cluster contributes exactly its canonical doc
+    byCluster.foreach { case (_, g) =>
+      val members = g.map(_._1)
+      val maxLen = members.map(lens).max
+      val canonical = members.filter(m => lens(m) == maxLen).min
+      val kept = rows.filter(r => members.contains(r._1))
+      assert(kept.map(_._1).toSeq == Seq(canonical))
+      assert(kept.head._2 ==
+        math.min(members.length.toLong, Pipeline.DedupWeightCap))
+      assert(kept.head._3 == 1)
+    }
+    // singletons pass through untouched
+    val solo = rows.filter(r => !memberSet.contains(r._1))
+    assert(solo.forall(r => r._2 == 1L && r._3 == 0))
+    assert(rows.length == solo.length + byCluster.size)
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
   test("mix2 fills each domain's budget with the md5-order greedy prefix") {
     import graft.operators.Pipeline
     val rows = Pipeline.mix2TokenBudget(spark, sf).collect()

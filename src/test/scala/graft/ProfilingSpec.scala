@@ -130,6 +130,33 @@ class ProfilingSpec extends GraftSpec {
       r.getAs[Long]("join_rows").toDouble / r.getAs[Long]("left_rows")) < 1e-5)
   }
 
+  test("prof6 FD verdicts match a driver-side distinct-count recompute") {
+    val rows = Profiling.prof6FunctionalDependency(spark, sf).collect()
+      .map(r => r.getAs[String]("fd") -> r).toMap
+    assert(rows.keySet == Set("nation.n_nationkey->n_regionkey",
+      "orders.o_orderkey->o_custkey", "lineitem.l_partkey->l_suppkey",
+      "events.user_id->event_type"))
+    // structural FDs must hold; recompute the lineitem candidate exactly
+    assert(rows("nation.n_nationkey->n_regionkey").getAs[Int]("holds") == 1)
+    assert(rows("orders.o_orderkey->o_custkey").getAs[Int]("holds") == 1)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perX = li.distinct.groupBy(_._1).map { case (_, g) => g.length }
+    val r = rows("lineitem.l_partkey->l_suppkey")
+    assert(r.getAs[Long]("n_lhs") == perX.size)
+    assert(r.getAs[Long]("n_pairs") == perX.sum)
+    assert(r.getAs[Long]("n_violating_lhs") == perX.count(_ > 1))
+    assert(r.getAs[Long]("max_y_per_x") == perX.max)
+    assert(r.getAs[Int]("holds") == (if (perX.count(_ > 1) == 0) 1 else 0))
+    rows.values.foreach { row =>
+      val rate = row.getAs[Double]("violation_rate")
+      assert(rate >= 0 && rate <= 1)
+      assert((row.getAs[Int]("holds") == 1) ==
+        (row.getAs[Long]("n_violating_lhs") == 0L))
+    }
+  }
+
   test("prof5 MI and entropies match a driver-side contingency recompute") {
     val rows = Profiling.prof5MutualInfo(spark, sf).collect()
       .map(r => r.getAs[String]("pair_name") -> r).toMap
