@@ -1729,6 +1729,30 @@ object Analytics {
       .orderBy("event_type", "hr")
   }
 
+  /** w10: cumulative adoption curve — per day, how many users were
+    * seen for the FIRST time and the running total of distinct users
+    * to date (the growth chart every product review opens with; a
+    * naive per-day COUNT(DISTINCT user) over expanding windows is
+    * quadratic — first-seen attribution makes it two keyed
+    * aggregates). Scale shape: one user-keyed min aggregate over the
+    * corpus (map-side partials, the only fact-scale shuffle), a
+    * day-keyed count of the user-bounded frame, and the running sum
+    * is an UNPARTITIONED window strictly over the span-bounded day
+    * frame (#days rows — the ts1 spine argument, never corpus rows).
+    * All-integer ⇒ bit-exact. */
+  def w10CumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("day"))
+    firstSeen.groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cumulative_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("cumulative_users"))
+      .orderBy("day")
+  }
+
   val PathLen = 3    // journey n-gram length
   val PathTopK = 20
   val PathGapUs: Long = 1800L * 1000000 // e1's 30-minute session rule
@@ -2483,6 +2507,14 @@ object Analytics {
          |FROM r JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "w10_cumulative_users" ->
+      """WITH fs AS (SELECT user_id,
+        |    date_trunc('day', min(ts)) AS day FROM events GROUP BY 1),
+        |d AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+        |    AS cumulative_users
+        |FROM d ORDER BY day""".stripMargin,
     "w9_rolling_percentile" ->
       s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
          |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
@@ -2817,6 +2849,7 @@ object Analytics {
     "rfm1_segments" -> (rfm1Segments _),
     "a18_cohort_ltv" -> (a18CohortLtv _),
     "w9_rolling_percentile" -> (w9RollingPercentile _),
+    "w10_cumulative_users" -> (w10CumulativeUsers _),
     "a17_cross_corr" -> (a17CrossCorr _),
     "a12_volume_drift" -> (a12VolumeDrift _))
 }

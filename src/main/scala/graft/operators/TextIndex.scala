@@ -24,7 +24,10 @@ object TextIndex {
       s"${graft.GraftSession.defaultStateDir}/text_index")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
-        "textindex-v1;grain=word1-distinct"))
+        // v2: the build recipe grew a positional output — the salt
+        // bump forces a rebuild instead of serving a v1 index that
+        // lacks the "positions" table (the r9 ADVICE stale-index trap)
+        "textindex-v2;grain=word1-distinct+positions"))
   }
 
   /** Posting-list frame from the raw corpus: one row per (term) with
@@ -44,11 +47,25 @@ object TextIndex {
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(col("doc_id"))).as("postings"))
 
-  /** Build-once: publish the postings table at the durable root. */
+  /** Positional postings at token grain: (term, doc_id, pos), pos
+    * 1-based to match the oracle's array indexing. Token-grain rows
+    * are the standard positional-index cost — at 100 TB this is the
+    * index every phrase/proximity query engine carries, sharded by
+    * term exactly like the boolean postings. */
+  private[graft] def buildPositions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")))
+      .select(col("col").as("term"), col("doc_id"),
+        (col("pos") + 1).as("pos"))
+
+  /** Build-once: publish the boolean postings AND the positional
+    * table at the durable root (two outputs, one atomic version). */
   private[graft] def ensureTextIndex(s: SparkSession, dir: String): String =
     graft.sources.DurableIndex.ensure(s, indexRoot(dir)) {
+      val docs = Tables.documents(s, dir)
       graft.sources.AtomicPublish.publish(s, indexRoot(dir),
-        Seq("postings" -> buildPostings(Tables.documents(s, dir))))
+        Seq("postings" -> buildPostings(docs),
+          "positions" -> buildPositions(docs)))
     }
 
   /** ix1: the inverted index itself — (term, df, posting-list digest),
@@ -88,7 +105,49 @@ object TextIndex {
       .orderBy("doc_id")
   }
 
+  /** The fixed phrase ix3 answers (consecutive words, in order). */
+  val PhraseTerms: Seq[String] = Seq("table", "hash")
+
+  /** ix3: exact phrase search — the terms must appear CONSECUTIVELY,
+    * which boolean postings can't express; this is what the positional
+    * index exists for. Each term's positions are read from the index
+    * (term IN-filter pushed to the scan, k9 discipline), shifted by
+    * the term's offset in the phrase, and intersected on
+    * (doc, start): a phrase occurrence is exactly a (doc, start) all
+    * |phrase| shifted streams share. Joins are equi-joins on
+    * (doc_id, start) between per-term posting slices — O(Σ postings
+    * of the phrase terms), the corpus parquet appears nowhere in the
+    * plan (PlanAuditSpec pins it). Output: per matching doc, the
+    * occurrence count and first match position. */
+  def ix3PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureTextIndex(s, dir)
+    val pos = graft.sources.AtomicPublish.readOutput(s, root, "positions")
+      .filter(col("term").isin(PhraseTerms: _*))
+    val hits = PhraseTerms.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }.reduce((l, r) => l.join(r, Seq("doc_id", "start")))
+    hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("start")).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "ix3_phrase_search" -> {
+      val k = PhraseTerms.size
+      val conds = PhraseTerms.zipWithIndex
+        .map { case (t, i) => s"t[i + $i] = '$t'" }.mkString(" AND ")
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+         |    FROM documents),
+         |hits AS (SELECT doc_id,
+         |    unnest([i FOR i IN generate_series(1, len(t) - ${k - 1})
+         |      IF $conds]) AS start
+         |  FROM tok)
+         |SELECT doc_id, count(*) AS n_occurrences,
+         |  CAST(min(start) AS INT) AS first_pos
+         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "ix1_inverted_index" ->
       """WITH tok AS (SELECT DISTINCT doc_id,
         |    unnest(string_split(text, ' ')) AS term FROM documents)
@@ -107,5 +166,6 @@ object TextIndex {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ix1_inverted_index" -> (ix1InvertedIndex _),
-    "ix2_boolean_search" -> (ix2BooleanSearch _))
+    "ix2_boolean_search" -> (ix2BooleanSearch _),
+    "ix3_phrase_search" -> (ix3PhraseSearch _))
 }

@@ -657,6 +657,25 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("w10 cumulative users equals first-seen attribution recomputed on the driver") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), date_format(date_trunc("day", col("ts")),
+        "yyyy-MM-dd").as("day")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val firstSeen = ev.groupBy(_._1).map { case (_, g) => g.map(_._2).min }
+    val newPerDay = firstSeen.groupBy(identity).map { case (d, g) =>
+      d -> g.size.toLong }.toSeq.sortBy(_._1)
+    val rows = Analytics.w10CumulativeUsers(spark, sf).collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("new_users"),
+        r.getAs[Long]("cumulative_users"))).toSeq
+    assert(rows.map(r => (r._1, r._2)) == newPerDay)
+    // running total is the prefix sum and ends at the distinct-user count
+    assert(rows.map(_._2).sum == firstSeen.size)
+    rows.foldLeft(0L) { case (acc, (_, nu, cum)) =>
+      assert(cum == acc + nu); cum
+    }
+  }
+
   test("mix7 keeps one max-length doc per cluster at capped weight; singletons pass at 1") {
     import graft.operators.{Dedup, Pipeline}
     val clusters = Dedup.d6DedupClusters(spark, sf).collect()

@@ -716,6 +716,18 @@ class PlanAuditSpec extends GraftSpec {
       s"query terms must push to the index scan:\n$plan")
   }
 
+  test("ix3: phrase search reads ONLY the positional index; corpus never scanned") {
+    graft.operators.TextIndex.ensureTextIndex(spark, sf)
+    val plan = planOf(graft.operators.TextIndex.ix3PhraseSearch(spark, sf))
+    assert(!plan.contains("documents.parquet"),
+      s"phrase search must not rescan the raw corpus:\n$plan")
+    assert(plan.contains("positions"),
+      s"phrase search must read the positional table:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(term.*") ||
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(term.*"),
+      s"phrase terms must push to the index scan:\n$plan")
+  }
+
   test("q19: part joins as a broadcast; the disjunctive filter never degrades the join") {
     val plan = planOf(Analytics.q19DisjunctiveJoin(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"part side must broadcast:\n$plan")

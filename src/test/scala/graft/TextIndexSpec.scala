@@ -54,6 +54,25 @@ class TextIndexSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("ix3 equals a brute-force phrase scan over the raw corpus") {
+    val k = TextIndex.PhraseTerms.size
+    val want = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val starts = (0 to toks.length - k).filter(i =>
+          TextIndex.PhraseTerms.indices.forall(j =>
+            toks(i + j) == TextIndex.PhraseTerms(j)))
+        if (starts.nonEmpty)
+          Some((r.getLong(0), starts.length.toLong, starts.min + 1))
+        else None
+      }.sortBy(_._1).toSeq
+    assert(want.nonEmpty, "fixture should contain the phrase")
+    val got = TextIndex.ix3PhraseSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_occurrences"),
+        r.getAs[Int]("first_pos"))).toSeq
+    assert(got == want)
+  }
+
   test("the index is build-once: a second call reuses the committed version") {
     TextIndex.ix2BooleanSearch(spark, sf).collect()
     val root = TextIndex.indexRoot(sf)
