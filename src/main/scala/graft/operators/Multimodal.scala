@@ -289,7 +289,26 @@ object Multimodal {
     * IEEE-identical across engines, so the whole pipeline (unlike raw
     * pHash DCTs) is hash-checkable against the SQL oracle. */
   def m5PhashNeardup(s: SparkSession, dir: String,
-      codec: MediaCodec = StubCodec): DataFrame = {
+      codec: MediaCodec = StubCodec): DataFrame = m5Impl(s, dir, codec)
+
+  /** m6: media duplicate GROUPS — m5's near-dup pairs closed into
+    * connected components (the d6 large-star/small-star machinery,
+    * O(log diameter) rounds), so each visually-duplicate set gets one
+    * canonical cluster_id: the media-side analog of d6, and the input
+    * a canonical-pick / survivorship pass over media assets consumes.
+    * The pair graph is m5's band-bucket-capped candidate set — tiny
+    * relative to the corpus — so the CC rounds run over bounded pair
+    * frames; the oracle closes the SAME pair definition (shared CTE)
+    * under a recursive reachability CTE. */
+  def m6MediaDupClusters(s: SparkSession, dir: String,
+      codec: MediaCodec = StubCodec): DataFrame =
+    Dedup.connectedComponents(
+      m5Impl(s, dir, codec).select(col("a"), col("b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+
+  private def m5Impl(s: SparkSession, dir: String,
+      codec: MediaCodec): DataFrame = {
     val q = mediaEmbeddings(s, dir, codec)
       .select(col("doc_id"), expr(
         s"transform(embedding, f -> cast(floor(f * $PhashLevels) as int))")
@@ -328,35 +347,62 @@ object Multimodal {
     * corpus is ASCII, so DuckDB's character offsets (substr) equal the
     * codec's UTF-8 byte offsets and strlen(text) equals the payload
     * byte length — asserted implicitly by the hash comparison. */
-  val oracles: Map[String, String] = Map(
-    "m5_phash_neardup" -> {
-      def qe(i: Int): String = {
-        val (src, at) = if (i < 4) ("md5(text)", i * 6 + 1)
-          else ("md5('g' || text)", (i - 4) * 6 + 1)
-        s"CAST(floor(CAST(('0x' || substr($src, $at, 6))::BIGINT % 1000 AS DOUBLE) / 1000.0 * $PhashLevels) AS INT) AS q$i"
-      }
-      // a band only generates candidates while its bucket is under the
-      // cap — mirrored per side via per-band bucket-count joins
-      val bandCond = (0 until PhashBands).map(b =>
-        s"""(a.q${b * 2} = b.q${b * 2} AND a.q${b * 2 + 1} = b.q${b * 2 + 1}
-           | AND a.n$b <= $PhashBucketCap)""".stripMargin.replace("\n", ""))
-        .mkString("(", " OR ", ")")
-      val buckets = (0 until PhashBands).map(b =>
-        s"b$b AS (SELECT q${b * 2}, q${b * 2 + 1}, count(*) AS n FROM e GROUP BY 1, 2)")
-        .mkString(",\n")
-      val bJoins = (0 until PhashBands).map(b =>
-        s"JOIN b$b c$b ON e.q${b * 2} = c$b.q${b * 2} AND e.q${b * 2 + 1} = c$b.q${b * 2 + 1}")
-        .mkString(" ")
-      val ham = (0 to 7).map(i => s"abs(a.q$i - b.q$i)").mkString(" + ")
-      s"""WITH e AS (SELECT doc_id, ${(0 to 7).map(qe).mkString(", ")}
+  /** m5's quantize/band/cap candidate machinery as a CTE body (no WITH
+    * keyword — m5 prepends `WITH`, m6 `WITH RECURSIVE`) plus the pair
+    * join tail, shared so m6's cluster oracle can never drift from
+    * m5's pair definition (the d6/mix6 shared-CTE discipline). */
+  private lazy val M5OracleParts: (String, String, String) = {
+    def qe(i: Int): String = {
+      val (src, at) = if (i < 4) ("md5(text)", i * 6 + 1)
+        else ("md5('g' || text)", (i - 4) * 6 + 1)
+      s"CAST(floor(CAST(('0x' || substr($src, $at, 6))::BIGINT % 1000 AS DOUBLE) / 1000.0 * $PhashLevels) AS INT) AS q$i"
+    }
+    // a band only generates candidates while its bucket is under the
+    // cap — mirrored per side via per-band bucket-count joins
+    val bandCond = (0 until PhashBands).map(b =>
+      s"""(a.q${b * 2} = b.q${b * 2} AND a.q${b * 2 + 1} = b.q${b * 2 + 1}
+         | AND a.n$b <= $PhashBucketCap)""".stripMargin.replace("\n", ""))
+      .mkString("(", " OR ", ")")
+    val buckets = (0 until PhashBands).map(b =>
+      s"b$b AS (SELECT q${b * 2}, q${b * 2 + 1}, count(*) AS n FROM e GROUP BY 1, 2)")
+      .mkString(",\n")
+    val bJoins = (0 until PhashBands).map(b =>
+      s"JOIN b$b c$b ON e.q${b * 2} = c$b.q${b * 2} AND e.q${b * 2 + 1} = c$b.q${b * 2 + 1}")
+      .mkString(" ")
+    val ham = (0 to 7).map(i => s"abs(a.q$i - b.q$i)").mkString(" + ")
+    val body =
+      s"""e AS (SELECT doc_id, ${(0 to 7).map(qe).mkString(", ")}
          |  FROM documents),
          |$buckets,
          |e2 AS (SELECT e.*, ${(0 until PhashBands).map(b => s"c$b.n AS n$b").mkString(", ")}
-         |  FROM e $bJoins)
+         |  FROM e $bJoins)""".stripMargin
+    val pairTail =
+      s"""FROM e2 a JOIN e2 b ON a.doc_id < b.doc_id AND $bandCond
+         |WHERE $ham <= $PhashMaxHamming""".stripMargin
+    (body, pairTail, ham)
+  }
+
+  val oracles: Map[String, String] = Map(
+    "m5_phash_neardup" -> {
+      val (body, pairTail, ham) = M5OracleParts
+      s"""WITH $body
          |SELECT a.doc_id AS a, b.doc_id AS b, CAST($ham AS INT) AS hamming
-         |FROM e2 a JOIN e2 b ON a.doc_id < b.doc_id AND $bandCond
-         |WHERE $ham <= $PhashMaxHamming
+         |$pairTail
          |ORDER BY a, b""".stripMargin
+    },
+    "m6_media_dup_clusters" -> {
+      val (body, pairTail, _) = M5OracleParts
+      s"""WITH RECURSIVE $body,
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |$pairTail),
+         |e3 AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e3) t
+         |  UNION
+         |  SELECT r.a, x.b FROM reach r JOIN e3 x ON r.b = x.a)
+         |SELECT a AS doc_id, MIN(b) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
     },
     "m4_binary_ingest" ->
       s"""SELECT 'doc_' || doc_id || '.bin' AS file,
@@ -409,5 +455,6 @@ object Multimodal {
     "m2_frame_sample" -> ((s: SparkSession, d: String) => m2FrameSample(s, d)),
     "m3_media_embedding" -> ((s: SparkSession, d: String) => m3MediaEmbedding(s, d)),
     "m4_binary_ingest" -> (m4BinaryIngest _),
-    "m5_phash_neardup" -> ((s: SparkSession, d: String) => m5PhashNeardup(s, d)))
+    "m5_phash_neardup" -> ((s: SparkSession, d: String) => m5PhashNeardup(s, d)),
+    "m6_media_dup_clusters" -> ((s: SparkSession, d: String) => m6MediaDupClusters(s, d)))
 }

@@ -424,6 +424,32 @@ class TextMultimodalSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("m6 media dup clusters equal a driver-side union-find over m5's pairs") {
+    val pairs = Multimodal.m5PhashNeardup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(pairs.nonEmpty)
+    // driver union-find with min-label canonicalization
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo }
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = nodes.map(n => n -> find(n)).toMap
+    val got = Multimodal.m6MediaDupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == want)
+    // every cluster label is its own minimum member
+    got.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+  }
+
   test("m5 pHash pairs: banding finds every pair a brute-force scan keeps") {
     // brute force: quantize every embedding, score ALL pairs, keep
     // those under the threshold AND sharing >= 1 exact band
