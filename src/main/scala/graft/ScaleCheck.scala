@@ -95,7 +95,12 @@ object ScaleCheck {
     // episodes / corpus diversity / Theil–Sen / split leakage / MI)
     "ts12_time_weighted", "t24_readability", "e10_anomaly_episodes",
     "n16_corpus_diversity", "ts13_theil_sen", "mix6_split_leakage",
-    "prof5_mutual_info")
+    "prof5_mutual_info",
+    // round-10 session-2 late additions (Neyman / dedup weights / FD
+    // audit / phrase search / adoption curve / media clusters)
+    "imp3_neyman_allocation", "mix7_dedup_weights",
+    "prof6_functional_dependency", "ix3_phrase_search",
+    "w10_cumulative_users", "m6_media_dup_clusters")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {
