@@ -296,16 +296,36 @@ object Multimodal {
     * O(log diameter) rounds), so each visually-duplicate set gets one
     * canonical cluster_id: the media-side analog of d6, and the input
     * a canonical-pick / survivorship pass over media assets consumes.
-    * The pair graph is m5's band-bucket-capped candidate set — tiny
-    * relative to the corpus — so the CC rounds run over bounded pair
-    * frames; the oracle closes the SAME pair definition (shared CTE)
-    * under a recursive reachability CTE. */
+    * Served from a PUBLISHED cluster table (the d6/er2 pattern —
+    * clustering media is ingest-time work at 100 TB, and the CC loop's
+    * per-round driver latency dominates the tiny pair graph when run
+    * inline: 6.0 s inline vs a sub-second read); the oracle closes
+    * the SAME pair definition (shared CTE) under a recursive
+    * reachability CTE. */
   def m6MediaDupClusters(s: SparkSession, dir: String,
       codec: MediaCodec = StubCodec): DataFrame =
-    Dedup.connectedComponents(
-      m5Impl(s, dir, codec).select(col("a"), col("b")))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    graft.sources.AtomicPublish
+      .readOutput(s, ensureMediaClusterIndex(s, dir), "clusters")
       .orderBy("doc_id")
+
+  private[graft] def mediaClusterRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.mediacluster.base",
+      s"${graft.GraftSession.defaultStateDir}/media_cluster_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
+        // build-recipe salt: any knob that changes the pair set must
+        // force a rebuild (the r9 ADVICE stale-index rule)
+        s"mediacluster-v1;codec=stub-md5;levels=$PhashLevels;bands=$PhashBands;cap=$PhashBucketCap;maxham=$PhashMaxHamming"))
+  }
+
+  private[graft] def ensureMediaClusterIndex(s: SparkSession,
+      dir: String): String =
+    graft.sources.DurableIndex.ensure(s, mediaClusterRoot(dir)) {
+      graft.sources.AtomicPublish.publish(s, mediaClusterRoot(dir),
+        Seq("clusters" -> Dedup.connectedComponents(
+          m5Impl(s, dir, StubCodec).select(col("a"), col("b")))
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"))))
+    }
 
   private def m5Impl(s: SparkSession, dir: String,
       codec: MediaCodec): DataFrame = {
