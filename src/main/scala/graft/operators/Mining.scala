@@ -99,12 +99,30 @@ object Mining {
     * array — prof2's equal-width discipline applied to equal
     * frequency. Exact `percentile` for the oracle; the 100 TB swap is
     * `approx_percentile` with identical plan shape. */
-  def f1FeatureBins(s: SparkSession, dir: String): DataFrame = {
+  def f1FeatureBins(s: SparkSession, dir: String): DataFrame =
+    binsWith(s, dir,
+      qs => s"transform(percentile(v, array($qs)), x -> round(x, 6))")
+
+  /** f1b: the 100 TB form of f1 — identical plan shape, but the
+    * boundary quantiles come from `approx_percentile` (a mergeable
+    * rank sketch with map-side partials) instead of exact
+    * `percentile`, which at full scale buffers per-group values. The
+    * swap is the prof1→prof1b discipline applied to binning: the
+    * boundary aggregate stays ONE bounded row, the assignment stays
+    * row-local codegen'd comparisons. rows-only (DuckDB's
+    * approx_quantile uses a different sketch, so boundaries differ in
+    * low digits); MiningSpec pins equal-frequency bin populations
+    * within the sketch's rank-error envelope and boundary agreement
+    * with the exact cut points. */
+  def f1bApproxBins(s: SparkSession, dir: String): DataFrame =
+    binsWith(s, dir,
+      qs => s"transform(approx_percentile(v, array($qs), 10000), x -> round(x, 6))")
+
+  private def binsWith(s: SparkSession, dir: String,
+      boundsExpr: String => String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
     val qs = (1 until NumBins).map(_.toDouble / NumBins)
-    val bounds = li.agg(expr(
-      s"transform(percentile(v, array(${qs.mkString(",")})), x -> round(x, 6))")
-      .as("bs"))
+    val bounds = li.agg(expr(boundsExpr(qs.mkString(","))).as("bs"))
     li.crossJoin(broadcast(bounds)) // 1-row bounded metadata
       .select(col("v"),
         // bin = 1 + #bounds strictly below v, as NumBins−1 codegen'd
@@ -479,6 +497,7 @@ object Mining {
     "sky1_pareto_front" -> (sky1ParetoFront _),
     "e6_mad_outliers" -> (e6MadOutliers _),
     "f1_feature_bins" -> (f1FeatureBins _),
+    "f1b_approx_bins" -> (f1bApproxBins _),
     "f2_standardize" -> (f2Standardize _),
     "f3_winsorize" -> (f3Winsorize _),
     "f4_target_encode" -> (f4TargetEncode _),

@@ -68,6 +68,33 @@ class MiningSpec extends GraftSpec {
     }
   }
 
+  test("f1b approx bins stay equal-frequency within the sketch's rank-error envelope") {
+    val rows = Mining.f1bApproxBins(spark, sf).collect()
+    assert(rows.length == Mining.NumBins)
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    val target = total.toDouble / Mining.NumBins
+    // accuracy=10000 bounds rank error at 1/10000 of total — far under
+    // one decile; allow a generous 10% envelope so the spec never
+    // flakes on sketch internals
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("n") - target) <= target * 0.10,
+        s"bin ${r.getAs[Int]("bin")} has ${r.getAs[Long]("n")} rows vs ~$target")
+    }
+    val sorted = rows.sortBy(_.getAs[Int]("bin"))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+    }
+    // boundaries agree with the exact cut points to sketch precision
+    val exact = Mining.f1FeatureBins(spark, sf).collect()
+      .sortBy(_.getAs[Int]("bin")).map(_.getAs[Double]("lo"))
+    val approx = sorted.map(_.getAs[Double]("lo"))
+    exact.zip(approx).drop(1).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= math.max(1.0, e * 0.02),
+        s"boundary drift: exact=$e approx=$a")
+    }
+  }
+
   test("f2 scaled columns audit as standardized: z-mean ~0, z-std ~1, minmax spans [0,1]") {
     val rows = Mining.f2Standardize(spark, sf).collect()
     val total = Tables.lineitem(spark, sf).count()
