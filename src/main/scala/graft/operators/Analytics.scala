@@ -1890,6 +1890,41 @@ object Analytics {
       .orderBy(col("channel"))
   }
 
+  /** e11: FIRST-touch attribution — the acquisition-side counterpart
+    * of e7's last-touch model (last-touch credits the closer, first-
+    * touch credits the introducer; real marketing reporting runs
+    * both). The earliest non-purchase touch inside the attribution
+    * window before each purchase takes the credit; purchases with no
+    * in-window touch report channel 'none'. Spark shape: ONE events
+    * scan, a per-user RANGE window frame ([-window, -1] on exact µs)
+    * whose min-struct pick is deterministic ((ts, event_id) is a
+    * total order) — no self-join, no re-scan; the oracle reaches the
+    * same rows via an explicit window join + row_number, proving the
+    * frame semantics rather than mirroring the plan. */
+  def e11FirstTouch(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-AttributionWindowUs, -1)
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("ft", min(when(col("event_type") =!= "purchase",
+        struct(col("ts_us"), col("event_id"), col("event_type")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("ft").isNull, lit("none"))
+          .otherwise(col("ft.event_type")).as("channel"),
+        col("value"),
+        when(col("ft").isNotNull, col("ts_us") - col("ft.ts_us"))
+          .as("lag_us"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+          .as("revenue"),
+        round(avg(col("lag_us")) / 1e6, 6).as("avg_lag_s"))
+      .orderBy(col("channel"))
+  }
+
   val DriftTrail = 7 // trailing days in the a12 baseline window
 
   /** a12: volume-drift anomaly detection — the data-quality monitor a
@@ -2650,6 +2685,27 @@ object Analytics {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
         |    AS survival
         |FROM e ORDER BY t_days""".stripMargin,
+    "e11_first_touch" ->
+      s"""WITH ev AS (SELECT event_id, user_id, event_type, value,
+         |    epoch_us(ts) AS ts_us FROM events
+         |  WHERE event_type IN ('purchase', 'click', 'view')),
+         |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+         |t AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+         |j AS (SELECT p.event_id AS pid, t.event_type AS ch,
+         |    t.ts_us AS tts,
+         |    row_number() OVER (PARTITION BY p.event_id
+         |      ORDER BY t.ts_us, t.event_id) AS rn
+         |  FROM p JOIN t ON t.user_id = p.user_id
+         |    AND t.ts_us >= p.ts_us - $AttributionWindowUs
+         |    AND t.ts_us <= p.ts_us - 1),
+         |ft AS (SELECT pid, ch, tts FROM j WHERE rn = 1)
+         |SELECT COALESCE(ft.ch, 'none') AS channel,
+         |  count(*) AS n_purchases,
+         |  round(CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE), 6)
+         |    AS revenue,
+         |  round(AVG(p.ts_us - ft.tts) / 1e6, 6) AS avg_lag_s
+         |FROM p LEFT JOIN ft ON ft.pid = p.event_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "e7_attribution" ->
       s"""WITH ev AS (SELECT event_id, user_id, event_type, value,
          |    epoch_us(ts) AS ts_us
@@ -2843,6 +2899,7 @@ object Analytics {
     "e4_transitions" -> (e4Transitions _),
     "e5_conversion_lag" -> (e5ConversionLag _),
     "e7_attribution" -> (e7Attribution _),
+    "e11_first_touch" -> (e11FirstTouch _),
     "e8_survival_curve" -> (e8SurvivalCurve _),
     "w8_active_streaks" -> (w8ActiveStreaks _),
     "e9_common_paths" -> (e9CommonPaths _),

@@ -256,6 +256,48 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  val SeasAdjTau = 3.0 // |z| flagging threshold on deseasonalized residuals
+
+  /** ts14: seasonally-adjusted anomaly detection — each hour scored
+    * against its OWN hour-of-day profile (ts7's seasonal means), so a
+    * nightly lull never pages and a spike AT an off-peak hour does:
+    * residual = v − hod_mean, z = residual / per-series residual σ.
+    * Complements ts9 (local trailing level, blind to seasonality) and
+    * ts10 (sustained drift): this is the calendar-aware point-anomaly
+    * lens. Scale shape: the corpus-scale work is the SAME hourly
+    * keyed aggregate every ts operator shares; the profile
+    * (#types × 24) broadcasts back; σ is exact decimal moments per
+    * series, int64-quantized BEFORE the divide (the ts10 mu/σ rule),
+    * z quantized at the output boundary. */
+  def ts14SeasonalAdjust(s: SparkSession, dir: String): DataFrame = {
+    val h = hourly(s, dir)
+      .select(col("event_type"), col("hr"), col("v"),
+        hour(col("hr")).as("hod"))
+    val prof = h.groupBy(col("event_type").as("pt"), col("hod").as("ph"))
+      .agg(q6(sum(col("v").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("expected"))
+    val withResid = h.join(broadcast(prof),
+        col("event_type") === col("pt") && col("hod") === col("ph"))
+      .select(col("event_type"), col("hr"), col("v"),
+        col("expected"), (col("v") - col("expected")).as("resid"))
+    val rd = col("resid").cast("decimal(18,6)")
+    val sig = withResid.groupBy(col("event_type").as("st"))
+      .agg(count(lit(1)).as("sn"), sum(rd).as("s1"), sum(rd * rd).as("s2"))
+      .select(col("st"), q6(sqrt(
+        (col("s2").cast("double") * col("sn") -
+          col("s1").cast("double") * col("s1").cast("double")) /
+          (col("sn").cast("double") * col("sn") - col("sn")))).as("sigma"))
+    withResid.join(broadcast(sig), col("event_type") === col("st"))
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("v"), col("expected"),
+        when(col("sigma") > 0, q4(col("resid") / col("sigma"))).as("z"),
+        when(col("sigma") > 0 &&
+          abs(col("resid") / col("sigma")) >= SeasAdjTau, 1).otherwise(0)
+          .as("is_anomaly"))
+      .orderBy("event_type", "hr")
+  }
+
   val ZscoreWindow = 24 // trailing hours in the rolling baseline
   val ZscoreMinObs = 12 // below this the baseline is too thin to score
   val ZscoreTau = 3.0   // |z| at or above this flags an anomaly
@@ -700,6 +742,37 @@ object TimeSeries {
          |  round(corr(v, v_2), 6) AS ac_2,
          |  round(corr(v, v_3), 6) AS ac_3
          |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts14_seasonal_adjust" ->
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*), 6) AS v
+         |  FROM events GROUP BY 1, 2),
+         |hh AS (SELECT event_type, hr, v, CAST(hour(hr) AS INT) AS hod
+         |  FROM h),
+         |prof AS (SELECT event_type, hod,
+         |    CAST(floor(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*) * 1e6 + 0.5) AS BIGINT) / 1e6 AS expected
+         |  FROM hh GROUP BY 1, 2),
+         |r AS (SELECT hh.event_type, hh.hr, hh.v, prof.expected,
+         |    hh.v - prof.expected AS resid
+         |  FROM hh JOIN prof USING (event_type, hod)),
+         |sg AS (SELECT event_type,
+         |    CAST(floor(sqrt((CAST(SUM(CAST(resid AS DECIMAL(18,6))
+         |        * CAST(resid AS DECIMAL(18,6))) AS DOUBLE) * count(*)
+         |      - CAST(SUM(CAST(resid AS DECIMAL(18,6))) AS DOUBLE)
+         |        * CAST(SUM(CAST(resid AS DECIMAL(18,6))) AS DOUBLE))
+         |      / (CAST(count(*) AS DOUBLE) * count(*) - count(*)))
+         |      * 1e6 + 0.5) AS BIGINT) / 1e6 AS sigma
+         |  FROM r GROUP BY 1)
+         |SELECT r.event_type, strftime(r.hr, '%Y-%m-%d %H:%M:%S') AS hr,
+         |  r.v, r.expected,
+         |  CASE WHEN sg.sigma > 0 THEN
+         |    CAST(floor(r.resid / sg.sigma * 1e4 + 0.5) AS BIGINT) / 1e4
+         |  END AS z,
+         |  CASE WHEN sg.sigma > 0 AND abs(r.resid / sg.sigma) >= $SeasAdjTau
+         |    THEN 1 ELSE 0 END AS is_anomaly
+         |FROM r JOIN sg USING (event_type)
+         |ORDER BY 1, 2""".stripMargin,
     "ts13_theil_sen" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
         |    count(*) AS n FROM events GROUP BY 1, 2),
@@ -809,5 +882,6 @@ object TimeSeries {
     "ts11_linear_interp" -> (ts11LinearInterp _),
     "ts12_time_weighted" -> (ts12TimeWeighted _),
     "ts13_theil_sen" -> (ts13TheilSen _),
+    "ts14_seasonal_adjust" -> (ts14SeasonalAdjust _),
     "e10_anomaly_episodes" -> (e10AnomalyEpisodes _))
 }

@@ -898,6 +898,42 @@ class AnalyticsSpec extends GraftSpec {
       Set("click", "view", "none")))
   }
 
+  test("e11 first-touch credits the earliest in-window touch (driver walk)") {
+    val got = Analytics.e11FirstTouch(spark, sf).collect()
+    val totalPurchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(got.map(_.getAs[Long]("n_purchases")).sum == totalPurchases)
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("ts_us")))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val touches = rows.filter(_._3 != "purchase")
+      rows.filter(_._3 == "purchase").map { case (_, _, _, pts) =>
+        touches.filter(t => t._4 >= pts - Analytics.AttributionWindowUs &&
+            t._4 <= pts - 1)
+          .sortBy(t => (t._4, t._2)).headOption.map(_._3).getOrElse("none")
+      }
+    }.groupBy(identity).map { case (c, xs) => (c, xs.size.toLong) }
+    got.foreach { r =>
+      val c = r.getAs[String]("channel")
+      assert(r.getAs[Long]("n_purchases") == want(c), s"channel $c")
+    }
+    // first- and last-touch must agree on which purchases are attributable
+    val e7none = Analytics.e7Attribution(spark, sf).collect()
+      .find(_.getAs[String]("channel") == "none")
+      .map(_.getAs[Long]("n_purchases")).getOrElse(0L)
+    val e11none = got.find(_.getAs[String]("channel") == "none")
+      .map(_.getAs[Long]("n_purchases")).getOrElse(0L)
+    // e11's frame is strictly-before in µs ([-W, -1]) while e7 also
+    // credits a same-microsecond touch (lag 0), so e11 can only have
+    // MORE unattributed purchases, never fewer
+    assert(e11none >= e7none)
+  }
+
   test("e9 top paths match a driver-side session walk") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"), col("event_id"),

@@ -49,6 +49,48 @@ class TimeSeriesSpec extends GraftSpec {
       "some hole should inherit a carried value")
   }
 
+  test("ts14 deseasonalized z equals a driver recompute from the hour-of-day profile") {
+    def q(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    val prof = hourly.groupBy(p => (p._1, p._2.toInstant
+        .atZone(java.time.ZoneOffset.UTC).getHour))
+      .map { case (k, g) =>
+        k -> q(g.map(x => BigDecimal(x._3).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / g.length, 1e6) }
+    val resid = hourly.map { case (t, hr, v) =>
+      (t, hr, v, v - prof((t, hr.toInstant
+        .atZone(java.time.ZoneOffset.UTC).getHour))) }
+    val sigma = resid.groupBy(_._1).map { case (t, g) =>
+      val rs = g.map(x => BigDecimal(x._4).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP))
+      val n = g.length.toDouble
+      val s1 = rs.sum.toDouble; val s2 = rs.map(x => x * x).sum.toDouble
+      t -> q(math.sqrt((s2 * n - s1 * s1) / (n * n - n)), 1e6)
+    }
+    val rows = TimeSeries.ts14SeasonalAdjust(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Int]("is_anomaly") == 1) ||
+      rows.forall(r => math.abs(Option(r.getAs[java.lang.Double]("z"))
+        .fold(0.0)(_.doubleValue)) < TimeSeries.SeasAdjTau))
+    val residMap = resid.map(r => (r._1, r._2) -> r._4).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val hr = java.sql.Timestamp.valueOf(r.getAs[String]("hr"))
+      val rd = residMap((t, hr))
+      val sg = sigma(t)
+      if (sg > 0) {
+        assert(math.abs(r.getAs[Double]("z") - q(rd / sg, 1e4)) < 1.1e-4,
+          s"$t $hr z")
+        assert(r.getAs[Int]("is_anomaly") ==
+          (if (math.abs(rd / sg) >= TimeSeries.SeasAdjTau) 1 else 0))
+      }
+    }
+  }
+
   test("e10 episodes are exactly the maximal consecutive anomalous-hour runs of ts9") {
     val z = TimeSeries.ts9RollingZscore(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[String]("hr"),
