@@ -100,7 +100,8 @@ object ScaleCheck {
     // audit / phrase search / adoption curve / media clusters)
     "imp3_neyman_allocation", "mix7_dedup_weights",
     "prof6_functional_dependency", "ix3_phrase_search",
-    "w10_cumulative_users", "m6_media_dup_clusters")
+    "w10_cumulative_users", "m6_media_dup_clusters",
+    "f1b_approx_bins", "e11_first_touch", "ts14_seasonal_adjust")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {
