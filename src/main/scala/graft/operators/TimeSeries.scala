@@ -270,9 +270,12 @@ object TimeSeries {
     * series, int64-quantized BEFORE the divide (the ts10 mu/σ rule),
     * z quantized at the output boundary. */
   def ts14SeasonalAdjust(s: SparkSession, dir: String): DataFrame = {
+    // one events scan TOTAL (the ts13 argument): profile, residuals
+    // and σ all branch off this bounded #types × #hours frame
     val h = hourly(s, dir)
       .select(col("event_type"), col("hr"), col("v"),
         hour(col("hr")).as("hod"))
+      .localCheckpoint()
     val prof = h.groupBy(col("event_type").as("pt"), col("hod").as("ph"))
       .agg(q6(sum(col("v").cast("decimal(18,6)")).cast("double") /
         count(lit(1))).as("expected"))
@@ -537,10 +540,16 @@ object TimeSeries {
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
     val lo = daily.agg(min(col("day")).as("lo"))
+    // one events scan TOTAL: the day frame is referenced by both
+    // slope-join sides and the residual pass — without the checkpoint
+    // Catalyst re-derives it per branch and the plan scans events ~6×
+    // (the prof5 one-tree lesson; here the frame is bounded
+    // #types × span-days metadata, so materializing it is free)
     val d = daily.crossJoin(broadcast(lo)) // 1-row bounded metadata
       .select(col("event_type"),
         datediff(col("day"), col("lo")).cast("double").as("x"),
         col("n").cast("double").as("y"))
+      .localCheckpoint()
     val slopes = d.select(col("event_type"), col("x").as("x1"), col("y").as("y1"))
       .join(d.select(col("event_type").as("et2"), col("x").as("x2"),
         col("y").as("y2")),

@@ -716,6 +716,19 @@ class PlanAuditSpec extends GraftSpec {
       s"query terms must push to the index scan:\n$plan")
   }
 
+  test("ts13/ts14: the bounded series frame is checkpointed — no per-branch events rescan") {
+    // both operators branch their bounded day/hour frame into several
+    // consumers; without the checkpoint Catalyst re-derives the frame
+    // per branch and the plan scans events 4-6× (the prof5 lesson)
+    for ((n, df) <- Seq(
+        "ts13" -> graft.operators.TimeSeries.ts13TheilSen(spark, sf),
+        "ts14" -> graft.operators.TimeSeries.ts14SeasonalAdjust(spark, sf))) {
+      val plan = planOf(df)
+      val scans = "events\\.parquet".r.findAllIn(plan).size
+      assert(scans <= 1, s"$n re-scans events ($scans scans):\n$plan")
+    }
+  }
+
   test("ix3: phrase search reads ONLY the positional index; corpus never scanned") {
     graft.operators.TextIndex.ensureTextIndex(spark, sf)
     val plan = planOf(graft.operators.TextIndex.ix3PhraseSearch(spark, sf))
