@@ -180,12 +180,19 @@ object ScaleCheck {
       val p0 = System.nanoTime()
       for (name <- only) {
         val t = System.nanoTime()
-        try all(name)(spark, outDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        // record the duration and clear any earlier pass's error ONLY on
+        // success: a transient pass-1 failure must not leave a stale
+        // errs entry next to a healthy later-pass min, and a fast
+        // failure's duration must not participate in the per-query min
+        // (r10 ADVICE)
+        try {
+          all(name)(spark, outDir).write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t) / 1e9
+          times(name) = times.get(name).fold(sec)(math.min(_, sec))
+          errs.remove(name)
+        } catch { case e: Throwable =>
           errs(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
         }
-        val sec = (System.nanoTime() - t) / 1e9
-        times(name) = times.get(name).fold(sec)(math.min(_, sec))
         if (pass == 1 && name == "d6_dedup_clusters")
           d6RoundsScaled = graft.operators.Dedup.ccRounds
       }

@@ -23,7 +23,7 @@ object SparkEntry {
       SyncStream.queries ++ Sources.queries ++ Migrations.queries ++
       Pipeline.queries ++ Profiling.queries ++ Quality.queries ++
       Mining.queries ++ TextIndex.queries ++ Graph.queries ++
-      TimeSeries.queries ++ EntityResolution.queries
+      TimeSeries.queries ++ EntityResolution.queries ++ Incremental.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops,
@@ -35,5 +35,5 @@ object SparkEntry {
       SyncStream.oracles ++ Sources.oracles ++ Migrations.oracles ++
       Pipeline.oracles ++ Profiling.oracles ++ Quality.oracles ++
       Mining.oracles ++ TextIndex.oracles ++ Graph.oracles ++
-      TimeSeries.oracles ++ EntityResolution.oracles
+      TimeSeries.oracles ++ EntityResolution.oracles ++ Incremental.oracles
 }

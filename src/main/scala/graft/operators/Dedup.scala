@@ -47,11 +47,17 @@ object Dedup {
     * in-row (docs with <3 tokens yield an empty array, which explode
     * drops). */
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(s, dir))
+
+  /** [[shingles]] over an arbitrary (doc_id, text) frame — the
+    * incremental index path ([[Incremental]]) runs the kernel over
+    * ONLY an ingest batch. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     // per-doc dedup is ROW-LOCAL: the kernel dedups inside each
     // document and the explode is a pure projection — the old
     // explode + corpus-wide DISTINCT paid a full (doc, shingle)
     // shuffle for the same per-row set (doc_id was in every key)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), explode(
         org.apache.spark.sql.graft.WordNgramsExpr.distinctWordNgrams(col("text"), 3))
         .as("sh"))
@@ -208,11 +214,20 @@ object Dedup {
     * sf1 regression (66 s), re-measured at 107 s when this read path
     * first shipped with a bare scan. */
   private[graft] def shingleOverlap(s: SparkSession, dir: String): DataFrame = {
-    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val root = ensureShingleIndex(s, dir)
-    val sh = graft.sources.AtomicPublish.readOutput(s, root, "shingles")
-      .repartition(nPart, col("sh"))
-    val sz = graft.sources.AtomicPublish.readOutput(s, root, "sizes")
+    overlapFrom(s,
+      graft.sources.AtomicPublish.readOutput(s, root, "shingles"),
+      graft.sources.AtomicPublish.readOutput(s, root, "sizes"))
+  }
+
+  /** The overlap self-join over an EXPLICIT capped postings + sizes
+    * pair — shared by the published-index read path above and the
+    * incremental index build ([[Incremental]]), so the pair semantics
+    * cannot drift between them. */
+  private[graft] def overlapFrom(s: SparkSession, shRaw: DataFrame,
+      sz: DataFrame): DataFrame = {
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sh = shRaw.repartition(nPart, col("sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -262,7 +277,13 @@ object Dedup {
     * corpus shuffles. Docs with <3 tokens have no shingles and are
     * dropped, mirroring the aggregate form. */
   private def minhashBuild(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    minhashOf(Tables.documents(s, dir))
+
+  /** MinHash signatures over an arbitrary (doc_id, text) frame —
+    * row-local, so an incremental ingest computes ONLY the batch's
+    * signatures and appends ([[Incremental]]). */
+  private[graft] def minhashOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         org.apache.spark.sql.graft.MinHash32.minhash32(col("text")).as("mh"))
       .filter(size(col("mh")) === MinhashK)
@@ -365,7 +386,12 @@ object Dedup {
     * compute a per-document value (DedupSpec pins bit-identical
     * signatures against that aggregate formulation). */
   private[graft] def simhashBuild(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    simhashOf(Tables.documents(s, dir))
+
+  /** SimHash signatures over an arbitrary (doc_id, text) frame (see
+    * [[minhashOf]]). */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         org.apache.spark.sql.graft.SimHash64.simhash64(col("text")).as("simhash"))
 

@@ -1,0 +1,262 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTAL maintenance for the durable dedup-index family
+  * (shingle postings + DF table + sizes, MinHash/SimHash signatures,
+  * near-dup pair edges, connected-component clusters) — the reference's
+  * core loop is a *polling ingest* (hive-backend server.mjs:129-142,
+  * upserts arriving continuously), and a corpus-fingerprinted
+  * build-once index would force a FULL rebuild of every artifact on
+  * every ingest batch. This module publishes version N+1 of the whole
+  * family derived from version N's PUBLISHED outputs plus ONLY the
+  * batch's text — the base corpus text is never re-scanned.
+  *
+  * The family lives under ONE [[graft.sources.AtomicPublish]] root, so
+  * each version is an atomic, mutually-consistent snapshot of all
+  * seven outputs (postings and clusters can never disagree about which
+  * corpus they describe), and historical versions remain readable via
+  * `readOutputAt` until vacuumed — an ingest pipeline's rollback path.
+  *
+  * Exactness argument (the spec proves this against a from-scratch
+  * rebuild, and the d13 oracle proves it against DuckDB on the full
+  * corpus):
+  *
+  *  - '''postings/df''': document shingle sets are row-local and batch
+  *    doc_ids are NEW (ingest contract), so total df(sh) = base df +
+  *    batch df. The DF cap is monotone under ingest — df only grows —
+  *    so a shingle dropped at base stays dropped (its batch postings
+  *    are dropped on arrival), and a base-surviving shingle pushed
+  *    over the cap by the batch has ALL its base postings still in the
+  *    index, ready to be anti-joined out. Keeping df rows for capped
+  *    shingles too is what distinguishes "brand-new shingle" from
+  *    "dropped long ago" without touching base text.
+  *  - '''sizes''': only docs holding a NEWLY-dropped shingle change,
+  *    by exactly their count of dropped postings — index-side
+  *    arithmetic.
+  *  - '''edges''': a base-base pair's Jaccard moves ONLY via dropped
+  *    shingles (sizes and intersections are otherwise untouched), and
+  *    a dropped shingle marks every holder AFFECTED — so edges between
+  *    two unaffected docs are carried over verbatim, and every pair
+  *    with ≥1 affected endpoint is re-scored against the full postings
+  *    index. Note Jaccard is NOT monotone under a drop (removing a
+  *    one-sided shingle *raises* it), so affected×unaffected pairs can
+  *    both appear and disappear — re-scoring that slice is required
+  *    for exactness, not pessimism.
+  *  - '''clusters''': connected components re-run over the maintained
+  *    edge list. Components can SPLIT when edges vanish, so no
+  *    label-contraction shortcut is sound; but the edge list is
+  *    near-dup-pair-sized (corpus duplication mass, not corpus mass),
+  *    so CC over it is the cheap step — what the incremental path
+  *    removes is the corpus-wide kernel scan + pair self-join.
+  *  - '''minhash/simhash''': row-local signatures; compute the batch,
+  *    append.
+  *
+  * Scale shape: the only text scan is the batch parquet slice; every
+  * other input is a committed index output. The affected set is
+  * batch-proportional (batch docs + holders of batch-dropped shingles,
+  * the latter ≤ cap per dropped shingle), so it is broadcast below;
+  * a pathological batch that drops a large fraction of shingles
+  * degrades to a shuffle join, not an error. Pair re-scoring joins the
+  * affected slice against the sh-partitioned postings index — the d2
+  * co-partitioning discipline.
+  */
+object Incremental {
+
+  /** d13's deterministic ingest split: batch = doc_id % 5 == 0 (~20%
+    * of the corpus arrives as "the new batch"), mirroring d8's % 7
+    * convention so the full DuckDB oracle applies. */
+  val BatchMod = 5
+
+  private[graft] def incrIndexRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.incrindex.base",
+      s"${graft.GraftSession.defaultStateDir}/incr_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
+        s"incr-v1;split=mod$BatchMod;dfcap=${Dedup.ShingleDfCap};tau=0.5;" +
+          s"minhash=k${Dedup.MinhashK}-xxh64;simhash=64-seed42;kernel=word3gram-xxh64"))
+  }
+
+  /** All seven family outputs built FROM SCRATCH over `docs` — v1 of
+    * the root, and the spec's ground truth for "incremental ≡
+    * rebuild". Plans reuse the exact d2/d3/d4/d6 build machinery
+    * (shared kernels, shared overlap join), so the family's semantics
+    * cannot drift from the query-side operators'. */
+  private[graft] def buildOutputs(s: SparkSession,
+      docs: DataFrame): Seq[(String, DataFrame)] = {
+    // raw postings feed both the df aggregate and the cap anti-join;
+    // localCheckpoint pays the kernel scan once (blocks freed when the
+    // build returns — the ensureShingleIndex discipline)
+    val raw = Dedup.shinglesOf(docs)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      .localCheckpoint()
+    // df is kept for ALL shingles (capped ones too): the incremental
+    // path needs "seen and dropped" to be distinguishable from "new"
+    val df = raw.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val hot = df.filter(col("df") > Dedup.ShingleDfCap).select(col("sh"))
+    val kept = raw.join(broadcast(hot), Seq("sh"), "left_anti")
+      .localCheckpoint()
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val edges = Dedup.overlapFrom(s, kept, sizes)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint()
+    val clusters = Dedup.connectedComponents(edges.select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    Seq("shingles" -> kept, "df" -> df, "sizes" -> sizes,
+      "edges" -> edges, "clusters" -> clusters,
+      "minhash" -> Dedup.minhashOf(docs), "simhash" -> Dedup.simhashOf(docs))
+  }
+
+  /** Publish version N+1 of the family at `root` from version N's
+    * committed outputs plus `batch` (NEW doc_ids only — the ingest
+    * contract; enforced nowhere because doc_id collisions are a
+    * producer bug the exactness argument above does not survive).
+    * Returns the committed version name. */
+  private[graft] def publishIncrement(s: SparkSession, root: String,
+      batch: DataFrame): String = {
+    import graft.sources.AtomicPublish.readOutput
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val baseP = readOutput(s, root, "shingles")
+    val baseDf = readOutput(s, root, "df")
+    val baseSizes = readOutput(s, root, "sizes")
+    val baseEdges = readOutput(s, root, "edges")
+
+    // THE only text scan in this function: the batch slice
+    val bRaw = Dedup.shinglesOf(batch)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      .localCheckpoint()
+    val bDf = bRaw.groupBy(col("sh")).agg(count(lit(1)).as("bdf"))
+      .localCheckpoint()
+    // per batch-touched shingle: base df (0 if new) and new total
+    val touched = bDf.join(baseDf, Seq("sh"), "left")
+      .select(col("sh"), coalesce(col("df"), lit(0L)).as("df0"),
+        (coalesce(col("df"), lit(0L)) + col("bdf")).as("df2"))
+      .localCheckpoint()
+    val newDf = baseDf.join(touched.select(col("sh")), Seq("sh"), "left_anti")
+      .unionByName(touched.select(col("sh"), col("df2").as("df")))
+    // newly dropped: survived the cap at base (df0 in 1..cap, so its
+    // postings ARE in the index) and pushed over it by the batch.
+    // Bounded: each such shingle needs ≥1 batch posting, so |dropped|
+    // ≤ batch postings — broadcast-safe by batch-proportionality.
+    val dropped = touched
+      .filter(col("df0") > 0 && col("df0") <= Dedup.ShingleDfCap &&
+        col("df2") > Dedup.ShingleDfCap)
+      .select(col("sh"))
+    // batch postings of shingles whose new TOTAL respects the cap
+    val bKept = bRaw.join(touched.filter(col("df2") <= Dedup.ShingleDfCap)
+      .select(col("sh")), Seq("sh"), "left_semi")
+    val pKept = baseP.join(broadcast(dropped), Seq("sh"), "left_anti")
+    // sh-partitioned ONCE before the checkpoint: both pair-join sides
+    // below read co-partitioned blocks with no further exchange (the
+    // d2 r8 postmortem), and the broadcast doc_id joins that carve
+    // pa/pFlag out of it preserve the partitioning
+    val newP = pKept.unionByName(bKept)
+      .repartition(nPart, col("sh")).localCheckpoint()
+
+    // sizes: only drop-affected base docs and batch docs change
+    val removals = baseP.join(broadcast(dropped), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("rem"))
+    val newSizes = baseSizes.join(removals, Seq("doc_id"), "left")
+      .select(col("doc_id"), (col("n") - coalesce(col("rem"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+      .unionByName(bKept.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+      .localCheckpoint()
+
+    // affected docs: every batch doc + every holder of a dropped
+    // shingle (batch-proportional — see class doc — hence broadcast)
+    val affected = bKept.select(col("doc_id"))
+      .unionByName(baseP.join(broadcast(dropped), Seq("sh"), "left_semi")
+        .select(col("doc_id")))
+      .distinct()
+      .localCheckpoint()
+    // pairs with ≥1 affected endpoint over the NEW postings. The join
+    // condition admits each unordered pair exactly once: both-affected
+    // pairs only as (smaller, larger); one-affected pairs only with
+    // the affected doc on the a-side.
+    val pa = newP.join(broadcast(affected), Seq("doc_id"), "left_semi")
+    val pFlag = newP.join(broadcast(affected.withColumn("aff", lit(true))),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sh"), coalesce(col("aff"), lit(false)).as("aff"))
+    val inter = pa.as("a")
+      .join(pFlag.as("b"), col("a.sh") === col("b.sh") &&
+        (col("a.doc_id") < col("b.doc_id") ||
+          (col("a.doc_id") > col("b.doc_id") && !col("b.aff"))))
+      .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val newEdges = inter
+      .join(newSizes.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(newSizes.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("x.n") + col("y.n") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // unaffected×unaffected edges carry over verbatim (exactness
+    // argument in the class doc); disjoint from newEdges by definition
+    val keptEdges = baseEdges
+      .join(broadcast(affected.withColumnRenamed("doc_id", "doc_a")),
+        Seq("doc_a"), "left_anti")
+      .join(broadcast(affected.withColumnRenamed("doc_id", "doc_b")),
+        Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val edges2 = keptEdges.unionByName(newEdges).localCheckpoint()
+    val clusters2 = Dedup.connectedComponents(
+      edges2.select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+
+    graft.sources.AtomicPublish.publish(s, root, Seq(
+      "shingles" -> newP, "df" -> newDf, "sizes" -> newSizes,
+      "edges" -> edges2, "clusters" -> clusters2,
+      "minhash" -> readOutput(s, root, "minhash")
+        .unionByName(Dedup.minhashOf(batch)),
+      "simhash" -> readOutput(s, root, "simhash")
+        .unionByName(Dedup.simhashOf(batch))))
+  }
+
+  /** Build v1 over the base slice, then incrementally publish v2
+    * covering base+batch — both under one durable fence, so the d13
+    * read path always sees the post-ingest snapshot. */
+  private[graft] def ensureIncrementalIndex(s: SparkSession,
+      dir: String): String =
+    graft.sources.DurableIndex.ensure(s, incrIndexRoot(dir)) {
+      val docs = Tables.documents(s, dir)
+      val root = incrIndexRoot(dir)
+      graft.sources.AtomicPublish.publish(s, root,
+        buildOutputs(s, docs.filter(col("doc_id") % BatchMod =!= 0)))
+      publishIncrement(s, root, docs.filter(col("doc_id") % BatchMod === 0))
+    }
+
+  /** d13: incrementally-maintained index snapshot — per clustered doc,
+    * its cluster id and capped shingle-set size AFTER the ingest batch
+    * was applied to the v1 index, plus the batch provenance flag. The
+    * oracle computes the same frame from scratch over the FULL corpus
+    * (d6's shared recursive-CTE block), so a hash pass IS the proof
+    * that version N+1 ≡ rebuild-from-scratch on real data. */
+  def d13IncrementalIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureIncrementalIndex(s, dir)
+    val cl = graft.sources.AtomicPublish.readOutput(s, root, "clusters")
+    val sz = graft.sources.AtomicPublish.readOutput(s, root, "sizes")
+    cl.join(sz, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n").as("n_shingles"),
+        (col("doc_id") % BatchMod === 0).cast("int").as("is_batch"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_incremental_index" -> (d13IncrementalIndex _))
+
+  val oracles: Map[String, String] = Map(
+    "d13_incremental_index" ->
+      s"""${Dedup.ClusterOracleCte}
+        |SELECT cl.doc_id, cl.cluster_id, sz.n AS n_shingles,
+        |  CAST(CASE WHEN cl.doc_id % $BatchMod = 0 THEN 1 ELSE 0 END AS INT) AS is_batch
+        |FROM cl JOIN sz USING (doc_id)
+        |ORDER BY cl.doc_id""".stripMargin)
+}

@@ -24,6 +24,13 @@ case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int,
   * which runs once per partition on the executor, not per row.
   */
 trait MediaCodec extends Serializable {
+  /** Stable identifier naming the codec implementation+version. Salted
+    * into every durable-index fingerprint built FROM this codec's
+    * output, so swapping the backend forces a rebuild instead of
+    * silently serving features computed by the old one (the r10
+    * ADVICE m6 rule). */
+  def id: String
+
   /** Per-partition initialization (load native codec / model once per
     * task, amortized over the whole batch). */
   def open(): Unit = ()
@@ -49,6 +56,8 @@ trait MediaCodec extends Serializable {
   * rows+schema+hash check instead of a rows-only pass.
   */
 object StubCodec extends MediaCodec {
+
+  override val id: String = "stub-md5"
 
   private val hexChars = "0123456789abcdef".toCharArray
 
@@ -305,25 +314,28 @@ object Multimodal {
   def m6MediaDupClusters(s: SparkSession, dir: String,
       codec: MediaCodec = StubCodec): DataFrame =
     graft.sources.AtomicPublish
-      .readOutput(s, ensureMediaClusterIndex(s, dir), "clusters")
+      .readOutput(s, ensureMediaClusterIndex(s, dir, codec), "clusters")
       .orderBy("doc_id")
 
-  private[graft] def mediaClusterRoot(dir: String): String = {
+  private[graft] def mediaClusterRoot(dir: String,
+      codec: MediaCodec): String = {
     val base = sys.props.getOrElse("graft.mediacluster.base",
       s"${graft.GraftSession.defaultStateDir}/media_cluster_index")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
         // build-recipe salt: any knob that changes the pair set must
-        // force a rebuild (the r9 ADVICE stale-index rule)
-        s"mediacluster-v1;codec=stub-md5;levels=$PhashLevels;bands=$PhashBands;cap=$PhashBucketCap;maxham=$PhashMaxHamming"))
+        // force a rebuild (the r9 ADVICE stale-index rule) — including
+        // the CODEC whose embeddings the pairs derive from (r10 ADVICE:
+        // the old signature took a codec but built with the stub)
+        s"mediacluster-v1;codec=${codec.id};levels=$PhashLevels;bands=$PhashBands;cap=$PhashBucketCap;maxham=$PhashMaxHamming"))
   }
 
   private[graft] def ensureMediaClusterIndex(s: SparkSession,
-      dir: String): String =
-    graft.sources.DurableIndex.ensure(s, mediaClusterRoot(dir)) {
-      graft.sources.AtomicPublish.publish(s, mediaClusterRoot(dir),
+      dir: String, codec: MediaCodec = StubCodec): String =
+    graft.sources.DurableIndex.ensure(s, mediaClusterRoot(dir, codec)) {
+      graft.sources.AtomicPublish.publish(s, mediaClusterRoot(dir, codec),
         Seq("clusters" -> Dedup.connectedComponents(
-          m5Impl(s, dir, StubCodec).select(col("a"), col("b")))
+          m5Impl(s, dir, codec).select(col("a"), col("b")))
           .select(col("id").as("doc_id"), col("label").as("cluster_id"))))
     }
 

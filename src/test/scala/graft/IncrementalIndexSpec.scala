@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.{Dedup, Incremental}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental index maintenance (SURVEY §2 d13): version N+1 of the
+  * dedup-index family, derived from version N's published outputs plus
+  * ONLY the batch text, must equal a from-scratch rebuild over the
+  * combined corpus — on a fixture engineered to hit every non-obvious
+  * consequence of a batch:
+  *
+  *  - the batch pushes a base-surviving shingle family over the DF
+  *    cap, which (a) REMOVES a base-base near-dup edge whose overlap
+  *    was hot-shingle-carried (cluster split), and (b) CREATES a
+  *    base-base edge (Jaccard is not monotone under a drop: shedding
+  *    one-sided shingles raises it);
+  *  - a batch doc exactly duplicates a base doc (batch joins an
+  *    existing cluster);
+  *  - two batch docs form a brand-new cluster of brand-new shingles;
+  *  - a sub-3-token batch doc contributes nothing anywhere.
+  *
+  * The d13 driver row then proves the same theorem on real data: its
+  * oracle recomputes clusters+sizes from scratch in DuckDB over the
+  * full corpus, so a hash pass IS "incremental ≡ rebuild" at sf0.01.
+  */
+class IncrementalIndexSpec extends GraftSpec {
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // 10-word hot block: its 8 interior trigrams' df counts every doc
+  // that embeds the block verbatim
+  private val H = (1 to 10).map(i => s"h$i").mkString(" ")
+  private val S1 = (1 to 8).map(i => s"s$i").mkString(" ")
+  private val S2 = (1 to 8).map(i => s"n$i").mkString(" ")
+
+  // base: 96 fillers + 220/240/241 all embed H → df(H-trigrams) = 99
+  // (just under the cap of 100)
+  private val baseDocs: Seq[(Long, String)] =
+    (1 to 96).map(i => i.toLong -> s"$H f${i}a f${i}b") ++ Seq(
+      210L -> S1, 212L -> S1,                  // exact-dup cluster
+      220L -> s"$H c1 c2 c3 c4",               // edge to 221 only AFTER the drop
+      221L -> "c1 c2 c3 c4",
+      240L -> s"$H t240", 241L -> s"$H t241")  // hot-carried edge, splits after
+
+  // batch: two more H-embedders (df → 101 > cap → H trigrams drop),
+  // an exact dup of 212, a brand-new near-dup pair, a 2-token doc
+  private val batchDocs: Seq[(Long, String)] = Seq(
+    330L -> s"$H t330", 331L -> s"$H t331",
+    350L -> S1,
+    340L -> S2, 341L -> s"$S2 u341",
+    360L -> "one two")
+
+  private def outputsAsSets(outs: Seq[(String, DataFrame)]): Map[String, Set[String]] =
+    outs.map { case (name, d) =>
+      name -> d.collect().map(_.mkString("|")).toSet
+    }.toMap
+
+  private lazy val (root, v1Sets, v2Sets, rebuildSets) = {
+    val r = java.nio.file.Files.createTempDirectory("graft_incr_spec").toString
+    val v1 = Incremental.buildOutputs(spark, df(baseDocs))
+    val v1Collected = outputsAsSets(v1)
+    graft.sources.AtomicPublish.publish(spark, r, v1)
+    val v2 = Incremental.publishIncrement(spark, r, df(batchDocs))
+    assert(v2 == "v2")
+    val names = v1.map(_._1)
+    val v2Sets = outputsAsSets(names.map(n =>
+      n -> graft.sources.AtomicPublish.readOutput(spark, r, n)))
+    val rebuild = outputsAsSets(
+      Incremental.buildOutputs(spark, df(baseDocs ++ batchDocs)))
+    (r, v1Collected, v2Sets, rebuild)
+  }
+
+  test("incremental v2 equals a from-scratch rebuild, output for output") {
+    for (name <- Seq("shingles", "df", "sizes", "edges", "clusters",
+        "minhash", "simhash")) {
+      val extra = v2Sets(name) -- rebuildSets(name)
+      val missing = rebuildSets(name) -- v2Sets(name)
+      assert(extra.isEmpty && missing.isEmpty,
+        s"$name diverged: extra=${extra.take(5)} missing=${missing.take(5)}")
+    }
+  }
+
+  test("the batch-driven cap drop removes the hot-carried edge and creates the uncovered one") {
+    def pairs(sets: Set[String]): Set[(Long, Long)] =
+      sets.map { s => val p = s.split('|'); (p(0).toLong, p(1).toLong) }
+    val v1Edges = pairs(v1Sets("edges"))
+    val v2Edges = pairs(v2Sets("edges"))
+    // base: 240-241 held together by hot trigrams; 220-221 under 0.5
+    assert(v1Edges.contains((240L, 241L)))
+    assert(!v1Edges.contains((220L, 221L)))
+    // after the batch pushes df(H) to 101 > cap: the first splits, the
+    // second appears (220 sheds 8 one-sided shingles → J hits 0.5)
+    assert(!v2Edges.contains((240L, 241L)))
+    assert(v2Edges.contains((220L, 221L)))
+    // batch dup joins the base cluster; batch pair forms a new cluster
+    assert(v2Edges.contains((212L, 350L)) || v2Edges.contains((210L, 350L)))
+    assert(v2Edges.contains((340L, 341L)))
+  }
+
+  test("cluster table reflects splits, joins, and new clusters after the increment") {
+    def clusters(sets: Set[String]): Map[Long, Long] =
+      sets.map { s => val p = s.split('|'); p(0).toLong -> p(1).toLong }.toMap
+    val v1C = clusters(v1Sets("clusters"))
+    val v2C = clusters(v2Sets("clusters"))
+    assert(v1C(240L) == v1C(241L)) // together at base
+    assert(!v2C.contains(240L) && !v2C.contains(241L)) // split to singletons → out of the pair graph
+    assert(v2C(350L) == v2C(210L) && v2C(350L) == v2C(212L)) // batch joined
+    assert(v2C(340L) == v2C(341L)) // brand-new cluster
+    assert(v2C(220L) == v2C(221L)) // the created edge
+    assert(!v2C.contains(360L)) // sub-3-token doc is nowhere
+  }
+
+  test("version N stays readable after the increment (time travel = ingest rollback path)") {
+    val v1Clusters = graft.sources.AtomicPublish
+      .readOutputAt(spark, root, "v1", "clusters")
+      .collect().map(_.mkString("|")).toSet
+    assert(v1Clusters == v1Sets("clusters"))
+  }
+
+  test("d13 on the real corpus: incremental snapshot equals scratch recompute") {
+    val got = Incremental.d13IncrementalIndex(spark, sf)
+    assert(got.columns.toSeq ==
+      Seq("doc_id", "cluster_id", "n_shingles", "is_batch"))
+    val outs = Incremental.buildOutputs(spark, Tables.documents(spark, sf))
+      .toMap
+    val want = outs("clusters").join(outs("sizes"), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n").as("n_shingles"),
+        (col("doc_id") % Incremental.BatchMod === 0).cast("int").as("is_batch"))
+    assert(got.collect().map(_.mkString("|")).toSet ==
+      want.collect().map(_.mkString("|")).toSet)
+    assert(got.count() > 0)
+  }
+}

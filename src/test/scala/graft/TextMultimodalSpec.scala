@@ -129,6 +129,7 @@ class TextMultimodalSpec extends GraftSpec {
 
   test("media codec is swappable: a custom backend flows through the same plumbing") {
     object FixedCodec extends graft.operators.MediaCodec {
+      override val id = "test-fixed"
       var opened = false // driver-side copy won't see executor state; just exercise the hook
       override def open(): Unit = { opened = true }
       override def decode(id: Long, kind: String, payload: Array[Byte]) =

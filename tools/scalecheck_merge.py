@@ -51,7 +51,13 @@ def main(argv):
         "replicas": base["replicas"],
         "base": base["base"],
         "build_sec": min(p["build_sec"] for p in passes),
-        "pass1_sec": min(p.get("pass1_sec", 0.0) for p in passes),
+        # build-inclusive first pass: max across logs that REPORT it (a
+        # pre-pass1_sec log must not collapse the field to 0.0, and
+        # different logs may cover different query subsets — max keeps
+        # the most build-inclusive observation; r10 ADVICE)
+        "pass1_sec": max(
+            (p["pass1_sec"] for p in passes if "pass1_sec" in p),
+            default=None),
         "d6_rounds_base": max(p["d6_rounds_base"] for p in passes),
         "d6_rounds_scaled": base["d6_rounds_scaled"],
         "commit": base["commit"],
