@@ -209,19 +209,31 @@ object ScaleCheck {
         .write.format("noop").mode("overwrite").save()
       d6RoundsBase = graft.operators.Dedup.ccRounds
     }
+    // streaming-plane scale evidence (SPARK_GRAFT_SOAK=0 skips): the
+    // join→window file-source soak over the SCALED events table — the
+    // batch queries above have per-query ratios; this records that the
+    // stateful streaming pipeline also held (matched) and how big its
+    // state peak was at this volume
+    val soakJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_SOAK", "1") == "0") ""
+      else {
+        val r = graft.streaming.StreamingSoak.run(spark, outDir,
+          TmpRoots.perProcess("graft_soak"))
+        s""","streaming_soak":{"seconds":${r.seconds},"input_rows":${r.inputRows},"output_rows":${r.outputRows},"batches":${r.batches},"state_rows_max":${r.stateRowsMax},"matched":${r.matched}}"""
+      }
     emit(times, errs, passes, pass1Sec, buildSec, srcDir,
-      d6RoundsBase, d6RoundsScaled)
+      d6RoundsBase, d6RoundsScaled, soakJson)
     spark.stop()
   }
 
   private def emit(times: collection.Map[String, Double],
       errs: collection.Map[String, String], passes: Int, pass1Sec: Double,
       buildSec: Double, srcDir: String,
-      d6RoundsBase: Int, d6RoundsScaled: Int): Unit = {
+      d6RoundsBase: Int, d6RoundsScaled: Int, extraJson: String = ""): Unit = {
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) =>
       "\"" + k + "\":\"" + JsonUtil.escape(v) + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_check","value":${times.values.sum},"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errs.size},"replicas":$Replicas,"base":"$srcDir","build_sec":$buildSec,"pass1_sec":$pass1Sec,"passes":$passes,"d6_rounds_base":$d6RoundsBase,"d6_rounds_scaled":$d6RoundsScaled,"commit":"${JsonUtil.gitHead()}","scanned_at":"${JsonUtil.nowIso()}"}""")
+    println(s"""{"metric":"scale_check","value":${times.values.sum},"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errs.size},"replicas":$Replicas,"base":"$srcDir","build_sec":$buildSec,"pass1_sec":$pass1Sec,"passes":$passes,"d6_rounds_base":$d6RoundsBase,"d6_rounds_scaled":$d6RoundsScaled$extraJson,"commit":"${JsonUtil.gitHead()}","scanned_at":"${JsonUtil.nowIso()}"}""")
   }
 }

@@ -64,22 +64,35 @@ object Graph {
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .localCheckpoint()
     val n = nodes.count().toDouble
-    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
+    // The rank vector is carried as an int64 `rq` in units of 1e-12
+    // (the g4/ts9 quantization discipline, applied PER ITERATION):
+    // every cross-row summation (the two places floating-point order
+    // dependence could creep in) sums exact integers, and the scalar
+    // float ops between them are fixed-order IEEE expressions any
+    // engine reproduces bit-identically. That is what makes a 10-round
+    // power iteration HASH-CHECKABLE against a DuckDB ladder — the one
+    // rows-only justification g2 used to carry. Quantization bias is
+    // ≤5e-13/node/round, invisible at the 9dp output grain.
+    var ranks = nodes
+      .withColumn("rq", lit(math.floor(1e12 / n + 0.5).toLong))
+      .localCheckpoint()
     for (i <- 0 until iters) {
       // nodes with no out-edges contribute their whole rank as
       // uniformly-teleported dangling mass — a 1-row bounded aggregate
       val dangling = ranks.filter(col("outdeg") === 0L)
-        .agg(coalesce(sum(col("r")), lit(0.0)).as("dmass"))
+        .agg(coalesce(sum(col("rq")), lit(0L)).as("dmass_q"))
       val contrib = e.join(
-        ranks.filter(col("outdeg") > 0L).select(
-          col("node").as("csrc"), (col("r") / col("outdeg")).as("share")),
+        ranks.filter(col("outdeg") > 0L).select(col("node").as("csrc"),
+          floor(col("rq").cast("double") / col("outdeg") + lit(0.5))
+            .as("share_q")),
         col("src") === col("csrc"))
-        .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
+        .groupBy(col("dst")).agg(sum(col("share_q")).as("inflow_q"))
       val next = nodes.join(contrib, col("node") === col("dst"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"), col("outdeg"),
-          (lit((1.0 - Damping) / n) + lit(Damping) *
-            (coalesce(col("inflow"), lit(0.0)) + col("dmass") / n)).as("r"))
+          floor(((lit(1.0) - lit(Damping)) / lit(n) + lit(Damping) *
+            ((coalesce(col("inflow_q"), lit(0L)) + col("dmass_q") / lit(n)) /
+              lit(1e12))) * lit(1e12) + lit(0.5)).as("rq"))
       // lineage-truncate every THIRD round (and on the last): one
       // materialization job covers three rounds' plans — still shallow
       // enough for codegen (measured; a deeper span regresses compile
@@ -87,20 +100,23 @@ object Graph {
       ranks = if (i % 3 == 2 || i == iters - 1) next.localCheckpoint()
         else next
     }
-    ranks
+    ranks.withColumn("r", col("rq").cast("double") / lit(1e12))
   }
 
   /** g2: PageRank top-[[PrTopK]] — which suppliers (and customers)
     * sit at the center of the order flow. Deterministic total order
-    * (rank desc to 9 places, node asc); rows-only (iterative fixed
-    * point — no SQL oracle), pinned by a driver-side reference
-    * recompute spec and a mass-conservation spec. */
+    * (rank desc at 9dp, node asc); FULL hash oracle since round 11:
+    * the per-iteration int64 quantization in [[pagerank]] makes the
+    * fixed point engine-independent, and the oracle unrolls the same
+    * ten rounds as a CTE ladder (the g6 pattern). The 9dp output grain
+    * is integer arithmetic on rq — no round() half-boundary hazard. */
   def g2Pagerank(s: SparkSession, dir: String): DataFrame =
     pagerank(edges(s, dir))
       .select(col("node"),
         when(pmod(col("node"), lit(2)) === 0, "customer")
           .otherwise("supplier").as("kind"),
-        round(col("r"), 9).as("rank"))
+        (floor((col("rq") + lit(500L)).cast("double") / lit(1000.0))
+          .cast("double") / lit(1e9)).as("rank"))
       .orderBy(col("rank").desc, col("node").asc)
       .limit(PrTopK)
 
@@ -253,7 +269,17 @@ object Graph {
       .orderBy("side", "degree")
   }
 
-  val LpMaxDeg = 50  // hub-customer cap on pair generation
+  /** Hub-customer cap on g4 pair generation — a SEMANTICS knob
+    * (`-Dgraft.g4.maxdeg`, default 50), not a tuning detail: pair mass
+    * is Σ deg(c)² over kept customers, so at corpus scales where the
+    * 30× stretch's linear growth (SCALECHECK_sf3: 3.23×/3× data) is
+    * still too much, tightening the cap is THE lever — and it only
+    * sheds the hub customers whose shared-demand signal is weakest
+    * (the d2 DF-cap argument). The oracle interpolates the same value,
+    * so the gate stays exact at any setting, and GraphSpec pins what
+    * tightening does to the output: pairs only vanish, scores only
+    * shrink, the top of the ranking is stable. */
+  val LpMaxDeg: Int = sys.props.getOrElse("graft.g4.maxdeg", "50").toInt
   val LpTopK = 100
 
   /** g4: link prediction over the customer–supplier bipartite graph —
@@ -278,7 +304,13 @@ object Graph {
     * bytes and a single-word hash/compare in the map-side combine —
     * decoded after the aggregate; valid while supplier ids < 2^31
     * (re-split the key if ids outgrow 32 bits). */
-  def g4LinkPredict(s: SparkSession, dir: String): DataFrame = {
+  def g4LinkPredict(s: SparkSession, dir: String): DataFrame =
+    linkPredictAt(s, dir, LpMaxDeg)
+
+  /** g4 core at an explicit hub cap — factored out so the stability
+    * spec can compare cap settings (see [[LpMaxDeg]]). */
+  private[graft] def linkPredictAt(s: SparkSession, dir: String,
+      maxDeg: Int): DataFrame = {
     val cs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -288,7 +320,7 @@ object Graph {
     val sdeg = cs.groupBy(col("sk")).agg(count(lit(1)).as("sdeg"))
     val pairs = cs.groupBy(col("c"))
       .agg(array_sort(collect_set(col("sk"))).as("ss"))
-      .filter(size(col("ss")).between(2, LpMaxDeg))
+      .filter(size(col("ss")).between(2, maxDeg))
       // the per-customer 1/ln(deg) Adamic-Adar term is quantized ONCE
       // per customer (it is constant across that customer's pairs; the
       // old form re-evaluated log+round per pair row inside the
@@ -349,7 +381,49 @@ object Graph {
        |FROM v$BfsMaxHops ORDER BY hops, node""".stripMargin
   }
 
+  /** g2 oracle: the quantized power iteration unrolled as a CTE ladder
+    * pr0..pr[[PrIters]] (the g6 discipline — no recursive-CTE
+    * multi-reference restrictions to fight). Every cross-row sum is
+    * over BIGINTs; the scalar float expression between rounds is
+    * written with the exact operation order of the Spark plan. */
+  private def g2OracleSql: String = {
+    val ladder = (1 to PrIters).map { k =>
+      s"""pr$k AS (
+         |  SELECT nd.node, nd.outdeg,
+         |    CAST(floor(((1.0 - $Damping) / nn.n + $Damping *
+         |      ((coalesce(cf.inflow_q, 0) + dm.dmass_q / nn.n) / 1e12))
+         |      * 1e12 + 0.5) AS BIGINT) AS rq
+         |  FROM nodes nd
+         |  CROSS JOIN nn
+         |  CROSS JOIN (SELECT CAST(coalesce(sum(rq), 0) AS BIGINT) AS dmass_q
+         |    FROM pr${k - 1} WHERE outdeg = 0) dm
+         |  LEFT JOIN (SELECT e.dst,
+         |      CAST(sum(CAST(floor(CAST(p.rq AS DOUBLE) / p.outdeg + 0.5)
+         |        AS BIGINT)) AS BIGINT) AS inflow_q
+         |    FROM e JOIN pr${k - 1} p ON e.src = p.node AND p.outdeg > 0
+         |    GROUP BY e.dst) cf ON nd.node = cf.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS (SELECT node, coalesce(outdeg, 0) AS outdeg FROM
+       |    (SELECT src AS node FROM e UNION SELECT dst FROM e) q
+       |  LEFT JOIN outd ON q.node = outd.src),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |pr0 AS (SELECT node, outdeg,
+       |    CAST(floor(1e12 / nn.n + 0.5) AS BIGINT) AS rq
+       |  FROM nodes CROSS JOIN nn),
+       |$ladder
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  floor((rq + 500) / 1000.0) / 1e9 AS rank
+       |FROM pr$PrIters
+       |ORDER BY rank DESC, node LIMIT $PrTopK""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "g2_pagerank" -> g2OracleSql,
     "g6_bfs_hops" -> g6OracleSql,
     "g5_degree_profile" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk

@@ -840,17 +840,21 @@ object Similarity {
     * sim(d,s) from a bounded candidate pool. The pool per query is
     * the distributed n1 scan's top-[[MmrPool]] (the corpus-side
     * work, unchanged at any scale); the greedy selection is
-    * inherently sequential in k and runs on the driver over bounded
-    * metadata (queries × pool vectors — the t7/indexCells collect
-    * pattern), then returns as a plan literal frame. rows-only +
-    * diversity-property ScalaTest. */
+    * inherently sequential in k but PER-QUERY — since round 11 it
+    * runs on the executors as a compiled kernel over each query's
+    * collected pool ([[org.apache.spark.sql.graft.MmrExpr]]), so a
+    * large online query batch scales with executors instead of
+    * serializing on a driver collect (the r10 watch item; no
+    * `.collect()` anywhere in this path, PlanAuditSpec pins no
+    * LocalTableScan). Output is bit-identical to the retired driver
+    * loop — ObtSampleSpec pins it against a driver recompute.
+    * rows-only + diversity-property ScalaTest. */
   def n11MmrRerank(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
-    // bounded collect: NumQueries × MmrPool candidates with vectors
     val pool = broadcast(q)
       .join(e, col("query_id") =!= col("vec_id"))
       .withColumn("cos_raw", VectorFunctions.cosineFromParts(
@@ -858,35 +862,15 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= MmrPool)
       .select(col("query_id"), col("vec_id"), col("cos_raw"), col("v"), col("nrm"))
-      .collect()
-    val byQuery = pool.groupBy(_.getLong(0))
-    def cos(a: (Array[Double], Double), b: (Array[Double], Double)): Double = {
-      var d = 0.0; var i = 0
-      while (i < a._1.length) { d += a._1(i) * b._1(i); i += 1 }
-      if (a._2 == 0 || b._2 == 0) 0.0 else d / (a._2 * b._2)
-    }
-    val out = byQuery.toSeq.sortBy(_._1).flatMap { case (qid, rows) =>
-      val cands = rows.map { r =>
-        (r.getLong(1), r.getDouble(2),
-          (r.getSeq[Double](3).toArray, r.getDouble(4)))
-      }.sortBy { case (id, c, _) => (-c, id) }.toVector
-      val selected = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Double, (Array[Double], Double))]
-      while (selected.length < TopK && selected.length < cands.length) {
-        val pick = cands.filterNot(c => selected.exists(_._1 == c._1))
-          .maxBy { case (id, rel, v) =>
-            val redundancy =
-              if (selected.isEmpty) 0.0 else selected.map(s => cos(v, s._3)).max
-            (MmrLambda * rel - (1 - MmrLambda) * redundancy, -id)
-          }
-        selected += pick
-      }
-      selected.zipWithIndex.map { case ((id, rel, _), i) =>
-        (qid, id, i + 1, BigDecimal(rel).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
-    }
-    import s.implicits._
-    out.toDF("query_id", "neighbor_id", "mmr_rank", "cosine")
+    // per-query pool is ≤MmrPool rows by construction — the collect_list
+    // group state is bounded the same way the old driver array was
+    pool.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("vec_id"), col("cos_raw"), col("v"),
+        col("nrm"))).as("cands"))
+      .select(col("query_id"), explode(org.apache.spark.sql.graft.MmrExpr
+        .mmr(col("cands"), TopK, MmrLambda)).as("pick"))
+      .select(col("query_id"), col("pick.neighbor_id").as("neighbor_id"),
+        col("pick.mmr_rank").as("mmr_rank"), col("pick.cosine").as("cosine"))
       .orderBy("query_id", "mmr_rank")
   }
 

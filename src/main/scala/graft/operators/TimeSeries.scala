@@ -355,11 +355,11 @@ object TimeSeries {
     * Unlike round(double, 6) / a decimal cast, every step is an IEEE
     * op on bit-identical inputs, so both engines produce the same
     * double (SURVEY §4, the g4 int64-quantization rule). */
-  private def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
 
   /** 4dp variant of [[q6]] for ts9's z-score output boundary. */
-  private def q4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def q4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(1e4) + lit(0.5)).cast("double") / lit(1e4)
 
   /** ts10: CUSUM changepoint detection per series — the two one-sided

@@ -9,24 +9,31 @@ import org.apache.spark.sql.functions._
   */
 class GraphSpec extends GraftSpec {
 
+  /** Driver-side mirror of the QUANTIZED power iteration (pagerank
+    * carries rank as int64 units of 1e-12 — the discipline that makes
+    * the fixed point engine-independent and g2 hash-checkable): same
+    * integer sums, same scalar float expression, so the distributed
+    * result must match BIT-EXACTLY, not within an epsilon. */
   private def referenceRanks(edges: Seq[(Long, Long)], iters: Int)
       : Map[Long, Double] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val n = nodes.size.toDouble
     val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    var r = nodes.map(_ -> 1.0 / n).toMap
+    var rq = nodes.map(_ -> math.floor(1e12 / n + 0.5).toLong).toMap
     for (_ <- 0 until iters) {
-      val dangling = nodes.filterNot(out.contains).map(r).sum
-      val inflow = scala.collection.mutable.Map.empty[Long, Double]
-        .withDefaultValue(0.0)
-      for ((src, dsts) <- out; d <- dsts) inflow(d) += r(src) / dsts.size
-      r = nodes.map(v => v -> ((1.0 - Graph.Damping) / n +
-        Graph.Damping * (inflow(v) + dangling / n))).toMap
+      val dangling = nodes.filterNot(out.contains).map(rq).sum
+      val inflow = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((src, dsts) <- out; d <- dsts)
+        inflow(d) += math.floor(rq(src).toDouble / dsts.size + 0.5).toLong
+      rq = nodes.map(v => v -> math.floor(((1.0 - Graph.Damping) / n +
+        Graph.Damping * ((inflow(v) + dangling / n) / 1e12)) * 1e12 + 0.5)
+        .toLong).toMap
     }
-    r
+    rq.map { case (k, v) => k -> v / 1e12 }
   }
 
-  test("g2 matches an exact driver-side power iteration") {
+  test("g2 matches an exact driver-side power iteration bit-for-bit") {
     val e = Graph.edges(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toSeq
     val want = referenceRanks(e, Graph.PrIters)
@@ -34,14 +41,16 @@ class GraphSpec extends GraftSpec {
       .map(r => r.getAs[Long]("node") -> r.getAs[Double]("r")).toMap
     assert(got.keySet == want.keySet)
     got.foreach { case (node, r) =>
-      assert(math.abs(r - want(node)) < 1e-9, s"node $node: $r vs ${want(node)}")
+      assert(r == want(node), s"node $node: $r vs ${want(node)}")
     }
   }
 
   test("g2 rank mass stays a probability distribution") {
     val ranks = Graph.pagerank(Graph.edges(spark, sf))
     val total = ranks.agg(sum("r")).collect().head.getDouble(0)
-    assert(math.abs(total - 1.0) < 1e-9, s"mass $total")
+    // quantization bias ≤ 5e-13 per node per round — 1e-8 covers any
+    // corpus this suite sees with two orders of margin
+    assert(math.abs(total - 1.0) < 1e-8, s"mass $total")
     assert(ranks.filter(col("r") <= 0).count() == 0)
   }
 
@@ -55,6 +64,35 @@ class GraphSpec extends GraftSpec {
       val node = r.getAs[Long]("node")
       assert((kind == "customer") == (node % 2 == 0))
     }
+  }
+
+  test("g4 hub-cap knob: tightening only removes pairs, only shrinks scores, keeps the head stable") {
+    // the LpMaxDeg SEMANTICS knob (-Dgraft.g4.maxdeg): at 100 TB the
+    // pair mass is the g4 scale lever, and this pins what a tighter
+    // cap does to the output — hub-customer contributions vanish, so
+    // the pair set and both scores are MONOTONE under tightening and
+    // the head of the ranking barely moves
+    def byPair(maxDeg: Int): Map[(Long, Long), (Long, Double)] =
+      Graph.linkPredictAt(spark, sf, maxDeg).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getAs[Double]("adamic_adar")))).toMap
+    val loose = byPair(50)
+    val tight = byPair(25)
+    assert(loose.nonEmpty && tight.nonEmpty)
+    // subset + monotonicity hold exactly when the loose frame is not
+    // LpTopK-truncated (sf0.001 stays under the limit)
+    if (loose.size < Graph.LpTopK) {
+      assert(tight.keySet.subsetOf(loose.keySet),
+        "tightening the cap must not create pairs")
+      tight.foreach { case (k, (common, aa)) =>
+        assert(common <= loose(k)._1, s"common grew at $k")
+        assert(aa <= loose(k)._2 + 1e-9, s"adamic_adar grew at $k")
+      }
+    }
+    def top10(m: Map[(Long, Long), (Long, Double)]) =
+      m.toSeq.sortBy { case (k, (_, aa)) => (-aa, k) }.take(10).map(_._1).toSet
+    val overlap = (top10(loose) intersect top10(tight)).size
+    assert(overlap >= 6, s"top-10 unstable under cap halving: overlap=$overlap")
   }
 
   private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Int] = {

@@ -69,6 +69,52 @@ class ObtSampleSpec extends GraftSpec {
     assert(diversityWins > 0, "MMR never diversified any query")
   }
 
+  test("n11 executor-side kernel is bit-identical to the retired driver greedy loop") {
+    import graft.operators.Similarity
+    // driver-side mirror of the pre-r11 implementation: pool = exact
+    // top-MmrPool per query, greedy argmax (λ·rel − (1−λ)·maxRed, −id)
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val queries = e.keys.filter(_ < Similarity.NumQueries).toSeq.sorted
+    val want = queries.flatMap { qid =>
+      val cands = e.keys.filter(_ != qid).toSeq
+        .map(id => (id, cos(e(qid), e(id))))
+        .sortBy { case (id, c) => (-c, id) }.take(Similarity.MmrPool).toVector
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (sel.length < Similarity.TopK && sel.length < cands.length) {
+        val pick = cands.filterNot(c => sel.exists(_._1 == c._1))
+          .maxBy { case (id, rel) =>
+            val red = if (sel.isEmpty) 0.0
+              else sel.map(s => cos(e(id), e(s._1))).max
+            (Similarity.MmrLambda * rel - (1 - Similarity.MmrLambda) * red, -id)
+          }
+        sel += pick
+      }
+      sel.zipWithIndex.map { case ((id, rel), i) => (qid, id, i + 1,
+        BigDecimal(rel).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }
+    val got = Similarity.n11MmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
+
+  test("n11 runs distributed: no driver collect materializes as a LocalTableScan") {
+    import graft.operators.Similarity
+    val plan = Similarity.n11MmrRerank(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      "n11 plan contains a literal frame — the greedy loop went back to the driver")
+    assert(plan.contains("graft_mmr"), "n11 plan lost the MMR kernel")
+  }
+
   test("a13 z-statistic matches a driver-side recompute from raw counts") {
     import graft.operators.Mining
     val ev = Tables.events(spark, sf)

@@ -60,6 +60,8 @@ def main(argv):
             default=None),
         "d6_rounds_base": max(p["d6_rounds_base"] for p in passes),
         "d6_rounds_scaled": base["d6_rounds_scaled"],
+        **({"streaming_soak": base["streaming_soak"]}
+           if "streaming_soak" in base else {}),
         "commit": base["commit"],
         "scanned_at": base["scanned_at"],
         "passes": sum(p.get("passes", 1) for p in passes),
