@@ -55,7 +55,19 @@ object Bench {
     // measured query doesn't absorb session start-up cost
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1).collect()
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    // Every pass calls fn() anew, ON PURPOSE (a round-11 probe measured
+    // the alternative and REVERTED it): caching the constructed
+    // DataFrame across passes looks like prepared-statement reuse, but
+    // iterative operators (g2's power iteration, g6's BFS, the ts13/
+    // ts14 series frames) materialize eager localCheckpoints DURING
+    // construction — a cached frame re-reads those blocks instead of
+    // re-running the iteration, so "min of N" degenerates into "read a
+    // cached result N−1 times" (g2 reported 0.2 s for 4.9 s of real
+    // work; suite geomean flattered 0.78×→0.58×). Honest steady state
+    // = re-execute the whole query; only per-CORPUS artifacts (durable
+    // indexes) amortize across passes.
+    def run(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // min over N INTERLEAVED passes of the whole suite
     // (SPARK_GRAFT_RUNS, clamped to >=1). Two reasons for min-of-N:
@@ -107,6 +119,7 @@ object Bench {
     }
     var passesDone = 0
     var minPassSec = Double.MaxValue
+    val passSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     var stoppedOnBudget = false
     for (pass <- 1 to runsReq if !stoppedOnBudget) {
       // Start a pass only if it plausibly fits: first pass always runs
@@ -123,7 +136,7 @@ object Bench {
         val tPass = System.nanoTime()
         for ((name, fn) <- queries) {
           val t0 = System.nanoTime()
-          try run(fn) catch {
+          try run(name, fn) catch {
             case e: Throwable =>
               val head = e.getStackTrace.take(3).mkString(" <- ")
               java.nio.file.Files.writeString(errLog,
@@ -137,7 +150,9 @@ object Bench {
           best.updateWith(name)(v => Some(v.fold(dt)(math.min(_, dt))))
           flush(passesDone, partial = true)
         }
-        minPassSec = math.min(minPassSec, (System.nanoTime() - tPass) / 1e9)
+        val passSec = (System.nanoTime() - tPass) / 1e9
+        passSecs += passSec
+        minPassSec = math.min(minPassSec, passSec)
         passesDone += 1
         flush(passesDone, partial = false)
       }
@@ -158,7 +173,8 @@ object Bench {
     // {"metric","value","unit","sf"} contract and pointing at the
     // committed bench_last.json for per-query detail.
     val total = queries.flatMap { case (n, _) => best.get(n) }.sum
-    println(compactLine(best, errs0, total, passesDone, runsReq, sfDir))
+    println(compactLine(best, errs0, total, passesDone, runsReq, sfDir,
+      passSecs.toSeq))
     spark.stop()
   }
 
@@ -185,11 +201,13 @@ object Bench {
   private def compactLine(best: collection.Map[String, Double],
                           errs: collection.Map[String, String],
                           total: Double, passes: Int, runsReq: Int,
-                          sfDir: String): String = {
+                          sfDir: String, passSecs: Seq[Double] = Nil): String = {
     val gmJson = geomeanVsBaseline(best).map { case (g, n) =>
       s""","geomean_vs_baseline":${math.rint(g * 1000) / 1000},"shared_queries":$n"""
     }.getOrElse("")
-    val out = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"n_errors":${errs.size},"passes":$passes,"runs_requested":$runsReq,"partial":false$gmJson,"detail":"bench_last.json"}"""
+    val passJson = if (passSecs.isEmpty) "" else
+      passSecs.map(p => math.rint(p * 10) / 10).mkString(""","pass_secs":[""", ",", "]")
+    val out = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"n_errors":${errs.size},"passes":$passes,"runs_requested":$runsReq,"partial":false$gmJson$passJson,"detail":"bench_last.json"}"""
     // Belt and braces: the whole point is fitting the driver's tail.
     if (out.length < 1900) out
     else s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","sf":"$sfDir","detail":"bench_last.json"}"""

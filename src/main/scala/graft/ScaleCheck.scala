@@ -101,7 +101,10 @@ object ScaleCheck {
     "imp3_neyman_allocation", "mix7_dedup_weights",
     "prof6_functional_dependency", "ix3_phrase_search",
     "w10_cumulative_users", "m6_media_dup_clusters",
-    "f1b_approx_bins", "e11_first_touch", "ts14_seasonal_adjust")
+    "f1b_approx_bins", "e11_first_touch", "ts14_seasonal_adjust",
+    // round-11 newcomers (incremental index family; n11 joins the
+    // cohort now that its greedy loop is executor-side)
+    "d13_incremental_index", "n11_mmr_rerank")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

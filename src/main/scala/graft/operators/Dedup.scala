@@ -617,8 +617,45 @@ object Dedup {
       .distinct()
   }
 
+  /** Edge-count threshold below which [[connectedComponents]] runs a
+    * driver-side union-find instead of the distributed star loop
+    * (`-Dgraft.cc.localthreshold`, 0 disables). Near-dup pair graphs
+    * are DUPLICATION-MASS-sized, not corpus-sized, so at every tested
+    * scale the star loop's cost is per-round JOB LATENCY, not data
+    * (the m6 inline-CC lesson: 6.0 s of driver-loop latency on a tiny
+    * pair graph). Below the threshold the edge list is bounded
+    * metadata by definition — one collect, an O(E α(E)) union-find,
+    * identical min-label output (r11: the d13 build's two CC runs
+    * dropped from ~9 s to sub-second; equality pinned by DedupSpec).
+    * Above it, the O(log diameter) distributed loop takes over. */
+  def CcLocalThreshold: Long =
+    sys.props.getOrElse("graft.cc.localthreshold", "200000").toLong
+
+  /** Driver union-find with path halving; label = min id reachable —
+    * the exact contract of the distributed loop. */
+  private def localComponents(es: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElseUpdate(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElseUpdate(p, p)
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    // second pass: full compression, then min id per root IS the root
+    // (unions always attach the larger root under the smaller)
+    parent.keys.toSeq.map(k => k -> find(k)).toMap
+  }
+
   /** Connected components over an undirected pair list (a, b) →
-    * (id, label) with label = min reachable id. Alternating
+    * (id, label) with label = min reachable id. Small edge lists take
+    * the [[localComponents]] fast path; otherwise alternating
     * large-star/small-star rounds, O(log diameter) of them; lineage
     * truncated every round (see the loop comment). */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
@@ -643,6 +680,20 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
     var fp = fingerprint(edges)
+    if (fp._1 > 0 && fp._1 <= CcLocalThreshold) {
+      // bounded by the threshold — the collect is metadata-sized by
+      // construction (the t7/indexCells discipline)
+      val labels = localComponents(edges.collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+      val s = pairs.sparkSession
+      import s.implicits._
+      ccRounds = 0
+      ccMaxPlanDepth = 0
+      val out = labels.toSeq.sortBy(_._1).toDF("id", "label")
+      edges.unpersist()
+      ids.unpersist()
+      return out
+    }
     var converged = edges.isEmpty
     var iter = 0
     ccMaxPlanDepth = 0

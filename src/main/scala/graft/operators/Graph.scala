@@ -73,9 +73,11 @@ object Graph {
     // power iteration HASH-CHECKABLE against a DuckDB ladder — the one
     // rows-only justification g2 used to carry. Quantization bias is
     // ≤5e-13/node/round, invisible at the 9dp output grain.
+    // no checkpoint on the initial vector: it is one constant-column
+    // projection over the already-checkpointed nodes frame, so
+    // materializing it only added a full copy job per call
     var ranks = nodes
       .withColumn("rq", lit(math.floor(1e12 / n + 0.5).toLong))
-      .localCheckpoint()
     for (i <- 0 until iters) {
       // nodes with no out-edges contribute their whole rank as
       // uniformly-teleported dangling mass — a 1-row bounded aggregate
@@ -96,7 +98,9 @@ object Graph {
       // lineage-truncate every THIRD round (and on the last): one
       // materialization job covers three rounds' plans — still shallow
       // enough for codegen (measured; a deeper span regresses compile
-      // time) while cutting the action count to ~iters/3
+      // time) while cutting the action count to ~iters/3. Re-measured
+      // in r11: cadence 5 is 16% SLOWER (5.94 vs 5.12 s min-of-6 at
+      // sf0.1 — the deeper codegen span costs more than the saved job)
       ranks = if (i % 3 == 2 || i == iters - 1) next.localCheckpoint()
         else next
     }

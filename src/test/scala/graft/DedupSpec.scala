@@ -214,20 +214,50 @@ class DedupSpec extends GraftSpec {
   test("d6 core: a diameter-30 chain converges in O(log diameter) rounds, bounded plan depth") {
     import spark.implicits._
     // path graph 1-2-...-30: plain min-label propagation needs ~29
-    // rounds; large-star/small-star halves depth per round
+    // rounds; large-star/small-star halves depth per round. Force the
+    // DISTRIBUTED loop (the small fixture would otherwise take the
+    // union-find fast path) — this spec is about the loop's round and
+    // lineage bounds at cluster scale.
     val pairs = (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.size == 30, s"expected 30 nodes, got ${labels.size}")
-    assert(labels.values.forall(_ == 1L),
-      s"chain should collapse to cluster 1: $labels")
-    assert(Dedup.ccRounds <= 8,
-      s"star alternation should need ~log2(30) rounds, took ${Dedup.ccRounds}")
-    // without the cadence checkpoint the per-round plan grows with
-    // round count; with it, depth stays O(cadence) — the property that
-    // keeps recovery lineage bounded on deep graphs at cluster scale
-    assert(Dedup.ccMaxPlanDepth <= 80,
-      s"plan depth grew with rounds, lineage unbounded: ${Dedup.ccMaxPlanDepth}")
+    val old = sys.props.put("graft.cc.localthreshold", "0")
+    try {
+      val labels = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.size == 30, s"expected 30 nodes, got ${labels.size}")
+      assert(labels.values.forall(_ == 1L),
+        s"chain should collapse to cluster 1: $labels")
+      assert(Dedup.ccRounds <= 8,
+        s"star alternation should need ~log2(30) rounds, took ${Dedup.ccRounds}")
+      // without the cadence checkpoint the per-round plan grows with
+      // round count; with it, depth stays O(cadence) — the property that
+      // keeps recovery lineage bounded on deep graphs at cluster scale
+      assert(Dedup.ccMaxPlanDepth <= 80,
+        s"plan depth grew with rounds, lineage unbounded: ${Dedup.ccMaxPlanDepth}")
+    } finally {
+      old.fold(sys.props.remove("graft.cc.localthreshold"))(
+        v => sys.props.put("graft.cc.localthreshold", v))
+    }
+  }
+
+  test("d6 core: the union-find fast path labels exactly like the distributed star loop") {
+    import spark.implicits._
+    // chains, a star, singleton-pair, and cross-links — awkward enough
+    // to catch any divergence in min-label semantics
+    val es = ((1L to 29L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (102L, 103L),
+        (200L, 300L), (300L, 250L), (15L, 103L))).toDF("doc_a", "doc_b")
+    def run(threshold: String): Map[Long, Long] = {
+      val old = sys.props.put("graft.cc.localthreshold", threshold)
+      try Dedup.connectedComponents(es).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally old.fold(sys.props.remove("graft.cc.localthreshold"))(
+        v => sys.props.put("graft.cc.localthreshold", v))
+    }
+    val fast = run("1000000")
+    assert(Dedup.ccRounds == 0, "fixture should have taken the fast path")
+    val loop = run("0")
+    assert(Dedup.ccRounds > 0, "threshold 0 should force the star loop")
+    assert(fast == loop)
   }
 
   test("DF cap keeps candidate counts linear when a hot shingle is injected") {
