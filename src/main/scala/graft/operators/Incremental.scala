@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** INCREMENTAL maintenance for the durable dedup-index family
@@ -75,8 +76,11 @@ object Incremental {
       s"${graft.GraftSession.defaultStateDir}/incr_index")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
-        s"incr-v1;split=mod$BatchMod;dfcap=${Dedup.ShingleDfCap};tau=0.5;" +
-          s"minhash=k${Dedup.MinhashK}-xxh64;simhash=64-seed42;kernel=word3gram-xxh64"))
+        // v2: the family grew the term plane (termfreq/termdf/stats) —
+        // recipe bump forces a rebuild of any v1-family root
+        s"incr-v2;split=mod$BatchMod;dfcap=${Dedup.ShingleDfCap};tau=0.5;" +
+          s"minhash=k${Dedup.MinhashK}-xxh64;simhash=64-seed42;kernel=word3gram-xxh64;" +
+          "term=doc-term-tf-space"))
   }
 
   /** All seven family outputs built FROM SCRATCH over `docs` — v1 of
@@ -109,9 +113,18 @@ object Incremental {
       .localCheckpoint()
     val clusters = Dedup.connectedComponents(edges.select(col("doc_a"), col("doc_b")))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // term plane (t16/t17/t20/t22's statistics): postings are
+    // row-local kernel output, df/n_docs are ADDITIVE under ingest —
+    // the easy half of the family, maintained in the same snapshot so
+    // lexical stats and dedup state can never describe different
+    // corpus versions
+    val tf = graft.operators.TextAnalysis.termFreqsOf(docs).localCheckpoint()
+    val termdf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     Seq("shingles" -> kept, "df" -> df, "sizes" -> sizes,
       "edges" -> edges, "clusters" -> clusters,
-      "minhash" -> Dedup.minhashOf(docs), "simhash" -> Dedup.simhashOf(docs))
+      "minhash" -> Dedup.minhashOf(docs), "simhash" -> Dedup.simhashOf(docs),
+      "termfreq" -> tf, "termdf" -> termdf, "stats" -> stats)
   }
 
   /** Publish version N+1 of the family at `root` from version N's
@@ -211,13 +224,29 @@ object Incremental {
       edges2.select(col("doc_a"), col("doc_b")))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
 
+    // term plane: postings append (row-local kernel over the batch
+    // only); df merges additively (batch doc_ids are new, so per-term
+    // df simply adds); n_docs adds the batch's tokenized-doc count
+    val bTf = graft.operators.TextAnalysis.termFreqsOf(batch).localCheckpoint()
+    val bDfT = bTf.groupBy(col("term")).agg(count(lit(1)).as("bdf"))
+    val baseTdf = readOutput(s, root, "termdf")
+    val newTdf = baseTdf.join(bDfT, Seq("term"), "full")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("bdf"), lit(0L))).as("df"))
+    val newStats = readOutput(s, root, "stats").crossJoin(
+      broadcast(bTf.agg(countDistinct(col("doc_id")).as("bn"))))
+      .select((col("n_docs") + col("bn")).as("n_docs"))
+
     graft.sources.AtomicPublish.publish(s, root, Seq(
       "shingles" -> newP, "df" -> newDf, "sizes" -> newSizes,
       "edges" -> edges2, "clusters" -> clusters2,
       "minhash" -> readOutput(s, root, "minhash")
         .unionByName(Dedup.minhashOf(batch)),
       "simhash" -> readOutput(s, root, "simhash")
-        .unionByName(Dedup.simhashOf(batch))))
+        .unionByName(Dedup.simhashOf(batch)),
+      "termfreq" -> readOutput(s, root, "termfreq").unionByName(bTf),
+      "termdf" -> newTdf,
+      "stats" -> newStats))
   }
 
   /** Build v1 over the base slice, then incrementally publish v2
@@ -249,8 +278,34 @@ object Incremental {
       .orderBy("doc_id")
   }
 
+  /** t25: batch TF-IDF against incrementally-maintained corpus
+    * statistics — the lexical half of the ingest story: a fresh
+    * batch's characteristic terms are scored against CORPUS-WIDE
+    * df/n_docs that version N+1 maintained additively, so the scores
+    * equal a full-corpus recompute (the oracle) without one. Same
+    * formula/ranking as t16 (rank on the unrounded score, term asc). */
+  def t25IncrementalTfidf(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureIncrementalIndex(s, dir)
+    val tf = graft.sources.AtomicPublish.readOutput(s, root, "termfreq")
+      .filter(col("doc_id") % BatchMod === 0)
+    val df = graft.sources.AtomicPublish.readOutput(s, root, "termdf")
+    val nd = graft.sources.AtomicPublish.readOutput(s, root, "stats")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_raw").desc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nd)) // 1-row bounded metadata
+      .withColumn("tfidf_raw",
+        col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TextAnalysis.TfidfTopK)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("tfidf_raw"), 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d13_incremental_index" -> (d13IncrementalIndex _))
+    "d13_incremental_index" -> (d13IncrementalIndex _),
+    "t25_incremental_tfidf" -> (t25IncrementalTfidf _))
 
   val oracles: Map[String, String] = Map(
     "d13_incremental_index" ->
@@ -258,5 +313,23 @@ object Incremental {
         |SELECT cl.doc_id, cl.cluster_id, sz.n AS n_shingles,
         |  CAST(CASE WHEN cl.doc_id % $BatchMod = 0 THEN 1 ELSE 0 END AS INT) AS is_batch
         |FROM cl JOIN sz USING (doc_id)
-        |ORDER BY cl.doc_id""".stripMargin)
+        |ORDER BY cl.doc_id""".stripMargin,
+    "t25_incremental_tfidf" ->
+      // t16's full-corpus statistics, scored rows filtered to the
+      // batch slice — a hash pass proves the additive df/n_docs
+      // maintenance equals a from-scratch recompute
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
+         |scored AS (SELECT doc_id, term,
+         |    tf * ln((nd + 1.0) / (df + 1.0)) AS tfidf_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY tf * ln((nd + 1.0) / (df + 1.0)) DESC, term ASC) AS rank
+         |  FROM tf JOIN df USING (term) CROSS JOIN n
+         |  WHERE doc_id % $BatchMod = 0)
+         |SELECT doc_id, rank, term, round(tfidf_raw, 6) AS tfidf
+         |FROM scored WHERE rank <= ${TextAnalysis.TfidfTopK}
+         |ORDER BY doc_id, rank""".stripMargin)
 }

@@ -511,7 +511,13 @@ object TextAnalysis {
     * instead of one per token. This is the BUILD lineage of the
     * durable term index; consumers go through [[t16TermFreq]]. */
   private[graft] def termFreqBuild(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    termFreqsOf(Tables.documents(s, dir))
+
+  /** [[termFreqBuild]] over an arbitrary (doc_id, text) frame — the
+    * incremental index path ([[Incremental]]) tokenizes ONLY an ingest
+    * batch. */
+  private[graft] def termFreqsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(
         org.apache.spark.sql.graft.TermFreqsExpr.termFreqs(col("text"))).as("p"))
       .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))

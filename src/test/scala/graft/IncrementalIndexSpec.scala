@@ -76,7 +76,7 @@ class IncrementalIndexSpec extends GraftSpec {
 
   test("incremental v2 equals a from-scratch rebuild, output for output") {
     for (name <- Seq("shingles", "df", "sizes", "edges", "clusters",
-        "minhash", "simhash")) {
+        "minhash", "simhash", "termfreq", "termdf", "stats")) {
       val extra = v2Sets(name) -- rebuildSets(name)
       val missing = rebuildSets(name) -- v2Sets(name)
       assert(extra.isEmpty && missing.isEmpty,
