@@ -103,7 +103,13 @@ object ExplainDump {
       ("qc1_classifier_score", "scores against the PUBLISHED model registry weights: one scan + doc-keyed aggregate, zero training jobs",
         graft.operators.Quality.qc1ClassifierScore _),
       ("mix5_curriculum", "row-local quality banding; rank windows partition by (band, shard) — never a band-global sort",
-        graft.operators.Pipeline.mix5Curriculum _))
+        graft.operators.Pipeline.mix5Curriculum _),
+      ("d13_incremental_index", "reads the incrementally-maintained snapshot (clusters ⋈ sizes) — no kernel scan, no pair join, no CC in the read path",
+        graft.operators.Incremental.d13IncrementalIndex _),
+      ("t25_incremental_tfidf", "batch TF-IDF from maintained corpus stats: postings filtered to the batch, df/n_docs broadcast — corpus never re-tokenized",
+        graft.operators.Incremental.t25IncrementalTfidf _),
+      ("n11_mmr_rerank", "executor-side MMR: per-query collect_list pool through the compiled graft_mmr kernel — no driver collect, no LocalTableScan",
+        Similarity.n11MmrRerank _))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries (sf0.01, formatted explain)\n\n")
     sb.append("Generated by `sbt \"runMain graft.ExplainDump\"` from the live\n")

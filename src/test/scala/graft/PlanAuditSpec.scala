@@ -200,6 +200,21 @@ class PlanAuditSpec extends GraftSpec {
     }
   }
 
+  test("d13/t25: incremental-index reads consume the published snapshot — no corpus scan, no kernels") {
+    for ((name, df) <- Seq(
+        "d13" -> graft.operators.Incremental.d13IncrementalIndex(spark, sf),
+        "t25" -> graft.operators.Incremental.t25IncrementalTfidf(spark, sf))) {
+      val plan = planOf(df)
+      assert(!plan.contains("documents.parquet"),
+        s"$name re-scans the corpus instead of the maintained index:\n$plan")
+      assert(plan.contains("incr_index"),
+        s"$name must read the incremental family root:\n$plan")
+      assert(!plan.contains("graft_term_freqs") &&
+        !plan.contains("distinct_word_ngrams"),
+        s"$name re-runs a build kernel in the read path:\n$plan")
+    }
+  }
+
   test("mix6: leakage audit reads the published cluster index — no pair generation") {
     val plan = planOf(graft.operators.Pipeline.mix6SplitLeakage(spark, sf))
     // ONE documents scan (mix3's row-local split hash) — the cluster
