@@ -80,11 +80,30 @@ object StreamingSoak {
     ev.repartitionByRange(splitFiles, col("ts"))
       .sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(srcDir)
-    // sentinel pair, written LAST (file-source processes in mtime
-    // order) so the watermark jump happens after all real data
+    // The file source replays files in MTIME order, but a parallel
+    // parquet write finishes its tasks in arbitrary order — at 10×
+    // volume the 48 files span several mtime seconds in TASK-completion
+    // order, so the replay was event-time-shuffled and the watermark
+    // late-dropped most of the corpus (caught by the sf1 ScaleCheck
+    // soak; at sf0.1 every file landed in the same second and path
+    // order hid it). Stamp mtimes explicitly: range partition k holds
+    // the k-th time slice, so path order IS arrival order.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(srcDir)
+      val parts = java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString)
+      val base = System.currentTimeMillis() - (parts.size + 10) * 1000L
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+      }
+    }
+    // sentinel pair, written LAST (max mtime) so the watermark jump
+    // happens after all real data
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000)
-    Thread.sleep(1200) // distinct mtime second for the sentinel file
     import s.implicits._
     Seq((-1L, sentinelTs, -1L, "purchase", 0.0, ""),
       (-2L, sentinelTs, -2L, "click", 0.0, ""))
