@@ -104,7 +104,7 @@ object ScaleCheck {
     "f1b_approx_bins", "e11_first_touch", "ts14_seasonal_adjust",
     // round-11 newcomers (incremental index family; n11 joins the
     // cohort now that its greedy loop is executor-side)
-    "d13_incremental_index", "n11_mmr_rerank")
+    "d13_incremental_index", "n11_mmr_rerank", "t25_incremental_tfidf")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {
