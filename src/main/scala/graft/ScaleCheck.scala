@@ -104,7 +104,8 @@ object ScaleCheck {
     "f1b_approx_bins", "e11_first_touch", "ts14_seasonal_adjust",
     // round-11 newcomers (incremental index family; n11 joins the
     // cohort now that its greedy loop is executor-side)
-    "d13_incremental_index", "n11_mmr_rerank", "t25_incremental_tfidf")
+    "d13_incremental_index", "n11_mmr_rerank", "t25_incremental_tfidf",
+    "d14_incremental_passages")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

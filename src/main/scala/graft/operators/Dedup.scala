@@ -899,30 +899,39 @@ object Dedup {
     * not-yet-initialized field as 0. */
   final val PassageWords = 20
 
-  /** d9 core on an arbitrary (doc_id, text) frame; factored out so the
-    * spec can drive it with planted passages. */
-  private[graft] def substringDedup(docs: DataFrame): DataFrame = {
-    // one occurrence row per consecutive PassageWords-word window
-    // (last window may be shorter); linear in corpus words / P
-    val occ = docs
+  /** One occurrence row per consecutive [[PassageWords]]-word window
+    * (last window may be shorter); linear in corpus words / P. Only
+    * the 64-bit passage hash ever shuffles, never the passage text
+    * (d2's width argument: a collision perturbs one count by 1).
+    * Shared by d9's inline pipeline and the incremental passage index
+    * ([[Incremental]] — occurrence rows append, the per-passage count
+    * is additive, and the first occurrence is an associative min). */
+  private[graft] def passageOccurrencesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0),
           ceil(size(col("ws")) / lit(PassageWords.toDouble)).cast("int") - 1),
         i => slice(col("ws"), i * PassageWords + 1, lit(PassageWords)))))
-      // only the 64-bit passage hash shuffles, never the passage text
-      // (d2's width argument: a collision perturbs one count by 1)
       .select(col("doc_id"), col("pos").as("pidx"),
         xxhash64(concat_ws(" ", col("col"))).as("ph"),
         size(col("col")).as("plen"))
-    // per-passage occurrence count + global first occurrence, both
-    // partial-aggregable (min over a (doc_id, pidx) struct)
-    val per = occ.groupBy(col("ph"))
+
+  /** Per-passage occurrence count + global first occurrence, both
+    * partial-aggregable (min over a (doc_id, pidx) struct). */
+  private[graft] def passageStatsOf(occ: DataFrame): DataFrame =
+    occ.groupBy(col("ph"))
       .agg(count(lit(1)).as("n_occ"),
         min(struct(col("doc_id"), col("pidx"))).as("first"))
+
+  /** The per-document mask profile over an occurrence frame already
+    * joined with its passage stats (n_occ, first) — the keep-one
+    * masking policy in one place so d9 and the incremental d14 read
+    * path can never drift. */
+  private[graft] def maskProfileOf(occWithStats: DataFrame): DataFrame = {
     val masked = col("n_occ") > 1 &&
       !(col("doc_id") === col("first.doc_id") && col("pidx") === col("first.pidx"))
-    occ.join(per, Seq("ph"))
+    occWithStats
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_passages"),
         sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"),
@@ -930,6 +939,13 @@ object Dedup {
         round(sum(when(masked, col("plen")).otherwise(0)).cast("double") /
           sum(col("plen")), 6).as("masked_word_frac"))
       .orderBy("doc_id")
+  }
+
+  /** d9 core on an arbitrary (doc_id, text) frame; factored out so the
+    * spec can drive it with planted passages. */
+  private[graft] def substringDedup(docs: DataFrame): DataFrame = {
+    val occ = passageOccurrencesOf(docs)
+    maskProfileOf(occ.join(passageStatsOf(occ), Seq("ph")))
   }
 
   /** d9: passage-level (substring) dedup — the Lee et al. 2022

@@ -76,11 +76,11 @@ object Incremental {
       s"${graft.GraftSession.defaultStateDir}/incr_index")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
-        // v2: the family grew the term plane (termfreq/termdf/stats) —
-        // recipe bump forces a rebuild of any v1-family root
-        s"incr-v2;split=mod$BatchMod;dfcap=${Dedup.ShingleDfCap};tau=0.5;" +
+        // v3: the family grew the term plane (v2) and the passage
+        // plane (v3) — each recipe bump forces stale-family rebuilds
+        s"incr-v3;split=mod$BatchMod;dfcap=${Dedup.ShingleDfCap};tau=0.5;" +
           s"minhash=k${Dedup.MinhashK}-xxh64;simhash=64-seed42;kernel=word3gram-xxh64;" +
-          "term=doc-term-tf-space"))
+          s"term=doc-term-tf-space;passage=w${Dedup.PassageWords}-xxh64"))
   }
 
   /** All seven family outputs built FROM SCRATCH over `docs` — v1 of
@@ -121,10 +121,17 @@ object Incremental {
     val tf = graft.operators.TextAnalysis.termFreqsOf(docs).localCheckpoint()
     val termdf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    // passage plane (d9's Lee-et-al substring dedup): occurrence rows
+    // are row-local windows; the per-passage count is additive and the
+    // keep-one FIRST occurrence is an associative (doc_id, pidx) min —
+    // exactly incremental even though the mod split means a batch doc
+    // CAN become a passage's global first (min merge handles it)
+    val occ = Dedup.passageOccurrencesOf(docs).localCheckpoint()
     Seq("shingles" -> kept, "df" -> df, "sizes" -> sizes,
       "edges" -> edges, "clusters" -> clusters,
       "minhash" -> Dedup.minhashOf(docs), "simhash" -> Dedup.simhashOf(docs),
-      "termfreq" -> tf, "termdf" -> termdf, "stats" -> stats)
+      "termfreq" -> tf, "termdf" -> termdf, "stats" -> stats,
+      "passage_occ" -> occ, "passages" -> Dedup.passageStatsOf(occ))
   }
 
   /** Publish version N+1 of the family at `root` from version N's
@@ -237,6 +244,20 @@ object Incremental {
       broadcast(bTf.agg(countDistinct(col("doc_id")).as("bn"))))
       .select((col("n_docs") + col("bn")).as("n_docs"))
 
+    // passage plane: occurrences append; stats merge by count-add and
+    // struct-min (least() over the (doc_id, pidx) struct — NULL-safe
+    // via the full join's coalesce split)
+    val bOcc = Dedup.passageOccurrencesOf(batch).localCheckpoint()
+    val bPass = Dedup.passageStatsOf(bOcc)
+    val newPassages = readOutput(s, root, "passages").as("a")
+      .join(bPass.as("b"), Seq("ph"), "full")
+      .select(col("ph"),
+        (coalesce(col("a.n_occ"), lit(0L)) + coalesce(col("b.n_occ"), lit(0L)))
+          .as("n_occ"),
+        when(col("a.first").isNull, col("b.first"))
+          .when(col("b.first").isNull, col("a.first"))
+          .otherwise(least(col("a.first"), col("b.first"))).as("first"))
+
     graft.sources.AtomicPublish.publish(s, root, Seq(
       "shingles" -> newP, "df" -> newDf, "sizes" -> newSizes,
       "edges" -> edges2, "clusters" -> clusters2,
@@ -246,7 +267,9 @@ object Incremental {
         .unionByName(Dedup.simhashOf(batch)),
       "termfreq" -> readOutput(s, root, "termfreq").unionByName(bTf),
       "termdf" -> newTdf,
-      "stats" -> newStats))
+      "stats" -> newStats,
+      "passage_occ" -> readOutput(s, root, "passage_occ").unionByName(bOcc),
+      "passages" -> newPassages))
   }
 
   /** Build v1 over the base slice, then incrementally publish v2
@@ -303,9 +326,27 @@ object Incremental {
       .orderBy("doc_id", "rank")
   }
 
+  /** d14: batch mask profile against the incrementally-maintained
+    * passage index — what an ingest pipeline actually asks after a
+    * batch lands: how much of the NEW text duplicates passages the
+    * corpus (including the batch itself) already holds, under d9's
+    * exact keep-one-first masking. Reads only the committed snapshot
+    * (occurrences filtered to the batch slice ⋈ merged passage stats);
+    * the oracle recomputes d9 over the full corpus and filters to the
+    * batch — a hash pass proves count-add + struct-min maintenance ≡
+    * from-scratch. */
+  def d14IncrementalPassages(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureIncrementalIndex(s, dir)
+    val occ = graft.sources.AtomicPublish.readOutput(s, root, "passage_occ")
+      .filter(col("doc_id") % BatchMod === 0)
+    val stats = graft.sources.AtomicPublish.readOutput(s, root, "passages")
+    Dedup.maskProfileOf(occ.join(stats, Seq("ph")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_incremental_index" -> (d13IncrementalIndex _),
-    "t25_incremental_tfidf" -> (t25IncrementalTfidf _))
+    "t25_incremental_tfidf" -> (t25IncrementalTfidf _),
+    "d14_incremental_passages" -> (d14IncrementalPassages _))
 
   val oracles: Map[String, String] = Map(
     "d13_incremental_index" ->
@@ -331,5 +372,10 @@ object Incremental {
          |  WHERE doc_id % $BatchMod = 0)
          |SELECT doc_id, rank, term, round(tfidf_raw, 6) AS tfidf
          |FROM scored WHERE rank <= ${TextAnalysis.TfidfTopK}
-         |ORDER BY doc_id, rank""".stripMargin)
+         |ORDER BY doc_id, rank""".stripMargin,
+    // d9's full-corpus oracle with its final aggregate filtered to the
+    // batch slice (stats stay corpus-wide — that's the point)
+    "d14_incremental_passages" -> Dedup.oracles("d9_substring_dedup")
+      .replace("GROUP BY occ.doc_id",
+        s"WHERE occ.doc_id % $BatchMod = 0\nGROUP BY occ.doc_id"))
 }

@@ -76,7 +76,8 @@ class IncrementalIndexSpec extends GraftSpec {
 
   test("incremental v2 equals a from-scratch rebuild, output for output") {
     for (name <- Seq("shingles", "df", "sizes", "edges", "clusters",
-        "minhash", "simhash", "termfreq", "termdf", "stats")) {
+        "minhash", "simhash", "termfreq", "termdf", "stats",
+        "passage_occ", "passages")) {
       val extra = v2Sets(name) -- rebuildSets(name)
       val missing = rebuildSets(name) -- v2Sets(name)
       assert(extra.isEmpty && missing.isEmpty,

@@ -203,7 +203,8 @@ class PlanAuditSpec extends GraftSpec {
   test("d13/t25: incremental-index reads consume the published snapshot — no corpus scan, no kernels") {
     for ((name, df) <- Seq(
         "d13" -> graft.operators.Incremental.d13IncrementalIndex(spark, sf),
-        "t25" -> graft.operators.Incremental.t25IncrementalTfidf(spark, sf))) {
+        "t25" -> graft.operators.Incremental.t25IncrementalTfidf(spark, sf),
+        "d14" -> graft.operators.Incremental.d14IncrementalPassages(spark, sf))) {
       val plan = planOf(df)
       assert(!plan.contains("documents.parquet"),
         s"$name re-scans the corpus instead of the maintained index:\n$plan")
