@@ -76,9 +76,10 @@ object Incremental {
       s"${graft.GraftSession.defaultStateDir}/incr_index")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
-        // v3: the family grew the term plane (v2) and the passage
-        // plane (v3) — each recipe bump forces stale-family rebuilds
-        s"incr-v3;split=mod$BatchMod;dfcap=${Dedup.ShingleDfCap};tau=0.5;" +
+        // v4: the family grew the term plane (v2), the passage plane
+        // (v3), and the applied-batch ledger (v4) — each recipe bump
+        // forces stale-family rebuilds
+        s"incr-v4;split=mod$BatchMod;dfcap=${Dedup.ShingleDfCap};tau=0.5;" +
           s"minhash=k${Dedup.MinhashK}-xxh64;simhash=64-seed42;kernel=word3gram-xxh64;" +
           s"term=doc-term-tf-space;passage=w${Dedup.PassageWords}-xxh64"))
   }
@@ -127,11 +128,18 @@ object Incremental {
     // exactly incremental even though the mod split means a batch doc
     // CAN become a passage's global first (min merge handles it)
     val occ = Dedup.passageOccurrencesOf(docs).localCheckpoint()
+    // the applied-batch LEDGER (k13's pattern) rides the same atomic
+    // publish: an ingest batch is recorded in the SAME pointer swap
+    // that applies it, so a replayed micro-batch (crash between a
+    // sink commit and its bookkeeping — the classic dual-write hole)
+    // is detected by reading the committed snapshot alone
+    import s.implicits._
     Seq("shingles" -> kept, "df" -> df, "sizes" -> sizes,
       "edges" -> edges, "clusters" -> clusters,
       "minhash" -> Dedup.minhashOf(docs), "simhash" -> Dedup.simhashOf(docs),
       "termfreq" -> tf, "termdf" -> termdf, "stats" -> stats,
-      "passage_occ" -> occ, "passages" -> Dedup.passageStatsOf(occ))
+      "passage_occ" -> occ, "passages" -> Dedup.passageStatsOf(occ),
+      "ledger" -> Seq.empty[Long].toDF("batch_id"))
   }
 
   /** Publish version N+1 of the family at `root` from version N's
@@ -140,7 +148,7 @@ object Incremental {
     * producer bug the exactness argument above does not survive).
     * Returns the committed version name. */
   private[graft] def publishIncrement(s: SparkSession, root: String,
-      batch: DataFrame): String = {
+      batch: DataFrame, batchId: Long = -1L): String = {
     import graft.sources.AtomicPublish.readOutput
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val baseP = readOutput(s, root, "shingles")
@@ -269,7 +277,12 @@ object Incremental {
       "termdf" -> newTdf,
       "stats" -> newStats,
       "passage_occ" -> readOutput(s, root, "passage_occ").unionByName(bOcc),
-      "passages" -> newPassages))
+      "passages" -> newPassages,
+      "ledger" -> {
+        import s.implicits._
+        readOutput(s, root, "ledger")
+          .unionByName(Seq(batchId).toDF("batch_id"))
+      }))
   }
 
   /** Build v1 over the base slice, then incrementally publish v2
@@ -324,6 +337,47 @@ object Incremental {
       .select(col("doc_id"), col("rank"), col("term"),
         round(col("tfidf_raw"), 6).as("tfidf"))
       .orderBy("doc_id", "rank")
+  }
+
+  /** Streaming ingest endpoint for the index family — the reference's
+    * poll loop (server.mjs:129-142) closed over index maintenance:
+    * each micro-batch of arriving documents publishes version N+1 via
+    * [[publishIncrement]] inside `foreachBatch` (the OSS idiom for
+    * transactional streaming sinks, same hook as the k5 upsert sink).
+    * Readers always see a committed, mutually-consistent snapshot;
+    * a crash replays the in-flight micro-batch, and EXACTLY-ONCE
+    * application comes from the applied-batch LEDGER riding the same
+    * atomic pointer swap as the data: a replayed batch id is found in
+    * the committed snapshot and skipped (no dual-write hole — the
+    * ledger cannot be ahead of or behind the index it describes).
+    * Empty micro-batches (watermark-only triggers) are skipped — a
+    * version bump with no data would only churn the vacuum horizon. */
+  def streamingIndexMaintenance(docs: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        applyBatch(batch.sparkSession, root, batch.toDF(), id)
+        ()
+      }
+      .start()
+
+  /** Apply one ingest batch EXACTLY ONCE: a batch id already present
+    * in the committed ledger (a foreachBatch replay after a crash
+    * that landed between the publish and the sink's offset commit) or
+    * an empty trigger is a no-op. Returns whether a version was
+    * published. */
+  def applyBatch(s: SparkSession, root: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    val applied = graft.sources.AtomicPublish
+      .readOutput(s, root, "ledger")
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (!applied && !batch.isEmpty) {
+      publishIncrement(s, root, batch, batchId)
+      true
+    } else false
   }
 
   /** d14: batch mask profile against the incrementally-maintained

@@ -122,6 +122,47 @@ class IncrementalIndexSpec extends GraftSpec {
     assert(v1Clusters == v1Sets("clusters"))
   }
 
+  test("streaming ingest maintains the family: three chained micro-batch increments ≡ rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_incr_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_incr_ckpt").toString
+    graft.sources.AtomicPublish.publish(spark, root,
+      Incremental.buildOutputs(spark, df(baseDocs)))
+    // three arrivals: the cap-crossing batch, a near-dup of a base doc,
+    // and a doc bridging into batch-2's content — state chains across
+    // versions, not just across one increment
+    val b1 = batchDocs
+    val b2 = Seq(500L -> s"$S2 u500")
+    val b3 = Seq(600L -> s"$S2 u600 extra tail")
+    val input = MemoryStream[(Long, String)]
+    val q = Incremental.streamingIndexMaintenance(
+      input.toDF().toDF("doc_id", "text"), root, ckpt)
+    try {
+      for (b <- Seq(b1, b2, b3)) { input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    assert(graft.sources.AtomicPublish.currentVersion(spark, root)
+      .contains("v4")) // v1 base + three applied batches
+    val want = outputsAsSets(
+      Incremental.buildOutputs(spark, df(baseDocs ++ b1 ++ b2 ++ b3)))
+    val names = want.keySet - "ledger" // provenance, not index content
+    for (name <- names) {
+      val got = graft.sources.AtomicPublish.readOutput(spark, root, name)
+        .collect().map(_.mkString("|")).toSet
+      assert(got == want(name), s"$name diverged after chained increments")
+    }
+    // exactly-once: a REPLAYED batch id must be a no-op — the ledger
+    // rides the same atomic publish as the data, so the check reads
+    // the committed snapshot alone
+    val before = graft.sources.AtomicPublish.currentVersion(spark, root)
+    assert(!Incremental.applyBatch(spark, root, df(b2), 1L),
+      "replaying an applied batch id must be refused")
+    assert(!Incremental.applyBatch(spark, root, df(Seq.empty), 99L),
+      "an empty trigger must not publish")
+    assert(graft.sources.AtomicPublish.currentVersion(spark, root) == before)
+  }
+
   test("d13 on the real corpus: incremental snapshot equals scratch recompute") {
     val got = Incremental.d13IncrementalIndex(spark, sf)
     assert(got.columns.toSeq ==
