@@ -105,7 +105,7 @@ object ScaleCheck {
     // round-11 newcomers (incremental index family; n11 joins the
     // cohort now that its greedy loop is executor-side)
     "d13_incremental_index", "n11_mmr_rerank", "t25_incremental_tfidf",
-    "d14_incremental_passages")
+    "d14_incremental_passages", "er4_incremental_entities")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

@@ -632,10 +632,13 @@ object Dedup {
     sys.props.getOrElse("graft.cc.localthreshold", "200000").toLong
 
   /** Driver union-find with path halving; label = min id reachable —
-    * the exact contract of the distributed loop. */
-  private def localComponents(es: Array[(Long, Long)]): Map[Long, Long] = {
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x0: Long): Long = {
+    * the exact contract of the distributed loop. Generic in the node
+    * type (d6/m6 cluster on longs, er4 on name strings; the ordering
+    * supplies the min-label rule). */
+  private def localComponents[T](es: Array[(T, T)])(
+      implicit ord: Ordering[T]): Map[T, T] = {
+    val parent = scala.collection.mutable.HashMap.empty[T, T]
+    def find(x0: T): T = {
       var x = x0
       while (parent.getOrElseUpdate(x, x) != x) {
         val p = parent(x)
@@ -646,7 +649,7 @@ object Dedup {
     }
     es.foreach { case (u, v) =>
       val (ru, rv) = (find(u), find(v))
-      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      if (ru != rv) parent(ord.max(ru, rv)) = ord.min(ru, rv)
     }
     // second pass: full compression, then min id per root IS the root
     // (unions always attach the larger root under the smaller)
@@ -682,17 +685,31 @@ object Dedup {
     var fp = fingerprint(edges)
     if (fp._1 > 0 && fp._1 <= CcLocalThreshold) {
       // bounded by the threshold — the collect is metadata-sized by
-      // construction (the t7/indexCells discipline)
-      val labels = localComponents(edges.collect()
-        .map(r => (r.getLong(0), r.getLong(1))))
+      // construction (the t7/indexCells discipline). Typed per node
+      // column (long ids for the doc/media graphs, strings for er4's
+      // name graph); an exotic node type falls through to the
+      // type-agnostic distributed loop below.
       val s = pairs.sparkSession
       import s.implicits._
-      ccRounds = 0
-      ccMaxPlanDepth = 0
-      val out = labels.toSeq.sortBy(_._1).toDF("id", "label")
-      edges.unpersist()
-      ids.unpersist()
-      return out
+      val fast: Option[DataFrame] =
+        edges.schema.head.dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            Some(localComponents(edges.collect()
+              .map(r => (r.getLong(0), r.getLong(1))))
+              .toSeq.sortBy(_._1).toDF("id", "label"))
+          case org.apache.spark.sql.types.StringType =>
+            Some(localComponents(edges.collect()
+              .map(r => (r.getString(0), r.getString(1))))
+              .toSeq.sortBy(_._1).toDF("id", "label"))
+          case _ => None
+        }
+      fast.foreach { out =>
+        ccRounds = 0
+        ccMaxPlanDepth = 0
+        edges.unpersist()
+        ids.unpersist()
+      }
+      if (fast.isDefined) return fast.get
     }
     var converged = edges.isEmpty
     var iter = 0

@@ -170,7 +170,173 @@ object EntityResolution {
           .as("reduction_ratio"))
   }
 
+  /** er4's ingest split: batch = p_partkey % 3 == 0 (~1/3 of part
+    * rows arrive as "the new batch"), the d8/d13 convention on the
+    * part table so the full SQL oracle applies. */
+  val IncrBatchMod = 3
+
+  /** Name catalog over an arbitrary parts frame, carrying the
+    * batch-slice row count per name (additive under ingest, so the
+    * merged catalog can always report how much of each entity's
+    * evidence arrived in the latest batch). */
+  private[graft] def catalogOf(parts: DataFrame): DataFrame =
+    parts.groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("p_partkey") % IncrBatchMod === 0, 1L).otherwise(0L))
+          .as("n_parts_batch"),
+        min(col("p_partkey")).as("canon_key"))
+      .withColumn("block", element_at(split(col("p_name"), " "), -1))
+
+  /** INCREMENTAL entity resolution (the er_cluster_index's lifecycle
+    * path, the d13 discipline on the ER plane) — and the EASY case of
+    * the family, worth stating: er1's match predicate depends only on
+    * the name strings, and the name set only GROWS under ingest, so
+    * edges are ADD-ONLY (old×old pairs never change — no d13-style
+    * re-scoring), components only MERGE, and the two mutable catalog
+    * fields are an additive count and an associative min (canon_key —
+    * a batch CAN bring a smaller part key for an existing name, which
+    * re-canonicalizes its whole cluster; min merge handles it). The
+    * increment's only fuzzy work is new-name × same-block pairs. */
+  private[graft] def buildErOutputs(s: SparkSession,
+      parts: DataFrame): Seq[(String, DataFrame)] = {
+    val names = catalogOf(parts).localCheckpoint()
+    val a = names.select(col("p_name").as("name_a"), col("block"))
+    val b = names.select(col("p_name").as("name_b"), col("block"))
+    val edges = a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <=
+        MaxEditDistance)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= MaxEditDistance)
+      .select(col("name_a"), col("name_b"))
+      .localCheckpoint()
+    Seq("names" -> names, "edges" -> edges,
+      "clusters" -> clustersFrom(names, edges))
+  }
+
+  /** (p_name, cluster_key) from name-grain components: cluster_key =
+    * min canon_key among members — identical to er2's canon-grain CC
+    * labels (each name has a distinct canon, so the component member
+    * sets coincide). */
+  private def clustersFrom(names: DataFrame, edges: DataFrame): DataFrame = {
+    val comps = Dedup.connectedComponents(edges)
+      .withColumnRenamed("id", "p_name")
+    val withComp = names.select(col("p_name"), col("canon_key"))
+      .join(comps, Seq("p_name"), "left")
+      .withColumn("comp", coalesce(col("label"), col("p_name")))
+    val ck = withComp.groupBy(col("comp"))
+      .agg(min(col("canon_key")).as("cluster_key"))
+    withComp.join(ck, Seq("comp")).select(col("p_name"), col("cluster_key"))
+  }
+
+  private[graft] def incrErRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.erincr.base",
+      s"${graft.GraftSession.defaultStateDir}/er_incr_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/part.parquet",
+        s"er-incr-v1;block=lasttoken;maxdist=$MaxEditDistance;split=mod$IncrBatchMod"))
+  }
+
+  /** Version N+1 from version N's committed outputs plus only the
+    * batch part rows: catalog merges (add counts, min canon), edges
+    * append (new-name pairs only), components re-close over the
+    * vocabulary-bounded edge list. */
+  private[graft] def publishErIncrement(s: SparkSession, root: String,
+      batchParts: DataFrame): String = {
+    import graft.sources.AtomicPublish.readOutput
+    val bNames = catalogOf(batchParts).localCheckpoint()
+    val baseNames = readOutput(s, root, "names")
+    val names2 = baseNames.as("a").join(bNames.as("b"), Seq("p_name"), "full")
+      .select(col("p_name"),
+        (coalesce(col("a.n_parts"), lit(0L)) + coalesce(col("b.n_parts"), lit(0L)))
+          .as("n_parts"),
+        (coalesce(col("a.n_parts_batch"), lit(0L)) +
+          coalesce(col("b.n_parts_batch"), lit(0L))).as("n_parts_batch"),
+        least(coalesce(col("a.canon_key"), col("b.canon_key")),
+          coalesce(col("b.canon_key"), col("a.canon_key"))).as("canon_key"))
+      .withColumn("block", element_at(split(col("p_name"), " "), -1))
+      .localCheckpoint()
+    val newNames = bNames.join(baseNames, Seq("p_name"), "left_anti")
+      .select(col("p_name"))
+    // fuzzy work confined to new-name × same-block pairs; the join
+    // condition admits each unordered pair once (the d13 discipline)
+    val aNew = names2.join(broadcast(newNames), Seq("p_name"), "left_semi")
+      .select(col("p_name").as("name_a"), col("block"))
+    val bAll = names2
+      .join(broadcast(newNames.withColumn("nw", lit(true))), Seq("p_name"), "left")
+      .select(col("p_name").as("name_b"), col("block"),
+        coalesce(col("nw"), lit(false)).as("nw"))
+    val newEdges = aNew.join(bAll, Seq("block"))
+      .filter(col("name_a") =!= col("name_b"))
+      .filter(col("name_a") < col("name_b") ||
+        (col("name_a") > col("name_b") && !col("nw")))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <=
+        MaxEditDistance)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= MaxEditDistance)
+      .select(least(col("name_a"), col("name_b")).as("name_a"),
+        greatest(col("name_a"), col("name_b")).as("name_b"))
+    val edges2 = readOutput(s, root, "edges").unionByName(newEdges)
+      .localCheckpoint()
+    graft.sources.AtomicPublish.publish(s, root, Seq(
+      "names" -> names2, "edges" -> edges2,
+      "clusters" -> clustersFrom(names2, edges2)))
+  }
+
+  private[graft] def ensureIncrErIndex(s: SparkSession, dir: String): String =
+    graft.sources.DurableIndex.ensure(s, incrErRoot(dir)) {
+      val parts = Tables.part(s, dir)
+      val root = incrErRoot(dir)
+      graft.sources.AtomicPublish.publish(s, root, buildErOutputs(s,
+        parts.filter(col("p_partkey") % IncrBatchMod =!= 0)))
+      publishErIncrement(s, root,
+        parts.filter(col("p_partkey") % IncrBatchMod === 0))
+    }
+
+  /** er4: entity-cluster ledger from the incrementally-maintained ER
+    * index — per canonical entity after the ingest batch: member-name
+    * count, total part rows, and how many of those rows the batch
+    * contributed (the "what did this ingest do to my entities" report).
+    * The oracle recomputes entities from scratch over the FULL part
+    * table, so a hash pass proves add-only edge maintenance + min
+    * canon merge ≡ rebuild. */
+  def er4IncrementalEntities(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureIncrErIndex(s, dir)
+    val names = graft.sources.AtomicPublish.readOutput(s, root, "names")
+    val clusters = graft.sources.AtomicPublish.readOutput(s, root, "clusters")
+    clusters.join(names, Seq("p_name"))
+      .groupBy(col("cluster_key"))
+      .agg(count(lit(1)).as("n_names"), sum(col("n_parts")).as("n_parts"),
+        sum(col("n_parts_batch")).as("n_parts_batch"))
+      .orderBy("cluster_key")
+  }
+
   val oracles: Map[String, String] = Map(
+    "er4_incremental_entities" ->
+      s"""WITH RECURSIVE names AS (SELECT p_name, count(*) AS n_parts,
+         |    CAST(SUM(CASE WHEN p_partkey % $IncrBatchMod = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_parts_batch,
+         |    min(p_partkey) AS canon,
+         |    split_part(p_name, ' ', -1) AS block
+         |  FROM part GROUP BY 1, 5),
+         |pairs AS (SELECT a.canon AS ca, b.canon AS cb
+         |  FROM names a JOIN names b ON a.block = b.block
+         |    AND a.p_name < b.p_name
+         |    AND abs(length(a.p_name) - length(b.p_name)) <= $MaxEditDistance
+         |  WHERE levenshtein(a.p_name, b.p_name) <= $MaxEditDistance),
+         |e AS (SELECT ca AS a, cb AS b FROM pairs
+         |  UNION SELECT cb, ca FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |roots AS (SELECT a AS canon, MIN(b) AS cluster_key
+         |  FROM reach GROUP BY a),
+         |labeled AS (SELECT n.p_name, n.n_parts, n.n_parts_batch,
+         |    COALESCE(r.cluster_key, n.canon) AS cluster_key
+         |  FROM names n LEFT JOIN roots r ON r.canon = n.canon)
+         |SELECT cluster_key, COUNT(*) AS n_names,
+         |  CAST(SUM(n_parts) AS BIGINT) AS n_parts,
+         |  CAST(SUM(n_parts_batch) AS BIGINT) AS n_parts_batch
+         |FROM labeled GROUP BY 1 ORDER BY 1""".stripMargin,
     "er3_blocking_eval" ->
       s"""WITH names AS (SELECT p_name, min(p_partkey) AS canon,
          |    split_part(p_name, ' ', -1) AS block
@@ -238,5 +404,6 @@ object EntityResolution {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er1_fuzzy_match" -> (er1FuzzyMatch _),
     "er2_entity_clusters" -> (er2EntityClusters _),
-    "er3_blocking_eval" -> (er3BlockingEval _))
+    "er3_blocking_eval" -> (er3BlockingEval _),
+    "er4_incremental_entities" -> (er4IncrementalEntities _))
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.EntityResolution
+import org.apache.spark.sql.functions._
 
 /** Blocked fuzzy matching (row 165): the emitted pair set is recomputed
   * driver-side with an independent textbook DP edit distance (pinning
@@ -116,5 +117,51 @@ class EntityResolutionSpec extends GraftSpec {
       assert(a.split(" ").last == b.split(" ").last, s"cross-block pair $a / $b")
       assert(math.abs(a.length - b.length) <= EntityResolution.MaxEditDistance)
     }
+  }
+
+  test("er4 core: incremental ER equals rebuild — bridge merge, re-canonicalization, new singleton") {
+    import spark.implicits._
+    def parts(rows: Seq[(Long, String)]) = rows.toDF("p_partkey", "p_name")
+    // base (keys % 3 != 0): two separate 'car' clusters (lev 3 apart)
+    // and a truck singleton
+    val base = Seq(1L -> "aaaaa car", 2L -> "aaaab car",
+      4L -> "bbbaa car", 5L -> "bbbab car", 7L -> "zzz truck")
+    // batch (keys % 3 == 0): a BRIDGE name within lev 2 of both car
+    // clusters (add-only edges can merge components), a smaller key
+    // for the existing truck name (cluster re-canonicalizes to 3),
+    // and a brand-new singleton
+    val batch = Seq(9L -> "bbaaa car", 3L -> "zzz truck", 6L -> "qqq bike")
+    val root = java.nio.file.Files.createTempDirectory("graft_er_incr").toString
+    graft.sources.AtomicPublish.publish(spark, root,
+      EntityResolution.buildErOutputs(spark, parts(base)))
+    EntityResolution.publishErIncrement(spark, root, parts(batch))
+    def sets(outs: Seq[(String, org.apache.spark.sql.DataFrame)]) =
+      outs.map { case (n, d) => n -> d.collect().map(_.mkString("|")).toSet }.toMap
+    val want = sets(EntityResolution.buildErOutputs(spark, parts(base ++ batch)))
+    for (name <- Seq("names", "edges", "clusters")) {
+      val got = graft.sources.AtomicPublish.readOutput(spark, root, name)
+        .collect().map(_.mkString("|")).toSet
+      assert(got == want(name), s"$name diverged:\n got $got\n want ${want(name)}")
+    }
+    val clusters = graft.sources.AtomicPublish.readOutput(spark, root, "clusters")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the bridge merged both car clusters under the global min canon
+    Seq("aaaaa car", "aaaab car", "bbbaa car", "bbbab car", "bbaaa car")
+      .foreach(n => assert(clusters(n) == 1L, s"$n not merged: ${clusters(n)}"))
+    assert(clusters("zzz truck") == 3L, "truck cluster must re-canonicalize to the batch's smaller key")
+    assert(clusters("qqq bike") == 6L)
+  }
+
+  test("er4 on the real corpus: incremental snapshot equals a scratch recompute") {
+    val got = EntityResolution.er4IncrementalEntities(spark, sf).collect()
+      .map(_.mkString("|")).toSet
+    val outs = EntityResolution.buildErOutputs(spark, Tables.part(spark, sf)).toMap
+    val want = outs("clusters").join(outs("names"), Seq("p_name"))
+      .groupBy(col("cluster_key"))
+      .agg(count(lit(1)).as("n_names"), sum(col("n_parts")).as("n_parts"),
+        sum(col("n_parts_batch")).as("n_parts_batch"))
+      .collect().map(_.mkString("|")).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
   }
 }
