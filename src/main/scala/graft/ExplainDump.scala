@@ -109,7 +109,11 @@ object ExplainDump {
       ("t25_incremental_tfidf", "batch TF-IDF from maintained corpus stats: postings filtered to the batch, df/n_docs broadcast — corpus never re-tokenized",
         graft.operators.Incremental.t25IncrementalTfidf _),
       ("n11_mmr_rerank", "executor-side MMR: per-query collect_list pool through the compiled graft_mmr kernel — no driver collect, no LocalTableScan",
-        Similarity.n11MmrRerank _))
+        Similarity.n11MmrRerank _),
+      ("d14_incremental_passages", "batch mask profile from the maintained passage index: batch-slice occurrence rows ⋈ merged stats — no corpus re-scan",
+        graft.operators.Incremental.d14IncrementalPassages _),
+      ("er4_incremental_entities", "entity ledger from the incrementally-maintained ER index: catalog ⋈ clusters reads, no blocked levenshtein in the read path",
+        graft.operators.EntityResolution.er4IncrementalEntities _))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries (sf0.01, formatted explain)\n\n")
     sb.append("Generated by `sbt \"runMain graft.ExplainDump\"` from the live\n")
