@@ -105,7 +105,8 @@ object ScaleCheck {
     // round-11 newcomers (incremental index family; n11 joins the
     // cohort now that its greedy loop is executor-side)
     "d13_incremental_index", "n11_mmr_rerank", "t25_incremental_tfidf",
-    "d14_incremental_passages", "er4_incremental_entities")
+    "d14_incremental_passages", "er4_incremental_entities",
+    "m7_incremental_media")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

@@ -185,9 +185,15 @@ object Multimodal {
   /** The decode+embed pass itself (the media-index BUILD lineage, and
     * the inline path for spec-injected codecs). */
   private[graft] def mediaEmbeddingsCompute(s: SparkSession, dir: String,
+      codec: MediaCodec): DataFrame =
+    mediaEmbeddingsOf(s, Tables.documents(s, dir), codec)
+
+  /** [[mediaEmbeddingsCompute]] over an arbitrary (doc_id, text)
+    * frame — the incremental media index embeds ONLY an ingest batch. */
+  private[graft] def mediaEmbeddingsOf(s: SparkSession, docs: DataFrame,
       codec: MediaCodec): DataFrame = {
     import s.implicits._
-    val bin = Tables.documents(s, dir)
+    val bin = docs
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
     bin.mapPartitions { it =>
@@ -414,7 +420,180 @@ object Multimodal {
     (body, pairTail, ham)
   }
 
+  /** m7's ingest split: batch = doc_id % 4 == 0 (distinct from d13's
+    * mod-5 so the two incremental families exercise different slices). */
+  val MediaIncrBatchMod = 4
+
+  /** Per-doc thermometer-quantized pHash vector (m5's q) over an
+    * arbitrary docs frame — the row-local signature the incremental
+    * media index appends per batch. */
+  private def quantizedOf(s: SparkSession, docs: DataFrame,
+      codec: MediaCodec): DataFrame =
+    mediaEmbeddingsOf(s, docs, codec)
+      .select(col("doc_id"), expr(
+        s"transform(embedding, f -> cast(floor(f * $PhashLevels) as int))")
+        .as("q"))
+
+  /** (doc_id, band, b0, b1) band rows — a pure in-row projection of
+    * the phash output (derived, never stored). */
+  private def bandRowsOf(ph: DataFrame): DataFrame =
+    ph.select(col("doc_id"), explode(expr(
+      s"""transform(sequence(0, ${PhashBands - 1}), b ->
+         |  struct(b AS band, q[b*2] AS b0, q[b*2+1] AS b1))""".stripMargin))
+      .as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"),
+        col("bd.b0").as("b0"), col("bd.b1").as("b1"))
+
+  /** Scored (a, b) edges from band rows + merged bucket counts + the
+    * phash table: candidates from under-cap buckets only, distinct
+    * across bands, exact hamming ≤ [[PhashMaxHamming]]. The optional
+    * (aSide, affFlagged) override restricts generation to
+    * affected-touching pairs (the d13 discipline). */
+  private def mediaEdgesFrom(bandA: DataFrame, bandB: DataFrame,
+      buckets: DataFrame, ph: DataFrame,
+      pairCond: org.apache.spark.sql.Column): DataFrame = {
+    val ok = buckets.filter(col("n") <= PhashBucketCap)
+      .select(col("band"), col("b0"), col("b1"))
+    val la = bandA.join(ok, Seq("band", "b0", "b1"), "left_semi")
+    val lb = bandB.join(ok, Seq("band", "b0", "b1"), "left_semi")
+    la.as("x").join(lb.as("y"),
+      col("x.band") === col("y.band") && col("x.b0") === col("y.b0") &&
+        col("x.b1") === col("y.b1") && pairCond)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+      .distinct()
+      .join(ph.select(col("doc_id").as("a"), col("q").as("qa")), Seq("a"))
+      .join(ph.select(col("doc_id").as("b"), col("q").as("qb")), Seq("b"))
+      .filter(ArrayMathExpr.l1Native(col("qa"), col("qb")) <= PhashMaxHamming)
+      .select(col("a"), col("b"))
+  }
+
+  /** From-scratch media-incremental outputs over `docs`: the phash
+    * table, per-(band, value) bucket counts, capped near-dup edges,
+    * and CC clusters — the media analog of the d13 family, under the
+    * same exactness constraint (the bucket CAP is monotone under
+    * ingest, but a newly-capped bucket can remove edges, so the
+    * increment marks every member of a capped bucket AFFECTED). */
+  private[graft] def buildMediaIncrOutputs(s: SparkSession,
+      docs: DataFrame): Seq[(String, DataFrame)] = {
+    val ph = quantizedOf(s, docs, StubCodec).localCheckpoint()
+    val band = bandRowsOf(ph).localCheckpoint()
+    val buckets = band.groupBy(col("band"), col("b0"), col("b1"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val edges = mediaEdgesFrom(band, band, buckets, ph,
+      col("x.doc_id") < col("y.doc_id")).localCheckpoint()
+    Seq("phash" -> ph, "buckets" -> buckets, "edges" -> edges,
+      "clusters" -> Dedup.connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id")))
+  }
+
+  private[graft] def mediaIncrRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.mediaincr.base",
+      s"${graft.GraftSession.defaultStateDir}/media_incr_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
+        s"media-incr-v1;codec=${StubCodec.id};levels=$PhashLevels;bands=$PhashBands;cap=$PhashBucketCap;maxham=$PhashMaxHamming;split=mod$MediaIncrBatchMod"))
+  }
+
+  /** Version N+1 from version N's committed outputs plus only the
+    * batch payloads: phash appends (one codec pass over the batch),
+    * buckets add, and the affected set (batch docs ∪ members of
+    * newly-capped buckets — a capped bucket's members are ALL
+    * affected, so unaffected pairs' generating buckets are provably
+    * unchanged) bounds the pair re-scoring exactly as in d13. */
+  private[graft] def publishMediaIncrement(s: SparkSession, root: String,
+      batch: DataFrame): String = {
+    import graft.sources.AtomicPublish.readOutput
+    val basePh = readOutput(s, root, "phash")
+    val baseBuckets = readOutput(s, root, "buckets")
+    val baseEdges = readOutput(s, root, "edges")
+    val bPh = quantizedOf(s, batch, StubCodec).localCheckpoint()
+    val bBand = bandRowsOf(bPh)
+    val bBuck = bBand.groupBy(col("band"), col("b0"), col("b1"))
+      .agg(count(lit(1)).as("bn"))
+    val mergedBuckets = baseBuckets.as("a")
+      .join(bBuck.as("b"), Seq("band", "b0", "b1"), "full")
+      .select(col("band"), col("b0"), col("b1"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("bn"), lit(0L))).as("n"))
+      .localCheckpoint()
+    // newly capped: had base members under the cap, pushed over by the
+    // batch — batch-bounded (each needs ≥1 batch band row)
+    val dropped = baseBuckets.as("a")
+      .join(bBuck.as("b"), Seq("band", "b0", "b1"))
+      .filter(col("n") <= PhashBucketCap &&
+        col("n") + col("bn") > PhashBucketCap)
+      .select(col("band"), col("b0"), col("b1"))
+    val ph2 = basePh.unionByName(bPh).localCheckpoint()
+    val bandAll = bandRowsOf(ph2).localCheckpoint()
+    val affected = bPh.select(col("doc_id"))
+      .unionByName(bandRowsOf(basePh).join(broadcast(dropped),
+        Seq("band", "b0", "b1"), "left_semi").select(col("doc_id")))
+      .distinct().localCheckpoint()
+    val bandAff = bandAll.join(broadcast(affected), Seq("doc_id"), "left_semi")
+    val bandFlag = bandAll
+      .join(broadcast(affected.withColumn("aff", lit(true))), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("band"), col("b0"), col("b1"),
+        coalesce(col("aff"), lit(false)).as("aff"))
+    val newEdges = mediaEdgesFrom(bandAff, bandFlag, mergedBuckets, ph2,
+      col("x.doc_id") < col("y.doc_id") ||
+        (col("x.doc_id") > col("y.doc_id") && !col("y.aff")))
+    val keptEdges = baseEdges
+      .join(broadcast(affected.withColumnRenamed("doc_id", "a")), Seq("a"), "left_anti")
+      .join(broadcast(affected.withColumnRenamed("doc_id", "b")), Seq("b"), "left_anti")
+      .select(col("a"), col("b"))
+    val edges2 = keptEdges.unionByName(newEdges).localCheckpoint()
+    graft.sources.AtomicPublish.publish(s, root, Seq(
+      "phash" -> ph2, "buckets" -> mergedBuckets, "edges" -> edges2,
+      "clusters" -> Dedup.connectedComponents(edges2)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))))
+  }
+
+  private[graft] def ensureMediaIncrIndex(s: SparkSession, dir: String): String =
+    graft.sources.DurableIndex.ensure(s, mediaIncrRoot(dir)) {
+      val docs = Tables.documents(s, dir)
+      val root = mediaIncrRoot(dir)
+      graft.sources.AtomicPublish.publish(s, root, buildMediaIncrOutputs(s,
+        docs.filter(col("doc_id") % MediaIncrBatchMod =!= 0)))
+      publishMediaIncrement(s, root,
+        docs.filter(col("doc_id") % MediaIncrBatchMod === 0))
+    }
+
+  /** m7: media duplicate groups after an ingest batch, from the
+    * incrementally-maintained media index — per visual-duplicate
+    * cluster: member count and how many members the batch contributed.
+    * The oracle recomputes clusters from scratch over the full corpus
+    * (m6's shared pair CTE under recursive reachability), so a hash
+    * pass proves the affected-set maintenance ≡ rebuild on the media
+    * plane too. */
+  def m7IncrementalMedia(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureMediaIncrIndex(s, dir)
+    graft.sources.AtomicPublish.readOutput(s, root, "clusters")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") % MediaIncrBatchMod === 0, 1L).otherwise(0L))
+          .as("n_batch"))
+      .orderBy("cluster_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "m7_incremental_media" -> {
+      val (body, pairTail, _) = M5OracleParts
+      s"""WITH RECURSIVE $body,
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |$pairTail),
+         |e3 AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e3) t
+         |  UNION
+         |  SELECT r.a, x.b FROM reach r JOIN e3 x ON r.b = x.a),
+         |roots AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+         |  FROM reach GROUP BY a)
+         |SELECT cluster_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN doc_id % $MediaIncrBatchMod = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_batch
+         |FROM roots GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "m5_phash_neardup" -> {
       val (body, pairTail, ham) = M5OracleParts
       s"""WITH $body
@@ -488,5 +667,6 @@ object Multimodal {
     "m3_media_embedding" -> ((s: SparkSession, d: String) => m3MediaEmbedding(s, d)),
     "m4_binary_ingest" -> (m4BinaryIngest _),
     "m5_phash_neardup" -> ((s: SparkSession, d: String) => m5PhashNeardup(s, d)),
-    "m6_media_dup_clusters" -> ((s: SparkSession, d: String) => m6MediaDupClusters(s, d)))
+    "m6_media_dup_clusters" -> ((s: SparkSession, d: String) => m6MediaDupClusters(s, d)),
+    "m7_incremental_media" -> (m7IncrementalMedia _))
 }

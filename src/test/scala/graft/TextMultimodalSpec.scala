@@ -509,4 +509,56 @@ class TextMultimodalSpec extends GraftSpec {
     val r2 = r.getAs[Double]("zipf_r2")
     assert(r2 >= 0 && r2 <= 1)
   }
+
+  test("m7 core: media increment with a batch-driven bucket-cap crossing equals rebuild") {
+    import spark.implicits._
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    // 95 base copies of X share every band bucket AND pair at hamming
+    // 0 — one big cluster; the batch's 7 more copies push the buckets
+    // past the cap (100), dissolving it (the m5 hot-bucket rule), and
+    // bring a fresh duplicate pair that forms a NEW cluster
+    val base = (1L to 95L).map(i => i -> "exact media payload X") ++
+      (200L to 219L).map(i => i -> s"filler media $i")
+    val batch = (300L to 306L).map(i => i -> "exact media payload X") ++
+      Seq(400L -> "fresh media payload Y", 401L -> "fresh media payload Y")
+    val root = java.nio.file.Files.createTempDirectory("graft_m7").toString
+    graft.sources.AtomicPublish.publish(spark, root,
+      Multimodal.buildMediaIncrOutputs(spark, docs(base)))
+    val v1Clusters = graft.sources.AtomicPublish
+      .readOutputAt(spark, root, "v1", "clusters").collect()
+    assert(v1Clusters.count(_.getLong(1) == 1L) == 95,
+      "base X copies should form one 95-member cluster")
+    Multimodal.publishMediaIncrement(spark, root, docs(batch))
+    def sets(outs: Seq[(String, org.apache.spark.sql.DataFrame)]) =
+      outs.map { case (n, d) =>
+        n -> d.collect().map(_.mkString("|")).toSet }.toMap
+    val want = sets(Multimodal.buildMediaIncrOutputs(spark, docs(base ++ batch)))
+    for (name <- Seq("phash", "buckets", "edges", "clusters")) {
+      val got = graft.sources.AtomicPublish.readOutput(spark, root, name)
+        .collect().map(_.mkString("|")).toSet
+      assert(got == want(name), s"$name diverged after the increment")
+    }
+    val v2Clusters = graft.sources.AtomicPublish
+      .readOutput(spark, root, "clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!v2Clusters.contains(1L),
+      "capped X bucket must dissolve the base cluster (hot-bucket rule)")
+    assert(v2Clusters.get(400L) == v2Clusters.get(401L) &&
+      v2Clusters.contains(400L), "the fresh batch pair must cluster")
+  }
+
+  test("m7 on the real corpus: incremental media snapshot equals scratch recompute") {
+    val got = Multimodal.m7IncrementalMedia(spark, sf).collect()
+      .map(_.mkString("|")).toSet
+    val outs = Multimodal.buildMediaIncrOutputs(spark,
+      Tables.documents(spark, sf)).toMap
+    val want = outs("clusters")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") % Multimodal.MediaIncrBatchMod === 0, 1L)
+          .otherwise(0L)).as("n_batch"))
+      .collect().map(_.mkString("|")).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
