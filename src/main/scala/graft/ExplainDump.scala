@@ -113,7 +113,9 @@ object ExplainDump {
       ("d14_incremental_passages", "batch mask profile from the maintained passage index: batch-slice occurrence rows ⋈ merged stats — no corpus re-scan",
         graft.operators.Incremental.d14IncrementalPassages _),
       ("er4_incremental_entities", "entity ledger from the incrementally-maintained ER index: catalog ⋈ clusters reads, no blocked levenshtein in the read path",
-        graft.operators.EntityResolution.er4IncrementalEntities _))
+        graft.operators.EntityResolution.er4IncrementalEntities _),
+      ("m7_incremental_media", "media dup groups from the maintained pHash index: one clusters read + aggregate — no codec pass, no band join in the read path",
+        graft.operators.Multimodal.m7IncrementalMedia _))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries (sf0.01, formatted explain)\n\n")
     sb.append("Generated by `sbt \"runMain graft.ExplainDump\"` from the live\n")

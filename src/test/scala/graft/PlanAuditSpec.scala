@@ -214,6 +214,10 @@ class PlanAuditSpec extends GraftSpec {
         !plan.contains("distinct_word_ngrams"),
         s"$name re-runs a build kernel in the read path:\n$plan")
     }
+    val m7Plan = planOf(graft.operators.Multimodal.m7IncrementalMedia(spark, sf))
+    assert(!m7Plan.contains("documents.parquet") &&
+      m7Plan.contains("media_incr_index"),
+      s"m7 must read only the maintained media index:\n$m7Plan")
   }
 
   test("mix6: leakage audit reads the published cluster index — no pair generation") {
