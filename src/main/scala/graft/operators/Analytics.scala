@@ -897,18 +897,33 @@ object Analytics {
       .orderBy("l_orderkey")
   }
 
-  /** s2: seeded stratified sampling (per-stratum Bernoulli) — the
-    * debug/eval-set carve-out every training pipeline needs. One pass,
-    * no shuffle (the sample predicate evaluates at the scan); fraction
-    * accuracy and determinism are ScalaTest-checked (engine-specific
-    * RNG ⇒ rows-only for the driver). */
-  def s2StratifiedSample(s: SparkSession, dir: String): DataFrame =
+  /** Per-stratum keep fractions for s2 (shared with its oracle). */
+  val S2Fractions: Seq[(String, Double)] = Seq(
+    "click" -> 0.1, "view" -> 0.1, "purchase" -> 0.5,
+    "error" -> 1.0, "signup" -> 1.0)
+
+  /** s2: deterministic stratified sampling (per-stratum Bernoulli) —
+    * the debug/eval-set carve-out every training pipeline needs.
+    * Acceptance is the imp1/mix1 salted-md5 discipline instead of
+    * engine RNG: a row survives iff its salted md5's first 8 hex
+    * chars sort below its stratum's 8-hex threshold (fixed-width
+    * lowercase hex order IS numeric order), so the SAME rows survive
+    * on every engine and every run — re-runnable eval sets, and the
+    * full SQL oracle applies where `stat.sampleBy` was rows-only.
+    * One pass, no shuffle (the predicate evaluates at the scan). */
+  def s2StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val frac = S2Fractions.tail.foldLeft(
+      when(col("event_type") === S2Fractions.head._1, lit(S2Fractions.head._2))) {
+      case (acc, (t, f)) => acc.when(col("event_type") === t, lit(f))
+    }.otherwise(lit(0.0))
+    val thr = when(frac >= 1.0, lit("g")) // 'g' sorts above any hex digit
+      .otherwise(lpad(lower(hex(floor(frac * lit(4294967296.0)).cast("long"))), 8, "0"))
     Tables.events(s, dir)
-      .stat.sampleBy("event_type",
-        Map("click" -> 0.1, "view" -> 0.1, "purchase" -> 0.5,
-          "error" -> 1.0, "signup" -> 1.0), seed = 42L)
+      .filter(substring(md5(concat(lit("s2:"), col("event_id").cast("string"))),
+        1, 8) < thr)
       .select(col("event_id"), col("event_type"))
       .orderBy("event_id")
+  }
 
   /** w4: daily active users, new users, and cumulative user count —
     * the standing growth dashboard. Heavy lifting is two corpus-keyed
@@ -2456,6 +2471,19 @@ object Analytics {
         |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
         |FROM r JOIN sz USING (cohort_day)
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    "s2_stratified_sample" -> {
+      val fracCase = S2Fractions.map { case (t, f) =>
+        s"WHEN event_type = '$t' THEN $f"
+      }.mkString(" ")
+      s"""WITH w AS (SELECT event_id, event_type,
+         |    CASE $fracCase ELSE 0.0 END AS f
+         |  FROM events)
+         |SELECT event_id, event_type FROM w
+         |WHERE substring(md5('s2:' || CAST(event_id AS VARCHAR)), 1, 8) <
+         |  CASE WHEN f >= 1.0 THEN 'g'
+         |    ELSE lpad(lower(to_hex(CAST(floor(f * 4294967296.0) AS BIGINT))), 8, '0') END
+         |ORDER BY event_id""".stripMargin
+    },
     "s5_reservoir_sample" ->
       s"""SELECT event_type, event_id, rk FROM (
          |  SELECT event_type, event_id, ROW_NUMBER() OVER (

@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   val Damping = 0.85
+  /** The teleport constant EXACTLY as Spark computes it: Catalyst
+    * constant-folds lit(1.0)-lit(Damping) in IEEE double
+    * (0.15000000000000002), while DuckDB would evaluate the SQL text
+    * `1.0 - 0.85` in exact DECIMAL and convert to the *other*
+    * neighboring double (…99944) — a 1-ulp divergence inside g2's
+    * floor-quantized recurrence that could flip a rank sitting on a
+    * .5 boundary. Interpolating the host-computed double (whose
+    * toString round-trips exactly in DuckDB's parser) makes both
+    * engines iterate with the identical constant. */
+  val OneMinusDamping: Double = 1.0 - Damping
   val PrIters = 10
   val PrTopK = 20
 
@@ -92,7 +102,7 @@ object Graph {
       val next = nodes.join(contrib, col("node") === col("dst"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"), col("outdeg"),
-          floor(((lit(1.0) - lit(Damping)) / lit(n) + lit(Damping) *
+          floor((lit(OneMinusDamping) / lit(n) + lit(Damping) *
             ((coalesce(col("inflow_q"), lit(0L)) + col("dmass_q") / lit(n)) /
               lit(1e12))) * lit(1e12) + lit(0.5)).as("rq"))
       // lineage-truncate every THIRD round (and on the last): one
@@ -394,7 +404,7 @@ object Graph {
     val ladder = (1 to PrIters).map { k =>
       s"""pr$k AS (
          |  SELECT nd.node, nd.outdeg,
-         |    CAST(floor(((1.0 - $Damping) / nn.n + $Damping *
+         |    CAST(floor((($OneMinusDamping) / nn.n + $Damping *
          |      ((coalesce(cf.inflow_q, 0) + dm.dmass_q / nn.n) / 1e12))
          |      * 1e12 + 0.5) AS BIGINT) AS rq
          |  FROM nodes nd

@@ -429,7 +429,14 @@ object Incremental {
          |ORDER BY doc_id, rank""".stripMargin,
     // d9's full-corpus oracle with its final aggregate filtered to the
     // batch slice (stats stay corpus-wide — that's the point)
-    "d14_incremental_passages" -> Dedup.oracles("d9_substring_dedup")
-      .replace("GROUP BY occ.doc_id",
-        s"WHERE occ.doc_id % $BatchMod = 0\nGROUP BY occ.doc_id"))
+    "d14_incremental_passages" -> {
+      val base = Dedup.oracles("d9_substring_dedup")
+      val replaced = base.replace("GROUP BY occ.doc_id",
+        s"WHERE occ.doc_id % $BatchMod = 0\nGROUP BY occ.doc_id")
+      // a reworded d9 oracle must fail HERE, not ship a silently
+      // unfiltered full-corpus oracle (r11 ADVICE)
+      require(replaced != base,
+        "d14 oracle: d9's 'GROUP BY occ.doc_id' anchor not found")
+      replaced
+    })
 }

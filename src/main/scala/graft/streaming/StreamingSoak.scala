@@ -69,7 +69,12 @@ object StreamingSoak {
       splitFiles: Int = 48, filesPerTrigger: Int = 4): SoakResult = {
     val t0 = System.nanoTime()
     val ev = graft.Tables.events(s, eventsDir)
-    val srcDir = s"$workDir/soak_src"
+    // per-run token on BOTH the source and the checkpoint dir: a second
+    // run() against the same workDir must not replay the previous run's
+    // committed checkpoint offsets over a rewritten source (stale-offset
+    // replay reports a bogus mismatch — r11 ADVICE)
+    val runToken = System.nanoTime()
+    val srcDir = s"$workDir/soak_src_$runToken"
     // the arriving-files layout is TIME-ORDERED (a real ingest lands
     // files roughly in event-time order; the watermark delay absorbs
     // the residual disorder) — range-partitioning by ts makes file k
@@ -91,9 +96,12 @@ object StreamingSoak {
     locally {
       import scala.jdk.CollectionConverters._
       val dir = java.nio.file.Paths.get(srcDir)
-      val parts = java.nio.file.Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .toSeq.sortBy(_.getFileName.toString)
+      val st = java.nio.file.Files.list(dir)
+      val parts =
+        try st.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally st.close() // directory stream holds an fd until closed
       val base = System.currentTimeMillis() - (parts.size + 10) * 1000L
       parts.zipWithIndex.foreach { case (p, i) =>
         java.nio.file.Files.setLastModifiedTime(p,
@@ -118,7 +126,7 @@ object StreamingSoak {
       .outputMode("append")
       .format("memory")
       .queryName(name)
-      .option("checkpointLocation", s"$workDir/soak_ckpt")
+      .option("checkpointLocation", s"$workDir/soak_ckpt_$runToken")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
