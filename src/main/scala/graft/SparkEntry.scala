@@ -23,7 +23,8 @@ object SparkEntry {
       SyncStream.queries ++ Sources.queries ++ Migrations.queries ++
       Pipeline.queries ++ Profiling.queries ++ Quality.queries ++
       Mining.queries ++ TextIndex.queries ++ Graph.queries ++
-      TimeSeries.queries ++ EntityResolution.queries ++ Incremental.queries
+      TimeSeries.queries ++ EntityResolution.queries ++ Incremental.queries ++
+      IncrementalAnn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops,
@@ -35,5 +36,6 @@ object SparkEntry {
       SyncStream.oracles ++ Sources.oracles ++ Migrations.oracles ++
       Pipeline.oracles ++ Profiling.oracles ++ Quality.oracles ++
       Mining.oracles ++ TextIndex.oracles ++ Graph.oracles ++
-      TimeSeries.oracles ++ EntityResolution.oracles ++ Incremental.oracles
+      TimeSeries.oracles ++ EntityResolution.oracles ++ Incremental.oracles ++
+      IncrementalAnn.oracles
 }

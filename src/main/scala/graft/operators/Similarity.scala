@@ -20,12 +20,17 @@ object Similarity {
   val TopK = 5
   val NumQueries = 10 // query set: vec_id < 10
 
-  private[graft] def corpus(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  /** (vec_id, v, nrm) normalization of a raw embeddings frame — the
+    * working shape every ANN path uses (shared with the incremental
+    * index's batch slices, [[IncrementalAnn]]). */
+  private[graft] def corpusOf(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", VectorFunctions.l2normNative("v"))
 
-  private def rankTopK(pairs: DataFrame): DataFrame = {
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame =
+    corpusOf(Tables.embeddings(s, dir))
+
+  private[graft] def rankTopK(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -109,7 +114,7 @@ object Similarity {
     * lambda evaluations per row). Multiple small tables beat one wide
     * code: recall compounds as 1-(1-p^b)^L while bucket sizes stay
     * ~n/2^b, keeping the candidate join linear. */
-  private def lshBuckets(vCol: String): org.apache.spark.sql.Column = {
+  private[graft] def lshBuckets(vCol: String): org.apache.spark.sql.Column = {
     val tables = (0 until LshTables).map { t =>
       val bkt = (0 until LshBits).map { p =>
         val w = typedlit(planeWeights(t * LshBits + p))
@@ -309,8 +314,14 @@ object Similarity {
       .collect().toSeq.map(r =>
         (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
 
-  def n3IvfAnn(s: SparkSession, dir: String): DataFrame = {
-    val root = ensureAnnIndex(s, dir)
+  def n3IvfAnn(s: SparkSession, dir: String): DataFrame =
+    ivfProbeFrom(s, ensureAnnIndex(s, dir))
+
+  /** The IVF probe against ANY committed index root holding the
+    * standard (centroids, assignments) outputs — shared by n3 (the
+    * build-once index) and n17 (the incrementally-maintained one), so
+    * probe semantics cannot drift between the two lifecycles. */
+  private[graft] def ivfProbeFrom(s: SparkSession, root: String): DataFrame = {
     val refined = indexCells(s, root)
     val assigned = graft.sources.AtomicPublish.readOutput(s, root, "assignments")
     val e = assigned // queries probe FROM the index too — no raw-corpus scan
