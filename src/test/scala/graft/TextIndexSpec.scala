@@ -81,4 +81,32 @@ class TextIndexSpec extends GraftSpec {
     val v2 = graft.sources.AtomicPublish.currentVersion(spark, root)
     assert(v1.nonEmpty && v1 == v2, s"rebuild detected: $v1 -> $v2")
   }
+
+  test("chained increments equal a from-scratch build, and a replayed batch is refused") {
+    import spark.implicits._
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // overlapping vocabularies across the three slices so the merge
+    // path (df add + disjoint-sorted-list concat) actually merges
+    val a = docs(1L -> "red fox runs", 2L -> "blue fox sleeps")
+    val b = docs(10L -> "red wolf runs fast", 11L -> "green owl")
+    val c = docs(20L -> "blue wolf red fox")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ix_incr_spec").toString
+    graft.sources.AtomicPublish.publish(spark, root,
+      TextIndex.buildIndexOutputs(spark, a))
+    assert(TextIndex.applyBatch(spark, root, b, 1L))
+    assert(TextIndex.applyBatch(spark, root, c, 2L))
+    def sets(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.collect().map(_.mkString("|")).toSet
+    val all = docs((a.collect() ++ b.collect() ++ c.collect())
+      .map(r => r.getLong(0) -> r.getString(1)).toIndexedSeq: _*)
+    assert(sets(graft.sources.AtomicPublish.readOutput(spark, root, "postings"))
+      == sets(TextIndex.buildPostings(all)))
+    assert(sets(graft.sources.AtomicPublish.readOutput(spark, root, "positions"))
+      == sets(TextIndex.buildPositions(all)))
+    // replayed micro-batch: ledger-refused, no version churn
+    val before = graft.sources.AtomicPublish.currentVersion(spark, root)
+    assert(!TextIndex.applyBatch(spark, root, b, 1L))
+    assert(graft.sources.AtomicPublish.currentVersion(spark, root) == before)
+  }
 }
