@@ -314,8 +314,11 @@ object Pipeline {
     solo.unionAll(kept).orderBy("doc_id")
   }
 
-  val PsiDrifting = 0.1   // PSI rule of thumb: < 0.1 stable
-  val PsiRetrain = 0.25   // > 0.25 retrain
+  // PSI rule of thumb (shared with the model registries' refresh
+  // policy — ONE constant decides both the report banding and the
+  // retrain trigger): < 0.1 stable, > 0.25 retrain
+  val PsiDrifting: Double = graft.sources.ModelRegistry.DriftingPsi
+  val PsiRetrain: Double = graft.sources.ModelRegistry.RetrainPsi
   val EceMax = 0.1        // calibration gap budget before recalibrating
 
   /** pipe4: the composed monitoring plane — ONE health report row per
@@ -323,7 +326,9 @@ object Pipeline {
     * ingest (the counterpart of pipe1-3's prep/publish composition on
     * the monitoring side): volume drift (a12's anomaly-day count),
     * feature drift (psi1's PSI, banked against the 0.1/0.25 rule of
-    * thumb), and classifier calibration (qc2's ECE). Each input is
+    * thumb), classifier calibration (qc2's ECE), and the two model
+    * registries' committed drift-refresh state (retrained/stable, the
+    * ModelRegistry policy's evidence). Each input is
     * already a bounded frame (≤ #days / [[Quality.PsiBuckets]] /
     * [[Quality.CalibBuckets]] rows), so the report is three tiny
     * reductions unioned — the corpus is scanned only inside the
@@ -352,7 +357,20 @@ object Pipeline {
         col("value"),
         when(col("value") > EceMax, "recalibrate")
           .otherwise("ok").as("status"))
-    vol.unionAll(drift).unionAll(calib).orderBy("check")
+    // the model-registry plane: each registry's committed drift meta
+    // (refresh PSI + retrained flag) as a report row, so an ingest
+    // batch that tripped a drift-triggered retrain shows up in the
+    // NEXT monitoring report with status=retrained — read from the
+    // committed snapshot, never recomputed here
+    val qcReg = {
+      Quality.ensureQcModel(s, dir) // build-once; bounded metadata
+      graft.sources.ModelRegistry.reportRow(s, Quality.qcModelRoot(dir),
+        "qc_model_registry")
+    }
+    val bpeReg = graft.sources.ModelRegistry.reportRow(s,
+      TextAnalysis.ensureBpeModel(s, dir), "bpe_model_registry")
+    vol.unionAll(drift).unionAll(calib).unionAll(qcReg).unionAll(bpeReg)
+      .orderBy("check")
   }
 
   val oracles: Map[String, String] = Map(

@@ -260,7 +260,96 @@ object Quality {
       s"${graft.GraftSession.defaultStateDir}/qc_model")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
-        s"qcmodel-v1;dim=$QcDim;iters=$QcIters;lr=$QcLr;n=$QcTrainSampleTarget"))
+        // v2: the registry grew the drift-refresh plane (train sample,
+        // reference score bands, meta) — salt bump forces stale-recipe
+        // rebuilds
+        s"qcmodel-v2;dim=$QcDim;iters=$QcIters;lr=$QcLr;n=$QcTrainSampleTarget;" +
+          "drift=scorepsi10"))
+  }
+
+  /** Trained-model registry outputs from an EXPLICIT training frame:
+    * the (bias, weights) row, the training sample itself (bounded —
+    * it is what retrains merge new evidence into), and the reference
+    * SCORE BANDS drift is measured against (decile cuts + per-bucket
+    * counts of the model's scores ON ITS OWN TRAINING VIEW — the
+    * model-monitoring convention: drift is score-distribution shift
+    * relative to training, not corpus-vs-corpus). */
+  private[graft] def trainedQcOutputs(s: SparkSession,
+      trainDocs: DataFrame): Seq[(String, DataFrame)] = {
+    val train = trainDocs.select(col("doc_id"), col("text"), col("label"))
+      .localCheckpoint()
+    val (wts, bias, _) = qcTrain(qcFeatures(train))
+    val scored = qcScoreWith(train, wts, bias).localCheckpoint()
+    val qs = (1 until PsiBuckets).map(_.toDouble / PsiBuckets)
+    val cuts = scored.agg(expr(
+      s"transform(percentile(score, array(${qs.mkString(",")})), x -> round(x, 6))")
+      .as("cs"))
+    val bands = scored.crossJoin(broadcast(cuts)) // 1-row bounded metadata
+      .select(size(expr("filter(cs, x -> score > x)")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    import s.implicits._
+    Seq("weights" -> Seq((bias, wts.toSeq)).toDF("bias", "w"),
+      "train_sample" -> train,
+      "score_cuts" -> cuts,
+      "score_bands" -> bands)
+  }
+
+  /** Registry build over a labeled corpus: deterministic salted-md5
+    * training sample (keep-rate target/n — the imp1/mix1 discipline),
+    * then [[trainedQcOutputs]]. */
+  private[graft] def buildQcOutputs(s: SparkSession,
+      docs: DataFrame): Seq[(String, DataFrame)] = {
+    val n = math.max(1L, docs.count())
+    val rate = math.min(1.0, QcTrainSampleTarget.toDouble / n)
+    val thr =
+      if (rate >= 1.0) "g" // 'g' sorts above any hex digit
+      else f"${math.floor(rate * 4294967296.0).toLong}%08x"
+    trainedQcOutputs(s, docs.filter(
+      substring(md5(concat(lit("qc:"), col("doc_id").cast("string"))), 1, 8) < thr))
+  }
+
+  /** Score-distribution drift PSI of `batch` (a labeled (doc_id,
+    * text, label) frame) against the committed registry at `root`:
+    * score the batch with the COMMITTED weights, bucket by the
+    * committed training-time decile cuts, Laplace-smoothed PSI vs the
+    * committed band counts. All folds are ≤[[PsiBuckets]]-row
+    * driver-side metadata; the only scan is the batch slice. */
+  private[graft] def qcDriftPsi(s: SparkSession, root: String,
+      batch: DataFrame): Double = {
+    import graft.sources.AtomicPublish.readOutput
+    val w = readOutput(s, root, "weights").collect().head
+    val (wts, bias) = (w.getSeq[Double](w.fieldIndex("w")).toArray,
+      w.getDouble(0))
+    val cuts = readOutput(s, root, "score_cuts").collect().head
+      .getSeq[Double](0)
+    val base = readOutput(s, root, "score_bands").collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("n")).toMap
+    val cur = qcScoreWith(batch, wts, bias)
+      .select(size(expr(
+        s"filter(array(${cuts.mkString(",")}), x -> score > x)")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("n")).toMap
+    graft.sources.ModelRegistry.psiOf(base, cur)
+  }
+
+  /** DRIFT-TRIGGERED model refresh (the [[graft.sources.ModelRegistry]]
+    * policy on the classifier plane): a stable batch REUSES the
+    * committed version (nothing published, nothing trained); a batch
+    * whose score distribution drifts past the retrain threshold
+    * publishes a NEW version trained on the stored sample ∪ the
+    * batch, with the drift evidence riding the same atomic pointer
+    * swap. Returns (serving version, refreshed?, psi). */
+  def refreshQcModel(s: SparkSession, root: String, batch: DataFrame,
+      batchId: Long): (String, Boolean, Double) = {
+    val psi = qcDriftPsi(s, root, batch)
+    val (v, refreshed) = graft.sources.ModelRegistry
+      .refreshIfDrifted(s, root, batchId, psi) {
+        trainedQcOutputs(s,
+          graft.sources.AtomicPublish.readOutput(s, root, "train_sample")
+            .unionByName(batch.select(col("doc_id"), col("text"),
+              col("label"))))
+      }
+    (v, refreshed, psi)
   }
 
   /** Ensure the trained model is published; return (weights, bias)
@@ -272,19 +361,10 @@ object Quality {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"),
           when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))
-      // deterministic uniform training sample: keep-rate target/n, same
-      // salted-md5 hex threshold as mix1/imp1 (portable, re-runnable)
-      val n = math.max(1L, docs.count())
-      val rate = math.min(1.0, QcTrainSampleTarget.toDouble / n)
-      val thr =
-        if (rate >= 1.0) "g" // 'g' sorts above any hex digit
-        else f"${math.floor(rate * 4294967296.0).toLong}%08x"
-      val trainDocs = docs.filter(
-        substring(md5(concat(lit("qc:"), col("doc_id").cast("string"))), 1, 8) < thr)
-      val (wts, bias, _) = qcTrain(qcFeatures(trainDocs))
-      import s.implicits._
       graft.sources.AtomicPublish.publish(s, qcModelRoot(dir),
-        Seq("weights" -> Seq((bias, wts.toSeq)).toDF("bias", "w")))
+        buildQcOutputs(s, docs) :+
+          graft.sources.ModelRegistry.metaOutput(s, -1L, 0.0,
+            refreshed = false))
     }
     val row = graft.sources.AtomicPublish.readOutput(s, root, "weights")
       .collect().head

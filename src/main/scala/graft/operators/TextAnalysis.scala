@@ -347,17 +347,74 @@ object TextAnalysis {
       s"${graft.GraftSession.defaultStateDir}/bpe_model")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
-        s"bpe-v1;merges=$BenchTrainMerges;stop=pair-twice"))
+        // v2: the registry grew the drift-refresh plane (training
+        // sample, reference character distribution, meta) — salt bump
+        // forces stale-recipe rebuilds
+        s"bpe-v2;merges=$BenchTrainMerges;stop=pair-twice;drift=charpsi"))
+  }
+
+  /** Character-frequency profile of a (…, text) frame — the bounded
+    * reference distribution tokenizer drift is measured against (a
+    * tokenizer's fitness is a function of the character/byte mix it
+    * was trained on; new scripts or symbol-heavy content shift it). */
+  private[graft] def charFreqOf(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col("ch")).agg(count(lit(1)).as("n"))
+
+  /** Trained-tokenizer registry outputs from an EXPLICIT training
+    * frame: the merge table, the training sample (what a retrain
+    * merges new evidence into — at 100 TB this is a bounded carve-out,
+    * here the frame the caller trained on), and the reference
+    * character distribution. */
+  private[graft] def buildBpeOutputs(s: SparkSession,
+      docs: DataFrame): Seq[(String, DataFrame)] = {
+    import s.implicits._
+    val train = docs.select(col("doc_id"), col("text")).localCheckpoint()
+    Seq("merges" -> trainBpeMerges(train, BenchTrainMerges)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }
+        .toDF("merge_idx", "left", "right"),
+      "train_sample" -> train,
+      "char_freq" -> charFreqOf(train))
+  }
+
+  /** Character-distribution drift PSI of `batch` against the
+    * committed registry's training-time profile — both sides are
+    * vocabulary-bounded count maps, so the fold is driver-side
+    * metadata; the only scan is the batch slice. */
+  private[graft] def bpeDriftPsi(s: SparkSession, root: String,
+      batch: DataFrame): Double = {
+    def freq(d: DataFrame): Map[String, Long] =
+      d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.sources.ModelRegistry.psiOf(
+      freq(graft.sources.AtomicPublish.readOutput(s, root, "char_freq")),
+      freq(charFreqOf(batch)))
+  }
+
+  /** DRIFT-TRIGGERED tokenizer refresh (the qc-registry policy on the
+    * BPE plane): a stable batch reuses the committed merge table; a
+    * batch whose character mix drifts past the retrain threshold
+    * publishes a NEW version trained on the stored sample ∪ the
+    * batch. Returns (serving version, refreshed?, psi). */
+  def refreshBpeModel(s: SparkSession, root: String, batch: DataFrame,
+      batchId: Long): (String, Boolean, Double) = {
+    val psi = bpeDriftPsi(s, root, batch)
+    val (v, refreshed) = graft.sources.ModelRegistry
+      .refreshIfDrifted(s, root, batchId, psi) {
+        buildBpeOutputs(s,
+          graft.sources.AtomicPublish.readOutput(s, root, "train_sample")
+            .unionByName(batch.select(col("doc_id"), col("text"))))
+      }
+    (v, refreshed, psi)
   }
 
   private[graft] def ensureBpeModel(s: SparkSession, dir: String): String =
     graft.sources.DurableIndex.ensure(s, bpeModelRoot(dir)) {
-      import s.implicits._
       graft.sources.AtomicPublish.publish(s, bpeModelRoot(dir),
-        Seq("merges" -> trainBpeMerges(Tables.documents(s, dir), BenchTrainMerges)
-          .zipWithIndex
-          .map { case ((a, b), i) => (i, a, b) }
-          .toDF("merge_idx", "left", "right")))
+        buildBpeOutputs(s, Tables.documents(s, dir)) :+
+          graft.sources.ModelRegistry.metaOutput(s, -1L, 0.0,
+            refreshed = false))
     }
 
   /** t12: text normalization — the first step of every dedup/prep

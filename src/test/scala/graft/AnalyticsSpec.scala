@@ -143,7 +143,12 @@ class AnalyticsSpec extends GraftSpec {
       .map(r => r.getAs[String]("check") ->
         (r.getAs[String]("metric"), r.getAs[Double]("value"),
           r.getAs[String]("status"))).toMap
-    assert(rows.keySet == Set("calibration", "feature_drift", "volume_drift"))
+    assert(rows.keySet == Set("calibration", "feature_drift", "volume_drift",
+      "qc_model_registry", "bpe_model_registry"))
+    // build-once registries carry the build-time meta: no batch has
+    // been judged, so both report stable with zero drift
+    assert(rows("qc_model_registry") == (("drift_psi", 0.0, "stable")))
+    assert(rows("bpe_model_registry") == (("drift_psi", 0.0, "stable")))
     val wantAnoms = Analytics.a12VolumeDrift(spark, sf).collect()
       .count(_.getAs[Boolean]("is_anomaly")).toDouble
     assert(rows("volume_drift") == (("n_anomaly_days", wantAnoms,
