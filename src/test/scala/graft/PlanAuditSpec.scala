@@ -529,23 +529,26 @@ class PlanAuditSpec extends GraftSpec {
       s"per-doc dedup must not shuffle (doc, shingle) rows:\n$plan")
   }
 
-  test("d2: scoring reads the published shingle index; the self-join shares one sh-exchange") {
-    // Read-path discipline: once the durable shingle index is built,
-    // d2's plan must contain NO document-kernel scan (the build owns
-    // that), and the candidate self-join's two identical index-scan
-    // sides must share a single materialized sh-exchange via AQE
-    // ReuseExchange — two independent hashpartitioning(sh) exchanges
-    // would shuffle the postings frame twice.
+  test("d2/d7: scoring reads the published overlaps table — no inline pair join at all") {
+    // Read-path discipline, tightened in r12: the capped pair
+    // self-join runs ONCE at index build, so d2's and d7's plans must
+    // contain NO document-kernel scan, NO sh-keyed exchange, and NO
+    // join whatsoever — they are filters over the committed pair
+    // artifact (the r11 "d2+d7 double-pay" ask).
     graft.operators.Dedup.ensureShingleIndex(spark, sf)
-    val df = Dedup.d2NgramJaccard(spark, sf)
-    val plan = planOf(df)
-    assert(plan.contains("shingle_index"),
-      s"d2 must read the published shingle index:\n$plan")
-    assert(!plan.contains("graft_distinct_ngrams"),
-      s"d2's read path must not re-run the shingle kernel:\n$plan")
-    val finalPlan = finalTreeOf(df)
-    assert(detailIds(finalPlan, "Exchange", "Arguments: hashpartitioning\\(sh").size <= 1,
-      s"self-join sides must reuse one sh-exchange:\n$finalPlan")
+    for (df <- Seq(Dedup.d2NgramJaccard(spark, sf),
+        Dedup.d7ContainmentDedup(spark, sf))) {
+      val plan = planOf(df)
+      assert(plan.contains("shingle_index"),
+        s"must read the published shingle index:\n$plan")
+      assert(!plan.contains("graft_distinct_ngrams"),
+        s"read path must not re-run the shingle kernel:\n$plan")
+      val finalPlan = finalTreeOf(df)
+      assert(detailIds(finalPlan, "Exchange", "Arguments: hashpartitioning\\(sh").isEmpty,
+        s"read path must not shuffle postings:\n$finalPlan")
+      assert(!finalPlan.contains("Join"),
+        s"read path must not re-join pairs:\n$finalPlan")
+    }
   }
 
   test("t16/t17: the term-freq build lineage is kernel-computed — no token-stream shuffle") {
