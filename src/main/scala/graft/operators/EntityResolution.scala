@@ -209,8 +209,12 @@ object EntityResolution {
       .filter(levenshtein(col("name_a"), col("name_b")) <= MaxEditDistance)
       .select(col("name_a"), col("name_b"))
       .localCheckpoint()
+    import s.implicits._
     Seq("names" -> names, "edges" -> edges,
-      "clusters" -> clustersFrom(names, edges))
+      "clusters" -> clustersFrom(names, edges),
+      // the applied-batch LEDGER rides the same atomic pointer swap as
+      // the data (d13's exactly-once argument on the ER plane)
+      "ledger" -> Seq.empty[Long].toDF("batch_id"))
   }
 
   /** (p_name, cluster_key) from name-grain components: cluster_key =
@@ -233,7 +237,9 @@ object EntityResolution {
       s"${graft.GraftSession.defaultStateDir}/er_incr_index")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/part.parquet",
-        s"er-incr-v1;block=lasttoken;maxdist=$MaxEditDistance;split=mod$IncrBatchMod"))
+        // v2: the family grew the applied-batch ledger (streaming
+        // maintenance) — salt bump forces stale-recipe rebuilds
+        s"er-incr-v2;block=lasttoken;maxdist=$MaxEditDistance;split=mod$IncrBatchMod;ledger"))
   }
 
   /** Version N+1 from version N's committed outputs plus only the
@@ -241,7 +247,7 @@ object EntityResolution {
     * append (new-name pairs only), components re-close over the
     * vocabulary-bounded edge list. */
   private[graft] def publishErIncrement(s: SparkSession, root: String,
-      batchParts: DataFrame): String = {
+      batchParts: DataFrame, batchId: Long = -1L): String = {
     import graft.sources.AtomicPublish.readOutput
     val bNames = catalogOf(batchParts).localCheckpoint()
     val baseNames = readOutput(s, root, "names")
@@ -276,10 +282,43 @@ object EntityResolution {
         greatest(col("name_a"), col("name_b")).as("name_b"))
     val edges2 = readOutput(s, root, "edges").unionByName(newEdges)
       .localCheckpoint()
+    import s.implicits._
     graft.sources.AtomicPublish.publish(s, root, Seq(
       "names" -> names2, "edges" -> edges2,
-      "clusters" -> clustersFrom(names2, edges2)))
+      "clusters" -> clustersFrom(names2, edges2),
+      "ledger" -> readOutput(s, root, "ledger")
+        .unionByName(Seq(batchId).toDF("batch_id"))))
   }
+
+  /** Apply one ingest batch of part rows EXACTLY ONCE (d13's ledger
+    * discipline): a batch id already in the committed ledger, or an
+    * empty trigger, is a no-op. Returns whether a version was
+    * published. */
+  def applyBatch(s: SparkSession, root: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    val applied = graft.sources.AtomicPublish.readOutput(s, root, "ledger")
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (!applied && !batch.isEmpty) {
+      publishErIncrement(s, root, batch, batchId)
+      true
+    } else false
+  }
+
+  /** Streaming ingest endpoint for the ER plane — the row-249
+    * foreachBatch + exactly-once-ledger shape on arriving part rows
+    * (and the EASY case by er4's own argument: edges are add-only, so
+    * each micro-batch's fuzzy work is new-name × same-block pairs). */
+  def streamingErMaintenance(parts: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    parts.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        applyBatch(batch.sparkSession, root, batch.toDF(), id)
+        ()
+      }
+      .start()
 
   private[graft] def ensureIncrErIndex(s: SparkSession, dir: String): String =
     graft.sources.DurableIndex.ensure(s, incrErRoot(dir)) {

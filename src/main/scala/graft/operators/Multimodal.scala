@@ -482,9 +482,13 @@ object Multimodal {
       .agg(count(lit(1)).as("n")).localCheckpoint()
     val edges = mediaEdgesFrom(band, band, buckets, ph,
       col("x.doc_id") < col("y.doc_id")).localCheckpoint()
+    import s.implicits._
     Seq("phash" -> ph, "buckets" -> buckets, "edges" -> edges,
       "clusters" -> Dedup.connectedComponents(edges)
-        .select(col("id").as("doc_id"), col("label").as("cluster_id")))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id")),
+      // the applied-batch LEDGER rides the same atomic pointer swap as
+      // the data (d13's exactly-once argument on the media plane)
+      "ledger" -> Seq.empty[Long].toDF("batch_id"))
   }
 
   private[graft] def mediaIncrRoot(dir: String): String = {
@@ -492,7 +496,9 @@ object Multimodal {
       s"${graft.GraftSession.defaultStateDir}/media_incr_index")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
-        s"media-incr-v1;codec=${StubCodec.id};levels=$PhashLevels;bands=$PhashBands;cap=$PhashBucketCap;maxham=$PhashMaxHamming;split=mod$MediaIncrBatchMod"))
+        // v2: the family grew the applied-batch ledger (streaming
+        // maintenance) — salt bump forces stale-recipe rebuilds
+        s"media-incr-v2;codec=${StubCodec.id};levels=$PhashLevels;bands=$PhashBands;cap=$PhashBucketCap;maxham=$PhashMaxHamming;split=mod$MediaIncrBatchMod;ledger"))
   }
 
   /** Version N+1 from version N's committed outputs plus only the
@@ -502,7 +508,7 @@ object Multimodal {
     * affected, so unaffected pairs' generating buckets are provably
     * unchanged) bounds the pair re-scoring exactly as in d13. */
   private[graft] def publishMediaIncrement(s: SparkSession, root: String,
-      batch: DataFrame): String = {
+      batch: DataFrame, batchId: Long = -1L): String = {
     import graft.sources.AtomicPublish.readOutput
     val basePh = readOutput(s, root, "phash")
     val baseBuckets = readOutput(s, root, "buckets")
@@ -542,11 +548,43 @@ object Multimodal {
       .join(broadcast(affected.withColumnRenamed("doc_id", "b")), Seq("b"), "left_anti")
       .select(col("a"), col("b"))
     val edges2 = keptEdges.unionByName(newEdges).localCheckpoint()
+    import s.implicits._
     graft.sources.AtomicPublish.publish(s, root, Seq(
       "phash" -> ph2, "buckets" -> mergedBuckets, "edges" -> edges2,
       "clusters" -> Dedup.connectedComponents(edges2)
-        .select(col("id").as("doc_id"), col("label").as("cluster_id"))))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id")),
+      "ledger" -> readOutput(s, root, "ledger")
+        .unionByName(Seq(batchId).toDF("batch_id"))))
   }
+
+  /** Apply one ingest batch of media payloads EXACTLY ONCE (d13's
+    * ledger discipline); returns whether a version was published. */
+  def applyBatch(s: SparkSession, root: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    val applied = graft.sources.AtomicPublish.readOutput(s, root, "ledger")
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (!applied && !batch.isEmpty) {
+      publishMediaIncrement(s, root, batch, batchId)
+      true
+    } else false
+  }
+
+  /** Streaming ingest endpoint for the media plane — the row-249
+    * foreachBatch + exactly-once-ledger shape on arriving payload
+    * rows; each micro-batch pays one codec pass over its own payloads
+    * and the cap-crossing affected-set re-score, never a corpus
+    * re-decode. */
+  def streamingMediaMaintenance(docs: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        applyBatch(batch.sparkSession, root, batch.toDF(), id)
+        ()
+      }
+      .start()
 
   private[graft] def ensureMediaIncrIndex(s: SparkSession, dir: String): String =
     graft.sources.DurableIndex.ensure(s, mediaIncrRoot(dir)) {

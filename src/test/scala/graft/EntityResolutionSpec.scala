@@ -164,4 +164,48 @@ class EntityResolutionSpec extends GraftSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("streaming ER maintenance: three chained micro-batches equal a rebuild, replay refused") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def parts(rows: Seq[(Long, String)]) = rows.toDF("p_partkey", "p_name")
+    val base = Seq(1L -> "aaaaa car", 2L -> "aaaab car",
+      4L -> "bbbaa car", 5L -> "bbbab car", 7L -> "zzz truck")
+    // three arrivals whose state CHAINS across versions: the bridge
+    // merge + re-canonicalization, a new singleton, then a near-dup of
+    // THAT singleton (an edge between two streamed batches)
+    val b1 = Seq(9L -> "bbaaa car", 3L -> "zzz truck")
+    val b2 = Seq(6L -> "qqq bike")
+    val b3 = Seq(12L -> "qqr bike")
+    val root = java.nio.file.Files.createTempDirectory("graft_er_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_er_sckpt").toString
+    graft.sources.AtomicPublish.publish(spark, root,
+      EntityResolution.buildErOutputs(spark, parts(base)))
+    val input = MemoryStream[(Long, String)]
+    val q = EntityResolution.streamingErMaintenance(
+      input.toDF().toDF("p_partkey", "p_name"), root, ckpt)
+    try {
+      for (b <- Seq(b1, b2, b3)) { input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    assert(graft.sources.AtomicPublish.currentVersion(spark, root)
+      .contains("v4"))
+    val want = EntityResolution.buildErOutputs(spark, parts(base ++ b1 ++ b2 ++ b3))
+      .toMap
+    for (name <- Seq("names", "edges", "clusters")) {
+      val got = graft.sources.AtomicPublish.readOutput(spark, root, name)
+        .collect().map(_.mkString("|")).toSet
+      assert(got == want(name).collect().map(_.mkString("|")).toSet,
+        s"$name diverged after chained streaming increments")
+    }
+    // the cross-batch near-dup pair clustered together
+    val clusters = graft.sources.AtomicPublish.readOutput(spark, root, "clusters")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clusters("qqq bike") == clusters("qqr bike"))
+    // exactly-once: replayed id and empty trigger are no-ops
+    val before = graft.sources.AtomicPublish.currentVersion(spark, root)
+    assert(!EntityResolution.applyBatch(spark, root, parts(b2), 1L))
+    assert(!EntityResolution.applyBatch(spark, root, parts(Seq.empty), 99L))
+    assert(graft.sources.AtomicPublish.currentVersion(spark, root) == before)
+  }
 }

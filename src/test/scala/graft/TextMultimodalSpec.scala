@@ -561,4 +561,48 @@ class TextMultimodalSpec extends GraftSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("streaming media maintenance: three chained micro-batches equal a rebuild, replay refused") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val base = (1L to 20L).map(i => i -> s"stream filler media $i")
+    // chained state: b1 plants a duplicate pair, b2 joins that
+    // cluster (an edge between a streamed batch and an earlier one),
+    // b3 brings an unrelated pair
+    val b1 = Seq(100L -> "stream payload A", 101L -> "stream payload A")
+    val b2 = Seq(102L -> "stream payload A")
+    val b3 = Seq(200L -> "stream payload B", 201L -> "stream payload B")
+    val root = java.nio.file.Files.createTempDirectory("graft_m7_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_m7_sckpt").toString
+    graft.sources.AtomicPublish.publish(spark, root,
+      Multimodal.buildMediaIncrOutputs(spark, docs(base)))
+    val input = MemoryStream[(Long, String)]
+    val q = Multimodal.streamingMediaMaintenance(
+      input.toDF().toDF("doc_id", "text"), root, ckpt)
+    try {
+      for (b <- Seq(b1, b2, b3)) { input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    assert(graft.sources.AtomicPublish.currentVersion(spark, root)
+      .contains("v4"))
+    val want = Multimodal.buildMediaIncrOutputs(spark,
+      docs(base ++ b1 ++ b2 ++ b3)).toMap
+    for (name <- Seq("phash", "buckets", "edges", "clusters")) {
+      val got = graft.sources.AtomicPublish.readOutput(spark, root, name)
+        .collect().map(_.mkString("|")).toSet
+      assert(got == want(name).collect().map(_.mkString("|")).toSet,
+        s"$name diverged after chained streaming increments")
+    }
+    val clusters = graft.sources.AtomicPublish.readOutput(spark, root, "clusters")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(100L, 101L, 102L).map(clusters).distinct.size == 1,
+      "the cross-batch duplicate must join the streamed cluster")
+    assert(clusters(200L) == clusters(201L))
+    // exactly-once: replayed id and empty trigger are no-ops
+    val before = graft.sources.AtomicPublish.currentVersion(spark, root)
+    assert(!Multimodal.applyBatch(spark, root, docs(b2), 1L))
+    assert(!Multimodal.applyBatch(spark, root, docs(Seq.empty), 99L))
+    assert(graft.sources.AtomicPublish.currentVersion(spark, root) == before)
+  }
 }
