@@ -51,6 +51,13 @@ object Bench {
     val stateDir = TmpRoots.perProcess("graft_bench_state")
     val spark = GraftSession.builder(cpus.toInt, stateDir).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Runtime conf overrides for bench experiments, e.g.
+    // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false;spark.x=y"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     // warm up the JVM/scheduler/file-system paths once so the first
     // measured query doesn't absorb session start-up cost
     spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -453,6 +453,16 @@ object Dedup {
     * [[cellPairCandidates]]' triangle-inequality bound covers every
     * qualifying pair for ANY cell layout. */
   private[graft] def neardupFromAssigned(s: SparkSession,
+      cents: Seq[(Long, Array[Double], Double)], assigned: DataFrame): DataFrame =
+    neardupEdgesRaw(s, cents, assigned)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+
+  /** The UNROUNDED qualifying-pair frame (vec_a, vec_b, cosine ≥
+    * [[NeardupTau]]) — what the ANN index publishes as its
+    * `neardup_edges` build artifact (d5's read path; see
+    * [[Similarity.ensureAnnIndex]]). */
+  private[graft] def neardupEdgesRaw(s: SparkSession,
       cents: Seq[(Long, Array[Double], Double)], assigned: DataFrame): DataFrame = {
     import s.implicits._
     // cosine of each vector to its OWN centroid: codegen'd when-chain
@@ -481,21 +491,22 @@ object Dedup {
         org.apache.spark.sql.graft.ArrayMathExpr.dotNative(col("av"), col("bv")),
         col("an"), col("bn")))
       .filter(col("cosine") >= NeardupTau)
-      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
-      .orderBy("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
   /** d5: embedding-cosine near-dup pairs above [[NeardupTau]] — exact
-    * semantics (full hash oracle) with the cell-pruned equi-join plan
-    * of [[neardupPairs]], running over the PERSISTED ANN index
-    * (build-once cells + assignments, the n2/n3 pattern): a dedup
-    * sweep at 100 TB reads the ingest-time index, it does not
-    * re-cluster the corpus. */
-  def d5EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
-    val root = Similarity.ensureAnnIndex(s, dir)
-    neardupFromAssigned(s, Similarity.indexCells(s, root),
-      graft.sources.AtomicPublish.readOutput(s, root, "assignments"))
-  }
+    * semantics (full hash oracle), read from the ANN index's
+    * PUBLISHED `neardup_edges` table (the build runs the cell-pruned
+    * equi-join of [[neardupPairs]] once; the r11 d5 watch item closed
+    * by construction): a dedup sweep at 100 TB reads the ingest-time
+    * pair artifact, it does not re-score the corpus. Rounding happens
+    * at read so the committed edges stay full-precision for other
+    * consumers. */
+  def d5EmbeddingNeardup(s: SparkSession, dir: String): DataFrame =
+    graft.sources.AtomicPublish.readOutput(s,
+      Similarity.ensureAnnIndex(s, dir), "neardup_edges")
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
 
   /** d6: near-dup clustering — connected components over the d2 pair
     * graph, so each duplicate group gets one canonical cluster_id

@@ -26,18 +26,52 @@ object Graph {
   val PrIters = 10
   val PrTopK = 20
 
+  /** Durable co-order graph index: the DISTINCT (customer, supplier)
+    * edge set derived from orders ⋈ lineitem, published ONCE per
+    * corpus fingerprint (the shingle/ANN/text index pattern on the
+    * graph plane). Every graph operator in this family — g2's
+    * PageRank, g4's link prediction, g5's degree profile, g6's BFS —
+    * starts from exactly this frame, and before this each of them
+    * re-paid the fact-fact join + distinct shuffle per query. At
+    * 100 TB the graph IS an ingest artifact: you materialize the edge
+    * list when the orders land, and traversals/iterations read
+    * committed parquet (the fact tables appear nowhere in their
+    * plans). The ANALYTICS stay in-query — only edge derivation is
+    * hoisted. */
+  private[graft] def coOrderRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.graphindex.base",
+      s"${graft.GraftSession.defaultStateDir}/graph_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/orders.parquet",
+        // two source tables feed one artifact: the second table's
+        // fingerprint rides the params salt
+        "co-order-v1;" +
+          graft.sources.DurableIndex.fingerprint(s"$dir/lineitem.parquet")))
+  }
+
+  /** The committed distinct (c, sk) frame (build-once). */
+  private[graft] def coOrderPairs(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.DurableIndex.ensure(s, coOrderRoot(dir)) {
+      graft.sources.AtomicPublish.publish(s, coOrderRoot(dir), Seq(
+        "co_order" -> Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+          .distinct()))
+    }
+    graft.sources.AtomicPublish.readOutput(s, root, "co_order")
+  }
+
   /** Directed edge list of the co-order graph: customer → supplier
     * for every (order, lineitem) pair, deduped. Node ids are
-    * disjointly encoded (customer 2k, supplier 2k+1). Edge count is
-    * fact-derived but DISTINCT-bounded by |customers|×|their
-    * suppliers| — the one fact-scan + one distinct shuffle. */
+    * disjointly encoded (customer 2k, supplier 2k+1). Read from the
+    * committed [[coOrderPairs]] artifact — the encode is a
+    * scan-projection. */
   private[graft] def edges(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    coOrderPairs(s, dir)
+      .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
 
   /** Power-iteration PageRank on an arbitrary (src, dst) edge frame.
     * Per round: one src-keyed join+aggregate (contributions), one
@@ -138,23 +172,23 @@ object Graph {
   val TriTopK = 10
 
   /** Undirected co-purchase edge list: part pairs co-ordered in
-    * ≥ [[TriMinSupport]] orders (b1's in-row pair generation — never a
-    * fact self-join), u < v canonical. Support thresholding is what
-    * bounds the edge set as the corpus grows. */
-  private[graft] def cooccurEdges(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-      .filter(size(col("parts")) >= 2)
-      // packed-pair kernel (see b1): one int64 key through the count
-      // shuffle, decoded after the support filter
-      .select(explode(org.apache.spark.sql.graft.PackedPairsExpr
-        .packedPairs(col("parts"))).as("pk"))
-      .groupBy(col("pk"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= TriMinSupport)
+    * ≥ [[TriMinSupport]] orders, u < v canonical — read from the
+    * COMMITTED basket index ([[Mining.ensureBasketIndex]]; its
+    * build keeps b1's in-row packed-pair generation, never a fact
+    * self-join). Support thresholding is what bounds the edge set as
+    * the corpus grows; the index floor equals [[TriMinSupport]], so
+    * the read is exact. */
+  private[graft] def cooccurEdges(s: SparkSession, dir: String): DataFrame = {
+    // the index floor must not exceed this consumer's threshold, or
+    // the read path would silently miss edges
+    require(TriMinSupport >= Mining.BasketMinSupport,
+      "g3 threshold below the basket index's support floor")
+    graft.sources.AtomicPublish.readOutput(s,
+      Mining.ensureBasketIndex(s, dir), "pair_support")
+      .filter(col("n_xy") >= TriMinSupport)
       .select(shiftright(col("pk"), 32).as("u"),
         col("pk").bitwiseAND(lit(4294967295L)).as("v"))
+  }
 
   /** Per-node triangle counts of an undirected (u, v) edge frame via
     * DEGREE-ORDERED orientation (the Suri & Vassilvitskii WWW'11 /
@@ -260,12 +294,7 @@ object Graph {
     * aggregate over 9dp-rounded ln pairs, attached back by a
     * side-keyed broadcast join. */
   def g5DegreeProfile(s: SparkSession, dir: String): DataFrame = {
-    val cs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
-      .localCheckpoint() // both degree aggregates read it; scan once
+    val cs = coOrderPairs(s, dir) // committed graph artifact, one scan
     def hist(keyCol: String, side: String) =
       cs.groupBy(col(keyCol)).agg(count(lit(1)).as("deg"))
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
@@ -325,12 +354,7 @@ object Graph {
     * spec can compare cap settings (see [[LpMaxDeg]]). */
   private[graft] def linkPredictAt(s: SparkSession, dir: String,
       maxDeg: Int): DataFrame = {
-    val cs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
-      .localCheckpoint() // pairs + degrees both read it; scan once
+    val cs = coOrderPairs(s, dir) // committed graph artifact, one scan
     val sdeg = cs.groupBy(col("sk")).agg(count(lit(1)).as("sdeg"))
     val pairs = cs.groupBy(col("c"))
       .agg(array_sort(collect_set(col("sk"))).as("ss"))

@@ -26,30 +26,58 @@ object Mining {
     * bounded basket size, never in the corpus. Deterministic total
     * order (count desc, part_a, part_b) compiles to
     * TakeOrderedAndProject — no global sort. */
-  def b1BasketPairs(s: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables.lineitem(s, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-      .filter(size(col("parts")) >= 2)
-    // in-row ordered pairs of the sorted basket from the compiled
-    // PackedPairs kernel (one flat loop, primitive long[] — the SQL
-    // higher-order-function form it replaces ran its lambdas
-    // interpreted and re-sliced the array per outer index). The pair
-    // is packed into ONE int64 (a<<32 | b) before the pair shuffle —
-    // half the key bytes, single-word hash/compare in the map-side
-    // combine — and decoded after the count; valid while part ids <
-    // 2^31 (re-split the key if ids outgrow 32 bits).
-    baskets.select(explode(org.apache.spark.sql.graft.PackedPairsExpr
-      .packedPairs(col("parts"))).as("pk"))
-      .groupBy(col("pk"))
-      .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= BasketMinSupport)
+  /** Durable basket-mining index: per-pair co-occurrence supports
+    * (support ≥ [[BasketMinSupport]] — the floor that bounds pair
+    * mass as the corpus grows), per-item supports, and the basket
+    * total, published ONCE per corpus fingerprint. THREE operators
+    * consume exactly these frames — b1's top pairs, b2's association
+    * rules, g3's co-purchase triangles — and before this each re-ran
+    * the basket collect + in-row pair generation + pair shuffle per
+    * query. At 100 TB co-occurrence counting is an ingest artifact
+    * (the shingle-overlaps argument on the mining plane); the
+    * analytics — ranking, rule scoring, triangle closure — stay
+    * in-query. Pair generation itself keeps b1's discipline: in-row
+    * ordered pairs from the compiled PackedPairs kernel, the pair
+    * packed into ONE int64 (a<<32 | b) through the count shuffle —
+    * half the key bytes, single-word hash/compare in the map-side
+    * combine; valid while part ids < 2^31. */
+  private[graft] def basketIndexRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.basketindex.base",
+      s"${graft.GraftSession.defaultStateDir}/basket_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/lineitem.parquet",
+        s"basket-v1;minsup=$BasketMinSupport;pack=int64"))
+  }
+
+  private[graft] def ensureBasketIndex(s: SparkSession, dir: String): String =
+    graft.sources.DurableIndex.ensure(s, basketIndexRoot(dir)) {
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint() // pairs + item supports + total read it
+      val pairs = op.groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+        .filter(size(col("parts")) >= 2)
+        .select(explode(org.apache.spark.sql.graft.PackedPairsExpr
+          .packedPairs(col("parts"))).as("pk"))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= BasketMinSupport)
+      graft.sources.AtomicPublish.publish(s, basketIndexRoot(dir), Seq(
+        "pair_support" -> pairs,
+        "item_support" -> op.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_item")),
+        "totals" -> op.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("n_baskets"))))
+    }
+
+  def b1BasketPairs(s: SparkSession, dir: String): DataFrame =
+    graft.sources.AtomicPublish.readOutput(s,
+      ensureBasketIndex(s, dir), "pair_support")
       .select(shiftright(col("pk"), 32).as("part_a"),
         col("pk").bitwiseAND(lit(4294967295L)).as("part_b"),
-        col("n_orders"))
+        col("n_xy").as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(BasketTopK)
-  }
 
   val MadK = 3.0 // flag |value - median| > MadK * 1.4826 * MAD
   val MadScale = 1.4826 // consistency constant: MAD ≈ sigma for normal data
@@ -331,22 +359,13 @@ object Mining {
     * identical doubles across engines; deterministic
     * (lift desc, antecedent, consequent) top-K. */
   def b2AssociationRules(s: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint() // baskets + item supports + total read it
-    val itemSup = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-    val tot = op.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    // b1's packed-pair shuffle: one int64 key through the exchange
-    // and map-side combine, decoded after the count
-    val pairs = op.groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-      .filter(size(col("parts")) >= 2)
-      .select(explode(org.apache.spark.sql.graft.PackedPairsExpr
-        .packedPairs(col("parts"))).as("pk"))
-      .groupBy(col("pk"))
-      .agg(count(lit(1)).as("n_xy"))
-      .filter(col("n_xy") >= BasketMinSupport)
+    // rule scoring over the COMMITTED basket index — pair supports,
+    // item supports, and the basket total are read-path frames; the
+    // rule math (confidence/lift, both directions) is the query
+    val root = ensureBasketIndex(s, dir)
+    val itemSup = graft.sources.AtomicPublish.readOutput(s, root, "item_support")
+    val tot = graft.sources.AtomicPublish.readOutput(s, root, "totals")
+    val pairs = graft.sources.AtomicPublish.readOutput(s, root, "pair_support")
       .select(shiftright(col("pk"), 32).as("a"),
         col("pk").bitwiseAND(lit(4294967295L)).as("b"), col("n_xy"))
     val directed = pairs

@@ -465,8 +465,30 @@ object Quality {
     * 1-row reduction attached by broadcast. rows-only (scores are
     * engine-specific via the trained weights); spec recomputes the
     * curve driver-side. */
+  /** Durable scored-corpus artifact: qc1's apply output published ONCE
+    * per corpus fingerprint — calibration monitoring (qc2, and pipe4
+    * through it) reads the COMMITTED scored table, the way a
+    * production monitor consumes the scoring job's output instead of
+    * re-scoring the corpus per report. qc1 itself remains the live
+    * apply-path demonstration (one scan against literal weights), and
+    * builds this artifact with exactly that plan. */
+  private[graft] def qcScoresRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.qcscores.base",
+      s"${graft.GraftSession.defaultStateDir}/qc_scores")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
+        s"qcscores-v1;dim=$QcDim;iters=$QcIters;lr=$QcLr;n=$QcTrainSampleTarget"))
+  }
+
+  private[graft] def ensureQcScores(s: SparkSession, dir: String): String =
+    graft.sources.DurableIndex.ensure(s, qcScoresRoot(dir)) {
+      graft.sources.AtomicPublish.publish(s, qcScoresRoot(dir),
+        Seq("scores" -> qc1ClassifierScore(s, dir)))
+    }
+
   def qc2Calibration(s: SparkSession, dir: String): DataFrame = {
-    val base = qc1ClassifierScore(s, dir)
+    val base = graft.sources.AtomicPublish.readOutput(s,
+      ensureQcScores(s, dir), "scores")
       .select(col("label").cast("double").as("label"), col("score"))
       .localCheckpoint() // cuts + curve + ECE all read the scored frame
     val qs = (1 until CalibBuckets).map(_.toDouble / CalibBuckets)

@@ -278,7 +278,11 @@ object Similarity {
       s"${graft.GraftSession.defaultStateDir}/ann_index")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/embeddings.parquet",
-        s"ann-v1;ivf=$IvfCells;lsh=${LshTables}x$LshBits;pq=m$PqM"))
+        // v2: the index grew the neardup_edges table — d5's pair
+        // scoring is now a build artifact (the shingle-overlaps
+        // pattern on the vector plane)
+        s"ann-v2;ivf=$IvfCells;lsh=${LshTables}x$LshBits;pq=m$PqM;" +
+          s"edges=tau${Dedup.NeardupTau}"))
   }
 
   private[graft] def ensureAnnIndex(s: SparkSession, dir: String): String = {
@@ -292,7 +296,9 @@ object Similarity {
       val refined = ivfCentroids(e)
       import s.implicits._
       val centroids = refined.toDF("cell_id", "cv", "cn")
-      val assignments = n3Assign(e, refined)
+      // localCheckpoint: published as an output AND consumed twice by
+      // the neardup-edge self-join below (blocks freed after the build)
+      val assignments = n3Assign(e, refined).localCheckpoint()
       // SLIM rows: (vec_id, tbl, bkt) only — storing the vector
       // once per hash table would multiply vector bytes
       // ×LshTables in both the index and every probe's scan
@@ -302,7 +308,10 @@ object Similarity {
         .select(col("vec_id"), explode(lshBuckets("v")).as("tb"))
         .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
       AtomicPublish.publish(s, root, Seq(
-        "centroids" -> centroids, "assignments" -> assignments, "lsh" -> lsh))
+        "centroids" -> centroids, "assignments" -> assignments, "lsh" -> lsh,
+        // d5's pair scoring runs ONCE here (cell-pruned equi-join,
+        // unrounded cosines) — near-dup sweeps are read-path filters
+        "neardup_edges" -> Dedup.neardupEdgesRaw(s, refined, assignments)))
     }
   }
 

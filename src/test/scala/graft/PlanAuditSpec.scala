@@ -58,14 +58,17 @@ class PlanAuditSpec extends GraftSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-K not TakeOrderedAndProject:\n$plan")
   }
 
-  test("d5/n1 hot path uses the native graft_dot kernel inside codegen") {
-    val df = Dedup.d5EmbeddingNeardup(spark, sf)
+  test("d5 edge BUILD hot path uses the native graft_dot kernel inside codegen") {
+    // the pair-scoring plan now runs at ANN-index build; audit it
+    // directly (neardupPairs is the same plan the build publishes)
+    val e = graft.operators.Similarity.corpus(spark, sf)
+    val df = Dedup.neardupPairs(spark, e)
     val plan = planOf(df)
-    assert(plan.contains("graft_dot"), s"native dot kernel missing from d5 plan:\n$plan")
+    assert(plan.contains("graft_dot"), s"native dot kernel missing from d5 build plan:\n$plan")
     // codegen explain compiles the stages even before execution (the
     // formatted plan under AQE shows isFinalPlan=false and no spans)
     val codegen = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
-    assert(codegen.contains("WholeStageCodegen"), s"no whole-stage codegen in d5 plan:\n$codegen")
+    assert(codegen.contains("WholeStageCodegen"), s"no whole-stage codegen in d5 build plan:\n$codegen")
   }
 
   test("q7: nation-tagged dims broadcast; lineitem-orders is the only shuffle join") {
@@ -95,12 +98,20 @@ class PlanAuditSpec extends GraftSpec {
     assert(got == Map(1L -> (("ok", 0L)), 2L -> (("error", 3L)), 3L -> (("ok", 0L))))
   }
 
-  test("d5: pairwise compute is a cell equi-join — no nested-loop or cartesian corpus join") {
-    val plan = planOf(Dedup.d5EmbeddingNeardup(spark, sf))
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      s"d5 fell back to a corpus nested-loop join:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"d5 plan contains a cartesian product:\n$plan")
+  test("d5: the query reads the published edge table — no join; the build is a cell equi-join") {
+    val readPlan = planOf(Dedup.d5EmbeddingNeardup(spark, sf))
+    assert(readPlan.contains("ann_index"),
+      s"d5 must read the published ANN index:\n$readPlan")
+    assert(!readPlan.contains("Join"),
+      s"d5's read path must not re-join pairs:\n$readPlan")
+    // the build-side pair plan stays a cell equi-join, never a
+    // nested-loop/cartesian corpus join
+    val e = graft.operators.Similarity.corpus(spark, sf)
+    val buildPlan = planOf(Dedup.neardupPairs(spark, e))
+    assert(!buildPlan.contains("BroadcastNestedLoopJoin"),
+      s"d5 build fell back to a corpus nested-loop join:\n$buildPlan")
+    assert(!buildPlan.contains("CartesianProduct"),
+      s"d5 build plan contains a cartesian product:\n$buildPlan")
   }
 
   test("partitioned sink: read-side filter on the partition column prunes partitions") {
@@ -909,22 +920,34 @@ class PlanAuditSpec extends GraftSpec {
       s"rank window must be shard-partitioned, never global:\n$plan")
   }
 
-  test("b2: rule mining stays in-row + keyed — no fact self-join, TakeOrdered top-K") {
+  test("b2: rule scoring reads the basket index; the build explodes pairs in-row") {
+    // r12: pair/item supports are committed basket-index outputs; b2's
+    // plan is keyed joins over them — the fact table appears nowhere
+    graft.operators.Mining.ensureBasketIndex(spark, sf)
     val plan = planOf(graft.operators.Mining.b2AssociationRules(spark, sf))
+    assert(plan.contains("basket_index"),
+      s"b2 must read the published basket index:\n$plan")
     assert(!plan.contains("CartesianProduct"),
-      s"pair supports must come from the in-row basket explode:\n$plan")
+      s"b2 must not pair-join facts:\n$plan")
     // the ONE nested-loop join allowed is the 1-row basket-total
     // broadcast (the codebase-wide crossJoin(broadcast(...)) scalar
-    // pattern); a second would be a real pair self-join. Formatted
-    // explain lists each node twice (tree + detail), so count the
-    // numbered detail headers.
+    // pattern). Formatted explain lists each node twice (tree +
+    // detail), so count the numbered detail headers.
     assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
       s"only the 1-row total may nested-loop:\n$plan")
-    assert(plan.contains("Generate") &&
-      plan.contains("explode(graft_packed_pairs"),
-      s"expected the in-row compiled pair explode:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-K must not be a global sort:\n$plan")
+    // the in-row compiled pair explode lives in the BUILD plan
+    val buildPlan = planOf(Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(org.apache.spark.sql.functions.array_sort(
+        org.apache.spark.sql.functions.collect_set(col("l_partkey"))).as("parts"))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.graft.PackedPairsExpr.packedPairs(col("parts")))
+        .as("pk")))
+    assert(buildPlan.contains("explode(graft_packed_pairs"),
+      s"expected the in-row compiled pair explode in the build:\n$buildPlan")
   }
 
   test("g6: BFS result reads checkpointed state — no edge-list rejoin in the output") {
