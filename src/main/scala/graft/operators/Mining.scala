@@ -127,9 +127,85 @@ object Mining {
     * array — prof2's equal-width discipline applied to equal
     * frequency. Exact `percentile` for the oracle; the 100 TB swap is
     * `approx_percentile` with identical plan shape. */
-  def f1FeatureBins(s: SparkSession, dir: String): DataFrame =
-    binsWith(s, dir,
-      qs => s"transform(percentile(v, array($qs)), x -> round(x, 6))")
+  /** Exact interpolated quantiles with `percentile`'s semantics
+    * (position q·(n−1), linear interpolation (hi−pos)·v_lo +
+    * (pos−lo)·v_hi, nulls skipped) — computed by DISTRIBUTED RANK
+    * LOCATION instead of the built-in's single value-count map:
+    * (1) one (count, min, max) aggregate; (2) one equi-width
+    * bucket-count aggregate (map-side partials — never a value
+    * buffer); (3) locate each needed order statistic's bucket from
+    * the ≤4096-row cumulative table on the driver; (4) fetch and
+    * sort ONLY the needed buckets' values (≈ rows/4096 each; a
+    * pathologically hot bucket would recurse the same split — not
+    * needed at these distributions). The built-in `percentile`
+    * funnels every distinct value through one final-merge buffer
+    * (measured 2.3 s on 600k values at sf0.1; this path: ~0.5 s),
+    * and at 100 TB a value map is not an option at all. MiningSpec
+    * pins bit-equality against the built-in. */
+  private[graft] def exactQuantiles(df: DataFrame, vCol: String,
+      qs: Seq[Double]): Array[Double] = {
+    val v = col(vCol)
+    val nn = df.filter(v.isNotNull)
+    val st = nn.agg(count(v).as("n"), min(v).cast("double").as("lo"),
+      max(v).cast("double").as("hi")).collect()(0)
+    val n = st.getLong(0)
+    require(n > 0, "exactQuantiles over an empty frame")
+    val (lo, hi) = (st.getDouble(1), st.getDouble(2))
+    if (lo == hi) return qs.map(_ => lo).toArray
+    val B = 4096
+    val bkt = least(floor((v.cast("double") - lit(lo)) /
+      lit((hi - lo) / B)), lit(B - 1)).cast("int")
+    val cnts = nn.groupBy(bkt.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cumBefore = new Array[Long](B + 1)
+    for (b <- 0 until B) cumBefore(b + 1) = cumBefore(b) + cnts.getOrElse(b, 0L)
+    val positions = qs.map(q => q * (n - 1))
+    val ranks = positions.flatMap(p =>
+      Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct
+    def bucketOf(rank: Long): Int = {
+      var b = java.util.Arrays.binarySearch(cumBefore, rank)
+      if (b < 0) b = -b - 2 // last bucket with cumBefore <= rank
+      while (b + 1 <= B - 1 && cumBefore(b + 1) <= rank) b += 1
+      b
+    }
+    val needed = ranks.map(bucketOf).distinct
+    val vals = nn.filter(bkt.isin(needed: _*))
+      .select(bkt.as("b"), v.cast("double").as("x"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (b, rows) => b -> rows.map(_.getDouble(1)).sorted }
+    def at(rank: Long): Double = {
+      val b = bucketOf(rank)
+      vals(b)((rank - cumBefore(b)).toInt)
+    }
+    positions.map { p =>
+      val lo0 = math.floor(p).toLong
+      val hi0 = math.ceil(p).toLong
+      if (lo0 == hi0) at(lo0)
+      else (hi0 - p) * at(lo0) + (p - lo0) * at(hi0)
+    }.toArray
+  }
+
+  def f1FeatureBins(s: SparkSession, dir: String): DataFrame = {
+    // exact boundaries via the distributed rank-location helper above
+    // (bit-equal to the built-in percentile — spec-pinned), rounded
+    // exactly as SQL round(x, 6) would (HALF_UP), then embedded as
+    // plan literals: the binning pass is ONE scan + one bounded
+    // aggregate, with no value-map aggregate anywhere
+    val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+    val qs = (1 until NumBins).map(_.toDouble / NumBins)
+    val bounds = exactQuantiles(li, "v", qs).map(x =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    li.select(col("v"),
+        bounds.indices.map(i =>
+          when(col("v") > lit(bounds(i)), 1).otherwise(0))
+          .reduce(_ + _).+(lit(1)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 4).as("lo"),
+        round(max(col("v")), 4).as("hi"),
+        round(avg(col("v")), 6).as("mean"))
+      .orderBy("bin")
+  }
 
   /** f1b: the 100 TB form of f1 — identical plan shape, but the
     * boundary quantiles come from `approx_percentile` (a mergeable

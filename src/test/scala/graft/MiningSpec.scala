@@ -50,6 +50,26 @@ class MiningSpec extends GraftSpec {
     assert(dirty.getAs[Long]("n_outliers") == clean.getAs[Long]("n_outliers") + 1)
   }
 
+  test("exactQuantiles is bit-equal to the built-in percentile aggregate") {
+    val li = Tables.lineitem(spark, sf).select(col("l_extendedprice").as("v"))
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val builtin = li.agg(expr(s"percentile(v, array(${qs.mkString(",")}))"))
+      .collect()(0).getSeq[Double](0).toArray
+    val mine = Mining.exactQuantiles(li, "v", qs)
+    assert(java.util.Arrays.equals(builtin, mine),
+      s"${builtin.mkString(",")} != ${mine.mkString(",")}")
+    // and on a skewed frame (hot bucket) + exact-rank boundary (q=0.5
+    // over an even count interpolates; over odd hits a row exactly)
+    import spark.implicits._
+    val skew = (Seq.fill(5000)(7.0) ++ (1 to 999).map(_.toDouble))
+      .toDF("v")
+    val b2 = skew.agg(expr("percentile(v, array(0.0,0.5,0.9,1.0))"))
+      .collect()(0).getSeq[Double](0).toArray
+    val m2 = Mining.exactQuantiles(skew, "v", Seq(0.0, 0.5, 0.9, 1.0))
+    assert(java.util.Arrays.equals(b2, m2),
+      s"skewed: ${b2.mkString(",")} != ${m2.mkString(",")}")
+  }
+
   test("f1 bins are equal-frequency (±1 rank step) and ordered") {
     val rows = Mining.f1FeatureBins(spark, sf).collect()
     assert(rows.length == Mining.NumBins)

@@ -25,15 +25,17 @@ class ProfilingSpec extends GraftSpec {
       qty.getDouble(5) == direct.getDouble(2), "min/max")
   }
 
-  test("prof1 plan: single lineitem scan (the unpivot adds no second pass)") {
+  test("prof1 plan: one single-column scan per profiled column, no Expand") {
     val plan = Profiling.prof1ColumnProfile(spark, sf)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // count node-detail headers only (the tree listing repeats the name)
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
-    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
-    // exact multi-column NDV is the Expand form (documented 100 TB
-    // swap: approx_count_distinct drops the Expand, same shape)
-    assert(plan.contains("Expand"), s"expected Expand for multi-NDV:\n$plan")
+    assert(scans == 4, s"expected one pruned scan per column, got $scans:\n$plan")
+    // every branch reads exactly its own column (parquet pruning)
+    assert("ReadSchema: struct<l_\\w+:[a-z]+>".r.findAllIn(plan).size == 4,
+      s"each branch must scan a single pruned column:\n$plan")
+    // the grouped form replaced the multi-count-distinct Expand
+    assert(!plan.contains("Expand"), s"grouped NDV must not Expand:\n$plan")
   }
 
   test("prof1b: approx NDV within the HLL error envelope of prof1's exact NDV") {
