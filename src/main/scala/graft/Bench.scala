@@ -49,7 +49,18 @@ object Bench {
     // running verify/test JVM would fail one of them. Bucketed-table
     // pay-once setup (k2) lands in pass 1 and is amortized by min-of-N.
     val stateDir = TmpRoots.perProcess("graft_bench_state")
-    val spark = GraftSession.builder(cpus.toInt, stateDir).getOrCreate()
+    // The bench session runs on the IN-MEMORY catalog by default
+    // (SPARK_GRAFT_CATALOG=hive restores Derby): embedded-Derby
+    // metastore creation costs ~8-12 s of the driver's fixed bench
+    // budget and buys nothing measured — catalog DURABILITY is proven
+    // by PersistenceSpec/AnnPersistenceSpec on the hive path, while
+    // every benched query plans and executes identically on either
+    // catalog (bucketed saveAsTable included).
+    val catalog = sys.env.getOrElse("SPARK_GRAFT_CATALOG", "in-memory")
+    val builder0 = GraftSession.builder(cpus.toInt, stateDir)
+    val spark = (if (catalog == "hive") builder0
+      else builder0.config("spark.sql.catalogImplementation", "in-memory"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Runtime conf overrides for bench experiments, e.g.
     // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false;spark.x=y"

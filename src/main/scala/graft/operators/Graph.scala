@@ -350,33 +350,64 @@ object Graph {
   def g4LinkPredict(s: SparkSession, dir: String): DataFrame =
     linkPredictAt(s, dir, LpMaxDeg)
 
+  /** Durable supplier-pair support table at a given hub cap — g4's
+    * pair aggregate hoisted to a build artifact (the basket-index
+    * argument on the bipartite-projection plane: shared-customer
+    * counting is ingest-time work; pair mass is the quadratic cost
+    * and it is paid ONCE per (corpus, cap)). Stores the exact int64
+    * Adamic-Adar sum so the read path rounds, like the ANN edge
+    * table stores raw cosines. The cap is part of the fingerprint —
+    * changing the [[LpMaxDeg]] knob builds a sibling root, and the
+    * old one ages out through the standard vacuum. */
+  private[graft] def lpPairsRoot(dir: String, maxDeg: Int): String = {
+    // OWN base dir, not graph_index: DurableIndex's lazy sibling
+    // vacuum treats same-prefix roots under one base as stale
+    // fingerprints of the SAME index — two index kinds sharing a base
+    // would vacuum each other
+    val base = sys.props.getOrElse("graft.graphlp.base",
+      s"${graft.GraftSession.defaultStateDir}/graph_lp_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/orders.parquet",
+        s"lp-pairs-v1;maxdeg=$maxDeg;pack=int64;" +
+          graft.sources.DurableIndex.fingerprint(s"$dir/lineitem.parquet")))
+  }
+
+  private[graft] def ensureLpPairs(s: SparkSession, dir: String,
+      maxDeg: Int): String =
+    graft.sources.DurableIndex.ensure(s, lpPairsRoot(dir, maxDeg)) {
+      val cs = coOrderPairs(s, dir) // committed graph artifact
+      // the per-customer 1/ln(deg) Adamic-Adar term is quantized ONCE
+      // per customer (constant across that customer's pairs), and
+      // pairs come from the compiled PackedPairs kernel (see b1);
+      // each int64 term ≤ 1.45e9, so the long sum overflows only past
+      // ~6e9 shared customers per pair — far past any real corpus
+      graft.sources.AtomicPublish.publish(s, lpPairsRoot(dir, maxDeg), Seq(
+        "supplier_pairs" -> cs.groupBy(col("c"))
+          .agg(array_sort(collect_set(col("sk"))).as("ss"))
+          .filter(size(col("ss")).between(2, maxDeg))
+          .select(round(lit(1e9) / log(size(col("ss"))), 0).cast("long")
+            .as("invq"), explode(org.apache.spark.sql.graft.PackedPairsExpr
+            .packedPairs(col("ss"))).as("pk"))
+          .groupBy(col("pk"))
+          .agg(count(lit(1)).as("common"),
+            sum(col("invq")).as("invq_sum"))))
+    }
+
   /** g4 core at an explicit hub cap — factored out so the stability
-    * spec can compare cap settings (see [[LpMaxDeg]]). */
+    * spec can compare cap settings (see [[LpMaxDeg]]). Scoring reads
+    * the committed pair table; Jaccard's supplier degrees come from
+    * the UNCAPPED committed edge set via two keyed joins over the
+    * pair-sized frame. */
   private[graft] def linkPredictAt(s: SparkSession, dir: String,
       maxDeg: Int): DataFrame = {
-    val cs = coOrderPairs(s, dir) // committed graph artifact, one scan
-    val sdeg = cs.groupBy(col("sk")).agg(count(lit(1)).as("sdeg"))
-    val pairs = cs.groupBy(col("c"))
-      .agg(array_sort(collect_set(col("sk"))).as("ss"))
-      .filter(size(col("ss")).between(2, maxDeg))
-      // the per-customer 1/ln(deg) Adamic-Adar term is quantized ONCE
-      // per customer (it is constant across that customer's pairs; the
-      // old form re-evaluated log+round per pair row inside the
-      // partial aggregate), and pairs come from the compiled
-      // PackedPairs kernel (see b1)
-      .select(round(lit(1e9) / log(size(col("ss"))), 0).cast("long")
-        .as("invq"), explode(org.apache.spark.sql.graft.PackedPairsExpr
-        .packedPairs(col("ss"))).as("pk"))
-      .groupBy(col("pk"))
-      .agg(count(lit(1)).as("common"),
-        // order-independent EXACT fold without decimal's boxing cost:
-        // each 1/ln(deg) term quantized to an int64 at 1e-9 grain and
-        // summed as a long (terms ≤ 1.45e9, so overflow needs ~6e9
-        // shared customers per pair — far past any real corpus)
-        round(sum(col("invq")).cast("double") / 1e9, 6).as("adamic_adar"))
+    val sdeg = coOrderPairs(s, dir)
+      .groupBy(col("sk")).agg(count(lit(1)).as("sdeg"))
+    val pairs = graft.sources.AtomicPublish.readOutput(s,
+      ensureLpPairs(s, dir, maxDeg), "supplier_pairs")
       .select(shiftright(col("pk"), 32).as("s1"),
         col("pk").bitwiseAND(lit(4294967295L)).as("s2"),
-        col("common"), col("adamic_adar"))
+        col("common"),
+        round(col("invq_sum").cast("double") / 1e9, 6).as("adamic_adar"))
     pairs
       .join(sdeg.select(col("sk").as("s1"), col("sdeg").as("d1")), Seq("s1"))
       .join(sdeg.select(col("sk").as("s2"), col("sdeg").as("d2")), Seq("s2"))
