@@ -760,14 +760,27 @@ object Analytics {
     * rounding to 4 decimals absorbs any sub-ulp divergence. (Exact
     * percentiles buffer each group — the unbounded-cardinality scale
     * path is approx_percentile, same shape as a3's HLL.) */
-  def a5Percentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ps"))
-      .select(col("l_returnflag"),
-        round(col("ps")(0), 4).as("p25"), round(col("ps")(1), 4).as("p50"),
-        round(col("ps")(2), 4).as("p75"), round(col("ps")(3), 4).as("p90"))
-      .orderBy("l_returnflag")
+  /** a5: exact per-group quantiles via the distributed rank-location
+    * helper ([[Mining.groupedExactQuantiles]] — bit-equal to the
+    * built-in `percentile`, spec-pinned) instead of a per-group
+    * value-map aggregate whose final merge buffers every distinct
+    * value single-threaded (measured 1.5 s → 0.7 s at sf0.1; at
+    * 100 TB the value map is not an option). The distributed work is
+    * two keyed aggregates; the interpolation folds groups × quantiles
+    * bounded metadata driver-side and emits the literal result frame
+    * (the centroid/PCA bounded-collect pattern). Rounding replicates
+    * SQL round(x, 4) (HALF_UP). */
+  def a5Percentiles(s: SparkSession, dir: String): DataFrame = {
+    val q = Mining.groupedExactQuantiles(
+      Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.9))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import s.implicits._
+    q.toSeq.sortBy(_._1)
+      .map { case (f, a) => (f, r4(a(0)), r4(a(1)), r4(a(2)), r4(a(3))) }
+      .toDF("l_returnflag", "p25", "p50", "p75", "p90")
+  }
 
   /** a6: second-moment statistics per group (stddev, correlation,
     * covariance). Merge-order float effects are absorbed by rounding

@@ -185,6 +185,76 @@ object Mining {
     }.toArray
   }
 
+  /** [[exactQuantiles]] per group key, in ONE distributed pass per
+    * stage: a (group → n/lo/hi) stats aggregate, a (group, bucket)
+    * count aggregate (per-group widths ride a broadcast of the
+    * bounded stats frame), then the needed buckets of EVERY group are
+    * fetched in one filtered collect and interpolated driver-side —
+    * bounded by groups × quantiles × bucket width, the centroid/PCA
+    * bounded-collect pattern. Same bit-exact interpolation as the
+    * built-in percentile (spec-pinned). */
+  private[graft] def groupedExactQuantiles(df: DataFrame, gCol: String,
+      vCol: String, qs: Seq[Double]): Map[String, Array[Double]] = {
+    val nn = df.filter(col(vCol).isNotNull)
+      .select(col(gCol).cast("string").as("g"),
+        col(vCol).cast("double").as("x"))
+    val stats = nn.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val B = 4096
+    import df.sparkSession.implicits._
+    val widths = stats.toSeq.map { case (k, (_, lo, hi)) =>
+      (k, lo, if (hi > lo) (hi - lo) / B else 1.0)
+    }.toDF("g", "glo", "gw")
+    val bucketed = nn.join(broadcast(widths), Seq("g"))
+      .select(col("g"),
+        least(floor((col("x") - col("glo")) / col("gw")), lit(B - 1))
+          .cast("int").as("b"),
+        col("x"))
+      .localCheckpoint() // counts + needed-bucket fetch read it
+    val cnts = bucketed.groupBy(col("g"), col("b"))
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap }
+    val plan = stats.map { case (k, (n, lo, hi)) =>
+      val cumBefore = new Array[Long](B + 1)
+      val cm = cnts.getOrElse(k, Map.empty)
+      for (b <- 0 until B) cumBefore(b + 1) = cumBefore(b) + cm.getOrElse(b, 0L)
+      val positions = qs.map(q => q * (n - 1))
+      def bucketOf(rank: Long): Int = {
+        var b = java.util.Arrays.binarySearch(cumBefore, rank)
+        if (b < 0) b = -b - 2
+        while (b + 1 <= B - 1 && cumBefore(b + 1) <= rank) b += 1
+        b
+      }
+      val ranks = positions.flatMap(p =>
+        Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct
+      k -> (lo, hi, cumBefore, positions, ranks.map(bucketOf).distinct,
+        (r: Long) => bucketOf(r))
+    }
+    val neededKeys = plan.flatMap { case (k, (_, _, _, _, needed, _)) =>
+      needed.map(b => s"$k#$b")
+    }.toSeq
+    val vals = bucketed
+      .filter(concat_ws("#", col("g"), col("b").cast("string"))
+        .isin(neededKeys: _*))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getInt(1)))
+      .map { case (kb, rows) => kb -> rows.map(_.getDouble(2)).sorted }
+    plan.map { case (k, (lo, hi, cumBefore, positions, _, bucketOf)) =>
+      def at(rank: Long): Double =
+        if (lo == hi) lo
+        else { val b = bucketOf(rank); vals((k, b))((rank - cumBefore(b)).toInt) }
+      k -> positions.map { p =>
+        val l = math.floor(p).toLong
+        val h = math.ceil(p).toLong
+        if (l == h) at(l) else (h - p) * at(l) + (p - l) * at(h)
+      }.toArray
+    }
+  }
+
   def f1FeatureBins(s: SparkSession, dir: String): DataFrame = {
     // exact boundaries via the distributed rank-location helper above
     // (bit-equal to the built-in percentile — spec-pinned), rounded

@@ -290,7 +290,8 @@ object Sources {
         .unionByName(survivors.select(
           col("user_id"), col("event_type"), col("value"), col("ts")))
         .localCheckpoint()
-      merged.write.mode(SaveMode.Overwrite)
+      merged.repartition(col("event_type")) // see mergeIntoTarget note
+        .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_type").parquet(path)
       // fully-deleted touched partitions never appear in `merged`, so
@@ -494,7 +495,13 @@ object Sources {
       val merged = latest.unionByName(survivors.select(
         col("user_id"), col("event_type"), col("value"), col("ts")))
         .localCheckpoint()
-      merged.write.mode(SaveMode.Overwrite)
+      // repartition on the partition column before the write: without
+      // it every upstream task emits a sliver file into every touched
+      // partition dir (tasks × partitions small files — the classic
+      // dynamic-overwrite file-count trap); at larger volumes this
+      // becomes repartition(n, col) to keep per-partition parallelism
+      merged.repartition(col("event_type"))
+        .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_type").parquet(path)
     }

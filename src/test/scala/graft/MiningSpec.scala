@@ -70,6 +70,24 @@ class MiningSpec extends GraftSpec {
       s"skewed: ${b2.mkString(",")} != ${m2.mkString(",")}")
   }
 
+  test("groupedExactQuantiles matches the built-in per-group percentile") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val builtin = li.groupBy(col("l_returnflag"))
+      .agg(expr(s"percentile(l_extendedprice, array(${qs.mkString(",")}))")
+        .as("ps"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    val mine = Mining.groupedExactQuantiles(li, "l_returnflag",
+      "l_extendedprice", qs)
+    assert(mine.keySet == builtin.keySet)
+    mine.foreach { case (k, a) =>
+      assert(java.util.Arrays.equals(a, builtin(k)),
+        s"$k: ${a.mkString(",")} != ${builtin(k).mkString(",")}")
+    }
+  }
+
   test("f1 bins are equal-frequency (±1 rank step) and ordered") {
     val rows = Mining.f1FeatureBins(spark, sf).collect()
     assert(rows.length == Mining.NumBins)
