@@ -22,13 +22,13 @@ object ExplainDump {
         Relational.r1FilteredScan _),
       ("q5_region_revenue", "all dims broadcast; the lineitem⋈orders join is the only shuffle join",
         Analytics.q5RegionRevenue _),
-      ("d2_ngram_jaccard", "DF-capped shingle equi-join (broadcast anti-join drops hot shingles)",
+      ("d2_ngram_jaccard", "read-path filter over the shingle index's committed overlaps table — no kernel scan, no sh-exchange, no join (the build owns the DF-capped equi-join)",
         Dedup.d2NgramJaccard _),
       ("d3_minhash_lsh", "native MinHash32 kernel signatures (zero-shuffle scan+project); band-key equi-join candidates",
         Dedup.d3MinhashLsh _),
       ("d4_simhash", "native SimHash64 kernel signatures (zero-shuffle scan+project); hamming-chunk equi-join candidates",
         Dedup.d4Simhash _),
-      ("d5_embedding_neardup", "EXACT pairs: triangle-inequality-pruned cell pairs through an equi-join on the cell key (no corpus BNLJ)",
+      ("d5_embedding_neardup", "read-path filter over the ANN index's committed neardup_edges table (the build owns the triangle-inequality-pruned cell equi-join — no corpus BNLJ)",
         Dedup.d5EmbeddingNeardup _),
       ("k2_bucketed_join", "bucketed managed tables: SortMergeJoin with no Exchange below it",
         (s: SparkSession, d: String) => graft.sources.Sources.k2BucketedJoin(s, d)),
@@ -66,7 +66,7 @@ object ExplainDump {
         Analytics.obt1Denormalize _),
       ("t20_bigram_perplexity", "bigram LM: kernel in-row (doc,bigram,tf); count table joins on its own key; unigram/V broadcast",
         TextAnalysis.t20BigramPerplexity _),
-      ("b1_basket_pairs", "basket pairs in-row from per-order sorted sets: two keyed shuffles, no self-join, TakeOrderedAndProject",
+      ("b1_basket_pairs", "reads the committed basket index's pair supports (build: in-row pairs from per-order sorted sets); decode + TakeOrderedAndProject only",
         graft.operators.Mining.b1BasketPairs _),
       ("ts1_gap_fill", "spine from ONE 1-row aggregate double-exploded (span + type set); left join over bounded metadata",
         graft.operators.TimeSeries.ts1GapFill _),
@@ -80,7 +80,7 @@ object ExplainDump {
         Similarity.n12PqTopk _),
       ("w7_stickiness", "rolling distinct via day-bin explode of the deduped (user,day) frame — raw events never fan out",
         Analytics.w7Stickiness _),
-      ("g4_link_predict", "supplier pairs from the in-row per-customer explode (hub cap); degree joins keyed; TakeOrderedAndProject top-K",
+      ("g4_link_predict", "reads the committed (corpus, hub-cap) supplier-pair table; degree joins keyed over the pair-sized frame; TakeOrderedAndProject top-K",
         graft.operators.Graph.g4LinkPredict _),
       ("m5_phash_neardup", "pHash candidates ride the (band, value) equi-join with hot buckets capped; exact hamming fold on survivors only",
         (s: SparkSession, d: String) => graft.operators.Multimodal.m5PhashNeardup(s, d)),
@@ -92,7 +92,7 @@ object ExplainDump {
         graft.operators.Profiling.prof4JoinCardinality _),
       ("d10_canonical_pick", "consumes the PUBLISHED cluster table (no d2+CC recompute); struct-max survival rule, (doc_id,len)-only member join",
         Dedup.d10CanonicalPick _),
-      ("d7_containment_dedup", "d2's DF-capped shingle equi-join core re-scored as |A∩B|/min — asymmetric duplication Jaccard misses",
+      ("d7_containment_dedup", "the same committed overlaps table as d2, re-scored as |A∩B|/min — asymmetric duplication Jaccard misses; no inline pair join",
         Dedup.d7ContainmentDedup _),
       ("w8_active_streaks", "gaps-and-islands: per-user window over the deduped (user,day) frame; histogram collapses to bounded rows",
         Analytics.w8ActiveStreaks _),
@@ -115,7 +115,15 @@ object ExplainDump {
       ("er4_incremental_entities", "entity ledger from the incrementally-maintained ER index: catalog ⋈ clusters reads, no blocked levenshtein in the read path",
         graft.operators.EntityResolution.er4IncrementalEntities _),
       ("m7_incremental_media", "media dup groups from the maintained pHash index: one clusters read + aggregate — no codec pass, no band join in the read path",
-        graft.operators.Multimodal.m7IncrementalMedia _))
+        graft.operators.Multimodal.m7IncrementalMedia _),
+      ("n17_incremental_ann", "IVF probe over the INCREMENTALLY-maintained ANN snapshot (n3's exact probe plan at the post-ingest version)",
+        graft.operators.IncrementalAnn.n17IncrementalAnn _),
+      ("ix4_incremental_postings", "batch postings report from the incrementally-maintained text index: committed postings semi-joined by batch terms — base text never re-tokenized",
+        graft.operators.TextIndex.ix4IncrementalPostings _),
+      ("prof1_column_profile", "exact profile as one grouped branch per column (pruned single-column scans, (value,count) shuffles) — the multi-NDV Expand is gone",
+        graft.operators.Profiling.prof1ColumnProfile _),
+      ("f1_feature_bins", "rank-located exact decile boundaries embedded as plan literals; the binning pass is one scan + one bounded aggregate",
+        graft.operators.Mining.f1FeatureBins _))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries (sf0.01, formatted explain)\n\n")
     sb.append("Generated by `sbt \"runMain graft.ExplainDump\"` from the live\n")

@@ -106,7 +106,11 @@ object ScaleCheck {
     // cohort now that its greedy loop is executor-side)
     "d13_incremental_index", "n11_mmr_rerank", "t25_incremental_tfidf",
     "d14_incremental_passages", "er4_incremental_entities",
-    "m7_incremental_media")
+    "m7_incremental_media",
+    // round-12 newcomers (incremental ANN + text-postings lifecycles;
+    // s2 now deterministic so its scale shape is gate-relevant)
+    "n17_incremental_ann", "ix4_incremental_postings",
+    "s2_stratified_sample")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {
