@@ -64,4 +64,25 @@ class AdviceClosureSpec extends GraftSpec {
     assert(a == a2, "same corpus + same recipe must be stable")
     assert(DurableIndex.root("/x", "d", a) != DurableIndex.root("/x", "d", b))
   }
+
+  test("r12 advice: g2's oracle iterates with the host-computed teleport constant") {
+    // DuckDB parsing `1.0 - 0.85` in DECIMAL lands on the OTHER
+    // neighboring double of 0.15 — the oracle must interpolate the
+    // exact double Spark's constant folding produces, and the Spark
+    // plan must use the same shared constant
+    val printed = graft.operators.Graph.OneMinusDamping.toString
+    assert(printed == "0.15000000000000002",
+      s"host 1.0-0.85 printed unexpectedly: $printed")
+    assert(graft.operators.Graph.oracles("g2_pagerank").contains(printed),
+      "g2 oracle must embed the host-computed teleport constant")
+    assert(!graft.operators.Graph.oracles("g2_pagerank").contains("(1.0 - 0.85)"),
+      "g2 oracle must not re-derive the constant in SQL decimal")
+  }
+
+  test("r12 advice: d14's oracle actually rewrote its d9 anchor (batch filter present)") {
+    val sql = graft.operators.Incremental.oracles("d14_incremental_passages")
+    assert(sql.contains(
+      s"WHERE occ.doc_id % ${graft.operators.Incremental.BatchMod} = 0"),
+      "d14 oracle must carry the batch-slice filter")
+  }
 }
