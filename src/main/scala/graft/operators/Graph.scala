@@ -372,25 +372,32 @@ object Graph {
           graft.sources.DurableIndex.fingerprint(s"$dir/lineitem.parquet")))
   }
 
+  /** The build-time pair aggregate (factored out so PlanAuditSpec can
+    * pin the in-row explode on the BUILD plan — the query plan is a
+    * read-path filter and must NOT contain it). The per-customer
+    * 1/ln(deg) Adamic-Adar term is quantized ONCE per customer
+    * (constant across that customer's pairs), and pairs come from the
+    * compiled PackedPairs kernel (see b1); each int64 term ≤ 1.45e9,
+    * so the long sum overflows only past ~6e9 shared customers per
+    * pair — far past any real corpus. */
+  private[graft] def lpPairsBuild(s: SparkSession, dir: String,
+      maxDeg: Int): DataFrame =
+    coOrderPairs(s, dir) // committed graph artifact
+      .groupBy(col("c"))
+      .agg(array_sort(collect_set(col("sk"))).as("ss"))
+      .filter(size(col("ss")).between(2, maxDeg))
+      .select(round(lit(1e9) / log(size(col("ss"))), 0).cast("long")
+        .as("invq"), explode(org.apache.spark.sql.graft.PackedPairsExpr
+        .packedPairs(col("ss"))).as("pk"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("common"),
+        sum(col("invq")).as("invq_sum"))
+
   private[graft] def ensureLpPairs(s: SparkSession, dir: String,
       maxDeg: Int): String =
     graft.sources.DurableIndex.ensure(s, lpPairsRoot(dir, maxDeg)) {
-      val cs = coOrderPairs(s, dir) // committed graph artifact
-      // the per-customer 1/ln(deg) Adamic-Adar term is quantized ONCE
-      // per customer (constant across that customer's pairs), and
-      // pairs come from the compiled PackedPairs kernel (see b1);
-      // each int64 term ≤ 1.45e9, so the long sum overflows only past
-      // ~6e9 shared customers per pair — far past any real corpus
       graft.sources.AtomicPublish.publish(s, lpPairsRoot(dir, maxDeg), Seq(
-        "supplier_pairs" -> cs.groupBy(col("c"))
-          .agg(array_sort(collect_set(col("sk"))).as("ss"))
-          .filter(size(col("ss")).between(2, maxDeg))
-          .select(round(lit(1e9) / log(size(col("ss"))), 0).cast("long")
-            .as("invq"), explode(org.apache.spark.sql.graft.PackedPairsExpr
-            .packedPairs(col("ss"))).as("pk"))
-          .groupBy(col("pk"))
-          .agg(count(lit(1)).as("common"),
-            sum(col("invq")).as("invq_sum"))))
+        "supplier_pairs" -> lpPairsBuild(s, dir, maxDeg)))
     }
 
   /** g4 core at an explicit hub cap — factored out so the stability

@@ -307,7 +307,93 @@ object Profiling {
     frames.reduce(_.unionAll(_)).orderBy("fd")
   }
 
+  /** Benford first-digit expectations log10(1 + 1/d), HOST-computed
+    * doubles interpolated into BOTH plans (the g2 OneMinusDamping
+    * rule): each engine parses the identical decimal literal instead
+    * of evaluating its own log10. */
+  private val BenfordP: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** prof7: Benford first-significant-digit audit of l_extendedprice —
+    * the classic fraud/synthetic-data screen (Benford 1938; Nigrini's
+    * audit use): observed leading-digit shares against log10(1+1/d)
+    * with per-digit χ² contributions. The digit is extracted WITHOUT
+    * log10-at-runtime: prices are exact cents after the money
+    * quantization (floor(x·100+0.5), one IEEE op), and the leading
+    * digit of the cents integer IS the leading significant digit of
+    * the price — integer/string ops both engines reproduce bit-exactly
+    * (a runtime floor(log10(x)) could flip at exact powers of ten).
+    * Scale shape: ONE scan → 9-group aggregate (map-side partials);
+    * the total attaches as a broadcast 1-row aggregate (prof2's
+    * pattern). Output is 9 rows regardless of table size. */
+  def prof7Benford(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+    val counts = li.select(substring(cents.cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("n_rows"))
+    val expected = BenfordP.tail.foldLeft(
+      when(col("digit") === BenfordP.head._1, lit(BenfordP.head._2))) {
+      case (acc, (d, p)) => acc.when(col("digit") === d, lit(p))
+    }
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"), col("n_rows"),
+        q6(col("n").cast("double") / col("n_rows")).as("share"),
+        q6(expected).as("expected_p"),
+        q6(((col("n").cast("double") - col("n_rows") * expected) *
+          (col("n").cast("double") - col("n_rows") * expected)) /
+          (col("n_rows") * expected)).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** Column pairs profiled by prof8 (all 2-combinations of the measure
+    * columns, the prof1 set). */
+  private val CorrPairs: Seq[(String, String)] =
+    ProfiledCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+
+  /** prof8: exact Pearson correlation matrix over the fact table's
+    * measure columns — the redundancy screen a profiler runs beside
+    * prof5's categorical NMI (numeric columns this time). Determinism
+    * is the whole design: a naive corr() sums doubles in partial-
+    * aggregate merge order (run-to-run nondeterministic), so each
+    * value is first quantized to exact integer cents (floor(x·100+0.5),
+    * the repo-wide money grain) and every moment — Σx, Σx², Σxy — is
+    * an EXACT DECIMAL(38,0) sum (order-free); the Pearson formula then
+    * runs on their correctly-rounded double casts in a fixed IEEE
+    * order both engines reproduce, q6 at the boundary. Scale shape:
+    * ONE scan, ONE 1-row aggregate carrying all k + k + C(k,2) moments
+    * (map-side partials), unpivoted to pair rows via stack() — prof1's
+    * scaffold. 100 TB cost = the scan; output is C(k,2) rows. */
+  def prof8NumericCorr(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def qcents(c: String) = floor(col(c) * lit(100.0) + lit(0.5)).cast("long")
+    def d38(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
+    val moments = count(lit(1)).as("n") +:
+      (ProfiledCols.flatMap { c =>
+        Seq(sum(d38(qcents(c))).as(s"s_$c"),
+          sum(d38(qcents(c) * qcents(c))).as(s"ss_$c"))
+      } ++ CorrPairs.map { case (a, b) =>
+        sum(d38(qcents(a) * qcents(b))).as(s"sp_${a}_$b")
+      })
+    val one = li.agg(moments.head, moments.tail: _*)
+    val stackArgs = CorrPairs.map { case (a, b) =>
+      s"'${a}_$b', CAST(s_$a AS DOUBLE), CAST(ss_$a AS DOUBLE), " +
+        s"CAST(s_$b AS DOUBLE), CAST(ss_$b AS DOUBLE), CAST(sp_${a}_$b AS DOUBLE)"
+    }.mkString(", ")
+    one.selectExpr("CAST(n AS DOUBLE) AS nd", "n",
+        s"stack(${CorrPairs.size}, $stackArgs) AS (pair_name, sx, sxx, sy, syy, sxy)")
+      .select(col("pair_name"), col("n"),
+        q6((col("nd") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("nd") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("nd") * col("syy") - col("sy") * col("sy")))).as("pearson_r"))
+      .orderBy("pair_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prof7_benford" -> (prof7Benford _),
+    "prof8_numeric_corr" -> (prof8NumericCorr _),
     "prof5_mutual_info" -> (prof5MutualInfo _),
     "prof6_functional_dependency" -> (prof6FunctionalDependency _),
     "prof1_column_profile" -> (prof1ColumnProfile _),
@@ -392,6 +478,46 @@ object Profiling {
        |      FROM $t GROUP BY 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "prof7_benford" -> {
+      // the expected-p CASE interpolates the HOST-computed doubles —
+      // DuckDB parses the identical decimal literals Spark folded
+      val pcase = "CASE digit " + BenfordP.map { case (d, p) =>
+        s"WHEN $d THEN $p" }.mkString(" ") + " END"
+      def q6s(e: String) = s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT) / 1e6"
+      s"""WITH c AS (SELECT CAST(substring(CAST(CAST(floor(
+         |    l_extendedprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
+         |    AS INT) AS digit FROM lineitem),
+         |g AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows FROM g)
+         |SELECT digit, n, n_rows,
+         |  ${q6s("CAST(n AS DOUBLE) / n_rows")} AS share,
+         |  ${q6s(pcase)} AS expected_p,
+         |  ${q6s(s"((CAST(n AS DOUBLE) - n_rows * $pcase) * " +
+        s"(CAST(n AS DOUBLE) - n_rows * $pcase)) / (n_rows * $pcase)")}
+         |    AS chi2_term
+         |FROM g, t ORDER BY digit""".stripMargin
+    },
+    "prof8_numeric_corr" -> {
+      def qc(c: String) = s"CAST(floor($c * 100.0 + 0.5) AS BIGINT)"
+      val moments = ProfiledCols.flatMap { c =>
+        Seq(s"CAST(sum(${qc(c)}) AS DOUBLE) AS s_$c",
+          s"CAST(sum(${qc(c)} * ${qc(c)}) AS DOUBLE) AS ss_$c")
+      } ++ CorrPairs.map { case (a, b) =>
+        s"CAST(sum(${qc(a)} * ${qc(b)}) AS DOUBLE) AS sp_${a}_$b"
+      }
+      val rows = CorrPairs.map { case (a, b) =>
+        s"""SELECT '${a}_$b' AS pair_name, n,
+           |  CAST(floor((CAST(n AS DOUBLE) * sp_${a}_$b - s_$a * s_$b) /
+           |    (sqrt(CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a) *
+           |     sqrt(CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b)) * 1e6 + 0.5)
+           |    AS BIGINT) / 1e6 AS pearson_r FROM m""".stripMargin
+      }
+      s"""WITH m AS (SELECT count(*) AS n, ${moments.mkString(",\n  ")}
+         |  FROM lineitem)
+         |SELECT * FROM (
+         |${rows.mkString("\nUNION ALL\n")}
+         |) ORDER BY pair_name""".stripMargin
+    },
     "prof6_functional_dependency" ->
       (FdCandidates.map { case (t, xc, yc) => prof6OracleFor(t, xc, yc) }
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n)") +

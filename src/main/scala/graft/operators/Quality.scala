@@ -642,7 +642,71 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** imp4: Horvitz–Thompson total estimation from imp1's deterministic
+    * importance sample — per source, the inverse-probability estimate
+    * Σ_{sampled} n_words/w of total word mass against the exact
+    * full-scan total, with relative error: the end-to-end check that
+    * the sampling plane's weights actually deliver the unbiasedness
+    * they promise (Horvitz & Thompson 1952), and the pattern every
+    * sample-based corpus accounting job runs at 100 TB (estimate from
+    * the cheap sample, audit on a scheduled full pass). Inclusion is
+    * IDENTICAL to imp1 (same salt, same 8-hex threshold), so this is
+    * the estimator OVER that committed sampling rule, not a new RNG.
+    * Determinism: each per-row HT term is one correctly-rounded double
+    * division quantized to int64 at 1e-6 grain, so the per-source sum
+    * is an exact order-free integer fold (the g2 rq discipline) — the
+    * whole operator is ONE scan and ONE keyed aggregate. */
+  def imp4HtEstimate(s: SparkSession, dir: String): DataFrame = {
+    val nw = size(words)
+    val w = least(lit(1.0), nw.cast("double") / 100.0)
+    val thr = when(w >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex(floor(w * lit(4294967296.0)).cast("long"))), 8, "0"))
+    val inc = substring(md5(concat(lit("imp:"),
+      col("doc_id").cast("string"))), 1, 8) < thr
+    val htq = floor(nw.cast("double") / w * lit(1e6) + lit(0.5)).cast("long")
+    val q6 = (c: Column) =>
+      floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    Tables.documents(s, dir)
+      .select(col("source"), nw.cast("long").as("n_words"),
+        when(inc, 1L).otherwise(0L).as("inc"),
+        when(inc, htq).otherwise(0L).as("htq"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("inc")).as("n_sampled"),
+        sum(col("n_words")).as("true_total"),
+        (sum(col("htq")).cast("double") / lit(1e6)).as("est_total"))
+      .select(col("source"), col("n_docs"), col("n_sampled"),
+        col("true_total"), col("est_total"),
+        q6((col("est_total") - col("true_total").cast("double")) /
+          col("true_total").cast("double")).as("rel_err"))
+      .orderBy("source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "imp4_ht_estimate" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+        |      AS w,
+        |    CASE WHEN substring(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      < CASE WHEN least(1.0, CAST(len(string_split(text, ' '))
+        |            AS DOUBLE) / 100.0) >= 1.0 THEN 'g'
+        |        ELSE lpad(lower(to_hex(CAST(floor(least(1.0,
+        |          CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+        |          * 4294967296.0) AS BIGINT))), 8, '0') END
+        |      THEN 1 ELSE 0 END AS inc
+        |  FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(inc) AS BIGINT) AS n_sampled,
+        |    CAST(sum(n_words) AS BIGINT) AS true_total,
+        |    CAST(sum(CASE WHEN inc = 1 THEN CAST(floor(
+        |        CAST(n_words AS DOUBLE) / w * 1e6 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS DOUBLE) / 1e6 AS est_total
+        |  FROM d GROUP BY source)
+        |SELECT source, n_docs, n_sampled, true_total, est_total,
+        |  CAST(floor((est_total - CAST(true_total AS DOUBLE))
+        |    / CAST(true_total AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6
+        |    AS rel_err
+        |FROM g ORDER BY source""".stripMargin,
     "imp3_neyman_allocation" ->
       s"""WITH st AS (SELECT event_type, count(*) AS n_rows,
          |    SUM(CAST(value AS DECIMAL(18,6))) AS s1,
@@ -755,6 +819,7 @@ object Quality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_gopher_quality" -> (g1GopherQuality _),
     "imp1_importance_sample" -> (imp1ImportanceSample _),
+    "imp4_ht_estimate" -> (imp4HtEstimate _),
     "qc1_classifier_score" -> (qc1ClassifierScore _),
     "imp2_bootstrap_ci" -> (imp2BootstrapCi _),
     "imp3_neyman_allocation" -> (imp3NeymanAllocation _),

@@ -598,7 +598,41 @@ object TimeSeries {
        |  CASE WHEN abs(z) >= $ZscoreTau THEN 1 ELSE 0 END AS is_anomaly
        |FROM z ORDER BY 1, 2""".stripMargin
 
+  /** Minimum segment length (days) on each side of a ts15 candidate
+    * split — the standard guard against degenerate 1-point segments.
+    * (Declared before the oracles map: a later declaration would
+    * interpolate the uninitialized 0 into the SQL.) */
+  val CpMinSeg = 3
+
   val oracles: Map[String, String] = Map(
+    "ts15_changepoint" -> {
+      def q6s(e: String) = s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT) / 1e6"
+      s"""WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+         |    count(*) AS cnt FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, d,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+         |      AS BIGINT) AS idx,
+         |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+         |  FROM daily),
+         |cand AS (SELECT event_type, d, idx, n,
+         |    CAST(cum AS DOUBLE) / idx AS mean_l,
+         |    CAST(tot - cum AS DOUBLE) / (n - idx) AS mean_r
+         |  FROM w WHERE idx >= $CpMinSeg AND idx <= n - $CpMinSeg),
+         |sc AS (SELECT *, abs(mean_l - mean_r) AS score,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY abs(mean_l - mean_r) DESC, d) AS rn
+         |  FROM cand)
+         |SELECT event_type, strftime(d, '%Y-%m-%d') AS split_day,
+         |  n AS n_days, idx AS n_before, n - idx AS n_after,
+         |  ${q6s("mean_l")} AS mean_before,
+         |  ${q6s("mean_r")} AS mean_after,
+         |  ${q6s("score")} AS mean_gap
+         |FROM sc WHERE rn = 1 ORDER BY event_type""".stripMargin
+    },
     "e10_anomaly_episodes" ->
       s"""WITH a AS (SELECT event_type, hr, z, is_anomaly,
          |    row_number() OVER (PARTITION BY event_type ORDER BY hr)
@@ -877,7 +911,56 @@ object TimeSeries {
          |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS volume
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** ts15: single-changepoint detection per series (binary
+    * segmentation's first step, Scott & Knott 1974 / the AMOC case of
+    * Killick et al. 2012): for each event type's daily-count series,
+    * the split day maximizing the between-segment mean gap
+    * |mean_left − mean_right|, with [[CpMinSeg]] days required on each
+    * side. Determinism is structural: daily counts are exact integers,
+    * prefix sums over them are exact window folds, and each candidate's
+    * means are single correctly-rounded int÷int divisions — so the
+    * score is the same double in both engines and the (score desc,
+    * day asc) argmax cannot flip. Scale shape: ONE corpus-scale keyed
+    * aggregate to (type, day) grain (map-side partials); every window
+    * below runs over the span-bounded series frame (#types × #days —
+    * the ts1 spine argument), and the argmax is a per-series
+    * row_number, not a global sort. */
+  def ts15Changepoint(s: SparkSession, dir: String): DataFrame =
+    changepointOf(Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** ts15 core on an arbitrary (event_type, d, cnt) daily frame —
+    * factored out so the spec can plant a synthetic level shift. */
+  private[graft] def changepointOf(daily: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val series = byType.orderBy(col("d"))
+    val cand = daily
+      .withColumn("idx", row_number().over(series).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(series))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("tot", sum(col("cnt")).over(byType))
+      .filter(col("idx") >= CpMinSeg && col("idx") <= col("n") - CpMinSeg)
+      .withColumn("mean_l", col("cum").cast("double") / col("idx"))
+      .withColumn("mean_r",
+        (col("tot") - col("cum")).cast("double") / (col("n") - col("idx")))
+      .withColumn("score", abs(col("mean_l") - col("mean_r")))
+    cand
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("score").desc, col("d"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"),
+        graft.Cols.fmtDate(col("d")).as("split_day"),
+        col("n").as("n_days"), col("idx").as("n_before"),
+        (col("n") - col("idx")).as("n_after"),
+        q6(col("mean_l")).as("mean_before"),
+        q6(col("mean_r")).as("mean_after"),
+        q6(col("score")).as("mean_gap"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts15_changepoint" -> (ts15Changepoint _),
     "ts1_gap_fill" -> (ts1GapFill _),
     "ts2_locf_fill" -> (ts2LocfFill _),
     "ts3_trend" -> (ts3Trend _),

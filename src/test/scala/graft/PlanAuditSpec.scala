@@ -971,17 +971,29 @@ class PlanAuditSpec extends GraftSpec {
   }
 
   test("g4: pair generation is in-row; degree joins are keyed, never cartesian") {
+    // BUILD plan: the quadratic pair mass is generated by the in-row
+    // compiled explode (never a fact self-join)...
+    val buildPlan = planOf(graft.operators.Graph.lpPairsBuild(spark, sf,
+      graft.operators.Graph.LpMaxDeg))
+    assert(!buildPlan.contains("CartesianProduct") &&
+      !buildPlan.contains("BroadcastNestedLoopJoin"),
+      s"supplier pairs must come from the in-row explode, not a self-join:\n$buildPlan")
+    assert(buildPlan.contains("Generate") &&
+      buildPlan.contains("explode(graft_packed_pairs"),
+      s"expected the in-row compiled pair explode:\n$buildPlan")
+    // ...and the QUERY plan is a read-path over the published pair
+    // table: it scores/joins committed parquet and must NOT re-run
+    // the pair generator (the r11 ask-5 discipline, g4 edition).
     val plan = planOf(graft.operators.Graph.g4LinkPredict(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
-      s"supplier pairs must come from the in-row explode, not a self-join:\n$plan")
+      s"degree joins must stay keyed:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must not be a global sort:\n$plan")
-    // the only explode is the per-customer pair generator (formatted
-    // explain puts the node name and its Arguments on separate lines)
-    assert(plan.contains("Generate") &&
-      plan.contains("explode(graft_packed_pairs"),
-      s"expected the in-row compiled pair explode:\n$plan")
+    assert(plan.contains("supplier_pairs"),
+      s"g4 must read the published pair table:\n$plan")
+    assert(!plan.contains("graft_packed_pairs"),
+      s"g4 query must not regenerate pairs inline:\n$plan")
   }
 
   test("m5: candidates ride the band equi-join, never an all-pairs loop") {

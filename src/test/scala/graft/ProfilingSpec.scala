@@ -192,4 +192,33 @@ class ProfilingSpec extends GraftSpec {
       assert(nmi >= -1e-6 && nmi <= 1 + 1e-6)
     }
   }
+
+  test("prof7: digit shares sum to 1, expectations are Benford's law, χ² terms ≥ 0") {
+    val rows = graft.operators.Profiling.prof7Benford(spark, sf).collect()
+    val digits = rows.map(_.getAs[Int]("digit")).toSeq
+    assert(digits == digits.sorted && digits.forall(d => d >= 1 && d <= 9))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.lineitem(spark, sf).count())
+    rows.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      assert(math.abs(r.getAs[Double]("expected_p") -
+        math.log10(1.0 + 1.0 / d)) < 1e-6)
+      assert(r.getAs[Double]("chi2_term") >= 0.0)
+    }
+  }
+
+  test("prof8: Pearson matrix matches Spark's own corr (cents are lossless on money columns)") {
+    val rows = graft.operators.Profiling.prof8NumericCorr(spark, sf).collect()
+    assert(rows.length == 6) // C(4,2) measure-column pairs
+    rows.foreach { r =>
+      val v = r.getAs[Double]("pearson_r")
+      assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, r.toString)
+    }
+    val got = rows.find(_.getAs[String]("pair_name") ==
+      "l_quantity_l_extendedprice").get.getAs[Double]("pearson_r")
+    val expected = Tables.lineitem(spark, sf)
+      .stat.corr("l_quantity", "l_extendedprice")
+    assert(math.abs(got - expected) < 1e-6, s"$got vs $expected")
+  }
 }

@@ -294,4 +294,21 @@ class QualitySpec extends GraftSpec {
         s"${r.getAs[String]("event_type")}: neyman-prop=$dir sigma=${r.getAs[Double]("sigma")} avg=$avgSigma")
     }
   }
+
+  test("imp4: HT estimator rides imp1's exact inclusion rule and stays in the unbiasedness envelope") {
+    val rows = Quality.imp4HtEstimate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the sampled mass per source is exactly imp1's sample (same salt,
+    // same threshold): totals must agree
+    val imp1N = Quality.imp1ImportanceSample(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_sampled")).sum == imp1N)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+      // saturated docs (w=1) contribute exactly n_words, so the
+      // estimate can only drift by the sub-100-word strata — a loose
+      // envelope still catches a broken weight or threshold
+      assert(math.abs(r.getAs[Double]("rel_err")) < 0.5, r.toString)
+      assert(r.getAs[Double]("est_total") > 0.0)
+    }
+  }
 }

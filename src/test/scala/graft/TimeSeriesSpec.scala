@@ -443,4 +443,39 @@ class TimeSeriesSpec extends GraftSpec {
       assert(math.abs(twa - (s / h).toDouble) < 1e-5, s"$et twa")
     }
   }
+
+  test("ts15 locates a planted level shift at the exact split day") {
+    import spark.implicits._
+    // level 10 for days 1-12, level 40 from day 13: the mean gap is
+    // uniquely maximized at split idx 12 (any other split mixes levels)
+    val daily = (1 to 30).map { i =>
+      ("a", java.sql.Timestamp.valueOf(f"2024-01-$i%02d 00:00:00"),
+        if (i <= 12) 10L else 40L)
+    }.toDF("event_type", "d", "cnt")
+    val r = TimeSeries.changepointOf(daily).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("split_day") == "2024-01-12", row.toString)
+    assert(row.getAs[Long]("n_before") == 12L &&
+      row.getAs[Long]("n_after") == 18L)
+    assert(row.getAs[Double]("mean_before") == 10.0 &&
+      row.getAs[Double]("mean_after") == 40.0 &&
+      row.getAs[Double]("mean_gap") == 30.0)
+  }
+
+  test("ts15 on the corpus: one row per type, segment sizes partition the span") {
+    val rows = TimeSeries.ts15Changepoint(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type")
+      .distinct().count()
+    assert(rows.length == types.toInt)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_before") + r.getAs[Long]("n_after") ==
+        r.getAs[Long]("n_days"))
+      assert(r.getAs[Long]("n_before") >= TimeSeries.CpMinSeg &&
+        r.getAs[Long]("n_after") >= TimeSeries.CpMinSeg)
+      assert(math.abs(r.getAs[Double]("mean_gap") -
+        math.abs(r.getAs[Double]("mean_before") -
+          r.getAs[Double]("mean_after"))) < 2e-6)
+    }
+  }
 }
