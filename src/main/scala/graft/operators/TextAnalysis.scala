@@ -854,6 +854,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Minimum corpus bigram count for a t26 collocation candidate —
+    * membership is an integer comparison, so the emitted SET is
+    * engine-exact regardless of the PMI doubles. */
+  val PmiMinCount = 10
+
+  /** t26: collocation mining — pointwise mutual information
+    * PMI(a,b) = ln(p(ab) / (p(a)·p(b))) over corpus word bigrams
+    * (Church & Hanks 1990), the standard multiword-expression /
+    * phrase-dictionary signal a corpus pipeline feeds its tokenizer
+    * and keyword planes. Counts are the t20 grain: per-doc bigram
+    * multiplicities KERNEL-computed in-row (NgramFreqs — one row per
+    * (doc, bigram)), ONE corpus shuffle to bigram counts; the bigram
+    * total derives from that vocab-sized frame (localCheckpoint, the
+    * t16 one-scan discipline), unigram counts and their total come
+    * from the PUBLISHED term index (read-path — only the bigram plane
+    * touches the corpus). Candidates pass the [[PmiMinCount]] integer
+    * floor BEFORE the vocabulary-bounded broadcast joins. PMI's
+    * products/division run in fixed IEEE order on exact-integer
+    * inputs with one ln at the end, int64-quantized at the boundary —
+    * the prof5 discipline — and output order is the bigram key, so no
+    * double ever decides membership or order. */
+  def t26Collocations(s: SparkSession, dir: String): DataFrame = {
+    val q6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    val c2all = Tables.documents(s, dir)
+      .select(explode(
+        org.apache.spark.sql.graft.NgramFreqsExpr.ngramFreqs(col("text"), 2))
+        .as("p"))
+      .groupBy(col("p.ngram").as("bigram"))
+      .agg(sum(col("p.tf")).as("cab"))
+      .localCheckpoint() // bigram-vocab-sized; shared by B and the filter
+    val bTot = c2all.agg(sum(col("cab")).as("b_total"))
+    val c1 = t16TermFreq(s, dir)
+      .groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val uTot = c1.agg(sum(col("c")).as("u_total"))
+    c2all.filter(col("cab") >= PmiMinCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(broadcast(c1.select(col("term").as("w1"), col("c").as("ca"))), Seq("w1"))
+      .join(broadcast(c1.select(col("term").as("w2"), col("c").as("cb"))), Seq("w2"))
+      .crossJoin(broadcast(uTot)) // 1-row bounded metadata
+      .crossJoin(broadcast(bTot)) // 1-row bounded metadata
+      .select(col("bigram"), col("cab"), col("ca"), col("cb"),
+        q6(log((col("cab").cast("double") * col("u_total") * col("u_total")) /
+          ((col("b_total").cast("double") * col("ca")) * col("cb"))))
+          .as("pmi"))
+      .orderBy("bigram")
+  }
+
   private[graft] def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
@@ -929,6 +978,25 @@ object TextAnalysis {
         |  trim(regexp_replace(x, '[ \t\r\n]+', ' ', 'g')) AS extracted,
         |  length(trim(regexp_replace(x, '[ \t\r\n]+', ' ', 'g'))) AS n_chars_extracted
         |FROM s5 ORDER BY doc_id""".stripMargin,
+    "t26_collocations" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |uni AS (SELECT w, COUNT(*) AS c
+         |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+         |u AS (SELECT CAST(sum(c) AS BIGINT) AS u_total FROM uni),
+         |bgf AS (SELECT p.w1 AS w1, p.w2 AS w2
+         |  FROM (SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+         |      FOR i IN generate_series(1, len(t)-1)]) AS p
+         |    FROM tok WHERE len(t) >= 2)),
+         |c2 AS (SELECT w1 || ' ' || w2 AS bigram, w1, w2, COUNT(*) AS cab
+         |  FROM bgf GROUP BY 1, 2, 3),
+         |b AS (SELECT CAST(sum(cab) AS BIGINT) AS b_total FROM c2)
+         |SELECT c2.bigram, c2.cab, a.c AS ca, bb.c AS cb,
+         |  CAST(floor(ln((CAST(c2.cab AS DOUBLE) * u_total * u_total) /
+         |    ((CAST(b_total AS DOUBLE) * a.c) * bb.c)) * 1e6 + 0.5)
+         |    AS BIGINT) / 1e6 AS pmi
+         |FROM c2 JOIN uni a ON c2.w1 = a.w JOIN uni bb ON c2.w2 = bb.w
+         |CROSS JOIN u CROSS JOIN b
+         |WHERE c2.cab >= $PmiMinCount ORDER BY bigram""".stripMargin,
     "t20_bigram_perplexity" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |c1 AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
@@ -1127,5 +1195,6 @@ object TextAnalysis {
     "t21_keyword_tag" -> (t21KeywordTag _),
     "t22_zipf_profile" -> (t22ZipfProfile _),
     "t23_length_histogram" -> (t23LengthHistogram _),
-    "t24_readability" -> (t24Readability _))
+    "t24_readability" -> (t24Readability _),
+    "t26_collocations" -> (t26Collocations _))
 }

@@ -222,4 +222,29 @@ class GraphSpec extends GraftSpec {
       assert(h.forall(_.getAs[Double]("slope") == got), "slope constant per side")
     }
   }
+
+  test("g7: LPA settles each planted clique on its min-id label, components never mix") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("src", "dst")
+    val labels = graft.operators.Graph.lpaOn(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 6)
+    assert(Set(1L, 2L, 3L).map(labels) == Set(1L), labels.toString)
+    assert(Set(10L, 11L, 12L).map(labels) == Set(10L), labels.toString)
+  }
+
+  test("g7: published labels cover every co-order node exactly once") {
+    val rows = graft.operators.Graph.g7LabelPropagation(spark, sf).collect()
+    val nodes = rows.map(_.getLong(0))
+    assert(nodes.distinct.length == nodes.length)
+    val nNodes = graft.operators.Graph.coOrderPairs(spark, sf)
+      .select(col("c") * 2).distinct().count() +
+      graft.operators.Graph.coOrderPairs(spark, sf)
+        .select(col("sk") * 2 + 1).distinct().count()
+    assert(nodes.length.toLong == nNodes)
+    // labels are node ids that exist in the graph
+    val nodeSet = nodes.toSet
+    assert(rows.forall(r => nodeSet.contains(r.getLong(1))))
+  }
 }

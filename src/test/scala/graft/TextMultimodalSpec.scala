@@ -605,4 +605,25 @@ class TextMultimodalSpec extends GraftSpec {
     assert(!Multimodal.applyBatch(spark, root, docs(Seq.empty), 99L))
     assert(graft.sources.AtomicPublish.currentVersion(spark, root) == before)
   }
+
+  test("t26: counts dominate the floor and PMI solves to one corpus constant") {
+    val rows = TextAnalysis.t26Collocations(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cab, ca, cb) = (r.getAs[Long]("cab"), r.getAs[Long]("ca"),
+        r.getAs[Long]("cb"))
+      assert(cab >= TextAnalysis.PmiMinCount)
+      assert(ca >= cab && cb >= cab, r.toString) // marginals dominate the joint
+    }
+    // PMI = ln(cab·U²/(B·ca·cb)) ⇒ exp(pmi)·ca·cb/cab = U²/B, a single
+    // corpus constant — every row must solve to the same value, which
+    // pins the formula (and its count inputs) without re-tokenizing
+    val consts = rows.map { r =>
+      math.exp(r.getAs[Double]("pmi")) * r.getAs[Long]("ca") *
+        r.getAs[Long]("cb") / r.getAs[Long]("cab")
+    }
+    val ref = consts.head
+    consts.foreach(c => assert(math.abs(c / ref - 1.0) < 1e-4,
+      s"$c vs $ref"))
+  }
 }
