@@ -30,11 +30,10 @@ object TextIndex {
       s"${graft.GraftSession.defaultStateDir}/text_index")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
-        // v3: the index is now INCREMENTALLY MAINTAINED (v1 over the
-        // base slice, v2 merges the ingest batch) and carries the
-        // applied-batch ledger — the salt bump forces stale-recipe
-        // rebuilds (the r9 ADVICE stale-index trap)
-        s"textindex-v3;grain=word1-distinct+positions;incr=mod$IncrBatchMod"))
+        // v4 (was v3): the index additionally carries per-doc token
+        // lengths (doclens) for BM25 ranking — the salt bump forces
+        // stale-recipe rebuilds (the r9 ADVICE stale-index trap)
+        s"textindex-v4;grain=word1-distinct+positions+doclens;incr=mod$IncrBatchMod"))
   }
 
   /** Posting-list frame from the raw corpus: one row per (term) with
@@ -65,6 +64,14 @@ object TextIndex {
       .select(col("col").as("term"), col("doc_id"),
         (col("pos") + 1).as("pos"))
 
+  /** Per-doc token lengths (doc_id, dl) — the BM25 length-
+    * normalization plane; derived from the SAME tokenization as the
+    * positional index (null-text docs contribute no tokens and no dl
+    * row in either engine). */
+  private[graft] def buildDoclens(docs: DataFrame): DataFrame =
+    buildPositions(docs).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"))
+
   /** All index outputs built from scratch over `docs` — v1 of the
     * root, and the chained-increment spec's ground truth. */
   private[graft] def buildIndexOutputs(s: SparkSession,
@@ -72,6 +79,7 @@ object TextIndex {
     import s.implicits._
     Seq("postings" -> buildPostings(docs),
       "positions" -> buildPositions(docs),
+      "doclens" -> buildDoclens(docs),
       "ledger" -> Seq.empty[Long].toDF("batch_id"))
   }
 
@@ -103,6 +111,10 @@ object TextIndex {
       "postings" -> merged,
       "positions" -> readOutput(s, root, "positions")
         .unionByName(buildPositions(batch)),
+      // batch doc_ids are NEW (ingest contract) ⇒ doclens rows append
+      // verbatim, like the positional rows
+      "doclens" -> readOutput(s, root, "doclens")
+        .unionByName(buildDoclens(batch)),
       "ledger" -> readOutput(s, root, "ledger")
         .unionByName(Seq(batchId).toDF("batch_id"))))
   }
@@ -220,7 +232,87 @@ object TextIndex {
       .orderBy("term")
   }
 
+  /** BM25 constants (Robertson & Spärck Jones's standard defaults).
+    * HOST doubles interpolated into BOTH plans (the g2 rule). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** ix5: BM25 ranked retrieval (Robertson et al., TREC-3) over the
+    * SAME fixed query terms as ix2, disjunctive this time — the
+    * scoring layer every search stack puts on top of the boolean
+    * postings, and the reason the index carries doclens: score =
+    * Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)). Reads ONLY
+    * the published index: per-term tf from the positional rows (term
+    * IN-filter pushed to the scan, k9 discipline), df from the
+    * postings row, dl from doclens, N/avgdl from ONE 1-row broadcast
+    * aggregate of doclens — the corpus parquet appears nowhere in the
+    * plan (PlanAuditSpec). Determinism: idf and the tf norm are
+    * fixed-order IEEE expressions on exact-integer inputs (each
+    * division correctly rounded, constants host-interpolated); each
+    * (doc, term) partial score is int64-quantized at 1e-9 grain so
+    * the per-doc sum is an exact order-free fold (the g2 rq
+    * discipline). All matching docs are emitted (score-ordered rank
+    * cuts would let a float decide membership; doc_id order keeps the
+    * hash gate structural). */
+  def ix5Bm25Search(s: SparkSession, dir: String): DataFrame =
+    bm25From(s, ensureTextIndex(s, dir))
+
+  /** ix5 core over an arbitrary committed index root — factored out so
+    * the spec can score a synthetic fixture and recompute BM25 in the
+    * driver. */
+  private[graft] def bm25From(s: SparkSession, root: String): DataFrame = {
+    import graft.sources.AtomicPublish.readOutput
+    val dls = readOutput(s, root, "doclens")
+    val stats = dls.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = readOutput(s, root, "positions")
+      .filter(col("term").isin(QueryTerms: _*))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val df = readOutput(s, root, "postings")
+      .filter(col("term").isin(QueryTerms: _*))
+      .select(col("term"), col("df"))
+    val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf").cast("double") * lit(Bm25K1 + 1.0)) /
+      (col("tf").cast("double") + lit(Bm25K1) *
+        (lit(1.0 - Bm25B) + lit(Bm25B) *
+          (col("dl").cast("double") / col("avgdl"))))
+    tf.join(broadcast(df), Seq("term"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(stats)) // 1-row bounded metadata
+      .select(col("doc_id"),
+        floor(idf * tfNorm * lit(1e9) + lit(0.5)).cast("long").as("sq"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        (sum(col("sq")).cast("double") / lit(1e9)).as("bm25"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "ix5_bm25_search" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents),
+         |dls AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ($terms) GROUP BY 1, 2),
+         |dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |  WHERE term IN ($terms) GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_terms_hit,
+         |  CAST(sum(CAST(floor(
+         |    ln((CAST(n_docs - df AS DOUBLE) + 0.5) /
+         |        (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+         |    ((CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0}) /
+         |     (CAST(tf AS DOUBLE) + $Bm25K1 *
+         |      (${1.0 - Bm25B} + $Bm25B * (CAST(dl AS DOUBLE) / avgdl))))
+         |    * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS bm25
+         |FROM tf JOIN dfr USING (term) JOIN dls USING (doc_id)
+         |CROSS JOIN stats
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "ix4_incremental_postings" ->
       s"""WITH tok AS (SELECT DISTINCT doc_id,
          |    unnest(string_split(text, ' ')) AS term FROM documents),
@@ -263,5 +355,6 @@ object TextIndex {
     "ix1_inverted_index" -> (ix1InvertedIndex _),
     "ix2_boolean_search" -> (ix2BooleanSearch _),
     "ix3_phrase_search" -> (ix3PhraseSearch _),
-    "ix4_incremental_postings" -> (ix4IncrementalPostings _))
+    "ix4_incremental_postings" -> (ix4IncrementalPostings _),
+    "ix5_bm25_search" -> (ix5Bm25Search _))
 }

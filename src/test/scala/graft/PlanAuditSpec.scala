@@ -750,6 +750,17 @@ class PlanAuditSpec extends GraftSpec {
       s"query terms must push to the index scan:\n$plan")
   }
 
+  test("ix5: BM25 reads ONLY the index (positions/postings/doclens); corpus never scanned") {
+    graft.operators.TextIndex.ensureTextIndex(spark, sf)
+    val plan = planOf(graft.operators.TextIndex.ix5Bm25Search(spark, sf))
+    assert(!plan.contains("documents.parquet"),
+      s"BM25 must not rescan the raw corpus:\n$plan")
+    assert(plan.contains("doclens") && plan.contains("positions"),
+      s"BM25 must read the committed length and positional tables:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(term.*"),
+      s"query terms must push to the index scan:\n$plan")
+  }
+
   test("ts13/ts14: the bounded series frame is checkpointed — no per-branch events rescan") {
     // both operators branch their bounded day/hour frame into several
     // consumers; without the checkpoint Catalyst re-derives the frame

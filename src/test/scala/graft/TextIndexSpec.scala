@@ -104,9 +104,50 @@ class TextIndexSpec extends GraftSpec {
       == sets(TextIndex.buildPostings(all)))
     assert(sets(graft.sources.AtomicPublish.readOutput(spark, root, "positions"))
       == sets(TextIndex.buildPositions(all)))
+    assert(sets(graft.sources.AtomicPublish.readOutput(spark, root, "doclens"))
+      == sets(TextIndex.buildDoclens(all)))
     // replayed micro-batch: ledger-refused, no version churn
     val before = graft.sources.AtomicPublish.currentVersion(spark, root)
     assert(!TextIndex.applyBatch(spark, root, b, 1L))
     assert(graft.sources.AtomicPublish.currentVersion(spark, root) == before)
+  }
+
+  test("ix5: BM25 over the committed index equals a driver-side recompute") {
+    import spark.implicits._
+    // fixture vocabulary includes the fixed QueryTerms ("table join
+    // fast"), with varying tf and doc lengths so every BM25 component
+    // (idf, tf saturation, length normalization) is exercised
+    val docs = Seq(
+      1L -> "table join fast table",
+      2L -> "table scan slow and very long padding words here now",
+      3L -> "join join join",
+      4L -> "nothing relevant at all",
+      5L -> "fast").toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ix5_spec").toString
+    graft.sources.AtomicPublish.publish(spark, root,
+      TextIndex.buildIndexOutputs(spark, docs))
+    val got = TextIndex.bm25From(spark, root).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_terms_hit"), r.getAs[Double]("bm25"))).toMap
+    // driver recompute with the same formula and quantization
+    val toks = docs.collect().map(r => r.getLong(0) -> r.getString(1)
+      .split(" ", -1).toSeq).toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / toks.size
+    val want = toks.flatMap { case (id, ts) =>
+      val hits = TextIndex.QueryTerms.filter(ts.contains)
+      if (hits.isEmpty) None else Some(id -> (hits.size.toLong,
+        hits.map { t =>
+          val tf = ts.count(_ == t).toDouble
+          val df = toks.values.count(_.contains(t)).toDouble
+          val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+          val norm = tf * (TextIndex.Bm25K1 + 1.0) /
+            (tf + TextIndex.Bm25K1 * (1.0 - TextIndex.Bm25B +
+              TextIndex.Bm25B * (ts.size / avgdl)))
+          math.floor(idf * norm * 1e9 + 0.5).toLong
+        }.sum.toDouble / 1e9))
+    }
+    assert(got == want, s"$got vs $want")
   }
 }
