@@ -397,12 +397,68 @@ object Incremental {
     Dedup.maskProfileOf(occ.join(stats, Seq("ph")))
   }
 
+  /** pipe5's quality floor: minimum token count for a batch document
+    * to enter the curated corpus (the g1 length rule's cheap proxy,
+    * evaluable from the committed term plane alone). */
+  val Pipe5MinTokens = 20
+
+  /** pipe5: the composed ingest-batch curation verdict — the end-to-end
+    * pipeline the incremental planes exist FOR, as one read-path query:
+    * per batch document, its near-dup verdict from the committed
+    * cluster table (duplicate ⟺ clustered with cluster_id ≠ self — the
+    * d6 min-member canonical convention, so survivorship is
+    * deterministic), its token mass from the committed term plane, and
+    * the final keep/drop decision (not a duplicate AND ≥
+    * [[Pipe5MinTokens]] tokens). NOTHING here scans text: every input
+    * is committed index parquet maintained incrementally by d13's
+    * machinery, which is exactly how a 100 TB ingest pipeline decides
+    * batch admission — the oracle recomputes the same verdicts from the
+    * FULL corpus (recursive-CTE clusters + raw token counts), so a
+    * hash pass proves the composed read-path decision ≡ a from-scratch
+    * decision every round. */
+  def pipe5IncrementalCorpus(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureIncrementalIndex(s, dir)
+    val cl = graft.sources.AtomicPublish.readOutput(s, root, "clusters")
+    val csz = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("cl_size"))
+    val ntok = graft.sources.AtomicPublish.readOutput(s, root, "termfreq")
+      .filter(col("doc_id") % BatchMod === 0)
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("n_tokens"))
+    val isDup = (col("cl").isNotNull && col("cl_size") > 1 &&
+      col("doc_id") =!= col("cl")).cast("int")
+    ntok
+      .join(cl.select(col("doc_id"), col("cluster_id").as("cl")), Seq("doc_id"), "left")
+      .join(csz.select(col("cluster_id").as("cl"), col("cl_size")), Seq("cl"), "left")
+      .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster_id"),
+        col("n_tokens"), isDup.as("is_dup"),
+        (isDup === 0 && col("n_tokens") >= Pipe5MinTokens).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_incremental_index" -> (d13IncrementalIndex _),
     "t25_incremental_tfidf" -> (t25IncrementalTfidf _),
+    "pipe5_incremental_corpus" -> (pipe5IncrementalCorpus _),
     "d14_incremental_passages" -> (d14IncrementalPassages _))
 
   val oracles: Map[String, String] = Map(
+    "pipe5_incremental_corpus" ->
+      s"""${Dedup.ClusterOracleCte},
+         |csz AS (SELECT cluster_id, COUNT(*) AS cl_size FROM cl GROUP BY 1),
+         |ntok AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT n.doc_id, COALESCE(cl.cluster_id, n.doc_id) AS cluster_id,
+         |  n.n_tokens,
+         |  CAST(CASE WHEN cl.cluster_id IS NOT NULL AND csz.cl_size > 1
+         |      AND n.doc_id != cl.cluster_id THEN 1 ELSE 0 END AS INT)
+         |    AS is_dup,
+         |  CAST(CASE WHEN NOT (cl.cluster_id IS NOT NULL AND csz.cl_size > 1
+         |      AND n.doc_id != cl.cluster_id)
+         |      AND n.n_tokens >= $Pipe5MinTokens THEN 1 ELSE 0 END AS INT)
+         |    AS kept
+         |FROM ntok n LEFT JOIN cl ON n.doc_id = cl.doc_id
+         |LEFT JOIN csz ON cl.cluster_id = csz.cluster_id
+         |WHERE n.doc_id % $BatchMod = 0 ORDER BY n.doc_id""".stripMargin,
     "d13_incremental_index" ->
       s"""${Dedup.ClusterOracleCte}
         |SELECT cl.doc_id, cl.cluster_id, sz.n AS n_shingles,

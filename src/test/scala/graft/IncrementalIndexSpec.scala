@@ -176,4 +176,27 @@ class IncrementalIndexSpec extends GraftSpec {
       want.collect().map(_.mkString("|")).toSet)
     assert(got.count() > 0)
   }
+
+  test("pipe5: batch admission verdicts compose the committed planes (cross-checked against d13)") {
+    val rows = Incremental.pipe5IncrementalCorpus(spark, sf).collect()
+    val nBatch = Tables.documents(spark, sf)
+      .filter(col("doc_id") % Incremental.BatchMod === 0 &&
+        col("text").isNotNull).count()
+    assert(rows.length.toLong == nBatch, "every batch doc gets a verdict")
+    val d13 = Incremental.d13IncrementalIndex(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    rows.foreach { r =>
+      val (id, cid) = (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))
+      val (dup, kept) = (r.getAs[Int]("is_dup"), r.getAs[Int]("kept"))
+      assert(kept == (if (dup == 0 &&
+        r.getAs[Long]("n_tokens") >= Incremental.Pipe5MinTokens) 1 else 0),
+        r.toString)
+      if (dup == 1) assert(cid != id, s"dup $id must defer to canonical $cid")
+      // cluster ids agree with the d13 snapshot wherever both report
+      d13.get(id).foreach(c => assert(c == cid, s"$id: $c vs $cid"))
+    }
+    assert(rows.exists(_.getAs[Int]("is_dup") == 1),
+      "fixture should contain batch near-dups")
+    assert(rows.exists(_.getAs[Int]("kept") == 1))
+  }
 }
