@@ -151,15 +151,39 @@ object Graph {
     ranks.withColumn("r", col("rq").cast("double") / lit(1e12))
   }
 
+  /** Durable rank-vector table (g2) — OWN base dir (the DurableIndex
+    * sibling-vacuum rule). The iteration parameters are part of the
+    * fingerprint: a knob change builds a sibling root. */
+  private[graft] def prRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.graphpr.base",
+      s"${graft.GraftSession.defaultStateDir}/graph_pr_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/orders.parquet",
+        s"pr-v1;iters=$PrIters;damping=$Damping;quant=1e-12;" +
+          graft.sources.DurableIndex.fingerprint(s"$dir/lineitem.parquet")))
+  }
+
   /** g2: PageRank top-[[PrTopK]] — which suppliers (and customers)
-    * sit at the center of the order flow. Deterministic total order
-    * (rank desc at 9dp, node asc); FULL hash oracle since round 11:
-    * the per-iteration int64 quantization in [[pagerank]] makes the
-    * fixed point engine-independent, and the oracle unrolls the same
-    * ten rounds as a CTE ladder (the g6 pattern). The 9dp output grain
-    * is integer arithmetic on rq — no round() half-boundary hazard. */
-  def g2Pagerank(s: SparkSession, dir: String): DataFrame =
-    pagerank(edges(s, dir))
+    * sit at the center of the order flow. The rank VECTOR is a
+    * published artifact (the g7/m6 argument: a 10-round power
+    * iteration over a 100 TB edge set is ingest-time work, paid once
+    * per corpus fingerprint — centrality consumers like ranking
+    * joins and mix weighting read committed parquet, and the audited
+    * iterative plan in [[pagerank]] is the BUILD plan). The exact
+    * int64 rq is what's stored; the read path projects/rounds.
+    * Deterministic total order (rank desc at 9dp, node asc); FULL
+    * hash oracle since round 11: the per-iteration int64 quantization
+    * in [[pagerank]] makes the fixed point engine-independent, and
+    * the oracle unrolls the same ten rounds as a CTE ladder (the g6
+    * pattern) — a hash pass proves published vector ≡ recompute. The
+    * 9dp output grain is integer arithmetic on rq — no round()
+    * half-boundary hazard. */
+  def g2Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.DurableIndex.ensure(s, prRoot(dir)) {
+      graft.sources.AtomicPublish.publish(s, prRoot(dir), Seq(
+        "ranks" -> pagerank(edges(s, dir)).select(col("node"), col("rq"))))
+    }
+    graft.sources.AtomicPublish.readOutput(s, root, "ranks")
       .select(col("node"),
         when(pmod(col("node"), lit(2)) === 0, "customer")
           .otherwise("supplier").as("kind"),
@@ -167,6 +191,7 @@ object Graph {
           .cast("double") / lit(1e9)).as("rank"))
       .orderBy(col("rank").desc, col("node").asc)
       .limit(PrTopK)
+  }
 
   val TriMinSupport = 2 // orders a part pair must co-occur in
   val TriTopK = 10
@@ -237,18 +262,47 @@ object Graph {
 
   val BfsMaxHops = 6
 
+  /** Durable hop-distance table (g6) — OWN base dir; source rule and
+    * hop bound ride the fingerprint. */
+  private[graft] def bfsRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.graphbfs.base",
+      s"${graft.GraftSession.defaultStateDir}/graph_bfs_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/orders.parquet",
+        s"bfs-v1;maxhops=$BfsMaxHops;source=min-customer;" +
+          graft.sources.DurableIndex.fingerprint(s"$dir/lineitem.parquet")))
+  }
+
   /** g6: BFS hop distances — shortest hops from a deterministic source
     * (the minimum customer node) to every reachable node of the
     * customer–supplier graph, the traversal primitive behind
     * "blast-radius" questions (how far does a supplier outage
-    * propagate; degrees-of-separation in an entity graph). Standard
+    * propagate; degrees-of-separation in an entity graph). The hop
+    * table is a PUBLISHED artifact (the g2/g7 argument — the traversal
+    * is ingest-time work; blast-radius consumers read committed
+    * parquet) built by [[bfsFrom]], whose audited shape is standard
     * distributed BFS: per round the FRONTIER (only) joins the edge
     * list, discovered nodes are removed by an anti-join against the
     * known set, and lineage truncates every round (the d6/g2
     * discipline) — rounds = graph diameter, per-round work one keyed
     * join on frontier size, never |V|×|E|. Bounded by [[BfsMaxHops]];
-    * fully oracle-checkable against a recursive-CTE BFS. */
+    * fully oracle-checkable against a recursive-CTE BFS, so a hash
+    * pass proves published hops ≡ re-traversal. */
   def g6BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.DurableIndex.ensure(s, bfsRoot(dir)) {
+      graft.sources.AtomicPublish.publish(s, bfsRoot(dir), Seq(
+        "hops" -> bfsFrom(s, dir)))
+    }
+    graft.sources.AtomicPublish.readOutput(s, root, "hops")
+      .select(col("node"),
+        when(pmod(col("node"), lit(2)) === 0, "customer")
+          .otherwise("supplier").as("kind"),
+        col("hops"))
+      .orderBy("hops", "node")
+  }
+
+  /** The BFS build loop (see [[g6BfsHops]]) — returns (node, hops). */
+  private[graft] def bfsFrom(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir).localCheckpoint()
     val und = e.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
@@ -274,11 +328,6 @@ object Graph {
       known = known.unionAll(frontier)
     }
     known
-      .select(col("node"),
-        when(pmod(col("node"), lit(2)) === 0, "customer")
-          .otherwise("supplier").as("kind"),
-        col("hops"))
-      .orderBy("hops", "node")
   }
 
   /** g5: degree-distribution profile of the customer–supplier
