@@ -123,7 +123,17 @@ object ExplainDump {
       ("prof1_column_profile", "exact profile as one grouped branch per column (pruned single-column scans, (value,count) shuffles) — the multi-NDV Expand is gone",
         graft.operators.Profiling.prof1ColumnProfile _),
       ("f1_feature_bins", "rank-located exact decile boundaries embedded as plan literals; the binning pass is one scan + one bounded aggregate",
-        graft.operators.Mining.f1FeatureBins _))
+        graft.operators.Mining.f1FeatureBins _),
+      ("prof8_numeric_corr", "full Pearson matrix from ONE scan: a single 1-row aggregate carries all k+k+C(k,2) exact decimal moments, stack()-unpivoted to pair rows",
+        graft.operators.Profiling.prof8NumericCorr _),
+      ("g2_pagerank", "read-path over the PUBLISHED rank vector (the 10-round quantized power iteration is the build plan); projection + TakeOrderedAndProject only",
+        graft.operators.Graph.g2Pagerank _),
+      ("g7_label_propagation", "read-path over the PUBLISHED LPA label table (4 synchronous rounds at build); scan + sort only",
+        graft.operators.Graph.g7LabelPropagation _),
+      ("ix5_bm25_search", "BM25 entirely from the committed index: term-pushed positional/postings scans, doclens join, 1-row N/avgdl broadcast — corpus parquet absent",
+        graft.operators.TextIndex.ix5Bm25Search _),
+      ("pipe5_incremental_corpus", "composed batch admission: committed clusters + term plane only — dedup verdict, token floor, keep/drop with zero text scans",
+        graft.operators.Incremental.pipe5IncrementalCorpus _))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries (sf0.01, formatted explain)\n\n")
     sb.append("Generated by `sbt \"runMain graft.ExplainDump\"` from the live\n")

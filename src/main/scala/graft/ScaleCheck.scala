@@ -110,7 +110,12 @@ object ScaleCheck {
     // round-12 newcomers (incremental ANN + text-postings lifecycles;
     // s2 now deterministic so its scale shape is gate-relevant)
     "n17_incremental_ann", "ix4_incremental_postings",
-    "s2_stratified_sample")
+    "s2_stratified_sample",
+    // round-12 session-2 newcomers (Benford / Pearson moments /
+    // changepoint / HT estimate / PMI / LPA / BM25 / batch admission)
+    "prof7_benford", "prof8_numeric_corr", "ts15_changepoint",
+    "imp4_ht_estimate", "t26_collocations", "g7_label_propagation",
+    "ix5_bm25_search", "pipe5_incremental_corpus")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {
