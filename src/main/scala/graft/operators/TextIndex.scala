@@ -131,6 +131,24 @@ object TextIndex {
     } else false
   }
 
+  /** Streaming ingest endpoint for the text-index plane — the row-249
+    * foreachBatch + exactly-once-ledger shape on arriving documents
+    * (the last index family to gain one; postings/df/doclens merges
+    * are the associative adds proven by ix4's oracle, so each
+    * micro-batch is one term-keyed merge + verbatim appends, never a
+    * corpus re-tokenize). */
+  def streamingTextMaintenance(docs: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        applyBatch(batch.sparkSession, root, batch.toDF(), id)
+        ()
+      }
+      .start()
+
   /** The index is built v1-over-base then INCREMENTED with the batch
     * slice — ix1/ix2/ix3 read the committed post-ingest snapshot, and
     * their full-corpus oracles prove incremental ≡ rebuild on real

@@ -112,6 +112,45 @@ class TextIndexSpec extends GraftSpec {
     assert(graft.sources.AtomicPublish.currentVersion(spark, root) == before)
   }
 
+  test("streaming text-index maintenance: three chained micro-batches equal a rebuild, replay refused") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val base = Seq(1L -> "red fox runs", 2L -> "blue fox sleeps")
+    // overlapping vocabulary across arrivals so the postings merge
+    // path (df add + disjoint-sorted concat) runs on every batch
+    val b1 = Seq(10L -> "red wolf runs fast")
+    val b2 = Seq(11L -> "green owl", 12L -> "blue wolf")
+    val b3 = Seq(20L -> "red owl runs")
+    val root = java.nio.file.Files.createTempDirectory("graft_ix_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ix_sckpt").toString
+    graft.sources.AtomicPublish.publish(spark, root,
+      TextIndex.buildIndexOutputs(spark, docs(base)))
+    val input = MemoryStream[(Long, String)]
+    val q = TextIndex.streamingTextMaintenance(
+      input.toDF().toDF("doc_id", "text"), root, ckpt)
+    try {
+      for (b <- Seq(b1, b2, b3)) { input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    assert(graft.sources.AtomicPublish.currentVersion(spark, root)
+      .contains("v4"))
+    val all = docs(base ++ b1 ++ b2 ++ b3)
+    def sets(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.collect().map(_.mkString("|")).toSet
+    assert(sets(graft.sources.AtomicPublish.readOutput(spark, root, "postings"))
+      == sets(TextIndex.buildPostings(all)), "postings diverged")
+    assert(sets(graft.sources.AtomicPublish.readOutput(spark, root, "positions"))
+      == sets(TextIndex.buildPositions(all)), "positions diverged")
+    assert(sets(graft.sources.AtomicPublish.readOutput(spark, root, "doclens"))
+      == sets(TextIndex.buildDoclens(all)), "doclens diverged")
+    // exactly-once: replayed id and empty trigger are no-ops
+    val before = graft.sources.AtomicPublish.currentVersion(spark, root)
+    assert(!TextIndex.applyBatch(spark, root, docs(b2), 1L))
+    assert(!TextIndex.applyBatch(spark, root, docs(Seq.empty), 99L))
+    assert(graft.sources.AtomicPublish.currentVersion(spark, root) == before)
+  }
+
   test("ix5: BM25 over the committed index equals a driver-side recompute") {
     import spark.implicits._
     // fixture vocabulary includes the fixed QueryTerms ("table join
