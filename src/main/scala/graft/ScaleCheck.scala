@@ -153,7 +153,13 @@ object ScaleCheck {
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
+    // The scratch dir is KEYED BY (replicas, stride): the old fixed
+    // default ("/tmp/graft_sf1") let a 30-replica run silently reuse a
+    // 10-replica dataset built by an earlier invocation — the _BUILT
+    // marker gates on existence only, so the "30×" artifact measured
+    // 10× data (caught in round 12 when every sf3 ratio landed ≈1×).
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"/tmp/graft_scale_r${Replicas}_s$Stride")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val stateDir = TmpRoots.perProcess("graft_scale_state")
     val spark = GraftSession.builder(cpus, stateDir).getOrCreate()
