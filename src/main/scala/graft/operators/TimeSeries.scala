@@ -604,7 +604,50 @@ object TimeSeries {
     * interpolate the uninitialized 0 into the SQL.) */
   val CpMinSeg = 3
 
+  /** Half-width of ts16's centered moving-average trend window
+    * (12 preceding + current + 11 following = one 24 h day). Declared
+    * before the oracles map — a later declaration interpolates the
+    * uninitialized 0 into the SQL (the CpMinSeg trap). */
+  val StlHalf = 12
+
   val oracles: Map[String, String] = Map(
+    "ts16_stl_decompose" -> {
+      def q6s(e: String) = s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT) / 1e6"
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+         |    count(*) AS cnt FROM events GROUP BY 1, 2),
+         |span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+         |    date_trunc('hour', max(ts)) AS hi FROM events),
+         |spine AS (SELECT t.event_type, g.hr
+         |  FROM (SELECT DISTINCT event_type FROM events) t
+         |  CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+         |    INTERVAL 1 HOUR)) AS hr FROM span) g),
+         |dense AS (SELECT s.event_type, s.hr, COALESCE(h.cnt, 0) AS n
+         |  FROM spine s LEFT JOIN h USING (event_type, hr)),
+         |wt AS (SELECT event_type, hr, n,
+         |    CAST(count(*) OVER fr AS BIGINT) AS frame_n,
+         |    CAST(sum(n) OVER fr AS BIGINT) AS frame_sum
+         |  FROM dense WINDOW fr AS (PARTITION BY event_type ORDER BY hr
+         |    ROWS BETWEEN $StlHalf PRECEDING AND ${StlHalf - 1} FOLLOWING)),
+         |det AS (SELECT event_type, hr, n,
+         |    CASE WHEN frame_n = ${2 * StlHalf}
+         |      THEN CAST(frame_sum AS DOUBLE) / ${2 * StlHalf}.0 END
+         |      AS trend_raw,
+         |    extract(hour FROM hr) AS hod FROM wt),
+         |dq AS (SELECT *, CAST(n AS DOUBLE) - trend_raw AS det,
+         |    CAST(floor((CAST(n AS DOUBLE) - trend_raw) * 1e6 + 0.5)
+         |      AS BIGINT) AS detq FROM det),
+         |prof AS (SELECT event_type AS pt, hod AS ph,
+         |    ${q6s("(CAST(sum(detq) AS DOUBLE) / 1e6) / count(*)")}
+         |      AS seasonal
+         |  FROM dq WHERE trend_raw IS NOT NULL GROUP BY 1, 2)
+         |SELECT d.event_type, strftime(d.hr, '%Y-%m-%d %H:%M:%S') AS hr,
+         |  d.n, ${q6s("trend_raw")} AS trend,
+         |  CASE WHEN trend_raw IS NOT NULL THEN seasonal END AS seasonal,
+         |  CASE WHEN trend_raw IS NOT NULL
+         |    THEN ${q6s("det - seasonal")} END AS remainder
+         |FROM dq d LEFT JOIN prof ON d.event_type = pt AND d.hod = ph
+         |ORDER BY d.event_type, d.hr""".stripMargin
+    },
     "ts15_changepoint" -> {
       def q6s(e: String) = s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT) / 1e6"
       s"""WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
@@ -959,7 +1002,64 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** ts16: classical additive seasonal decomposition — series =
+    * trend + seasonal + remainder (the `seasonal_decompose` every
+    * metrics stack runs before alerting on "is traffic actually
+    * down?"; Cleveland's STL is the loess refinement of exactly this
+    * estimator). Trend is the centered 24 h moving average over the
+    * DENSE hourly count series (ts1's spine — classical decomposition
+    * requires a regular grid, and a missing hour is a true zero);
+    * seasonal is the hour-of-day mean of the detrended series;
+    * remainder is what's left. Emitted only where the trend frame is
+    * FULL (the classical edge convention — edges carry NULLs).
+    * Determinism: counts are integers, the trend is one exact-int
+    * frame sum ÷ 24 (correctly rounded), and each detrended value is
+    * int64-quantized (1e-6) before the seasonal mean so the per-hod
+    * fold is order-free (the g2 rq discipline); remainder arithmetic
+    * is fixed-order IEEE on those quantized values. Scale shape: ONE
+    * corpus-scale keyed aggregate to (type, hour); spine, windows,
+    * profile and joins all run on the span-bounded series frame
+    * (#types × #hours), the profile broadcasts back. */
+  def ts16StlDecompose(s: SparkSession, dir: String): DataFrame =
+    stlOf(spine(s, dir)
+      .join(Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt")), Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("cnt"), lit(0L)).as("n")))
+
+  /** ts16 core on an arbitrary DENSE (event_type, hr, n) frame —
+    * factored out so the spec can plant an exact square-wave season. */
+  private[graft] def stlOf(dense: DataFrame): DataFrame = {
+    val wTrend = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(-StlHalf, StlHalf - 1)
+    val withTrend = dense
+      .withColumn("frame_n", count(lit(1)).over(wTrend))
+      .withColumn("trend_raw", when(col("frame_n") === 2 * StlHalf,
+        sum(col("n")).over(wTrend).cast("double") /
+          lit((2 * StlHalf).toDouble)))
+      .withColumn("det", col("n").cast("double") - col("trend_raw"))
+      .withColumn("detq", floor(col("det") * lit(1e6) + lit(0.5)).cast("long"))
+      // bounded series frame; two consumers (profile + output join)
+      .localCheckpoint()
+    val prof = withTrend.filter(col("trend_raw").isNotNull)
+      .groupBy(col("event_type").as("pt"), hour(col("hr")).as("ph"))
+      .agg(q6((sum(col("detq")).cast("double") / lit(1e6)) / count(lit(1)))
+        .as("seasonal"))
+    withTrend.join(broadcast(prof),
+        col("event_type") === col("pt") && hour(col("hr")) === col("ph"),
+        "left")
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("n"), q6(col("trend_raw")).as("trend"),
+        when(col("trend_raw").isNotNull, col("seasonal")).as("seasonal"),
+        when(col("trend_raw").isNotNull, q6(col("det") - col("seasonal")))
+          .as("remainder"))
+      .orderBy("event_type", "hr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts16_stl_decompose" -> (ts16StlDecompose _),
     "ts15_changepoint" -> (ts15Changepoint _),
     "ts1_gap_fill" -> (ts1GapFill _),
     "ts2_locf_fill" -> (ts2LocfFill _),

@@ -444,6 +444,49 @@ class TimeSeriesSpec extends GraftSpec {
     }
   }
 
+  test("ts16 decomposes a planted square wave exactly (trend 105, seasonal ±5, remainder 0)") {
+    import spark.implicits._
+    // 4 dense days of hourly counts alternating 100/110: every full
+    // 24-row window sums to 2520 ⇒ trend exactly 105; hour-of-day
+    // means of the detrended series are exactly ∓5; remainder 0
+    val dense = (0 until 96).map { i =>
+      ("a", java.sql.Timestamp.valueOf(
+        f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00"),
+        if (i % 2 == 0) 100L else 110L)
+    }.toDF("event_type", "hr", "n")
+    val rows = TimeSeries.stlOf(dense).collect()
+    assert(rows.length == 96)
+    rows.foreach { r =>
+      val t = Option(r.getAs[java.lang.Double]("trend"))
+      val hrIdx = r.getAs[String]("hr").substring(11, 13).toInt
+      val dayIdx = r.getAs[String]("hr").substring(8, 10).toInt - 1
+      val i = dayIdx * 24 + hrIdx
+      if (i < TimeSeries.StlHalf || i >= 96 - (TimeSeries.StlHalf - 1)) {
+        assert(t.isEmpty, s"edge row $i must carry NULL trend: $r")
+      } else {
+        assert(t.contains(105.0), r.toString)
+        val exp = if (i % 2 == 0) -5.0 else 5.0
+        assert(r.getAs[Double]("seasonal") == exp, r.toString)
+        assert(r.getAs[Double]("remainder") == 0.0, r.toString)
+      }
+    }
+  }
+
+  test("ts16 corpus rows satisfy the additive identity n = trend + seasonal + remainder") {
+    val rows = TimeSeries.ts16StlDecompose(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var scored = 0
+    rows.foreach { r =>
+      Option(r.getAs[java.lang.Double]("trend")).foreach { t =>
+        scored += 1
+        val sum = t + r.getAs[Double]("seasonal") +
+          r.getAs[Double]("remainder")
+        assert(math.abs(sum - r.getAs[Long]("n")) < 3e-6, r.toString)
+      }
+    }
+    assert(scored > 0, "fixture should contain full-frame rows")
+  }
+
   test("ts15 locates a planted level shift at the exact split day") {
     import spark.implicits._
     // level 10 for days 1-12, level 40 from day 13: the mean gap is
