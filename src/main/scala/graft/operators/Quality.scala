@@ -630,9 +630,16 @@ object Quality {
     val all = Window.partitionBy()
     strata
       .withColumn("sigma", q6(sigmaRaw))
-      .withColumn("nsig", n * col("sigma"))
+      // N_h·σ_h carried as an exact int64 at 1e-6 grain: the all-rows
+      // window below has no ordering, so a raw double sum would add in
+      // scheduling-dependent order (the one place this operator could
+      // diverge run-to-run or engine-to-engine); integer folds can't
+      .withColumn("nsigq", floor(n * col("sigma") * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .withColumn("nsig", col("nsigq").cast("double") / lit(1e6))
       .withColumn("tot_rows", sum(col("n_rows")).over(all))
-      .withColumn("tot_nsig", sum(col("nsig")).over(all))
+      .withColumn("tot_nsig",
+        sum(col("nsigq")).over(all).cast("double") / lit(1e6))
       .select(col("event_type"), col("n_rows"), col("sigma"),
         floor(lit(NeymanBudget) * col("nsig") / col("tot_nsig") + lit(0.5))
           .cast("long").as("neyman_n"),
@@ -720,11 +727,15 @@ object Quality {
          |        - CAST(n_rows AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) / 1e6
          |      AS sigma
          |  FROM st),
-         |w AS (SELECT event_type, n_rows, sigma,
-         |    CAST(n_rows AS DOUBLE) * sigma AS nsig,
-         |    CAST(sum(n_rows) OVER () AS BIGINT) AS tot_rows,
-         |    sum(CAST(n_rows AS DOUBLE) * sigma) OVER () AS tot_nsig
-         |  FROM sg)
+         |wq AS (SELECT event_type, n_rows, sigma,
+         |    CAST(floor(CAST(n_rows AS DOUBLE) * sigma * 1e6 + 0.5)
+         |      AS BIGINT) AS nsigq,
+         |    CAST(sum(n_rows) OVER () AS BIGINT) AS tot_rows
+         |  FROM sg),
+         |w AS (SELECT event_type, n_rows, sigma, tot_rows,
+         |    CAST(nsigq AS DOUBLE) / 1e6 AS nsig,
+         |    CAST(sum(nsigq) OVER () AS BIGINT) / 1e6 AS tot_nsig
+         |  FROM wq)
          |SELECT event_type, n_rows, sigma,
          |  CAST(floor($NeymanBudget * nsig / tot_nsig + 0.5) AS BIGINT)
          |    AS neyman_n,
