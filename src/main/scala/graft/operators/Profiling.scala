@@ -31,7 +31,12 @@ object Profiling {
     * the DECIMAL(12,2) fold bit-for-bit once surfaced as double), at
     * integer-add speed instead of per-row Decimal boxing: measured
     * 0.75 s → 0.16 s for the four sums at sf0.1 (the g4 long-fold
-    * finding, applied to the profile plane). */
+    * finding, applied to the profile plane). Headroom: ~1e7 cents/row
+    * × 6e11 rows (a 100 TB lineitem) ≈ 2×10¹⁸ < 2⁶³ — the fold holds
+    * at target scale; queries summing PRODUCTS (q1's disc_price ×
+    * tax chain) stay on exact DECIMAL on purpose, because their
+    * per-row magnitudes are 100–10 000× larger and would overflow
+    * int64 well before 100 TB. */
   private def profileWith(s: SparkSession, dir: String,
       ndv: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val li = Tables.lineitem(s, dir)
