@@ -115,7 +115,8 @@ object ScaleCheck {
     // changepoint / HT estimate / PMI / LPA / BM25 / batch admission)
     "prof7_benford", "prof8_numeric_corr", "ts15_changepoint",
     "imp4_ht_estimate", "t26_collocations", "g7_label_propagation",
-    "ix5_bm25_search", "pipe5_incremental_corpus", "ts16_stl_decompose")
+    "ix5_bm25_search", "pipe5_incremental_corpus", "ts16_stl_decompose",
+    "g8_incremental_edges")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

@@ -223,6 +223,55 @@ class GraphSpec extends GraftSpec {
     }
   }
 
+  test("g8: chained edge increments equal the distinct union; duplicates and replays are no-ops") {
+    import spark.implicits._
+    def pairs(rows: (Long, Long)*) = rows.toDF("c", "sk")
+    val base = pairs(1L -> 10L, 2L -> 20L)
+    val b1 = pairs(1L -> 20L, 1L -> 10L) // one new edge + one duplicate
+    val b2 = pairs(3L -> 30L, 2L -> 20L) // new customer + duplicate
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_g8_spec").toString
+    graft.sources.AtomicPublish.publish(spark, root, Seq(
+      "co_order" -> base, "ledger" -> Seq.empty[Long].toDF("batch_id")))
+    assert(Graph.applyBatch(spark, root, b1, 1L))
+    assert(Graph.applyBatch(spark, root, b2, 2L))
+    val got = graft.sources.AtomicPublish.readOutput(spark, root, "co_order")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(1L -> 10L, 2L -> 20L, 1L -> 20L, 3L -> 30L))
+    // replayed id and empty batch: ledger-refused, no version churn
+    val before = graft.sources.AtomicPublish.currentVersion(spark, root)
+    assert(!Graph.applyBatch(spark, root, b1, 1L))
+    assert(!Graph.applyBatch(spark, root, pairs(), 99L))
+    assert(graft.sources.AtomicPublish.currentVersion(spark, root) == before)
+  }
+
+  test("streaming graph maintenance: three micro-batches equal the rebuild edge set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_g8_stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_g8_sckpt").toString
+    graft.sources.AtomicPublish.publish(spark, root, Seq(
+      "co_order" -> Seq((1L, 10L)).toDF("c", "sk"),
+      "ledger" -> Seq.empty[Long].toDF("batch_id")))
+    val input = MemoryStream[(Long, Long)]
+    val q = Graph.streamingGraphMaintenance(
+      input.toDF().toDF("c", "sk"), root, ckpt)
+    try {
+      for (b <- Seq(Seq(2L -> 20L), Seq(1L -> 20L, 1L -> 10L),
+          Seq(3L -> 30L))) {
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = graft.sources.AtomicPublish.readOutput(spark, root, "co_order")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(1L -> 10L, 2L -> 20L, 1L -> 20L, 3L -> 30L))
+    assert(graft.sources.AtomicPublish.currentVersion(spark, root)
+      .contains("v4"))
+  }
+
   test("g7: LPA settles each planted clique on its min-id label, components never mix") {
     import spark.implicits._
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
