@@ -116,7 +116,7 @@ object ScaleCheck {
     "prof7_benford", "prof8_numeric_corr", "ts15_changepoint",
     "imp4_ht_estimate", "t26_collocations", "g7_label_propagation",
     "ix5_bm25_search", "pipe5_incremental_corpus", "ts16_stl_decompose",
-    "g8_incremental_edges")
+    "g8_incremental_edges", "b3_incremental_baskets")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

@@ -41,43 +41,157 @@ object Mining {
     * packed into ONE int64 (a<<32 | b) through the count shuffle —
     * half the key bytes, single-word hash/compare in the map-side
     * combine; valid while part ids < 2^31. */
+  /** b3's deterministic ingest split: batch = l_orderkey %
+    * [[BasketBatchMod]] == 0 — an ORDER arrives with all its lines
+    * (g8's grain on the basket plane), so the batch's pair
+    * contribution is derivable from the batch rows alone. */
+  val BasketBatchMod = 4
+
   private[graft] def basketIndexRoot(dir: String): String = {
     val base = sys.props.getOrElse("graft.basketindex.base",
       s"${graft.GraftSession.defaultStateDir}/basket_index")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/lineitem.parquet",
-        s"basket-v1;minsup=$BasketMinSupport;pack=int64"))
+        // v2 (was v1): INCREMENTALLY MAINTAINED, and pair supports are
+        // stored UNFILTERED — supports only GROW under ingest, so a
+        // pair below the read-time floor can cross it later, and the
+        // increment must know its base count (the d13 capped-df
+        // argument, mirrored on a min-floor: keep the row, filter at
+        // read). The salt bump forces stale-recipe rebuilds.
+        s"basket-v2;incr=mod$BasketBatchMod;minsup=read-time;pack=int64"))
   }
+
+  /** The three basket outputs from an arbitrary (l_orderkey,
+    * l_partkey) DISTINCT frame — v1 of the root and the spec's ground
+    * truth. Pair supports UNFILTERED (see [[basketIndexRoot]]). */
+  private[graft] def basketOutputs(s: SparkSession,
+      op: DataFrame): Seq[(String, DataFrame)] = {
+    import s.implicits._
+    Seq(
+      "pair_support" -> pairSupports(op),
+      "item_support" -> op.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_item")),
+      "totals" -> op.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_baskets")),
+      "ledger" -> Seq.empty[Long].toDF("batch_id"))
+  }
+
+  /** In-row packed-pair supports of an order/item frame (b1's
+    * discipline: compiled PackedPairs kernel, int64 pair key). */
+  private[graft] def pairSupports(op: DataFrame): DataFrame =
+    op.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) >= 2)
+      .select(explode(org.apache.spark.sql.graft.PackedPairsExpr
+        .packedPairs(col("parts"))).as("pk"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_xy"))
+
+  /** Publish version N+1 of the basket index from version N's
+    * COMMITTED outputs plus only the batch's rows (the d13 discipline
+    * on the mining plane): batch orders are NEW baskets (ingest
+    * contract), so pair and item supports ADD via one keyed full-join
+    * merge each (t25's df pattern), and the basket total adds the
+    * batch's count. The fact table is never rescanned; the
+    * applied-batch ledger rides the same atomic pointer swap. */
+  private[graft] def publishBasketIncrement(s: SparkSession, root: String,
+      batchOp: DataFrame, batchId: Long = -1L): String = {
+    import graft.sources.AtomicPublish.readOutput
+    val bPairs = pairSupports(batchOp)
+    val mergedPairs = readOutput(s, root, "pair_support").as("a")
+      .join(bPairs.as("b"), Seq("pk"), "full")
+      .select(col("pk"),
+        (coalesce(col("a.n_xy"), lit(0L)) + coalesce(col("b.n_xy"), lit(0L)))
+          .as("n_xy"))
+    val bItems = batchOp.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_item"))
+    val mergedItems = readOutput(s, root, "item_support").as("a")
+      .join(bItems.as("b"), Seq("l_partkey"), "full")
+      .select(col("l_partkey"),
+        (coalesce(col("a.n_item"), lit(0L)) +
+          coalesce(col("b.n_item"), lit(0L))).as("n_item"))
+    val bTot = batchOp.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val mergedTot = readOutput(s, root, "totals")
+      .crossJoin(broadcast(bTot).withColumnRenamed("n_baskets", "bn"))
+      .select((col("n_baskets") + col("bn")).as("n_baskets"))
+    import s.implicits._
+    graft.sources.AtomicPublish.publish(s, root, Seq(
+      "pair_support" -> mergedPairs,
+      "item_support" -> mergedItems,
+      "totals" -> mergedTot,
+      "ledger" -> readOutput(s, root, "ledger")
+        .unionByName(Seq(batchId).toDF("batch_id"))))
+  }
+
+  /** Apply one ingest batch of (l_orderkey, l_partkey) rows EXACTLY
+    * ONCE (ledger-refused replays). */
+  def applyBatch(s: SparkSession, root: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    val applied = graft.sources.AtomicPublish.readOutput(s, root, "ledger")
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (!applied && !batch.isEmpty) {
+      publishBasketIncrement(s, root, batch.distinct(), batchId)
+      true
+    } else false
+  }
+
+  /** Streaming ingest endpoint for the basket plane (row-249 shape). */
+  def streamingBasketMaintenance(rows: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        applyBatch(batch.sparkSession, root, batch.toDF(), id)
+        ()
+      }
+      .start()
 
   private[graft] def ensureBasketIndex(s: SparkSession, dir: String): String =
     graft.sources.DurableIndex.ensure(s, basketIndexRoot(dir)) {
       val op = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
         .localCheckpoint() // pairs + item supports + total read it
-      val pairs = op.groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-        .filter(size(col("parts")) >= 2)
-        .select(explode(org.apache.spark.sql.graft.PackedPairsExpr
-          .packedPairs(col("parts"))).as("pk"))
-        .groupBy(col("pk"))
-        .agg(count(lit(1)).as("n_xy"))
-        .filter(col("n_xy") >= BasketMinSupport)
-      graft.sources.AtomicPublish.publish(s, basketIndexRoot(dir), Seq(
-        "pair_support" -> pairs,
-        "item_support" -> op.groupBy(col("l_partkey"))
-          .agg(count(lit(1)).as("n_item")),
-        "totals" -> op.select(col("l_orderkey")).distinct()
-          .agg(count(lit(1)).as("n_baskets"))))
+      graft.sources.AtomicPublish.publish(s, basketIndexRoot(dir),
+        basketOutputs(s,
+          op.filter(col("l_orderkey") % BasketBatchMod =!= 0)))
+      publishBasketIncrement(s, basketIndexRoot(dir),
+        op.filter(col("l_orderkey") % BasketBatchMod === 0))
     }
 
   def b1BasketPairs(s: SparkSession, dir: String): DataFrame =
     graft.sources.AtomicPublish.readOutput(s,
       ensureBasketIndex(s, dir), "pair_support")
+      .filter(col("n_xy") >= BasketMinSupport) // read-time floor (v2)
       .select(shiftright(col("pk"), 32).as("part_a"),
         col("pk").bitwiseAND(lit(4294967295L)).as("part_b"),
         col("n_xy").as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(BasketTopK)
+
+  /** b3: the ingest batch's pair-support report from the
+    * INCREMENTALLY-maintained basket index — for every pair the batch
+    * touched that clears the read-time floor, the merged corpus-wide
+    * support. The oracle recomputes from the FULL fact table, so a
+    * hash pass proves support-add maintenance ≡ rebuild — including
+    * pairs the BATCH pushed over the floor, which is exactly why the
+    * index stores unfiltered supports. */
+  def b3IncrementalBaskets(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureBasketIndex(s, dir)
+    val bPairs = pairSupports(Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % BasketBatchMod === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct())
+      .select(col("pk"))
+    graft.sources.AtomicPublish.readOutput(s, root, "pair_support")
+      .join(bPairs, Seq("pk"), "left_semi")
+      .filter(col("n_xy") >= BasketMinSupport)
+      .select(shiftright(col("pk"), 32).as("part_a"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("part_b"),
+        col("n_xy").as("n_orders"))
+      .orderBy("part_a", "part_b")
+  }
 
   val MadK = 3.0 // flag |value - median| > MadK * 1.4826 * MAD
   val MadScale = 1.4826 // consistency constant: MAD ≈ sigma for normal data
@@ -512,6 +626,7 @@ object Mining {
     val itemSup = graft.sources.AtomicPublish.readOutput(s, root, "item_support")
     val tot = graft.sources.AtomicPublish.readOutput(s, root, "totals")
     val pairs = graft.sources.AtomicPublish.readOutput(s, root, "pair_support")
+      .filter(col("n_xy") >= BasketMinSupport) // read-time floor (v2)
       .select(shiftright(col("pk"), 32).as("a"),
         col("pk").bitwiseAND(lit(4294967295L)).as("b"), col("n_xy"))
     val directed = pairs
@@ -603,6 +718,21 @@ object Mining {
          |  round(MAX(v), 4) AS hi, round(AVG(v), 6) AS mean
          |FROM assigned GROUP BY bin ORDER BY bin""".stripMargin
     },
+    "b3_incremental_baskets" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         |    COUNT(*) AS n_orders
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |bp AS (SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  WHERE a.l_orderkey % $BasketBatchMod = 0)
+         |SELECT p.part_a, p.part_b, p.n_orders
+         |FROM p JOIN bp ON p.part_a = bp.part_a AND p.part_b = bp.part_b
+         |WHERE p.n_orders >= $BasketMinSupport
+         |ORDER BY p.part_a, p.part_b""".stripMargin,
     "b1_basket_pairs" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
          |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
@@ -658,6 +788,7 @@ object Mining {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_basket_pairs" -> (b1BasketPairs _),
+    "b3_incremental_baskets" -> (b3IncrementalBaskets _),
     "b2_association_rules" -> (b2AssociationRules _),
     "sky1_pareto_front" -> (sky1ParetoFront _),
     "e6_mad_outliers" -> (e6MadOutliers _),

@@ -286,4 +286,76 @@ class MiningSpec extends GraftSpec {
         r.getAs[Double]("raw_mean") <= looMax + 1e-9)
     }
   }
+
+  test("b3: chained basket increments equal a rebuild — including a pair the batch pushes over the floor") {
+    import spark.implicits._
+    def op(rows: (Long, Long)*) = rows.toDF("l_orderkey", "l_partkey")
+    // base: pair (1,2) seen once — BELOW the read floor of 2
+    val base = op(100L -> 1L, 100L -> 2L, 101L -> 1L)
+    // b1 adds order 200 carrying (1,2) again -> support 2 crosses the
+    // floor only because the index stored the sub-floor base count
+    val batch1 = op(200L -> 1L, 200L -> 2L)
+    // b2 adds a fresh pair (3,4) once (stays sub-floor)
+    val batch2 = op(300L -> 3L, 300L -> 4L)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_b3_spec").toString
+    graft.sources.AtomicPublish.publish(spark, root,
+      Mining.basketOutputs(spark, base))
+    assert(Mining.applyBatch(spark, root, batch1, 1L))
+    assert(Mining.applyBatch(spark, root, batch2, 2L))
+    val all = op((base.collect() ++ batch1.collect() ++ batch2.collect())
+      .map(r => r.getLong(0) -> r.getLong(1)).toIndexedSeq: _*)
+    def sets(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.mkString("|")).toSet
+    for (name <- Seq("pair_support", "item_support", "totals")) {
+      val want = Mining.basketOutputs(spark, all)
+        .find(_._1 == name).get._2
+      assert(sets(graft.sources.AtomicPublish.readOutput(spark, root, name))
+        == sets(want), s"$name diverged after chained increments")
+    }
+    // the floor-crossing pair is now visible at the read floor
+    val pairs = graft.sources.AtomicPublish
+      .readOutput(spark, root, "pair_support")
+      .filter(col("n_xy") >= Mining.BasketMinSupport).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs((1L << 32) | 2L) == 2L, pairs.toString)
+    // replayed id and empty batch: refused, no version churn
+    val before = graft.sources.AtomicPublish.currentVersion(spark, root)
+    assert(!Mining.applyBatch(spark, root, batch1, 1L))
+    assert(!Mining.applyBatch(spark, root, op(), 99L))
+    assert(graft.sources.AtomicPublish.currentVersion(spark, root) == before)
+  }
+
+  test("streaming basket maintenance: three micro-batches equal the rebuild supports") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_b3_stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_b3_sckpt").toString
+    val base = Seq(100L -> 1L, 100L -> 2L).toDF("l_orderkey", "l_partkey")
+    graft.sources.AtomicPublish.publish(spark, root,
+      Mining.basketOutputs(spark, base))
+    val input = MemoryStream[(Long, Long)]
+    val q = Mining.streamingBasketMaintenance(
+      input.toDF().toDF("l_orderkey", "l_partkey"), root, ckpt)
+    try {
+      for (b <- Seq(Seq(200L -> 1L, 200L -> 2L),
+          Seq(300L -> 2L, 300L -> 3L), Seq(400L -> 1L))) {
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val all = (Seq(100L -> 1L, 100L -> 2L, 200L -> 1L, 200L -> 2L,
+      300L -> 2L, 300L -> 3L, 400L -> 1L)).toDF("l_orderkey", "l_partkey")
+    def sets(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.mkString("|")).toSet
+    for (name <- Seq("pair_support", "item_support", "totals")) {
+      val want = Mining.basketOutputs(spark, all).find(_._1 == name).get._2
+      assert(sets(graft.sources.AtomicPublish.readOutput(spark, root, name))
+        == sets(want), s"$name diverged after streamed increments")
+    }
+    assert(graft.sources.AtomicPublish.currentVersion(spark, root)
+      .contains("v4"))
+  }
 }
