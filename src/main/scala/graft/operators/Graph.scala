@@ -49,13 +49,14 @@ object Graph {
       s"${graft.GraftSession.defaultStateDir}/graph_index")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/orders.parquet",
-        // v2 (was v1): the edge artifact is now INCREMENTALLY
+        // v3 (v2 added the increment path; v3 adds the touched-keys
+        // output): the edge artifact is INCREMENTALLY
         // MAINTAINED (built over the base order slice, then the batch
         // slice applied through the ledger'd increment path) — the
         // salt bump forces stale-recipe rebuilds. Two source tables
         // feed one artifact: the second table's fingerprint rides the
         // params salt.
-        s"co-order-v2;incr=mod$GraphBatchMod;" +
+        s"co-order-v3;incr=mod$GraphBatchMod;touched;" +
           graft.sources.DurableIndex.fingerprint(s"$dir/lineitem.parquet")))
   }
 
@@ -91,6 +92,9 @@ object Graph {
     import s.implicits._
     graft.sources.AtomicPublish.publish(s, root, Seq(
       "co_order" -> committed.unionByName(fresh),
+      // the batch's own customer keys: the ingest report (g8) reads
+      // committed state ONLY instead of re-joining the fact tables
+      "touched" -> batchPairs.select(col("c")).distinct(),
       "ledger" -> readOutput(s, root, "ledger")
         .unionByName(Seq(batchId).toDF("batch_id"))))
   }
@@ -148,9 +152,10 @@ object Graph {
     * and order included. */
   def g8IncrementalEdges(s: SparkSession, dir: String): DataFrame = {
     coOrderPairs(s, dir) // ensure the post-ingest snapshot
-    val bc = Tables.orders(s, dir)
-      .filter(col("o_orderkey") % GraphBatchMod === 0)
-      .select(col("o_custkey").as("c")).distinct()
+    // committed-state-only read path: the increment published its own
+    // touched customer keys (never re-join the fact tables per query)
+    val bc = graft.sources.AtomicPublish.readOutput(s,
+      coOrderRoot(dir), "touched")
     graft.sources.AtomicPublish.readOutput(s, coOrderRoot(dir), "co_order")
       .join(bc, Seq("c"), "left_semi")
       .groupBy(col("c"))
@@ -737,7 +742,8 @@ object Graph {
     "g8_incremental_edges" ->
       s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
          |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |bc AS (SELECT DISTINCT o_custkey AS c FROM orders
+         |bc AS (SELECT DISTINCT o_custkey AS c
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |  WHERE o_orderkey % $GraphBatchMod = 0)
          |SELECT c, count(*) AS degree,
          |  md5(array_to_string(list(sk ORDER BY sk), ',')) AS suppliers_md5

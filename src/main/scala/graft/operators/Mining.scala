@@ -52,13 +52,15 @@ object Mining {
       s"${graft.GraftSession.defaultStateDir}/basket_index")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/lineitem.parquet",
-        // v2 (was v1): INCREMENTALLY MAINTAINED, and pair supports are
+        // v3 (v2 added the increment path; v3 adds the touched-keys
+        // output and support-sorted pair layout): INCREMENTALLY
+        // MAINTAINED, and pair supports are
         // stored UNFILTERED — supports only GROW under ingest, so a
         // pair below the read-time floor can cross it later, and the
         // increment must know its base count (the d13 capped-df
         // argument, mirrored on a min-floor: keep the row, filter at
         // read). The salt bump forces stale-recipe rebuilds.
-        s"basket-v2;incr=mod$BasketBatchMod;minsup=read-time;pack=int64"))
+        s"basket-v3;incr=mod$BasketBatchMod;minsup=read-time;touched;sort=n_xy;pack=int64"))
   }
 
   /** The three basket outputs from an arbitrary (l_orderkey,
@@ -68,11 +70,19 @@ object Mining {
       op: DataFrame): Seq[(String, DataFrame)] = {
     import s.implicits._
     Seq(
-      "pair_support" -> pairSupports(op),
+      // sorted by support DESC at publish: parquet row-group min/max
+      // on n_xy lets the read-time floor PRUNE the (majority) tail of
+      // support-1 pairs instead of scanning it — the k8 z-order
+      // argument at one-column grain
+      "pair_support" -> pairSupports(op).orderBy(col("n_xy").desc),
       "item_support" -> op.groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("n_item")),
       "totals" -> op.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("n_baskets")),
+      // the batch's own pair keys (empty at v1): the ingest report
+      // (b3) reads committed state ONLY instead of re-deriving the
+      // batch pair set from the fact table per query
+      "touched" -> Seq.empty[Long].toDF("pk"),
       "ledger" -> Seq.empty[Long].toDF("batch_id"))
   }
 
@@ -117,9 +127,10 @@ object Mining {
       .select((col("n_baskets") + col("bn")).as("n_baskets"))
     import s.implicits._
     graft.sources.AtomicPublish.publish(s, root, Seq(
-      "pair_support" -> mergedPairs,
+      "pair_support" -> mergedPairs.orderBy(col("n_xy").desc),
       "item_support" -> mergedItems,
       "totals" -> mergedTot,
+      "touched" -> bPairs.select(col("pk")),
       "ledger" -> readOutput(s, root, "ledger")
         .unionByName(Seq(batchId).toDF("batch_id"))))
   }
@@ -180,10 +191,10 @@ object Mining {
     * index stores unfiltered supports. */
   def b3IncrementalBaskets(s: SparkSession, dir: String): DataFrame = {
     val root = ensureBasketIndex(s, dir)
-    val bPairs = pairSupports(Tables.lineitem(s, dir)
-      .filter(col("l_orderkey") % BasketBatchMod === 0)
-      .select(col("l_orderkey"), col("l_partkey")).distinct())
-      .select(col("pk"))
+    // committed-state-only read path: the increment published its own
+    // touched pair keys, so the report never re-derives the batch's
+    // pair set from the fact table
+    val bPairs = graft.sources.AtomicPublish.readOutput(s, root, "touched")
     graft.sources.AtomicPublish.readOutput(s, root, "pair_support")
       .join(bPairs, Seq("pk"), "left_semi")
       .filter(col("n_xy") >= BasketMinSupport)
