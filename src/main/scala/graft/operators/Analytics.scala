@@ -1977,6 +1977,95 @@ object Analytics {
       .orderBy("day")
   }
 
+  val GiniBuckets = 32 // rank-bucket fan-out for the w11 grouped-rank fold
+
+  /** w11: Gini coefficient of customer revenue concentration — the
+    * inequality audit a curation pipeline runs on any "mass per key"
+    * distribution (customer revenue here; source token mass, domain
+    * doc counts at 100 TB). Exact, via the rank formula
+    * G = 2·Σ i·x_i / (n·Σ x_i) − (n+1)/n over cents-exact per-key
+    * totals with ranks tie-broken by key. The rank is computed with
+    * the f1 grouped-rank discipline, NOT a single-partition global
+    * window: [[GiniBuckets]] approx-percentile cuts ride the plan as
+    * a broadcast 1-row literal (value-banded, so ties never straddle
+    * a bucket), row_number runs per-bucket (bounded partitions), and
+    * the global rank is bucket offset + in-bucket rank where offsets
+    * come from the ≤[[GiniBuckets]]-row count frame (bounded
+    * metadata). Σ i·x_i folds as DECIMAL(38,0) — order-free, exact —
+    * and the one double expression is evaluated in a fixed tree both
+    * engines share. One fact shuffle (the per-key aggregate); all
+    * rank work happens on the key-grain frame. */
+  def w11Gini(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("long")
+    val x = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents).as("cents"))
+    val qs = (1 until GiniBuckets).map(_.toDouble / GiniBuckets)
+    val bounds = x.agg(
+      expr(s"approx_percentile(cents, array(${qs.mkString(",")}), 10000)")
+        .as("bs"))
+    val bucketed = x.crossJoin(broadcast(bounds)) // 1-row bounded metadata
+      .withColumn("bkt", qs.indices
+        .map(i => when(col("cents") > element_at(col("bs"), i + 1), 1)
+          .otherwise(0)).reduce(_ + _))
+      .drop("bs")
+    val offs = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+      .withColumn("off", coalesce(sum(col("m")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wb = Window.partitionBy(col("bkt"))
+      .orderBy(col("cents"), col("o_custkey"))
+    bucketed.withColumn("k", row_number().over(wb))
+      .join(broadcast(offs), Seq("bkt"))
+      .select(col("cents"), (col("off") + col("k")).as("i"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum((col("i") * col("cents")).cast("decimal(38,0)")).as("swx"))
+      .select(col("n_customers"), col("total_cents"),
+        round((lit(2.0) * col("swx").cast("double")
+          / col("total_cents").cast("double")
+          - (col("n_customers").cast("double") + lit(1.0)))
+          / col("n_customers").cast("double"), 6).as("gini"))
+  }
+
+  /** e12: peak concurrency per day — the classic interval sweep-line
+    * (max simultaneously-active users), the capacity question behind
+    * rate limits and session-store sizing. Each user's daily activity
+    * interval collapses to TWO boundary rows (+1 at first event, −1
+    * at last; +1 sorts first at equal timestamps so touching
+    * intervals count as concurrent), and the running sum's max is the
+    * peak. The fact table pays one (user, day) aggregate; the sweep
+    * window runs on the boundary plane — 2 rows per active
+    * (user, day), partitioned by day, never global. The per-day MAX
+    * of the running sum is invariant to ordering among equal-(t, d)
+    * rows, so the output is deterministic even though interior
+    * prefix values are not unique. At 100 TB a single day's boundary
+    * partition is user-grain, not event-grain; if even that overflows
+    * a partition, sub-bucket by hour and carry the bucket-boundary
+    * prefix (the prof9 cross-bucket discipline) — not needed at
+    * tested scales. */
+  def e12PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(min(col("ts")).as("s_ts"), max(col("ts")).as("e_ts"))
+    val b = iv.select(col("day"), col("s_ts").as("t"), lit(1).as("d"),
+        col("user_id"))
+      .unionAll(iv.select(col("day"), col("e_ts").as("t"),
+        lit(-1).as("d"), col("user_id")))
+    val sweep = Window.partitionBy(col("day"))
+      .orderBy(col("t"), col("d").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    b.withColumn("c", sum(col("d")).over(sweep))
+      .groupBy(col("day"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_active"),
+        max(col("c")).as("peak"))
+      .select(Cols.fmtDate(col("day")).as("day"), col("n_active"),
+        col("peak"))
+      .orderBy("day")
+  }
+
   private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracles: Map[String, String] = Map(
@@ -2780,6 +2869,31 @@ object Analytics {
         |  round(quantile_cont(lag_us // 1000000, 0.5), 4) AS p50_lag_s,
         |  round(quantile_cont(lag_us // 1000000, 0.9), 4) AS p90_lag_s
         |FROM s LEFT JOIN c USING (user_id)""".stripMargin,
+    "w11_gini" ->
+      """WITH x AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM x),
+        |a AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS tot,
+        |    CAST(SUM(CAST(i * cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS swx
+        |  FROM r)
+        |SELECT n AS n_customers, tot AS total_cents,
+        |  round((2.0 * CAST(swx AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    - (n + 1.0)) / n, 6) AS gini
+        |FROM a""".stripMargin,
+    "e12_peak_concurrency" ->
+      """WITH iv AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    MIN(ts) AS s_ts, MAX(ts) AS e_ts FROM events GROUP BY 1, 2),
+        |b AS (SELECT day, s_ts AS t, 1 AS d, user_id FROM iv
+        |  UNION ALL SELECT day, e_ts, -1, user_id FROM iv),
+        |sw AS (SELECT day, SUM(d) OVER (PARTITION BY day
+        |    ORDER BY t, d DESC, user_id ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM b)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  COUNT(*) // 2 AS n_active, CAST(MAX(c) AS BIGINT) AS peak
+        |FROM sw GROUP BY day ORDER BY day""".stripMargin,
     "a12_volume_drift" ->
       s"""WITH d AS (SELECT date_trunc('day', ts) AS day,
          |    COUNT(*) AS n_events FROM events GROUP BY 1),
@@ -2949,5 +3063,7 @@ object Analytics {
     "w9_rolling_percentile" -> (w9RollingPercentile _),
     "w10_cumulative_users" -> (w10CumulativeUsers _),
     "a17_cross_corr" -> (a17CrossCorr _),
-    "a12_volume_drift" -> (a12VolumeDrift _))
+    "a12_volume_drift" -> (a12VolumeDrift _),
+    "w11_gini" -> (w11Gini _),
+    "e12_peak_concurrency" -> (e12PeakConcurrency _))
 }

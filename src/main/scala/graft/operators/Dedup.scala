@@ -578,6 +578,38 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** d15: cross-source duplication matrix — for every pair of
+    * sources, how many near-dup clusters span both (the "who is
+    * copying whom" report behind source-level dedup policy: a corpus
+    * with heavy cross-source duplication double-counts content that
+    * per-source caps — dc1 — cannot see). Reads the PUBLISHED cluster
+    * table (d6's build artifact) and joins only the (doc_id, source)
+    * column plane; each cluster collapses to its DISTINCT source set
+    * in one aggregate (bounded by the source domain, not cluster
+    * size), and source pairs generate IN-ROW from the sorted set —
+    * b1's discipline, quadratic only in #distinct-sources-per-cluster
+    * (≤ the source domain, a small constant), never in docs. One
+    * cluster-keyed shuffle, one pair-keyed count. */
+  def d15SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.sources.AtomicPublish
+      .readOutput(s, ensureClusterIndex(s, dir), "clusters")
+    val srcs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+    clusters.join(srcs, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss) - i - 1), b ->
+          |    struct(a AS source_a, b AS source_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Max plan-tree depth observed across the generations of the most
     * recent [[connectedComponents]] run — instrumentation for the
     * bounded-lineage spec (a diameter-30 chain must not grow a
@@ -874,6 +906,15 @@ object Dedup {
     "d6_dedup_clusters" ->
       s"""$ClusterOracleCte
         |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+    "d15_source_overlap" ->
+      s"""$ClusterOracleCte,
+        |cs AS (SELECT DISTINCT cl.cluster_id, d.source
+        |  FROM cl JOIN documents d USING (doc_id))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  COUNT(*) AS n_shared_clusters
+        |FROM cs a JOIN cs b
+        |  ON a.cluster_id = b.cluster_id AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d5_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -993,5 +1034,6 @@ object Dedup {
     "d6_dedup_clusters" -> (d6DedupClusters _),
     "d10_canonical_pick" -> (d10CanonicalPick _),
     "d11_dup_histogram" -> (d11DupHistogram _),
-    "d12_sketch_calibration" -> (d12SketchCalibration _))
+    "d12_sketch_calibration" -> (d12SketchCalibration _),
+    "d15_source_overlap" -> (d15SourceOverlap _))
 }

@@ -738,7 +738,72 @@ object Graph {
        |SELECT node, label FROM l$LpaRounds ORDER BY node""".stripMargin
   }
 
+  /** g9: degree assortativity (Newman 2002) of the co-order graph —
+    * the Pearson correlation of endpoint degrees across edges: do
+    * high-degree customers concentrate on high-degree suppliers
+    * (r > 0, hub-attracts-hub) or spread across the tail (r < 0,
+    * the disassortative shape typical of commerce graphs)? The
+    * structural summary behind j4/prof3's skew handling: a strongly
+    * disassortative graph means hub joins fan INTO the tail, which is
+    * exactly when salting pays. Reads the COMMITTED edge artifact;
+    * degrees are two edge-keyed counts joined back 1:1 per edge, and
+    * the five moments fold as exact DECIMAL(38,0) sums of bounded
+    * integer products (prof8's order-free discipline) — Pearson runs
+    * once on the 1-row frame in a fixed IEEE tree, q6 at the
+    * boundary. */
+  def g9Assortativity(s: SparkSession, dir: String): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
+    val cs = coOrderPairs(s, dir)
+    val dc = cs.groupBy(col("c")).agg(count(lit(1)).as("x"))
+    val ds = cs.groupBy(col("sk")).agg(count(lit(1)).as("y"))
+    val j = cs.join(dc, Seq("c")).join(ds, Seq("sk"))
+      .select(col("x"), col("y"))
+    j.agg(count(lit(1)).as("n_edges"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("x") * col("x"))).as("sxx"),
+        sum(d38(col("y"))).as("sy"), sum(d38(col("y") * col("y"))).as("syy"),
+        sum(d38(col("x") * col("y"))).as("sxy"))
+      .select(col("n_edges"),
+        round(col("sx").cast("double") / col("n_edges"), 6)
+          .as("avg_deg_cust"),
+        round(col("sy").cast("double") / col("n_edges"), 6)
+          .as("avg_deg_supp"),
+        TimeSeries.q6((col("n_edges").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n_edges").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n_edges").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))))
+          .as("assortativity"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "g9_assortativity" -> {
+      def q6s(e: String) = s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT) / 1e6"
+      s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+         |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |dc AS (SELECT c, count(*) AS x FROM cs GROUP BY 1),
+         |ds AS (SELECT sk, count(*) AS y FROM cs GROUP BY 1),
+         |j AS (SELECT dc.x, ds.y FROM cs
+         |  JOIN dc USING (c) JOIN ds USING (sk)),
+         |m AS (SELECT count(*) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+         |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         |    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+         |    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+         |  FROM j)
+         |SELECT n AS n_edges,
+         |  round(CAST(sx AS DOUBLE) / n, 6) AS avg_deg_cust,
+         |  round(CAST(sy AS DOUBLE) / n, 6) AS avg_deg_supp,
+         |  ${q6s("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+        "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))")} AS assortativity
+         |FROM m""".stripMargin
+    },
     "g8_incremental_edges" ->
       s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
          |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -810,5 +875,6 @@ object Graph {
     "g5_degree_profile" -> (g5DegreeProfile _),
     "g6_bfs_hops" -> (g6BfsHops _),
     "g7_label_propagation" -> (g7LabelPropagation _),
-    "g8_incremental_edges" -> (g8IncrementalEdges _))
+    "g8_incremental_edges" -> (g8IncrementalEdges _),
+    "g9_assortativity" -> (g9Assortativity _))
 }

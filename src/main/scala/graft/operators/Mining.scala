@@ -658,7 +658,86 @@ object Mining {
       .limit(RuleTopK)
   }
 
+  val AffinityTopK = 20
+
+  /** b5: basket affinity — pair Jaccard n_xy / (n_x + n_y − n_xy)
+    * over the PUBLISHED basket index, the symmetric complement of
+    * b2's directional confidence/lift (lift normalizes by chance,
+    * Jaccard by union mass — a pair can have high lift on tiny
+    * supports; Jaccard surfaces pairs that actually co-travel).
+    * Pure read-path: pair supports (read-time floor, row-group
+    * pruned via the support-sorted layout), item supports attach by
+    * key join, the score is ONE correctly-rounded division of exact
+    * integers evaluated in the same IEEE tree both engines share.
+    * Top-K by (jaccard desc, pair) compiles to
+    * TakeOrderedAndProject. */
+  def b5BasketAffinity(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureBasketIndex(s, dir)
+    val itemSup = graft.sources.AtomicPublish.readOutput(s, root, "item_support")
+    val pairs = graft.sources.AtomicPublish.readOutput(s, root, "pair_support")
+      .filter(col("n_xy") >= BasketMinSupport)
+      .select(shiftright(col("pk"), 32).as("part_a"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("part_b"), col("n_xy"))
+    pairs
+      .join(itemSup.select(col("l_partkey").as("part_a"),
+        col("n_item").as("n_a")), Seq("part_a"))
+      .join(itemSup.select(col("l_partkey").as("part_b"),
+        col("n_item").as("n_b")), Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("n_xy"),
+        round(col("n_xy").cast("double") /
+          (col("n_a") + col("n_b") - col("n_xy")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("part_a"), col("part_b"))
+      .limit(AffinityTopK)
+  }
+
+  val HashFeatureBuckets = 64 // f5 hashed-feature dimensionality
+
+  /** f5: the hashing trick (Weinberger et al. 2009) — fixed-width
+    * bag-of-tokens features without a vocabulary: every token maps to
+    * bucket md5(token)[:8] mod [[HashFeatureBuckets]] and the
+    * per-(source, bucket) counts ARE the feature matrix. This is how
+    * a 100 TB corpus gets classifier features with NO vocabulary
+    * build, no OOV handling, and a shuffle key domain bounded by
+    * #sources × #buckets regardless of corpus size: tokens explode
+    * and bucket row-locally (codegen'd md5 + conv), and the single
+    * count shuffle carries only the tiny (source, bucket) key space —
+    * map-side combine collapses virtually everything before the
+    * exchange. md5 (not a JVM hash) so the bucketing is
+    * engine-portable and the full SQL oracle applies. */
+  def f5FeatureHashing(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .select(col("source"),
+        pmod(conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"),
+          lit(HashFeatureBuckets.toLong)).as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "bucket")
+
   val oracles: Map[String, String] = Map(
+    "b5_basket_affinity" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |sup AS (SELECT l_partkey, count(*) AS n_item FROM li GROUP BY 1),
+         |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         |    COUNT(*) AS n_xy
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $BasketMinSupport)
+         |SELECT part_a, part_b, n_xy,
+         |  round(CAST(n_xy AS DOUBLE) / (x.n_item + y.n_item - n_xy), 6)
+         |    AS jaccard
+         |FROM p JOIN sup x ON p.part_a = x.l_partkey
+         |  JOIN sup y ON p.part_b = y.l_partkey
+         |ORDER BY jaccard DESC, part_a, part_b
+         |LIMIT $AffinityTopK""".stripMargin,
+    "f5_feature_hashing" ->
+      s"""SELECT source,
+         |  CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+         |    % $HashFeatureBuckets AS bucket,
+         |  COUNT(*) AS n
+         |FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+         |      FROM documents)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "b2_association_rules" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |sup AS (SELECT l_partkey, count(*) AS n_item FROM li GROUP BY 1),
@@ -801,6 +880,7 @@ object Mining {
     "b1_basket_pairs" -> (b1BasketPairs _),
     "b3_incremental_baskets" -> (b3IncrementalBaskets _),
     "b2_association_rules" -> (b2AssociationRules _),
+    "b5_basket_affinity" -> (b5BasketAffinity _),
     "sky1_pareto_front" -> (sky1ParetoFront _),
     "e6_mad_outliers" -> (e6MadOutliers _),
     "f1_feature_bins" -> (f1FeatureBins _),
@@ -808,5 +888,6 @@ object Mining {
     "f2_standardize" -> (f2Standardize _),
     "f3_winsorize" -> (f3Winsorize _),
     "f4_target_encode" -> (f4TargetEncode _),
+    "f5_feature_hashing" -> (f5FeatureHashing _),
     "a13_ab_test" -> (a13AbTest _))
 }

@@ -373,7 +373,53 @@ object Pipeline {
       .orderBy("check")
   }
 
+  val MixTempBudget = 1000000L // token budget the mix8 allocation splits
+  val MixTempWScale = 1000L    // fixed-point scale for the √-mass weights
+
+  /** mix8: temperature-scaled source mixture — the multilingual/
+    * multi-domain sampling rule (Lample & Conneau 2019 §3.1; mC4 uses
+    * the same exponent form): sample source i proportional to
+    * p_i^(1/τ) so low-resource sources are up-weighted without
+    * letting the head dominate. τ = 2 exactly, so the exponent is a
+    * SQRT — correctly rounded in IEEE on every engine, unlike
+    * arbitrary pow(x, α) whose libm rounding may differ in the last
+    * ulp (the g2 teleport-constant lesson applied to the exponent
+    * choice). Determinism discipline: weights quantize to int64
+    * fixed-point (floor(√tokens · [[MixTempWScale]])) BEFORE any
+    * ratio exists, the normalizer is an order-free integer sum, and
+    * the per-source allocation is exact integer floor division of
+    * [[MixTempBudget]] — no double ever decides a token count. One
+    * scan, one source-keyed aggregate (map-side partials), the
+    * normalizer a broadcast 1-row frame. */
+  def mix8TemperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val ws = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("n_tokens").cast("double")) * MixTempWScale)
+          .cast("long"))
+    val tot = ws.agg(sum(col("weight")).as("sw"))
+    ws.crossJoin(broadcast(tot)) // 1-row bounded metadata
+      .select(col("source"), col("n_tokens"), col("weight"),
+        round(col("weight").cast("double") / col("sw"), 6).as("share"),
+        expr(s"(weight * $MixTempBudget) div sw").as("alloc_tokens"))
+      .orderBy("source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "mix8_temperature_mixture" ->
+      s"""WITH t AS (SELECT source,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * $MixTempWScale)
+         |      AS BIGINT) AS weight
+         |  FROM t),
+         |s AS (SELECT CAST(SUM(weight) AS BIGINT) AS sw FROM w)
+         |SELECT source, n_tokens, weight,
+         |  round(CAST(weight AS DOUBLE) / sw, 6) AS share,
+         |  (weight * $MixTempBudget) // sw AS alloc_tokens
+         |FROM w CROSS JOIN s ORDER BY source""".stripMargin,
     "mix7_dedup_weights" ->
       s"""${Dedup.ClusterOracleCte},
         |m AS (SELECT cl.cluster_id, cl.doc_id, length(d.text) AS len
@@ -590,5 +636,6 @@ object Pipeline {
     "mix5_curriculum" -> (mix5Curriculum _),
     "mix6_split_leakage" -> (mix6SplitLeakage _),
     "mix7_dedup_weights" -> (mix7DedupWeights _),
+    "mix8_temperature_mixture" -> (mix8TemperatureMixture _),
     "pipe4_monitor_report" -> (pipe4MonitorReport _))
 }

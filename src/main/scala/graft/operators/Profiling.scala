@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Cols, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ANALYZE-style table statistics (SURVEY §2 rows 135-136) — the
@@ -403,7 +404,49 @@ object Profiling {
       .orderBy("pair_name")
   }
 
+  val GapBucketShift = 7 // 128-key buckets for the prof9 gap sweep
+  val GapTopK = 20
+
+  /** prof9: islands-and-gaps key audit — the missing-range report a
+    * completeness monitor runs over any supposedly-contiguous key
+    * subsequence (here: 'F'-status orderkeys; at 100 TB: ingest
+    * sequence numbers, partition date spines). NOT a single global
+    * lead() window: keys bucket by k >> [[GapBucketShift]]
+    * (value-banded, deterministic), in-bucket gaps come from a
+    * per-bucket lead (bounded 128-row partitions), and cross-bucket
+    * gaps from a lead over the bucket-grain (min, max) frame — 128×
+    * smaller; if the keyspace is so large that even the bucket frame
+    * overflows, the same split applies recursively (bucket the
+    * buckets). Top-[[GapTopK]] by (len desc, start) compiles to
+    * TakeOrderedAndProject — no global sort. */
+  def prof9IdGaps(s: SparkSession, dir: String): DataFrame = {
+    val k = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("k")).distinct()
+      .withColumn("bkt", shiftright(col("k"), GapBucketShift))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("k"))
+    val inner = k.withColumn("nxt", lead(col("k"), 1).over(wIn))
+      .filter(col("nxt") - col("k") > 1)
+      .select((col("k") + 1).as("gap_start"),
+        (col("nxt") - 1).as("gap_end"))
+    // bucket-grain frame: one row per nonempty bucket (bounded
+    // metadata relative to the key frame)
+    val bf = k.groupBy(col("bkt"))
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+    val cross = bf
+      .withColumn("nmn", lead(col("mn"), 1).over(Window.orderBy(col("bkt"))))
+      .filter(col("nmn") - col("mx") > 1)
+      .select((col("mx") + 1).as("gap_start"),
+        (col("nmn") - 1).as("gap_end"))
+    inner.unionAll(cross)
+      .select(col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start") + 1).as("gap_len"))
+      .orderBy(col("gap_len").desc, col("gap_start"))
+      .limit(GapTopK)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prof9_id_gaps" -> (prof9IdGaps _),
     "prof7_benford" -> (prof7Benford _),
     "prof8_numeric_corr" -> (prof8NumericCorr _),
     "prof5_mutual_info" -> (prof5MutualInfo _),
@@ -490,6 +533,14 @@ object Profiling {
        |      FROM $t GROUP BY 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "prof9_id_gaps" ->
+      s"""WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+         |  WHERE o_orderstatus = 'F'),
+         |g AS (SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM k)
+         |SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+         |  nxt - k - 1 AS gap_len
+         |FROM g WHERE nxt - k > 1
+         |ORDER BY gap_len DESC, gap_start LIMIT $GapTopK""".stripMargin,
     "prof7_benford" -> {
       // the expected-p CASE interpolates the HOST-computed doubles —
       // DuckDB parses the identical decimal literals Spark folded

@@ -26,6 +26,10 @@ object Quality {
     * full 8-word list — is unchanged). */
   val StopHitsMin = 1
 
+  // qc3's content rater floor — defined BEFORE the oracles val that
+  // interpolates it (a forward reference silently reads 0)
+  val Qc3StopMin = 1
+
   /** The Gopher required-stopword list (Rae et al. 2021, A1.1). */
   val RequiredStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -119,6 +123,45 @@ object Quality {
         round(col("w"), 6).as("weight"),
         round(lit(1.0) / col("w"), 6).as("inv_weight"))
       .orderBy("doc_id")
+  }
+
+  /** Capture probability for each of imp5's two independent samples,
+    * as the 8-hex md5 threshold (floor(0.3 · 2^32), lowercase hex —
+    * fixed-width hex order IS numeric order, the imp1/mix1 rule). */
+  val CaptureP = 0.3
+  private[graft] val CaptureThr: String =
+    f"${math.floor(CaptureP * 4294967296.0).toLong}%08x"
+
+  /** imp5: capture–recapture population estimation (Chapman 1951's
+    * bias-corrected Lincoln–Petersen) — estimate a corpus count from
+    * TWO independent deterministic samples and their overlap:
+    * N̂ = (n_a+1)(n_b+1)/(m+1) − 1. The audit pattern for pipelines
+    * that can only afford samples (how many dups does the full join
+    * have? how many docs does the crawler actually hold?) — and a
+    * self-test of the sampling plane: both captures use the imp1
+    * salted-md5 inclusion rule with DIFFERENT salts, so their
+    * independence is exactly the decorrelation property the other
+    * md5-sampled operators (imp1/mix1/s2) rely on; the relative error
+    * emitted against the exact full-scan count IS the independence
+    * measurement. All counts fold as exact integer sums in ONE
+    * scan-level aggregate; the estimator is integer floor division
+    * (+1 denominator — never zero); only the reported relative error
+    * is a double, in a fixed shared IEEE tree. */
+  def imp5CaptureRecapture(s: SparkSession, dir: String): DataFrame = {
+    def captured(salt: String) =
+      substring(md5(concat(lit(salt), col("doc_id").cast("string"))),
+        1, 8) < lit(CaptureThr)
+    val a = when(captured("capA:"), 1L).otherwise(0L)
+    val b = when(captured("capB:"), 1L).otherwise(0L)
+    Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_total"), sum(a).as("n_a"),
+        sum(b).as("n_b"), sum(a * b).as("n_both"))
+      .withColumn("n_hat",
+        expr("((n_a + 1) * (n_b + 1)) div (n_both + 1) - 1"))
+      .select(col("n_total"), col("n_a"), col("n_b"), col("n_both"),
+        col("n_hat"),
+        round((col("n_hat").cast("double") - col("n_total"))
+          / col("n_total"), 6).as("rel_err"))
   }
 
   val SourceCap = 10 // documents kept per source
@@ -689,6 +732,57 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    "imp5_capture_recapture" ->
+      s"""WITH f AS (SELECT
+         |    CASE WHEN substring(md5('capA:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |      < '$CaptureThr' THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN substring(md5('capB:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |      < '$CaptureThr' THEN 1 ELSE 0 END AS b
+         |  FROM documents),
+         |m AS (SELECT COUNT(*) AS n_total, CAST(SUM(a) AS BIGINT) AS n_a,
+         |    CAST(SUM(b) AS BIGINT) AS n_b,
+         |    CAST(SUM(a * b) AS BIGINT) AS n_both
+         |  FROM f)
+         |SELECT n_total, n_a, n_b, n_both,
+         |  ((n_a + 1) * (n_b + 1)) // (n_both + 1) - 1 AS n_hat,
+         |  round((CAST(((n_a + 1) * (n_b + 1)) // (n_both + 1) - 1 AS DOUBLE)
+         |    - n_total) / n_total, 6) AS rel_err
+         |FROM m""".stripMargin,
+    "qc3_rater_agreement" -> {
+      val po = "CAST(a11 + a00 AS DOUBLE) / n"
+      val pe = "(CAST(a11 + a10 AS DOUBLE) * (a11 + a01) + " +
+        "CAST(a01 + a00 AS DOUBLE) * (a10 + a00)) / (CAST(n AS DOUBLE) * n)"
+      val stopSum = RequiredStopwords.map(w =>
+        s"CASE WHEN list_contains(words, '$w') THEN 1 ELSE 0 END")
+        .mkString("(", "\n         |   + ", ")")
+      s"""WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+         |st AS (SELECT len(words) AS n_words,
+         |  round(CAST(list_sum(list_transform(words, x -> length(x)))
+         |    AS DOUBLE) / len(words), 6) AS mean_word_len,
+         |  round(CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+         |    AS DOUBLE) / len(words), 6) AS alpha_frac,
+         |  $stopSum AS stop_hits
+         | FROM w),
+         |f AS (SELECT
+         |  CASE WHEN n_words >= 50 AND n_words <= 100000
+         |    AND mean_word_len >= 3 AND mean_word_len <= 10
+         |    THEN 1 ELSE 0 END AS ra,
+         |  CASE WHEN stop_hits >= $Qc3StopMin AND alpha_frac >= 0.8
+         |    THEN 1 ELSE 0 END AS rb
+         | FROM st),
+         |a AS (SELECT COUNT(*) AS n,
+         |  CAST(SUM(ra * rb) AS BIGINT) AS a11,
+         |  CAST(SUM(ra * (1 - rb)) AS BIGINT) AS a10,
+         |  CAST(SUM((1 - ra) * rb) AS BIGINT) AS a01,
+         |  CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS a00 FROM f)
+         |SELECT n AS n_docs, a11 AS both_keep, a10 AS only_len,
+         |  a01 AS only_content, a00 AS both_drop,
+         |  round($po, 6) AS p_observed,
+         |  round($pe, 6) AS p_expected,
+         |  CASE WHEN $pe < 1.0
+         |    THEN round(($po - $pe) / (1.0 - $pe), 6) END AS kappa
+         |FROM a""".stripMargin
+    },
     "imp4_ht_estimate" ->
       """WITH d AS (SELECT source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
@@ -827,7 +921,48 @@ object Quality {
          |WHERE rnk <= $SourceCap
          |ORDER BY source, rnk""".stripMargin)
 
+  /** qc3: inter-rater agreement (Cohen's kappa, Cohen 1960) between
+    * two independent heuristic quality raters — the calibration
+    * question behind every rule-based filter stack: do the length
+    * rater (gopher rules 1–2: word count + mean word length) and the
+    * content rater (rules 6–7 tightened: alpha fraction ≥ 0.8,
+    * ≥ [[Qc3StopMin]] required stopwords) actually measure the same
+    * thing, beyond chance agreement? Both raters are row-local
+    * predicates over [[gopherStats]]'s codegen'd per-doc statistics;
+    * the 2×2 contingency folds as four exact integer sums in ONE
+    * scan-level aggregate (map-side partials, zero shuffles of doc
+    * data), and kappa = (p_o − p_e)/(1 − p_e) is evaluated once on
+    * the 1-row frame in a fixed IEEE expression tree both engines
+    * share. Degenerate corpora (p_e = 1) yield NULL, mirrored in the
+    * oracle. */
+  def qc3RaterAgreement(s: SparkSession, dir: String): DataFrame = {
+    val st = gopherStats(Tables.documents(s, dir))
+    val ra = col("n_words") >= 50 && col("n_words") <= 100000 &&
+      col("mean_word_len") >= 3 && col("mean_word_len") <= 10
+    val rb = col("stop_hits") >= Qc3StopMin && col("alpha_frac") >= 0.8
+    val agg = st
+      .select(when(ra, 1).otherwise(0).as("ra"),
+        when(rb, 1).otherwise(0).as("rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra") * col("rb")).as("a11"),
+        sum(col("ra") * (lit(1) - col("rb"))).as("a10"),
+        sum((lit(1) - col("ra")) * col("rb")).as("a01"),
+        sum((lit(1) - col("ra")) * (lit(1) - col("rb"))).as("a00"))
+    val po = (col("a11") + col("a00")).cast("double") / col("n")
+    val pe = ((col("a11") + col("a10")).cast("double") *
+      (col("a11") + col("a01")) +
+      (col("a01") + col("a00")).cast("double") * (col("a10") + col("a00"))) /
+      (col("n").cast("double") * col("n"))
+    agg.select(col("n").as("n_docs"), col("a11").as("both_keep"),
+      col("a10").as("only_len"), col("a01").as("only_content"),
+      col("a00").as("both_drop"),
+      round(po, 6).as("p_observed"), round(pe, 6).as("p_expected"),
+      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc3_rater_agreement" -> (qc3RaterAgreement _),
+    "imp5_capture_recapture" -> (imp5CaptureRecapture _),
     "g1_gopher_quality" -> (g1GopherQuality _),
     "imp1_importance_sample" -> (imp1ImportanceSample _),
     "imp4_ht_estimate" -> (imp4HtEstimate _),

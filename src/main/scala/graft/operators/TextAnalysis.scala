@@ -909,6 +909,21 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "t27_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(t[i:i+2], ' ')
+        |      FOR i IN generate_series(1, len(t) - 2)]) AS sh
+        |  FROM tok),
+        |f AS (SELECT sh, MIN(doc_id) AS fdoc FROM sh GROUP BY 1)
+        |SELECT s.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN f.fdoc = s.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(SUM(CASE WHEN f.fdoc = s.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS novelty
+        |FROM sh s JOIN f USING (sh)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "t24_readability" ->
       """WITH c AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sents,
@@ -1171,7 +1186,36 @@ object TextAnalysis {
          |ORDER BY doc_id, kw""".stripMargin
     })
 
+  /** t27: n-gram novelty scoring — per document, the fraction of its
+    * distinct word-trigram shingles that FIRST occur in it (first =
+    * smallest doc_id; with an ingest-time id that is arrival order).
+    * The standard "how much new content does this doc add" curation
+    * signal — the per-doc complement of d9's duplicated-passage mass.
+    * Reuses d2's row-local shingle kernel (distinct trigrams generate
+    * in-row, no corpus-wide DISTINCT), shuffles md5 digests instead
+    * of shingle text (d1's 128-bit-key discipline), and the
+    * first-occurrence aggregate is a min() — map-side combining makes
+    * hot shingles cost one combiner each, and the occurrence↔first
+    * join fans out exactly 1:1 per posting (AQE splits any residual
+    * hot-key skew). Two digest-keyed shuffles total; text never
+    * shuffles. */
+  def t27Novelty(s: SparkSession, dir: String): DataFrame = {
+    val occ = Dedup.shingles(s, dir)
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+    val firsts = occ.groupBy(col("h")).agg(min(col("doc_id")).as("fdoc"))
+    occ.join(firsts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fdoc") === col("doc_id"), 1).otherwise(0))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_novelty" -> (t27Novelty _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_count" -> (t3TokenCount _),

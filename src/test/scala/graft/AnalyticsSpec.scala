@@ -1100,4 +1100,70 @@ class AnalyticsSpec extends GraftSpec {
     }.sum
     assert(math.abs(chi2 - expected) < 1e-5, s"chi2=$chi2 expected=$expected")
   }
+
+  test("w11: gini matches a direct sorted-rank computation and is scale-free") {
+    val out = Analytics.w11Gini(spark, sf).head()
+    val cents = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+        .as("cents"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sortBy(identity)
+    val n = cents.length.toLong
+    val tot = cents.map(_._1).sum
+    val swx = cents.zipWithIndex.map { case ((c, _), i) =>
+      BigInt(i + 1) * BigInt(c) }.sum
+    val gini = BigDecimal(
+      (2.0 * swx.toDouble / tot.toDouble - (n + 1.0)) / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Long]("n_customers") == n)
+    assert(out.getAs[Long]("total_cents") == tot)
+    assert(out.getAs[Double]("gini") == gini, "grouped-rank fold == direct rank")
+    assert(gini > 0.0 && gini < 1.0)
+  }
+
+  test("e12: per-day peak matches a driver-side interval sweep") {
+    val iv = Tables.events(spark, sf)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("s"), col("e"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+    val expected = iv.groupBy(_._1).map { case (day, xs) =>
+      val bounds = xs.flatMap(x => Seq((x._2, 1), (x._3, -1)))
+        .sortBy(b => (b._1, -b._2))
+      day -> (xs.size.toLong, bounds.scanLeft(0L)(_ + _._2).max)
+    }
+    val rows = Analytics.e12PeakConcurrency(spark, sf).collect()
+    assert(rows.length == expected.size)
+    for (r <- rows) {
+      val (nActive, peak) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_active") == nActive, s"n_active on ${r.getString(0)}")
+      assert(r.getAs[Long]("peak") == peak, s"peak on ${r.getString(0)}")
+      assert(peak >= 1L && peak <= nActive)
+    }
+  }
+
+  test("mix8: sqrt-temperature flattens the mixture without inverting order") {
+    val rows = graft.operators.Pipeline.mix8TemperatureMixture(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    val sw = rows.map(_._3).sum
+    for ((_, t, w, share, alloc) <- rows) {
+      assert(w == math.floor(math.sqrt(t.toDouble) * 1000).toLong)
+      assert(alloc == w * graft.operators.Pipeline.MixTempBudget / sw,
+        "allocation is exact integer floor division")
+      assert(math.abs(share - w.toDouble / sw) < 1e-6)
+    }
+    assert(rows.map(_._5).sum <= graft.operators.Pipeline.MixTempBudget,
+      "floor allocations never overshoot the budget")
+    // temperature property: shares are ordered with token mass but
+    // flatter than raw proportions (max share shrinks vs raw mixing)
+    val maxRawShare = rows.map(_._2).max.toDouble / rows.map(_._2).sum
+    val maxTempShare = rows.map(_._4).max
+    assert(maxTempShare <= maxRawShare + 1e-9)
+    val byTokens = rows.sortBy(_._2).map(_._3)
+    assert(byTokens.zip(byTokens.tail).forall { case (a, b) => a <= b },
+      "weights are monotone in token mass")
+  }
 }

@@ -390,4 +390,22 @@ class DedupSpec extends GraftSpec {
           s"high-Jaccard pair (${r.getLong(0)},${r.getLong(1)}) missing from d7")
       }
   }
+
+  test("d15: source-overlap matrix == direct pair count over the cluster table") {
+    val clusters = Dedup.d6DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = clusters.toSeq.groupBy(_._2)
+      .map { case (_, ms) => ms.map(m => srcOf(m._1)).distinct.sorted }
+      .filter(_.size >= 2)
+      .flatMap(ss => for (i <- ss.indices; j <- i + 1 until ss.size)
+        yield (ss(i), ss(j)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rows = Dedup.d15SourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows == expected, "in-row pair generation == driver recompute")
+    assert(rows.keys.forall { case (a, b) => a < b }, "canonical pair order")
+  }
 }

@@ -296,4 +296,26 @@ class GraphSpec extends GraftSpec {
     val nodeSet = nodes.toSet
     assert(rows.forall(r => nodeSet.contains(r.getLong(1))))
   }
+
+  test("g9: assortativity matches a driver-side moment recompute, r in [-1, 1]") {
+    val r = Graph.g9Assortativity(spark, sf).head()
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val dc = pairs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val ds = pairs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val xy = pairs.map { case (c, sk) => (dc(c), ds(sk)) }
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum.toDouble, xy.map(_._2).sum.toDouble)
+    val sxx = xy.map(p => p._1 * p._1).sum.toDouble
+    val syy = xy.map(p => p._2 * p._2).sum.toDouble
+    val sxy = xy.map(p => p._1 * p._2).sum.toDouble
+    val expected = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(r.getAs[Long]("n_edges") == xy.length)
+    val got = r.getAs[Double]("assortativity")
+    assert(math.abs(got - expected) < 2e-6, s"got $got expected $expected")
+    assert(got >= -1.0 && got <= 1.0)
+  }
 }

@@ -358,4 +358,42 @@ class MiningSpec extends GraftSpec {
     assert(graft.sources.AtomicPublish.currentVersion(spark, root)
       .contains("v4"))
   }
+
+  test("f5: hashed-feature mass conserves tokens; buckets bounded; stable rerun") {
+    val rows = Mining.f5FeatureHashing(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 &&
+      r.getLong(1) < Mining.HashFeatureBuckets))
+    val totalTokens = Tables.documents(spark, sf)
+      .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalTokens,
+      "every token lands in exactly one bucket")
+    val again = Mining.f5FeatureHashing(spark, sf).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq,
+      "md5 bucketing is run-stable")
+  }
+
+  test("b5: affinity top-K matches a driver-side jaccard recompute over baskets") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val itemSup = li.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val pairSup = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expected = pairSup.toSeq
+      .filter(_._2 >= Mining.BasketMinSupport)
+      .map { case ((a, b), nxy) =>
+        val j = BigDecimal(nxy.toDouble / (itemSup(a) + itemSup(b) - nxy))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (a, b, nxy, j)
+      }
+      .sortBy(t => (-t._4, t._1, t._2)).take(Mining.AffinityTopK)
+    val got = Mining.b5BasketAffinity(spark, sf).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("n_xy"), r.getAs[Double]("jaccard")))
+    assert(got.toSeq == expected)
+    assert(got.forall(t => t._4 > 0.0 && t._4 <= 1.0))
+  }
 }

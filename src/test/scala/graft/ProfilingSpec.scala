@@ -221,4 +221,19 @@ class ProfilingSpec extends GraftSpec {
       .stat.corr("l_quantity", "l_extendedprice")
     assert(math.abs(got - expected) < 1e-6, s"$got vs $expected")
   }
+
+  test("prof9: bucketed gap sweep == direct sorted-key gap scan") {
+    val keys = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val direct = keys.sliding(2).collect {
+      case Array(a, b) if b - a > 1 => (a + 1, b - 1, b - a - 1)
+    }.toSeq.sortBy(g => (-g._3, g._1)).take(Profiling.GapTopK)
+    val rows = Profiling.prof9IdGaps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == direct,
+      "in-bucket + cross-bucket gaps must equal the global lead scan")
+    assert(rows.forall(g => g._3 == g._2 - g._1 + 1 && g._3 >= 1))
+  }
 }

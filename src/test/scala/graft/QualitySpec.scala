@@ -311,4 +311,42 @@ class QualitySpec extends GraftSpec {
       assert(r.getAs[Double]("est_total") > 0.0)
     }
   }
+
+  test("qc3: contingency partitions the corpus; kappa matches a direct fold") {
+    val r = Quality.qc3RaterAgreement(spark, sf).head()
+    val n = r.getAs[Long]("n_docs")
+    val (a11, a10, a01, a00) = (r.getAs[Long]("both_keep"),
+      r.getAs[Long]("only_len"), r.getAs[Long]("only_content"),
+      r.getAs[Long]("both_drop"))
+    assert(a11 + a10 + a01 + a00 == n, "2x2 must partition the corpus")
+    assert(n == Tables.documents(spark, sf).count())
+    val po = (a11 + a00).toDouble / n
+    val pe = ((a11 + a10).toDouble * (a11 + a01) +
+      (a01 + a00).toDouble * (a10 + a00)) / (n.toDouble * n)
+    assert(r.getAs[Double]("p_observed") ==
+      BigDecimal(po).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    if (pe < 1.0) {
+      val kappa = BigDecimal((po - pe) / (1.0 - pe))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("kappa") == kappa)
+      assert(r.getAs[Double]("kappa") <= 1.0)
+    }
+  }
+
+  test("imp5: Chapman estimator fields are consistent and the estimate is sane") {
+    val r = Quality.imp5CaptureRecapture(spark, sf).head()
+    val (n, na, nb, m, nHat) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("n_both"), r.getAs[Long]("n_hat"))
+    assert(n == Tables.documents(spark, sf).count())
+    assert(m <= math.min(na, nb) && na <= n && nb <= n)
+    assert(nHat == (na + 1) * (nb + 1) / (m + 1) - 1, "Chapman formula")
+    // both captures draw ~30%; the estimate should land within a loose
+    // binomial envelope of the truth on any non-adversarial corpus
+    assert(math.abs(r.getAs[Double]("rel_err")) < 0.5,
+      s"n=$n n_hat=$nHat: md5 salts should behave independently")
+    val relErr = r.getAs[Double]("rel_err")
+    val expected = BigDecimal((nHat.toDouble - n) / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(relErr == expected)
+  }
 }

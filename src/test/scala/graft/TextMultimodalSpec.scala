@@ -626,4 +626,29 @@ class TextMultimodalSpec extends GraftSpec {
     consts.foreach(c => assert(math.abs(c / ref - 1.0) < 1e-4,
       s"$c vs $ref"))
   }
+
+  test("t27: novelty == driver-side first-occurrence scan; id-0 doc is fully novel") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val grams = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val first = scala.collection.mutable.Map[String, Long]()
+    for ((id, gs) <- grams; g <- gs) if (!first.contains(g)) first(g) = id
+    val expected = grams.map { case (id, gs) =>
+      id -> (gs.size.toLong, gs.count(first(_) == id).toLong)
+    }.toMap
+    val rows = TextAnalysis.t27Novelty(spark, sf).collect()
+    assert(rows.length == expected.size)
+    for (r <- rows) {
+      val (nSh, nNov) = expected(r.getLong(0))
+      assert(r.getAs[Long]("n_shingles") == nSh, s"doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("n_novel") == nNov, s"doc ${r.getLong(0)}")
+    }
+    // the smallest doc id can never lose a first-occurrence tie
+    val minDoc = expected.keys.min
+    assert(rows.find(_.getLong(0) == minDoc).get.getAs[Double]("novelty") == 1.0)
+  }
 }
