@@ -116,7 +116,17 @@ object ScaleCheck {
     "prof7_benford", "prof8_numeric_corr", "ts15_changepoint",
     "imp4_ht_estimate", "t26_collocations", "g7_label_propagation",
     "ix5_bm25_search", "pipe5_incremental_corpus", "ts16_stl_decompose",
-    "g8_incremental_edges", "b3_incremental_baskets")
+    "g8_incremental_edges", "b3_incremental_baskets",
+    // round-12 session-3 newcomers (Gini / sweep-line / gap audit /
+    // source overlap / novelty / kappa / temperature mix / feature
+    // hashing / assortativity / basket affinity / capture-recapture)
+    "w11_gini", "e12_peak_concurrency", "prof9_id_gaps",
+    "d15_source_overlap", "t27_novelty", "qc3_rater_agreement",
+    "mix8_temperature_mixture", "f5_feature_hashing",
+    "g9_assortativity", "b5_basket_affinity", "imp5_capture_recapture",
+    // round-12 session-3 wave 3 (bounce / top-decile / df tail / JS)
+    "e13_bounce_rate", "w12_top_decile_share",
+    "d16_shingle_df_histogram", "t28_source_divergence")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

@@ -1996,6 +1996,26 @@ object Analytics {
     * engines share. One fact shuffle (the per-key aggregate); all
     * rank work happens on the key-grain frame. */
   def w11Gini(s: SparkSession, dir: String): DataFrame = {
+    rankedCustomerCents(s, dir)
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum((col("i") * col("cents")).cast("decimal(38,0)")).as("swx"))
+      .select(col("n_customers"), col("total_cents"),
+        round((lit(2.0) * col("swx").cast("double")
+          / col("total_cents").cast("double")
+          - (col("n_customers").cast("double") + lit(1.0)))
+          / col("n_customers").cast("double"), 6).as("gini"))
+  }
+
+  /** Grouped-rank scaffold shared by w11/w12: ascending global rank
+    * over a per-key exact-cents aggregate WITHOUT a single-partition
+    * window (the f1 discipline): [[GiniBuckets]] approx-percentile
+    * cuts ride the plan as a broadcast 1-row literal (value-banded,
+    * so ties never straddle a bucket), row_number runs per bucket
+    * (bounded partitions), and the global rank i is bucket offset +
+    * in-bucket rank with offsets from the ≤[[GiniBuckets]]-row count
+    * frame. Returns (o_custkey, cents, i). */
+  private def rankedCustomerCents(s: SparkSession, dir: String): DataFrame = {
     val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
       .cast("long")
     val x = Tables.orders(s, dir)
@@ -2019,15 +2039,64 @@ object Analytics {
       .orderBy(col("cents"), col("o_custkey"))
     bucketed.withColumn("k", row_number().over(wb))
       .join(broadcast(offs), Seq("bkt"))
-      .select(col("cents"), (col("off") + col("k")).as("i"))
-      .agg(count(lit(1)).as("n_customers"),
-        sum(col("cents")).as("total_cents"),
-        sum((col("i") * col("cents")).cast("decimal(38,0)")).as("swx"))
-      .select(col("n_customers"), col("total_cents"),
-        round((lit(2.0) * col("swx").cast("double")
-          / col("total_cents").cast("double")
-          - (col("n_customers").cast("double") + lit(1.0)))
-          / col("n_customers").cast("double"), 6).as("gini"))
+      .select(col("o_custkey"), col("cents"), (col("off") + col("k")).as("i"))
+  }
+
+  /** w12: top-decile revenue share — what fraction of total revenue
+    * the top 10% of customers hold (w11's Gini asks "how unequal
+    * overall"; w12 answers the operational "how much rides on the
+    * head" — the same question a curation pipeline asks of source
+    * token mass before capping). Reuses [[rankedCustomerCents]]'s
+    * grouped-rank fold; k = ⌈n/10⌉ by integer arithmetic; the share
+    * is ONE correctly-rounded division of exact cents totals. The
+    * head set is "last k of the ascending (cents, custkey) order", so
+    * boundary ties resolve deterministically on every engine. */
+  def w12TopDecileShare(s: SparkSession, dir: String): DataFrame = {
+    val ranked = rankedCustomerCents(s, dir)
+    val tot = ranked.agg(count(lit(1)).as("n"),
+      sum(col("cents")).as("tot_cents"))
+    ranked.crossJoin(broadcast(tot)) // 1-row bounded metadata
+      .filter(col("i") > col("n") - expr("(n + 9) div 10"))
+      .agg(max(col("n")).as("n_customers"),
+        max(expr("(n + 9) div 10")).as("top_k"),
+        sum(col("cents")).as("top_cents"),
+        max(col("tot_cents")).as("tot_cents"))
+      .select(col("n_customers"), col("top_k"), col("top_cents"),
+        col("tot_cents"),
+        round(col("top_cents").cast("double")
+          / col("tot_cents").cast("double"), 6).as("top_share"))
+  }
+
+  /** e13: per-day bounce/engagement rollup — sessions started,
+    * single-event (bounce) sessions, bounce rate, events per session,
+    * on e1's EXACT 30-minute-gap rule (same window recipe, so the
+    * session definition cannot drift from e1's): the session-quality
+    * report every product dashboard pairs with w4's DAU counts. One
+    * per-user window pass (e1's), a session-grain aggregate, a
+    * day-grain aggregate — all-integer until the two output
+    * ratios. */
+  def e13BounceRate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, dir)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull ||
+          expr("timestampdiff(SECOND, prev, ts)") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"))
+    sess.groupBy(date_trunc("day", col("start_ts")).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1).otherwise(0)).as("n_bounce"),
+        sum(col("n_events")).as("n_ev"))
+      .select(Cols.fmtDate(col("day")).as("day"), col("n_sessions"),
+        col("n_bounce"),
+        round(col("n_bounce").cast("double") / col("n_sessions"), 6)
+          .as("bounce_rate"),
+        round(col("n_ev").cast("double") / col("n_sessions"), 6)
+          .as("avg_events"))
+      .orderBy("day")
   }
 
   /** e12: peak concurrency per day — the classic interval sweep-line
@@ -2883,6 +2952,46 @@ object Analytics {
         |  round((2.0 * CAST(swx AS DOUBLE) / CAST(tot AS DOUBLE)
         |    - (n + 1.0)) / n, 6) AS gini
         |FROM a""".stripMargin,
+    "w12_top_decile_share" ->
+      """WITH x AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM x),
+        |t AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS tot
+        |  FROM x)
+        |SELECT t.n AS n_customers, (t.n + 9) // 10 AS top_k,
+        |  CAST(SUM(r.cents) AS BIGINT) AS top_cents, t.tot AS tot_cents,
+        |  round(CAST(SUM(r.cents) AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+        |    AS top_share
+        |FROM r CROSS JOIN t
+        |WHERE r.i > t.n - (t.n + 9) // 10
+        |GROUP BY t.n, t.tot""".stripMargin,
+    "e13_bounce_rate" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000 > 1800
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |sg AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+        |    MIN(ts) AS start_ts
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT strftime(date_trunc('day', start_ts), '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounce,
+        |  round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS bounce_rate,
+        |  round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_events
+        |FROM sg GROUP BY 1 ORDER BY 1""".stripMargin,
     "e12_peak_concurrency" ->
       """WITH iv AS (SELECT user_id, date_trunc('day', ts) AS day,
         |    MIN(ts) AS s_ts, MAX(ts) AS e_ts FROM events GROUP BY 1, 2),
@@ -3065,5 +3174,7 @@ object Analytics {
     "a17_cross_corr" -> (a17CrossCorr _),
     "a12_volume_drift" -> (a12VolumeDrift _),
     "w11_gini" -> (w11Gini _),
-    "e12_peak_concurrency" -> (e12PeakConcurrency _))
+    "e12_peak_concurrency" -> (e12PeakConcurrency _),
+    "w12_top_decile_share" -> (w12TopDecileShare _),
+    "e13_bounce_rate" -> (e13BounceRate _))
 }

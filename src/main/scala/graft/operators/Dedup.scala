@@ -610,6 +610,26 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** d16: shingle document-frequency histogram — the measurement that
+    * JUSTIFIES [[ShingleDfCap]], exactly as g5's degree profile
+    * justifies g4's hub cap: the distribution of word-trigram df over
+    * the UNCAPPED shingle plane (df → #shingles, posting mass) shows
+    * where candidate-pair mass would explode without the cap (a
+    * df-d shingle alone generates d·(d−1)/2 pairs). Deliberately NOT
+    * served from the published shingle index — that index is capped
+    * and xxhash64-keyed; the audit must see the tail the cap removes.
+    * One digest-keyed shuffle (md5, not shingle text — d1's 128-bit
+    * discipline) + a df-grain aggregate whose output is bounded by
+    * the max df, never the corpus. */
+  def d16ShingleDfHistogram(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
+      .select(md5(col("sh")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))
+      .select(col("df"), col("n_shingles"),
+        (col("df") * col("n_shingles")).as("n_postings"))
+      .orderBy("df")
+
   /** Max plan-tree depth observed across the generations of the most
     * recent [[connectedComponents]] run — instrumentation for the
     * bounded-lineage spec (a diameter-30 chain must not grow a
@@ -906,6 +926,17 @@ object Dedup {
     "d6_dedup_clusters" ->
       s"""$ClusterOracleCte
         |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+    "d16_shingle_df_histogram" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(t[i:i+2], ' ')
+        |      FOR i IN generate_series(1, len(t) - 2)]) AS sh
+        |  FROM tok),
+        |f AS (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY 1)
+        |SELECT df, COUNT(*) AS n_shingles,
+        |  CAST(df * COUNT(*) AS BIGINT) AS n_postings
+        |FROM f GROUP BY df ORDER BY df""".stripMargin,
     "d15_source_overlap" ->
       s"""$ClusterOracleCte,
         |cs AS (SELECT DISTINCT cl.cluster_id, d.source
@@ -1035,5 +1066,6 @@ object Dedup {
     "d10_canonical_pick" -> (d10CanonicalPick _),
     "d11_dup_histogram" -> (d11DupHistogram _),
     "d12_sketch_calibration" -> (d12SketchCalibration _),
-    "d15_source_overlap" -> (d15SourceOverlap _))
+    "d15_source_overlap" -> (d15SourceOverlap _),
+    "d16_shingle_df_histogram" -> (d16ShingleDfHistogram _))
 }

@@ -23,6 +23,13 @@ object TextAnalysis {
 
   private def tokens: Column = split(col("text"), " ")
 
+  /** ln 2 EXACTLY as the JVM computes it, interpolated into both t28
+    * plans (the g2 teleport-constant rule; defined BEFORE the oracles
+    * val that interpolates it — a forward reference silently reads
+    * 0.0): the absent-word JS mass is (1 − q_in)·ln 2 in closed
+    * form. */
+  val Ln2: Double = math.log(2.0)
+
   /** Count of tokens contained in `words` (duplicates counted —
     * deterministic across engines, unlike set-intersection sizes). */
   private def stopCount(words: Seq[String]): Column = {
@@ -909,6 +916,34 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "t28_source_divergence" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+         |    FROM documents),
+         |sw AS (SELECT source, w, COUNT(*) AS a FROM tok GROUP BY 1, 2),
+         |cw AS (SELECT w, CAST(SUM(a) AS BIGINT) AS c FROM sw GROUP BY 1),
+         |tss AS (SELECT source, CAST(SUM(a) AS BIGINT) AS t_s
+         |  FROM sw GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(a) AS BIGINT) AS t FROM sw),
+         |j AS (SELECT sw.source, sw.a, cw.c, tss.t_s, tt.t,
+         |    CAST(sw.a AS DOUBLE) / tss.t_s AS p,
+         |    CAST(cw.c AS DOUBLE) / tt.t AS q
+         |  FROM sw JOIN cw USING (w) JOIN tss USING (source) CROSS JOIN tt),
+         |per AS (SELECT source, t_s, c, t,
+         |    CAST(floor(p * ln(2.0 * p / (p + q)) * 1e9 + 0.5) AS BIGINT)
+         |      AS t1,
+         |    CAST(floor(q * ln(2.0 * q / (p + q)) * 1e9 + 0.5) AS BIGINT)
+         |      AS t2
+         |  FROM j),
+         |g AS (SELECT source, COUNT(*) AS n_words, MAX(t_s) AS n_tokens,
+         |    CAST(SUM(t1) AS BIGINT) AS s1, CAST(SUM(t2) AS BIGINT) AS s2,
+         |    CAST(SUM(c) AS BIGINT) AS c_in, MAX(t) AS t
+         |  FROM per GROUP BY 1)
+         |SELECT source, n_words, n_tokens,
+         |  round(0.5 * (CAST(s1 AS DOUBLE) / 1e9)
+         |    + 0.5 * (CAST(s2 AS DOUBLE) / 1e9
+         |      + (1.0 - CAST(c_in AS DOUBLE) / t) * $Ln2), 6)
+         |    AS js_divergence
+         |FROM g ORDER BY source""".stripMargin,
     "t27_novelty" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
         |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
@@ -1214,7 +1249,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t28: per-source Jensen–Shannon divergence from the corpus
+    * unigram distribution (Lin 1991) — the "how idiosyncratic is this
+    * source" diagnostic behind mix1/mix8 weighting: JS, not KL,
+    * because it is symmetric, bounded [0, ln 2], and defined even
+    * when a source misses corpus words. Scale shape: ONE token
+    * shuffle to (source, word) counts, a vocab-grain join against the
+    * word totals, and per-source aggregates; the absent-word mass
+    * needs NO source×vocab fanout — when p = 0 the JS integrand
+    * collapses to q·ln 2, so the whole absent tail is
+    * (1 − q_in)·ln 2 with q_in an exact integer ratio. Determinism:
+    * counts are exact integers, each in-source term contribution is
+    * int64-quantized at 1e-9 BEFORE its per-source sum (the g2 rq
+    * discipline — order-free folds), and the final assembly is one
+    * fixed IEEE tree with [[Ln2]] host-interpolated. */
+  def t28SourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val sw = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("a"))
+    val cw = sw.groupBy(col("w")).agg(sum(col("a")).as("c"))
+    val ts = sw.groupBy(col("source")).agg(sum(col("a")).as("t_s"))
+    val tt = sw.agg(sum(col("a")).as("t"))
+    val p = col("a").cast("double") / col("t_s")
+    val q = col("c").cast("double") / col("t")
+    def q9(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+    sw.join(cw, Seq("w"))
+      .join(broadcast(ts), Seq("source"))
+      .crossJoin(broadcast(tt)) // 1-row bounded metadata
+      .select(col("source"), col("t_s"), col("c"),
+        q9(p * log(lit(2.0) * p / (p + q))).as("t1"),
+        q9(q * log(lit(2.0) * q / (p + q))).as("t2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), max(col("t_s")).as("n_tokens"),
+        sum(col("t1")).as("s1"), sum(col("t2")).as("s2"),
+        sum(col("c")).as("c_in"))
+      .crossJoin(broadcast(tt))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        round(lit(0.5) * (col("s1").cast("double") / lit(1e9))
+          + lit(0.5) * (col("s2").cast("double") / lit(1e9)
+            + (lit(1.0) - col("c_in").cast("double") / col("t")) * lit(Ln2)),
+          6).as("js_divergence"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_source_divergence" -> (t28SourceDivergence _),
     "t27_novelty" -> (t27Novelty _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),

@@ -1166,4 +1166,45 @@ class AnalyticsSpec extends GraftSpec {
     assert(byTokens.zip(byTokens.tail).forall { case (a, b) => a <= b },
       "weights are monotone in token mass")
   }
+
+  test("e13: bounce accounting matches e1's session table") {
+    val sess = Analytics.e1Sessionize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_events"), r.getAs[String]("start_ts").take(10)))
+    val expected = sess.groupBy(_._2).map { case (day, xs) =>
+      day -> (xs.length.toLong, xs.count(_._1 == 1L).toLong,
+        xs.map(_._1).sum)
+    }
+    val rows = Analytics.e13BounceRate(spark, sf).collect()
+    assert(rows.length == expected.size)
+    for (r <- rows) {
+      val (nSess, nBounce, nEv) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_sessions") == nSess, s"day ${r.getString(0)}")
+      assert(r.getAs[Long]("n_bounce") == nBounce, s"day ${r.getString(0)}")
+      val rate = r.getAs[Double]("bounce_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Double]("avg_events") >= 1.0)
+      assert(math.abs(r.getAs[Double]("avg_events") - nEv.toDouble / nSess) < 1e-6)
+    }
+  }
+
+  test("w12: top-decile share matches a driver-side sort and bounds hold") {
+    val r = Analytics.w12TopDecileShare(spark, sf).head()
+    val cents = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+        .as("cents"))
+      .collect().map(x => (x.getLong(1), x.getLong(0)))
+    val n = cents.length.toLong
+    val k = (n + 9) / 10
+    // mirror the operator's ascending (cents, custkey) rank: the top
+    // decile is the LAST k rows of that total order
+    val top = cents.sortBy(identity).takeRight(k.toInt)
+    val share = BigDecimal(top.map(_._1).sum.toDouble / cents.map(_._1).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_customers") == n)
+    assert(r.getAs[Long]("top_k") == k)
+    assert(r.getAs[Double]("top_share") == share)
+    assert(share >= k.toDouble / n - 1e-6 && share <= 1.0,
+      "top decile can never hold less than a uniform share")
+  }
 }

@@ -408,4 +408,16 @@ class DedupSpec extends GraftSpec {
     assert(rows == expected, "in-row pair generation == driver recompute")
     assert(rows.keys.forall { case (a, b) => a < b }, "canonical pair order")
   }
+
+  test("d16: df histogram masses reconcile with the shingle plane") {
+    val rows = Dedup.d16ShingleDfHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val occ = Dedup.shingles(spark, sf)
+    val nShingles = occ.select(md5(col("sh"))).distinct().count()
+    val nPostings = occ.count()
+    assert(rows.map(_._2).sum == nShingles, "every shingle in one df bucket")
+    assert(rows.map(_._3).sum == nPostings, "postings mass conserved")
+    assert(rows.forall(t => t._3 == t._1 * t._2), "n_postings = df * n_shingles")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq, "ordered by df")
+  }
 }

@@ -651,4 +651,20 @@ class TextMultimodalSpec extends GraftSpec {
     val minDoc = expected.keys.min
     assert(rows.find(_.getLong(0) == minDoc).get.getAs[Double]("novelty") == 1.0)
   }
+
+  test("t28: JS divergence is bounded, and a planted disjoint source maxes out") {
+    val rows = TextAnalysis.t28SourceDivergence(spark, sf).collect()
+    val ln2 = math.log(2.0)
+    for (r <- rows) {
+      val js = r.getAs[Double]("js_divergence")
+      assert(js >= 0.0 && js <= ln2 + 1e-9, s"${r.getString(0)}: $js")
+    }
+    // all sources draw from the same synthetic generator, so none
+    // should look anywhere near disjoint from the corpus
+    assert(rows.map(_.getAs[Double]("js_divergence")).max < 0.9 * ln2)
+    // token mass reconciles
+    val total = Tables.documents(spark, sf)
+      .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == total)
+  }
 }
