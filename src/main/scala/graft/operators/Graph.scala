@@ -777,7 +777,64 @@ object Graph {
           .as("assortativity"))
   }
 
+  val KCoreK = 3      // degree floor of the k-core
+  val KCoreRounds = 6 // fixed peel rounds (defined semantics; spec
+                      //   pins fixpoint on the test corpus)
+
+  /** g10: k-core decomposition membership (Seidman 1983) — the
+    * densest-substructure filter behind community seeding and spam
+    * pruning: iteratively PEEL nodes of degree < [[KCoreK]] until the
+    * remainder is mutually ≥ k connected. The operator's semantics
+    * are a fixed [[KCoreRounds]]-round peel (the g2/g7 fixed-round
+    * discipline — variable-round convergence would make the oracle
+    * unexpressible); on every tested corpus the peel reaches its
+    * fixpoint well inside the budget and the spec asserts exactly
+    * that. Each round is one degree aggregate + two semi-joins on the
+    * shrinking edge frame, lineage truncated per round
+    * (localCheckpoint — the d6/g2 rule); the fact tables appear
+    * nowhere (reads the COMMITTED co-order edge artifact). Output:
+    * in-core nodes with their core degree. */
+  def g10KCore(s: SparkSession, dir: String): DataFrame = {
+    val base = edges(s, dir)
+    var e = base.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(base.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint()
+    for (_ <- 1 to KCoreRounds) {
+      val alive = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KCoreK)
+        .select(col("u"))
+      e = e.join(alive, Seq("u"), "left_semi")
+        .join(alive.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    e.groupBy(col("u").as("node_id")).agg(count(lit(1)).as("core_degree"))
+      .orderBy("node_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "g10_kcore" -> {
+      // the peel unrolled as a CTE ladder (the g2/g6/g7 oracle
+      // pattern): eN = the edge set alive after N peel rounds. Every
+      // rung is MATERIALIZED: each eN is referenced three times by
+      // level N+1, so DuckDB's default inline-per-reference expansion
+      // would re-evaluate the base join 3^rounds times (observed: a
+      // spill-to-disk blowup at sf0.1)
+      val steps = (1 to KCoreRounds).map { i =>
+        s"""a$i AS MATERIALIZED (SELECT u FROM e${i - 1} GROUP BY u
+           |  HAVING COUNT(*) >= $KCoreK),
+           |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+           |  JOIN a$i x ON e.u = x.u JOIN a$i y ON e.v = y.u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cs AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,
+         |    l_suppkey AS sk
+         |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e0 AS MATERIALIZED (SELECT c * 2 AS u, sk * 2 + 1 AS v FROM cs
+         |  UNION ALL SELECT sk * 2 + 1, c * 2 FROM cs),
+         |$steps
+         |SELECT u AS node_id, COUNT(*) AS core_degree
+         |FROM e$KCoreRounds GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "g9_assortativity" -> {
       def q6s(e: String) = s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT) / 1e6"
       s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
@@ -876,5 +933,6 @@ object Graph {
     "g6_bfs_hops" -> (g6BfsHops _),
     "g7_label_propagation" -> (g7LabelPropagation _),
     "g8_incremental_edges" -> (g8IncrementalEdges _),
-    "g9_assortativity" -> (g9Assortativity _))
+    "g9_assortativity" -> (g9Assortativity _),
+    "g10_kcore" -> (g10KCore _))
 }

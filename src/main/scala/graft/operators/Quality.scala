@@ -164,6 +164,32 @@ object Quality {
           / col("n_total"), 6).as("rel_err"))
   }
 
+  val KAnonK = 5      // minimum safe quasi-identifier group size
+  val KAnonBand = 2000.0 // sensitive-attribute banding width (acctbal)
+
+  /** priv1: k-anonymity / l-diversity audit (Sweeney 2002; Machanava-
+    * jjhala et al. 2007) — the privacy-risk report a release pipeline
+    * runs before publishing joined data (the reference's user-keyed
+    * rows make this the k12-erasure plane's preventive counterpart):
+    * for every quasi-identifier group (nation × market segment), the
+    * group size (k — groups smaller than [[KAnonK]] re-identify their
+    * members) and the number of distinct sensitive-value bands (l —
+    * a k-large group still leaks if everyone shares one sensitive
+    * value). ONE keyed aggregate; output is bounded by the QI domain,
+    * never the table; the sensitive attribute is banded row-locally
+    * (floor(acctbal / [[KAnonBand]]), identical IEEE ops on both
+    * engines). */
+  def priv1KAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(floor(col("c_acctbal") / KAnonBand)).as("l_diversity"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("group_size"),
+        col("l_diversity"),
+        (col("group_size") < KAnonK).as("k_risky"),
+        (col("l_diversity") < 2).as("l_risky"))
+      .orderBy("c_nationkey", "c_mktsegment")
+
   val SourceCap = 10 // documents kept per source
   val CapSalts = 8 // phase-1 salt fan-out for the per-source top-K
 
@@ -732,6 +758,12 @@ object Quality {
   }
 
   val oracles: Map[String, String] = Map(
+    "priv1_k_anonymity" ->
+      s"""SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+         |  COUNT(DISTINCT floor(c_acctbal / $KAnonBand)) AS l_diversity,
+         |  COUNT(*) < $KAnonK AS k_risky,
+         |  COUNT(DISTINCT floor(c_acctbal / $KAnonBand)) < 2 AS l_risky
+         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "imp5_capture_recapture" ->
       s"""WITH f AS (SELECT
          |    CASE WHEN substring(md5('capA:' || CAST(doc_id AS VARCHAR)), 1, 8)
@@ -963,6 +995,7 @@ object Quality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc3_rater_agreement" -> (qc3RaterAgreement _),
     "imp5_capture_recapture" -> (imp5CaptureRecapture _),
+    "priv1_k_anonymity" -> (priv1KAnonymity _),
     "g1_gopher_quality" -> (g1GopherQuality _),
     "imp1_importance_sample" -> (imp1ImportanceSample _),
     "imp4_ht_estimate" -> (imp4HtEstimate _),

@@ -318,4 +318,30 @@ class GraphSpec extends GraftSpec {
     assert(math.abs(got - expected) < 2e-6, s"got $got expected $expected")
     assert(got >= -1.0 && got <= 1.0)
   }
+
+  test("g10: 6-round peel reaches the true k-core fixpoint on this corpus") {
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(x => (x.getLong(0) * 2, x.getLong(1) * 2 + 1))
+    var edges = pairs.flatMap(p => Seq(p, p.swap)).toSet
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val alive = deg.filter(_._2 >= Graph.KCoreK).keySet
+      val next = edges.filter(e => alive(e._1) && alive(e._2))
+      changed = next.size != edges.size
+      if (changed) rounds += 1
+      edges = next
+    }
+    assert(rounds <= Graph.KCoreRounds,
+      s"peel must converge within the fixed budget (took $rounds)")
+    val expected = edges.groupBy(_._1)
+      .map { case (k, v) => k -> v.size.toLong }
+    val rows = Graph.g10KCore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == expected, "fixed-round peel == driver fixpoint peel")
+    assert(rows.values.forall(_ >= Graph.KCoreK), "every survivor is >= k inside the core")
+  }
 }

@@ -349,4 +349,18 @@ class QualitySpec extends GraftSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(relErr == expected)
   }
+
+  test("priv1: QI groups partition the customer table; risk flags consistent") {
+    val rows = Quality.priv1KAnonymity(spark, sf).collect()
+    val total = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("group_size")).sum == total,
+      "QI groups partition the table")
+    for (r <- rows) {
+      assert(r.getAs[Boolean]("k_risky") ==
+        (r.getAs[Long]("group_size") < Quality.KAnonK))
+      assert(r.getAs[Boolean]("l_risky") == (r.getAs[Long]("l_diversity") < 2))
+      assert(r.getAs[Long]("l_diversity") <= r.getAs[Long]("group_size"),
+        "l can never exceed k")
+    }
+  }
 }
