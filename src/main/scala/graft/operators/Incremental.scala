@@ -434,13 +434,110 @@ object Incremental {
       .orderBy("doc_id")
   }
 
+  /** The novelty plane's first-occurrence table over an arbitrary doc
+    * frame: md5 shingle digest → smallest holding doc_id. Deliberately
+    * UNCAPPED and md5-keyed (unlike the family's DF-capped xxhash64
+    * postings): novelty needs true first-occurrence for COMMON
+    * shingles most of all, and md5 keeps the full SQL oracle
+    * applicable. */
+  private[graft] def noveltyFirstsOf(docs: DataFrame): DataFrame =
+    Dedup.shinglesOf(docs)
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("fdoc"))
+
+  private[graft] def noveltyRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.noveltyindex.base",
+      s"${graft.GraftSession.defaultStateDir}/novelty_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
+        s"novelty-v1;split=mod$BatchMod;kernel=word3gram-md5;uncapped"))
+  }
+
+  /** Publish version N+1 of the novelty index from version N's
+    * COMMITTED firsts plus only the batch text: first-occurrence is an
+    * associative min, so the merge is ONE keyed full-join (the
+    * passage plane's `first` merge at shingle grain). With an
+    * arrival-ordered id the merge degenerates to pure append (history
+    * firsts are immutable — new docs can only be non-novel against
+    * them); the min handles the general out-of-order case exactly.
+    * The applied-batch ledger rides the same pointer swap. */
+  private[graft] def publishNoveltyIncrement(s: SparkSession, root: String,
+      batch: DataFrame, batchId: Long = -1L): String = {
+    import graft.sources.AtomicPublish.readOutput
+    import s.implicits._
+    val bF = noveltyFirstsOf(batch)
+    val merged = readOutput(s, root, "firsts").as("a")
+      .join(bF.as("b"), Seq("h"), "full")
+      .select(col("h"),
+        when(col("a.fdoc").isNull, col("b.fdoc"))
+          .when(col("b.fdoc").isNull, col("a.fdoc"))
+          .otherwise(least(col("a.fdoc"), col("b.fdoc"))).as("fdoc"))
+    graft.sources.AtomicPublish.publish(s, root, Seq(
+      "firsts" -> merged,
+      "ledger" -> readOutput(s, root, "ledger")
+        .unionByName(Seq(batchId).toDF("batch_id"))))
+  }
+
+  /** Build v1 over the base slice, then incrementally publish v2
+    * covering base+batch (the [[ensureIncrementalIndex]] shape on the
+    * novelty plane). */
+  private[graft] def ensureNoveltyIndex(s: SparkSession, dir: String): String =
+    graft.sources.DurableIndex.ensure(s, noveltyRoot(dir)) {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.sources.AtomicPublish.publish(s, noveltyRoot(dir), Seq(
+        "firsts" -> noveltyFirstsOf(
+          docs.filter(col("doc_id") % BatchMod =!= 0)),
+        "ledger" -> Seq.empty[Long].toDF("batch_id")))
+      publishNoveltyIncrement(s, noveltyRoot(dir),
+        docs.filter(col("doc_id") % BatchMod === 0), batchId = 0L)
+    }
+
+  /** t29: batch novelty against the incrementally-maintained
+    * first-occurrence index — t27's per-doc novelty score for an
+    * ingest batch WITHOUT rescanning the base corpus (the curation
+    * signal a streaming pipeline actually wants: "does this batch add
+    * anything new?"). The only text scan is the batch slice; firsts
+    * come from the committed snapshot the ingest maintained. The
+    * oracle recomputes first-occurrence over the FULL corpus and
+    * filters to the batch, so a hash pass proves the min-merge
+    * maintenance ≡ a from-scratch recompute. */
+  def t29IncrementalNovelty(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureNoveltyIndex(s, dir)
+    val firsts = graft.sources.AtomicPublish.readOutput(s, root, "firsts")
+    val occ = Dedup.shinglesOf(
+      Tables.documents(s, dir).filter(col("doc_id") % BatchMod === 0))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+    occ.join(firsts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fdoc") === col("doc_id"), 1).otherwise(0))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_incremental_novelty" -> (t29IncrementalNovelty _),
     "d13_incremental_index" -> (d13IncrementalIndex _),
     "t25_incremental_tfidf" -> (t25IncrementalTfidf _),
     "pipe5_incremental_corpus" -> (pipe5IncrementalCorpus _),
     "d14_incremental_passages" -> (d14IncrementalPassages _))
 
   val oracles: Map[String, String] = Map(
+    // t27's full-corpus first-occurrence recompute, filtered to the
+    // batch slice — a hash pass proves the novelty index's min-merge
+    // maintenance equals a from-scratch recompute
+    "t29_incremental_novelty" -> {
+      val base = TextAnalysis.oracles("t27_novelty")
+      val replaced = base.replace("GROUP BY s.doc_id",
+        s"WHERE s.doc_id % $BatchMod = 0\nGROUP BY s.doc_id")
+      require(replaced != base,
+        "t29 oracle: t27's 'GROUP BY s.doc_id' anchor not found")
+      replaced
+    },
     "pipe5_incremental_corpus" ->
       s"""${Dedup.ClusterOracleCte},
          |csz AS (SELECT cluster_id, COUNT(*) AS cl_size FROM cl GROUP BY 1),

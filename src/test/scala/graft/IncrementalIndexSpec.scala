@@ -199,4 +199,32 @@ class IncrementalIndexSpec extends GraftSpec {
       "fixture should contain batch near-dups")
     assert(rows.exists(_.getAs[Int]("kept") == 1))
   }
+
+  test("t29 novelty plane: chained min-merge increments equal a from-scratch rebuild") {
+    import spark.implicits._
+    // base holds firsts; batch 1 contains an OUT-OF-ORDER id (50) that
+    // must steal first-occurrence from base doc 100; batch 2 appends
+    val base = Seq((100L, "a b c d e"), (101L, "a b c x y"))
+    val b1 = Seq((50L, "a b c d e"), (102L, "p q r s"))
+    val b2 = Seq((103L, "p q r z"))
+    val r = java.nio.file.Files.createTempDirectory("graft_novelty").toString
+    graft.sources.AtomicPublish.publish(spark, r, Seq(
+      "firsts" -> Incremental.noveltyFirstsOf(df(base)),
+      "ledger" -> Seq.empty[Long].toDF("batch_id")))
+    Incremental.publishNoveltyIncrement(spark, r, df(b1), 1L)
+    Incremental.publishNoveltyIncrement(spark, r, df(b2), 2L)
+    val got = graft.sources.AtomicPublish.readOutput(spark, r, "firsts")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val want = Incremental.noveltyFirstsOf(df(base ++ b1 ++ b2))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == want,
+      "chained increments == rebuild (incl. the out-of-order id-50 steal)")
+    // the id-50 steal actually happened (shared trigram 'a b c')
+    val abc = df(Seq((0L, "a b c"))).select(
+      org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.lit("a b c"))).head().getString(0)
+    assert(got(abc) == 50L, "out-of-order batch id must take the first")
+    assert(graft.sources.AtomicPublish.readOutput(spark, r, "ledger")
+      .collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
+  }
 }
