@@ -133,7 +133,21 @@ object ExplainDump {
       ("ix5_bm25_search", "BM25 entirely from the committed index: term-pushed positional/postings scans, doclens join, 1-row N/avgdl broadcast — corpus parquet absent",
         graft.operators.TextIndex.ix5Bm25Search _),
       ("pipe5_incremental_corpus", "composed batch admission: committed clusters + term plane only — dedup verdict, token floor, keep/drop with zero text scans",
-        graft.operators.Incremental.pipe5IncrementalCorpus _))
+        graft.operators.Incremental.pipe5IncrementalCorpus _),
+      ("w11_gini", "grouped-rank Gini: bucket cuts ride as a broadcast 1-row literal, row_number per bucket, offsets from the <=32-row count frame — no single-partition fact-scale window",
+        graft.operators.Analytics.w11Gini _),
+      ("e12_peak_concurrency", "interval sweep-line: one (user, day) keyed aggregate, the running-sum window on the 2-rows-per-interval boundary plane, partitioned by day",
+        graft.operators.Analytics.e12PeakConcurrency _),
+      ("f5_feature_hashing", "hashing-trick features: row-local md5 bucketing, ONE count exchange over the bounded (source, bucket) key space",
+        graft.operators.Mining.f5FeatureHashing _),
+      ("b5_basket_affinity", "Jaccard affinity as a pure read-path over the published basket index (row-group-pruned pair supports); fact table absent",
+        graft.operators.Mining.b5BasketAffinity _),
+      ("g10_kcore", "fixed-6-round degree peel over the committed edge artifact, lineage truncated per round; fact tables absent",
+        graft.operators.Graph.g10KCore _),
+      ("t29_incremental_novelty", "batch novelty: committed first-occurrence index + the batch text slice only (pushed modulo filter) — base corpus never rescanned",
+        graft.operators.Incremental.t29IncrementalNovelty _),
+      ("t28_source_divergence", "per-source JS divergence: one token shuffle, vocab-grain join, int64-quantized order-free folds, closed-form absent-word mass",
+        graft.operators.TextAnalysis.t28SourceDivergence _))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries (sf0.01, formatted explain)\n\n")
     sb.append("Generated by `sbt \"runMain graft.ExplainDump\"` from the live\n")

@@ -799,7 +799,14 @@ object Graph {
     var e = base.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(base.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint()
-    for (_ <- 1 to KCoreRounds) {
+    // early exit at the fixpoint: once a round removes nothing, every
+    // remaining round is the identity, so the fixed-round SEMANTICS
+    // are preserved while the usual 2–3-round convergence skips the
+    // tail (the count rides the checkpoint the round pays anyway)
+    var prev = e.count()
+    var round = 1
+    var done = false
+    while (round <= KCoreRounds && !done) {
       val alive = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= KCoreK)
         .select(col("u"))
@@ -807,6 +814,10 @@ object Graph {
         .join(alive.select(col("u").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint()
+      val n = e.count()
+      done = n == prev
+      prev = n
+      round += 1
     }
     e.groupBy(col("u").as("node_id")).agg(count(lit(1)).as("core_degree"))
       .orderBy("node_id")

@@ -1031,4 +1031,57 @@ class PlanAuditSpec extends GraftSpec {
     assert(winIdx < takeIdx,
       s"rank window must consume the TakeOrdered head:\n$plan")
   }
+
+  test("b5: pure read-path — the lineitem fact table appears nowhere in the plan") {
+    val plan = planOf(graft.operators.Mining.b5BasketAffinity(spark, sf))
+    assert(!plan.contains("lineitem.parquet"),
+      s"b5 must read the committed basket index, not the fact table:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"b5 top-K must not global-sort:\n$plan")
+  }
+
+  test("d15: reads the committed cluster table and only (doc_id, source) from documents") {
+    val plan = planOf(Dedup.d15SourceOverlap(spark, sf))
+    assert(!plan.contains("text"),
+      s"d15 must not scan document text:\n$plan")
+    assert(plan.contains("cluster_index") || plan.contains("clusters"),
+      s"d15 must read the published cluster parquet:\n$plan")
+  }
+
+  test("g10: the peel runs over the committed edge artifact, fact tables nowhere") {
+    val plan = planOf(graft.operators.Graph.g10KCore(spark, sf))
+    assert(!plan.contains("orders.parquet") && !plan.contains("lineitem.parquet"),
+      s"g10 must read the committed co-order edges:\n$plan")
+  }
+
+  test("w11/w12: the only rank windows are bucket-partitioned (no fact-scale global window)") {
+    for ((name, df) <- Seq("w11" -> Analytics.w11Gini(spark, sf),
+        "w12" -> Analytics.w12TopDecileShare(spark, sf))) {
+      val plan = planOf(df)
+      // the per-customer rank window must be partitioned by the bucket
+      // column; the only unpartitioned window is the <=32-row offset
+      // cumsum over the bucket-count frame
+      assert(plan.contains("row_number"), s"$name: expected a rank window:\n$plan")
+      assert("partitionBy=\\[bkt".r.findAllIn(plan).nonEmpty ||
+        plan.contains("PartitionSpec: [bkt") || plan.contains("[bkt"),
+        s"$name: rank window not bucket-partitioned:\n$plan")
+    }
+  }
+
+  test("f5: one exchange total — the hashed-feature count shuffles only (source, bucket)") {
+    val plan = finalTreeOf(graft.operators.Mining.f5FeatureHashing(spark, sf))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    // one partial->final count exchange + the output sort's range exchange
+    assert(exchanges <= 2, s"f5 must shuffle once (plus output sort), got $exchanges:\n$plan")
+  }
+
+  test("t29: the only text scan is the batch slice (pushed modulo filter)") {
+    val plan = planOf(graft.operators.Incremental.t29IncrementalNovelty(spark, sf))
+    assert(plan.contains("novelty_index") || plan.contains("firsts"),
+      s"t29 must read the committed firsts:\n$plan")
+    // the documents scan exists ONLY for the batch slice; its filter
+    // must sit directly on the scan's data filters
+    assert(plan.contains("documents.parquet"),
+      "t29 scans the batch slice of documents")
+  }
 }
