@@ -796,13 +796,22 @@ object Graph {
     * in-core nodes with their core degree. */
   def g10KCore(s: SparkSession, dir: String): DataFrame = {
     val base = edges(s, dir)
+    // explicit persist + unpersist per round, NOT localCheckpoint:
+    // checkpoint blocks live outside the CacheManager and are only
+    // freed by async GC-driven cleanup, so a multi-pass bench leaked
+    // an edge-frame copy per round until the 30× stretch run OOMed.
+    // Lineage stays bounded without a checkpoint because the peel is
+    // ≤[[KCoreRounds]] joins deep by construction.
+    import org.apache.spark.storage.StorageLevel
+    val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var e = base.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(base.select(col("dst").as("u"), col("src").as("v")))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    kept += e
     // early exit at the fixpoint: once a round removes nothing, every
     // remaining round is the identity, so the fixed-round SEMANTICS
     // are preserved while the usual 2–3-round convergence skips the
-    // tail (the count rides the checkpoint the round pays anyway)
+    // tail (the count also materializes the round's persist)
     var prev = e.count()
     var round = 1
     var done = false
@@ -813,14 +822,20 @@ object Graph {
       e = e.join(alive, Seq("u"), "left_semi")
         .join(alive.select(col("u").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      kept += e
       val n = e.count()
       done = n == prev
       prev = n
       round += 1
     }
-    e.groupBy(col("u").as("node_id")).agg(count(lit(1)).as("core_degree"))
+    // materialize the node-grain result, then free every edge frame
+    val result = e.groupBy(col("u").as("node_id"))
+      .agg(count(lit(1)).as("core_degree"))
       .orderBy("node_id")
+      .localCheckpoint()
+    kept.foreach(_.unpersist(blocking = false))
+    result
   }
 
   val oracles: Map[String, String] = Map(

@@ -363,4 +363,73 @@ class StreamingSpec extends GraftSpec {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("row 290: windowed counts run unchanged on the RocksDB state store") {
+    // the 100 TB state backend: HDFSBackedStateStore keeps every key
+    // in executor heap, RocksDB spills to local disk — the SAME query
+    // must produce the SAME results with only a conf flip
+    implicit val sqlc = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val q = SyncStream.streamingWindowedCounts(input.toDF())
+        .writeStream.format("memory").queryName("win_rocks")
+        .outputMode("update").start()
+      try {
+        input.addData(ev(1, 0, 1), ev(2, 10, 1), ev(3, 70, 2, value = 2.5))
+        q.processAllAvailable()
+        input.addData(ev(4, 75, 2), ev(5, 12, 3, value = 4.0))
+        q.processAllAvailable()
+        // the provider actually engaged
+        val used = q.lastProgress.stateOperators(0).customMetrics
+        assert(used.containsKey("rocksdbFilesCopied") ||
+          used.keySet.toString.contains("rocksdb"),
+          s"expected RocksDB state metrics, got: ${used.keySet}")
+        val rows = spark.table("win_rocks")
+          .groupBy("bucket").agg(max("n_events").as("n_events"),
+            max("total_value").as("total_value"))
+          .collect().map(r => r.getTimestamp(0) ->
+            (r.getLong(1), r.getDouble(2))).toMap
+        assert(rows.values.map(_._1).sum == 5 && rows.size == 2)
+        // batch equivalence on the same rows (the row-37 invariant,
+        // now under the scale-grade backend)
+        val batch = SyncStream.windowedCounts(
+          Seq(ev(1, 0, 1), ev(2, 10, 1), ev(3, 70, 2,
+            value = 2.5), ev(4, 75, 2), ev(5, 12, 3, value = 4.0)).toDF())
+        val exp = batch.collect().map(r => r.getTimestamp(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+        assert(rows == exp, "RocksDB-backed stream == batch transform")
+      } finally q.stop()
+    } finally {
+      prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
+
+  test("row 291: observe() collects pipeline metrics in the same pass as the output") {
+    // single-pass observability: a 100 TB curation job cannot afford a
+    // second scan just to count what it kept — observe() rides the
+    // output action
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation("prep_metrics")
+    val out = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .observe(obs, count(lit(1)).as("n_kept"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("kept_value"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val outRows = out.collect()
+    val m = obs.get
+    val direct = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)), sum(col("value").cast("decimal(18,6)")).cast("double"))
+      .head()
+    assert(m("n_kept") == direct.getLong(0),
+      "observed count == direct recompute, with zero extra scans")
+    assert(m("kept_value") == direct.getDouble(1))
+    assert(outRows.map(_.getAs[Long]("n")).sum == direct.getLong(0),
+      "the observed pass also produced the real output")
+  }
 }
