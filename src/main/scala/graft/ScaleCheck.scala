@@ -127,7 +127,8 @@ object ScaleCheck {
     // round-12 session-3 wave 3 (bounce / top-decile / df tail / JS)
     "e13_bounce_rate", "w12_top_decile_share",
     "d16_shingle_df_histogram", "t28_source_divergence",
-    "priv1_k_anonymity", "g10_kcore", "t29_incremental_novelty")
+    "priv1_k_anonymity", "g10_kcore", "t29_incremental_novelty",
+    "prof10_entropy")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

@@ -445,8 +445,46 @@ object Profiling {
       .limit(GapTopK)
   }
 
+  /** The categorical columns prof10 profiles (table, column). */
+  val EntropyCols: Seq[(String, String)] = Seq(
+    ("customer", "c_mktsegment"), ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"), ("documents", "lang"))
+
+  /** prof10: per-column Shannon entropy for the categorical domains —
+    * the concentration companion to prof1's NDV (NDV says how many
+    * values, entropy says how evenly they carry the mass; normalized
+    * H/ln(NDV) is the optimizer's "is this column skewed" one-number
+    * answer, and the same statistic mix1 reads on the source column
+    * before weighting). One keyed aggregate per column (output
+    * bounded by the value domain), totals attach as a broadcast 1-row
+    * frame, and each value's p·ln p contribution is int64-quantized
+    * at 1e-9 before the order-free per-column fold (the g2 rq
+    * discipline — naive sum(double) would be partial-merge-order
+    * dependent). */
+  def prof10Entropy(s: SparkSession, dir: String): DataFrame =
+    EntropyCols.map { case (t, c) =>
+      val counts = Tables.byName(s, dir, t)
+        .select(col(c).cast("string").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("ndv"))
+      val p = col("cnt").cast("double") / col("n")
+      counts.crossJoin(broadcast(tot)) // 1-row bounded metadata
+        .select(col("n"), col("ndv"),
+          floor(p * log(p) * lit(1e9) + lit(0.5)).cast("long").as("term"))
+        .groupBy(col("n"), col("ndv"))
+        .agg(sum(col("term")).as("sq"))
+        .select(lit(s"$t.$c").as("col_name"), col("n").as("n_rows"),
+          col("ndv").as("n_distinct"),
+          round(-(col("sq").cast("double") / lit(1e9)), 6).as("entropy"),
+          when(col("ndv") > 1,
+            round(-(col("sq").cast("double") / lit(1e9))
+              / log(col("ndv").cast("double")), 6)).as("norm_entropy"))
+    }.reduce(_ unionAll _).orderBy("col_name")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prof9_id_gaps" -> (prof9IdGaps _),
+    "prof10_entropy" -> (prof10Entropy _),
     "prof7_benford" -> (prof7Benford _),
     "prof8_numeric_corr" -> (prof8NumericCorr _),
     "prof5_mutual_info" -> (prof5MutualInfo _),
@@ -533,6 +571,21 @@ object Profiling {
        |      FROM $t GROUP BY 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "prof10_entropy" -> EntropyCols.map { case (t, c) =>
+      s"""SELECT '$t.$c' AS col_name, n AS n_rows, ndv AS n_distinct,
+         |  round(-(CAST(sq AS DOUBLE) / 1e9), 6) AS entropy,
+         |  CASE WHEN ndv > 1 THEN round(-(CAST(sq AS DOUBLE) / 1e9)
+         |    / ln(CAST(ndv AS DOUBLE)), 6) END AS norm_entropy
+         |FROM (SELECT n, ndv, CAST(SUM(term) AS BIGINT) AS sq
+         |  FROM (SELECT CAST(floor((CAST(cnt AS DOUBLE) / n)
+         |      * ln(CAST(cnt AS DOUBLE) / n) * 1e9 + 0.5) AS BIGINT) AS term,
+         |      n, ndv
+         |    FROM (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS cnt
+         |          FROM $t GROUP BY 1)
+         |    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv FROM $t))
+         |  GROUP BY n, ndv)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "prof9_id_gaps" ->
       s"""WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
          |  WHERE o_orderstatus = 'F'),

@@ -236,4 +236,27 @@ class ProfilingSpec extends GraftSpec {
       "in-bucket + cross-bucket gaps must equal the global lead scan")
     assert(rows.forall(g => g._3 == g._2 - g._1 + 1 && g._3 >= 1))
   }
+
+  test("prof10: entropy matches a driver-side fold and respects its bounds") {
+    val rows = Profiling.prof10Entropy(spark, sf).collect()
+    assert(rows.length == Profiling.EntropyCols.size)
+    for ((t, c) <- Profiling.EntropyCols) {
+      val r = rows.find(_.getString(0) == s"$t.$c").get
+      val counts = Tables.byName(spark, sf, t)
+        .groupBy(col(c)).count().collect().map(_.getLong(1))
+      val n = counts.sum.toDouble
+      val raw = -counts.map { cnt =>
+        val p = cnt / n
+        math.floor(p * math.log(p) * 1e9 + 0.5)
+      }.sum / 1e9
+      val ent = BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(r.getAs[Long]("n_rows") == n.toLong)
+      assert(r.getAs[Long]("n_distinct") == counts.length)
+      assert(r.getAs[Double]("entropy") == ent, s"$t.$c")
+      val norm = r.getAs[Double]("norm_entropy")
+      assert(norm >= 0.0 && norm <= 1.0 + 1e-9,
+        s"$t.$c normalized entropy out of [0,1]: $norm")
+    }
+  }
 }
