@@ -128,7 +128,7 @@ object ScaleCheck {
     "e13_bounce_rate", "w12_top_decile_share",
     "d16_shingle_df_histogram", "t28_source_divergence",
     "priv1_k_anonymity", "g10_kcore", "t29_incremental_novelty",
-    "prof10_entropy")
+    "prof10_entropy", "w13_new_vs_returning", "d17_cluster_histogram")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

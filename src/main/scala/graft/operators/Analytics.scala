@@ -2099,6 +2099,32 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** w13: new-vs-returning daily actives — each day's active users
+    * split by whether the day is their FIRST active day (w4 counts
+    * actives, w10 accumulates adoption; this is the churn-facing
+    * companion every growth dashboard pairs them with). Two keyed
+    * aggregates: one user-grain first-seen min (the only fact-scale
+    * shuffle, shared shape with w10), one (day)-grain count over the
+    * user-day frame with the first-day flag decided row-locally after
+    * a user-keyed join. All-integer until the output ratio. */
+  def w13NewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val firstSeen = userDays.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    userDays.join(firstSeen, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1).otherwise(0))
+          .as("n_new"))
+      .select(Cols.fmtDate(col("day")).as("day"), col("n_active"),
+        col("n_new"), (col("n_active") - col("n_new")).as("n_returning"),
+        round(col("n_new").cast("double") / col("n_active"), 6)
+          .as("new_frac"))
+      .orderBy("day")
+  }
+
   /** e12: peak concurrency per day — the classic interval sweep-line
     * (max simultaneously-active users), the capacity question behind
     * rate limits and session-store sizing. Each user's daily activity
@@ -2952,6 +2978,20 @@ object Analytics {
         |  round((2.0 * CAST(swx AS DOUBLE) / CAST(tot AS DOUBLE)
         |    - (n + 1.0)) / n, 6) AS gini
         |FROM a""".stripMargin,
+    "w13_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |  FROM events),
+        |fs AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1)
+        |SELECT strftime(ud.day, '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n_active,
+        |  CAST(SUM(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  COUNT(*) - CAST(SUM(CASE WHEN ud.day = fs.first_day
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+        |  round(CAST(SUM(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS new_frac
+        |FROM ud JOIN fs USING (user_id)
+        |GROUP BY ud.day ORDER BY day""".stripMargin,
     "w12_top_decile_share" ->
       """WITH x AS (SELECT o_custkey,
         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
@@ -3176,5 +3216,6 @@ object Analytics {
     "w11_gini" -> (w11Gini _),
     "e12_peak_concurrency" -> (e12PeakConcurrency _),
     "w12_top_decile_share" -> (w12TopDecileShare _),
-    "e13_bounce_rate" -> (e13BounceRate _))
+    "e13_bounce_rate" -> (e13BounceRate _),
+    "w13_new_vs_returning" -> (w13NewVsReturning _))
 }

@@ -610,6 +610,25 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** d17: near-dup cluster-size histogram — the cluster-grain
+    * companion of d11's exact-duplicate histogram: how many NEAR-dup
+    * clusters exist at each size, how many docs they hold, and how
+    * many a keep-one policy removes (d11 answers this for byte-exact
+    * groups; near-dup mass is usually far larger and is what mix7's
+    * weights and d10's survivorship actually act on). Pure read-path
+    * over the PUBLISHED cluster table: one cluster-keyed count, one
+    * size-grain aggregate whose output is bounded by the max cluster
+    * size. */
+  def d17ClusterHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.sources.AtomicPublish
+      .readOutput(s, ensureClusterIndex(s, dir), "clusters")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"),
+        ((col("sz") - 1) * col("n_clusters")).as("n_removable"))
+      .orderBy("cluster_size")
+
   /** d16: shingle document-frequency histogram — the measurement that
     * JUSTIFIES [[ShingleDfCap]], exactly as g5's degree profile
     * justifies g4's hub cap: the distribution of word-trigram df over
@@ -926,6 +945,13 @@ object Dedup {
     "d6_dedup_clusters" ->
       s"""$ClusterOracleCte
         |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+    "d17_cluster_histogram" ->
+      s"""$ClusterOracleCte,
+        |cz AS (SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY 1)
+        |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+        |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_removable
+        |FROM cz GROUP BY sz ORDER BY sz""".stripMargin,
     "d16_shingle_df_histogram" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
         |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
@@ -1067,5 +1093,6 @@ object Dedup {
     "d11_dup_histogram" -> (d11DupHistogram _),
     "d12_sketch_calibration" -> (d12SketchCalibration _),
     "d15_source_overlap" -> (d15SourceOverlap _),
-    "d16_shingle_df_histogram" -> (d16ShingleDfHistogram _))
+    "d16_shingle_df_histogram" -> (d16ShingleDfHistogram _),
+    "d17_cluster_histogram" -> (d17ClusterHistogram _))
 }

@@ -1207,4 +1207,20 @@ class AnalyticsSpec extends GraftSpec {
     assert(share >= k.toDouble / n - 1e-6 && share <= 1.0,
       "top decile can never hold less than a uniform share")
   }
+
+  test("w13: new + returning partitions each day's actives; day-1 is all new") {
+    val rows = Analytics.w13NewVsReturning(spark, sf).collect()
+    val w10 = Analytics.w10CumulativeUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("new_users")).toMap
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_active") ==
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_returning"))
+      // the per-day new count must agree with w10's first-seen counts
+      assert(r.getAs[Long]("n_new") == w10.getOrElse(r.getString(0), 0L),
+        s"day ${r.getString(0)}")
+    }
+    assert(rows.head.getAs[Long]("n_returning") == 0L,
+      "nobody can return on the first day of history")
+    assert(rows.head.getAs[Double]("new_frac") == 1.0)
+  }
 }

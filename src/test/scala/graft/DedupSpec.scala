@@ -420,4 +420,16 @@ class DedupSpec extends GraftSpec {
     assert(rows.forall(t => t._3 == t._1 * t._2), "n_postings = df * n_shingles")
     assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq, "ordered by df")
   }
+
+  test("d17: cluster histogram masses reconcile with the published cluster table") {
+    val rows = Dedup.d17ClusterHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val clusters = Dedup.d6DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(1))
+    val sizes = clusters.groupBy(identity).map(_._2.length.toLong)
+    assert(rows.map(_._2).sum == sizes.size, "every cluster in one bucket")
+    assert(rows.map(_._3).sum == clusters.length, "doc mass conserved")
+    assert(rows.forall { case (sz, n, docs, rem) =>
+      docs == sz * n && rem == (sz - 1) * n && sz >= 2 })
+  }
 }
