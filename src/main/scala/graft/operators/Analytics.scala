@@ -38,15 +38,20 @@ object Analytics {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** TPC-H Q3 — shipping priority: 3-way join + agg + top-K.
-    * customer is the small side (broadcast); the orders⋈lineitem join
-    * shuffles on the order key. */
+    * customer is the small side, but it grows linearly with scale
+    * factor (~15 B rows at a 100 TB TPC-H), so the join strategy is
+    * LEFT TO CBO/AQE rather than pinned with a hint: at bench scale
+    * the planner picks BroadcastHashJoin (audited in PlanAuditSpec),
+    * at 100 TB it degrades gracefully to a shuffle join instead of
+    * OOMing the build side. The orders⋈lineitem join shuffles on the
+    * order key either way. */
   def q3TopkRevenue(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(s, dir)
       .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
     val li = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
-    broadcast(cust)
+    cust
       .join(ord, col("c_custkey") === col("o_custkey"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
@@ -57,8 +62,12 @@ object Analytics {
       .limit(10)
   }
 
-  /** TPC-H Q5 — local supplier revenue: 6-way join, all dims broadcast,
-    * lineitem⋈orders shuffles once. */
+  /** TPC-H Q5 — local supplier revenue: 6-way join; lineitem⋈orders
+    * shuffles once. Broadcast policy (SURVEY §5): only the BOUNDED
+    * dims (region⋈nation — 5×25 rows at ANY scale factor) carry an
+    * explicit hint; customer and supplier are sf-linear, so their
+    * strategy is left to CBO/AQE — BroadcastHashJoin at bench scale
+    * (audited in PlanAuditSpec), shuffle-hash at 100 TB. */
   def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
     val asia = broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")
       .join(Tables.nation(s, dir), col("n_regionkey") === col("r_regionkey")))
@@ -67,8 +76,8 @@ object Analytics {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     Tables.lineitem(s, dir)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)),
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir),
         col("l_suppkey") === col("s_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))
       .join(asia, col("c_nationkey") === col("n_nationkey"))
@@ -79,23 +88,26 @@ object Analytics {
 
   /** TPC-H Q7 — volume shipping between two nations: the widest join
     * graph in the surface (lineitem ⋈ supplier ⋈ orders ⋈ customer ⋈
-    * nation ×2). Both nation-tagged dimension sides broadcast with the
-    * nation filter applied BEFORE the join (the fact stream shrinks at
-    * the earliest point); the only shuffle join is lineitem ⋈ orders
-    * on the order key. The year comes from l_shipdate so no second
-    * date dimension is needed. */
+    * nation ×2). Both nation-tagged dimension sides carry the nation
+    * filter applied BEFORE the join (the fact stream shrinks at the
+    * earliest point); the only shuffle join is lineitem ⋈ orders on
+    * the order key. supplier and customer are sf-linear (a 2-nation
+    * slice of 15 B customers is still ~1 B rows at 100 TB), so their
+    * join strategy is left to CBO/AQE — the inner nation frames are
+    * bounded and broadcast by hint. The year comes from l_shipdate so
+    * no second date dimension is needed. */
   def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
     val pair = Seq("NATION_1", "NATION_2")
     val nations = Tables.nation(s, dir)
       .filter(col("n_name").isin(pair: _*))
-    val sup = broadcast(Tables.supplier(s, dir)
-      .join(nations.select(col("n_nationkey").as("s_nk"),
-        col("n_name").as("supp_nation")), col("s_nationkey") === col("s_nk"))
-      .select("s_suppkey", "supp_nation"))
-    val cust = broadcast(Tables.customer(s, dir)
-      .join(nations.select(col("n_nationkey").as("c_nk"),
-        col("n_name").as("cust_nation")), col("c_nationkey") === col("c_nk"))
-      .select("c_custkey", "cust_nation"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(nations.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nations.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey", "cust_nation")
     Tables.lineitem(s, dir)
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -115,8 +127,9 @@ object Analytics {
     * aggregable (map-side combine), so at 100 TB it costs one shuffle
     * of one small struct per part — a window formulation would sort
     * every lineitem row inside each partition instead. The part names
-    * attach via broadcast after the fact side has collapsed to one
-    * row per part. */
+    * attach after the fact side has collapsed to one row per part;
+    * part is sf-linear (~20 B rows at 100 TB) so the join strategy is
+    * CBO/AQE's call, not a pinned broadcast. */
   def q8CheapestSupplier(s: SparkSession, dir: String): DataFrame = {
     val px = Tables.lineitem(s, dir)
       .select(col("l_partkey"), col("l_suppkey"), revenue.as("price"))
@@ -125,8 +138,8 @@ object Analytics {
       .select(col("l_partkey").as("partkey"),
         col("best.price").cast("double").as("best_price"),
         col("best.l_suppkey").as("best_supp"))
-      .join(broadcast(Tables.part(s, dir)
-        .select(col("p_partkey"), col("p_name").as("part_name"))),
+      .join(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name").as("part_name")),
         col("partkey") === col("p_partkey"))
       .select("partkey", "part_name", "best_price", "best_supp")
       .orderBy("partkey")
@@ -204,9 +217,9 @@ object Analytics {
     * on the order key satisfies both clusterings), so the fact is
     * scanned once and shuffled once; orders joins on that same
     * partitioning (only its side exchanges), and the supplier dim
-    * broadcasts onto the per-supplier counts at the very end —
-    * audited in PlanAuditSpec (one lineitem scan, one fact
-    * exchange). */
+    * joins onto the per-supplier counts at the very end (sf-linear,
+    * so CBO/AQE picks the strategy) — audited in PlanAuditSpec (one
+    * lineitem scan, one fact exchange). */
   def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy(col("l_orderkey"))
     val pairs = Tables.lineitem(s, dir)
@@ -222,7 +235,7 @@ object Analytics {
         .select("o_orderkey"), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
         col("s_suppkey") === col("l_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)
@@ -232,7 +245,8 @@ object Analytics {
   /** q14: promo revenue share — the TPC-H Q14 shape (conditional
     * aggregate ratio over one join): what fraction of a month's
     * revenue came from promo parts. The month slice pushes to the
-    * fact scan, part broadcasts (same dim discipline as q19), and
+    * fact scan, part joins planner-chosen (sf-linear — same dim
+    * discipline as q19), and
     * both numerator and denominator come out of ONE aggregate over
     * the joined slice — no second pass, no second join. The ratio is
     * computed on decimal-exact sums cast to double at the end
@@ -241,7 +255,7 @@ object Analytics {
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-07-01").cast("timestamp"))
-      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+      .join(Tables.part(s, dir).select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("p_type") === "PROMO", revenue)).cast("double")
@@ -265,7 +279,7 @@ object Analytics {
     * still scanned and shuffled exactly once and NOTHING passes
     * through a single partition — the max rides a two-stage (partial
     * → 1-row final) aggregate whose input is the bounded view.
-    * Supplier names attach by broadcast last. Pinned in
+    * Supplier names attach last (sf-linear dim: planner's call). Pinned in
     * PlanAuditSpec: two table scans total (ReusedExchange, no second
     * fact pass), zero unpartitioned-window exchanges. */
   def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
@@ -283,7 +297,7 @@ object Analytics {
     val mx = perSupp.agg(max(col("total_revenue")).as("mx"))
     perSupp.crossJoin(broadcast(mx)) // 1-row bounded metadata
       .filter(col("total_revenue") === col("mx"))
-      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
         col("s_suppkey") === col("l_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")
@@ -345,20 +359,24 @@ object Analytics {
     * Q9 shape (part-name-filtered multi-join rolled up by nation ×
     * order year; this schema has no partsupp/supplycost, so profit is
     * discounted revenue). Scale design: the part filter (`p_name LIKE
-    * '%red%'`) is applied BEFORE its broadcast join, so the fact
-    * stream shrinks at the earliest point — on a 100 TB lineitem the
-    * name filter typically keeps ~1/N of parts and the join discards
-    * the rest of the fact rows without shuffling them. supplier⋈nation
-    * pre-joins dimension-side (broadcast); the ONLY shuffle join is
+    * '%red%'`) is applied BEFORE its join, so the fact stream shrinks
+    * at the earliest point — on a 100 TB lineitem the name filter
+    * typically keeps ~1/N of parts and the join discards the rest of
+    * the fact rows without shuffling them. But a 1% slice of 20 B
+    * parts is still 200 M rows, so NEITHER part nor supplier carries
+    * a broadcast hint — CBO/AQE picks broadcast at bench scale
+    * (PlanAuditSpec pins it) and shuffle-hash beyond; only the
+    * bounded nation frame is hinted. supplier⋈nation pre-joins
+    * dimension-side; the ONLY fact-sized shuffle join is
     * lineitem⋈orders on the order key (year attaches there), and the
     * final rollup is a partial-aggregable sum over ~25 nations ×
     * ~7 years. */
   def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
-    val redParts = broadcast(Tables.part(s, dir)
-      .filter(col("p_name").like("%red%")).select(col("p_partkey")))
-    val supNation = broadcast(Tables.supplier(s, dir)
-      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("nation")))
+    val redParts = Tables.part(s, dir)
+      .filter(col("p_name").like("%red%")).select(col("p_partkey"))
+    val supNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
     Tables.lineitem(s, dir)
       .join(redParts, col("l_partkey") === col("p_partkey"))
       .join(supNation, col("l_suppkey") === col("s_suppkey"))
@@ -375,16 +393,17 @@ object Analytics {
     * excluded class), sourced from lineitem's observed (part,
     * supplier) pairs since this schema has no partsupp. Scale design:
     * the exclusion predicates live on the part DIMENSION and prune it
-    * before its broadcast, so excluded classes never reach the fact
+    * before the join (strategy left to CBO/AQE — part is sf-linear),
+    * so excluded classes never reach the fact
     * join; COUNT(DISTINCT supplier) is Spark's two-phase distinct
     * aggregate — partial (brand, type, suppkey) dedup happens
     * map-side, so the shuffle carries at most |classes| × |suppliers|
     * rows (150 × 100 here; bounded by the dimension sizes, not the
     * 100 TB fact). */
   def q16SupplierDiversity(s: SparkSession, dir: String): DataFrame = {
-    val parts = broadcast(Tables.part(s, dir)
+    val parts = Tables.part(s, dir)
       .filter(col("p_type") =!= "PROMO" && col("p_brand") =!= "Brand#1")
-      .select(col("p_partkey"), col("p_brand"), col("p_type")))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
     Tables.lineitem(s, dir)
       .select(col("l_partkey"), col("l_suppkey"))
       .join(parts, col("l_partkey") === col("p_partkey"))
@@ -398,23 +417,26 @@ object Analytics {
     * numerator is a CONDITIONAL leg of the same aggregate as its
     * denominator (`sum(when(nation)) / sum(all)`, q14's two-legs-one-
     * pass move), never a second join tree. Scale design: all four
-    * dimension attachments broadcast with their filters applied
-    * BEFORE the join (region prune cuts the customer side, the
-    * supplier side carries only its nation tag), so the single
-    * fact-sized shuffle is lineitem⋈orders on the order key; the
-    * rollup is a partial-aggregable pair of decimal sums per year.
+    * dimension attachments carry their filters applied BEFORE the
+    * join (region prune cuts the customer side, the supplier side
+    * carries only its nation tag), so the single fact-sized shuffle
+    * is lineitem⋈orders on the order key; the rollup is a
+    * partial-aggregable pair of decimal sums per year. customer and
+    * supplier are sf-linear, so only the inner region/nation frames
+    * are broadcast by hint — the dim-join strategy is CBO/AQE's.
     * Pinned in PlanAuditSpec: ≤1 shuffle join, 5 scans, no
     * cartesian. */
   def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
-    val asiaCust = broadcast(Tables.region(s, dir)
-      .filter(col("r_name") === "ASIA")
-      .join(Tables.nation(s, dir), col("n_regionkey") === col("r_regionkey"))
-      .join(Tables.customer(s, dir), col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey")))
-    val supNation = broadcast(Tables.supplier(s, dir)
-      .join(Tables.nation(s, dir).select(col("n_nationkey").as("s_nk"),
-        col("n_name").as("supp_nation")), col("s_nationkey") === col("s_nk"))
-      .select(col("s_suppkey"), col("supp_nation")))
+    val asiaCust = Tables.customer(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === "ASIA")
+        .join(Tables.nation(s, dir), col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
     val ord = Tables.orders(s, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
@@ -445,8 +467,9 @@ object Analytics {
     * attached back by `crossJoin(broadcast(...))` (prof2's scalar
     * pattern); the HAVING comparison multiplies the fraction through
     * decimal sums so no float-division boundary decides membership
-    * (q22's exactness discipline). Supplier nation prunes before its
-    * broadcast. The r7 form used an empty-frame window over the view
+    * (q22's exactness discipline). Supplier nation prunes before the
+    * join (supplier is sf-linear: no hint, CBO/AQE chooses). The r7
+    * form used an empty-frame window over the view
     * — but |parts| grows linearly with scale factor (~20 B rows at
     * sf100k), so ONE task would sort the whole view; here the view
     * and its total share the per-partkey shuffle via ReuseExchange
@@ -455,10 +478,10 @@ object Analytics {
     * PlanAuditSpec: one lineitem scan (ReusedExchange), zero Window
     * nodes. */
   def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
-    val natSup = broadcast(Tables.supplier(s, dir)
-      .join(Tables.nation(s, dir).filter(col("n_name") === "NATION_1"),
+    val natSup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_1")),
         col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey")))
+      .select(col("s_suppkey"))
     val perPart = Tables.lineitem(s, dir)
       .join(natSup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
@@ -511,7 +534,9 @@ object Analytics {
     * qualify, and the outer query only asks EXISTENCE per supplier —
     * q4's semi-join discipline composed with q17's
     * window-over-aggregate rewrite. Scale design: the part-name
-    * filter prunes the dimension BEFORE its broadcast (q9's move), so
+    * filter prunes the dimension BEFORE the join (q9's move — and as
+    * in q9, part is sf-linear so the strategy is CBO/AQE's, not a
+    * pinned broadcast), so
     * non-red parts never reach the fact join; the per-part total that
     * the textbook form computes with a SECOND correlated fact scan
     * comes from a window over the ALREADY-AGGREGATED per-(part,supp)
@@ -521,8 +546,8 @@ object Analytics {
     * reaches the output. Pinned in PlanAuditSpec: exactly one
     * lineitem scan, a left-semi join, no fact re-scan. */
   def q20ExcessShippers(s: SparkSession, dir: String): DataFrame = {
-    val redParts = broadcast(Tables.part(s, dir)
-      .filter(col("p_name").like("%red%")).select(col("p_partkey")))
+    val redParts = Tables.part(s, dir)
+      .filter(col("p_name").like("%red%")).select(col("p_partkey"))
     val wPart = Window.partitionBy(col("l_partkey")) // per-(part,supp) view: bounded
     val qualifying = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
@@ -1465,7 +1490,9 @@ object Analytics {
         count(lit(1)).as("n_items"))
 
   /** q19: TPC-H Q19 shape — disjunctive predicate join (OR of three
-    * brand/size/quantity conjunctions). part is dim-sized → broadcast;
+    * brand/size/quantity conjunctions). part is sf-linear, so the
+    * join strategy is CBO/AQE's (broadcast at bench scale, pinned in
+    * PlanAuditSpec; shuffle-hash at 100 TB);
     * the part-side conjuncts (brand, size) are pushed below the join
     * on the build side and the lineitem-side quantity bounds
     * (1 ≤ qty ≤ 35, the union of the three branches) prune the fact
@@ -1487,7 +1514,7 @@ object Analytics {
         col("l_quantity").between(10, 25)) ||
       (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
         col("l_quantity").between(20, 35))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .filter(branch)
       .agg(Cols.moneySum(Cols.dec2(col("l_extendedprice")) *
         (lit(1).cast(DecimalType(4, 2)) - Cols.rate(col("l_discount"))))
@@ -3105,11 +3132,13 @@ object Analytics {
     * dbt-era materialization every warehouse ships: lineitem widened
     * with its order, customer geography, part, and supplier
     * geography in one pass. Plan shape is THE star-join textbook
-    * case: every dimension (customer, part, supplier, nation×2,
-    * region) builds a broadcast hash table; orders is the one
-    * fact-sized side and joins on the shuffle; the fact table is
-    * scanned exactly once. At 100 TB this is the plan you want —
-    * one orderkey exchange, six broadcasts, no dim ever shuffled. */
+    * case: the bounded dims (nation×2, region) broadcast by hint;
+    * customer, part, and supplier are sf-linear, so their strategy is
+    * CBO/AQE's — broadcast hash tables at bench scale (pinned in
+    * PlanAuditSpec), shuffle-hash at 100 TB where a 15 B-row
+    * customer build side would OOM. orders is the one fact-sized
+    * side and joins on the shuffle; the fact table is scanned exactly
+    * once, one orderkey exchange either way. */
   def obt1Denormalize(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
@@ -3127,9 +3156,9 @@ object Analytics {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name").as("supp_nation"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custGeo), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(suppGeo), col("l_suppkey") === col("s_suppkey"))
+      .join(custGeo, col("o_custkey") === col("c_custkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .join(suppGeo, col("l_suppkey") === col("s_suppkey"))
       .select(col("l_orderkey"), col("l_linenumber"),
         round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .as("revenue"),

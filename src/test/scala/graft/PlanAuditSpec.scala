@@ -1084,4 +1084,91 @@ class PlanAuditSpec extends GraftSpec {
     assert(plan.contains("documents.parquet"),
       "t29 scans the batch slice of documents")
   }
+
+  test("broadcast-hint policy: no hint pins an sf-linear table (SURVEY §5)") {
+    // The r12 verdict's one systemic scale defect: a hard broadcast()
+    // on customer/part/supplier OVERRIDES Spark's size check, and
+    // those tables grow linearly with scale factor (~15 B customers /
+    // ~20 B parts at a 100 TB TPC-H) — the hint that is free at bench
+    // scale OOMs the build side at cluster scale. Policy (SURVEY §5):
+    // a broadcast hint may wrap a subtree only if its cardinality is
+    // bounded INDEPENDENT of scale factor — it aggregates (grouping
+    // keys bound it), limits, dedups, is sliced to a constant key
+    // range (`id < K`, the query-probe pattern), or scans only the
+    // fixed-size dims (nation: 25 rows, region: 5 — at ANY sf).
+    // Everything else is the planner's call. Swept over EVERY gate
+    // query's analyzed plan so a future hint regression fails here.
+    import org.apache.spark.sql.catalyst.expressions.{LessThan, LessThanOrEqual}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+
+    val sfLinearScan =
+      "/(customer|part|supplier|orders|lineitem|events|documents|embeddings)\\.parquet$".r
+    def sfLinearLeaves(p: LogicalPlan): Seq[String] = p.collectLeaves().flatMap {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          .filter(path => sfLinearScan.findFirstIn(path).isDefined)
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    def isBounded(p: LogicalPlan): Boolean = {
+      val aggregatesOrLimits = p.collectFirst {
+        case _: Aggregate => (); case _: GlobalLimit => ()
+        case _: Deduplicate => (); case _: Distinct => ()
+      }.isDefined
+      // `id < K` with a constant int/long bound slices a constant ROW
+      // COUNT over this corpus's dense-from-zero ids (the query-probe
+      // pattern: n1's vec_id < NumQueries, j3's o_orderkey < 100). A
+      // fraction-selecting filter — LIKE, equality on a category, a
+      // date range — does NOT qualify and must not reinstate a hint.
+      // Foldable (not bare-Literal) match: the analyzed plan wraps
+      // type-promoted literals in Cast.
+      def intFoldable(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        e.foldable && (e.dataType == IntegerType || e.dataType == LongType)
+      def constKeySlice = p.collect { case f: Filter => f.condition }.exists(c =>
+        c.collectFirst {
+          case LessThan(a, bound) if a.references.nonEmpty && intFoldable(bound) => ()
+          case LessThanOrEqual(a, bound) if a.references.nonEmpty && intFoldable(bound) => ()
+        }.isDefined)
+      aggregatesOrLimits || constKeySlice || sfLinearLeaves(p).isEmpty
+    }
+
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val analyzed = fn(spark, sf).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint if h.hints.strategy.nonEmpty && !isBounded(h.child) =>
+          offenders += s"$name: hint pins sf-linear scan(s) " +
+            sfLinearLeaves(h.child).mkString(", ")
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty,
+      s"broadcast hints on unbounded sf-linear subtrees:\n${offenders.mkString("\n")}")
+  }
+
+  test("de-hinted star joins: CBO/AQE still picks broadcast at bench scale") {
+    // The de-hint (r13) must be FREE locally: with the hint gone, the
+    // size-based planner still builds a broadcast hash table for the
+    // small dim at bench scale — only beyond the threshold does the
+    // plan degrade to a shuffle join. Representative cohort of the 14
+    // formerly-hinted queries.
+    val cohort = Seq[(String, DataFrame)](
+      "q3" -> Analytics.q3TopkRevenue(spark, sf),
+      "q9" -> Analytics.q9ProductProfit(spark, sf),
+      "q16" -> Analytics.q16SupplierDiversity(spark, sf),
+      "q19" -> Analytics.q19DisjunctiveJoin(spark, sf),
+      "obt1" -> Analytics.obt1Denormalize(spark, sf))
+    for ((name, df) <- cohort) {
+      val plan = finalTreeOf(df)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: planner no longer broadcasts the dim at bench scale:\n$plan")
+      val shuffleJoins = "SortMergeJoin".r.findAllIn(plan).size +
+        "ShuffledHashJoin".r.findAllIn(plan).size
+      assert(shuffleJoins <= 1,
+        s"$name: expected at most one shuffle join (the fact join), got $shuffleJoins:\n$plan")
+    }
+  }
 }
