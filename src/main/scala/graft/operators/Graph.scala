@@ -126,11 +126,12 @@ object Graph {
       }
       .start()
 
-  /** The committed distinct (c, sk) frame — built v1 over the base
-    * order slice, then INCREMENTED with the batch slice, so every
-    * graph operator reads the post-ingest snapshot. */
-  private[graft] def coOrderPairs(s: SparkSession, dir: String): DataFrame = {
-    val root = graft.sources.DurableIndex.ensure(s, coOrderRoot(dir)) {
+  /** Ensure the committed co-order edge artifact exists (built v1
+    * over the base order slice, then INCREMENTED with the batch
+    * slice) and return its root — the post-ingest snapshot every
+    * graph operator derives from. */
+  private[graft] def ensureCoOrder(s: SparkSession, dir: String): String =
+    graft.sources.DurableIndex.ensure(s, coOrderRoot(dir)) {
       import s.implicits._
       graft.sources.AtomicPublish.publish(s, coOrderRoot(dir), Seq(
         "co_order" -> pairsOf(s, dir,
@@ -139,8 +140,10 @@ object Graph {
       publishEdgeIncrement(s, coOrderRoot(dir),
         pairsOf(s, dir, col("o_orderkey") % GraphBatchMod === 0))
     }
-    graft.sources.AtomicPublish.readOutput(s, root, "co_order")
-  }
+
+  /** The committed distinct (c, sk) frame (see [[ensureCoOrder]]). */
+  private[graft] def coOrderPairs(s: SparkSession, dir: String): DataFrame =
+    graft.sources.AtomicPublish.readOutput(s, ensureCoOrder(s, dir), "co_order")
 
   /** g8: the ingest batch's adjacency report from the INCREMENTALLY-
     * maintained edge artifact — for every customer the batch touched,
@@ -781,21 +784,15 @@ object Graph {
   val KCoreRounds = 6 // fixed peel rounds (defined semantics; spec
                       //   pins fixpoint on the test corpus)
 
-  /** g10: k-core decomposition membership (Seidman 1983) — the
-    * densest-substructure filter behind community seeding and spam
-    * pruning: iteratively PEEL nodes of degree < [[KCoreK]] until the
-    * remainder is mutually ≥ k connected. The operator's semantics
-    * are a fixed [[KCoreRounds]]-round peel (the g2/g7 fixed-round
-    * discipline — variable-round convergence would make the oracle
-    * unexpressible); on every tested corpus the peel reaches its
-    * fixpoint well inside the budget and the spec asserts exactly
-    * that. Each round is one degree aggregate + two semi-joins on the
-    * shrinking edge frame, lineage truncated per round
-    * (localCheckpoint — the d6/g2 rule); the fact tables appear
-    * nowhere (reads the COMMITTED co-order edge artifact). Output:
-    * in-core nodes with their core degree. */
-  def g10KCore(s: SparkSession, dir: String): DataFrame = {
-    val base = edges(s, dir)
+  /** The k-core peel loop (see [[g10KCore]]) — the BUILD plan, over
+    * an arbitrary directed edge frame: iteratively PEEL nodes of
+    * degree < [[KCoreK]] until the remainder is mutually ≥ k
+    * connected (fixed [[KCoreRounds]]-round semantics with a fixpoint
+    * early-exit — the g2/g7 fixed-round discipline; the GraphSpec
+    * fixpoint test proves the budget suffices on this corpus). Each
+    * round is one degree aggregate + two semi-joins on the shrinking
+    * edge frame. Returns (node_id, core_degree). */
+  private[graft] def kcorePeel(base: DataFrame): DataFrame = {
     // explicit persist + unpersist per round, NOT localCheckpoint:
     // checkpoint blocks live outside the CacheManager and are only
     // freed by async GC-driven cleanup, so a multi-pass bench leaked
@@ -832,11 +829,61 @@ object Graph {
     // materialize the node-grain result, then free every edge frame
     val result = e.groupBy(col("u").as("node_id"))
       .agg(count(lit(1)).as("core_degree"))
-      .orderBy("node_id")
       .localCheckpoint()
     kept.foreach(_.unpersist(blocking = false))
     result
   }
+
+  /** Durable k-core membership root — OWN base dir (DurableIndex
+    * sibling-vacuum rule). The fingerprint chains to the EDGE
+    * ARTIFACT'S COMMITTED VERSION, not the fact tables: an
+    * `applyBatch` that publishes edge version N+1 changes this root,
+    * so the peel re-derives lazily at the next read and stale cores
+    * are vacuumed as orphaned siblings — index maintenance driven by
+    * the artifact the peel actually consumes. */
+  private[graft] def kcoreRootFor(s: SparkSession, dir: String,
+      edgeRoot: String): String = {
+    val base = sys.props.getOrElse("graft.graphkcore.base",
+      s"${graft.GraftSession.defaultStateDir}/graph_kcore_index")
+    val ver = graft.sources.AtomicPublish.currentVersion(s, edgeRoot)
+      .getOrElse("v0")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"kcore-v1;k=$KCoreK;rounds=$KCoreRounds;edges=$edgeRoot@$ver"
+        .getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    graft.sources.DurableIndex.root(base, dir, fp)
+  }
+
+  /** Published k-core membership over a committed edge artifact:
+    * build-once per (edge version, recipe), then a pure read. */
+  private[graft] def kcoreAt(s: SparkSession, dir: String,
+      edgeRoot: String): DataFrame = {
+    val root = graft.sources.DurableIndex.ensure(s,
+      kcoreRootFor(s, dir, edgeRoot)) {
+      val e = graft.sources.AtomicPublish.readOutput(s, edgeRoot, "co_order")
+        .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      graft.sources.AtomicPublish.publish(s, kcoreRootFor(s, dir, edgeRoot),
+        Seq("kcore" -> kcorePeel(e)))
+    }
+    graft.sources.AtomicPublish.readOutput(s, root, "kcore")
+  }
+
+  /** g10: k-core decomposition membership (Seidman 1983) — the
+    * densest-substructure filter behind community seeding and spam
+    * pruning. Since r13 the core table is a PUBLISHED artifact (the
+    * g2/g6 build/read split, the r12 verdict's ask #2): the audited
+    * iterative peel in [[kcorePeel]] is the BUILD plan, paid once per
+    * (edge-artifact version, recipe) — [[kcoreRootFor]] keys the root
+    * on the committed edge version, so an ingest batch that bumps the
+    * edge artifact re-derives the cores lazily — and the query is a
+    * read-path projection over committed parquet. The unchanged
+    * peel-from-scratch CTE-ladder hash oracle proves published ≡
+    * recompute every round. Output: in-core nodes with their core
+    * degree. */
+  def g10KCore(s: SparkSession, dir: String): DataFrame =
+    kcoreAt(s, dir, ensureCoOrder(s, dir))
+      .select(col("node_id"), col("core_degree"))
+      .orderBy("node_id")
 
   val oracles: Map[String, String] = Map(
     "g10_kcore" -> {

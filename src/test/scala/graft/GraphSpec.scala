@@ -344,4 +344,56 @@ class GraphSpec extends GraftSpec {
     assert(rows == expected, "fixed-round peel == driver fixpoint peel")
     assert(rows.values.forall(_ >= Graph.KCoreK), "every survivor is >= k inside the core")
   }
+
+  test("g10: kcore index re-derives on an edge-version bump; same version reuses the root") {
+    import spark.implicits._
+    def pairs(rows: (Long, Long)*) = rows.toDF("c", "sk")
+    // K3,3 bipartite core (every node degree 3 = KCoreK) + a pendant
+    // customer 4 that v1 peels; the ingest batch completes 4's edges
+    // so it joins the core at v2
+    val base = pairs(
+      1L -> 10L, 1L -> 20L, 1L -> 30L,
+      2L -> 10L, 2L -> 20L, 2L -> 30L,
+      3L -> 10L, 3L -> 20L, 3L -> 30L,
+      4L -> 10L)
+    val edgeRoot = java.nio.file.Files
+      .createTempDirectory("graft_kcore_edges").toString
+    graft.sources.AtomicPublish.publish(spark, edgeRoot, Seq(
+      "co_order" -> base, "ledger" -> Seq.empty[Long].toDF("batch_id")))
+
+    def driverCores(ps: Set[(Long, Long)]): Map[Long, Long] = {
+      var edges = ps.flatMap(p =>
+        Set((p._1 * 2, p._2 * 2 + 1), (p._2 * 2 + 1, p._1 * 2)))
+      var changed = true
+      while (changed) {
+        val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+        val alive = deg.filter(_._2 >= Graph.KCoreK).keySet
+        val next = edges.filter(e => alive(e._1) && alive(e._2))
+        changed = next.size != edges.size
+        edges = next
+      }
+      edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    }
+    def basePairs = Set(1L -> 10L, 1L -> 20L, 1L -> 30L,
+      2L -> 10L, 2L -> 20L, 2L -> 30L,
+      3L -> 10L, 3L -> 20L, 3L -> 30L, 4L -> 10L)
+
+    val root1 = Graph.kcoreRootFor(spark, edgeRoot, edgeRoot)
+    val got1 = Graph.kcoreAt(spark, edgeRoot, edgeRoot).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == driverCores(basePairs), "v1 cores == driver peel on base edges")
+    assert(!got1.contains(8L), "pendant customer 4 (node 8) peeled at v1")
+    // no bump → identical root: the committed build is reused as-is
+    assert(Graph.kcoreRootFor(spark, edgeRoot, edgeRoot) == root1)
+
+    // ingest batch bumps the edge artifact to version N+1
+    assert(Graph.applyBatch(spark, edgeRoot, pairs(4L -> 20L, 4L -> 30L), 1L))
+    val root2 = Graph.kcoreRootFor(spark, edgeRoot, edgeRoot)
+    assert(root2 != root1, "edge-version bump must re-key the kcore root")
+    val merged = basePairs ++ Set(4L -> 20L, 4L -> 30L)
+    val got2 = Graph.kcoreAt(spark, edgeRoot, edgeRoot).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == driverCores(merged), "v2 cores == driver peel on merged edges")
+    assert(got2.contains(8L), "customer 4 (node 8) joins the core after the bump")
+  }
 }

@@ -1048,10 +1048,14 @@ class PlanAuditSpec extends GraftSpec {
       s"d15 must read the published cluster parquet:\n$plan")
   }
 
-  test("g10: the peel runs over the committed edge artifact, fact tables nowhere") {
+  test("g10: pure read path over the published kcore index — no join, fact tables nowhere") {
     val plan = planOf(graft.operators.Graph.g10KCore(spark, sf))
+    assert(plan.contains("graph_kcore_index"),
+      s"g10 must read the published kcore table:\n$plan")
+    assert(!plan.contains("Join"),
+      s"g10's read path must not re-run the peel:\n$plan")
     assert(!plan.contains("orders.parquet") && !plan.contains("lineitem.parquet"),
-      s"g10 must read the committed co-order edges:\n$plan")
+      s"fact tables must not appear in g10's read plan:\n$plan")
   }
 
   test("w11/w12: the only rank windows are bucket-partitioned (no fact-scale global window)") {
