@@ -3139,7 +3139,17 @@ object Analytics {
     * customer build side would OOM. orders is the one fact-sized
     * side and joins on the shuffle; the fact table is scanned exactly
     * once, one orderkey exchange either way. */
-  def obt1Denormalize(s: SparkSession, dir: String): DataFrame = {
+  def obt1Denormalize(s: SparkSession, dir: String): DataFrame =
+    // the trailing GLOBAL sort exists for the hash oracle only — a
+    // materialization never globally sorts the widest table in the
+    // warehouse; the production shape is Sources.obt2PartitionedObt
+    // (partitioned, cluster-sorted write of this same frame)
+    denormFrame(s, dir).orderBy("l_orderkey", "l_linenumber")
+
+  /** The denormalized OBT frame (shared by obt1's oracle-shaped query
+    * and obt2's partitioned materialization — see [[obt1Denormalize]]
+    * for the plan-shape discussion). */
+  private[graft] def denormFrame(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
     val custNation = Tables.nation(s, dir)
@@ -3164,7 +3174,6 @@ object Analytics {
           .as("revenue"),
         col("o_orderdate"), col("c_name"), col("cust_nation"),
         col("cust_region"), col("p_name"), col("s_name"), col("supp_nation"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -161,6 +161,48 @@ object Sources {
       .orderBy("event_type")
   }
 
+  /** Write-slice fan-out per region partition for [[obt2PartitionedObt]]:
+    * hive-partitioning alone would key the pre-write exchange on the
+    * 5-value region only, so 5 tasks would write 100 TB. */
+  val ObtWriteSlices = 8
+
+  /** The obt2 pre-write frame (spec hook): repartitioned on
+    * (partition column, orderkey slice) so every region's data fans
+    * out over [[ObtWriteSlices]] writer tasks, then CLUSTER-sorted
+    * within each task (`sortWithinPartitions`) — ordered parquet row
+    * groups for orderkey range pruning with NO global Sort / range
+    * exchange anywhere in the plan. */
+  private[graft] def obt2WriteFrame(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.denormFrame(s, dir)
+      .repartition(col("cust_region"), pmod(col("l_orderkey"), lit(ObtWriteSlices)))
+      .sortWithinPartitions("cust_region", "l_orderkey", "l_linenumber")
+
+  /** obt2: the PRODUCTION materialization of the One Big Table —
+    * obt1's denormalized frame written hive-partitioned by
+    * cust_region (bounded key ⇒ bounded directory count) and
+    * cluster-sorted within writer tasks. obt1's trailing global
+    * `orderBy` is an oracle-harness artifact the r12 verdict named as
+    * the shape NOT to copy into production: a single range exchange
+    * over the widest table in the warehouse. Here ordering is
+    * per-task only ([[obt2WriteFrame]]; PlanAuditSpec asserts no
+    * rangepartitioning exchange in the write plan), downstream
+    * readers prune on the partition column at the listing level, and
+    * the emitted frame aggregates THROUGH the round-tripped copy
+    * (k1's discipline) so the DuckDB oracle proves the partitioned
+    * write was lossless. Revenue sums in decimal (exact, order-free)
+    * and casts to double at the end. */
+  def obt2PartitionedObt(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("obt2_part")
+    obt2WriteFrame(s, dir)
+      .write.mode(SaveMode.Overwrite).partitionBy("cust_region").parquet(path)
+    s.read.parquet(path)
+      .groupBy(col("cust_region"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("revenue").cast("decimal(18,4)")).cast("double").as("sum_revenue"),
+        sum(col("l_orderkey")).as("sum_orderkey"))
+      .orderBy("cust_region")
+  }
+
   /** k2: bucketed co-located fact join. Both fact tables are written
     * `bucketBy(join key)` + `sortBy` as managed tables, so the
     * lineitem⋈orders SortMergeJoin reads pre-partitioned, pre-sorted
@@ -1095,6 +1137,19 @@ object Sources {
   }
 
   val oracles: Map[String, String] = Map(
+    "obt2_partitioned_obt" ->
+      """SELECT cr.r_name AS cust_region, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_revenue,
+        |  CAST(SUM(l.l_orderkey) AS BIGINT) AS sum_orderkey
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier sup ON l.l_suppkey = sup.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "k13_incremental_rollup" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  event_type,
@@ -1324,6 +1379,7 @@ object Sources {
     "k6_compaction" -> (k6Compaction _),
     "k12_user_erasure" -> (k12UserErasure _),
     "k1_partitioned_sink" -> (k1PartitionedSink _),
+    "obt2_partitioned_obt" -> (obt2PartitionedObt _),
     "k2_bucketed_join" -> (k2BucketedJoin _),
     "k3_retention_delete" -> (k3RetentionDelete _),
     "k4_dynamic_overwrite" -> (k4DynamicOverwrite _),

@@ -1089,6 +1089,21 @@ class PlanAuditSpec extends GraftSpec {
       "t29 scans the batch slice of documents")
   }
 
+  test("obt2: the partitioned materialization has no global sort / range exchange") {
+    // obt1's trailing global orderBy exists for the hash oracle; the
+    // production write (obt2) must never range-shuffle the widest
+    // table in the warehouse — partition fan-out is a hash
+    // repartition, ordering is sortWithinPartitions (per-task only)
+    val plan = planOf(Sources.obt2WriteFrame(spark, sf))
+    assert(!plan.contains("rangepartitioning"),
+      s"obt2 write plan contains a range exchange (global sort):\n$plan")
+    assert(plan.contains("hashpartitioning"),
+      s"obt2 write plan must fan out via hash repartition:\n$plan")
+    // the cluster sort is local: every Sort node must be non-global
+    val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(plan).size
+    assert(globalSorts == 0, s"obt2 write plan contains a global Sort:\n$plan")
+  }
+
   test("broadcast-hint policy: no hint pins an sf-linear table (SURVEY §5)") {
     // The r12 verdict's one systemic scale defect: a hard broadcast()
     // on customer/part/supplier OVERRIDES Spark's size check, and
