@@ -2026,7 +2026,12 @@ object Analytics {
     rankedCustomerCents(s, dir)
       .agg(count(lit(1)).as("n_customers"),
         sum(col("cents")).as("total_cents"),
-        sum((col("i") * col("cents")).cast("decimal(38,0)")).as("swx"))
+        // one operand lifts to decimal BEFORE the multiply: i·cents
+        // in raw int64 wraps at ~9.2e18 — at 100 TB (1.5 B customers
+        // × 1e9-cent totals) the product overflows long before the
+        // DECIMAL(38,0) fold would; Spark (non-ANSI) would wrap
+        // SILENTLY while DuckDB errors, a silent-vs-loud divergence
+        sum(col("i").cast("decimal(38,0)") * col("cents")).as("swx"))
       .select(col("n_customers"), col("total_cents"),
         round((lit(2.0) * col("swx").cast("double")
           / col("total_cents").cast("double")
@@ -2092,6 +2097,11 @@ object Analytics {
         col("tot_cents"),
         round(col("top_cents").cast("double")
           / col("tot_cents").cast("double"), 6).as("top_share"))
+      // degenerate-input guard (r12 advice #3): on an EMPTY orders
+      // frame the grouping-free aggregate still emits one all-NULL
+      // row while the oracle's GROUP BY form emits zero — drop it so
+      // both engines agree on the empty corpus
+      .filter(col("n_customers").isNotNull)
   }
 
   /** e13: per-day bounce/engagement rollup — sessions started,
@@ -2999,7 +3009,7 @@ object Analytics {
         |r AS (SELECT cents,
         |    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM x),
         |a AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS tot,
-        |    CAST(SUM(CAST(i * cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS swx
+        |    SUM(CAST(i AS HUGEINT) * cents) AS swx
         |  FROM r)
         |SELECT n AS n_customers, tot AS total_cents,
         |  round((2.0 * CAST(swx AS DOUBLE) / CAST(tot AS DOUBLE)

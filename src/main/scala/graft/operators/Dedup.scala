@@ -856,6 +856,34 @@ object Dedup {
       |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_id
       |  FROM reach GROUP BY a)""".stripMargin
 
+  /** d9's passage-dedup oracle, parameterized on an optional
+    * predicate over the AGGREGATED docs (occurrence/first-occurrence
+    * statistics stay corpus-wide — d14's incremental gate filters
+    * only the final per-doc aggregate). A builder instead of post-hoc
+    * string surgery on the shared SQL (r12 advice #4). */
+  private[graft] def d9SubstringOracle(batchPredicate: Option[String] = None): String = {
+    val where = batchPredicate.map(p => s"WHERE $p\n").getOrElse("")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |occ AS (SELECT doc_id, i AS pidx,
+       |    array_to_string(ws[(i*$PassageWords+1):(i*$PassageWords+$PassageWords)], ' ') AS passage,
+       |    len(ws[(i*$PassageWords+1):(i*$PassageWords+$PassageWords)]) AS plen
+       |  FROM w, LATERAL (SELECT unnest(generate_series(0,
+       |    CAST(ceil(len(ws)/$PassageWords.0) AS INT)-1)) AS i) g(i)),
+       |per AS (SELECT passage, COUNT(*) AS n_occ, MIN(doc_id) AS fdoc
+       |  FROM occ GROUP BY passage),
+       |perf AS (SELECT per.passage, per.n_occ, per.fdoc, MIN(occ.pidx) AS fidx
+       |  FROM per JOIN occ ON occ.passage = per.passage AND occ.doc_id = per.fdoc
+       |  GROUP BY per.passage, per.n_occ, per.fdoc)
+       |SELECT occ.doc_id, COUNT(*) AS n_passages,
+       |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+       |  CAST(SUM(CASE WHEN n_occ > 1 AND NOT (occ.doc_id = fdoc AND occ.pidx = fidx)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |  round(SUM(CASE WHEN n_occ > 1 AND NOT (occ.doc_id = fdoc AND occ.pidx = fidx)
+       |    THEN plen ELSE 0 END) / CAST(SUM(plen) AS DOUBLE), 6) AS masked_word_frac
+       |FROM occ JOIN perf ON occ.passage = perf.passage
+       |${where}GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "d11_dup_histogram" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS sz
@@ -864,26 +892,7 @@ object Dedup {
         |  CAST(sz * count(*) AS BIGINT) AS n_docs,
         |  CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
-    "d9_substring_dedup" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |occ AS (SELECT doc_id, i AS pidx,
-        |    array_to_string(ws[(i*$PassageWords+1):(i*$PassageWords+$PassageWords)], ' ') AS passage,
-        |    len(ws[(i*$PassageWords+1):(i*$PassageWords+$PassageWords)]) AS plen
-        |  FROM w, LATERAL (SELECT unnest(generate_series(0,
-        |    CAST(ceil(len(ws)/$PassageWords.0) AS INT)-1)) AS i) g(i)),
-        |per AS (SELECT passage, COUNT(*) AS n_occ, MIN(doc_id) AS fdoc
-        |  FROM occ GROUP BY passage),
-        |perf AS (SELECT per.passage, per.n_occ, per.fdoc, MIN(occ.pidx) AS fidx
-        |  FROM per JOIN occ ON occ.passage = per.passage AND occ.doc_id = per.fdoc
-        |  GROUP BY per.passage, per.n_occ, per.fdoc)
-        |SELECT occ.doc_id, COUNT(*) AS n_passages,
-        |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
-        |  CAST(SUM(CASE WHEN n_occ > 1 AND NOT (occ.doc_id = fdoc AND occ.pidx = fidx)
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
-        |  round(SUM(CASE WHEN n_occ > 1 AND NOT (occ.doc_id = fdoc AND occ.pidx = fidx)
-        |    THEN plen ELSE 0 END) / CAST(SUM(plen) AS DOUBLE), 6) AS masked_word_frac
-        |FROM occ JOIN perf ON occ.passage = perf.passage
-        |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin,
+    "d9_substring_dedup" -> d9SubstringOracle(),
     "d8_incremental_dedup" ->
       """WITH batch AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
         |    FROM documents WHERE doc_id % 7 = 0 GROUP BY md5(text)),

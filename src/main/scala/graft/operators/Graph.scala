@@ -762,10 +762,13 @@ object Graph {
     val ds = cs.groupBy(col("sk")).agg(count(lit(1)).as("y"))
     val j = cs.join(dc, Seq("c")).join(ds, Seq("sk"))
       .select(col("x"), col("y"))
+    // one operand lifts to decimal BEFORE each multiply: a 1e9+
+    // degree squared wraps int64 silently in Spark (non-ANSI) while
+    // DuckDB errors — the w11 silent-vs-loud divergence (r12 advice)
     j.agg(count(lit(1)).as("n_edges"),
-        sum(d38(col("x"))).as("sx"), sum(d38(col("x") * col("x"))).as("sxx"),
-        sum(d38(col("y"))).as("sy"), sum(d38(col("y") * col("y"))).as("syy"),
-        sum(d38(col("x") * col("y"))).as("sxy"))
+        sum(d38(col("x"))).as("sx"), sum(d38(col("x")) * col("x")).as("sxx"),
+        sum(d38(col("y"))).as("sy"), sum(d38(col("y")) * col("y")).as("syy"),
+        sum(d38(col("x")) * col("y")).as("sxy"))
       .select(col("n_edges"),
         round(col("sx").cast("double") / col("n_edges"), 6)
           .as("avg_deg_cust"),
@@ -918,10 +921,10 @@ object Graph {
          |  JOIN dc USING (c) JOIN ds USING (sk)),
          |m AS (SELECT count(*) AS n,
          |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
-         |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
          |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
-         |    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
-         |    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy
          |  FROM j)
          |SELECT n AS n_edges,
          |  round(CAST(sx AS DOUBLE) / n, 6) AS avg_deg_cust,

@@ -530,14 +530,11 @@ object Incremental {
     // t27's full-corpus first-occurrence recompute, filtered to the
     // batch slice — a hash pass proves the novelty index's min-merge
     // maintenance equals a from-scratch recompute
-    "t29_incremental_novelty" -> {
-      val base = TextAnalysis.oracles("t27_novelty")
-      val replaced = base.replace("GROUP BY s.doc_id",
-        s"WHERE s.doc_id % $BatchMod = 0\nGROUP BY s.doc_id")
-      require(replaced != base,
-        "t29 oracle: t27's 'GROUP BY s.doc_id' anchor not found")
-      replaced
-    },
+    "t29_incremental_novelty" ->
+      // the parameterized t27 builder (not string surgery on t27's
+      // shipped SQL — r12 advice #4): shared statistics CTEs by
+      // construction, the batch predicate lands exactly once
+      TextAnalysis.t27NoveltyOracle(Some(s"s.doc_id % $BatchMod = 0")),
     "pipe5_incremental_corpus" ->
       s"""${Dedup.ClusterOracleCte},
          |csz AS (SELECT cluster_id, COUNT(*) AS cl_size FROM cl GROUP BY 1),
@@ -582,14 +579,6 @@ object Incremental {
          |ORDER BY doc_id, rank""".stripMargin,
     // d9's full-corpus oracle with its final aggregate filtered to the
     // batch slice (stats stay corpus-wide — that's the point)
-    "d14_incremental_passages" -> {
-      val base = Dedup.oracles("d9_substring_dedup")
-      val replaced = base.replace("GROUP BY occ.doc_id",
-        s"WHERE occ.doc_id % $BatchMod = 0\nGROUP BY occ.doc_id")
-      // a reworded d9 oracle must fail HERE, not ship a silently
-      // unfiltered full-corpus oracle (r11 ADVICE)
-      require(replaced != base,
-        "d14 oracle: d9's 'GROUP BY occ.doc_id' anchor not found")
-      replaced
-    })
+    "d14_incremental_passages" ->
+      Dedup.d9SubstringOracle(Some(s"occ.doc_id % $BatchMod = 0")))
 }

@@ -460,7 +460,11 @@ object Profiling {
     * frame, and each value's p·ln p contribution is int64-quantized
     * at 1e-9 before the order-free per-column fold (the g2 rq
     * discipline — naive sum(double) would be partial-merge-order
-    * dependent). */
+    * dependent). NULL counts as a VALUE on both sides: the engine's
+    * group-count NDV naturally includes a NULL group, and the oracle
+    * adds the NULL indicator to COUNT(DISTINCT) (which excludes
+    * NULLs) so the two agree on any corpus where a profiled column
+    * goes nullable (r12 advice #2). */
   def prof10Entropy(s: SparkSession, dir: String): DataFrame =
     EntropyCols.map { case (t, c) =>
       val counts = Tables.byName(s, dir, t)
@@ -583,7 +587,9 @@ object Profiling {
          |    FROM (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS cnt
          |          FROM $t GROUP BY 1)
          |    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         |        CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv FROM $t))
+         |        CAST(COUNT(DISTINCT $c)
+         |          + MAX(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS ndv FROM $t))
          |  GROUP BY n, ndv)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "prof9_id_gaps" ->

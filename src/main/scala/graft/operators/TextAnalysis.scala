@@ -915,6 +915,30 @@ object TextAnalysis {
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
   }
 
+  /** t27's novelty oracle, parameterized on an optional predicate
+    * over the SCORED docs (the first-occurrence statistics stay
+    * corpus-wide either way — that is the point of t29's incremental
+    * gate). A builder instead of post-hoc string surgery on the
+    * shared SQL (r12 advice #4): a t27 rewording can no longer
+    * silently change t29's oracle semantics. */
+  private[graft] def t27NoveltyOracle(batchPredicate: Option[String] = None): String = {
+    val where = batchPredicate.map(p => s"WHERE $p\n").getOrElse("")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+       |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    unnest([array_to_string(t[i:i+2], ' ')
+       |      FOR i IN generate_series(1, len(t) - 2)]) AS sh
+       |  FROM tok),
+       |f AS (SELECT sh, MIN(doc_id) AS fdoc FROM sh GROUP BY 1)
+       |SELECT s.doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN f.fdoc = s.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  round(CAST(SUM(CASE WHEN f.fdoc = s.doc_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS novelty
+       |FROM sh s JOIN f USING (sh)
+       |${where}GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "t28_source_divergence" ->
       s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
@@ -944,21 +968,7 @@ object TextAnalysis {
          |      + (1.0 - CAST(c_in AS DOUBLE) / t) * $Ln2), 6)
          |    AS js_divergence
          |FROM g ORDER BY source""".stripMargin,
-    "t27_novelty" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
-        |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id,
-        |    unnest([array_to_string(t[i:i+2], ' ')
-        |      FOR i IN generate_series(1, len(t) - 2)]) AS sh
-        |  FROM tok),
-        |f AS (SELECT sh, MIN(doc_id) AS fdoc FROM sh GROUP BY 1)
-        |SELECT s.doc_id, COUNT(*) AS n_shingles,
-        |  CAST(SUM(CASE WHEN f.fdoc = s.doc_id THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_novel,
-        |  round(CAST(SUM(CASE WHEN f.fdoc = s.doc_id THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / COUNT(*), 6) AS novelty
-        |FROM sh s JOIN f USING (sh)
-        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "t27_novelty" -> t27NoveltyOracle(),
     "t24_readability" ->
       """WITH c AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sents,

@@ -85,4 +85,77 @@ class AdviceClosureSpec extends GraftSpec {
       s"WHERE occ.doc_id % ${graft.operators.Incremental.BatchMod} = 0"),
       "d14 oracle must carry the batch-slice filter")
   }
+
+  test("r13 advice: rank-moment folds lift to decimal BEFORE multiplying (no int64 wrap)") {
+    import spark.implicits._
+    // i·cents chosen so the int64 product wraps: 4e9 × 4e9 = 1.6e19 >
+    // Long.MaxValue. The shipped fold (cast one operand to
+    // decimal(38,0) first) must be exact; the pre-fix form (multiply
+    // in long, cast after) silently wraps under non-ANSI Spark — the
+    // w11/g9 divergence the r12 advice named.
+    val df = Seq((4000000000L, 4000000000L), (3L, 5L)).toDF("i", "cents")
+    val exact = df.agg(
+      sum(col("i").cast("decimal(38,0)") * col("cents")).as("s"))
+      .collect().head.getDecimal(0)
+    val want = BigInt("4000000000") * BigInt("4000000000") + BigInt(15)
+    assert(BigInt(exact.toBigInteger) == want,
+      s"decimal-lifted fold must be exact: $exact vs $want")
+    // the pre-fix form (multiply in long, cast after) cannot produce
+    // `want`: under this session's ANSI default it THROWS on the
+    // wrapped product (and under legacy non-ANSI it would silently
+    // wrap) — either way the decimal lift is what keeps the fold
+    // correct at 100 TB magnitudes
+    val thrown = intercept[Exception] {
+      df.agg(sum((col("i") * col("cents")).cast("decimal(38,0)")).as("s"))
+        .collect()
+    }
+    assert(thrown.getMessage.contains("ARITHMETIC_OVERFLOW") ||
+      thrown.getMessage.toLowerCase.contains("overflow"),
+      s"expected a long-overflow failure, got: ${thrown.getMessage}")
+  }
+
+  test("r13 advice: prof10 counts NULL as a value on a nullable profiled column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prof10_null").toString
+    // minimal corpus: only the profiled columns are read
+    Seq("A", "B", "A").toDF("c_mktsegment").write.parquet(s"$dir/customer.parquet")
+    Seq("P1").toDF("o_orderpriority").write.parquet(s"$dir/orders.parquet")
+    Seq("R").toDF("l_returnflag").write.parquet(s"$dir/lineitem.parquet")
+    Seq(Some("en"), Some("de"), None, None)
+      .toDF("lang").write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Profiling.prof10Entropy(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val langRow = rows("documents.lang")
+    assert(langRow.getLong(langRow.fieldIndex("n_distinct")) == 3L,
+      "NULL must count as a value: {en, de, NULL} -> ndv 3")
+    assert(langRow.getLong(langRow.fieldIndex("n_rows")) == 4L)
+    // and the oracle's ndv expression carries the matching NULL term
+    val sql = graft.operators.Profiling.oracles("prof10_entropy")
+    assert(sql.contains("MAX(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)"),
+      "prof10 oracle must add the NULL indicator to COUNT(DISTINCT)")
+  }
+
+  test("r13 advice: w12 emits zero rows on an empty orders frame (matches the oracle)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_w12_empty").toString
+    val schema = StructType(Seq(
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.parquet(s"$dir/orders.parquet")
+    assert(graft.operators.Analytics.w12TopDecileShare(spark, dir).count() == 0L,
+      "degenerate all-NULL aggregate row must not surface on empty input")
+  }
+
+  test("r13 advice: t29's oracle comes from the parameterized t27 builder") {
+    val t29 = graft.operators.Incremental.oracles("t29_incremental_novelty")
+    assert(t29.contains(
+      s"WHERE s.doc_id % ${graft.operators.Incremental.BatchMod} = 0"),
+      "t29 oracle must carry the batch-slice predicate")
+    // unparameterized builder IS t27's shipped oracle — shared
+    // statistics CTEs by construction, not by string match
+    assert(graft.operators.TextAnalysis.oracles("t27_novelty") ==
+      graft.operators.TextAnalysis.t27NoveltyOracle(None))
+  }
 }
