@@ -105,8 +105,31 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // every observation per query (pass order), not just the min —
+    // the r12 bench artifact's uniform ~1.6× "regressions" on
+    // unchanged sub-second queries took a git-diff excursion to rule
+    // out; with per-pass samples in the artifact, min-of-N noise is
+    // diagnosable from the file alone (r12 verdict ask #7)
+    val samples = scala.collection.mutable
+      .Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     val errs0 = scala.collection.mutable.Map.empty[String, String]
     val errLog = java.nio.file.Paths.get("bench_errors.log")
+    // sf-mismatch guard (the committed bench_last.json is sealed
+    // per-round evidence at the reference sf — a local capture at a
+    // different sf diverts to its own file instead of clobbering it;
+    // the builder hit that trap twice)
+    val flushPath: String = {
+      val p = java.nio.file.Paths.get("bench_last.json")
+      val existing =
+        if (java.nio.file.Files.exists(p))
+          Some(java.nio.file.Files.readString(p))
+        else None
+      val tgt = flushTarget(existing, sfDir)
+      if (tgt != "bench_last.json")
+        System.err.println(s"[bench] sf '$sfDir' differs from committed " +
+          s"bench_last.json — writing $tgt instead")
+      tgt
+    }
     // run-start marker so errors from different runs never blur
     // together when reading the accumulated log after a kill
     java.nio.file.Files.writeString(errLog,
@@ -114,30 +137,35 @@ object Bench {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     def elapsed: Double = (System.nanoTime() - t0main) / 1e9
+    val passSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     def jsonLine(passes: Int, partial: Boolean): String = {
       val results = queries.flatMap { case (name, _) =>
         best.get(name).map(v => (name, v, errs0.get(name)))
       }
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      val smp = results.map { case (k, _, _) =>
+        "\"" + k + "\":" + samples.getOrElse(k, Nil)
+          .map(d => math.rint(d * 1000) / 1000).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
       val errs = results.collect { case (k, _, Some(e)) =>
         "\"" + k + "\":\"" + JsonUtil.escape(e) + "\""
       }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${results.count(_._3.isDefined)},"passes":$passes,"runs_requested":$runsReq,"partial":$partial,"sf":"$sfDir"}"""
+      val ps = passSecs.map(p => math.rint(p * 10) / 10).mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$smp,"errors":$errs,"n_errors":${results.count(_._3.isDefined)},"passes":$passes,"runs_requested":$runsReq,"pass_secs":$ps,"partial":$partial,"sf":"$sfDir"}"""
     }
     // Atomic rewrite (tmp + move) so a reader never sees a torn file;
     // subset runs don't clobber the durable full-suite evidence.
     def flush(passes: Int, partial: Boolean): Unit = if (only.isEmpty) {
-      val tmp = java.nio.file.Paths.get("bench_last.json.tmp")
+      val tmp = java.nio.file.Paths.get(flushPath + ".tmp")
       java.nio.file.Files.writeString(tmp, jsonLine(passes, partial) + "\n")
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("bench_last.json"),
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(flushPath),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     var passesDone = 0
     var minPassSec = Double.MaxValue
-    val passSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     var stoppedOnBudget = false
     for (pass <- 1 to runsReq if !stoppedOnBudget) {
       // Start a pass only if it plausibly fits: first pass always runs
@@ -166,6 +194,8 @@ object Bench {
           }
           val dt = (System.nanoTime() - t0) / 1e9
           best.updateWith(name)(v => Some(v.fold(dt)(math.min(_, dt))))
+          samples.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer.empty[Double]) += dt
           flush(passesDone, partial = true)
         }
         val passSec = (System.nanoTime() - tPass) / 1e9
@@ -196,17 +226,29 @@ object Bench {
     spark.stop()
   }
 
-  /** Geomean of (our min-time / baseline time) over queries present in
-    * both this run and BASELINE_BENCH.json's "queries" map. The file is
-    * flat {"name": seconds} pairs, so a regex parse suffices (no JSON
-    * library in the unmanaged classpath).
-    */
-  private def geomeanVsBaseline(best: collection.Map[String, Double]): Option[(Double, Int)] = {
-    val p = java.nio.file.Paths.get("BASELINE_BENCH.json")
-    if (!java.nio.file.Files.exists(p)) return None
-    val txt = java.nio.file.Files.readString(p)
+  /** Where this run's evidence flushes. The committed bench_last.json
+    * is sealed per-round evidence at the reference sf; a capture at a
+    * DIFFERENT sf must not clobber it (r12 verdict ask #7 — the
+    * builder hit the trap twice), so an sf mismatch diverts the write
+    * to `bench_last.<sfname>.json`. Visible for the guard spec. */
+  private[graft] def flushTarget(existing: Option[String], sfDir: String): String = {
+    val sfOf = """"sf"\s*:\s*"([^"]+)"""".r
+    existing.flatMap(t => sfOf.findFirstMatchIn(t).map(_.group(1))) match {
+      case Some(prev) if prev != sfDir =>
+        val base = sfDir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9.]", "_")
+        s"bench_last.$base.json"
+      case _ => "bench_last.json"
+    }
+  }
+
+  /** Geomean of (our min-time / cohort time) over queries present in
+    * both this run and the given cohort text slice. Cohorts are flat
+    * {"name": seconds} pairs, so a regex parse suffices (no JSON
+    * library in the unmanaged classpath). */
+  private def geomeanOver(cohortTxt: String,
+      best: collection.Map[String, Double]): Option[(Double, Int)] = {
     val pair = """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
-    val baseline = pair.findAllMatchIn(txt)
+    val baseline = pair.findAllMatchIn(cohortTxt)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val shared = best.keys.toSeq.filter(baseline.contains)
     if (shared.isEmpty) None
@@ -216,12 +258,33 @@ object Bench {
     }
   }
 
+  /** BASELINE_BENCH.json carries two cohorts since r13: the original
+    * round-1 "queries" map (82-query continuity series) and a
+    * "queries_r13" re-baseline covering the whole surface (the r12
+    * verdict's ask #6 — the shared cohort had shrunk to 30% of the
+    * suite). Both geomeans are reported; the r13 map sits AFTER the
+    * old one in the file, so a text split on its key separates the
+    * cohorts without a JSON parser. */
+  private def baselineCohorts(best: collection.Map[String, Double])
+      : (Option[(Double, Int)], Option[(Double, Int)]) = {
+    val p = java.nio.file.Paths.get("BASELINE_BENCH.json")
+    if (!java.nio.file.Files.exists(p)) return (None, None)
+    val txt = java.nio.file.Files.readString(p)
+    val idx = txt.indexOf("\"queries_r13\"")
+    val oldTxt = if (idx >= 0) txt.substring(0, idx) else txt
+    val r13 = if (idx >= 0) geomeanOver(txt.substring(idx), best) else None
+    (geomeanOver(oldTxt, best), r13)
+  }
+
   private def compactLine(best: collection.Map[String, Double],
                           errs: collection.Map[String, String],
                           total: Double, passes: Int, runsReq: Int,
                           sfDir: String, passSecs: Seq[Double] = Nil): String = {
-    val gmJson = geomeanVsBaseline(best).map { case (g, n) =>
+    val (gmOld, gmR13) = baselineCohorts(best)
+    val gmJson = gmOld.map { case (g, n) =>
       s""","geomean_vs_baseline":${math.rint(g * 1000) / 1000},"shared_queries":$n"""
+    }.getOrElse("") + gmR13.map { case (g, n) =>
+      s""","geomean_vs_r13":${math.rint(g * 1000) / 1000},"shared_r13":$n"""
     }.getOrElse("")
     val passJson = if (passSecs.isEmpty) "" else
       passSecs.map(p => math.rint(p * 10) / 10).mkString(""","pass_secs":[""", ",", "]")
