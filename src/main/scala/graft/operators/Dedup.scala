@@ -885,6 +885,41 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d18_exact_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tok AS (SELECT doc_id, ws, len(ws) AS n_tok FROM w
+         |  WHERE len(ws) >= $ExactSpanTokens),
+         |g AS (SELECT doc_id, i - 1 AS tidx,
+         |    array_to_string(ws[i:i+${ExactSpanTokens - 1}], ' ') AS gram
+         |  FROM tok, LATERAL (SELECT unnest(generate_series(1,
+         |    CAST(n_tok - $ExactSpanTokens + 1 AS INT))) AS i) s(i)),
+         |st AS (SELECT gram, COUNT(*) AS n_occ FROM g GROUP BY 1),
+         |fst AS (SELECT gram, doc_id AS fdoc, tidx AS ftidx FROM (
+         |  SELECT gram, doc_id, tidx, ROW_NUMBER() OVER (PARTITION BY gram
+         |    ORDER BY doc_id, tidx) AS rn FROM g) WHERE rn = 1),
+         |dupw AS (SELECT g.doc_id, COUNT(*) AS n_dup FROM g
+         |  JOIN st USING (gram) WHERE st.n_occ > 1 GROUP BY 1),
+         |mk AS (SELECT g.doc_id, g.tidx FROM g
+         |  JOIN st USING (gram) JOIN fst USING (gram)
+         |  WHERE st.n_occ > 1
+         |    AND NOT (g.doc_id = fst.fdoc AND g.tidx = fst.ftidx)),
+         |cov AS (SELECT doc_id, tidx,
+         |    LEAD(tidx) OVER (PARTITION BY doc_id ORDER BY tidx) AS nxt
+         |  FROM mk),
+         |cv AS (SELECT doc_id, COUNT(*) AS n_masked_windows,
+         |    CAST(SUM(CASE WHEN nxt IS NULL THEN $ExactSpanTokens
+         |      ELSE LEAST($ExactSpanTokens, nxt - tidx) END) AS BIGINT)
+         |      AS n_masked_tokens
+         |  FROM cov GROUP BY 1)
+         |SELECT tok.doc_id, CAST(tok.n_tok AS BIGINT) AS n_tokens,
+         |  CAST(tok.n_tok - $ExactSpanTokens + 1 AS BIGINT) AS n_windows,
+         |  COALESCE(dupw.n_dup, 0) AS n_dup_windows,
+         |  COALESCE(cv.n_masked_windows, 0) AS n_masked_windows,
+         |  COALESCE(cv.n_masked_tokens, 0) AS n_masked_tokens,
+         |  round(COALESCE(cv.n_masked_tokens, 0)
+         |    / CAST(tok.n_tok AS DOUBLE), 6) AS masked_token_frac
+         |FROM tok LEFT JOIN dupw USING (doc_id) LEFT JOIN cv USING (doc_id)
+         |ORDER BY tok.doc_id""".stripMargin,
     "d11_dup_histogram" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS sz
         |  FROM documents GROUP BY 1)
@@ -1088,7 +1123,109 @@ object Dedup {
   def d9SubstringDedup(s: SparkSession, dir: String): DataFrame =
     substringDedup(Tables.documents(s, dir))
 
+  /** Token length of the exact-span grain for [[d18ExactSpans]] —
+    * EQUAL to [[PassageWords]] by construction: that equality is what
+    * makes d9's aligned window mask a provable SUBSET of d18's exact
+    * mask (DedupSpec pins it). `final` constant for the same
+    * initialization-order reason as PassageWords. */
+  final val ExactSpanTokens = PassageWords
+
+  /** Stride-1 K-token gram hashes with start index: (doc_id, tidx,
+    * gh). Only full windows (docs shorter than K have none); only the
+    * 64-bit hash ever leaves the row. */
+  private[graft] def spanGramsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= ExactSpanTokens)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("ws")) - lit(ExactSpanTokens)),
+        i => xxhash64(concat_ws(" ",
+          slice(col("ws"), i + lit(1), lit(ExactSpanTokens)))))))
+      .select(col("doc_id"), col("pos").as("tidx"), col("col").as("gh"))
+
+  /** The masked gram starts of the exact-span plane: every stride-1
+    * duplicated K-gram occurrence EXCEPT its global first (min
+    * (doc_id, tidx)) — the keep-one policy at arbitrary alignment.
+    * Factored for the d9⊆d18 containment spec. */
+  private[graft] def exactSpanMaskedStarts(docs: DataFrame): DataFrame = {
+    val grams = spanGramsOf(docs)
+    val stats = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("tidx"))).as("first"))
+    grams.join(stats, Seq("gh"))
+      .filter(col("n_occ") > 1 &&
+        !(col("doc_id") === col("first.doc_id") &&
+          col("tidx") === col("first.tidx")))
+      .select(col("doc_id"), col("tidx"))
+  }
+
+  /** d18 core on an arbitrary (doc_id, text) frame — factored for the
+    * planted-span and containment specs. */
+  private[graft] def exactSpanMask(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_tok"))
+      .filter(col("n_tok") >= ExactSpanTokens)
+    val grams = spanGramsOf(docs)
+    val stats = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("tidx"))).as("first"))
+    val tagged = grams.join(stats, Seq("gh"))
+    val dupPerDoc = tagged.filter(col("n_occ") > 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    val maskedStarts = tagged.filter(col("n_occ") > 1 &&
+        !(col("doc_id") === col("first.doc_id") &&
+          col("tidx") === col("first.tidx")))
+      .select(col("doc_id"), col("tidx"))
+    // interval-union size WITHOUT materializing per-token rows: sorted
+    // masked starts per doc, each start covers min(K, gap-to-next)
+    // tokens — one per-DOC window pass (partitions bounded by doc
+    // length, never corpus-global)
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tidx"))
+    val cov = maskedStarts.withColumn("nxt", lead(col("tidx"), 1).over(wD))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_masked_windows"),
+        sum(when(col("nxt").isNull, lit(ExactSpanTokens))
+          .otherwise(least(lit(ExactSpanTokens), col("nxt") - col("tidx"))))
+          .cast("long").as("n_masked_tokens"))
+    base.select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
+        (col("n_tok") - lit(ExactSpanTokens) + 1).cast("long").as("n_windows"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_masked_windows"), lit(0L)).as("n_masked_windows"),
+        coalesce(col("n_masked_tokens"), lit(0L)).as("n_masked_tokens"),
+        round(coalesce(col("n_masked_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("masked_token_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** d18: EXACT duplicated-span dedup at arbitrary alignment — the
+    * exact form of Lee et al. 2022 §4 (ExactSubstr) that d9's fixed
+    * stride-20 window grain approximates. The identity that makes the
+    * exact form one equi-join instead of a distributed suffix array:
+    * a token position lies inside SOME duplicated span of length ≥ K
+    * iff it is covered by a duplicated stride-1 K-token gram — every
+    * duplicated span of length L ≥ K contains exactly L−K+1
+    * duplicated K-grams covering exactly its positions, and every
+    * duplicated K-gram IS a duplicated span. So the masked-token set
+    * is computed exactly from sliding K-gram hash runs: gram rows are
+    * linear in corpus tokens (K× d9's aligned windows, same
+    * asymptotic), only 64-bit hashes shuffle, per-gram stats and the
+    * occurrence⋈stats join hash-partition on the hash, the keep-one
+    * first occurrence is an associative (doc_id, tidx) min, and the
+    * interval-union coverage is a per-DOC window pass over masked
+    * starts (partition bounded by doc length). d9's aligned mask is a
+    * provable subset of this mask (DedupSpec); the oracle recomputes
+    * the same frame grouping by gram STRINGS (d9's style — DuckDB has
+    * no xxhash64, and a collision would perturb one count by 1).
+    * Output: per-doc exact mask profile (window/dup/masked counts,
+    * masked token coverage and fraction). */
+  def d18ExactSpans(s: SparkSession, dir: String): DataFrame =
+    exactSpanMask(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_exact_spans" -> (d18ExactSpans _),
     "d9_substring_dedup" -> (d9SubstringDedup _),
     "d8_incremental_dedup" -> (d8IncrementalDedup _),
     "d1_dedup_exact" -> (d1DedupExact _),

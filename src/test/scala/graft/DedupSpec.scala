@@ -432,4 +432,71 @@ class DedupSpec extends GraftSpec {
     assert(rows.forall { case (sz, n, docs, rem) =>
       docs == sz * n && rem == (sz - 1) * n && sz >= 2 })
   }
+
+  test("d18: catches a planted UNALIGNED duplicated span that d9's window grain misses") {
+    import spark.implicits._
+    val K = Dedup.ExactSpanTokens
+    // doc 1: 100 unique tokens a0..a99; doc 2: a 25-token span of doc 1
+    // (a13..a37) embedded at offset 10 — NOT on the 20-token grid
+    val span = (13 to 37).map(i => s"a$i")
+    val doc1 = (0 until 100).map(i => s"a$i")
+    val doc2 = (0 until 10).map(i => s"b$i") ++ span ++ (10 until 75).map(i => s"b$i")
+    val docs = Seq((1L, doc1.mkString(" ")), (2L, doc2.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSpanMask(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d2r = got(2L)
+    assert(d2r.getLong(d2r.fieldIndex("n_tokens")) == 100L)
+    assert(d2r.getLong(d2r.fieldIndex("n_windows")) == 81L)
+    // 25-token shared span ⇒ 25-K+1 = 6 duplicated grams, all masked
+    // in doc 2 (doc 1 holds the global firsts), covering EXACTLY the
+    // 25 span tokens (the gap-capped interval union: 5×1 + K)
+    assert(d2r.getLong(d2r.fieldIndex("n_dup_windows")) == (25 - K + 1).toLong)
+    assert(d2r.getLong(d2r.fieldIndex("n_masked_windows")) == (25 - K + 1).toLong)
+    assert(d2r.getLong(d2r.fieldIndex("n_masked_tokens")) == 25L)
+    assert(d2r.getDouble(d2r.fieldIndex("masked_token_frac")) == 0.25)
+    // doc 1 carries the firsts: duplicated but ZERO masked
+    val d1r = got(1L)
+    assert(d1r.getLong(d1r.fieldIndex("n_dup_windows")) == (25 - K + 1).toLong)
+    assert(d1r.getLong(d1r.fieldIndex("n_masked_tokens")) == 0L)
+    // and d9's ALIGNED stride-20 grain sees nothing: no aligned
+    // window of doc 2 equals any aligned window of doc 1
+    val d9 = Dedup.substringDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("n_masked"))).toMap
+    assert(d9.values.forall(_ == 0L),
+      "the unaligned span must be invisible at d9's window grain")
+  }
+
+  test("d18: d9's full-window mask is a subset of the exact-span mask on the corpus") {
+    // the containment claim (r12 verdict ask #5): every token d9
+    // masks via a duplicated ALIGNED full window is covered by d18's
+    // arbitrary-alignment mask — d18's stride-1 occurrences are a
+    // superset, and its global first can only be ≤ d9's aligned first
+    assert(Dedup.ExactSpanTokens == Dedup.PassageWords,
+      "containment requires the two grains to share K")
+    val docs = Tables.documents(spark, sf)
+    val occ = Dedup.passageOccurrencesOf(docs)
+    val d9Masked = occ.join(Dedup.passageStatsOf(occ), Seq("ph"))
+      .filter(col("n_occ") > 1 &&
+        !(col("doc_id") === col("first.doc_id") &&
+          col("pidx") === col("first.pidx")) &&
+        col("plen") === Dedup.PassageWords) // full windows only: the
+      // tail window is shorter than K and has no exact-span analog
+      .select(col("doc_id"), col("pidx")).collect()
+      .flatMap { r =>
+        val d = r.getLong(0); val p = r.getInt(1)
+        (p * Dedup.PassageWords until (p + 1) * Dedup.PassageWords)
+          .map(t => (d, t))
+      }.toSet
+    val d18Covered = Dedup.exactSpanMaskedStarts(docs).collect()
+      .flatMap { r =>
+        val d = r.getLong(0); val t0 = r.getInt(1)
+        (t0 until t0 + Dedup.ExactSpanTokens).map(t => (d, t))
+      }.toSet
+    assert(d9Masked.nonEmpty, "corpus should contain aligned duplicated windows")
+    val escaped = d9Masked -- d18Covered
+    assert(escaped.isEmpty,
+      s"${escaped.size} d9-masked token positions escape d18's exact mask: " +
+        escaped.take(5).mkString(", "))
+  }
 }
