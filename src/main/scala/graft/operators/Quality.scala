@@ -531,9 +531,15 @@ object Quality {
     * percentile aggregate broadcast back (f1/rfm1's discipline —
     * never a global ntile sort), bucketing is a row expression, the
     * curve a bucket-keyed aggregate (≤[[CalibBuckets]] rows), ECE a
-    * 1-row reduction attached by broadcast. rows-only (scores are
-    * engine-specific via the trained weights); spec recomputes the
-    * curve driver-side. */
+    * 1-row reduction attached by broadcast. Since r13 this is a FULL
+    * hash oracle (r12 ask #8): the scores are engine-trained but they
+    * are READ from the COMMITTED artifact, and the oracle reads the
+    * SAME parquet ([[lastQcScoresPath]], resolved after the query
+    * runs — Verify dumps oracle SQL last), so binning, curve, and ECE
+    * arithmetic are cross-engine-checked on identical inputs;
+    * per-bin mean scores fold as int64-quantized sums (the g2 rq
+    * discipline) so no double-summation order can perturb the hash.
+    * The spec additionally recomputes the curve driver-side. */
   /** Durable scored-corpus artifact: qc1's apply output published ONCE
     * per corpus fingerprint — calibration monitoring (qc2, and pipe4
     * through it) reads the COMMITTED scored table, the way a
@@ -555,9 +561,20 @@ object Quality {
         Seq("scores" -> qc1ClassifierScore(s, dir)))
     }
 
+  /** Resolved path of the committed scores table last read by
+    * [[qc2Calibration]] in this JVM — the [[oracles]] hook that lets
+    * the DuckDB gate read the SAME artifact: Verify dumps the oracle
+    * map AFTER every query ran, so the version-resolved path is known
+    * by then; in subset runs that skip qc2 the entry is simply absent
+    * (rows-only fallback, same as before r13). */
+  @volatile private[graft] var lastQcScoresPath: Option[String] = None
+
   def qc2Calibration(s: SparkSession, dir: String): DataFrame = {
-    val base = graft.sources.AtomicPublish.readOutput(s,
-      ensureQcScores(s, dir), "scores")
+    val root = ensureQcScores(s, dir)
+    val ver = graft.sources.AtomicPublish.currentVersion(s, root)
+      .getOrElse("v1")
+    lastQcScoresPath = Some(s"$root/versions/$ver/scores")
+    val base = graft.sources.AtomicPublish.readOutput(s, root, "scores")
       .select(col("label").cast("double").as("label"), col("score"))
       .localCheckpoint() // cuts + curve + ECE all read the scored frame
     val qs = (1 until CalibBuckets).map(_.toDouble / CalibBuckets)
@@ -566,9 +583,13 @@ object Quality {
       .as("cs"))
     val scored = base.crossJoin(broadcast(cuts)) // 1-row bounded metadata
       .withColumn("bucket", size(expr("filter(cs, x -> score > x)")))
+      // per-row 1e-9 quantization so the per-bin mean folds as exact
+      // int64 — a plain avg(double) is partial-merge-order dependent
+      .withColumn("sq", floor(col("score") * lit(1e9) + lit(0.5)).cast("long"))
     val curve = scored.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("score")), 6).as("mean_score"),
+        round((sum(col("sq")).cast("double") / count(lit(1))) / lit(1e9), 6)
+          .as("mean_score"),
         round(avg(col("label")), 6).as("frac_pos"))
       .withColumn("abs_gap",
         round(abs(col("mean_score") - col("frac_pos")), 6))
@@ -578,6 +599,30 @@ object Quality {
       .select(col("bucket"), col("n"), col("mean_score"), col("frac_pos"),
         col("abs_gap"), col("ece"))
       .orderBy("bucket")
+  }
+
+  /** qc2's oracle over the committed scores parquet at `path` — the
+    * identical adaptive-binning / quantized-mean / ECE arithmetic,
+    * DuckDB-side, on the exact doubles the engine read. */
+  private def qc2Oracle(path: String): String = {
+    val qs = (1 until CalibBuckets).map(_.toDouble / CalibBuckets)
+    s"""WITH base AS (SELECT CAST(label AS DOUBLE) AS label, score
+       |    FROM read_parquet('$path/*.parquet')),
+       |cuts AS (SELECT list_transform(quantile_cont(score,
+       |    [${qs.mkString(",")}]), x -> round(x, 6)) AS cs FROM base),
+       |sb AS (SELECT label, score,
+       |    len(list_filter(cs, x -> score > x)) AS bucket,
+       |    CAST(floor(score * 1e9 + 0.5) AS BIGINT) AS sq
+       |  FROM base CROSS JOIN cuts),
+       |curve AS (SELECT bucket, COUNT(*) AS n,
+       |    round((CAST(SUM(sq) AS DOUBLE) / COUNT(*)) / 1e9, 6) AS mean_score,
+       |    round(AVG(label), 6) AS frac_pos
+       |  FROM sb GROUP BY 1),
+       |g AS (SELECT *, round(abs(mean_score - frac_pos), 6) AS abs_gap
+       |  FROM curve),
+       |e AS (SELECT round(SUM(abs_gap * n) / SUM(n), 6) AS ece FROM g)
+       |SELECT g.bucket, g.n, g.mean_score, g.frac_pos, g.abs_gap, e.ece
+       |FROM g CROSS JOIN e ORDER BY g.bucket""".stripMargin
   }
 
   /** Bootstrap replicate budget B — the imp2 cost/accuracy knob
@@ -608,13 +653,18 @@ object Quality {
     * the WHOLE corpus per replicate), but Binomial(n, 1/n) → Poisson(1)
     * per row makes each replicate's membership a per-row decision —
     * embarrassingly parallel, one scan. Each (row, replicate) draws
-    * its weight by inverse-CDF on a deterministic xxhash64 uniform
-    * (re-runnable, no RNG state), the [[BootReplicates]]× fanout
-    * collapses into a replicate-keyed weighted-mean aggregate
+    * its weight by inverse-CDF on a deterministic md5-hex-prefix
+    * uniform (imp1's sampling discipline — re-runnable, no RNG state,
+    * and a primitive BOTH engines share), the [[BootReplicates]]×
+    * fanout collapses into a replicate-keyed weighted-mean aggregate
     * (map-side partials; B groups), and the CI is an exact percentile
-    * of the B replicate means — a B-row driver-free reduction.
-    * rows-only (xxhash64 is engine-specific); the spec pins
-    * determinism, point-mean coverage, and a sane width. */
+    * of the B replicate means — a B-row driver-free reduction. Values
+    * ride as exact integer cents, so every replicate's (Σw, Σw·v)
+    * pair is integer-exact in double and the replicate means are
+    * BIT-IDENTICAL across engines — since r13 this is a FULL hash
+    * oracle (the r12 verdict's ask #8; the old xxhash64 uniform was
+    * the only engine-specific step). The spec additionally pins
+    * determinism, point-mean coverage, and the 1/√B endpoint noise. */
   def imp2BootstrapCi(s: SparkSession, dir: String): DataFrame =
     imp2BootstrapCiB(s, dir, BootReplicates)
 
@@ -629,20 +679,39 @@ object Quality {
     * array aggregates. */
   private[graft] def bootstrapMeans(s: SparkSession, dir: String,
       replicates: Int): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+    // values ride as exact integer CENTS: with integer weights (0..6)
+    // every partial Σw·v is an integer, exact in double below 2^53
+    // (~9e15 — a 100 TB corpus of 1e12 rows × 1e4-cent values would
+    // cross it; there the VectorSumAgg legs swap to a decimal fold),
+    // so the replicate means divide bit-identical integers in BOTH
+    // engines and the hash oracle holds
+    val ev = Tables.events(s, dir).select(col("event_id"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long")
+        .cast("double").as("cents"))
+      // the md5 kernel is CPU-BOUND at B digests per row; a bench-sf
+      // events file fits one scan split, which would run the whole
+      // B×|rows| digest load on ONE core (measured 2.5 s vs 0.6 s).
+      // Re-spread the rows before the kernel, with an EXPLICIT
+      // partition count: the exchanged frame is tiny in bytes, so an
+      // AQE-advisory repartition gets coalesced straight back to one
+      // partition (SURVEY §5's starved-pair-join class, third
+      // sighting) — pinning the count keeps the digest load on every
+      // core. At cluster scale the scan already arrives multi-split
+      // and this exchange stays cheap relative to the hashing
+      .repartition(s.sparkContext.defaultParallelism, col("event_id"))
     // the per-row (w, w·v) pair comes from ONE compiled kernel call
-    // (BootWeightPair — bit-identical xxhash64 chain and ladder to the
-    // SQL-lambda form it replaces, which ran ~rows×B×3 interpreted
-    // closure dispatches); the 2B-wide fused array feeds a single
+    // (BootWeightPair — identical md5 digest chain and ladder to the
+    // SQL form the spec pins, without ~rows×B×3 interpreted closure
+    // dispatches); the 2B-wide fused array feeds a single
     // VectorSumAgg and the two halves split after the 1-row reduce
     ev.select(org.apache.spark.sql.graft.BootWeightsExpr
-        .bootWeightPair(col("event_id"), col("value").cast("double"),
+        .bootWeightPair(col("event_id"), col("cents"),
           replicates).as("wwv"))
       .agg(org.apache.spark.sql.graft.VectorSumAggExpr.vectorSum(col("wwv"))
         .as("s2"))
       .select(explode(expr(
         s"zip_with(slice(s2, ${replicates + 1}, $replicates), " +
-          s"slice(s2, 1, $replicates), (a, b) -> a / b)")).as("mb"))
+          s"slice(s2, 1, $replicates), (a, b) -> (a / b) / 100.0D)")).as("mb"))
   }
 
   /** imp2 with an explicit replicate budget — the spec drives this at
@@ -757,7 +826,44 @@ object Quality {
       .orderBy("source")
   }
 
-  val oracles: Map[String, String] = Map(
+  /** A `def` (not val) so the qc2 entry can resolve the committed
+    * scores path AFTER the queries ran — Verify's dump order
+    * guarantees it; see [[lastQcScoresPath]]. */
+  def oracles: Map[String, String] = staticOracles ++
+    lastQcScoresPath.map(p => "qc2_calibration" -> qc2Oracle(p)).toMap
+
+  private val staticOracles: Map[String, String] = Map(
+    "imp2_bootstrap_ci" -> {
+      // the full Poisson bootstrap, re-derived: md5-prefix uniforms
+      // (imp1's (conv(substring(md5 …)) + 1) / 2^32 form), the same
+      // inverse-CDF ladder, integer-cents replicate sums, exact
+      // percentile of the B means — every step shared with the engine
+      val ladder = PoissonCdf.zipWithIndex
+        .map { case (p, k) => s"WHEN u < $p THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${PoissonCdf.size} END")
+      s"""WITH reps AS (SELECT unnest(generate_series(0, ${BootReplicates - 1})) AS b),
+         |u AS (SELECT e.event_id,
+         |    CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         |    r.b,
+         |    (CAST(CAST('0x' || substring(md5('boot:' || CAST(r.b AS VARCHAR)
+         |      || ':' || CAST(e.event_id AS VARCHAR)), 1, 8)
+         |      AS BIGINT) AS DOUBLE) + 1.0) / 4294967296.0 AS u
+         |  FROM events e CROSS JOIN reps r),
+         |w AS (SELECT b, cents, $ladder AS w FROM u),
+         |rmeans AS (SELECT b,
+         |    (CAST(SUM(CAST(w AS BIGINT) * cents) AS DOUBLE)
+         |      / CAST(SUM(w) AS DOUBLE)) / 100.0 AS mb
+         |  FROM w GROUP BY 1),
+         |ci AS (SELECT COUNT(*) AS n_replicates,
+         |    round(quantile_cont(mb, 0.025), 6) AS ci_lo,
+         |    round(quantile_cont(mb, 0.975), 6) AS ci_hi FROM rmeans),
+         |pt AS (SELECT COUNT(*) AS n_rows,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |      / COUNT(*), 6) AS point_mean FROM events)
+         |SELECT pt.n_rows, pt.point_mean, ci.n_replicates, ci.ci_lo,
+         |  ci.ci_hi, round(ci.ci_hi - ci.ci_lo, 6) AS ci_width
+         |FROM ci CROSS JOIN pt""".stripMargin
+    },
     "priv1_k_anonymity" ->
       s"""SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
          |  COUNT(DISTINCT floor(c_acctbal / $KAnonBand)) AS l_diversity,

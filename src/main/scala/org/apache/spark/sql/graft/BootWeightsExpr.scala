@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -17,11 +17,17 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * Replaces the nested `transform(transform(sequence…))` + `zip_with`
   * SQL-lambda chain: higher-order functions run their lambdas
   * INTERPRETED, which put ~rows×B×3 closure dispatches on imp2's hot
-  * path. The hash is bit-identical to the SQL form it replaces
-  * (`pmod(xxhash64(event_id, b), 1e6)/1e6` — XXH64 chained over the
-  * two long inputs with Spark's seed 42), so the bootstrap stays
-  * deterministic and re-runnable; the inverse-CDF ladder is the same
-  * Poisson(1) table.
+  * path.
+  *
+  * Since r13 the per-(row, replicate) uniform is MD5-BASED (imp1's
+  * sampling-uniform discipline, the r12 verdict's ask #8): u =
+  * (uint32(first 8 hex chars of md5("boot:<b>:<event_id>")) + 1) /
+  * 2^32 — a primitive BOTH engines share, so the whole bootstrap is
+  * DuckDB-expressible and imp2 graduates from rows-only to a full
+  * hash oracle. The previous xxhash64 chain was engine-specific. The
+  * kernel computes the identical digest in compiled code (thread-local
+  * MessageDigest, bytes assembled without a String per replicate);
+  * the inverse-CDF ladder is the same Poisson(1) table.
   */
 object BootWeightsUtil {
   /** Poisson(1) CDF for k = 0..5; k = 6 is the tail. Mirrors
@@ -30,16 +36,32 @@ object BootWeightsUtil {
     Array(0.36787944, 0.73575888, 0.91969860, 0.98101184, 0.99634015,
       0.99940582)
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** u for (eventId, replicate): the md5-hex-prefix uniform, exactly
+    * `(conv(substring(md5('boot:'||b||':'||id), 1, 8), 16, 10) + 1)
+    * / 4294967296.0` — the first 8 hex chars are the first 4 digest
+    * bytes big-endian; +1 keeps u in (0, 1] and exact-in-double. */
+  def uniform(eventId: Long, b: Int): Double = {
+    val md = md5Local.get()
+    md.reset()
+    val s = new java.lang.StringBuilder(32)
+      .append("boot:").append(b).append(':').append(eventId)
+    val digest = md.digest(
+      s.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val v = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+      ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+    (v + 1.0) / 4294967296.0
+  }
+
   def bootWeightPair(eventId: Long, value: Double, b: Int): ArrayData = {
     val out = new Array[Double](2 * b)
-    val h0 = XXH64.hashLong(eventId, 42L)
     var i = 0
     while (i < b) {
-      // the replicate index was an INT in the SQL form (sequence(0,
-      // B−1) yields IntegerType), so the chained hash step is hashInt
-      val h = XXH64.hashInt(i, h0)
-      val m = h % 1000000L
-      val u = (if (m < 0) m + 1000000L else m) / 1000000.0
+      val u = uniform(eventId, i)
       var k = 0
       while (k < PoissonCdf.length && u >= PoissonCdf(k)) k += 1
       val w = k.toDouble

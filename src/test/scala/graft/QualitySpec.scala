@@ -203,10 +203,11 @@ class QualitySpec extends GraftSpec {
       s"CI width $width vs CLT prediction $predicted")
   }
 
-  test("imp2 boot-weight kernel matches the SQL xxhash64+ladder form bit-for-bit") {
-    // the retired SQL-lambda formulation as semantic reference: the
-    // kernel must reproduce its weights exactly (same hash chain, same
-    // Poisson CDF table) or the bootstrap's determinism story breaks
+  test("imp2 boot-weight kernel matches the SQL md5+ladder form bit-for-bit") {
+    // the interpreted SQL formulation as semantic reference (and the
+    // exact shape the DuckDB oracle mirrors): the kernel must
+    // reproduce its weights exactly — same md5-prefix uniform, same
+    // Poisson CDF table — or the cross-engine hash gate breaks
     assert(org.apache.spark.sql.graft.BootWeightsUtil.PoissonCdf.toSeq ==
       Quality.PoissonCdf, "kernel and Quality CDF tables diverged")
     val b = 16
@@ -216,7 +217,8 @@ class QualitySpec extends GraftSpec {
     val ref = Tables.events(spark, sf).limit(500)
       .select(col("event_id"), col("value"),
         expr(s"""transform(transform(sequence(0, ${b - 1}),
-             |  bb -> pmod(xxhash64(event_id, bb), 1000000L) / 1000000.0D),
+             |  bb -> (conv(substring(md5(concat('boot:', bb, ':', event_id)),
+             |    1, 8), 16, 10) + 1.0D) / 4294967296.0D),
              |  u -> $ladder)""".stripMargin).as("w"))
       .select(col("event_id"),
         expr("concat(w, transform(w, x -> x * value))").as("expected"),
