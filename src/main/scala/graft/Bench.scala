@@ -100,7 +100,14 @@ object Bench {
     // subset. A query that throws must NOT silently bench as "fast":
     // its error is recorded and surfaces in the output line.
     val runsReq = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "4").toInt)
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "540").toDouble
+    // Default budget raised 540→720 in r13 (verdict ask #3): at 540 s
+    // the r12 sf0.1 capture fit only 2 of 4 passes (pass 1 carries
+    // one-time index builds at ~200 s; steady-state passes run
+    // ~150 s), and min-of-2 left uniform ~1.6× noise on sub-second
+    // queries that took a git-diff excursion to clear. 720 s fits
+    // pass 1 + three steady passes; the per-query flush keeps any
+    // external kill bounded to one-query-stale evidence.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "720").toDouble
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
