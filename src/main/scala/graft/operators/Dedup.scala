@@ -884,25 +884,32 @@ object Dedup {
        |${where}GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin
   }
 
+  /** The exact-span plane rebuilt FROM SCRATCH in SQL, through the
+    * masked-starts CTE `mk` — shared by the d18 and d19 oracles (a
+    * builder, not string surgery: the advice-#4 rule), so a hash pass
+    * on either proves the published span index ≡ recompute. */
+  private def spanMaskCtePrefix: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tok AS (SELECT doc_id, ws, len(ws) AS n_tok FROM w
+       |  WHERE len(ws) >= $ExactSpanTokens),
+       |g AS (SELECT doc_id, i - 1 AS tidx,
+       |    array_to_string(ws[i:i+${ExactSpanTokens - 1}], ' ') AS gram
+       |  FROM tok, LATERAL (SELECT unnest(generate_series(1,
+       |    CAST(n_tok - $ExactSpanTokens + 1 AS INT))) AS i) s(i)),
+       |st AS (SELECT gram, COUNT(*) AS n_occ FROM g GROUP BY 1),
+       |fst AS (SELECT gram, doc_id AS fdoc, tidx AS ftidx FROM (
+       |  SELECT gram, doc_id, tidx, ROW_NUMBER() OVER (PARTITION BY gram
+       |    ORDER BY doc_id, tidx) AS rn FROM g) WHERE rn = 1),
+       |mk AS (SELECT g.doc_id, g.tidx FROM g
+       |  JOIN st USING (gram) JOIN fst USING (gram)
+       |  WHERE st.n_occ > 1
+       |    AND NOT (g.doc_id = fst.fdoc AND g.tidx = fst.ftidx))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d18_exact_spans" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |tok AS (SELECT doc_id, ws, len(ws) AS n_tok FROM w
-         |  WHERE len(ws) >= $ExactSpanTokens),
-         |g AS (SELECT doc_id, i - 1 AS tidx,
-         |    array_to_string(ws[i:i+${ExactSpanTokens - 1}], ' ') AS gram
-         |  FROM tok, LATERAL (SELECT unnest(generate_series(1,
-         |    CAST(n_tok - $ExactSpanTokens + 1 AS INT))) AS i) s(i)),
-         |st AS (SELECT gram, COUNT(*) AS n_occ FROM g GROUP BY 1),
-         |fst AS (SELECT gram, doc_id AS fdoc, tidx AS ftidx FROM (
-         |  SELECT gram, doc_id, tidx, ROW_NUMBER() OVER (PARTITION BY gram
-         |    ORDER BY doc_id, tidx) AS rn FROM g) WHERE rn = 1),
+      s"""$spanMaskCtePrefix,
          |dupw AS (SELECT g.doc_id, COUNT(*) AS n_dup FROM g
          |  JOIN st USING (gram) WHERE st.n_occ > 1 GROUP BY 1),
-         |mk AS (SELECT g.doc_id, g.tidx FROM g
-         |  JOIN st USING (gram) JOIN fst USING (gram)
-         |  WHERE st.n_occ > 1
-         |    AND NOT (g.doc_id = fst.fdoc AND g.tidx = fst.ftidx)),
          |cov AS (SELECT doc_id, tidx,
          |    LEAD(tidx) OVER (PARTITION BY doc_id ORDER BY tidx) AS nxt
          |  FROM mk),
@@ -920,6 +927,22 @@ object Dedup {
          |    / CAST(tok.n_tok AS DOUBLE), 6) AS masked_token_frac
          |FROM tok LEFT JOIN dupw USING (doc_id) LEFT JOIN cv USING (doc_id)
          |ORDER BY tok.doc_id""".stripMargin,
+    "d19_span_extents" ->
+      s"""$spanMaskCtePrefix,
+         |brks AS (SELECT doc_id, tidx,
+         |    CASE WHEN tidx - LAG(tidx) OVER (PARTITION BY doc_id
+         |      ORDER BY tidx) <= $ExactSpanTokens THEN 0 ELSE 1 END AS brk
+         |  FROM mk),
+         |isl AS (SELECT doc_id, tidx,
+         |    CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY tidx)
+         |      AS BIGINT) AS span_id
+         |  FROM brks)
+         |SELECT doc_id, span_id, CAST(MIN(tidx) AS BIGINT) AS span_start,
+         |  CAST(MAX(tidx) + ${ExactSpanTokens - 1} AS BIGINT) AS span_end,
+         |  CAST(MAX(tidx) + $ExactSpanTokens - MIN(tidx) AS BIGINT)
+         |    AS span_tokens,
+         |  COUNT(*) AS n_windows
+         |FROM isl GROUP BY 1, 2 ORDER BY doc_id, span_start""".stripMargin,
     "d11_dup_histogram" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS sz
         |  FROM documents GROUP BY 1)
@@ -1200,6 +1223,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Durable exact-span index root — OWN base dir (sibling-vacuum
+    * rule); K and the gram kernel ride the recipe salt. */
+  private[graft] def spanIndexRoot(dir: String): String = {
+    val base = sys.props.getOrElse("graft.spanindex.base",
+      s"${graft.GraftSession.defaultStateDir}/span_index")
+    graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
+        s"span-v1;k=$ExactSpanTokens;kernel=stride1-xxh64"))
+  }
+
+  /** Publish the exact-span plane ONCE per corpus fingerprint: the
+    * duplicated-gram occurrence table `dup` (doc_id, tidx, is_first)
+    * — every occurrence of every gram that repeats corpus-wide, with
+    * the global first flagged. The table is bounded by the corpus's
+    * DUPLICATION MASS, not its token count (unique grams never leave
+    * the build), so the published artifact stays small on a clean
+    * corpus and the full gram sweep — the expensive part — is
+    * ingest-time work (the g2/g6/g10 argument on the passage
+    * plane). */
+  private[graft] def ensureSpanIndex(s: SparkSession, dir: String): String =
+    graft.sources.DurableIndex.ensure(s, spanIndexRoot(dir)) {
+      val grams = spanGramsOf(Tables.documents(s, dir)).localCheckpoint()
+      val dupStats = grams.groupBy(col("gh"))
+        .agg(count(lit(1)).as("n_occ"),
+          min(struct(col("doc_id"), col("tidx"))).as("first"))
+        .filter(col("n_occ") > 1)
+      val dup = grams.join(dupStats, Seq("gh"))
+        .select(col("doc_id"), col("tidx"),
+          (col("doc_id") === col("first.doc_id") &&
+            col("tidx") === col("first.tidx")).as("is_first"))
+      graft.sources.AtomicPublish.publish(s, spanIndexRoot(dir),
+        Seq("dup" -> dup))
+    }
+
   /** d18: EXACT duplicated-span dedup at arbitrary alignment — the
     * exact form of Lee et al. 2022 §4 (ExactSubstr) that d9's fixed
     * stride-20 window grain approximates. The identity that makes the
@@ -1215,17 +1272,86 @@ object Dedup {
     * occurrence⋈stats join hash-partition on the hash, the keep-one
     * first occurrence is an associative (doc_id, tidx) min, and the
     * interval-union coverage is a per-DOC window pass over masked
-    * starts (partition bounded by doc length). d9's aligned mask is a
-    * provable subset of this mask (DedupSpec); the oracle recomputes
-    * the same frame grouping by gram STRINGS (d9's style — DuckDB has
-    * no xxhash64, and a collision would perturb one count by 1).
-    * Output: per-doc exact mask profile (window/dup/masked counts,
-    * masked token coverage and fraction). */
-  def d18ExactSpans(s: SparkSession, dir: String): DataFrame =
-    exactSpanMask(Tables.documents(s, dir))
+    * starts (partition bounded by doc length). The gram sweep is
+    * PUBLISHED once per corpus fingerprint ([[ensureSpanIndex]] —
+    * 2.2 s → read at sf0.1); the query reads the committed
+    * duplication-mass table, joins doc lengths (a 2-column documents
+    * projection), and the unchanged from-scratch oracle proves
+    * published ≡ recompute. d9's aligned mask is a provable subset of
+    * this mask (DedupSpec); the oracle recomputes the frame grouping
+    * by gram STRINGS (d9's style — DuckDB has no xxhash64, and a
+    * collision would perturb one count by 1). Output: per-doc exact
+    * mask profile (window/dup/masked counts, masked token coverage
+    * and fraction). */
+  def d18ExactSpans(s: SparkSession, dir: String): DataFrame = {
+    val dup = graft.sources.AtomicPublish.readOutput(s,
+      ensureSpanIndex(s, dir), "dup")
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      .filter(col("n_tok") >= ExactSpanTokens)
+    val dupPerDoc = dup.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tidx"))
+    val cov = dup.filter(!col("is_first"))
+      .select(col("doc_id"), col("tidx"))
+      .withColumn("nxt", lead(col("tidx"), 1).over(wD))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_masked_windows"),
+        sum(when(col("nxt").isNull, lit(ExactSpanTokens))
+          .otherwise(least(lit(ExactSpanTokens), col("nxt") - col("tidx"))))
+          .cast("long").as("n_masked_tokens"))
+    base.select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
+        (col("n_tok") - lit(ExactSpanTokens) + 1).cast("long").as("n_windows"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_masked_windows"), lit(0L)).as("n_masked_windows"),
+        coalesce(col("n_masked_tokens"), lit(0L)).as("n_masked_tokens"),
+        round(coalesce(col("n_masked_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("masked_token_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** d19: maximal duplicated-span EXTENTS — the span-level view of
+    * d18's token mask (d18 reports per-doc RATES; d19 reports WHERE
+    * the duplicated text sits, the table a removal or attribution
+    * pass actually consumes). Gaps-and-islands over the committed
+    * masked gram starts: two masked K-gram starts whose distance is
+    * ≤ K cover contiguous tokens, so a `lag` break-flag + running
+    * `sum` assigns island ids and one keyed aggregate emits each
+    * maximal region [span_start, span_end] with its token length —
+    * per-DOC windows (bounded by doc length), read-path over the
+    * published duplication-mass table, exact integer arithmetic
+    * throughout. Σ span_tokens per doc ≡ d18's n_masked_tokens
+    * (spec-pinned). */
+  def d19SpanExtents(s: SparkSession, dir: String): DataFrame = {
+    val masked = graft.sources.AtomicPublish.readOutput(s,
+      ensureSpanIndex(s, dir), "dup")
+      .filter(!col("is_first")).select(col("doc_id"), col("tidx"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tidx"))
+    masked
+      .withColumn("gap", col("tidx") - lag(col("tidx"), 1).over(wD))
+      .withColumn("brk",
+        when(col("gap").isNull || col("gap") > ExactSpanTokens, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("brk")).over(wD))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("tidx")).cast("long").as("span_start"),
+        (max(col("tidx")) + ExactSpanTokens - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_id"), col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+      .orderBy("doc_id", "span_start")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d18_exact_spans" -> (d18ExactSpans _),
+    "d19_span_extents" -> (d19SpanExtents _),
     "d9_substring_dedup" -> (d9SubstringDedup _),
     "d8_incremental_dedup" -> (d8IncrementalDedup _),
     "d1_dedup_exact" -> (d1DedupExact _),

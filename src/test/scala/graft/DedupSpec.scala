@@ -467,6 +467,39 @@ class DedupSpec extends GraftSpec {
       "the unaligned span must be invisible at d9's window grain")
   }
 
+  test("d18/d19: index-backed reads reconcile — published ≡ recompute, extents tile the mask") {
+    // (a) the published-index read path equals the from-scratch form
+    val direct = Dedup.exactSpanMask(Tables.documents(spark, sf)).collect()
+      .map(_.toString).sorted
+    val indexed = Dedup.d18ExactSpans(spark, sf).collect()
+      .map(_.toString).sorted
+    assert(indexed.sameElements(direct), "index-backed d18 != from-scratch mask")
+    // (b) d19's maximal extents exactly tile d18's masked tokens:
+    // per doc, Σ span_tokens == n_masked_tokens; islands are disjoint
+    // with a real hole between them; every span covers ≥ K tokens
+    val spans = Dedup.d19SpanExtents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(r.fieldIndex("span_tokens"))))
+    assert(spans.nonEmpty, "corpus should contain duplicated spans")
+    assert(spans.forall { case (_, s0, s1, t) =>
+      t == s1 - s0 + 1 && t >= Dedup.ExactSpanTokens })
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 > a._3 + 1,
+            s"islands must be separated by an uncovered hole: $a then $b")
+        case _ => ()
+      }
+    }
+    val sumByDoc = spans.groupBy(_._1).map { case (d, ss) => d -> ss.map(_._4).sum }
+    val maskByDoc = Dedup.d18ExactSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("n_masked_tokens")))
+      .filter(_._2 > 0).toMap
+    assert(sumByDoc == maskByDoc,
+      "span extents must cover exactly the d18 masked-token mass")
+  }
+
   test("d18: d9's full-window mask is a subset of the exact-span mask on the corpus") {
     // the containment claim (r12 verdict ask #5): every token d9
     // masks via a duplicated ALIGNED full window is covered by d18's

@@ -1104,6 +1104,19 @@ class PlanAuditSpec extends GraftSpec {
     assert(globalSorts == 0, s"obt2 write plan contains a global Sort:\n$plan")
   }
 
+  test("d18/d19: read paths consume the published span index — no gram re-sweep") {
+    val p18 = planOf(Dedup.d18ExactSpans(spark, sf))
+    assert(p18.contains("span_index"),
+      s"d18 must read the published span index:\n$p18")
+    assert(!p18.contains("xxhash64"),
+      s"d18's read path must not re-hash the corpus grams:\n$p18")
+    val p19 = planOf(Dedup.d19SpanExtents(spark, sf))
+    assert(p19.contains("span_index"),
+      s"d19 must read the published span index:\n$p19")
+    assert(!p19.contains("documents.parquet"),
+      s"d19 is a pure index read — the corpus must appear nowhere:\n$p19")
+  }
+
   test("broadcast-hint policy: no hint pins an sf-linear table (SURVEY §5)") {
     // The r12 verdict's one systemic scale defect: a hard broadcast()
     // on customer/part/supplier OVERRIDES Spark's size check, and
