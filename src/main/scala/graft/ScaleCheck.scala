@@ -128,7 +128,14 @@ object ScaleCheck {
     "e13_bounce_rate", "w12_top_decile_share",
     "d16_shingle_df_histogram", "t28_source_divergence",
     "priv1_k_anonymity", "g10_kcore", "t29_incremental_novelty",
-    "prof10_entropy", "w13_new_vs_returning", "d17_cluster_histogram")
+    "prof10_entropy", "w13_new_vs_returning", "d17_cluster_histogram",
+    // round-13 newcomers (exact-span dedup plane / production OBT) +
+    // the de-hinted star joins whose strategy is now planner-chosen
+    // at every scale (the r12 verdict's systemic-defect fix)
+    "d18_exact_spans", "d19_span_extents", "obt2_partitioned_obt",
+    "q3_topk_revenue", "q5_region_revenue", "q7_nation_volume",
+    "q9_product_profit", "q16_supplier_diversity", "q19_disjunctive_join",
+    "q8_cheapest_supplier", "q14_promo_revenue", "q21_waiting_suppliers")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {
