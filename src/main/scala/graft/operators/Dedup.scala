@@ -905,28 +905,36 @@ object Dedup {
        |  WHERE st.n_occ > 1
        |    AND NOT (g.doc_id = fst.fdoc AND g.tidx = fst.ftidx))""".stripMargin
 
+  /** d18's exact-span profile oracle, parameterized on an optional
+    * predicate over the PROFILED docs (gram statistics stay
+    * corpus-wide — d20's incremental gate filters only the final
+    * per-doc frame). The t27/d9 builder rule (r12 advice #4). */
+  private[graft] def d18SpansOracle(batchPredicate: Option[String] = None): String = {
+    val where = batchPredicate.map(p => s"WHERE $p\n").getOrElse("")
+    s"""$spanMaskCtePrefix,
+       |dupw AS (SELECT g.doc_id, COUNT(*) AS n_dup FROM g
+       |  JOIN st USING (gram) WHERE st.n_occ > 1 GROUP BY 1),
+       |cov AS (SELECT doc_id, tidx,
+       |    LEAD(tidx) OVER (PARTITION BY doc_id ORDER BY tidx) AS nxt
+       |  FROM mk),
+       |cv AS (SELECT doc_id, COUNT(*) AS n_masked_windows,
+       |    CAST(SUM(CASE WHEN nxt IS NULL THEN $ExactSpanTokens
+       |      ELSE LEAST($ExactSpanTokens, nxt - tidx) END) AS BIGINT)
+       |      AS n_masked_tokens
+       |  FROM cov GROUP BY 1)
+       |SELECT tok.doc_id, CAST(tok.n_tok AS BIGINT) AS n_tokens,
+       |  CAST(tok.n_tok - $ExactSpanTokens + 1 AS BIGINT) AS n_windows,
+       |  COALESCE(dupw.n_dup, 0) AS n_dup_windows,
+       |  COALESCE(cv.n_masked_windows, 0) AS n_masked_windows,
+       |  COALESCE(cv.n_masked_tokens, 0) AS n_masked_tokens,
+       |  round(COALESCE(cv.n_masked_tokens, 0)
+       |    / CAST(tok.n_tok AS DOUBLE), 6) AS masked_token_frac
+       |FROM tok LEFT JOIN dupw USING (doc_id) LEFT JOIN cv USING (doc_id)
+       |${where}ORDER BY tok.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "d18_exact_spans" ->
-      s"""$spanMaskCtePrefix,
-         |dupw AS (SELECT g.doc_id, COUNT(*) AS n_dup FROM g
-         |  JOIN st USING (gram) WHERE st.n_occ > 1 GROUP BY 1),
-         |cov AS (SELECT doc_id, tidx,
-         |    LEAD(tidx) OVER (PARTITION BY doc_id ORDER BY tidx) AS nxt
-         |  FROM mk),
-         |cv AS (SELECT doc_id, COUNT(*) AS n_masked_windows,
-         |    CAST(SUM(CASE WHEN nxt IS NULL THEN $ExactSpanTokens
-         |      ELSE LEAST($ExactSpanTokens, nxt - tidx) END) AS BIGINT)
-         |      AS n_masked_tokens
-         |  FROM cov GROUP BY 1)
-         |SELECT tok.doc_id, CAST(tok.n_tok AS BIGINT) AS n_tokens,
-         |  CAST(tok.n_tok - $ExactSpanTokens + 1 AS BIGINT) AS n_windows,
-         |  COALESCE(dupw.n_dup, 0) AS n_dup_windows,
-         |  COALESCE(cv.n_masked_windows, 0) AS n_masked_windows,
-         |  COALESCE(cv.n_masked_tokens, 0) AS n_masked_tokens,
-         |  round(COALESCE(cv.n_masked_tokens, 0)
-         |    / CAST(tok.n_tok AS DOUBLE), 6) AS masked_token_frac
-         |FROM tok LEFT JOIN dupw USING (doc_id) LEFT JOIN cv USING (doc_id)
-         |ORDER BY tok.doc_id""".stripMargin,
+    "d18_exact_spans" -> d18SpansOracle(),
     "d19_span_extents" ->
       s"""$spanMaskCtePrefix,
          |brks AS (SELECT doc_id, tidx,

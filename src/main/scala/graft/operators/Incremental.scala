@@ -79,9 +79,10 @@ object Incremental {
         // v4: the family grew the term plane (v2), the passage plane
         // (v3), and the applied-batch ledger (v4) — each recipe bump
         // forces stale-family rebuilds
-        s"incr-v4;split=mod$BatchMod;dfcap=${Dedup.ShingleDfCap};tau=0.5;" +
+        s"incr-v5;split=mod$BatchMod;dfcap=${Dedup.ShingleDfCap};tau=0.5;" +
           s"minhash=k${Dedup.MinhashK}-xxh64;simhash=64-seed42;kernel=word3gram-xxh64;" +
-          s"term=doc-term-tf-space;passage=w${Dedup.PassageWords}-xxh64"))
+          s"term=doc-term-tf-space;passage=w${Dedup.PassageWords}-xxh64;" +
+          s"span=k${Dedup.ExactSpanTokens}-stride1-xxh64"))
   }
 
   /** All seven family outputs built FROM SCRATCH over `docs` — v1 of
@@ -128,6 +129,12 @@ object Incremental {
     // exactly incremental even though the mod split means a batch doc
     // CAN become a passage's global first (min merge handles it)
     val occ = Dedup.passageOccurrencesOf(docs).localCheckpoint()
+    // span plane (d18/d19's EXACT arbitrary-alignment dedup): stride-1
+    // gram occurrence rows are row-local windows, the per-gram count
+    // is additive, and the keep-one first occurrence is an associative
+    // (doc_id, tidx) min — the passage plane's exactness argument at
+    // the exact grain (r13)
+    val sOcc = Dedup.spanGramsOf(docs).localCheckpoint()
     // the applied-batch LEDGER (k13's pattern) rides the same atomic
     // publish: an ingest batch is recorded in the SAME pointer swap
     // that applies it, so a replayed micro-batch (crash between a
@@ -139,8 +146,17 @@ object Incremental {
       "minhash" -> Dedup.minhashOf(docs), "simhash" -> Dedup.simhashOf(docs),
       "termfreq" -> tf, "termdf" -> termdf, "stats" -> stats,
       "passage_occ" -> occ, "passages" -> Dedup.passageStatsOf(occ),
+      "span_occ" -> sOcc, "span_stats" -> spanStatsOf(sOcc),
       "ledger" -> Seq.empty[Long].toDF("batch_id"))
   }
+
+  /** Per-gram count + global first occurrence over a span-gram
+    * occurrence frame — both partial-aggregable (the passage plane's
+    * merge shape on (doc_id, tidx)). */
+  private[graft] def spanStatsOf(sOcc: DataFrame): DataFrame =
+    sOcc.groupBy(col("gh"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("tidx"))).as("first"))
 
   /** Publish version N+1 of the family at `root` from version N's
     * committed outputs plus `batch` (NEW doc_ids only — the ingest
@@ -266,6 +282,18 @@ object Incremental {
           .when(col("b.first").isNull, col("a.first"))
           .otherwise(least(col("a.first"), col("b.first"))).as("first"))
 
+    // span plane: occurrences append; stats merge exactly like the
+    // passage plane (count-add + NULL-safe struct-min on (doc, tidx))
+    val bSOcc = Dedup.spanGramsOf(batch).localCheckpoint()
+    val newSpanStats = readOutput(s, root, "span_stats").as("a")
+      .join(spanStatsOf(bSOcc).as("b"), Seq("gh"), "full")
+      .select(col("gh"),
+        (coalesce(col("a.n_occ"), lit(0L)) + coalesce(col("b.n_occ"), lit(0L)))
+          .as("n_occ"),
+        when(col("a.first").isNull, col("b.first"))
+          .when(col("b.first").isNull, col("a.first"))
+          .otherwise(least(col("a.first"), col("b.first"))).as("first"))
+
     graft.sources.AtomicPublish.publish(s, root, Seq(
       "shingles" -> newP, "df" -> newDf, "sizes" -> newSizes,
       "edges" -> edges2, "clusters" -> clusters2,
@@ -278,6 +306,8 @@ object Incremental {
       "stats" -> newStats,
       "passage_occ" -> readOutput(s, root, "passage_occ").unionByName(bOcc),
       "passages" -> newPassages,
+      "span_occ" -> readOutput(s, root, "span_occ").unionByName(bSOcc),
+      "span_stats" -> newSpanStats,
       "ledger" -> {
         import s.implicits._
         readOutput(s, root, "ledger")
@@ -395,6 +425,53 @@ object Incremental {
       .filter(col("doc_id") % BatchMod === 0)
     val stats = graft.sources.AtomicPublish.readOutput(s, root, "passages")
     Dedup.maskProfileOf(occ.join(stats, Seq("ph")))
+  }
+
+  /** d20: batch EXACT-span mask profile against the incrementally-
+    * maintained span plane — d14 at d18's arbitrary-alignment grain:
+    * after an ingest batch lands, how much of the new text sits
+    * inside a duplicated span of length ≥ K at ANY alignment, under
+    * corpus-wide keep-one-first masking. Reads ONLY the committed
+    * snapshot (batch-slice gram occurrences ⋈ merged corpus-wide
+    * stats; doc lengths derive from the occurrence counts — stride-1
+    * full windows give n_tokens = n_windows + K − 1, so no text is
+    * rescanned); the oracle recomputes d18 over the FULL corpus and
+    * filters to the batch — a hash pass proves count-add + struct-min
+    * span maintenance ≡ from-scratch. */
+  def d20IncrementalSpans(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureIncrementalIndex(s, dir)
+    val occ = graft.sources.AtomicPublish.readOutput(s, root, "span_occ")
+      .filter(col("doc_id") % BatchMod === 0)
+    val stats = graft.sources.AtomicPublish.readOutput(s, root, "span_stats")
+    val tagged = occ.join(stats, Seq("gh"))
+    val perDoc = occ.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    val dupPerDoc = tagged.filter(col("n_occ") > 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("tidx"))
+    val k = Dedup.ExactSpanTokens
+    val cov = tagged.filter(col("n_occ") > 1 &&
+        !(col("doc_id") === col("first.doc_id") &&
+          col("tidx") === col("first.tidx")))
+      .select(col("doc_id"), col("tidx"))
+      .withColumn("nxt", lead(col("tidx"), 1).over(wD))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_masked_windows"),
+        sum(when(col("nxt").isNull, lit(k))
+          .otherwise(least(lit(k), col("nxt") - col("tidx"))))
+          .cast("long").as("n_masked_tokens"))
+    perDoc
+      .select(col("doc_id"), (col("n_windows") + k - 1).as("n_tokens"),
+        col("n_windows"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_masked_windows"), lit(0L)).as("n_masked_windows"),
+        coalesce(col("n_masked_tokens"), lit(0L)).as("n_masked_tokens"),
+        round(coalesce(col("n_masked_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("masked_token_frac"))
+      .orderBy("doc_id")
   }
 
   /** pipe5's quality floor: minimum token count for a batch document
@@ -521,6 +598,7 @@ object Incremental {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_incremental_novelty" -> (t29IncrementalNovelty _),
+    "d20_incremental_spans" -> (d20IncrementalSpans _),
     "d13_incremental_index" -> (d13IncrementalIndex _),
     "t25_incremental_tfidf" -> (t25IncrementalTfidf _),
     "pipe5_incremental_corpus" -> (pipe5IncrementalCorpus _),
@@ -580,5 +658,10 @@ object Incremental {
     // d9's full-corpus oracle with its final aggregate filtered to the
     // batch slice (stats stay corpus-wide — that's the point)
     "d14_incremental_passages" ->
-      Dedup.d9SubstringOracle(Some(s"occ.doc_id % $BatchMod = 0")))
+      Dedup.d9SubstringOracle(Some(s"occ.doc_id % $BatchMod = 0")),
+    // d18's full-corpus oracle with the profiled docs filtered to the
+    // batch slice (gram statistics stay corpus-wide — that's the
+    // point); via the parameterized builder, not string surgery
+    "d20_incremental_spans" ->
+      Dedup.d18SpansOracle(Some(s"tok.doc_id % $BatchMod = 0")))
 }

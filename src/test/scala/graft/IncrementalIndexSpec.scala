@@ -77,7 +77,7 @@ class IncrementalIndexSpec extends GraftSpec {
   test("incremental v2 equals a from-scratch rebuild, output for output") {
     for (name <- Seq("shingles", "df", "sizes", "edges", "clusters",
         "minhash", "simhash", "termfreq", "termdf", "stats",
-        "passage_occ", "passages")) {
+        "passage_occ", "passages", "span_occ", "span_stats")) {
       val extra = v2Sets(name) -- rebuildSets(name)
       val missing = rebuildSets(name) -- v2Sets(name)
       assert(extra.isEmpty && missing.isEmpty,
@@ -161,6 +161,17 @@ class IncrementalIndexSpec extends GraftSpec {
     assert(!Incremental.applyBatch(spark, root, df(Seq.empty), 99L),
       "an empty trigger must not publish")
     assert(graft.sources.AtomicPublish.currentVersion(spark, root) == before)
+  }
+
+  test("d20 on the real corpus: batch span profile equals the from-scratch exact mask") {
+    val got = Incremental.d20IncrementalSpans(spark, sf).collect()
+      .map(_.mkString("|")).toSet
+    val want = graft.operators.Dedup
+      .exactSpanMask(Tables.documents(spark, sf))
+      .filter(col("doc_id") % Incremental.BatchMod === 0)
+      .collect().map(_.mkString("|")).toSet
+    assert(got == want,
+      "incremental span plane must equal d18's from-scratch mask on the batch slice")
   }
 
   test("d13 on the real corpus: incremental snapshot equals scratch recompute") {
