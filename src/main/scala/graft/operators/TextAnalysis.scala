@@ -547,6 +547,62 @@ object TextAnalysis {
   def t15Decontaminate(s: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(s, dir))
 
+  /** t31 core on an arbitrary (doc_id, text) frame — factored for the
+    * planted-contamination spec. */
+  private[graft] def spanDecontaminate(docs: DataFrame): DataFrame = {
+    val k = Dedup.ExactSpanTokens
+    val isEval = pmod(col("doc_id"), lit(EvalHoldoutMod)) === 0
+    // each side shingles only its own documents (t15's split-before-
+    // explode rule); only 64-bit gram hashes leave the rows
+    val evalG = Dedup.spanGramsOf(docs.filter(isEval))
+      .select(col("doc_id").as("eval_id"), col("gh")).distinct()
+    val trainG = Dedup.spanGramsOf(docs.filter(!isEval))
+    // contaminated gram POSITIONS: left-semi keeps (doc, tidx) unique
+    // no matter how many eval docs share the gram
+    val hits = trainG
+      .join(broadcast(evalG.select(col("gh")).distinct()), Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("tidx"))
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("tidx"))
+    val cov = hits.withColumn("nxt", lead(col("tidx"), 1).over(wD))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contam_windows"),
+        sum(when(col("nxt").isNull, lit(k))
+          .otherwise(least(lit(k), col("nxt") - col("tidx"))))
+          .cast("long").as("n_contam_tokens"))
+    // attribution: how many distinct eval docs this doc leaks into
+    val evDocs = trainG.join(broadcast(evalG), Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("eval_id")).as("n_eval_docs"))
+    val lens = docs.filter(!isEval)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      .filter(col("n_tok") >= k)
+    cov.join(evDocs, Seq("doc_id"))
+      .join(lens, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
+        col("n_contam_windows"), col("n_contam_tokens"),
+        round(col("n_contam_tokens").cast("double") / col("n_tok"), 6)
+          .as("contam_token_frac"),
+        col("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** t31: SPAN-GRAIN eval decontamination — t15 at d18's exact
+    * arbitrary-alignment grain: t15 answers "which training documents
+    * share ANY word 4-gram with the eval holdout" (a recall-oriented
+    * doc-level flag); t31 answers the question the removal pass needs
+    * — WHICH TOKENS sit inside a ≥K-token span that also appears in
+    * an eval document, per contaminated doc (window count, exact
+    * token coverage via the d18 gap-capped interval union, leakage
+    * fraction, and how many eval docs it leaks into). The d18
+    * identity makes span-grain contamination one equi-join: a train
+    * token is eval-contaminated iff a shared stride-1 K-gram covers
+    * it. Scale shape: the eval side is small by construction and
+    * broadcasts as a distinct gram-hash set; the train side's gram
+    * stream never shuffles (the semi-join probes the broadcast), and
+    * coverage is the per-DOC window pass. */
+  def t31SpanDecontaminate(s: SparkSession, dir: String): DataFrame =
+    spanDecontaminate(Tables.documents(s, dir))
+
   val TfidfTopK = 3 // characteristic terms per document
 
   /** t16: TF-IDF characteristic terms — the top-[[TfidfTopK]] terms
@@ -1206,6 +1262,38 @@ object TextAnalysis {
          |  FROM tf JOIN df USING (term) CROSS JOIN n)
          |SELECT doc_id, rank, term, round(tfidf_raw, 6) AS tfidf
          |FROM scored WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
+    "t31_span_decontaminate" -> {
+      val k = Dedup.ExactSpanTokens
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tok AS (SELECT doc_id, ws, len(ws) AS n_tok FROM w
+         |  WHERE len(ws) >= $k),
+         |g AS (SELECT doc_id, i - 1 AS tidx,
+         |    array_to_string(ws[i:i+${k - 1}], ' ') AS gram
+         |  FROM tok, LATERAL (SELECT unnest(generate_series(1,
+         |    CAST(n_tok - $k + 1 AS INT))) AS i) s(i)),
+         |ev AS (SELECT DISTINCT gram, doc_id AS eval_id FROM g
+         |  WHERE doc_id % $EvalHoldoutMod = 0),
+         |tr AS (SELECT doc_id, tidx, gram FROM g
+         |  WHERE doc_id % $EvalHoldoutMod <> 0),
+         |hits AS (SELECT DISTINCT tr.doc_id, tr.tidx FROM tr
+         |  JOIN (SELECT DISTINCT gram FROM ev) e USING (gram)),
+         |cov AS (SELECT doc_id, tidx,
+         |    LEAD(tidx) OVER (PARTITION BY doc_id ORDER BY tidx) AS nxt
+         |  FROM hits),
+         |cv AS (SELECT doc_id, COUNT(*) AS n_contam_windows,
+         |    CAST(SUM(CASE WHEN nxt IS NULL THEN $k
+         |      ELSE LEAST($k, nxt - tidx) END) AS BIGINT) AS n_contam_tokens
+         |  FROM cov GROUP BY 1),
+         |evd AS (SELECT tr.doc_id, COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+         |  FROM tr JOIN ev USING (gram) GROUP BY 1)
+         |SELECT cv.doc_id, CAST(tok.n_tok AS BIGINT) AS n_tokens,
+         |  cv.n_contam_windows, cv.n_contam_tokens,
+         |  round(cv.n_contam_tokens / CAST(tok.n_tok AS DOUBLE), 6)
+         |    AS contam_token_frac,
+         |  evd.n_eval_docs
+         |FROM cv JOIN evd USING (doc_id) JOIN tok USING (doc_id)
+         |ORDER BY cv.doc_id""".stripMargin
+    },
     "t15_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
          |    WHERE len(string_split(text, ' ')) >= $DecontamN),
@@ -1320,6 +1408,7 @@ object TextAnalysis {
     "t13_redact" -> (t13Redact _),
     "t14_repetition" -> (t14Repetition _),
     "t15_decontaminate" -> (t15Decontaminate _),
+    "t31_span_decontaminate" -> (t31SpanDecontaminate _),
     "t16_tfidf" -> (t16TfIdf _),
     "t17_surprisal" -> (t17Surprisal _),
     "t18_bpe_train" -> (t18BpeTrain _),

@@ -332,6 +332,33 @@ class TextMultimodalSpec extends GraftSpec {
     }
   }
 
+  test("t31 span decontamination measures exactly the leaked tokens at any alignment") {
+    import spark.implicits._
+    val k = graft.operators.Dedup.ExactSpanTokens
+    // doc 0 is eval (0 % 50 == 0): 40 unique tokens e0..e39. Train
+    // doc 1 embeds eval tokens e5..e29 (a 25-token span) at offset 7
+    // — off any window grid; train doc 2 shares nothing.
+    val span = (5 to 29).map(i => s"e$i")
+    val evalDoc = (0 until 40).map(i => s"e$i")
+    val d1 = (0 until 7).map(i => s"a$i") ++ span ++ (7 until 60).map(i => s"a$i")
+    val d2 = (0 until 50).map(i => s"b$i")
+    val docs = Seq(
+      (0L, evalDoc.mkString(" ")),
+      (1L, d1.mkString(" ")),
+      (2L, d2.mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.spanDecontaminate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L), "only the embedding doc is contaminated")
+    val r = out(1L)
+    assert(r.getLong(r.fieldIndex("n_tokens")) == 85L)
+    // 25 leaked tokens ⇒ 25-K+1 shared windows covering exactly them
+    assert(r.getLong(r.fieldIndex("n_contam_windows")) == (25 - k + 1).toLong)
+    assert(r.getLong(r.fieldIndex("n_contam_tokens")) == 25L)
+    assert(r.getLong(r.fieldIndex("n_eval_docs")) == 1L)
+    // and eval docs themselves are never profiled (they're the holdout)
+    assert(!out.contains(0L))
+  }
+
   test("t16 tf-idf ranks match a driver-side recompute for every document") {
     val out = TextAnalysis.t16TfIdf(spark, sf).collect()
       .groupBy(_.getLong(0))
