@@ -190,6 +190,38 @@ object Quality {
         (col("l_diversity") < 2).as("l_risky"))
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** priv2's privacy budget ε (Laplace scale b = 1/ε). */
+  val DpEpsilon = 1.0
+
+  /** priv2: ε-differentially-private histogram release (the Laplace
+    * mechanism, Dwork et al. 2006) — the aggregate-release step a
+    * data-sharing pipeline runs before PUBLISHING corpus statistics
+    * (priv1 audits re-identification risk in joined rows; priv2 is
+    * the mechanism that makes the released AGGREGATE itself private):
+    * per event_type, count + Laplace(1/ε) noise. Histogram buckets
+    * partition the rows, so by parallel composition the whole release
+    * is ε-DP at sensitivity 1 (one row moves one count by 1). The
+    * noise is drawn by inverse-CDF on a deterministic md5-prefix
+    * uniform seeded per bucket (imp1/imp2's sampling discipline — a
+    * re-runnable release; a production deployment would swap in a
+    * sealed per-release seed, which changes the SEED STRING, not the
+    * plan), with the uniform offset +0.5/2³² so it sits strictly
+    * inside (0,1) and ln(1−2·|u−½|) never hits −∞. One keyed count,
+    * a row-local noise expression, domain-bounded output — the exact
+    * fixed IEEE tree both engines share, so the release hash-matches
+    * cross-engine. */
+  def priv2DpRelease(s: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("dp:"), col("event_type"))),
+      1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    Tables.events(s, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        round(col("n") + (lit(-1.0) / lit(DpEpsilon)) * signum(u - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(u - 0.5)), 6).as("released_count"),
+        lit(DpEpsilon).as("epsilon"))
+      .orderBy("event_type")
+  }
+
   val SourceCap = 10 // documents kept per source
   val CapSalts = 8 // phase-1 salt fan-out for the per-source top-K
 
@@ -833,6 +865,17 @@ object Quality {
     lastQcScoresPath.map(p => "qc2_calibration" -> qc2Oracle(p)).toMap
 
   private val staticOracles: Map[String, String] = Map(
+    "priv2_dp_release" ->
+      s"""WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+         |u AS (SELECT event_type, n,
+         |    (CAST(CAST('0x' || substring(md5('dp:' || event_type), 1, 8)
+         |      AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+         |  FROM c)
+         |SELECT event_type,
+         |  round(n + (-1.0 / $DpEpsilon) * sign(u - 0.5)
+         |    * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS released_count,
+         |  CAST($DpEpsilon AS DOUBLE) AS epsilon
+         |FROM u ORDER BY event_type""".stripMargin,
     "imp2_bootstrap_ci" -> {
       // the full Poisson bootstrap, re-derived: md5-prefix uniforms
       // (imp1's (conv(substring(md5 …)) + 1) / 2^32 form), the same
@@ -1102,6 +1145,7 @@ object Quality {
     "qc3_rater_agreement" -> (qc3RaterAgreement _),
     "imp5_capture_recapture" -> (imp5CaptureRecapture _),
     "priv1_k_anonymity" -> (priv1KAnonymity _),
+    "priv2_dp_release" -> (priv2DpRelease _),
     "g1_gopher_quality" -> (g1GopherQuality _),
     "imp1_importance_sample" -> (imp1ImportanceSample _),
     "imp4_ht_estimate" -> (imp4HtEstimate _),

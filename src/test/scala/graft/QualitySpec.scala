@@ -108,6 +108,40 @@ class QualitySpec extends GraftSpec {
     assert(out.map(_.getAs[Int]("pred")).distinct.length >= 1)
   }
 
+  test("priv2 DP release: noise matches the driver-side Laplace inverse-CDF exactly") {
+    val eps = Quality.DpEpsilon
+    val trueCounts = Tables.events(spark, sf)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def uniform(cat: String): Double = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp:$cat".getBytes("US-ASCII"))
+      val v = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      (v + 0.5) / 4294967296.0
+    }
+    def laplace(cat: String): Double = {
+      val u = uniform(cat)
+      (-1.0 / eps) * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    val rows = Quality.priv2DpRelease(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == trueCounts.keySet)
+    rows.foreach { r =>
+      val cat = r.getString(0)
+      val want = math.rint((trueCounts(cat) + laplace(cat)) * 1e6) / 1e6
+      val got = r.getDouble(1)
+      assert(math.abs(got - want) < 2e-6,
+        s"$cat: released $got vs driver ${want}")
+      // Laplace(1/eps) from a 32-bit uniform is bounded by b*ln(2^31)
+      assert(math.abs(got - trueCounts(cat)) <= (1.0 / eps) * 22.0,
+        s"$cat: noise outside the mechanism's envelope")
+      assert(r.getDouble(2) == eps)
+    }
+    // the mechanism actually perturbs (a release equal to the truth
+    // everywhere would mean the noise path is dead code)
+    assert(rows.exists(r => r.getDouble(1) != trueCounts(r.getString(0))))
+  }
+
   test("imp1 is deterministic across runs") {
     val a = Quality.imp1ImportanceSample(spark, sf).collect().map(_.toString)
     val b = Quality.imp1ImportanceSample(spark, sf).collect().map(_.toString)
