@@ -20,8 +20,16 @@ object ExplainDump {
     val flagship: Seq[(String, String, (SparkSession, String) => DataFrame)] = Seq(
       ("r1_filtered_scan", "filter + projection pushdown to the parquet scan",
         Relational.r1FilteredScan _),
-      ("q5_region_revenue", "all dims broadcast; the lineitem⋈orders join is the only shuffle join",
+      ("q5_region_revenue", "bounded dims (region⋈nation) broadcast by hint; sf-linear dims planner-chosen (r13 de-hint) — still BroadcastHashJoin here, lineitem⋈orders the only shuffle join",
         Analytics.q5RegionRevenue _),
+      ("d18_exact_spans", "exact arbitrary-alignment span mask as a read path over the published duplication-mass span index — no gram re-sweep, no xxhash64 in the plan",
+        Dedup.d18ExactSpans _),
+      ("d19_span_extents", "maximal duplicated-span extents: gaps-and-islands over committed masked starts — pure index read, the corpus appears nowhere",
+        Dedup.d19SpanExtents _),
+      ("obt2_write_frame", "the production OBT materialization's pre-write frame: hash fan-out on (region, orderkey slice) + sortWithinPartitions — no rangepartitioning exchange, zero global Sort",
+        (s: SparkSession, d: String) => graft.sources.Sources.obt2WriteFrame(s, d)),
+      ("t31_span_decontaminate", "span-grain eval decontamination: eval gram-hash set broadcasts, train gram stream probes it with a semi-join and never shuffles",
+        TextAnalysis.t31SpanDecontaminate _),
       ("d2_ngram_jaccard", "read-path filter over the shingle index's committed overlaps table — no kernel scan, no sh-exchange, no join (the build owns the DF-capped equi-join)",
         Dedup.d2NgramJaccard _),
       ("d3_minhash_lsh", "native MinHash32 kernel signatures (zero-shuffle scan+project); band-key equi-join candidates",
