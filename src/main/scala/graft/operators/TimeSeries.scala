@@ -203,6 +203,53 @@ object TimeSeries {
       .orderBy("event_type", "hr")
   }
 
+  /** ts17: rolling-origin forecast BACKTEST — ts5/ts8 produce
+    * forecasts; ts17 is the model-selection plane that says which one
+    * to TRUST: for every series, the one-step-ahead forecast at each
+    * hour t is the state built from hours 1..t−1 only (EWMA: e_{t−1};
+    * Holt: l_{t−1}+b_{t−1} — the honest walk-forward protocol, no
+    * look-ahead), scored against the actual v_t as per-series MAE and
+    * RMSE per model. Scale shape: the corpus-scale work is the same
+    * keyed hourly aggregate ts5/ts8 pay; both recurrences run as the
+    * compiled in-row folds over the span-bounded series, and the
+    * error aggregates quantize each |err| / err² to int64 at 1e-9
+    * BEFORE summing (the g2/prof10 discipline — a plain sum(double)
+    * is partial-merge-order dependent), so MAE/RMSE are bit-stable
+    * and fully hash-checkable against the recursive-CTE oracle. */
+  def ts17ForecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val rows = hourly(s, dir)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("hr"), col("v")))).as("srt"))
+      .withColumn("e", SeriesFoldExpr.ewmaFold(col("srt"), EwmaAlpha))
+      .withColumn("lb", SeriesFoldExpr.holtFold(col("srt"), HoltAlpha, HoltBeta))
+      .withColumn("nn", size(col("srt")))
+      .select(col("event_type"), col("nn"), posexplode(col("srt")),
+        col("e"), col("lb"))
+      .filter(col("pos") >= 1) // a forecast needs a prior state
+      .select(col("event_type"), col("col.v").as("v"),
+        // element_at is 1-indexed and pos is 0-indexed, so index `pos`
+        // IS the state after hours 1..t-1
+        element_at(col("e"), col("pos")).as("f_ewma"),
+        (element_at(col("lb"), col("pos")) +
+          element_at(col("lb"), col("nn") + col("pos"))).as("f_holt"))
+    val q9 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1e9) + lit(0.5)).cast("long")
+    def metrics(fc: org.apache.spark.sql.Column, model: String) =
+      rows.select(col("event_type"), (col("v") - fc).as("err"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(q9(abs(col("err")))).as("sae"),
+          sum(q9(col("err") * col("err"))).as("sse"))
+        .select(col("event_type"), lit(model).as("model"), col("n_eval"),
+          round((col("sae").cast("double") / col("n_eval")) / lit(1e9), 6)
+            .as("mae"),
+          round(sqrt((col("sse").cast("double") / col("n_eval")) / lit(1e9)), 6)
+            .as("rmse"))
+    metrics(col("f_ewma"), "ewma")
+      .unionByName(metrics(col("f_holt"), "holt"))
+      .orderBy("event_type", "model")
+  }
+
   val AutocorrMaxLag = 3 // lags 1..3 hours
 
   /** ts6: per-series lag-k autocorrelation (k = 1..[[AutocorrMaxLag]])
@@ -776,6 +823,52 @@ object TimeSeries {
         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
         |       ELSE 'edge' END AS method
         |FROM a ORDER BY 1, 2""".stripMargin,
+    "ts17_forecast_backtest" ->
+      s"""WITH RECURSIVE h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*), 6) AS v
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (SELECT event_type, hr, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i
+         |  FROM h),
+         |r AS (
+         |  SELECT event_type, v, i, v AS e FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT n.event_type, n.v, n.i,
+         |    $EwmaAlpha * n.v + ${1 - EwmaAlpha} * r.e
+         |  FROM r JOIN idx n ON n.event_type = r.event_type AND n.i = r.i + 1),
+         |r2 AS (
+         |  SELECT event_type, v, i, v AS l, CAST(0.0 AS DOUBLE) AS b
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT n.event_type, n.v, n.i,
+         |    $HoltAlpha * n.v + ${1 - HoltAlpha} * (r2.l + r2.b),
+         |    $HoltBeta * (($HoltAlpha * n.v + ${1 - HoltAlpha} * (r2.l + r2.b))
+         |      - r2.l) + ${1 - HoltBeta} * r2.b
+         |  FROM r2 JOIN idx n ON n.event_type = r2.event_type AND n.i = r2.i + 1),
+         |f AS (SELECT n.event_type, n.v,
+         |    r.e AS f_ewma, r2.l + r2.b AS f_holt
+         |  FROM idx n
+         |  JOIN r ON r.event_type = n.event_type AND r.i = n.i - 1
+         |  JOIN r2 ON r2.event_type = n.event_type AND r2.i = n.i - 1),
+         |m AS (
+         |  SELECT event_type, 'ewma' AS model, COUNT(*) AS n_eval,
+         |    CAST(SUM(CAST(floor(abs(v - f_ewma) * 1e9 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS sae,
+         |    CAST(SUM(CAST(floor((v - f_ewma) * (v - f_ewma) * 1e9 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS sse
+         |  FROM f GROUP BY 1
+         |  UNION ALL
+         |  SELECT event_type, 'holt' AS model, COUNT(*) AS n_eval,
+         |    CAST(SUM(CAST(floor(abs(v - f_holt) * 1e9 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS sae,
+         |    CAST(SUM(CAST(floor((v - f_holt) * (v - f_holt) * 1e9 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS sse
+         |  FROM f GROUP BY 1)
+         |SELECT event_type, model, n_eval,
+         |  round((CAST(sae AS DOUBLE) / n_eval) / 1e9, 6) AS mae,
+         |  round(sqrt((CAST(sse AS DOUBLE) / n_eval) / 1e9), 6) AS rmse
+         |FROM m ORDER BY event_type, model""".stripMargin,
     "ts8_holt" ->
       s"""WITH RECURSIVE h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
          |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
@@ -1069,6 +1162,7 @@ object TimeSeries {
     "ts6_autocorr" -> (ts6Autocorr _),
     "ts7_seasonality" -> (ts7Seasonality _),
     "ts8_holt" -> (ts8Holt _),
+    "ts17_forecast_backtest" -> (ts17ForecastBacktest _),
     "ts9_rolling_zscore" -> (ts9RollingZscore _),
     "ts10_cusum" -> (ts10Cusum _),
     "ts11_linear_interp" -> (ts11LinearInterp _),

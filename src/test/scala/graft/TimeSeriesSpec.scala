@@ -521,4 +521,53 @@ class TimeSeriesSpec extends GraftSpec {
           r.getAs[Double]("mean_after"))) < 2e-6)
     }
   }
+
+  test("ts17: backtest metrics equal a driver-side walk-forward with no look-ahead") {
+    val got = TimeSeries.ts17ForecastBacktest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // driver-side honest walk-forward over the same hourly series
+    val series = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime).map(_._3).toArray)
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    for ((t, vs) <- series if vs.length >= 2) {
+      // EWMA: forecast at i is the state after 0..i-1
+      var e = vs(0)
+      var (saeE, sseE) = (0L, 0L)
+      for (i <- 1 until vs.length) {
+        val err = vs(i) - e
+        saeE += q9(math.abs(err)); sseE += q9(err * err)
+        e = TimeSeries.EwmaAlpha * vs(i) + (1 - TimeSeries.EwmaAlpha) * e
+      }
+      var l = vs(0); var b = 0.0
+      var (saeH, sseH) = (0L, 0L)
+      for (i <- 1 until vs.length) {
+        val err = vs(i) - (l + b)
+        saeH += q9(math.abs(err)); sseH += q9(err * err)
+        val l2 = TimeSeries.HoltAlpha * vs(i) +
+          (1 - TimeSeries.HoltAlpha) * (l + b)
+        b = TimeSeries.HoltBeta * (l2 - l) + (1 - TimeSeries.HoltBeta) * b
+        l = l2
+      }
+      val n = (vs.length - 1).toLong
+      def m(sae: Long, sse: Long) = (
+        math.rint(((sae.toDouble / n) / 1e9) * 1e6) / 1e6,
+        math.rint(math.sqrt((sse.toDouble / n) / 1e9) * 1e6) / 1e6)
+      val (maeE, rmseE) = m(saeE, sseE)
+      assert(got((t, "ewma")) == ((n, maeE, rmseE)),
+        s"$t ewma: ${got((t, "ewma"))} vs ($n, $maeE, $rmseE)")
+      val (maeH, rmseH) = m(saeH, sseH)
+      assert(got((t, "holt")) == ((n, maeH, rmseH)),
+        s"$t holt: ${got((t, "holt"))} vs ($n, $maeH, $rmseH)")
+    }
+    // the two models genuinely differ somewhere (dead-code guard)
+    assert(got.exists { case ((_, m), v) =>
+      m == "ewma" && got.get((got.keys.head._1, "holt")).exists(_ != v) } ||
+      got.keys.map(_._1).toSet.exists(t =>
+        got((t, "ewma"))._2 != got((t, "holt"))._2))
+  }
 }
