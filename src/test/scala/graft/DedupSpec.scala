@@ -500,6 +500,48 @@ class DedupSpec extends GraftSpec {
       "span extents must cover exactly the d18 masked-token mass")
   }
 
+  test("d18: random overlapping-slice corpora match an independent set-union reference") {
+    import spark.implicits._
+    val k = Dedup.ExactSpanTokens
+    val rnd = new scala.util.Random(13)
+    // docs are random slices of one shared token pool (plus unique
+    // prefixes), so duplicated spans appear at ARBITRARY alignments
+    // and lengths — the shapes the gap-capped interval-union formula
+    // must get right (adjacent windows, overlaps, singletons)
+    val pool = (0 until 60).map(i => s"w$i")
+    for (trial <- 1 to 5) {
+      val docs = (1L to 8L).map { id =>
+        val start = rnd.nextInt(pool.length - k)
+        val len = k + rnd.nextInt(pool.length - k - start)
+        val prefix = (0 until rnd.nextInt(6)).map(j => s"u${trial}_${id}_$j")
+        id -> (prefix ++ pool.slice(start, start + len)).mkString(" ")
+      }
+      // independent reference: string-keyed gram duplicates, keep-first
+      // by (doc, idx) min, coverage as a LITERAL token-position SET
+      // union (no gap-cap formula — cross-validates the engine's)
+      val toks = docs.map { case (id, t) => id -> t.split(" ") }
+        .filter(_._2.length >= k)
+      val occ = toks.flatMap { case (id, ws) =>
+        (0 to ws.length - k).map(i => (id, i, ws.slice(i, i + k).mkString(" ")))
+      }
+      val byGram = occ.groupBy(_._3)
+      val dupGrams = byGram.filter(_._2.size > 1)
+      val firstOf = dupGrams.map { case (g, os) =>
+        g -> os.map(o => (o._1, o._2)).min }
+      val want = toks.map { case (id, ws) =>
+        val dups = occ.filter(o => o._1 == id && dupGrams.contains(o._3))
+        val masked = dups.filter(o => firstOf(o._3) != ((o._1, o._2)))
+        val covered = masked.flatMap(o => o._2 until o._2 + k).toSet
+        id -> (ws.length.toLong, (ws.length - k + 1).toLong,
+          dups.size.toLong, masked.size.toLong, covered.size.toLong)
+      }.toMap
+      val got = Dedup.exactSpanMask(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+      assert(got == want, s"trial $trial diverged:\ngot  $got\nwant $want")
+    }
+  }
+
   test("d18: d9's full-window mask is a subset of the exact-span mask on the corpus") {
     // the containment claim (r12 verdict ask #5): every token d9
     // masks via a duplicated ALIGNED full window is covered by d18's

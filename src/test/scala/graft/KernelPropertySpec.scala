@@ -259,4 +259,36 @@ class KernelPropertySpec extends AnyFunSuite {
     }
     assert(hits > 0, "fixture must exercise at least one match")
   }
+
+  test("BootWeights md5 uniform matches the hex-string reference and stays in (0,1)") {
+    // reference takes the HEX-PARSE route (exactly what the SQL form
+    // conv(substring(md5(s),1,8),16,10) computes), so the kernel's
+    // big-endian byte assembly is checked against the semantics the
+    // DuckDB oracle evaluates
+    def ref(eventId: Long, b: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"boot:$b:$eventId".getBytes("US-ASCII"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967296.0
+    }
+    check(Prop.forAll(Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.choose(0, 500)) { (id: Long, b: Int) =>
+      val u = org.apache.spark.sql.graft.BootWeightsUtil.uniform(id, b)
+      u == ref(id, b) && u > 0.0 && u <= 1.0
+    })
+  }
+
+  test("BootWeightPair: weights ladder the CDF, value leg is exactly w*v, shape 2B") {
+    val cdf = org.apache.spark.sql.graft.BootWeightsUtil.PoissonCdf
+    check(Prop.forAll(Gen.choose(-100000L, 100000L),
+      Gen.choose(1, 64), Gen.choose(-1e6, 1e6)) { (id: Long, b: Int, v: Double) =>
+      val arr = org.apache.spark.sql.graft.BootWeightsUtil
+        .bootWeightPair(id, v, b).toDoubleArray()
+      arr.length == 2 * b && (0 until b).forall { i =>
+        val u = org.apache.spark.sql.graft.BootWeightsUtil.uniform(id, i)
+        val w = cdf.count(u >= _).toDouble
+        arr(i) == w && arr(b + i) == w * v && w >= 0.0 && w <= 6.0
+      }
+    })
+  }
 }
