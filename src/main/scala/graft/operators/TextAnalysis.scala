@@ -554,6 +554,12 @@ object TextAnalysis {
     val isEval = pmod(col("doc_id"), lit(EvalHoldoutMod)) === 0
     // each side shingles only its own documents (t15's split-before-
     // explode rule); only 64-bit gram hashes leave the rows
+    // negative result (measured r13, SURVEY §5's rule that a reuse is
+    // only a win if materialization is cheaper than recompute):
+    // localCheckpoint-ing evalG/trainG for their two consumers
+    // benched 1.63 s vs 1.28 s plain at sf0.1 — the gram lineage is a
+    // scan + in-row explode, cheaper to recompute per branch than to
+    // write/read 1M checkpoint rows
     val evalG = Dedup.spanGramsOf(docs.filter(isEval))
       .select(col("doc_id").as("eval_id"), col("gh")).distinct()
     val trainG = Dedup.spanGramsOf(docs.filter(!isEval))
