@@ -133,7 +133,7 @@ object ScaleCheck {
     // the de-hinted star joins whose strategy is now planner-chosen
     // at every scale (the r12 verdict's systemic-defect fix)
     "d18_exact_spans", "d19_span_extents", "obt2_partitioned_obt",
-    "d20_incremental_spans", "t31_span_decontaminate", "ts17_forecast_backtest", "priv2_dp_release",
+    "d20_incremental_spans", "t31_span_decontaminate", "ts17_forecast_backtest", "priv2_dp_release", "w14_lorenz", "prof11_depth_histogram",
     "q3_topk_revenue", "q5_region_revenue", "q7_nation_volume",
     "q9_product_profit", "q16_supplier_diversity", "q19_disjunctive_join",
     "q8_cheapest_supplier", "q14_promo_revenue", "q21_waiting_suppliers")

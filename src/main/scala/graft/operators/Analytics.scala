@@ -2039,6 +2039,43 @@ object Analytics {
           / col("n_customers").cast("double"), 6).as("gini"))
   }
 
+  /** w14: Lorenz curve — the distribution CURVE behind w11's Gini
+    * scalar and w12's top-decile point (the full "bottom X% of
+    * customers hold Y% of revenue" table a curation pipeline reads
+    * off before rebalancing source mass): customers bucketed into
+    * revenue deciles by their exact global rank (the w11 grouped-rank
+    * scaffold — no single-partition window), one decile-keyed
+    * exact-cents aggregate, cumulative sums as a window over the
+    * 10-row decile frame. All-integer until the two share divisions;
+    * decile assignment is exact integer arithmetic
+    * (floor((i−1)·10/n)), so bucket membership cannot drift between
+    * engines. */
+  def w14Lorenz(s: SparkSession, dir: String): DataFrame = {
+    val ranked = rankedCustomerCents(s, dir)
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"))
+    val byDecile = ranked.crossJoin(broadcast(tot)) // 1-row bounded metadata
+      // floor of a correctly-rounded IEEE quotient of exact ints —
+      // the quotient is an integer only when exactly divisible, so
+      // the floor is engine-stable (same form in the oracle)
+      .withColumn("decile",
+        floor((col("i") - 1) * 10 / col("n")).cast("long") + 1)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("decile_cents"),
+        max(col("tot")).as("tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile")) // 10-row frame: bounded by construction
+    byDecile
+      .withColumn("cum_cents", sum(col("decile_cents")).over(w))
+      .select(col("decile"), col("n_customers"), col("decile_cents"),
+        col("cum_cents"),
+        round(col("decile_cents").cast("double") / col("tot"), 6)
+          .as("decile_share"),
+        round(col("cum_cents").cast("double") / col("tot"), 6)
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
   /** Grouped-rank scaffold shared by w11/w12: ascending global rank
     * over a per-key exact-cents aggregate WITHOUT a single-partition
     * window (the f1 discipline): [[GiniBuckets]] approx-percentile
@@ -3001,6 +3038,25 @@ object Analytics {
         |  round(quantile_cont(lag_us // 1000000, 0.5), 4) AS p50_lag_s,
         |  round(quantile_cont(lag_us // 1000000, 0.9), 4) AS p90_lag_s
         |FROM s LEFT JOIN c USING (user_id)""".stripMargin,
+    "w14_lorenz" ->
+      """WITH x AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM x),
+        |t AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS tot FROM x),
+        |d AS (SELECT CAST(floor((i - 1) * 10 / t.n) AS BIGINT) + 1 AS decile,
+        |    cents, t.tot FROM r CROSS JOIN t),
+        |g AS (SELECT decile, COUNT(*) AS n_customers,
+        |    CAST(SUM(cents) AS BIGINT) AS decile_cents, MAX(tot) AS tot
+        |  FROM d GROUP BY 1),
+        |c AS (SELECT *, CAST(SUM(decile_cents) OVER (ORDER BY decile)
+        |    AS BIGINT) AS cum_cents FROM g)
+        |SELECT decile, n_customers, decile_cents, cum_cents,
+        |  round(CAST(decile_cents AS DOUBLE) / tot, 6) AS decile_share,
+        |  round(CAST(cum_cents AS DOUBLE) / tot, 6) AS cum_share
+        |FROM c ORDER BY decile""".stripMargin,
     "w11_gini" ->
       """WITH x AS (SELECT o_custkey,
         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
@@ -3262,6 +3318,7 @@ object Analytics {
     "a17_cross_corr" -> (a17CrossCorr _),
     "a12_volume_drift" -> (a12VolumeDrift _),
     "w11_gini" -> (w11Gini _),
+    "w14_lorenz" -> (w14Lorenz _),
     "e12_peak_concurrency" -> (e12PeakConcurrency _),
     "w12_top_decile_share" -> (w12TopDecileShare _),
     "e13_bounce_rate" -> (e13BounceRate _),

@@ -127,6 +127,37 @@ object Profiling {
       .orderBy("bucket")
   }
 
+  val DepthBuckets = 10 // equi-depth bucket count for prof11
+
+  /** prof11: equi-DEPTH histogram of l_extendedprice — the OTHER
+    * ANALYZE histogram (prof2 is equi-width): bucket boundaries at
+    * value deciles, so every bucket holds ~equal row mass and the
+    * boundaries THEMSELVES are the selectivity model (an optimizer
+    * estimates range predicates by interpolating bucket fractions —
+    * equi-width wastes resolution on empty ranges when the
+    * distribution is skewed). The cuts are ONE 1-row exact-percentile
+    * aggregate broadcast back (f1/rfm1/qc2's discipline — never a
+    * global sort), rounded to 4dp pre-broadcast so both engines
+    * bucket identical doubles; per bucket: row count, min/max, and
+    * exact NDV (the per-bucket distinct density an optimizer divides
+    * by). At 100 TB the cuts swap to approx_percentile (prof1b's
+    * argument), same plan. */
+  def prof11DepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+    val qs = (1 until DepthBuckets).map(_.toDouble / DepthBuckets)
+    val cuts = x.agg(expr(
+      s"transform(percentile(v, array(${qs.mkString(",")})), c -> round(c, 4))")
+      .as("cs"))
+    x.crossJoin(broadcast(cuts)) // 1-row bounded metadata
+      .withColumn("bucket", size(expr("filter(cs, c -> v > c)")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 4).as("lo"),
+        round(max(col("v")), 4).as("hi"),
+        countDistinct(col("v")).as("ndv"))
+      .orderBy("bucket")
+  }
+
   val SkewTopK = 3 // heavy keys reported per join column
   private val SkewCols = Seq("l_orderkey", "l_partkey", "l_suppkey")
 
@@ -489,6 +520,7 @@ object Profiling {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prof9_id_gaps" -> (prof9IdGaps _),
     "prof10_entropy" -> (prof10Entropy _),
+    "prof11_depth_histogram" -> (prof11DepthHistogram _),
     "prof7_benford" -> (prof7Benford _),
     "prof8_numeric_corr" -> (prof8NumericCorr _),
     "prof5_mutual_info" -> (prof5MutualInfo _),
@@ -575,6 +607,18 @@ object Profiling {
        |      FROM $t GROUP BY 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "prof11_depth_histogram" -> {
+      val qs = (1 until DepthBuckets).map(_.toDouble / DepthBuckets)
+      s"""WITH x AS (SELECT l_extendedprice AS v FROM lineitem),
+         |cuts AS (SELECT list_transform(quantile_cont(v,
+         |    [${qs.mkString(",")}]), c -> round(c, 4)) AS cs FROM x),
+         |b AS (SELECT v, len(list_filter(cs, c -> v > c)) AS bucket
+         |  FROM x CROSS JOIN cuts)
+         |SELECT bucket, COUNT(*) AS n,
+         |  round(MIN(v), 4) AS lo, round(MAX(v), 4) AS hi,
+         |  COUNT(DISTINCT v) AS ndv
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "prof10_entropy" -> EntropyCols.map { case (t, c) =>
       s"""SELECT '$t.$c' AS col_name, n AS n_rows, ndv AS n_distinct,
          |  round(-(CAST(sq AS DOUBLE) / 1e9), 6) AS entropy,

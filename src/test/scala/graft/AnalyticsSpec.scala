@@ -1223,4 +1223,26 @@ class AnalyticsSpec extends GraftSpec {
       "nobody can return on the first day of history")
     assert(rows.head.getAs[Double]("new_frac") == 1.0)
   }
+
+  test("w14 Lorenz curve reconciles with w11's totals and w12's top decile") {
+    val rows = Analytics.w14Lorenz(spark, sf).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val w11 = Analytics.w11Gini(spark, sf).collect().head
+    assert(rows.map(_.getAs[Long]("n_customers")).sum ==
+      w11.getAs[Long]("n_customers"), "customer mass conserved")
+    assert(rows.map(_.getAs[Long]("decile_cents")).sum ==
+      w11.getAs[Long]("total_cents"), "cents mass conserved")
+    assert(rows.last.getAs[Long]("cum_cents") ==
+      w11.getAs[Long]("total_cents"))
+    assert(rows.last.getAs[Double]("cum_share") == 1.0)
+    // Lorenz convexity: deciles are rank-ordered by cents, so the
+    // per-decile share must be non-decreasing
+    val shares = rows.map(_.getAs[Double]("decile_share"))
+    assert(shares.sliding(2).forall { case Array(a, b) => b >= a - 1e-9 })
+    // the top decile IS w12's head: ceil(n/10) = n - floor(9n/10)
+    val w12 = Analytics.w12TopDecileShare(spark, sf).collect().head
+    assert(rows.last.getAs[Long]("n_customers") == w12.getAs[Long]("top_k"))
+    assert(rows.last.getAs[Long]("decile_cents") == w12.getAs[Long]("top_cents"))
+  }
 }

@@ -259,4 +259,30 @@ class ProfilingSpec extends GraftSpec {
         s"$t.$c normalized entropy out of [0,1]: $norm")
     }
   }
+
+  test("prof11: equi-depth buckets hold ~equal mass, tile the value range, conserve rows") {
+    val rows = Profiling.prof11DepthHistogram(spark, sf).collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    assert(rows.length == Profiling.DepthBuckets)
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total, "row mass conserved")
+    // equi-depth: every bucket within 2x of the ideal n/B (value ties
+    // at a cut can shift mass across the boundary, exact equality is
+    // not the contract)
+    val ideal = total.toDouble / Profiling.DepthBuckets
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(n > 0.5 * ideal && n < 2.0 * ideal,
+        s"bucket ${r.getAs[Int]("bucket")} holds $n vs ideal $ideal")
+    }
+    // buckets tile: each bucket's range sits at or above the previous
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Double]("lo") >= a.getAs[Double]("hi") - 1e-9,
+          s"overlapping buckets: $a then $b")
+      case _ => ()
+    }
+    rows.foreach(r => assert(r.getAs[Long]("ndv") >= 1L &&
+      r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
+  }
 }
