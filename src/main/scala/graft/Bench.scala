@@ -126,15 +126,10 @@ object Bench {
     // different sf diverts to its own file instead of clobbering it;
     // the builder hit that trap twice)
     val flushPath: String = {
-      val p = java.nio.file.Paths.get("bench_last.json")
-      val existing =
-        if (java.nio.file.Files.exists(p))
-          Some(java.nio.file.Files.readString(p))
-        else None
-      val tgt = flushTarget(existing, sfDir)
+      val tgt = flushTarget(sfDir)
       if (tgt != "bench_last.json")
-        System.err.println(s"[bench] sf '$sfDir' differs from committed " +
-          s"bench_last.json — writing $tgt instead")
+        System.err.println(s"[bench] sf '$sfDir' is not the reference " +
+          s"sf ($ReferenceSfName) — writing $tgt instead")
       tgt
     }
     // run-start marker so errors from different runs never blur
@@ -233,19 +228,29 @@ object Bench {
     spark.stop()
   }
 
+  /** The reference scale factor the sealed bench_last.json holds
+    * (basename of the sf dir; `SPARK_GRAFT_REFERENCE_SF` overrides
+    * for a deliberate re-baseline). Pinned as a constant (r13 advice
+    * #5): the old guard trusted the COMMITTED file's self-declared sf
+    * field, so it failed OPEN whenever that file was missing or
+    * unparseable — one bad overwrite permanently re-aimed the guard
+    * at the wrong sf. */
+  private[graft] val ReferenceSfName: String =
+    sys.env.getOrElse("SPARK_GRAFT_REFERENCE_SF", "sf0.1")
+
   /** Where this run's evidence flushes. The committed bench_last.json
-    * is sealed per-round evidence at the reference sf; a capture at a
-    * DIFFERENT sf must not clobber it (r12 verdict ask #7 — the
-    * builder hit the trap twice), so an sf mismatch diverts the write
-    * to `bench_last.<sfname>.json`. Visible for the guard spec. */
-  private[graft] def flushTarget(existing: Option[String], sfDir: String): String = {
-    val sfOf = """"sf"\s*:\s*"([^"]+)"""".r
-    existing.flatMap(t => sfOf.findFirstMatchIn(t).map(_.group(1))) match {
-      case Some(prev) if prev != sfDir =>
-        val base = sfDir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9.]", "_")
-        s"bench_last.$base.json"
-      case _ => "bench_last.json"
-    }
+    * is sealed per-round evidence at the reference sf; a capture at
+    * any OTHER sf must not clobber it (r12 verdict ask #7 — the
+    * builder hit the trap twice), so a non-reference sf diverts the
+    * write to `bench_last.<sfname>.json`. Trailing path separators
+    * are normalized before taking the basename (r13 advice #5: a
+    * trailing slash used to produce "bench_last..json"). Visible for
+    * the guard spec. */
+  private[graft] def flushTarget(sfDir: String,
+      refSf: String = ReferenceSfName): String = {
+    val base = sfDir.replaceAll("[/\\\\]+$", "").replaceAll(".*/", "")
+      .replaceAll("[^A-Za-z0-9.]", "_")
+    if (base == refSf) "bench_last.json" else s"bench_last.$base.json"
   }
 
   /** Geomean of (our min-time / cohort time) over queries present in

@@ -252,6 +252,14 @@ object Mining {
     * array — prof2's equal-width discipline applied to equal
     * frequency. Exact `percentile` for the oracle; the 100 TB swap is
     * `approx_percentile` with identical plan shape. */
+  /** Driver-fetch cap for [[exactQuantiles]]: a needed bucket whose
+    * row count exceeds this is RE-SPLIT with the same 4096-way
+    * histogram instead of collected (r13 verdict ask #4) — so the
+    * driver never materializes more than ~cap doubles no matter how
+    * value-skewed the column is. Overridable per call (specs plant a
+    * tiny cap to force the recursion). */
+  private[graft] val QuantileFetchCap: Long = 1000000L
+
   /** Exact interpolated quantiles with `percentile`'s semantics
     * (position q·(n−1), linear interpolation (hi−pos)·v_lo +
     * (pos−lo)·v_hi, nulls skipped) — computed by DISTRIBUTED RANK
@@ -260,54 +268,114 @@ object Mining {
     * bucket-count aggregate (map-side partials — never a value
     * buffer); (3) locate each needed order statistic's bucket from
     * the ≤4096-row cumulative table on the driver; (4) fetch and
-    * sort ONLY the needed buckets' values (≈ rows/4096 each; a
-    * pathologically hot bucket would recurse the same split — not
-    * needed at these distributions). The built-in `percentile`
-    * funnels every distinct value through one final-merge buffer
-    * (measured 2.3 s on 600k values at sf0.1; this path: ~0.5 s),
-    * and at 100 TB a value map is not an option at all. MiningSpec
-    * pins bit-equality against the built-in. */
+    * sort ONLY the needed buckets' values (≈ rows/4096 each) — and
+    * when a HOT bucket still exceeds `cap` rows (99% of a 100 TB
+    * column can sit on one value), recurse the same split inside
+    * that bucket's rows: the re-filtered min/max tighten every
+    * level, a single-valued range short-circuits to its constant,
+    * and min < max guarantees ≥2 occupied sub-buckets, so each
+    * level strictly shrinks — the collect is bounded by cap at
+    * every depth. The built-in `percentile` funnels every distinct
+    * value through one final-merge buffer (measured 2.3 s on 600k
+    * values at sf0.1; this path: ~0.5 s), and at 100 TB a value map
+    * is not an option at all. MiningSpec pins bit-equality against
+    * the built-in, plus a planted 99%-hot-value spec proving every
+    * fetch stays under the cap (`fetchProbe` observes each collect's
+    * row count). */
   private[graft] def exactQuantiles(df: DataFrame, vCol: String,
-      qs: Seq[Double]): Array[Double] = {
+      qs: Seq[Double], cap: Long = QuantileFetchCap,
+      fetchProbe: Long => Unit = _ => ()): Array[Double] = {
     val v = col(vCol)
     val nn = df.filter(v.isNotNull)
     val st = nn.agg(count(v).as("n"), min(v).cast("double").as("lo"),
       max(v).cast("double").as("hi")).collect()(0)
     val n = st.getLong(0)
     require(n > 0, "exactQuantiles over an empty frame")
-    val (lo, hi) = (st.getDouble(1), st.getDouble(2))
-    if (lo == hi) return qs.map(_ => lo).toArray
-    val B = 4096
-    val bkt = least(floor((v.cast("double") - lit(lo)) /
-      lit((hi - lo) / B)), lit(B - 1)).cast("int")
-    val cnts = nn.groupBy(bkt.as("b")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val cumBefore = new Array[Long](B + 1)
-    for (b <- 0 until B) cumBefore(b + 1) = cumBefore(b) + cnts.getOrElse(b, 0L)
     val positions = qs.map(q => q * (n - 1))
     val ranks = positions.flatMap(p =>
       Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct
-    def bucketOf(rank: Long): Int = {
-      var b = java.util.Arrays.binarySearch(cumBefore, rank)
-      if (b < 0) b = -b - 2 // last bucket with cumBefore <= rank
-      while (b + 1 <= B - 1 && cumBefore(b + 1) <= rank) b += 1
-      b
-    }
-    val needed = ranks.map(bucketOf).distinct
-    val vals = nn.filter(bkt.isin(needed: _*))
-      .select(bkt.as("b"), v.cast("double").as("x"))
-      .collect().groupBy(_.getInt(0))
-      .map { case (b, rows) => b -> rows.map(_.getDouble(1)).sorted }
-    def at(rank: Long): Double = {
-      val b = bucketOf(rank)
-      vals(b)((rank - cumBefore(b)).toInt)
-    }
+    val at = rankValues(nn, v, n, st.getDouble(1), st.getDouble(2),
+      ranks, cap, fetchProbe)
     positions.map { p =>
       val lo0 = math.floor(p).toLong
       val hi0 = math.ceil(p).toLong
       if (lo0 == hi0) at(lo0)
       else (hi0 - p) * at(lo0) + (p - lo0) * at(hi0)
     }.toArray
+  }
+
+  /** The order statistics of `frame` (count `n`, values in [lo, hi],
+    * non-null) at the given 0-based `ranks`, by recursive equi-width
+    * rank location: one histogram pass locates every rank's bucket,
+    * all COLD needed buckets (≤ cap rows) are fetched in ONE filtered
+    * collect, and each HOT bucket recurses on its own rows with the
+    * re-filtered min/max — which tighten every level, so either the
+    * range collapses to a constant or ≥2 sub-buckets split the mass;
+    * each level strictly shrinks and every collect stays ≤ cap. */
+  private def rankValues(frame: DataFrame, v: org.apache.spark.sql.Column,
+      n: Long, lo: Double, hi: Double, ranks: Seq[Long], cap: Long,
+      fetchProbe: Long => Unit): Map[Long, Double] = {
+    if (lo == hi) return ranks.map(_ -> lo).toMap
+    if (n <= cap) {
+      fetchProbe(n)
+      val sorted = frame.select(v.cast("double").as("x"))
+        .collect().map(_.getDouble(0)).sorted
+      return ranks.map(r => r -> sorted(r.toInt)).toMap
+    }
+    val B = 4096
+    val w = (hi - lo) / B
+    if (w == 0.0) { // range below double resolution at this width:
+      // the few representable values between lo and hi carry >cap
+      // rows each — fold to (value, count) runs, bounded by distinct
+      // doubles in the range, never by the row count
+      val runs = frame.groupBy(v.cast("double").as("x"))
+        .agg(count(lit(1)).as("c")).orderBy("x")
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      fetchProbe(runs.length.toLong)
+      val cum = runs.scanLeft(0L)(_ + _._2)
+      return ranks.map { r =>
+        val i = cum.lastIndexWhere(_ <= r) // run holding rank r
+        r -> runs(math.min(i, runs.length - 1))._1
+      }.toMap
+    }
+    val bkt = least(floor((v.cast("double") - lit(lo)) / lit(w)),
+      lit(B - 1)).cast("int")
+    val cnts = frame.groupBy(bkt.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cumBefore = new Array[Long](B + 1)
+    for (b <- 0 until B) cumBefore(b + 1) = cumBefore(b) + cnts.getOrElse(b, 0L)
+    def bucketOf(rank: Long): Int = {
+      var b = java.util.Arrays.binarySearch(cumBefore, rank)
+      if (b < 0) b = -b - 2 // last bucket with cumBefore <= rank
+      while (b + 1 <= B - 1 && cumBefore(b + 1) <= rank) b += 1
+      b
+    }
+    val byBucket = ranks.groupBy(bucketOf)
+    val (cold, hot) = byBucket.partition { case (b, _) =>
+      cnts.getOrElse(b, 0L) <= cap }
+    // all cold buckets in ONE filtered collect (the common case: one
+    // scan total, ≈ rows/4096 per needed bucket)
+    val coldVals: Map[Int, Array[Double]] =
+      if (cold.isEmpty) Map.empty
+      else {
+        cold.keys.foreach(b => fetchProbe(cnts.getOrElse(b, 0L)))
+        frame.filter(bkt.isin(cold.keys.toSeq: _*))
+          .select(bkt.as("b"), v.cast("double").as("x"))
+          .collect().groupBy(_.getInt(0))
+          .map { case (b, rows) => b -> rows.map(_.getDouble(1)).sorted }
+      }
+    val fromCold = cold.toSeq.flatMap { case (b, rs) =>
+      rs.map(r => r -> coldVals(b)((r - cumBefore(b)).toInt)) }
+    // each hot bucket recurses on its own rows with tightened bounds
+    val fromHot = hot.toSeq.flatMap { case (b, rs) =>
+      val sub = frame.filter(bkt === b)
+      val sst = sub.agg(min(v).cast("double").as("lo"),
+        max(v).cast("double").as("hi")).collect()(0)
+      val m = rankValues(sub, v, cnts(b), sst.getDouble(0), sst.getDouble(1),
+        rs.map(_ - cumBefore(b)), cap, fetchProbe)
+      rs.map(r => r -> m(r - cumBefore(b)))
+    }
+    (fromCold ++ fromHot).toMap
   }
 
   /** [[exactQuantiles]] per group key, in ONE distributed pass per

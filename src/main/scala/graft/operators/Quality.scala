@@ -193,26 +193,43 @@ object Quality {
   /** priv2's privacy budget ε (Laplace scale b = 1/ε). */
   val DpEpsilon = 1.0
 
-  /** priv2: ε-differentially-private histogram release (the Laplace
-    * mechanism, Dwork et al. 2006) — the aggregate-release step a
-    * data-sharing pipeline runs before PUBLISHING corpus statistics
-    * (priv1 audits re-identification risk in joined rows; priv2 is
-    * the mechanism that makes the released AGGREGATE itself private):
-    * per event_type, count + Laplace(1/ε) noise. Histogram buckets
-    * partition the rows, so by parallel composition the whole release
-    * is ε-DP at sensitivity 1 (one row moves one count by 1). The
-    * noise is drawn by inverse-CDF on a deterministic md5-prefix
-    * uniform seeded per bucket (imp1/imp2's sampling discipline — a
-    * re-runnable release; a production deployment would swap in a
-    * sealed per-release seed, which changes the SEED STRING, not the
-    * plan), with the uniform offset +0.5/2³² so it sits strictly
-    * inside (0,1) and ln(1−2·|u−½|) never hits −∞. One keyed count,
-    * a row-local noise expression, domain-bounded output — the exact
-    * fixed IEEE tree both engines share, so the release hash-matches
+  /** priv2's DEFAULT release seed — the fixed, public string the
+    * re-runnable correctness gate uses. Under this seed the release
+    * carries NO differential-privacy protection (the seed is public,
+    * so anyone recomputes the noise and subtracts it exactly — r13
+    * advice #4); the ε-DP claim below holds only for the sealed-seed
+    * configuration, [[priv2DpReleaseSeeded]] with a secret. */
+  val DpGateSeed = "dp"
+
+  /** priv2: Laplace-mechanism histogram release (Dwork et al. 2006) —
+    * the aggregate-release step a data-sharing pipeline runs before
+    * PUBLISHING corpus statistics (priv1 audits re-identification
+    * risk in joined rows; priv2 is the mechanism that makes the
+    * released AGGREGATE itself private): per event_type, count +
+    * Laplace(1/ε) noise. Histogram buckets partition the rows, so by
+    * parallel composition the release is ε-DP at sensitivity 1 (one
+    * row moves one count by 1) — PROVIDED the noise is unpredictable,
+    * i.e. the release seed is sealed: the mechanism draws by
+    * inverse-CDF on an md5-prefix uniform of (seed, bucket), so the
+    * seed is the entire secret. This gate entry runs under the
+    * public [[DpGateSeed]] (re-runnable, hash-checkable, NOT private);
+    * a production release calls [[priv2DpReleaseSeeded]] with a
+    * sealed secret — same plan, different seed string. The uniform
+    * offset +0.5/2³² keeps u strictly inside (0,1) so
+    * ln(1−2·|u−½|) never hits −∞. One keyed count, a row-local noise
+    * expression, domain-bounded output — the exact fixed IEEE tree
+    * both engines share, so the gate release hash-matches
     * cross-engine. */
-  def priv2DpRelease(s: SparkSession, dir: String): DataFrame = {
-    val u = (conv(substring(md5(concat(lit("dp:"), col("event_type"))),
-      1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+  def priv2DpRelease(s: SparkSession, dir: String): DataFrame =
+    priv2DpReleaseSeeded(s, dir, DpGateSeed)
+
+  /** The seeded mechanism behind [[priv2DpRelease]] — `releaseSeed`
+    * is the secret that makes the Laplace draws unpredictable; the
+    * ε-DP guarantee is scoped to a seed the analyst cannot guess. */
+  def priv2DpReleaseSeeded(s: SparkSession, dir: String,
+      releaseSeed: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit(releaseSeed + ":"),
+      col("event_type"))), 1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
     Tables.events(s, dir)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .select(col("event_type"),
@@ -593,19 +610,26 @@ object Quality {
         Seq("scores" -> qc1ClassifierScore(s, dir)))
     }
 
-  /** Resolved path of the committed scores table last read by
+  /** Version-resolved committed-scores paths PER CORPUS DIR read by
     * [[qc2Calibration]] in this JVM — the [[oracles]] hook that lets
     * the DuckDB gate read the SAME artifact: Verify dumps the oracle
     * map AFTER every query ran, so the version-resolved path is known
     * by then; in subset runs that skip qc2 the entry is simply absent
-    * (rows-only fallback, same as before r13). */
-  @volatile private[graft] var lastQcScoresPath: Option[String] = None
+    * (rows-only fallback, same as before r13). Keyed by corpus dir
+    * (r13 advice #3): a single last-write-wins var would silently aim
+    * the oracle at the LAST corpus touched in a multi-corpus JVM, so
+    * the builder below emits the oracle only when the target is
+    * UNAMBIGUOUS (exactly one corpus ran), and version resolution
+    * fails loudly instead of naming a never-read "v1". */
+  private[graft] val qcScoresPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def qc2Calibration(s: SparkSession, dir: String): DataFrame = {
     val root = ensureQcScores(s, dir)
     val ver = graft.sources.AtomicPublish.currentVersion(s, root)
-      .getOrElse("v1")
-    lastQcScoresPath = Some(s"$root/versions/$ver/scores")
+      .getOrElse(throw new IllegalStateException(
+        s"qc2: no committed scores version under $root"))
+    qcScoresPaths.put(dir, s"$root/versions/$ver/scores")
     val base = graft.sources.AtomicPublish.readOutput(s, root, "scores")
       .select(col("label").cast("double").as("label"), col("score"))
       .localCheckpoint() // cuts + curve + ECE all read the scored frame
@@ -860,9 +884,16 @@ object Quality {
 
   /** A `def` (not val) so the qc2 entry can resolve the committed
     * scores path AFTER the queries ran — Verify's dump order
-    * guarantees it; see [[lastQcScoresPath]]. */
-  def oracles: Map[String, String] = staticOracles ++
-    lastQcScoresPath.map(p => "qc2_calibration" -> qc2Oracle(p)).toMap
+    * guarantees it; see [[qcScoresPaths]]. With zero corpora run the
+    * entry is absent (rows-only fallback); with MORE than one the
+    * entry is also absent — no single SQL string could be right for
+    * both, and a wrong-corpus oracle would fail the gate loudly at
+    * best, pass it vacuously at worst. */
+  def oracles: Map[String, String] = staticOracles ++ (
+    if (qcScoresPaths.size == 1)
+      Map("qc2_calibration" ->
+        qc2Oracle(qcScoresPaths.values.iterator.next()))
+    else Map.empty)
 
   private val staticOracles: Map[String, String] = Map(
     "priv2_dp_release" ->

@@ -190,7 +190,13 @@ object Sources {
     * the emitted frame aggregates THROUGH the round-tripped copy
     * (k1's discipline) so the DuckDB oracle proves the partitioned
     * write was lossless. Revenue sums in decimal (exact, order-free)
-    * and casts to double at the end. */
+    * and casts to double at the end; the orderkey checksum ALSO lifts
+    * to decimal(38,0) before summing (r13 advice #1): at the 100 TB
+    * grain this docstring designs for (~6e11 rows × ~1e12 keys) a raw
+    * int64 sum exceeds 2^63 — ANSI Spark throws, non-ANSI wraps
+    * SILENTLY while the DuckDB oracle's HUGEINT sum stays exact, the
+    * precise silent-vs-loud divergence class w11/g9/imp2 eliminated.
+    * The decimal fold is exact at any scale on both engines. */
   def obt2PartitionedObt(s: SparkSession, dir: String): DataFrame = {
     val path = tmp("obt2_part")
     obt2WriteFrame(s, dir)
@@ -199,7 +205,7 @@ object Sources {
       .groupBy(col("cust_region"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("revenue").cast("decimal(18,4)")).cast("double").as("sum_revenue"),
-        sum(col("l_orderkey")).as("sum_orderkey"))
+        sum(col("l_orderkey").cast("decimal(38,0)")).as("sum_orderkey"))
       .orderBy("cust_region")
   }
 
@@ -1141,7 +1147,7 @@ object Sources {
       """SELECT cr.r_name AS cust_region, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
         |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_revenue,
-        |  CAST(SUM(l.l_orderkey) AS BIGINT) AS sum_orderkey
+        |  CAST(SUM(l.l_orderkey) AS DECIMAL(38,0)) AS sum_orderkey
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey

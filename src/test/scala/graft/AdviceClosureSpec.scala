@@ -158,4 +158,76 @@ class AdviceClosureSpec extends GraftSpec {
     assert(graft.operators.TextAnalysis.oracles("t27_novelty") ==
       graft.operators.TextAnalysis.t27NoveltyOracle(None))
   }
+
+  test("r14 advice: obt2's orderkey checksum folds in decimal (no int64 wrap at fact scale)") {
+    import org.apache.spark.sql.types.DecimalType
+    // the shipped aggregate carries an exact decimal(38,0) fold
+    val schema = graft.sources.Sources.obt2PartitionedObt(spark, sf).schema
+    assert(schema("sum_orderkey").dataType == DecimalType(38, 0),
+      s"sum_orderkey must be decimal(38,0), got ${schema("sum_orderkey").dataType}")
+    // and the divergence class it eliminates: at fact scale a raw
+    // int64 sum overflows — ANSI Spark throws (non-ANSI wraps
+    // silently) while the decimal fold stays exact on both engines
+    import spark.implicits._
+    val big = Seq(Long.MaxValue, Long.MaxValue).toDF("k")
+    val exact = big.agg(sum(col("k").cast("decimal(38,0)")))
+      .collect()(0).getDecimal(0)
+    assert(exact == new java.math.BigDecimal(Long.MaxValue).multiply(
+      new java.math.BigDecimal(2)))
+    intercept[Exception] { big.agg(sum(col("k"))).collect() }
+    // the oracle mirrors the decimal form (DuckDB HUGEINT -> DECIMAL)
+    assert(graft.sources.Sources.oracles("obt2_partitioned_obt")
+      .contains("CAST(SUM(l.l_orderkey) AS DECIMAL(38,0))"))
+  }
+
+  test("r14 advice: prof11's sketch cuts are an explicit materialization, not exchange reuse") {
+    val x = Tables.lineitem(spark, sf).select(col("l_extendedprice").as("v"))
+    val pinned = graft.operators.Profiling.prof11PinnedCuts(x, 32)
+    // localCheckpoint rewrites the plan to a materialized RDD scan:
+    // every consumer reads ONE committed sketch draw even with
+    // exchange reuse disabled or AQE replanning the consumers apart
+    assert(pinned.queryExecution.analyzed.getClass.getSimpleName
+      .contains("LogicalRDD"),
+      s"pinned cuts must scan a materialized RDD, got: ${pinned.queryExecution.analyzed}")
+    val cuts = pinned.collect()(0).getSeq[Double](0)
+    assert(cuts.length == 31 && cuts == cuts.sorted)
+  }
+
+  test("r14 advice: qc2's oracle path is keyed per corpus and goes silent when ambiguous") {
+    graft.operators.Quality.qc2Calibration(spark, sf).collect()
+    val paths = graft.operators.Quality.qcScoresPaths
+    assert(paths.containsKey(sf), "qc2 must record the corpus dir it ran on")
+    assert(paths.get(sf).contains("/versions/"),
+      s"path must be version-resolved, got ${paths.get(sf)}")
+    val snapshot = paths.get(sf)
+    try {
+      // a second corpus in the same JVM: NO single oracle SQL could be
+      // right for both, so the entry must disappear (rows-only), not
+      // silently aim at the last corpus written
+      paths.put("/some/other/corpus", "/elsewhere/scores")
+      assert(!graft.operators.Quality.oracles.contains("qc2_calibration"))
+    } finally paths.remove("/some/other/corpus")
+    // unambiguous again: the oracle reads the exact committed parquet
+    assert(graft.operators.Quality.oracles("qc2_calibration")
+      .contains(snapshot))
+  }
+
+  test("r14 advice: priv2's noise moves with the release seed (DP claim scoped to sealed seeds)") {
+    val gate = graft.operators.Quality.priv2DpRelease(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the public gate seed is the default — re-runnable by contract
+    val explicit = graft.operators.Quality
+      .priv2DpReleaseSeeded(spark, sf, graft.operators.Quality.DpGateSeed)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gate == explicit)
+    // a sealed seed draws DIFFERENT noise on every bucket: without
+    // the seed the analyst cannot recompute-and-subtract it, which is
+    // what makes the epsilon-DP claim real in production
+    val sealedRun = graft.operators.Quality
+      .priv2DpReleaseSeeded(spark, sf, "sealed-release-2026-08-16")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gate.keySet == sealedRun.keySet)
+    assert(gate.keys.forall(k => gate(k) != sealedRun(k)),
+      "every bucket's noise must move with the seed")
+  }
 }

@@ -8,21 +8,26 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchGuardSpec extends AnyFunSuite {
 
-  test("flushTarget: an sf mismatch diverts the write off bench_last.json") {
-    val committed =
-      """{"metric":"total","value":1.0,"unit":"sec","sf":"/root/testdata/sf0.1"}"""
-    // same sf (or no committed evidence): the canonical target
-    assert(Bench.flushTarget(None, "/root/testdata/sf0.1") == "bench_last.json")
-    assert(Bench.flushTarget(Some(committed), "/root/testdata/sf0.1")
-      == "bench_last.json")
-    // a different-sf capture must NOT overwrite the sealed evidence
-    assert(Bench.flushTarget(Some(committed), "/root/testdata/sf0.01")
+  test("flushTarget: a non-reference sf diverts the write off bench_last.json") {
+    // reference sf: the canonical target
+    assert(Bench.flushTarget("/root/testdata/sf0.1") == "bench_last.json")
+    // any other sf must NOT overwrite the sealed evidence — keyed on
+    // the pinned reference constant, NOT on the committed file's
+    // self-declared sf (r13 advice #5: that guard failed open when
+    // the file was missing/unparseable, so one bad overwrite would
+    // permanently re-aim it)
+    assert(Bench.flushTarget("/root/testdata/sf0.01")
       == "bench_last.sf0.01.json")
-    assert(Bench.flushTarget(Some(committed), "/root/testdata/sf1")
+    assert(Bench.flushTarget("/root/testdata/sf1") == "bench_last.sf1.json")
+    // a trailing path separator no longer yields "bench_last..json"
+    assert(Bench.flushTarget("/root/testdata/sf0.1/") == "bench_last.json")
+    assert(Bench.flushTarget("/root/testdata/sf1///")
       == "bench_last.sf1.json")
-    // unparseable committed file (no sf field): fail open to the
-    // canonical target rather than wedging the bench
-    assert(Bench.flushTarget(Some("{}"), "/root/testdata/sf0.01")
+    // a deliberate re-baseline goes through the refSf parameter (env
+    // override in production), never through a mutable committed file
+    assert(Bench.flushTarget("/root/testdata/sf1", refSf = "sf1")
       == "bench_last.json")
+    assert(Bench.flushTarget("/root/testdata/sf0.1", refSf = "sf1")
+      == "bench_last.sf0.1.json")
   }
 }

@@ -291,4 +291,38 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("SearchSortedD equals the strict-less count on sorted arrays with duplicates") {
+    val arrGen = Gen.listOf(Gen.choose(-100, 100).map(_ / 10.0)).map(_.sorted)
+    check(Prop.forAll(arrGen, Gen.choose(-110, 110).map(_ / 10.0)) {
+      (cuts: List[Double], v: Double) =>
+        val expr = org.apache.spark.sql.graft.SearchSortedD(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            new GenericArrayData(cuts.toArray),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)),
+          org.apache.spark.sql.catalyst.expressions.Literal(v))
+        val got = expr.eval(InternalRow.empty).asInstanceOf[Int]
+        // the HOF form it replaces: size(filter(cuts, c -> v > c)) —
+        // on a sorted array the lower bound IS the strict-less count,
+        // so swapping forms cannot move a row's bucket
+        got == cuts.count(v > _)
+    })
+  }
+
+  test("SearchSortedD probe at/between/outside every cut of a duplicated ladder") {
+    // deterministic edges the generator may miss: probe exactly ON a
+    // duplicated cut, between cuts, below all, above all
+    val cuts = Array(1.0, 2.0, 2.0, 2.0, 3.0, 5.0)
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      new GenericArrayData(cuts),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    def at(v: Double): Int = org.apache.spark.sql.graft.SearchSortedD(
+      lit, org.apache.spark.sql.catalyst.expressions.Literal(v))
+      .eval(InternalRow.empty).asInstanceOf[Int]
+    assert(at(0.5) == 0 && at(1.0) == 0 && at(1.5) == 1)
+    assert(at(2.0) == 1 && at(2.5) == 4 && at(3.0) == 4)
+    assert(at(4.0) == 5 && at(5.0) == 5 && at(9.0) == 6)
+  }
 }

@@ -70,6 +70,31 @@ class MiningSpec extends GraftSpec {
       s"skewed: ${b2.mkString(",")} != ${m2.mkString(",")}")
   }
 
+  test("exactQuantiles hot-bucket recursion: 99%-duplicate column, every fetch under the cap") {
+    import spark.implicits._
+    // 99% of rows on one value (7.0): the bucket holding 7.0 blows
+    // any per-bucket fetch budget, so the r13-ask-#4 recursion must
+    // re-split it instead of collecting it
+    val nHot = 99000
+    val skew = (Seq.fill(nHot)(7.0) ++ (1 to 1000).map(_ / 100.0)).toDF("v")
+    val qs = Seq(0.0, 0.005, 0.5, 0.9, 0.995, 1.0)
+    val builtin = skew.agg(expr(s"percentile(v, array(${qs.mkString(",")}))"))
+      .collect()(0).getSeq[Double](0).toArray
+    val fetches = collection.mutable.ArrayBuffer.empty[Long]
+    val cap = 2000L // far below the hot value's 99k rows
+    val mine = Mining.exactQuantiles(skew, "v", qs, cap = cap,
+      fetchProbe = fetches += _)
+    assert(java.util.Arrays.equals(builtin, mine),
+      s"${builtin.mkString(",")} != ${mine.mkString(",")}")
+    // the recursion bound: NO driver collect exceeded the cap even
+    // though one value holds 99% of the rows
+    assert(fetches.nonEmpty && fetches.forall(_ <= cap),
+      s"fetch over cap: ${fetches.mkString(",")}")
+    // and the default-cap path still answers identically
+    assert(java.util.Arrays.equals(
+      Mining.exactQuantiles(skew, "v", qs), mine))
+  }
+
   test("groupedExactQuantiles matches the built-in per-group percentile") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_returnflag"), col("l_extendedprice"))

@@ -1203,4 +1203,37 @@ class PlanAuditSpec extends GraftSpec {
         s"$name: expected at most one shuffle join (the fact join), got $shuffleJoins:\n$plan")
     }
   }
+
+  test("prof11: fan-out scales with input, bucket search is native, no Expand (r13 ask #1)") {
+    import graft.operators.Profiling
+    // the scaling law itself: ~fixed rows per rank bucket above the
+    // floor, so the per-bucket row_number partition stays bounded at
+    // ANY scale factor (constant-32 was the suite's one scale-killer)
+    assert(Profiling.rankFanoutFor(1L) == Profiling.RankFanoutFloor)
+    assert(Profiling.rankFanoutFor(600000L) == Profiling.RankFanoutFloor)
+    assert(Profiling.rankFanoutFor(64L * Profiling.RankTargetRows) == 64)
+    assert(Profiling.rankFanoutFor(6L * 1000 * 1000 * 1000) == 3000)
+    assert(Profiling.rankFanoutFor(600L * 1000 * 1000 * 1000) == 300000)
+    assert(Profiling.rankFanoutFor(Long.MaxValue / 4) == 1000000,
+      "cut-array cap: the broadcast side must stay bounded")
+    val ns = Seq(1L, 1000000L, 100000000L, 10000000000L, 1000000000000L)
+    assert(ns.map(Profiling.rankFanoutFor) == ns.map(Profiling.rankFanoutFor).sorted,
+      "fan-out must be monotone in the row count")
+    // rows-per-bucket boundedness through the 100 TB grain (lineitem
+    // at a 100 TB TPC-H is ~6e11 rows; the 1M-bucket cap only starts
+    // trading bucket size for broadcast boundedness beyond 2e12)
+    for (n <- Seq(1e9.toLong, 1e11.toLong, 1e12.toLong)) {
+      val perBucket = n / Profiling.rankFanoutFor(n)
+      assert(perBucket <= 2 * Profiling.RankTargetRows,
+        s"n=$n: $perBucket rows/bucket exceeds the window-sort budget")
+    }
+    // and the plan: bucket assignment is the O(log B) native search
+    // (an O(B)-per-row HOF filter would undo the proportional fan-out)
+    // and the single distinct aggregate plans WITHOUT an Expand
+    val plan = planOf(Profiling.prof11DepthHistogram(spark, sf))
+    assert(plan.contains("graft_search_sorted"),
+      s"prof11 must assign buckets via the native binary search:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"countDistinct must plan as two-stage partial-distinct, not Expand:\n$plan")
+  }
 }
