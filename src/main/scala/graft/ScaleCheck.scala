@@ -136,7 +136,9 @@ object ScaleCheck {
     "d20_incremental_spans", "t31_span_decontaminate", "ts17_forecast_backtest", "priv2_dp_release", "w14_lorenz", "prof11_depth_histogram",
     "q3_topk_revenue", "q5_region_revenue", "q7_nation_volume",
     "q9_product_profit", "q16_supplier_diversity", "q19_disjunctive_join",
-    "q8_cheapest_supplier", "q14_promo_revenue", "q21_waiting_suppliers")
+    "q8_cheapest_supplier", "q14_promo_revenue", "q21_waiting_suppliers",
+    // round-14: span removal (the actionable span plane)
+    "d21_span_scrub")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

@@ -935,6 +935,41 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d18_exact_spans" -> d18SpansOracle(),
+    "d21_span_scrub" ->
+      s"""$spanMaskCtePrefix,
+         |brks AS (SELECT doc_id, tidx,
+         |    CASE WHEN tidx - LAG(tidx) OVER (PARTITION BY doc_id
+         |      ORDER BY tidx) <= $ExactSpanTokens THEN 0 ELSE 1 END AS brk
+         |  FROM mk),
+         |isl AS (SELECT doc_id, tidx,
+         |    CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY tidx)
+         |      AS BIGINT) AS span_id
+         |  FROM brks),
+         |sp AS (SELECT doc_id, span_id, MIN(tidx) AS s,
+         |    MAX(tidx) + ${ExactSpanTokens - 1} AS e
+         |  FROM isl GROUP BY 1, 2),
+         |ad AS (SELECT doc_id, string_split(text, ' ') AS ws,
+         |    len(string_split(text, ' ')) AS n_tok FROM documents),
+         |tk AS (SELECT doc_id, i - 1 AS tidx, ws[i] AS tokstr
+         |  FROM ad, LATERAL (SELECT unnest(generate_series(1,
+         |    CAST(n_tok AS INT))) AS i) ix(i)),
+         |kept AS (SELECT t.doc_id, t.tidx, t.tokstr FROM tk t
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp
+         |    WHERE sp.doc_id = t.doc_id AND t.tidx BETWEEN sp.s AND sp.e)),
+         |scr AS (SELECT doc_id,
+         |    COALESCE(string_agg(tokstr, ' ' ORDER BY tidx), '') AS stext
+         |  FROM kept GROUP BY 1),
+         |ns AS (SELECT doc_id, COUNT(*) AS n_spans,
+         |    CAST(SUM(e - s + 1) AS BIGINT) AS rm_tokens
+         |  FROM sp GROUP BY 1)
+         |SELECT ad.doc_id, CAST(ad.n_tok AS BIGINT) AS n_tokens,
+         |  COALESCE(ns.n_spans, 0) AS n_spans_removed,
+         |  COALESCE(ns.rm_tokens, 0) AS n_tokens_removed,
+         |  CAST(ad.n_tok - COALESCE(ns.rm_tokens, 0) AS BIGINT)
+         |    AS n_tokens_kept,
+         |  md5(COALESCE(scr.stext, '')) AS scrubbed_md5
+         |FROM ad LEFT JOIN ns USING (doc_id) LEFT JOIN scr USING (doc_id)
+         |ORDER BY ad.doc_id""".stripMargin,
     "d19_span_extents" ->
       s"""$spanMaskCtePrefix,
          |brks AS (SELECT doc_id, tidx,
@@ -1357,9 +1392,96 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** d19's maximal-extent islands from the committed span index —
+    * factored so d19 (reporting) and d21 (removal) consume ONE
+    * definition of "where the duplicated text sits". */
+  private[graft] def spanIslands(masked: DataFrame): DataFrame = {
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tidx"))
+    masked
+      .withColumn("gap", col("tidx") - lag(col("tidx"), 1).over(wD))
+      .withColumn("brk",
+        when(col("gap").isNull || col("gap") > ExactSpanTokens, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("brk")).over(wD))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("tidx")).cast("long").as("span_start"),
+        (max(col("tidx")) + ExactSpanTokens - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+  }
+
+  /** d21 core on arbitrary (doc_id, text) docs × (doc_id, span_start,
+    * span_end) extents — factored for the conservation and re-profile
+    * specs. Returns one row per INPUT doc: the kept token array plus
+    * the removal counters. The excision is ROW-LOCAL: each doc's
+    * (bounded, disjoint, sorted) extent list rides a doc-keyed join,
+    * and one `aggregate` fold over it concatenates the kept slices —
+    * O(#spans) lambda steps per doc, never a per-token explode, so
+    * corpus tokens are touched only by the final concat. */
+  private[graft] def d21Scrub(docs: DataFrame, extents: DataFrame): DataFrame = {
+    val perDoc = extents.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(
+          col("span_start").as("s"), col("span_end").as("e")))).as("spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("rm_tokens"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("spans").isNull, col("ws")).otherwise(expr(
+        """aggregate(spans,
+          |  named_struct('acc', cast(array() as array<string>),
+          |    'pos', cast(0 as bigint)),
+          |  (st, sp) -> named_struct(
+          |    'acc', concat(st.acc,
+          |      slice(ws, cast(st.pos + 1 as int), cast(sp.s - st.pos as int))),
+          |    'pos', sp.e + 1),
+          |  st -> concat(st.acc,
+          |    slice(ws, cast(st.pos + 1 as int),
+          |      cast(size(ws) - st.pos as int))))""".stripMargin)))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("rm_tokens"), lit(0L)).as("n_tokens_removed"),
+        col("kept"))
+  }
+
+  /** d21: span REMOVAL — the destructive pass that makes the span
+    * plane actionable (r13 verdict ask #2; the reference's retention
+    * pass deletes flagged rows in place, db.mjs:387-408 — here the
+    * corpus analog excises flagged spans and EMITS the scrubbed
+    * corpus). Consumes d19's maximal extents ([[spanIslands]] over
+    * the committed span index) and removes exactly the masked token
+    * positions — the keep-one global first occurrence of every
+    * duplicated gram is preserved by construction (it is never in
+    * the mask). Per doc: the kept-token count, the removal report
+    * (spans/tokens removed), and the md5 of the scrubbed text, so
+    * the gate pins the exact reconstructed STRING, not just counts.
+    * Conservation is cross-engine-PROVEN, not just spec'd: Spark
+    * emits n_tokens_kept = size(kept array) — the real emitted
+    * token count — while the oracle computes n_tokens −
+    * n_tokens_removed; the hash can only match if excision removed
+    * exactly the masked positions. Scale shape: committed-index read
+    * (duplication-mass bounded) → per-doc windows (bounded by doc
+    * length) → ONE doc-keyed join onto the corpus → row-local slice
+    * fold; short docs (< K tokens) and span-free docs pass through
+    * unchanged, every input doc appears in the output. DedupSpec
+    * additionally re-profiles the scrubbed corpus with d18 at the
+    * same K. */
+  def d21SpanScrub(s: SparkSession, dir: String): DataFrame = {
+    val masked = graft.sources.AtomicPublish.readOutput(s,
+      ensureSpanIndex(s, dir), "dup")
+      .filter(!col("is_first")).select(col("doc_id"), col("tidx"))
+    d21Scrub(Tables.documents(s, dir), spanIslands(masked))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans_removed"),
+        col("n_tokens_removed"),
+        size(col("kept")).cast("long").as("n_tokens_kept"),
+        md5(concat_ws(" ", col("kept"))).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d18_exact_spans" -> (d18ExactSpans _),
     "d19_span_extents" -> (d19SpanExtents _),
+    "d21_span_scrub" -> (d21SpanScrub _),
     "d9_substring_dedup" -> (d9SubstringDedup _),
     "d8_incremental_dedup" -> (d8IncrementalDedup _),
     "d1_dedup_exact" -> (d1DedupExact _),

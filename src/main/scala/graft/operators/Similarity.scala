@@ -285,7 +285,29 @@ object Similarity {
           s"edges=tau${Dedup.NeardupTau}"))
   }
 
+  /** Version-resolved index directory PER CORPUS DIR, recorded when
+    * [[ensureAnnIndex]] resolves it — the hook that lets the DuckDB
+    * gate read the SAME committed index tables the probe queries
+    * read (qc2's read-the-committed-path discipline, r13 ask #7):
+    * Verify dumps the oracle map AFTER the queries ran, so the
+    * version is known by then. Keyed by dir; [[oracles]] emits the
+    * index-backed entries only when exactly one corpus ran (a
+    * last-write-wins var would aim the oracle at the wrong corpus in
+    * a multi-corpus JVM). */
+  private[graft] val annVersionDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[graft] def ensureAnnIndex(s: SparkSession, dir: String): String = {
+    import graft.sources.{AtomicPublish, DurableIndex}
+    val ensured = ensureAnnIndexBuilt(s, dir)
+    val ver = AtomicPublish.currentVersion(s, ensured)
+      .getOrElse(throw new IllegalStateException(
+        s"ann index: no committed version under $ensured"))
+    annVersionDirs.put(dir, s"$ensured/versions/$ver")
+    ensured
+  }
+
+  private def ensureAnnIndexBuilt(s: SparkSession, dir: String): String = {
     import graft.sources.{AtomicPublish, DurableIndex}
     // Build fence + pointer re-check + lazy sibling vacuum live in
     // DurableIndex (shared with the text inverted index); this build
@@ -725,8 +747,14 @@ object Similarity {
     * per-vector scores fold IN-ROW against the ≤[[IvfCells]]×dim
     * literal centroid array (n3's zero-shuffle argmax pattern — no
     * explode fan-out, no join), so the whole audit is one corpus scan
-    * into a ≤IvfCells-row aggregate. rows-only (trained centroids are
-    * engine-specific). */
+    * into a ≤IvfCells-row aggregate. FULL hash oracle since r14 (r13
+    * ask #7): the centroids are "engine-trained" but COMMITTED —
+    * both the centroid and assignment tables live in the published
+    * index version, so the oracle `read_parquet()`s the exact same
+    * doubles and replays the audit in SQL ([[annVersionDirs]], qc2's
+    * discipline). Per-vector cosines fold as 1e-9-quantized int64
+    * sums (order-free — a raw avg(double) is partial-merge-order
+    * dependent); min is order-free as-is. */
   def n4CellAudit(s: SparkSession, dir: String): DataFrame = {
     val root = ensureAnnIndex(s, dir)
     val cells = indexCells(s, root)
@@ -741,14 +769,19 @@ object Similarity {
       when(col("cell_id") =!= id, c)
     }: _*)
     val perVec = assigned.select(col("cell_id"),
-      ownCos.as("own_cos"), otherCos.as("other_cos"))
+      floor(ownCos * lit(1e9) + lit(0.5)).cast("long").as("sq_own"),
+      floor(otherCos * lit(1e9) + lit(0.5)).cast("long").as("sq_oth"),
+      (ownCos - otherCos).as("margin"))
     val tot = assigned.agg(count(lit(1)).as("n_total"))
     perVec.groupBy(col("cell_id"))
       .agg(count(lit(1)).as("n_vectors"),
-        round(avg(col("own_cos")), 6).as("mean_own_cos"),
-        round(avg(col("other_cos")), 6).as("mean_other_cos"),
-        round(avg(col("own_cos") - col("other_cos")), 6).as("mean_margin"),
-        round(min(col("own_cos") - col("other_cos")), 6).as("min_margin"))
+        round((sum(col("sq_own")).cast("double") / count(lit(1))) / lit(1e9), 6)
+          .as("mean_own_cos"),
+        round((sum(col("sq_oth")).cast("double") / count(lit(1))) / lit(1e9), 6)
+          .as("mean_other_cos"),
+        round(((sum(col("sq_own")) - sum(col("sq_oth"))).cast("double") /
+          count(lit(1))) / lit(1e9), 6).as("mean_margin"),
+        round(min(col("margin")), 6).as("min_margin"))
       .crossJoin(broadcast(tot)) // 1-row bounded metadata
       .select(col("cell_id"), col("n_vectors"),
         round(col("n_vectors") / col("n_total").cast("double"), 6).as("share"),
@@ -956,7 +989,162 @@ object Similarity {
           lit(0.5)).cast("double") / lit(1e6)).as("mean_pairwise_cosine"))
   }
 
-  val oracles: Map[String, String] = Map(
+  /** A `def` (qc2's discipline): the index-backed entries resolve the
+    * committed version path AFTER the queries ran — Verify dumps the
+    * oracle map last — and are emitted only when exactly ONE corpus
+    * ran in this JVM (ambiguity ⇒ rows-only fallback, never a
+    * wrong-corpus oracle). The LSH/IVF probes and the cell audit are
+    * "engine-specific" only until the index is COMMITTED; after that
+    * every probe is deterministic SQL over the published tables, so
+    * the gate replays candidate generation, probe selection, exact
+    * re-ranking, and the recall join cross-engine (r13 ask #7). */
+  def oracles: Map[String, String] = staticOracles ++ (
+    if (annVersionDirs.size == 1) {
+      val ver = annVersionDirs.values.iterator.next()
+      Map(
+        "n2_ann_lsh" -> n2Oracle(ver),
+        "n3_ivf_ann" -> n3Oracle(ver),
+        "n4_cell_audit" -> n4Oracle(ver),
+        "n13_recall_eval" -> n13Oracle(ver))
+    } else Map.empty)
+
+  /** DuckDB replay of n2's multiprobe against the committed lsh +
+    * assignments tables: home bucket + every 1-bit flip, candidate
+    * dedup, exact-cosine re-rank — the same arithmetic on the same
+    * committed doubles. */
+  private def n2Oracle(verDir: String): String = {
+    val flips = (Seq(0L) ++ (0 until LshBits).map(b => 1L << b))
+      .map(f => s"($f)").mkString(", ")
+    s"""WITH lsh AS (SELECT vec_id, tbl, bkt
+       |    FROM read_parquet('$verDir/lsh/*.parquet')),
+       |vecs AS (SELECT vec_id, v, nrm
+       |    FROM read_parquet('$verDir/assignments/*.parquet')),
+       |qb AS (SELECT l.vec_id AS query_id, l.tbl,
+       |    xor(l.bkt, f.flip) AS bkt
+       |  FROM lsh l CROSS JOIN (VALUES $flips) AS f(flip)
+       |  WHERE l.vec_id < $NumQueries),
+       |cand AS (SELECT DISTINCT qb.query_id, l2.vec_id AS neighbor_id
+       |  FROM qb JOIN lsh l2 ON qb.tbl = l2.tbl AND qb.bkt = l2.bkt
+       |  WHERE qb.query_id <> l2.vec_id),
+       |pairs AS (SELECT c.query_id, c.neighbor_id,
+       |    list_dot_product(qv.v, nv.v) / (qv.nrm * nv.nrm) AS cos_raw
+       |  FROM cand c JOIN vecs qv ON qv.vec_id = c.query_id
+       |    JOIN vecs nv ON nv.vec_id = c.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replay of n3's IVF probe against the committed centroid +
+    * assignment tables: top-[[IvfProbes]] cells per query by centroid
+    * cosine (cell_id tie-break), then exact-cosine re-rank of the
+    * probed cells' members. */
+  private def n3Oracle(verDir: String): String =
+    s"""WITH c AS (SELECT cell_id, cv, cn
+       |    FROM read_parquet('$verDir/centroids/*.parquet')),
+       |a AS (SELECT vec_id, v, nrm, cell_id
+       |    FROM read_parquet('$verDir/assignments/*.parquet')),
+       |probes AS (SELECT query_id, cell_id FROM (
+       |    SELECT q.vec_id AS query_id, c.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(q.v, c.cv) / (q.nrm * c.cn) DESC,
+       |        c.cell_id ASC) AS prn
+       |    FROM a q CROSS JOIN c WHERE q.vec_id < $NumQueries)
+       |  WHERE prn <= $IvfProbes),
+       |pairs AS (SELECT p.query_id, m.vec_id AS neighbor_id,
+       |    list_dot_product(qv.v, m.v) / (qv.nrm * m.nrm) AS cos_raw
+       |  FROM probes p JOIN a m ON m.cell_id = p.cell_id
+       |    JOIN a qv ON qv.vec_id = p.query_id
+       |  WHERE p.query_id <> m.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB replay of n4's cell audit over the committed tables:
+    * per-vector own/best-other centroid cosine, 1e-9-quantized
+    * per-cell means (order-free int64 folds), order-free min. */
+  private def n4Oracle(verDir: String): String =
+    s"""WITH a AS (SELECT vec_id, cell_id, v, nrm
+       |    FROM read_parquet('$verDir/assignments/*.parquet')),
+       |c AS (SELECT cell_id, cv, cn
+       |    FROM read_parquet('$verDir/centroids/*.parquet')),
+       |s AS (SELECT a.vec_id, a.cell_id,
+       |    MAX(list_dot_product(a.v, c.cv) / (a.nrm * c.cn)) AS own_cos,
+       |    MAX(CASE WHEN c.cell_id <> a.cell_id
+       |      THEN list_dot_product(a.v, c.cv) / (a.nrm * c.cn) END) AS other_cos
+       |  FROM a CROSS JOIN c GROUP BY 1, 2),
+       |q AS (SELECT cell_id,
+       |    CAST(floor(own_cos * 1e9 + 0.5) AS BIGINT) AS sq_own,
+       |    CAST(floor(other_cos * 1e9 + 0.5) AS BIGINT) AS sq_oth,
+       |    own_cos - other_cos AS margin FROM s),
+       |g AS (SELECT cell_id, COUNT(*) AS n_vectors,
+       |    round((CAST(SUM(sq_own) AS DOUBLE) / COUNT(*)) / 1e9, 6)
+       |      AS mean_own_cos,
+       |    round((CAST(SUM(sq_oth) AS DOUBLE) / COUNT(*)) / 1e9, 6)
+       |      AS mean_other_cos,
+       |    round((CAST(SUM(sq_own) - SUM(sq_oth) AS DOUBLE) / COUNT(*)) / 1e9, 6)
+       |      AS mean_margin,
+       |    round(MIN(margin), 6) AS min_margin
+       |  FROM q GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS n_total FROM a)
+       |SELECT g.cell_id, g.n_vectors,
+       |  round(g.n_vectors / CAST(t.n_total AS DOUBLE), 6) AS share,
+       |  g.mean_own_cos, g.mean_other_cos, g.mean_margin, g.min_margin
+       |FROM g CROSS JOIN t ORDER BY g.cell_id""".stripMargin
+
+  /** DuckDB replay of n13's recall eval: the exact side is n1's SQL
+    * over the raw embeddings; the approx side replays n2's multiprobe
+    * from the committed index; recall joins the two bounded frames. */
+  private def n13Oracle(verDir: String): String = {
+    val flips = (Seq(0L) ++ (0 until LshBits).map(b => 1L << b))
+      .map(f => s"($f)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |xp AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, e.v) / (q.nrm * e.nrm) AS cos_raw
+       |  FROM e q JOIN e ON q.vec_id < $NumQueries AND e.vec_id <> q.vec_id),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC)
+       |      AS rank FROM xp) WHERE rank <= $TopK),
+       |lsh AS (SELECT vec_id, tbl, bkt
+       |    FROM read_parquet('$verDir/lsh/*.parquet')),
+       |vecs AS (SELECT vec_id, v, nrm
+       |    FROM read_parquet('$verDir/assignments/*.parquet')),
+       |qb AS (SELECT l.vec_id AS query_id, l.tbl,
+       |    xor(l.bkt, f.flip) AS bkt
+       |  FROM lsh l CROSS JOIN (VALUES $flips) AS f(flip)
+       |  WHERE l.vec_id < $NumQueries),
+       |cand AS (SELECT DISTINCT qb.query_id, l2.vec_id AS neighbor_id
+       |  FROM qb JOIN lsh l2 ON qb.tbl = l2.tbl AND qb.bkt = l2.bkt
+       |  WHERE qb.query_id <> l2.vec_id),
+       |ap AS (SELECT c.query_id, c.neighbor_id,
+       |    list_dot_product(qv.v, nv.v) / (qv.nrm * nv.nrm) AS cos_raw
+       |  FROM cand c JOIN vecs qv ON qv.vec_id = c.query_id
+       |    JOIN vecs nv ON nv.vec_id = c.neighbor_id),
+       |approx AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC)
+       |      AS rank FROM ap) WHERE rank <= $TopK),
+       |hit AS (SELECT ex.query_id, COUNT(*) AS n_hit FROM exact ex
+       |  JOIN approx ap2 ON ex.query_id = ap2.query_id
+       |    AND ex.neighbor_id = ap2.neighbor_id GROUP BY 1),
+       |ne AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+       |SELECT ne.query_id, ne.n_exact, COALESCE(hit.n_hit, 0) AS n_hit,
+       |  round(COALESCE(hit.n_hit, 0) / CAST(ne.n_exact AS DOUBLE), 4)
+       |    AS recall
+       |FROM ne LEFT JOIN hit ON ne.query_id = hit.query_id
+       |ORDER BY ne.query_id""".stripMargin
+  }
+
+  private val staticOracles: Map[String, String] = Map(
     "n16_corpus_diversity" ->
       """WITH u AS (SELECT embedding::DOUBLE[] AS v,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))

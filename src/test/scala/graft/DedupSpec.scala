@@ -574,4 +574,62 @@ class DedupSpec extends GraftSpec {
       s"${escaped.size} d9-masked token positions escape d18's exact mask: " +
         escaped.take(5).mkString(", "))
   }
+
+  test("d21: excises exactly the planted span; the kept-first doc is byte-unchanged") {
+    import spark.implicits._
+    // the d18 planted corpus: doc 1 holds the global firsts, doc 2
+    // carries the unaligned 25-token copy at offset 10
+    val span = (13 to 37).map(i => s"a$i")
+    val doc1 = (0 until 100).map(i => s"a$i")
+    val doc2 = (0 until 10).map(i => s"b$i") ++ span ++ (10 until 75).map(i => s"b$i")
+    val docs = Seq((1L, doc1.mkString(" ")), (2L, doc2.mkString(" ")))
+      .toDF("doc_id", "text")
+    val extents = Dedup.spanIslands(Dedup.exactSpanMaskedStarts(docs))
+    val got = Dedup.d21Scrub(docs, extents)
+      .select(col("doc_id"), col("n_tokens"), col("n_spans_removed"),
+        col("n_tokens_removed"), concat_ws(" ", col("kept")).as("scrubbed"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 (keep-one first): byte-identical pass-through
+    val r1 = got(1L)
+    assert(r1.getLong(r1.fieldIndex("n_spans_removed")) == 0L)
+    assert(r1.getString(r1.fieldIndex("scrubbed")) == doc1.mkString(" "))
+    // doc 2: exactly the 25 planted span tokens excised, splice clean
+    val r2 = got(2L)
+    assert(r2.getLong(r2.fieldIndex("n_spans_removed")) == 1L)
+    assert(r2.getLong(r2.fieldIndex("n_tokens_removed")) == 25L)
+    assert(r2.getString(r2.fieldIndex("scrubbed")) ==
+      ((0 until 10).map(i => s"b$i") ++ (10 until 75).map(i => s"b$i"))
+        .mkString(" "))
+  }
+
+  test("d21: corpus conservation — kept ≡ n_tokens − d18 mask; re-profile shows zero residual") {
+    // (a) emitted token counts reconcile with d18's mask PER DOC
+    val scrub = Dedup.d21SpanScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d18 = Dedup.d18ExactSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(d18.nonEmpty && scrub.size >= d18.size)
+    for ((id, m) <- d18) {
+      val sR = scrub(id)
+      assert(sR.getLong(sR.fieldIndex("n_tokens_kept")) ==
+        m.getLong(m.fieldIndex("n_tokens")) -
+          m.getLong(m.fieldIndex("n_masked_tokens")),
+        s"doc $id: kept != n_tokens - masked")
+    }
+    // short docs (< K tokens, absent from the profile) pass through
+    for ((id, sR) <- scrub if !d18.contains(id))
+      assert(sR.getLong(sR.fieldIndex("n_tokens_removed")) == 0L,
+        s"short doc $id must be untouched")
+    // (b) the scrubbed corpus re-profiled by d18 at the same K holds
+    // ZERO masked tokens: every duplicated gram lost all non-first
+    // occurrences, and no splice-point gram re-collides on this corpus
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val extents = Dedup.spanIslands(Dedup.exactSpanMaskedStarts(docs))
+    val scrubbedDocs = Dedup.d21Scrub(docs, extents)
+      .select(col("doc_id"), concat_ws(" ", col("kept")).as("text"))
+    val residual = Dedup.exactSpanMask(scrubbedDocs)
+      .agg(sum(col("n_masked_tokens"))).collect()(0).getLong(0)
+    assert(residual == 0L,
+      s"scrubbed corpus still carries $residual masked tokens")
+  }
 }
