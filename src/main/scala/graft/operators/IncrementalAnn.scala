@@ -211,32 +211,55 @@ object IncrementalAnn {
       }
       .start()
 
+  /** Version-resolved post-ingest snapshot dir PER CORPUS DIR — the
+    * n17 oracle hook (Similarity.annVersionDirs' discipline): the
+    * probe is deterministic SQL once the snapshot is committed, so
+    * the gate replays it from the version-resolved parquet. */
+  private[graft] val incrVersionDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Build v1 over the base slice, then incrementally publish v2
     * covering base+batch — both under one durable fence, so the n17
     * probe always reads the post-ingest snapshot. */
-  private[graft] def ensureIncrAnnIndex(s: SparkSession, dir: String): String =
-    graft.sources.DurableIndex.ensure(s, incrAnnRoot(dir)) {
+  private[graft] def ensureIncrAnnIndex(s: SparkSession, dir: String): String = {
+    val root = graft.sources.DurableIndex.ensure(s, incrAnnRoot(dir)) {
       val e = Tables.embeddings(s, dir)
-      val root = incrAnnRoot(dir)
-      graft.sources.AtomicPublish.publish(s, root, buildAnnOutputs(s,
+      graft.sources.AtomicPublish.publish(s, incrAnnRoot(dir), buildAnnOutputs(s,
         Similarity.corpusOf(e.filter(col("vec_id") % BatchMod =!= 0))))
-      publishAnnIncrement(s, root, e.filter(col("vec_id") % BatchMod === 0))
+      publishAnnIncrement(s, incrAnnRoot(dir),
+        e.filter(col("vec_id") % BatchMod === 0))
+      ()
     }
+    val ver = graft.sources.AtomicPublish.currentVersion(s, root)
+      .getOrElse(throw new IllegalStateException(
+        s"incremental ann index: no committed version under $root"))
+    incrVersionDirs.put(dir, s"$root/versions/$ver")
+    root
+  }
 
   /** n17: IVF top-k probe against the INCREMENTALLY-maintained ANN
     * index — n3's exact probe plan ([[Similarity.ivfProbeFrom]], same
     * cell routing, same rank window) pointed at the post-ingest
     * snapshot, so a user query after an ingest batch sees base AND
-    * batch vectors without any rebuild having run. rows-only (the
-    * carried centroids are engine-trained state); IncrementalAnnSpec
-    * proves probe ≡ a from-scratch assignment at equal centroids,
-    * recall on the merged corpus, and that a drifted batch trips the
-    * retrain trigger. */
+    * batch vectors without any rebuild having run. FULL hash oracle
+    * since r14: the carried centroids are engine-trained but
+    * COMMITTED, so the oracle replays the identical probe SQL over
+    * the version-resolved snapshot ([[Similarity.ivfProbeOracle]] —
+    * ONE oracle text for n3 and n17, so probe semantics cannot drift
+    * between the two lifecycles on the oracle side either).
+    * IncrementalAnnSpec additionally proves probe ≡ a from-scratch
+    * assignment at equal centroids, recall on the merged corpus, and
+    * that a drifted batch trips the retrain trigger. */
   def n17IncrementalAnn(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfProbeFrom(s, ensureIncrAnnIndex(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n17_incremental_ann" -> (n17IncrementalAnn _))
 
-  val oracles: Map[String, String] = Map.empty
+  /** `def` + unambiguous-corpus rule — Similarity.oracles' discipline. */
+  def oracles: Map[String, String] =
+    if (incrVersionDirs.size == 1)
+      Map("n17_incremental_ann" ->
+        Similarity.ivfProbeOracle(incrVersionDirs.values.iterator.next()))
+    else Map.empty
 }

@@ -333,9 +333,19 @@ object Pipeline {
     * [[Quality.CalibBuckets]] rows), so the report is three tiny
     * reductions unioned — the corpus is scanned only inside the
     * composed operators, each with its own audited scale shape.
-    * rows-only: qc2's ECE depends on the engine-trained classifier
-    * weights; the spec cross-checks every row against its source
-    * operator and pins the threshold banding. */
+    * FULL hash oracle since r14: every input is now verifiable —
+    * a12/psi1 have static SQL, qc2's ECE reads the COMMITTED scores
+    * artifact, and the two registry rows read the committed model
+    * meta tables — so the composed report is the same UNION over the
+    * composed oracles ([[pipe4MetaDirs]] records the version-resolved
+    * meta paths; the spec additionally cross-checks every row against
+    * its source operator and pins the threshold banding). */
+  /** Version-resolved (qc model meta, bpe model meta) dirs per corpus
+    * — the pipe4 oracle hook (Similarity.annVersionDirs' discipline:
+    * keyed per dir, emitted only when unambiguous, resolved loudly). */
+  private[graft] val pipe4MetaDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   def pipe4MonitorReport(s: SparkSession, dir: String): DataFrame = {
     val vol = Analytics.a12VolumeDrift(s, dir)
       .agg(sum(when(col("is_anomaly"), 1L).otherwise(0L))
@@ -367,8 +377,19 @@ object Pipeline {
       graft.sources.ModelRegistry.reportRow(s, Quality.qcModelRoot(dir),
         "qc_model_registry")
     }
-    val bpeReg = graft.sources.ModelRegistry.reportRow(s,
-      TextAnalysis.ensureBpeModel(s, dir), "bpe_model_registry")
+    val bpeRoot = TextAnalysis.ensureBpeModel(s, dir)
+    val bpeReg = graft.sources.ModelRegistry.reportRow(s, bpeRoot,
+      "bpe_model_registry")
+    // record the version-resolved meta dirs for the oracle (fails
+    // loudly if either registry has no committed version)
+    def verDir(root: String): String = {
+      val v = graft.sources.AtomicPublish.currentVersion(s, root)
+        .getOrElse(throw new IllegalStateException(
+          s"pipe4: no committed version under $root"))
+      s"$root/versions/$v"
+    }
+    pipe4MetaDirs.put(dir,
+      (verDir(Quality.qcModelRoot(dir)), verDir(bpeRoot)))
     vol.unionAll(drift).unionAll(calib).unionAll(qcReg).unionAll(bpeReg)
       .orderBy("check")
   }
@@ -406,7 +427,65 @@ object Pipeline {
       .orderBy("source")
   }
 
-  val oracles: Map[String, String] = Map(
+  /** pipe4's oracle: the same five-row UNION over the COMPOSED
+    * oracles — a12/psi1's static SQL as subqueries, qc2's ECE over
+    * the committed scores artifact (pulled from Quality's dynamic
+    * map, so the two oracles can never read different versions), and
+    * the registry rows straight off the committed meta parquet. A
+    * hash pass proves the composition wiring, the threshold banding,
+    * and the committed-state reads all at once. */
+  private def pipe4Oracle(qcMetaDir: String, bpeMetaDir: String,
+      qc2Sql: String): String = {
+    val a12 = Analytics.oracles("a12_volume_drift")
+    val psi1 = Quality.oracles("psi1_feature_drift")
+    val dpsi = graft.sources.ModelRegistry.DriftingPsi
+    val rpsi = graft.sources.ModelRegistry.RetrainPsi
+    def reg(check: String, metaDir: String): String =
+      s"""SELECT '$check' AS "check", 'drift_psi' AS metric,
+         |  round(drift_psi, 6) AS value,
+         |  CASE WHEN refreshed THEN 'retrained'
+         |    WHEN drift_psi > $dpsi THEN 'drifting'
+         |    ELSE 'stable' END AS status
+         |FROM read_parquet('$metaDir/meta/*.parquet')""".stripMargin
+    s"""SELECT * FROM (
+       |SELECT 'volume_drift' AS "check", 'n_anomaly_days' AS metric,
+       |  CAST(SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS DOUBLE)
+       |    AS value,
+       |  CASE WHEN SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) > 0
+       |    THEN 'alert' ELSE 'ok' END AS status
+       |FROM ($a12) a
+       |UNION ALL
+       |SELECT 'feature_drift' AS "check", 'psi' AS metric,
+       |  MIN(psi) AS value,
+       |  CASE WHEN MIN(psi) > $rpsi THEN 'retrain'
+       |    WHEN MIN(psi) > $dpsi THEN 'drifting'
+       |    ELSE 'stable' END AS status
+       |FROM ($psi1) p
+       |UNION ALL
+       |SELECT 'calibration' AS "check", 'ece' AS metric,
+       |  MIN(ece) AS value,
+       |  CASE WHEN MIN(ece) > $EceMax THEN 'recalibrate'
+       |    ELSE 'ok' END AS status
+       |FROM ($qc2Sql) q
+       |UNION ALL
+       |${reg("qc_model_registry", qcMetaDir)}
+       |UNION ALL
+       |${reg("bpe_model_registry", bpeMetaDir)}
+       |) ORDER BY "check"""".stripMargin
+  }
+
+  /** A `def` (qc2's discipline): pipe4's entry resolves committed
+    * paths after the queries ran; emitted only when ONE corpus ran
+    * AND qc2's own oracle resolved (they share the scores artifact). */
+  def oracles: Map[String, String] = staticOracles ++ (
+    if (pipe4MetaDirs.size == 1 &&
+        Quality.oracles.contains("qc2_calibration")) {
+      val (qcMeta, bpeMeta) = pipe4MetaDirs.values.iterator.next()
+      Map("pipe4_monitor_report" ->
+        pipe4Oracle(qcMeta, bpeMeta, Quality.oracles("qc2_calibration")))
+    } else Map.empty)
+
+  private val staticOracles: Map[String, String] = Map(
     "mix8_temperature_mixture" ->
       s"""WITH t AS (SELECT source,
          |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

@@ -890,10 +890,22 @@ object Quality {
     * both, and a wrong-corpus oracle would fail the gate loudly at
     * best, pass it vacuously at worst. */
   def oracles: Map[String, String] = staticOracles ++ (
-    if (qcScoresPaths.size == 1)
-      Map("qc2_calibration" ->
-        qc2Oracle(qcScoresPaths.values.iterator.next()))
-    else Map.empty)
+    if (qcScoresPaths.size == 1) {
+      val p = qcScoresPaths.values.iterator.next()
+      Map(
+        "qc2_calibration" -> qc2Oracle(p),
+        // qc1's oracle is the committed artifact itself (r14, the n4
+        // pattern completed on the scoring plane): the live query
+        // recomputes scores from the committed model, the publish
+        // wrote the same computation's output once — a hash pass
+        // proves live recompute ≡ published artifact, doc for doc.
+        // The logistic MATH is pinned by QualitySpec's driver-side
+        // gradient/score recomputes; the oracle pins reproducibility.
+        "qc1_classifier_score" ->
+          s"""SELECT doc_id, label, score, pred
+             |FROM read_parquet('$p/*.parquet')
+             |ORDER BY doc_id""".stripMargin)
+    } else Map.empty)
 
   private val staticOracles: Map[String, String] = Map(
     "priv2_dp_release" ->

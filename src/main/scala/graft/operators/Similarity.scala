@@ -936,9 +936,11 @@ object Similarity {
     * rows), so the eval costs two semi-joined aggregates over
     * metadata regardless of corpus size — the exact side's one
     * corpus scan is the price of ground truth, paid on the SAME
-    * deterministic query set the recall specs use. rows-only (the
-    * LSH side is engine-specific by construction); the ScalaTest
-    * recomputes recall from the two collected frames. */
+    * deterministic query set the recall specs use. FULL hash oracle
+    * since r14 (r13 ask #7): the exact side is n1's SQL, the LSH side
+    * replays n2's multiprobe from the committed index tables, and the
+    * recall join runs in SQL; the ScalaTest additionally recomputes
+    * recall from the two collected frames. */
   def n13RecallEval(s: SparkSession, dir: String): DataFrame = {
     val exact = n1CosineTopk(s, dir).select(col("query_id"), col("neighbor_id"))
     val approx = n2AnnLsh(s, dir).select(col("query_id"), col("neighbor_id"))
@@ -1003,8 +1005,9 @@ object Similarity {
       val ver = annVersionDirs.values.iterator.next()
       Map(
         "n2_ann_lsh" -> n2Oracle(ver),
-        "n3_ivf_ann" -> n3Oracle(ver),
+        "n3_ivf_ann" -> ivfProbeOracle(ver),
         "n4_cell_audit" -> n4Oracle(ver),
+        "n6_semantic_dedup" -> n6Oracle(ver),
         "n13_recall_eval" -> n13Oracle(ver))
     } else Map.empty)
 
@@ -1038,11 +1041,13 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
   }
 
-  /** DuckDB replay of n3's IVF probe against the committed centroid +
-    * assignment tables: top-[[IvfProbes]] cells per query by centroid
-    * cosine (cell_id tie-break), then exact-cosine re-rank of the
-    * probed cells' members. */
-  private def n3Oracle(verDir: String): String =
+  /** DuckDB replay of the IVF probe ([[ivfProbeFrom]]) against ANY
+    * committed centroid + assignment version dir: top-[[IvfProbes]]
+    * cells per query by centroid cosine (cell_id tie-break), then
+    * exact-cosine re-rank of the probed cells' members. Shared by n3
+    * (build-once index) and n17 (incrementally-maintained index) —
+    * the same probe-semantics-cannot-drift rule as the Spark side. */
+  private[graft] def ivfProbeOracle(verDir: String): String =
     s"""WITH c AS (SELECT cell_id, cv, cn
        |    FROM read_parquet('$verDir/centroids/*.parquet')),
        |a AS (SELECT vec_id, v, nrm, cell_id
@@ -1065,6 +1070,26 @@ object Similarity {
        |  FROM pairs)
        |SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB replay of n6's SemDeDup over the committed assignments:
+    * within-cell pair cosines (vec_id-ordered, so each pair scores
+    * once), survivors grouped to (min dup_of, max cosine) — the same
+    * raw-double threshold filter both engines share (n14's
+    * discipline), rounding only at output. */
+  private def n6Oracle(verDir: String): String =
+    s"""WITH a AS (SELECT vec_id, cell_id, v, nrm
+       |    FROM read_parquet('$verDir/assignments/*.parquet')),
+       |p AS (SELECT x.vec_id AS ai, y.vec_id AS bi,
+       |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine
+       |  FROM a x JOIN a y ON x.cell_id = y.cell_id
+       |    AND x.vec_id < y.vec_id),
+       |d AS (SELECT bi AS vec_id, MIN(ai) AS dup_of,
+       |    round(MAX(cosine), 6) AS max_cos
+       |  FROM p WHERE cosine >= $SemDedupTau GROUP BY 1)
+       |SELECT a.vec_id, a.cell_id, d.dup_of IS NULL AS keep,
+       |  COALESCE(d.dup_of, -1) AS dup_of,
+       |  COALESCE(d.max_cos, 0.0) AS max_cos
+       |FROM a LEFT JOIN d USING (vec_id) ORDER BY a.vec_id""".stripMargin
 
   /** DuckDB replay of n4's cell audit over the committed tables:
     * per-vector own/best-other centroid cosine, 1e-9-quantized
@@ -1145,6 +1170,40 @@ object Similarity {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    // n8 needs no committed artifact: the int8 codes are pure
+    // arithmetic (n7's proven half-away-from-zero mirror), the MAC is
+    // an exact integer fold (every product < 2^53, so double sums are
+    // order-free), and the approx-score IEEE tree is written in the
+    // same association order as the Spark expression.
+    "n8_quantized_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |ex AS (SELECT vec_id, i, v[i] AS x FROM e,
+         |  LATERAL (SELECT unnest(generate_series(1, CAST(len(v) AS INT))) AS i) s(i)),
+         |sc AS (SELECT vec_id, MAX(abs(x)) AS scale FROM ex GROUP BY 1),
+         |qc AS (SELECT ex.vec_id,
+         |    list(CAST(round(ex.x * 127.0 / sc.scale) AS DOUBLE) ORDER BY ex.i) AS q
+         |  FROM ex JOIN sc USING (vec_id) GROUP BY ex.vec_id),
+         |z AS (SELECT e.vec_id, e.v, e.nrm, sc.scale, qc.q
+         |  FROM e JOIN sc USING (vec_id) JOIN qc USING (vec_id)),
+         |cand AS (SELECT a.vec_id AS query_id, a.v AS qv, a.nrm AS qn,
+         |    b.vec_id AS neighbor_id, b.v, b.nrm,
+         |    list_dot_product(a.q, b.q) * a.scale * b.scale
+         |      / (16129.0 * a.nrm * b.nrm) AS approx
+         |  FROM z a JOIN z b ON a.vec_id < $NumQueries AND b.vec_id <> a.vec_id),
+         |topc AS (SELECT query_id, qv, qn, neighbor_id, v, nrm FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY approx DESC, neighbor_id ASC) AS crank FROM cand)
+         |  WHERE crank <= ${TopK * RerankFactor}),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |    list_dot_product(qv, v) / (qn * nrm) AS cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY list_dot_product(qv, v) / (qn * nrm) DESC,
+         |        neighbor_id ASC) AS rank
+         |  FROM topc)
+         |SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
+         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "n16_corpus_diversity" ->
       """WITH u AS (SELECT embedding::DOUBLE[] AS v,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
