@@ -933,43 +933,57 @@ object Dedup {
        |${where}ORDER BY tok.doc_id""".stripMargin
   }
 
+  /** The excision + reconstruction + conservation-report SQL shared
+    * by the span-scrub oracles (d21 on the dup mask, t32 on the
+    * contamination mask — the advice-#4 builder rule): `maskCtes`
+    * must be a WITH-chain ending in a CTE `mk (doc_id, tidx)` of
+    * masked gram starts; `docPredicate` filters which docs are
+    * EMITTED (gram statistics stay whatever the mask CTEs computed).
+    * n_tokens_kept is computed as n_tokens − removed here while the
+    * Spark side emits size(kept) — the hash proves the excision
+    * removed exactly the masked positions. */
+  private[graft] def spanScrubOracleFrom(maskCtes: String,
+      docPredicate: Option[String] = None): String = {
+    val where = docPredicate.map(p => s"WHERE $p").getOrElse("")
+    s"""$maskCtes,
+       |brks AS (SELECT doc_id, tidx,
+       |    CASE WHEN tidx - LAG(tidx) OVER (PARTITION BY doc_id
+       |      ORDER BY tidx) <= $ExactSpanTokens THEN 0 ELSE 1 END AS brk
+       |  FROM mk),
+       |isl AS (SELECT doc_id, tidx,
+       |    CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY tidx)
+       |      AS BIGINT) AS span_id
+       |  FROM brks),
+       |sp AS (SELECT doc_id, span_id, MIN(tidx) AS s,
+       |    MAX(tidx) + ${ExactSpanTokens - 1} AS e
+       |  FROM isl GROUP BY 1, 2),
+       |ad AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |    len(string_split(text, ' ')) AS n_tok FROM documents $where),
+       |tk AS (SELECT doc_id, i - 1 AS tidx, ws[i] AS tokstr
+       |  FROM ad, LATERAL (SELECT unnest(generate_series(1,
+       |    CAST(n_tok AS INT))) AS i) ix(i)),
+       |kept AS (SELECT t.doc_id, t.tidx, t.tokstr FROM tk t
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp
+       |    WHERE sp.doc_id = t.doc_id AND t.tidx BETWEEN sp.s AND sp.e)),
+       |scr AS (SELECT doc_id,
+       |    COALESCE(string_agg(tokstr, ' ' ORDER BY tidx), '') AS stext
+       |  FROM kept GROUP BY 1),
+       |ns AS (SELECT doc_id, COUNT(*) AS n_spans,
+       |    CAST(SUM(e - s + 1) AS BIGINT) AS rm_tokens
+       |  FROM sp GROUP BY 1)
+       |SELECT ad.doc_id, CAST(ad.n_tok AS BIGINT) AS n_tokens,
+       |  COALESCE(ns.n_spans, 0) AS n_spans_removed,
+       |  COALESCE(ns.rm_tokens, 0) AS n_tokens_removed,
+       |  CAST(ad.n_tok - COALESCE(ns.rm_tokens, 0) AS BIGINT)
+       |    AS n_tokens_kept,
+       |  md5(COALESCE(scr.stext, '')) AS scrubbed_md5
+       |FROM ad LEFT JOIN ns USING (doc_id) LEFT JOIN scr USING (doc_id)
+       |ORDER BY ad.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "d18_exact_spans" -> d18SpansOracle(),
-    "d21_span_scrub" ->
-      s"""$spanMaskCtePrefix,
-         |brks AS (SELECT doc_id, tidx,
-         |    CASE WHEN tidx - LAG(tidx) OVER (PARTITION BY doc_id
-         |      ORDER BY tidx) <= $ExactSpanTokens THEN 0 ELSE 1 END AS brk
-         |  FROM mk),
-         |isl AS (SELECT doc_id, tidx,
-         |    CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY tidx)
-         |      AS BIGINT) AS span_id
-         |  FROM brks),
-         |sp AS (SELECT doc_id, span_id, MIN(tidx) AS s,
-         |    MAX(tidx) + ${ExactSpanTokens - 1} AS e
-         |  FROM isl GROUP BY 1, 2),
-         |ad AS (SELECT doc_id, string_split(text, ' ') AS ws,
-         |    len(string_split(text, ' ')) AS n_tok FROM documents),
-         |tk AS (SELECT doc_id, i - 1 AS tidx, ws[i] AS tokstr
-         |  FROM ad, LATERAL (SELECT unnest(generate_series(1,
-         |    CAST(n_tok AS INT))) AS i) ix(i)),
-         |kept AS (SELECT t.doc_id, t.tidx, t.tokstr FROM tk t
-         |  WHERE NOT EXISTS (SELECT 1 FROM sp
-         |    WHERE sp.doc_id = t.doc_id AND t.tidx BETWEEN sp.s AND sp.e)),
-         |scr AS (SELECT doc_id,
-         |    COALESCE(string_agg(tokstr, ' ' ORDER BY tidx), '') AS stext
-         |  FROM kept GROUP BY 1),
-         |ns AS (SELECT doc_id, COUNT(*) AS n_spans,
-         |    CAST(SUM(e - s + 1) AS BIGINT) AS rm_tokens
-         |  FROM sp GROUP BY 1)
-         |SELECT ad.doc_id, CAST(ad.n_tok AS BIGINT) AS n_tokens,
-         |  COALESCE(ns.n_spans, 0) AS n_spans_removed,
-         |  COALESCE(ns.rm_tokens, 0) AS n_tokens_removed,
-         |  CAST(ad.n_tok - COALESCE(ns.rm_tokens, 0) AS BIGINT)
-         |    AS n_tokens_kept,
-         |  md5(COALESCE(scr.stext, '')) AS scrubbed_md5
-         |FROM ad LEFT JOIN ns USING (doc_id) LEFT JOIN scr USING (doc_id)
-         |ORDER BY ad.doc_id""".stripMargin,
+    "d21_span_scrub" -> spanScrubOracleFrom(spanMaskCtePrefix),
     "d19_span_extents" ->
       s"""$spanMaskCtePrefix,
          |brks AS (SELECT doc_id, tidx,

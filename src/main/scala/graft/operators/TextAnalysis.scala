@@ -609,6 +609,47 @@ object TextAnalysis {
   def t31SpanDecontaminate(s: SparkSession, dir: String): DataFrame =
     spanDecontaminate(Tables.documents(s, dir))
 
+  /** t32 core on an arbitrary docs frame — factored for the planted
+    * and re-check specs. Returns the d21Scrub frame over the TRAIN
+    * side with contamination extents. */
+  private[graft] def decontScrub(docs: DataFrame): DataFrame = {
+    val isEval = pmod(col("doc_id"), lit(EvalHoldoutMod)) === 0
+    val evalG = Dedup.spanGramsOf(docs.filter(isEval))
+      .select(col("gh")).distinct()
+    val hits = Dedup.spanGramsOf(docs.filter(!isEval))
+      .join(broadcast(evalG), Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("tidx"))
+    Dedup.d21Scrub(docs.filter(!isEval),
+      Dedup.spanIslands(hits)
+        .select(col("doc_id"), col("span_start"), col("span_end")))
+  }
+
+  /** t32: eval-decontamination SCRUB — t31 made actionable, exactly
+    * as d21 makes d18/d19 actionable (the r13-ask-#2 pattern on the
+    * contamination plane): t31 reports WHICH train tokens sit inside
+    * a ≥K-token span shared with the eval holdout; t32 EMITS the
+    * decontaminated train corpus with those spans excised. Eval docs
+    * are the holdout, not training data — they are excluded from the
+    * output, and eval-side text shapes the mask only through the
+    * broadcast distinct gram-hash set (t15's split-before-explode
+    * rule). Per train doc: removal report + kept-token count + md5 of
+    * the reconstructed string; the oracle computes n_tokens_kept as
+    * n_tokens − removed while Spark emits size(kept), so the hash
+    * proves the excision removed exactly the contaminated positions
+    * (d21's conservation-by-hash). Scale shape: eval grams broadcast
+    * (small by construction), train gram stream probes map-side (no
+    * shuffle), islands are per-doc windows, excision is the d21
+    * row-local slice fold. TextMultimodalSpec re-runs t31 over the
+    * scrubbed corpus ∪ untouched eval set and asserts ZERO residual
+    * contamination. */
+  def t32DecontaminateScrub(s: SparkSession, dir: String): DataFrame =
+    decontScrub(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans_removed"),
+        col("n_tokens_removed"),
+        size(col("kept")).cast("long").as("n_tokens_kept"),
+        md5(concat_ws(" ", col("kept"))).as("scrubbed_md5"))
+      .orderBy("doc_id")
+
   val TfidfTopK = 3 // characteristic terms per document
 
   /** t16: TF-IDF characteristic terms — the top-[[TfidfTopK]] terms
@@ -1300,6 +1341,25 @@ object TextAnalysis {
          |FROM cv JOIN evd USING (doc_id) JOIN tok USING (doc_id)
          |ORDER BY cv.doc_id""".stripMargin
     },
+    "t32_decontaminate_scrub" -> {
+      val k = Dedup.ExactSpanTokens
+      // contamination mask CTEs (t31's gram chain ending in mk), then
+      // the shared span-scrub excision tail (d21's builder) emitting
+      // only the TRAIN docs
+      Dedup.spanScrubOracleFrom(
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |tok AS (SELECT doc_id, ws, len(ws) AS n_tok FROM w
+           |  WHERE len(ws) >= $k),
+           |g AS (SELECT doc_id, i - 1 AS tidx,
+           |    array_to_string(ws[i:i+${k - 1}], ' ') AS gram
+           |  FROM tok, LATERAL (SELECT unnest(generate_series(1,
+           |    CAST(n_tok - $k + 1 AS INT))) AS i) s(i)),
+           |eg AS (SELECT DISTINCT gram FROM g
+           |  WHERE doc_id % $EvalHoldoutMod = 0),
+           |mk AS (SELECT g.doc_id, g.tidx FROM g JOIN eg USING (gram)
+           |  WHERE g.doc_id % $EvalHoldoutMod <> 0)""".stripMargin,
+        docPredicate = Some(s"doc_id % $EvalHoldoutMod <> 0"))
+    },
     "t15_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
          |    WHERE len(string_split(text, ' ')) >= $DecontamN),
@@ -1415,6 +1475,7 @@ object TextAnalysis {
     "t14_repetition" -> (t14Repetition _),
     "t15_decontaminate" -> (t15Decontaminate _),
     "t31_span_decontaminate" -> (t31SpanDecontaminate _),
+    "t32_decontaminate_scrub" -> (t32DecontaminateScrub _),
     "t16_tfidf" -> (t16TfIdf _),
     "t17_surprisal" -> (t17Surprisal _),
     "t18_bpe_train" -> (t18BpeTrain _),

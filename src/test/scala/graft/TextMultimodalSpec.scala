@@ -359,6 +359,60 @@ class TextMultimodalSpec extends GraftSpec {
     assert(!out.contains(0L))
   }
 
+  test("t32 scrub excises exactly the leaked span; eval docs excluded; clean doc unchanged") {
+    import spark.implicits._
+    // t31's planted fixture: doc 0 eval, doc 1 embeds e5..e29 at
+    // offset 7, doc 2 clean
+    val span = (5 to 29).map(i => s"e$i")
+    val evalDoc = (0 until 40).map(i => s"e$i")
+    val d1 = (0 until 7).map(i => s"a$i") ++ span ++ (7 until 60).map(i => s"a$i")
+    val d2 = (0 until 50).map(i => s"b$i")
+    val docs = Seq(
+      (0L, evalDoc.mkString(" ")),
+      (1L, d1.mkString(" ")),
+      (2L, d2.mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.decontScrub(docs)
+      .select(col("doc_id"), col("n_tokens"), col("n_spans_removed"),
+        col("n_tokens_removed"), concat_ws(" ", col("kept")).as("scrubbed"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L), "train docs only — the holdout is not emitted")
+    val r1 = got(1L)
+    assert(r1.getLong(r1.fieldIndex("n_spans_removed")) == 1L)
+    assert(r1.getLong(r1.fieldIndex("n_tokens_removed")) == 25L)
+    assert(r1.getString(r1.fieldIndex("scrubbed")) ==
+      ((0 until 7).map(i => s"a$i") ++ (7 until 60).map(i => s"a$i")).mkString(" "))
+    val r2 = got(2L)
+    assert(r2.getLong(r2.fieldIndex("n_tokens_removed")) == 0L)
+    assert(r2.getString(r2.fieldIndex("scrubbed")) == d2.mkString(" "))
+  }
+
+  test("t32 corpus re-check: scrubbed train ∪ untouched eval shows zero residual contamination") {
+    // conservation vs t31 per doc, then the decontamination CLAIM:
+    // re-running t31's measurement over (scrubbed train ∪ eval)
+    // finds nothing left to remove
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val t31 = TextAnalysis.t31SpanDecontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val scrub = TextAnalysis.t32DecontaminateScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(t31.nonEmpty && scrub.size >= t31.size)
+    for ((id, m) <- t31) {
+      val sR = scrub(id)
+      assert(sR.getLong(sR.fieldIndex("n_tokens_kept")) ==
+        m.getLong(m.fieldIndex("n_tokens")) -
+          m.getLong(m.fieldIndex("n_contam_tokens")),
+        s"doc $id: kept != n_tokens - contaminated")
+    }
+    val isEval = pmod(col("doc_id"),
+      lit(TextAnalysis.EvalHoldoutMod)) === lit(0)
+    val scrubbedCorpus = TextAnalysis.decontScrub(docs)
+      .select(col("doc_id"), concat_ws(" ", col("kept")).as("text"))
+      .unionByName(docs.filter(isEval))
+    val residual = TextAnalysis.spanDecontaminate(scrubbedCorpus).count()
+    assert(residual == 0L,
+      s"$residual train docs still leak into the eval set after the scrub")
+  }
+
   test("t16 tf-idf ranks match a driver-side recompute for every document") {
     val out = TextAnalysis.t16TfIdf(spark, sf).collect()
       .groupBy(_.getLong(0))
