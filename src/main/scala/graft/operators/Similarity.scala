@@ -278,11 +278,13 @@ object Similarity {
       s"${graft.GraftSession.defaultStateDir}/ann_index")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/embeddings.parquet",
-        // v2: the index grew the neardup_edges table — d5's pair
-        // scoring is now a build artifact (the shingle-overlaps
-        // pattern on the vector plane)
-        s"ann-v2;ivf=$IvfCells;lsh=${LshTables}x$LshBits;pq=m$PqM;" +
-          s"edges=tau${Dedup.NeardupTau}"))
+        // v3 (r14): the index grew the PQ plane — codebooks + codes
+        // are ingest artifacts now (train-once, probe-many), so n12/
+        // n15 stopped re-training/re-encoding per query AND became
+        // oracle-replayable. v2 grew neardup_edges (d5's pair scoring
+        // as a build artifact).
+        s"ann-v3;ivf=$IvfCells;lsh=${LshTables}x$LshBits;" +
+          s"pq=m${PqM}k$PqK;edges=tau${Dedup.NeardupTau}"))
   }
 
   /** Version-resolved index directory PER CORPUS DIR, recorded when
@@ -329,12 +331,33 @@ object Similarity {
       val lsh = e
         .select(col("vec_id"), explode(lshBuckets("v")).as("tb"))
         .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      // the PQ plane is an ingest artifact too (r14): codebooks train
+      // ONCE on the bounded deterministic sample, every corpus vector
+      // encodes ONCE — n12/n15 used to re-train + re-encode per query
+      val books = pqCodebooks(assignments)
+      val pqBooks = books.zipWithIndex.flatMap { case (bk, m) =>
+        bk.zipWithIndex.map { case (c, k) => (m, k, c.toSeq) }
+      }.toSeq.toDF("m", "k", "c")
+      val pqCodes = assignments.select(col("vec_id"),
+        pqCodesCol(books).as("codes"))
       AtomicPublish.publish(s, root, Seq(
         "centroids" -> centroids, "assignments" -> assignments, "lsh" -> lsh,
+        "pq_books" -> pqBooks, "pq_codes" -> pqCodes,
         // d5's pair scoring runs ONCE here (cell-pruned equi-join,
         // unrounded cosines) — near-dup sweeps are read-path filters
         "neardup_edges" -> Dedup.neardupEdgesRaw(s, refined, assignments)))
     }
+  }
+
+  /** The committed PQ codebooks as bounded driver-side literals
+    * (PqM × PqK × sub doubles — the indexCells pattern on the PQ
+    * plane). */
+  private[graft] def indexPqBooks(s: SparkSession, root: String)
+      : Array[Array[Array[Double]]] = {
+    val rows = graft.sources.AtomicPublish.readOutput(s, root, "pq_books")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        r.getSeq[Double](2).toArray)).toMap
+    Array.tabulate(PqM)(m => Array.tabulate(PqK)(k => rows((m, k))))
   }
 
   /** The committed cell set as bounded driver-side literals (≤
@@ -518,14 +541,21 @@ object Similarity {
     * recall vs exact n1 and pins the encoder to a driver-side argmin
     * recompute. */
   def n12PqTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = corpus(s, dir)
-    val books = pqCodebooks(e)
-    val dim = books.length * books.head.head.length
-    val sub = dim / PqM
-    val coded = e.select(col("vec_id"), col("v"), col("nrm"),
-      pqCodesCol(books).as("codes"))
+    // READ path since r14: codebooks + codes are committed index
+    // artifacts (train-once/encode-once at ingest) — this query used
+    // to re-train the codebooks and re-encode the whole corpus per
+    // run, the exact per-query cost the persisted-index rule exists
+    // to eliminate (and with the artifacts committed the whole probe
+    // became oracle-replayable)
+    val root = ensureAnnIndex(s, dir)
+    val books = indexPqBooks(s, root)
+    val sub = books.head.head.length
+    val vecs = graft.sources.AtomicPublish.readOutput(s, root, "assignments")
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val coded = graft.sources.AtomicPublish.readOutput(s, root, "pq_codes")
+      .join(vecs.select(col("vec_id"), col("nrm")), Seq("vec_id"))
     // bounded query collect: LUTs are NumQueries × PqM × PqK doubles
-    val qRows = e.filter(col("vec_id") < NumQueries).orderBy("vec_id")
+    val qRows = vecs.filter(col("vec_id") < NumQueries).orderBy("vec_id")
       .select("vec_id", "v", "nrm").collect()
     import s.implicits._
     val qDf = qRows.map { r =>
@@ -549,7 +579,7 @@ object Similarity {
     // carrying the float vectors through its shuffle would move
     // dim-sized arrays for every (query × corpus) pair; instead the
     // TopK×RerankFactor survivors (a broadcastable handful) pull their
-    // vectors back with one keyed join against the corpus scan
+    // vectors back with one keyed join against the committed table
     val candidates = broadcast(qDf.select(col("query_id"), col("luts"),
         col("qn").as("qn0")))
       .join(coded.select(col("vec_id"), col("codes"), col("nrm")),
@@ -559,7 +589,7 @@ object Similarity {
       .withColumn("crank", row_number().over(wApprox))
       .filter(col("crank") <= TopK * PqRerankFactor)
       .select(col("query_id"), col("neighbor_id"))
-    val rerank = e
+    val rerank = vecs
       .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
       .join(broadcast(candidates
         .join(qDf.select(col("query_id"), col("qv"), col("qn")), "query_id")),
@@ -588,10 +618,12 @@ object Similarity {
     val root = ensureAnnIndex(s, dir)
     val refined = indexCells(s, root)
     val assigned = graft.sources.AtomicPublish.readOutput(s, root, "assignments")
-    val books = pqCodebooks(assigned)
+    // committed PQ plane (r14): no per-query re-train/re-encode
+    val books = indexPqBooks(s, root)
     val sub = books.head.head.length
-    val coded = assigned.select(col("cell_id"), col("vec_id"), col("nrm"),
-      pqCodesCol(books).as("codes"))
+    val coded = graft.sources.AtomicPublish.readOutput(s, root, "pq_codes")
+      .join(assigned.select(col("vec_id"), col("cell_id"), col("nrm")),
+        Seq("vec_id"))
     // queries + their ADC LUTs + driver-side probe-cell routing
     // (bounded: NumQueries × IvfCells metadata)
     val qRows = assigned.filter(col("vec_id") < NumQueries).orderBy("vec_id")
@@ -1008,8 +1040,81 @@ object Similarity {
         "n3_ivf_ann" -> ivfProbeOracle(ver),
         "n4_cell_audit" -> n4Oracle(ver),
         "n6_semantic_dedup" -> n6Oracle(ver),
+        "n12_pq_topk" -> pqAdcOracle(ver, probed = false),
+        "n15_ivf_pq" -> pqAdcOracle(ver, probed = true),
         "n13_recall_eval" -> n13Oracle(ver))
     } else Map.empty)
+
+  /** DuckDB replay of the PQ-ADC serving path against the committed
+    * pq_books/pq_codes/assignments tables — one builder for n12
+    * (whole-corpus candidates) and n15 (IVF-probed candidates, adds
+    * the centroid routing CTE), the ivfProbeOracle sharing rule on
+    * the PQ plane. Exactness notes: the LUT dot is the same
+    * left-to-right fold as the driver loop (list_dot_product over the
+    * 1-based subvector slice); the ADC sum pivots the [[PqM]] terms
+    * into columns and adds them in subspace order — the exact
+    * left-associated tree Spark's `reduce(_ + _)` builds (a SQL
+    * SUM() would fold in unspecified order and drift in the last
+    * ulp); candidate and final ranks share the (score desc, id asc)
+    * tie-break. */
+  private def pqAdcOracle(verDir: String, probed: Boolean): String = {
+    val adcSum = (0 until PqM)
+      .map(m => s"MAX(CASE WHEN m = $m THEN t END)").mkString(" + ")
+    val rerankK = TopK * PqRerankFactor
+    val candCte =
+      if (!probed)
+        s"""cand AS (SELECT q.vec_id AS query_id, q.nrm AS qn,
+           |    c.vec_id AS neighbor_id, c.codes, n.nrm
+           |  FROM q CROSS JOIN codes c JOIN a n ON n.vec_id = c.vec_id
+           |  WHERE c.vec_id <> q.vec_id)""".stripMargin
+      else
+        s"""cells AS (SELECT cell_id, cv, cn
+           |    FROM read_parquet('$verDir/centroids/*.parquet')),
+           |pc AS (SELECT query_id, cell_id FROM (
+           |    SELECT q.vec_id AS query_id, cl.cell_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        list_dot_product(q.v, cl.cv) / (q.nrm * cl.cn) DESC,
+           |        cl.cell_id ASC) AS prn
+           |    FROM q CROSS JOIN cells cl) WHERE prn <= $IvfProbes),
+           |cand AS (SELECT p.query_id, q.nrm AS qn,
+           |    c.vec_id AS neighbor_id, c.codes, n.nrm
+           |  FROM pc p JOIN a n ON n.cell_id = p.cell_id
+           |    JOIN codes c ON c.vec_id = n.vec_id
+           |    JOIN q ON q.vec_id = p.query_id
+           |  WHERE n.vec_id <> p.query_id)""".stripMargin
+    s"""WITH a AS (SELECT vec_id, v, nrm, cell_id
+       |    FROM read_parquet('$verDir/assignments/*.parquet')),
+       |codes AS (SELECT vec_id, codes
+       |    FROM read_parquet('$verDir/pq_codes/*.parquet')),
+       |b AS (SELECT m, k, c FROM read_parquet('$verDir/pq_books/*.parquet')),
+       |q AS (SELECT vec_id, v, nrm FROM a WHERE vec_id < $NumQueries),
+       |dims AS (SELECT CAST(len(v) // $PqM AS INT) AS sub FROM q LIMIT 1),
+       |lut AS (SELECT q.vec_id AS query_id, b.m, b.k,
+       |    list_dot_product(q.v[b.m * sub + 1 : b.m * sub + sub], b.c) AS t
+       |  FROM q CROSS JOIN b CROSS JOIN dims),
+       |$candCte,
+       |tm AS (SELECT cand.query_id, cand.neighbor_id, cand.qn, cand.nrm,
+       |    l.m, l.t
+       |  FROM cand JOIN lut l ON l.query_id = cand.query_id
+       |    AND l.k = cand.codes[l.m + 1]),
+       |pv AS (SELECT query_id, neighbor_id, qn, nrm,
+       |    ($adcSum) / (qn * nrm) AS approx
+       |  FROM tm GROUP BY 1, 2, 3, 4),
+       |sel AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY approx DESC, neighbor_id ASC)
+       |      AS crank FROM pv) WHERE crank <= $rerankK),
+       |rr AS (SELECT s.query_id, s.neighbor_id,
+       |    list_dot_product(qq.v, nn.v) / (qq.nrm * nn.nrm) AS cos_raw
+       |  FROM sel s JOIN a qq ON qq.vec_id = s.query_id
+       |    JOIN a nn ON nn.vec_id = s.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+       |  FROM rr)
+       |SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
 
   /** DuckDB replay of n2's multiprobe against the committed lsh +
     * assignments tables: home bucket + every 1-bit flip, candidate
