@@ -1274,7 +1274,74 @@ object Similarity {
        |ORDER BY ne.query_id""".stripMargin
   }
 
+  /** n11's MMR greedy selection, UNROLLED into SQL — the selection is
+    * sequential in k, but k is a compile-time constant ([[TopK]]), so
+    * the "loop" is [[TopK]] chained CTE steps: step i picks the
+    * argmax of λ·rel − (1−λ)·red over the un-picked pool (score desc,
+    * id asc — the kernel's tie rule) and step i+1 folds the new
+    * pick's cosine into each survivor's running max-redundancy via
+    * GREATEST (the kernel's O(k·n) running-max form, which is
+    * order-insensitive by construction). The arithmetic is written
+    * with the kernel's exact IEEE trees — `(1 − λ)` as an expression
+    * (0.30000000000000004, NOT a 0.3 literal), step 1's redundancy as
+    * an explicit −(1−λ)·0.0 — so the hash can only match if the SQL
+    * replay walks the identical greedy path. */
+  private def n11Oracle: String = {
+    val lam = MmrLambda
+    var sql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |pool AS (SELECT query_id, vec_id, rel, v, nrm FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id, e.v, e.nrm,
+         |      list_dot_product(q.v, e.v) / (q.nrm * e.nrm) AS rel,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_dot_product(q.v, e.v) / (q.nrm * e.nrm) DESC,
+         |        e.vec_id ASC) AS rk
+         |    FROM e q JOIN e ON q.vec_id < $NumQueries
+         |      AND e.vec_id <> q.vec_id)
+         |  WHERE rk <= $MmrPool),
+         |s1 AS (SELECT query_id, vec_id AS pid, rel FROM (
+         |    SELECT query_id, vec_id, rel, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY $lam * rel - (1 - $lam) * 0.0 DESC, vec_id ASC) AS rn
+         |    FROM pool)
+         |  WHERE rn = 1),
+         |c1 AS (SELECT c.query_id, c.vec_id, c.rel, c.v, c.nrm,
+         |    list_dot_product(c.v, p.v) / (c.nrm * p.nrm) AS red
+         |  FROM pool c JOIN s1 ON s1.query_id = c.query_id
+         |    JOIN pool p ON p.query_id = c.query_id AND p.vec_id = s1.pid
+         |  WHERE c.vec_id <> s1.pid)""".stripMargin
+    for (i <- 2 to TopK) {
+      sql +=
+        s""",
+           |s$i AS (SELECT query_id, vec_id AS pid, rel FROM (
+           |    SELECT query_id, vec_id, rel, ROW_NUMBER() OVER (
+           |      PARTITION BY query_id
+           |      ORDER BY $lam * rel - (1 - $lam) * red DESC, vec_id ASC) AS rn
+           |    FROM c${i - 1})
+           |  WHERE rn = 1)""".stripMargin
+      if (i < TopK) sql +=
+        s""",
+           |c$i AS (SELECT c.query_id, c.vec_id, c.rel, c.v, c.nrm,
+           |    GREATEST(c.red, list_dot_product(c.v, p.v) / (c.nrm * p.nrm))
+           |      AS red
+           |  FROM c${i - 1} c JOIN s$i ON s$i.query_id = c.query_id
+           |    JOIN pool p ON p.query_id = c.query_id AND p.vec_id = s$i.pid
+           |  WHERE c.vec_id <> s$i.pid)""".stripMargin
+    }
+    val union = (1 to TopK).map(i =>
+      s"SELECT query_id, pid AS neighbor_id, $i AS mmr_rank, rel FROM s$i")
+      .mkString("\n  UNION ALL ")
+    sql + s"""
+             |SELECT query_id, neighbor_id, mmr_rank, round(rel, 6) AS cosine
+             |FROM (
+             |  $union)
+             |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   private val staticOracles: Map[String, String] = Map(
+    "n11_mmr_rerank" -> n11Oracle,
     // n8 needs no committed artifact: the int8 codes are pure
     // arithmetic (n7's proven half-away-from-zero mirror), the MAC is
     // an exact integer fold (every product < 2^53, so double sums are
