@@ -84,8 +84,14 @@ object ExplainDump {
         graft.operators.Mining.sky1ParetoFront _),
       ("g3_triangle_count", "degree-oriented wedge join + closure equi-join; support-thresholded edges from in-row pair generation",
         graft.operators.Graph.g3TriangleCount _),
-      ("n12_pq_topk", "PQ-ADC serving: zero-shuffle code assignment against literal codebooks; per-query LUT lookups score candidates, exact rerank of 8k survivors",
+      ("n12_pq_topk", "PQ-ADC serving over the COMMITTED pq_codes/pq_books tables (r14: train-once/encode-once at ingest); per-query LUT lookups score candidates, exact rerank of 8k survivors",
         Similarity.n12PqTopk _),
+      ("d21_span_scrub", "span removal: committed span-index read -> per-doc islands -> ONE doc-keyed join -> row-local slice fold excision; no per-token explode",
+        Dedup.d21SpanScrub _),
+      ("t32_decontaminate_scrub", "decontamination scrub: eval gram set broadcasts, train grams probe map-side, d21's row-local excision emits the clean corpus",
+        TextAnalysis.t32DecontaminateScrub _),
+      ("prof11_depth_histogram", "equi-depth histogram: data-proportional grouped-rank fan-out, native binary-search bucket assignment, localCheckpoint-pinned sketch cuts, no Expand",
+        graft.operators.Profiling.prof11DepthHistogram _),
       ("w7_stickiness", "rolling distinct via day-bin explode of the deduped (user,day) frame — raw events never fan out",
         Analytics.w7Stickiness _),
       ("g4_link_predict", "reads the committed (corpus, hub-cap) supplier-pair table; degree joins keyed over the pair-sized frame; TakeOrderedAndProject top-K",

@@ -205,8 +205,9 @@ object Profiling {
     * (a 100 TB cache is not a plan), and countDistinct(v) per bucket
     * plans as one two-stage partial-distinct aggregate at (bucket, v)
     * grain — map-side dedup bounds it by per-bucket NDV, with no
-    * Expand since it is the only distinct aggregate. Sealed r13:
-    * 3.33 s at sf0.1 (first cut: 3.8 s global form). */
+    * Expand since it is the only distinct aggregate. Sealed r14:
+    * 2.14 s at sf0.1 (r13 sealed 3.50 s with the O(B) HOF assignment
+    * and the extra offs/n1 subplans; first cut: 3.8 s global form). */
   def prof11DepthHistogram(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.SearchSortedExpr.searchSorted
