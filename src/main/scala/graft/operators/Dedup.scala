@@ -888,7 +888,7 @@ object Dedup {
     * masked-starts CTE `mk` — shared by the d18 and d19 oracles (a
     * builder, not string surgery: the advice-#4 rule), so a hash pass
     * on either proves the published span index ≡ recompute. */
-  private def spanMaskCtePrefix: String =
+  private[graft] def spanMaskCtePrefix: String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |tok AS (SELECT doc_id, ws, len(ws) AS n_tok FROM w
        |  WHERE len(ws) >= $ExactSpanTokens),

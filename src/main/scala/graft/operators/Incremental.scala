@@ -474,6 +474,44 @@ object Incremental {
       .orderBy("doc_id")
   }
 
+  /** d22: batch span SCRUB against the incrementally-maintained span
+    * plane — d21's excision at the ingest grain, completing the
+    * plane's lifecycle (profile: d18→d20; extents: d19; removal:
+    * d21→d22): after a batch lands, EMIT the batch's documents with
+    * every token masked by CORPUS-WIDE keep-one-first span stats
+    * excised. Mask derivation reads only the committed snapshot
+    * (batch-slice occurrences ⋈ merged stats — the d20 read path);
+    * the excision then reads the BATCH docs' text, which is inherent
+    * to a scrub (the corpus is never rescanned — at 100 TB the batch
+    * is exactly the text an ingest job already holds). A batch doc
+    * whose gram is the corpus-wide FIRST occurrence keeps it; copies
+    * of text the corpus already holds are excised. Oracle: the
+    * from-scratch d18 mask CTEs + the shared span-scrub excision
+    * tail, batch-filtered — one hash proves count-add + struct-min
+    * maintenance ≡ rebuild AND the excision conservation
+    * (n_tokens_kept = size(kept) vs n_tokens − removed, d21's
+    * trick). */
+  def d22IncrementalScrub(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureIncrementalIndex(s, dir)
+    val occ = graft.sources.AtomicPublish.readOutput(s, root, "span_occ")
+      .filter(col("doc_id") % BatchMod === 0)
+    val stats = graft.sources.AtomicPublish.readOutput(s, root, "span_stats")
+    val masked = occ.join(stats, Seq("gh"))
+      .filter(col("n_occ") > 1 &&
+        !(col("doc_id") === col("first.doc_id") &&
+          col("tidx") === col("first.tidx")))
+      .select(col("doc_id"), col("tidx"))
+    Dedup.d21Scrub(
+        Tables.documents(s, dir).filter(col("doc_id") % BatchMod === 0),
+        Dedup.spanIslands(masked)
+          .select(col("doc_id"), col("span_start"), col("span_end")))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans_removed"),
+        col("n_tokens_removed"),
+        size(col("kept")).cast("long").as("n_tokens_kept"),
+        md5(concat_ws(" ", col("kept"))).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   /** pipe5's quality floor: minimum token count for a batch document
     * to enter the curated corpus (the g1 length rule's cheap proxy,
     * evaluable from the committed term plane alone). */
@@ -599,6 +637,7 @@ object Incremental {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_incremental_novelty" -> (t29IncrementalNovelty _),
     "d20_incremental_spans" -> (d20IncrementalSpans _),
+    "d22_incremental_scrub" -> (d22IncrementalScrub _),
     "d13_incremental_index" -> (d13IncrementalIndex _),
     "t25_incremental_tfidf" -> (t25IncrementalTfidf _),
     "pipe5_incremental_corpus" -> (pipe5IncrementalCorpus _),
@@ -663,5 +702,11 @@ object Incremental {
     // batch slice (gram statistics stay corpus-wide — that's the
     // point); via the parameterized builder, not string surgery
     "d20_incremental_spans" ->
-      Dedup.d18SpansOracle(Some(s"tok.doc_id % $BatchMod = 0")))
+      Dedup.d18SpansOracle(Some(s"tok.doc_id % $BatchMod = 0")),
+    // the from-scratch span-mask CTEs + the shared excision tail,
+    // batch-filtered: one hash proves incremental maintenance ==
+    // rebuild AND the excision conservation (d21's trick) at once
+    "d22_incremental_scrub" ->
+      Dedup.spanScrubOracleFrom(Dedup.spanMaskCtePrefix,
+        Some(s"doc_id % $BatchMod = 0")))
 }

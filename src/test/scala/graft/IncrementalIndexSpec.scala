@@ -174,6 +174,38 @@ class IncrementalIndexSpec extends GraftSpec {
       "incremental span plane must equal d18's from-scratch mask on the batch slice")
   }
 
+  test("d22 on the real corpus: batch scrub equals the from-scratch excision and conserves d20's mask") {
+    // from-scratch reference: the FULL corpus mask (keep-one-first over
+    // every doc), islands restricted to the batch, excision over the
+    // batch docs — exactly what d22 derives from the committed snapshot
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val batch = col("doc_id") % Incremental.BatchMod === 0
+    val maskedBatch = graft.operators.Dedup.exactSpanMaskedStarts(docs)
+      .filter(batch)
+    val want = graft.operators.Dedup.d21Scrub(docs.filter(batch),
+        graft.operators.Dedup.spanIslands(maskedBatch)
+          .select(col("doc_id"), col("span_start"), col("span_end")))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans_removed"),
+        col("n_tokens_removed"),
+        size(col("kept")).cast("long").as("n_tokens_kept"),
+        md5(concat_ws(" ", col("kept"))).as("scrubbed_md5"))
+      .collect().map(_.mkString("|")).toSet
+    val gotRows = Incremental.d22IncrementalScrub(spark, sf).collect()
+    assert(gotRows.map(_.mkString("|")).toSet == want,
+      "incremental batch scrub must equal the from-scratch excision")
+    // and it conserves d20's mask accounting per doc
+    val d20 = Incremental.d20IncrementalSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val got = gotRows.map(r => r.getLong(0) -> r).toMap
+    for ((id, m) <- d20) {
+      val sR = got(id)
+      assert(sR.getLong(sR.fieldIndex("n_tokens_kept")) ==
+        m.getLong(m.fieldIndex("n_tokens")) -
+          m.getLong(m.fieldIndex("n_masked_tokens")),
+        s"doc $id: kept != n_tokens - masked")
+    }
+  }
+
   test("d13 on the real corpus: incremental snapshot equals scratch recompute") {
     val got = Incremental.d13IncrementalIndex(spark, sf)
     assert(got.columns.toSeq ==
