@@ -138,7 +138,8 @@ object ScaleCheck {
     "q9_product_profit", "q16_supplier_diversity", "q19_disjunctive_join",
     "q8_cheapest_supplier", "q14_promo_revenue", "q21_waiting_suppliers",
     // round-14: span removal (the actionable span/contamination planes)
-    "d21_span_scrub", "t32_decontaminate_scrub", "d22_incremental_scrub")
+    "d21_span_scrub", "t32_decontaminate_scrub", "d22_incremental_scrub",
+    "d23_span_hotspots")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

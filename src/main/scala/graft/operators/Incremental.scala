@@ -512,6 +512,53 @@ object Incremental {
       .orderBy("doc_id")
   }
 
+  /** d23's report size: hotspots surfaced per run. */
+  val HotspotK = 10
+
+  /** d23: duplication HOTSPOTS — the top-[[HotspotK]] most-repeated
+    * K-token grams with their RECONSTRUCTED TEXT, the one-page "what
+    * exactly is this corpus's boilerplate" report a human reads
+    * before signing off a d21/d22 scrub (counts and fractions say how
+    * much; this says WHAT — license headers, navigation chrome,
+    * templated disclaimers). Read path over the committed span plane:
+    * per-gram counts + global-first positions come from the snapshot's
+    * span_stats (duplication-mass bounded), the top-K cut is a
+    * distributed TakeOrdered on the TOTAL order (n_occ desc,
+    * first.doc_id, first.tidx — a position holds ONE gram, so the
+    * tie-break is engine-independent and never leans on the 64-bit
+    * hash), and only the K winners join the corpus to slice their
+    * text out of the first-occurrence document. Overlap caveat
+    * (documented, not hidden): a duplicated span of length L ≥ K
+    * contributes L−K+1 overlapping grams with equal counts — the
+    * report shows the span through its constituent grams, which is
+    * what the d19 extents view is for when region boundaries matter.
+    * Oracle: the same report from gram STRINGS (d18's no-xxhash64
+    * style) — a hash pass proves the committed stats, the top-K cut,
+    * and the text reconstruction all at once. */
+  def d23SpanHotspots(s: SparkSession, dir: String): DataFrame = {
+    val k = Dedup.ExactSpanTokens
+    val root = ensureIncrementalIndex(s, dir)
+    val top = graft.sources.AtomicPublish.readOutput(s, root, "span_stats")
+      .filter(col("n_occ") > 1)
+      .select(col("n_occ"), col("first.doc_id").as("first_doc"),
+        col("first.tidx").as("first_tidx"))
+      .orderBy(col("n_occ").desc, col("first_doc"), col("first_tidx"))
+      .limit(HotspotK)
+    val w = Window.orderBy(col("n_occ").desc, col("first_doc"),
+      col("first_tidx"))
+    top
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id").as("first_doc"),
+          split(col("text"), " ").as("ws")), Seq("first_doc"))
+      .select(col("n_occ"), col("first_doc"), col("first_tidx"),
+        concat_ws(" ",
+          slice(col("ws"), col("first_tidx") + 1, lit(k))).as("span_text"))
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("n_occ"), col("first_doc"),
+        col("first_tidx"), col("span_text"))
+      .orderBy("rank")
+  }
+
   /** pipe5's quality floor: minimum token count for a batch document
     * to enter the curated corpus (the g1 length rule's cheap proxy,
     * evaluable from the committed term plane alone). */
@@ -638,6 +685,7 @@ object Incremental {
     "t29_incremental_novelty" -> (t29IncrementalNovelty _),
     "d20_incremental_spans" -> (d20IncrementalSpans _),
     "d22_incremental_scrub" -> (d22IncrementalScrub _),
+    "d23_span_hotspots" -> (d23SpanHotspots _),
     "d13_incremental_index" -> (d13IncrementalIndex _),
     "t25_incremental_tfidf" -> (t25IncrementalTfidf _),
     "pipe5_incremental_corpus" -> (pipe5IncrementalCorpus _),
@@ -708,5 +756,18 @@ object Incremental {
     // rebuild AND the excision conservation (d21's trick) at once
     "d22_incremental_scrub" ->
       Dedup.spanScrubOracleFrom(Dedup.spanMaskCtePrefix,
-        Some(s"doc_id % $BatchMod = 0")))
+        Some(s"doc_id % $BatchMod = 0")),
+    // the shared mask-CTE prefix already defines st (per-gram counts)
+    // and fst (global first occurrence) over gram STRINGS — the
+    // hotspot report is a top-K + text projection over them
+    "d23_span_hotspots" ->
+      s"""${Dedup.spanMaskCtePrefix},
+         |top AS (SELECT st.gram, st.n_occ, fst.fdoc, fst.ftidx
+         |  FROM st JOIN fst USING (gram) WHERE st.n_occ > 1
+         |  ORDER BY st.n_occ DESC, fst.fdoc, fst.ftidx LIMIT $HotspotK)
+         |SELECT ROW_NUMBER() OVER (ORDER BY n_occ DESC, fdoc, ftidx)
+         |    AS rank,
+         |  n_occ, fdoc AS first_doc, ftidx AS first_tidx,
+         |  gram AS span_text
+         |FROM top ORDER BY rank""".stripMargin)
 }

@@ -206,6 +206,39 @@ class IncrementalIndexSpec extends GraftSpec {
     }
   }
 
+  test("d23 hotspots: ordered, K-token texts, and the full report equals a driver recompute") {
+    val k = graft.operators.Dedup.ExactSpanTokens
+    val rows = Incremental.d23SpanHotspots(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Incremental.HotspotK)
+    // well-formed: strictly descending by the total order, exact
+    // K-token reconstructed text, every hotspot genuinely duplicated
+    val keys = rows.map(r => (-r.getLong(r.fieldIndex("n_occ")),
+      r.getLong(r.fieldIndex("first_doc")),
+      r.getInt(r.fieldIndex("first_tidx"))))
+    assert(keys.sameElements(keys.sorted), "report must follow the total order")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_occ")) >= 2L)
+      assert(r.getString(r.fieldIndex("span_text")).split(" ").length == k)
+    }
+    // ground truth: count every stride-1 k-gram driver-side
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" "))
+    val occ = collection.mutable.Map.empty[String, (Long, (Long, Int))]
+    for ((id, ws) <- texts.sortBy(_._1); i <- 0 to ws.length - k) {
+      val g = ws.slice(i, i + k).mkString(" ")
+      val (n, first) = occ.getOrElse(g, (0L, (id, i)))
+      occ(g) = (n + 1, if (n == 0) (id, i) else first)
+    }
+    val want = occ.toSeq.collect { case (g, (n, (d, t))) if n >= 2 => (g, n, d, t) }
+      .sortBy { case (_, n, d, t) => (-n, d, t) }.take(Incremental.HotspotK)
+    val got = rows.map(r => (r.getString(r.fieldIndex("span_text")),
+      r.getLong(r.fieldIndex("n_occ")),
+      r.getLong(r.fieldIndex("first_doc")),
+      r.getInt(r.fieldIndex("first_tidx"))))
+    assert(got.sameElements(want),
+      s"hotspot report != driver recompute:\n${got.take(3).mkString("\n")}\nvs\n${want.take(3).mkString("\n")}")
+  }
+
   test("d13 on the real corpus: incremental snapshot equals scratch recompute") {
     val got = Incremental.d13IncrementalIndex(spark, sf)
     assert(got.columns.toSeq ==
