@@ -270,34 +270,57 @@ object Bench {
     }
   }
 
-  /** BASELINE_BENCH.json carries two cohorts since r13: the original
-    * round-1 "queries" map (82-query continuity series) and a
-    * "queries_r13" re-baseline covering the whole surface (the r12
-    * verdict's ask #6 — the shared cohort had shrunk to 30% of the
-    * suite). Both geomeans are reported; the r13 map sits AFTER the
-    * old one in the file, so a text split on its key separates the
-    * cohorts without a JSON parser. */
+  /** Re-baseline cohort keys, in the order they appear in
+    * BASELINE_BENCH.json (the round-1 "queries" map precedes all of
+    * them). Appending a new round's cohort = add its key here and its
+    * map at the END of the file. */
+  private[graft] val CohortKeys = Seq("queries_r13", "queries_r14")
+
+  /** Slice BASELINE_BENCH text into (cohort, slice) pairs: the
+    * round-1 baseline is everything before the first re-baseline key,
+    * and each re-baseline's slice runs from its key to the NEXT key
+    * (r14 fix: the old suffix-split would have merged every later
+    * cohort into queries_r13's slice, silently corrupting its geomean
+    * the moment a third cohort landed — BenchGuardSpec pins the
+    * slicing). Regex parse only; no JSON library on the unmanaged
+    * classpath. */
+  private[graft] def cohortSlices(txt: String): Seq[(String, String)] = {
+    val marks = CohortKeys.map(k => k -> txt.indexOf("\"" + k + "\""))
+      .filter(_._2 >= 0).sortBy(_._2)
+    val firstIdx = marks.headOption.map(_._2).getOrElse(txt.length)
+    ("baseline" -> txt.substring(0, firstIdx)) +: marks.zipWithIndex.map {
+      case ((k, i), j) =>
+        val end = marks.lift(j + 1).map(_._2).getOrElse(txt.length)
+        k -> txt.substring(i, end)
+    }
+  }
+
+  /** BASELINE_BENCH.json carries the original round-1 "queries" map
+    * (82-query continuity series) plus one full-surface re-baseline
+    * per round since r13 (the r12 verdict's ask #6 — the shared
+    * cohort had shrunk to 30% of the suite). Every cohort's geomean
+    * is reported. */
   private def baselineCohorts(best: collection.Map[String, Double])
-      : (Option[(Double, Int)], Option[(Double, Int)]) = {
+      : Map[String, (Double, Int)] = {
     val p = java.nio.file.Paths.get("BASELINE_BENCH.json")
-    if (!java.nio.file.Files.exists(p)) return (None, None)
-    val txt = java.nio.file.Files.readString(p)
-    val idx = txt.indexOf("\"queries_r13\"")
-    val oldTxt = if (idx >= 0) txt.substring(0, idx) else txt
-    val r13 = if (idx >= 0) geomeanOver(txt.substring(idx), best) else None
-    (geomeanOver(oldTxt, best), r13)
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    cohortSlices(java.nio.file.Files.readString(p)).flatMap {
+      case (k, slice) => geomeanOver(slice, best).map(k -> _)
+    }.toMap
   }
 
   private def compactLine(best: collection.Map[String, Double],
                           errs: collection.Map[String, String],
                           total: Double, passes: Int, runsReq: Int,
                           sfDir: String, passSecs: Seq[Double] = Nil): String = {
-    val (gmOld, gmR13) = baselineCohorts(best)
-    val gmJson = gmOld.map { case (g, n) =>
-      s""","geomean_vs_baseline":${math.rint(g * 1000) / 1000},"shared_queries":$n"""
-    }.getOrElse("") + gmR13.map { case (g, n) =>
-      s""","geomean_vs_r13":${math.rint(g * 1000) / 1000},"shared_r13":$n"""
-    }.getOrElse("")
+    val gms = baselineCohorts(best)
+    def gmPart(key: String, label: String, nLabel: String): String =
+      gms.get(key).map { case (g, n) =>
+        s""","$label":${math.rint(g * 1000) / 1000},"$nLabel":$n"""
+      }.getOrElse("")
+    val gmJson = gmPart("baseline", "geomean_vs_baseline", "shared_queries") +
+      gmPart("queries_r13", "geomean_vs_r13", "shared_r13") +
+      gmPart("queries_r14", "geomean_vs_r14", "shared_r14")
     val passJson = if (passSecs.isEmpty) "" else
       passSecs.map(p => math.rint(p * 10) / 10).mkString(""","pass_secs":[""", ",", "]")
     val out = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"n_errors":${errs.size},"passes":$passes,"runs_requested":$runsReq,"partial":false$gmJson$passJson,"detail":"bench_last.json"}"""

@@ -30,4 +30,24 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.flushTarget("/root/testdata/sf0.1", refSf = "sf1")
       == "bench_last.sf0.1.json")
   }
+
+  test("cohortSlices: each re-baseline cohort is sliced to ITS map, not the file suffix") {
+    val txt =
+      """{"note":"x","queries":{"q1":1.0,"q2":2.0},
+        |"queries_r13":{"q1":0.9,"q2":1.8,"q3":3.0},
+        |"queries_r14":{"q1":0.8,"q2":1.6,"q3":2.5,"q4":4.0}}""".stripMargin
+    val slices = Bench.cohortSlices(txt).toMap
+    // the round-1 slice ends where the first re-baseline begins
+    assert(slices("baseline").contains("\"q1\":1.0")
+      && !slices("baseline").contains("queries_r13"))
+    // r13's slice must NOT absorb r14's pairs (the suffix-split bug
+    // this replaces: q1 would have resolved to 0.8, not 0.9)
+    assert(slices("queries_r13").contains("\"q1\":0.9")
+      && !slices("queries_r13").contains("\"q1\":0.8"))
+    assert(slices("queries_r14").contains("\"q4\":4.0"))
+    // a file without the r14 cohort degrades gracefully
+    val old = Bench.cohortSlices(
+      """{"queries":{"q1":1.0},"queries_r13":{"q1":0.9}}""").toMap
+    assert(old.keySet == Set("baseline", "queries_r13"))
+  }
 }
