@@ -209,13 +209,24 @@ object Profiling {
     * 2.14 s at sf0.1 (r13 sealed 3.50 s with the O(B) HOF assignment
     * and the extra offs/n1 subplans; first cut: 3.8 s global form). */
   def prof11DepthHistogram(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graft.SearchSortedExpr.searchSorted
     val x = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"),
       col("l_orderkey").as("tb1"), col("l_linenumber").as("tb2"))
     val n = x.count() // exact: sizes the fan-out AND anchors p·(n−1)
     require(n > 0, "prof11 over an empty column")
-    val bounds = prof11PinnedCuts(x, rankFanoutFor(n))
+    prof11Core(s, x, n, rankFanoutFor(n))
+  }
+
+  /** prof11's plan with an EXPLICIT fan-out — the spec hook proving
+    * the grouped-rank bucketing is engine-only: ProfilingSpec runs
+    * the identical frame at several fan-outs (below, at, and above
+    * the floor) and asserts bit-identical output, which is exactly
+    * the property that lets [[rankFanoutFor]] grow with the data
+    * without ever moving a result. */
+  private[graft] def prof11Core(s: SparkSession, x: DataFrame, n: Long,
+      fanout: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.SearchSortedExpr.searchSorted
+    val bounds = prof11PinnedCuts(x, fanout)
     val bucketed = x.crossJoin(broadcast(bounds)) // 1-row bounded metadata
       .withColumn("bkt", searchSorted(col("bs"), col("v")))
       .drop("bs")

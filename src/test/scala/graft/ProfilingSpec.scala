@@ -260,6 +260,23 @@ class ProfilingSpec extends GraftSpec {
     }
   }
 
+  test("prof11: the grouped-rank fan-out is engine-only — any fan-out, identical output") {
+    // the property that makes rankFanoutFor free to grow with the
+    // data (r13 ask #1): the approx cuts only BUCKET the rank
+    // computation; they can never move a result
+    val x = Tables.lineitem(spark, sf).select(
+      col("l_extendedprice").as("v"),
+      col("l_orderkey").as("tb1"), col("l_linenumber").as("tb2"))
+    val n = x.count()
+    val ref = graft.operators.Profiling.prof11Core(spark, x, n, 32)
+      .collect().map(_.mkString("|")).toSeq
+    for (fanout <- Seq(8, 97)) {
+      val got = graft.operators.Profiling.prof11Core(spark, x, n, fanout)
+        .collect().map(_.mkString("|")).toSeq
+      assert(got == ref, s"fan-out $fanout moved the histogram")
+    }
+  }
+
   test("prof11: equi-depth buckets hold ~equal mass, tile the value range, conserve rows") {
     val rows = Profiling.prof11DepthHistogram(spark, sf).collect()
       .sortBy(_.getAs[Int]("bucket"))
