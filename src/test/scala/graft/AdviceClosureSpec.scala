@@ -212,6 +212,38 @@ class AdviceClosureSpec extends GraftSpec {
       .contains(snapshot))
   }
 
+  test("r14: every committed-artifact oracle hook goes silent on multi-corpus ambiguity") {
+    // the qc2 discipline applied to the whole r14 conversion wave:
+    // with two corpora recorded in one JVM, NO single SQL string can
+    // be right, so the index-backed entries must vanish (rows-only),
+    // never aim at the wrong corpus
+    import graft.operators.{IncrementalAnn, Pipeline, Similarity}
+    // ensure the real entries exist first (specs elsewhere have run
+    // the queries; guard in case of test-order changes)
+    Similarity.n4CellAudit(spark, sf).collect()
+    IncrementalAnn.n17IncrementalAnn(spark, sf).collect()
+    assert(Similarity.oracles.contains("n4_cell_audit"))
+    assert(IncrementalAnn.oracles.contains("n17_incremental_ann"))
+    try {
+      Similarity.annVersionDirs.put("/fake/corpus", "/fake/ver")
+      IncrementalAnn.incrVersionDirs.put("/fake/corpus", "/fake/ver")
+      Pipeline.pipe4MetaDirs.put("/fake/corpus", ("/fake/a", "/fake/b"))
+      for (k <- Seq("n2_ann_lsh", "n3_ivf_ann", "n4_cell_audit",
+          "n6_semantic_dedup", "n12_pq_topk", "n15_ivf_pq",
+          "n13_recall_eval"))
+        assert(!Similarity.oracles.contains(k), s"$k must go rows-only")
+      assert(!IncrementalAnn.oracles.contains("n17_incremental_ann"))
+      assert(!Pipeline.oracles.contains("pipe4_monitor_report"))
+    } finally {
+      Similarity.annVersionDirs.remove("/fake/corpus")
+      IncrementalAnn.incrVersionDirs.remove("/fake/corpus")
+      Pipeline.pipe4MetaDirs.remove("/fake/corpus")
+    }
+    // and they come back once unambiguous again
+    assert(Similarity.oracles.contains("n4_cell_audit"))
+    assert(IncrementalAnn.oracles.contains("n17_incremental_ann"))
+  }
+
   test("r14 advice: priv2's noise moves with the release seed (DP claim scoped to sealed seeds)") {
     val gate = graft.operators.Quality.priv2DpRelease(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
