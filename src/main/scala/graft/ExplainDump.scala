@@ -90,6 +90,10 @@ object ExplainDump {
         Dedup.d21SpanScrub _),
       ("t32_decontaminate_scrub", "decontamination scrub: eval gram set broadcasts, train grams probe map-side, d21's row-local excision emits the clean corpus",
         TextAnalysis.t32DecontaminateScrub _),
+      ("d22_incremental_scrub", "batch span scrub: committed-snapshot mask (d20's read path) + batch-text-only excision - the corpus is never rescanned",
+        (s: SparkSession, d: String) => graft.operators.Incremental.d22IncrementalScrub(s, d)),
+      ("d23_span_hotspots", "duplication hotspots: TakeOrdered over duplication-mass-bounded span_stats on a hash-independent total order; only the K winners touch text",
+        (s: SparkSession, d: String) => graft.operators.Incremental.d23SpanHotspots(s, d)),
       ("prof11_depth_histogram", "equi-depth histogram: data-proportional grouped-rank fan-out, native binary-search bucket assignment, localCheckpoint-pinned sketch cuts, no Expand",
         graft.operators.Profiling.prof11DepthHistogram _),
       ("w7_stickiness", "rolling distinct via day-bin explode of the deduped (user,day) frame — raw events never fan out",
