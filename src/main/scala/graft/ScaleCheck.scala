@@ -139,7 +139,7 @@ object ScaleCheck {
     "q8_cheapest_supplier", "q14_promo_revenue", "q21_waiting_suppliers",
     // round-14: span removal (the actionable span/contamination planes)
     "d21_span_scrub", "t32_decontaminate_scrub", "d22_incremental_scrub",
-    "d23_span_hotspots")
+    "d23_span_hotspots", "ts18_stl_anomalies")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

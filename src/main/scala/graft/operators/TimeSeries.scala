@@ -657,8 +657,10 @@ object TimeSeries {
     * uninitialized 0 into the SQL (the CpMinSeg trap). */
   val StlHalf = 12
 
-  val oracles: Map[String, String] = Map(
-    "ts16_stl_decompose" -> {
+  /** ts16's oracle text — a def so ts18's oracle can wrap the SAME
+    * decomposition SQL as a subquery (the advice-#4 builder rule: one
+    * definition of the decomposition on the oracle side too). */
+  private[graft] def ts16Oracle: String = {
       def q6s(e: String) = s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT) / 1e6"
       s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
          |    count(*) AS cnt FROM events GROUP BY 1, 2),
@@ -693,6 +695,29 @@ object TimeSeries {
          |  CASE WHEN trend_raw IS NOT NULL
          |    THEN ${q6s("det - seasonal")} END AS remainder
          |FROM dq d LEFT JOIN prof ON d.event_type = pt AND d.hod = ph
+         |ORDER BY d.event_type, d.hr""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ts16_stl_decompose" -> ts16Oracle,
+    "ts18_stl_anomalies" -> {
+      def q6s(e: String) = s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT) / 1e6"
+      s"""WITH stl AS (SELECT * FROM ($ts16Oracle) t),
+         |r AS (SELECT event_type, hr, n, remainder FROM stl
+         |  WHERE remainder IS NOT NULL),
+         |med AS (SELECT event_type, quantile_cont(remainder, 0.5) AS med
+         |  FROM r GROUP BY 1),
+         |dev AS (SELECT r.event_type, r.hr, r.n, r.remainder, m.med,
+         |    abs(r.remainder - m.med) AS ad
+         |  FROM r JOIN med m USING (event_type)),
+         |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+         |  FROM dev GROUP BY 1)
+         |SELECT d.event_type, d.hr, d.n, d.remainder,
+         |  CASE WHEN mad.mad > 0 THEN
+         |    ${q6s(s"(d.remainder - d.med) / (${Mining.MadScale} * mad.mad)")}
+         |  END AS robust_z
+         |FROM dev d JOIN mad USING (event_type)
+         |WHERE d.ad > ${Mining.MadK * Mining.MadScale} * mad.mad
          |ORDER BY d.event_type, d.hr""".stripMargin
     },
     "ts15_changepoint" -> {
@@ -1151,8 +1176,46 @@ object TimeSeries {
       .orderBy("event_type", "hr")
   }
 
+  /** ts18: STL-residual ANOMALY flags — ts16 made actionable (the
+    * r14 removal-pattern on the monitoring plane): the decomposition
+    * explains a series as trend + seasonality; what remains is the
+    * signal an on-call actually wants flagged, and thresholding the
+    * RAW counts instead would page on every seasonal peak. Per
+    * series: robust center/scale of the remainder (median + MAD —
+    * e6's estimator at the residual grain, immune to the very
+    * anomalies being hunted), flag |r − med| > MadK·1.4826·MAD, and
+    * emit only the anomalous hours with their robust z-score. Scale
+    * shape: ts16's bounded series spine (hours × types, never fact
+    * rows), two bounded per-series percentile aggregates riding
+    * broadcast joins, one filter — every input is q6-quantized by
+    * ts16 so both engines threshold identical doubles. mad = 0
+    * (constant remainder) keeps the e6 comparison semantics: any
+    * positive deviation flags, and the z-score is NULL rather than
+    * an Inf that no alert router wants. */
+  def ts18StlAnomalies(s: SparkSession, dir: String): DataFrame =
+    stlAnomaliesOf(ts16StlDecompose(s, dir))
+
+  /** ts18 core on an arbitrary stl frame — spec hook (planted spike). */
+  private[graft] def stlAnomaliesOf(stl: DataFrame): DataFrame = {
+    val r = stl.filter(col("remainder").isNotNull)
+      .select(col("event_type"), col("hr"), col("n"), col("remainder"))
+    val med = r.groupBy(col("event_type"))
+      .agg(expr("percentile(remainder, 0.5)").as("med"))
+    val dev = r.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("remainder") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("ad") > lit(Mining.MadK * Mining.MadScale) * col("mad"))
+      .select(col("event_type"), col("hr"), col("n"), col("remainder"),
+        when(col("mad") > 0, q6((col("remainder") - col("med")) /
+          (lit(Mining.MadScale) * col("mad")))).as("robust_z"))
+      .orderBy("event_type", "hr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts16_stl_decompose" -> (ts16StlDecompose _),
+    "ts18_stl_anomalies" -> (ts18StlAnomalies _),
     "ts15_changepoint" -> (ts15Changepoint _),
     "ts1_gap_fill" -> (ts1GapFill _),
     "ts2_locf_fill" -> (ts2LocfFill _),

@@ -472,6 +472,34 @@ class TimeSeriesSpec extends GraftSpec {
     }
   }
 
+  test("ts18 flags exactly a planted spike and stays silent on the clean square wave") {
+    import spark.implicits._
+    // the ts16 fixture: clean square wave decomposes to remainder 0
+    // everywhere, so NOTHING flags...
+    def wave(spike: Option[Int]) = (0 until 96).map { i =>
+      val base = if (i % 2 == 0) 100L else 110L
+      ("a", java.sql.Timestamp.valueOf(
+        f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00"),
+        if (spike.contains(i)) base + 500L else base)
+    }.toDF("event_type", "hr", "n")
+    assert(TimeSeries.stlAnomaliesOf(TimeSeries.stlOf(wave(None)))
+      .count() == 0L, "a clean seasonal series must raise no alerts")
+    // ...and a single injected spike is flagged AT ITS HOUR — the
+    // point of alerting on the remainder: hour 37's raw count (610)
+    // is no higher than many seasonal peaks of a scaled series, but
+    // its residual is unexplained by trend+season
+    val flagged = TimeSeries.stlAnomaliesOf(TimeSeries.stlOf(wave(Some(37))))
+      .collect()
+    assert(flagged.exists(_.getAs[String]("hr").contains("2024-01-02 13")),
+      s"the spiked hour must flag: ${flagged.mkString(";")}")
+    // robust estimators keep the flag list to the spike's LEAKAGE
+    // NEIGHBORHOOD, never the whole series: the spike itself, the
+    // ≤2·StlHalf rows whose trend window contains it, and its ≤4
+    // hour-of-day mates whose seasonal mean it shifts (96h fixture)
+    assert(flagged.length <= 2 * TimeSeries.StlHalf + 96 / 24 + 1,
+      s"flag list must stay spike-local, got ${flagged.length}")
+  }
+
   test("ts16 corpus rows satisfy the additive identity n = trend + seasonal + remainder") {
     val rows = TimeSeries.ts16StlDecompose(spark, sf).collect()
     assert(rows.nonEmpty)
