@@ -133,8 +133,11 @@ object Similarity {
     * broadcast query side, so recall is bought where rows are
     * bounded by the query set instead of with more corpus-side
     * tables. Candidates from any shared (table, probed bucket),
-    * deduped, then ranked by exact cosine. rows-only; ScalaTest
-    * checks recall ≥ 0.9 vs n1. */
+    * deduped, then ranked by exact cosine. FULL hash oracle since
+    * r14: the lsh/assignments tables are committed index artifacts,
+    * so DuckDB replays the whole multiprobe (bit-flips via xor())
+    * from the version-resolved parquet; ScalaTest additionally pins
+    * recall ≥ 0.9 vs n1. */
   def n2AnnLsh(s: SparkSession, dir: String): DataFrame = {
     // probe the PERSISTED index (built once per dataset by
     // ensureAnnIndex): candidate generation runs on the SLIM lsh
@@ -211,7 +214,9 @@ object Similarity {
     * shuffled until the final probe equi-join. The Lloyd refinement is
     * one ≤IvfCells-key vector-sum aggregate (map-side partials). The
     * probe ranking touches only NumQueries × IvfCells rows — query-
-    * set-sized, never corpus-sized. rows-only + recall ScalaTest. */
+    * set-sized, never corpus-sized. FULL hash oracle since r14: the
+    * committed centroids/assignments replay the routed probe in
+    * DuckDB SQL (row_number routing); recall ScalaTest on top. */
   /** Seed-and-refine IVF centroids: every 50th vector seeds a cell,
     * one Lloyd iteration refines (zero-shuffle assignment + one
     * ≤IvfCells-key VectorSumAgg pass). Returns the bounded driver-side
@@ -419,8 +424,9 @@ object Similarity {
     * float vectors touched only for the RerankFactor×TopK survivors
     * per query, which are then re-ranked by exact cosine. Ties in the
     * integer scores break on neighbor_id, so the candidate cut is
-    * deterministic. rows-only (ranking internals engine-specific);
-    * SimilaritySpec checks recall vs the exact n1 top-k. */
+    * deterministic. Hash oracle: the int8 quantize/MAC replays
+    * exactly in DuckDB integer SQL; SimilaritySpec additionally
+    * checks recall vs the exact n1 top-k. */
   def n8QuantizedTopk(s: SparkSession, dir: String): DataFrame = {
     val qz = corpus(s, dir).select(col("vec_id"), col("v"), col("nrm"),
       org.apache.spark.sql.graft.QuantizeI8.quantizeI8(col("v")).as("qz"))
@@ -537,8 +543,11 @@ object Similarity {
     *    survivors per query (n8's discipline, deterministic
     *    tie-break).
     *
-    * rows-only (codebooks are engine-specific); SimilaritySpec checks
-    * recall vs exact n1 and pins the encoder to a driver-side argmin
+    * FULL hash oracle since r14: pq_books/pq_codes are committed
+    * index artifacts (ann-v3), so DuckDB replays the LUT build + ADC
+    * fold (left-assoc pivoted terms) + re-rank from the
+    * version-resolved parquet; SimilaritySpec checks recall vs exact
+    * n1 (≥0.8) and pins the encoder to a driver-side argmin
     * recompute. */
   def n12PqTopk(s: SparkSession, dir: String): DataFrame = {
     // READ path since r14: codebooks + codes are committed index
@@ -612,8 +621,10 @@ object Similarity {
     * Probe selection runs driver-side over bounded metadata
     * (NumQueries × IvfCells literal centroids); the candidate window
     * ranks SLIM (query, neighbor, approx) rows — n12's lesson.
-    * rows-only (index + codebooks engine-specific); recall-vs-exact
-    * spec. */
+    * FULL hash oracle since r14: centroid routing AND the PQ-ADC
+    * fold both replay in DuckDB SQL from the committed
+    * centroids/pq_books/pq_codes tables; recall-vs-exact spec (≥0.6)
+    * on top. */
   def n15IvfPq(s: SparkSession, dir: String): DataFrame = {
     val root = ensureAnnIndex(s, dir)
     val refined = indexCells(s, root)
@@ -697,9 +708,10 @@ object Similarity {
     * — at scale the cell count grows with the corpus (n/cells stays
     * bounded), here IvfCells=10. Emits one row per vector: keep flag,
     * and for drops the min-id duplicate it collapses into and the
-    * strongest cosine. rows-only (centroids are
-    * engine-specific); the ScalaTest recomputes within-cell pairs
-    * brute-force and checks the keep set exactly. */
+    * strongest cosine. FULL hash oracle since r14: the committed
+    * assignments table replays the within-cell pair scan in DuckDB;
+    * the ScalaTest recomputes within-cell pairs brute-force and
+    * checks the keep set exactly. */
   def n6SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     // cells come from the persisted index (same centroids/assignments
     // n3 probes — SemDeDup is an index consumer, not an index builder)
@@ -805,13 +817,18 @@ object Similarity {
       floor(otherCos * lit(1e9) + lit(0.5)).cast("long").as("sq_oth"),
       (ownCos - otherCos).as("margin"))
     val tot = assigned.agg(count(lit(1)).as("n_total"))
+    // the quantized-cosine folds sum through decimal(38,0) (r14 advice
+    // #2): a plain long sum of ~1e9-scale quanta wraps silently past
+    // ~9.2e9 rows/cell in non-ANSI Spark while the oracle's HUGEINT
+    // widens — the obt2 silent-vs-loud divergence class
     perVec.groupBy(col("cell_id"))
       .agg(count(lit(1)).as("n_vectors"),
-        round((sum(col("sq_own")).cast("double") / count(lit(1))) / lit(1e9), 6)
-          .as("mean_own_cos"),
-        round((sum(col("sq_oth")).cast("double") / count(lit(1))) / lit(1e9), 6)
-          .as("mean_other_cos"),
-        round(((sum(col("sq_own")) - sum(col("sq_oth"))).cast("double") /
+        round((sum(col("sq_own").cast("decimal(38,0)")).cast("double") /
+          count(lit(1))) / lit(1e9), 6).as("mean_own_cos"),
+        round((sum(col("sq_oth").cast("decimal(38,0)")).cast("double") /
+          count(lit(1))) / lit(1e9), 6).as("mean_other_cos"),
+        round(((sum(col("sq_own").cast("decimal(38,0)")) -
+          sum(col("sq_oth").cast("decimal(38,0)"))).cast("double") /
           count(lit(1))) / lit(1e9), 6).as("mean_margin"),
         round(min(col("margin")), 6).as("min_margin"))
       .crossJoin(broadcast(tot)) // 1-row bounded metadata
@@ -933,7 +950,10 @@ object Similarity {
     * `.collect()` anywhere in this path, PlanAuditSpec pins no
     * LocalTableScan). Output is bit-identical to the retired driver
     * loop — ObtSampleSpec pins it against a driver recompute.
-    * rows-only + diversity-property ScalaTest. */
+    * Hash oracle: the bounded-k greedy loop unrolls into k chained
+    * argmax CTEs with GREATEST-folded running redundancy, walking
+    * the kernel's exact IEEE tree; diversity-property ScalaTest on
+    * top. */
   def n11MmrRerank(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
     val q = e.filter(col("vec_id") < NumQueries)
@@ -1214,12 +1234,13 @@ object Similarity {
        |    CAST(floor(other_cos * 1e9 + 0.5) AS BIGINT) AS sq_oth,
        |    own_cos - other_cos AS margin FROM s),
        |g AS (SELECT cell_id, COUNT(*) AS n_vectors,
-       |    round((CAST(SUM(sq_own) AS DOUBLE) / COUNT(*)) / 1e9, 6)
-       |      AS mean_own_cos,
-       |    round((CAST(SUM(sq_oth) AS DOUBLE) / COUNT(*)) / 1e9, 6)
-       |      AS mean_other_cos,
-       |    round((CAST(SUM(sq_own) - SUM(sq_oth) AS DOUBLE) / COUNT(*)) / 1e9, 6)
-       |      AS mean_margin,
+       |    round((CAST(SUM(CAST(sq_own AS DECIMAL(38,0))) AS DOUBLE)
+       |      / COUNT(*)) / 1e9, 6) AS mean_own_cos,
+       |    round((CAST(SUM(CAST(sq_oth AS DECIMAL(38,0))) AS DOUBLE)
+       |      / COUNT(*)) / 1e9, 6) AS mean_other_cos,
+       |    round((CAST(SUM(CAST(sq_own AS DECIMAL(38,0)))
+       |      - SUM(CAST(sq_oth AS DECIMAL(38,0))) AS DOUBLE)
+       |      / COUNT(*)) / 1e9, 6) AS mean_margin,
        |    round(MIN(margin), 6) AS min_margin
        |  FROM q GROUP BY 1),
        |t AS (SELECT COUNT(*) AS n_total FROM a)
@@ -1288,6 +1309,13 @@ object Similarity {
     * replay walks the identical greedy path. */
   private def n11Oracle: String = {
     val lam = MmrLambda
+    // Interpolate the Scala-computed IEEE double (0.30000000000000004)
+    // rather than writing `(1 - 0.7)` in SQL: DuckDB folds that
+    // expression in DECIMAL(12,1), whose double cast is 1 ulp BELOW
+    // the kernel's IEEE `1 - lam` and can flip an argmax on near-tie
+    // data (r14 advice #1). The literal parses to the identical
+    // double in both engines.
+    val oneMinusLam = 1 - MmrLambda
     var sql =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -1304,7 +1332,7 @@ object Similarity {
          |s1 AS (SELECT query_id, vec_id AS pid, rel FROM (
          |    SELECT query_id, vec_id, rel, ROW_NUMBER() OVER (
          |      PARTITION BY query_id
-         |      ORDER BY $lam * rel - (1 - $lam) * 0.0 DESC, vec_id ASC) AS rn
+         |      ORDER BY $lam * rel - $oneMinusLam * 0.0 DESC, vec_id ASC) AS rn
          |    FROM pool)
          |  WHERE rn = 1),
          |c1 AS (SELECT c.query_id, c.vec_id, c.rel, c.v, c.nrm,
@@ -1318,7 +1346,7 @@ object Similarity {
            |s$i AS (SELECT query_id, vec_id AS pid, rel FROM (
            |    SELECT query_id, vec_id, rel, ROW_NUMBER() OVER (
            |      PARTITION BY query_id
-           |      ORDER BY $lam * rel - (1 - $lam) * red DESC, vec_id ASC) AS rn
+           |      ORDER BY $lam * rel - $oneMinusLam * red DESC, vec_id ASC) AS rn
            |    FROM c${i - 1})
            |  WHERE rn = 1)""".stripMargin
       if (i < TopK) sql +=

@@ -45,7 +45,10 @@ object Sources {
       .option("header", "true").csv(path)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_orderkey")).as("sum_orderkey"),
+        // decimal(38,0) lift (r14 advice #3): a raw int64 key checksum
+        // overflows at the 100 TB grain — ANSI throws, non-ANSI wraps
+        // silently vs the oracle's exact HUGEINT (the obt2 discipline)
+        sum(col("l_orderkey").cast("decimal(38,0)")).as("sum_orderkey"),
         max(col("l_linenumber")).as("max_linenumber"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -141,7 +144,8 @@ object Sources {
     s.read.orc(path)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(col("o_orderkey")).as("sum_orderkey"),
+        // decimal(38,0) key-checksum lift — same rationale as src1
+        sum(col("o_orderkey").cast("decimal(38,0)")).as("sum_orderkey"),
         max(col("o_custkey")).as("max_custkey"))
       .orderBy("o_orderpriority")
   }
@@ -189,14 +193,18 @@ object Sources {
     * readers prune on the partition column at the listing level, and
     * the emitted frame aggregates THROUGH the round-tripped copy
     * (k1's discipline) so the DuckDB oracle proves the partitioned
-    * write was lossless. Revenue sums in decimal (exact, order-free)
-    * and casts to double at the end; the orderkey checksum ALSO lifts
-    * to decimal(38,0) before summing (r13 advice #1): at the 100 TB
+    * write was lossless. BOTH checksums are exact integral decimals
+    * end-to-end (r14 verdict #1): the revenue checksum quantizes each
+    * 4dp revenue to an int at 1e-4 grain inside decimal space and
+    * sums as decimal(38,0) — no trailing decimal→double cast, whose
+    * engine-specific last-ulp rounding at ~1e9 magnitudes was the one
+    * driver hash flake of r14 — and the orderkey checksum lifts to
+    * decimal(38,0) before summing (r13 advice #1): at the 100 TB
     * grain this docstring designs for (~6e11 rows × ~1e12 keys) a raw
     * int64 sum exceeds 2^63 — ANSI Spark throws, non-ANSI wraps
     * SILENTLY while the DuckDB oracle's HUGEINT sum stays exact, the
     * precise silent-vs-loud divergence class w11/g9/imp2 eliminated.
-    * The decimal fold is exact at any scale on both engines. */
+    * The decimal folds are exact at any scale on both engines. */
   def obt2PartitionedObt(s: SparkSession, dir: String): DataFrame = {
     val path = tmp("obt2_part")
     obt2WriteFrame(s, dir)
@@ -204,7 +212,8 @@ object Sources {
     s.read.parquet(path)
       .groupBy(col("cust_region"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("revenue").cast("decimal(18,4)")).cast("double").as("sum_revenue"),
+        sum((col("revenue").cast("decimal(18,4)") * 10000)
+          .cast("decimal(38,0)")).as("sum_revenue_q"),
         sum(col("l_orderkey").cast("decimal(38,0)")).as("sum_orderkey"))
       .orderBy("cust_region")
   }
@@ -1145,8 +1154,9 @@ object Sources {
   val oracles: Map[String, String] = Map(
     "obt2_partitioned_obt" ->
       """SELECT cr.r_name AS cust_region, COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
-        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_revenue,
+        |  CAST(SUM(CAST(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+        |    AS DECIMAL(18,4)) * 10000 AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS sum_revenue_q,
         |  CAST(SUM(l.l_orderkey) AS DECIMAL(38,0)) AS sum_orderkey
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1205,7 +1215,7 @@ object Sources {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "src1_csv_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
+        |  CAST(SUM(l_orderkey) AS DECIMAL(38,0)) AS sum_orderkey,
         |  MAX(l_linenumber) AS max_linenumber
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "src2_json_roundtrip" ->
@@ -1230,7 +1240,7 @@ object Sources {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "src4_orc_roundtrip" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+        |  CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS sum_orderkey,
         |  MAX(o_custkey) AS max_custkey
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "src3_schema_evolution" ->

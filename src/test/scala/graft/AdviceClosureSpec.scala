@@ -222,6 +222,7 @@ class AdviceClosureSpec extends GraftSpec {
     // the queries; guard in case of test-order changes)
     Similarity.n4CellAudit(spark, sf).collect()
     IncrementalAnn.n17IncrementalAnn(spark, sf).collect()
+    Pipeline.pipe4MonitorReport(spark, sf).collect()
     assert(Similarity.oracles.contains("n4_cell_audit"))
     assert(IncrementalAnn.oracles.contains("n17_incremental_ann"))
     try {
@@ -261,5 +262,65 @@ class AdviceClosureSpec extends GraftSpec {
     assert(gate.keySet == sealedRun.keySet)
     assert(gate.keys.forall(k => gate(k) != sealedRun(k)),
       "every bucket's noise must move with the seed")
+  }
+
+  test("r15 advice: n11's oracle interpolates the host-computed (1-λ) double, never SQL decimal") {
+    // DuckDB types `1 - 0.7` as DECIMAL(12,1) whose double cast is
+    // 0.29999999999999998890 — 1 ulp BELOW the kernel's IEEE
+    // 1 - 0.7 = 0.30000000000000004441; on near-tie data that flips
+    // the greedy argmax (the g2 teleport-constant lesson, applied
+    // to the MMR plane)
+    val printed = (1 - graft.operators.Similarity.MmrLambda).toString
+    assert(printed == "0.30000000000000004",
+      s"host 1-0.7 printed unexpectedly: $printed")
+    val sql = graft.operators.Similarity.oracles("n11_mmr_rerank")
+    assert(sql.contains(printed),
+      "n11 oracle must embed the host-computed redundancy weight")
+    assert(!sql.contains("(1 - 0.7)"),
+      "n11 oracle must not re-derive (1-λ) in SQL decimal")
+  }
+
+  test("r15: obt2/src1/src4 checksums are exact integral decimals end-to-end (r14's one hash flake)") {
+    // obt2's r14 driver hash FAIL sat at the sum(decimal)→double
+    // output boundary: the decimal→double cast's last-ulp rounding
+    // at ~1e9 magnitudes is engine-specific. The fix keeps every
+    // checksum in integral decimal with NO trailing double cast.
+    val obt2 = graft.sources.Sources.obt2PartitionedObt(spark, sf)
+    val revT = obt2.schema("sum_revenue_q").dataType.simpleString
+    assert(revT == "decimal(38,0)", s"sum_revenue_q must be exact: $revT")
+    assert(obt2.schema("sum_orderkey").dataType.simpleString == "decimal(38,0)")
+    // and the key checksums of the format round-trips carry the same
+    // decimal(38,0) lift (raw int64 overflows at the 100 TB grain)
+    for (df <- Seq(graft.sources.Sources.src1CsvRoundtrip(spark, sf),
+        graft.sources.Sources.src4OrcRoundtrip(spark, sf)))
+      assert(df.schema("sum_orderkey").dataType.simpleString == "decimal(38,0)",
+        "src checksums must fold in decimal(38,0)")
+    // cross-check obt2's quantized revenue against an independent
+    // decimal recompute from the raw frame (proves the ×10000
+    // quantization is exact, not a re-rounding)
+    import org.apache.spark.sql.functions._
+    val want = graft.operators.Analytics.denormFrame(spark, sf)
+      .groupBy(col("cust_region"))
+      .agg(sum((col("revenue").cast("decimal(18,4)") * 10000)
+        .cast("decimal(38,0)")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    obt2.collect().foreach { r =>
+      assert(r.getDecimal(r.fieldIndex("sum_revenue_q")) ==
+        want(r.getString(r.fieldIndex("cust_region"))))
+    }
+  }
+
+  test("r15 advice: n4's quantized-cosine folds sum through decimal(38,0) on both engines") {
+    // a plain long sum of 1e9-scale quanta wraps past ~9.2e9
+    // rows/cell in non-ANSI Spark while the DuckDB oracle's SUM
+    // widens to HUGEINT — the silent-vs-loud class obt2 closed
+    val plan = graft.operators.Similarity.n4CellAudit(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("cast(sq_own") && plan.contains("decimal(38,0)"),
+      "n4 must lift the quantized sums to decimal before folding")
+    val sql = graft.operators.Similarity.oracles("n4_cell_audit")
+    assert(sql.contains("SUM(CAST(sq_own AS DECIMAL(38,0)))") &&
+      sql.contains("SUM(CAST(sq_oth AS DECIMAL(38,0)))"),
+      "n4 oracle must mirror the decimal lift")
   }
 }
