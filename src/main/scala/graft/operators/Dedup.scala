@@ -79,8 +79,14 @@ object Dedup {
     * a K/band choice corpus-wide — sketch parameters are picked from
     * measured calibration, not vibes. The exact pair set is d2's
     * bounded output, so both signature joins are keyed lookups against
-    * it; the reduction is one row. rows-only (MinHash is
-    * engine-specific); the spec bounds MAE by the binomial SE. */
+    * it; the reduction is one row. FULL hash oracle since r15 (r14
+    * ask #3a): the signatures are committed `sig_index` parquet, so
+    * DuckDB replays the agree-count + error arithmetic from the
+    * version-resolved tables (the n13 discipline); the spec
+    * additionally bounds MAE by the binomial SE. Every mean folds as
+    * 1e-9-quantized decimal sums (order-free, overflow-proof) and
+    * p90 interpolates over the SAME quantized grid — integer-valued
+    * doubles make `percentile`/`quantile_cont` bit-identical. */
   def d12SketchCalibration(s: SparkSession, dir: String): DataFrame = {
     val exact = d2NgramJaccard(s, dir)
     val wide = minhashWide(s, dir)
@@ -91,14 +97,25 @@ object Dedup {
       .join(wide.as("x"), col("doc_a") === col("x.doc_id"))
       .join(wide.as("y"), col("doc_b") === col("y.doc_id"))
       .withColumn("est", agree.cast("double") / MinhashK)
-      .select(col("jaccard"), col("est"),
-        abs(col("est") - col("jaccard")).as("abs_err"))
+      .select(col("jaccard"), col("est"))
+      .withColumn("q_abs",
+        floor(abs(col("est") - col("jaccard")) * lit(1e9) + lit(0.5))
+          .cast("long"))
+      .withColumn("q_bias",
+        floor((col("est") - col("jaccard")) * lit(1e9) + lit(0.5))
+          .cast("long"))
+      .withColumn("q_se",
+        floor(sqrt(col("jaccard") * (lit(1.0) - col("jaccard")) / MinhashK) *
+          lit(1e9) + lit(0.5)).cast("long"))
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg(col("abs_err")), 6).as("mae"),
-        round(expr("percentile(abs_err, 0.9D)"), 6).as("p90_abs_err"),
-        round(avg(col("est") - col("jaccard")), 6).as("bias"),
-        round(avg(sqrt(col("jaccard") * (lit(1.0) - col("jaccard")) /
-          MinhashK)), 6).as("mean_theoretical_se"))
+        round((sum(col("q_abs").cast("decimal(38,0)")).cast("double") /
+          count(lit(1))) / lit(1e9), 6).as("mae"),
+        round(expr("percentile(q_abs, 0.9D)") / lit(1e9), 6)
+          .as("p90_abs_err"),
+        round((sum(col("q_bias").cast("decimal(38,0)")).cast("double") /
+          count(lit(1))) / lit(1e9), 6).as("bias"),
+        round((sum(col("q_se").cast("decimal(38,0)")).cast("double") /
+          count(lit(1))) / lit(1e9), 6).as("mean_theoretical_se"))
   }
 
   /** d11: duplication audit report — the cluster-size histogram of
@@ -300,11 +317,22 @@ object Dedup {
           "simhash" -> simhashBuild(s, dir)))
     }
 
+  /** dir → version-resolved sig-index path, recorded when a consumer
+    * resolves the committed signatures — the hook that lets d12's
+    * DuckDB oracle read the SAME committed minhash parquet (the
+    * annVersionDirs/qc2 discipline; emitted only when exactly one
+    * corpus ran in this JVM). */
+  private[graft] val sigVersionDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The wide (doc_id, mh0..mh31) signature frame, read from the
     * published signature index. */
-  private def minhashWide(s: SparkSession, dir: String): DataFrame =
-    graft.sources.AtomicPublish.readOutput(s,
-      ensureSigIndex(s, dir), "minhash")
+  private def minhashWide(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureSigIndex(s, dir)
+    graft.sources.AtomicPublish.currentVersion(s, root)
+      .foreach(v => sigVersionDirs.put(dir, s"$root/versions/$v"))
+    graft.sources.AtomicPublish.readOutput(s, root, "minhash")
+  }
 
   /** d3: MinHash + LSH banding. Signatures band into MinhashK/BandSize
     * buckets; docs colliding in ≥1 band become candidates; the
@@ -981,7 +1009,73 @@ object Dedup {
        |ORDER BY ad.doc_id""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** d2's exact-pair computation as shared CTEs ending in `exact`
+    * (doc_a, doc_b, jaccard ≥ 0.5) — one parameterized builder for
+    * the d2 entry and d12's calibration replay, so the pair
+    * semantics cannot drift between them (the d14 rule: shared SQL
+    * is a builder, never String.replace). */
+  private def exactPairCtes: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh0 AS (SELECT DISTINCT doc_id,
+       |    unnest([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]) AS sh
+       |  FROM tok),
+       |sh AS (SELECT doc_id, sh FROM sh0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= $ShingleDfCap),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |exact AS (SELECT doc_a, doc_b,
+       |    CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+       |  FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5)""".stripMargin
+
+  /** DuckDB replay of d12 against the COMMITTED minhash signatures
+    * (r14 ask #3a): the exact side is d2's builder above; the
+    * estimate is the same 32-slot agree count over the
+    * version-resolved sig_index parquet; the one-row stats fold as
+    * 1e-9-quantized decimal sums and the p90 interpolates on the
+    * quantized integer grid (where `quantile_cont` and Spark's
+    * `percentile` are the same IEEE expression). */
+  private def d12Oracle(verDir: String): String = {
+    val agree = (0 until MinhashK)
+      .map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$exactPairCtes,
+       |mh AS (SELECT * FROM read_parquet('$verDir/minhash/*.parquet')),
+       |p AS (SELECT e.jaccard,
+       |    CAST($agree AS DOUBLE) / $MinhashK AS est
+       |  FROM exact e JOIN mh x ON e.doc_a = x.doc_id
+       |    JOIN mh y ON e.doc_b = y.doc_id),
+       |q AS (SELECT
+       |    CAST(floor(abs(est - jaccard) * 1e9 + 0.5) AS BIGINT) AS q_abs,
+       |    CAST(floor((est - jaccard) * 1e9 + 0.5) AS BIGINT) AS q_bias,
+       |    CAST(floor(sqrt(jaccard * (1.0 - jaccard) / $MinhashK) * 1e9 + 0.5)
+       |      AS BIGINT) AS q_se
+       |  FROM p)
+       |SELECT COUNT(*) AS n_pairs,
+       |  round((CAST(SUM(CAST(q_abs AS DECIMAL(38,0))) AS DOUBLE)
+       |    / COUNT(*)) / 1e9, 6) AS mae,
+       |  round(quantile_cont(q_abs, 0.9) / 1e9, 6) AS p90_abs_err,
+       |  round((CAST(SUM(CAST(q_bias AS DECIMAL(38,0))) AS DOUBLE)
+       |    / COUNT(*)) / 1e9, 6) AS bias,
+       |  round((CAST(SUM(CAST(q_se AS DECIMAL(38,0))) AS DOUBLE)
+       |    / COUNT(*)) / 1e9, 6) AS mean_theoretical_se
+       |FROM q""".stripMargin
+  }
+
+  /** A `def` (qc2's discipline): the sig-index-backed d12 entry
+    * resolves the committed version path after the queries ran, and
+    * only when exactly ONE corpus ran in this JVM (ambiguity ⇒
+    * rows-only, never a wrong-corpus oracle). */
+  def oracles: Map[String, String] = staticOracles ++ (
+    if (sigVersionDirs.size == 1)
+      Map("d12_sketch_calibration" ->
+        d12Oracle(sigVersionDirs.values.iterator.next()))
+    else Map.empty)
+
+  private val staticOracles: Map[String, String] = Map(
     "d18_exact_spans" -> d18SpansOracle(),
     "d21_span_scrub" -> spanScrubOracleFrom(spanMaskCtePrefix),
     "d19_span_extents" ->
@@ -1039,21 +1133,8 @@ object Dedup {
         |WHERE CAST(i AS DOUBLE) / least(x.n, y.n) >= $ContainmentTau
         |ORDER BY doc_a, doc_b""".stripMargin,
     "d2_ngram_jaccard" ->
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh0 AS (SELECT DISTINCT doc_id,
-        |    unnest([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]) AS sh
-        |  FROM tok),
-        |sh AS (SELECT doc_id, sh FROM sh0
-        |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= $ShingleDfCap),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
-        |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-        |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+      s"""$exactPairCtes
+        |SELECT doc_a, doc_b, jaccard FROM exact
         |ORDER BY doc_a, doc_b""".stripMargin,
     "d10_canonical_pick" ->
       s"""$ClusterOracleCte,

@@ -877,18 +877,65 @@ object Similarity {
     * component is a native codegen'd dot against a PLAN-LITERAL
     * eigenvector with the constant pⱼ·μ folded in, so the projection
     * adds zero shuffles and ships a few KB of literals to every
-    * executor. rows-only (eigensolves aren't SQL); SimilaritySpec
-    * checks orthonormality, the projected-variance≍eigenvalue
-    * identity, and PCA's variance optimality vs coordinate axes. */
+    * executor. FULL hash oracle since r15 (r14 ask #3b): the
+    * eigensolve stays engine-side but its RESULT — per-component
+    * direction p and the precomputed shift p·μ — is published as a
+    * committed `pca_model` artifact ([[ensurePcaModel]]), so the
+    * DuckDB oracle replays the zero-shuffle projection from the
+    * version-resolved parquet (list_dot_product is the same
+    * left-to-right fold as the native kernel loop — the PQ-LUT
+    * precedent); SimilaritySpec additionally checks orthonormality,
+    * the projected-variance≍eigenvalue identity, and PCA's variance
+    * optimality vs coordinate axes. */
   def n9PcaProject(s: SparkSession, dir: String): DataFrame = {
-    val e = corpus(s, dir)
-    val (_, mu, comps) = pcaModel(e)
-    val projCols = comps.zipWithIndex.map { case ((_, p), j) =>
-      val shift = p.zip(mu).map { case (a, b) => a * b }.sum
-      round(org.apache.spark.sql.graft.ArrayMathExpr.dotNative(
-        col("v"), typedlit(p)) - lit(shift), 6).as(s"pc$j")
+    val root = ensurePcaModel(s, dir)
+    // bounded collect: PcaK rows × (dim+2) doubles — the model, not data
+    val comps = graft.sources.AtomicPublish.readOutput(s, root, "components")
+      .select(col("j"), col("p"), col("shift")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    // 1e-6 grid via the fixed IEEE floor-quantizer, not round():
+    // round(double, n) re-derives the decimal boundary differently
+    // per engine; floor(x·1e6 + 0.5)/1e6 has ONE answer in both
+    val projCols = comps.map { case (j, p, shift) =>
+      (floor((org.apache.spark.sql.graft.ArrayMathExpr.dotNative(
+        col("v"), typedlit(p)) - lit(shift)) * lit(1e6) + lit(0.5))
+        .cast("double") / lit(1e6)).as(s"pc$j")
     }
-    e.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
+    corpus(s, dir).select(col("vec_id") +: projCols.toSeq: _*)
+      .orderBy("vec_id")
+  }
+
+  /** dir → version-resolved pca_model path (the sig_index/annVersionDirs
+    * hook pattern, for n9's oracle). */
+  private[graft] val pcaVersionDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Durable PCA model: train once per corpus fingerprint (one Gram
+    * pass + a driver-side d×d eigensolve), publish the components as
+    * parquet — (j, direction p, shift = p·μ, eigenvalue). Downstream
+    * projections (and the DuckDB oracle) read the committed doubles,
+    * so "engine-trained" stops meaning "engine-specific" the moment
+    * the model COMMITS (the r14 conversion-wave rule). */
+  private[graft] def ensurePcaModel(s: SparkSession, dir: String): String = {
+    val base = sys.props.getOrElse("graft.pca.base",
+      s"${graft.GraftSession.defaultStateDir}/pca_model")
+    val root = graft.sources.DurableIndex.root(base, dir,
+      graft.sources.DurableIndex.fingerprint(s"$dir/embeddings.parquet",
+        s"pca-v1;k=$PcaK"))
+    graft.sources.DurableIndex.ensure(s, root) {
+      val (_, mu, comps) = pcaModel(corpus(s, dir))
+      import s.implicits._
+      val rows = comps.zipWithIndex.map { case ((ev, p), j) =>
+        (j, p.toSeq, p.zip(mu).map { case (a, b) => a * b }.sum, ev)
+      }
+      graft.sources.AtomicPublish.publish(s, root,
+        Seq("components" -> rows.toDF("j", "p", "shift", "eigenvalue")
+          .coalesce(1)))
+    }
+    graft.sources.AtomicPublish.currentVersion(s, root)
+      .foreach(v => pcaVersionDirs.put(dir, s"$root/versions/$v"))
+    root
   }
 
   val KnnK = 10 // neighbors voting in n10
@@ -1063,7 +1110,28 @@ object Similarity {
         "n12_pq_topk" -> pqAdcOracle(ver, probed = false),
         "n15_ivf_pq" -> pqAdcOracle(ver, probed = true),
         "n13_recall_eval" -> n13Oracle(ver))
-    } else Map.empty)
+    } else Map.empty) ++ (
+    if (pcaVersionDirs.size == 1)
+      Map("n9_pca_project" -> n9Oracle(pcaVersionDirs.values.iterator.next()))
+    else Map.empty)
+
+  /** DuckDB replay of n9 from the committed pca_model components:
+    * per component, one list_dot_product (the kernel's left-to-right
+    * fold) minus the committed shift, onto the 1e-6 grid with the
+    * same floor-quantizer expression the Spark plan uses. */
+  private def n9Oracle(verDir: String): String = {
+    val cols = (0 until PcaK).map { j =>
+      s"""floor((list_dot_product(e.v, (SELECT p FROM comp WHERE j = $j))
+         |    - (SELECT shift FROM comp WHERE j = $j)) * 1e6 + 0.5) / 1e6
+         |    AS pc$j""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH comp AS (SELECT j, p::DOUBLE[] AS p, shift
+       |    FROM read_parquet('$verDir/components/*.parquet')),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT e.vec_id,
+       |  $cols
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
 
   /** DuckDB replay of the PQ-ADC serving path against the committed
     * pq_books/pq_codes/assignments tables — one builder for n12

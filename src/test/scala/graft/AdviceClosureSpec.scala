@@ -217,32 +217,43 @@ class AdviceClosureSpec extends GraftSpec {
     // with two corpora recorded in one JVM, NO single SQL string can
     // be right, so the index-backed entries must vanish (rows-only),
     // never aim at the wrong corpus
-    import graft.operators.{IncrementalAnn, Pipeline, Similarity}
+    import graft.operators.{Dedup, IncrementalAnn, Pipeline, Similarity}
     // ensure the real entries exist first (specs elsewhere have run
     // the queries; guard in case of test-order changes)
     Similarity.n4CellAudit(spark, sf).collect()
     IncrementalAnn.n17IncrementalAnn(spark, sf).collect()
     Pipeline.pipe4MonitorReport(spark, sf).collect()
+    Dedup.d12SketchCalibration(spark, sf).collect()
+    Similarity.n9PcaProject(spark, sf).collect()
     assert(Similarity.oracles.contains("n4_cell_audit"))
     assert(IncrementalAnn.oracles.contains("n17_incremental_ann"))
+    assert(Dedup.oracles.contains("d12_sketch_calibration"))
+    assert(Similarity.oracles.contains("n9_pca_project"))
     try {
       Similarity.annVersionDirs.put("/fake/corpus", "/fake/ver")
       IncrementalAnn.incrVersionDirs.put("/fake/corpus", "/fake/ver")
       Pipeline.pipe4MetaDirs.put("/fake/corpus", ("/fake/a", "/fake/b"))
+      Dedup.sigVersionDirs.put("/fake/corpus", "/fake/ver")
+      Similarity.pcaVersionDirs.put("/fake/corpus", "/fake/ver")
       for (k <- Seq("n2_ann_lsh", "n3_ivf_ann", "n4_cell_audit",
           "n6_semantic_dedup", "n12_pq_topk", "n15_ivf_pq",
-          "n13_recall_eval"))
+          "n13_recall_eval", "n9_pca_project"))
         assert(!Similarity.oracles.contains(k), s"$k must go rows-only")
       assert(!IncrementalAnn.oracles.contains("n17_incremental_ann"))
       assert(!Pipeline.oracles.contains("pipe4_monitor_report"))
+      assert(!Dedup.oracles.contains("d12_sketch_calibration"))
     } finally {
       Similarity.annVersionDirs.remove("/fake/corpus")
       IncrementalAnn.incrVersionDirs.remove("/fake/corpus")
       Pipeline.pipe4MetaDirs.remove("/fake/corpus")
+      Dedup.sigVersionDirs.remove("/fake/corpus")
+      Similarity.pcaVersionDirs.remove("/fake/corpus")
     }
     // and they come back once unambiguous again
     assert(Similarity.oracles.contains("n4_cell_audit"))
     assert(IncrementalAnn.oracles.contains("n17_incremental_ann"))
+    assert(Dedup.oracles.contains("d12_sketch_calibration"))
+    assert(Similarity.oracles.contains("n9_pca_project"))
   }
 
   test("r14 advice: priv2's noise moves with the release seed (DP claim scoped to sealed seeds)") {
