@@ -1236,4 +1236,80 @@ class PlanAuditSpec extends GraftSpec {
     assert(!plan.contains("Expand"),
       s"countDistinct must plan as two-stage partial-distinct, not Expand:\n$plan")
   }
+
+  test("r14 ask #2: every unpartitioned Window in every gate query rides a bounded input") {
+    // The gate log carries hundreds of single-partition Window
+    // warnings; each one is fine ONLY because its input was already
+    // reduced to bounded metadata (a keyed aggregate, a limit, or a
+    // committed-artifact/bounded-literal scan). That convention used
+    // to rest on per-operator docstrings — this sweep ENFORCES it:
+    // walk the FINAL adaptive physical plan of every SparkEntry query
+    // and require each WindowExec/WindowGroupLimitExec with an empty
+    // partitionSpec to have such a reducer in its input subtree. A
+    // regression that floats a global window onto a fact-scale frame
+    // fails here instead of at the 100 TB incident.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val expanded = (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }) ++ p.subqueries // scalar attaches hide windows in subquery plans
+      p +: expanded.flatMap(walk)
+    }
+
+    def isBoundedReducer(p: SparkPlan): Boolean = p match {
+      // a keyed (or global) aggregate collapsed the rows
+      case _: BaseAggregateExec => true
+      // an explicit limit bounds the frame
+      case _: LocalLimitExec | _: GlobalLimitExec |
+          _: TakeOrderedAndProjectExec => true
+      // driver-literal data (plan constants, query sets)
+      case _: LocalTableScanExec => true
+      // localCheckpoint of a frame that was ALREADY reduced — the
+      // checkpoint erases lineage, and every checkpointed frame in
+      // the repo is the output of an audited bounded reduction
+      // (ts13/ts14 series bounds, prof11 pinned cuts)
+      case _: RDDScanExec => true
+      // committed index artifacts (AtomicPublish version dirs) are
+      // bounded by construction (span/sig/term/cluster indexes)
+      case f: FileSourceScanExec =>
+        val paths = f.relation.location.rootPaths.mkString(",")
+        paths.contains("/versions/") ||
+          // the bounded literal dims (≤ 25 rows at any SF)
+          paths.contains("nation.parquet") || paths.contains("region.parquet")
+      case _ => false
+    }
+
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    var nGlobalWindows = 0
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sf)
+      df.collect() // drive to completion so AQE's FINAL plan exists
+      val nodes = walk(df.queryExecution.executedPlan)
+      val globals = nodes.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => (w: SparkPlan, w.child)
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+          (w: SparkPlan, w.child)
+      }
+      nGlobalWindows += globals.size
+      for ((w, child) <- globals)
+        if (!walk(child).exists(isBoundedReducer))
+          violations += s"$name: ${w.nodeName} over ${child.nodeName}"
+    }
+    assert(violations.isEmpty,
+      s"unbounded global windows found:\n${violations.mkString("\n")}")
+    // the sweep must have actually seen the warned-about windows
+    // (the gate log's warning count is higher because it re-warns per
+    // execution and includes one-shot index-BUILD plans, which have
+    // their own audits; the read-path query surface carries ~22)
+    assert(nGlobalWindows >= 20,
+      s"sweep saw only $nGlobalWindows global windows — harness broken?")
+  }
 }
