@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for LLM training-data pipelines (SURVEY §2
@@ -891,7 +891,7 @@ object Dedup {
     * string surgery on the shared SQL (r12 advice #4). */
   private[graft] def d9SubstringOracle(batchPredicate: Option[String] = None): String = {
     val where = batchPredicate.map(p => s"WHERE $p\n").getOrElse("")
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, $SpanTokensSql AS ws FROM documents),
        |occ AS (SELECT doc_id, i AS pidx,
        |    array_to_string(ws[(i*$PassageWords+1):(i*$PassageWords+$PassageWords)], ' ') AS passage,
        |    len(ws[(i*$PassageWords+1):(i*$PassageWords+$PassageWords)]) AS plen
@@ -917,7 +917,7 @@ object Dedup {
     * builder, not string surgery: the advice-#4 rule), so a hash pass
     * on either proves the published span index ≡ recompute. */
   private[graft] def spanMaskCtePrefix: String =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, $SpanTokensSql AS ws FROM documents),
        |tok AS (SELECT doc_id, ws, len(ws) AS n_tok FROM w
        |  WHERE len(ws) >= $ExactSpanTokens),
        |g AS (SELECT doc_id, i - 1 AS tidx,
@@ -985,16 +985,19 @@ object Dedup {
        |sp AS (SELECT doc_id, span_id, MIN(tidx) AS s,
        |    MAX(tidx) + ${ExactSpanTokens - 1} AS e
        |  FROM isl GROUP BY 1, 2),
-       |ad AS (SELECT doc_id, string_split(text, ' ') AS ws,
-       |    len(string_split(text, ' ')) AS n_tok FROM documents $where),
-       |tk AS (SELECT doc_id, i - 1 AS tidx, ws[i] AS tokstr
+       |ad AS (SELECT doc_id, $SpanTokensSql AS ws,
+       |    len($SpanTokensSql) AS n_tok,
+       |    contains(text, ' ') AS seg FROM documents $where),
+       |tk AS (SELECT doc_id, seg, i - 1 AS tidx, ws[i] AS tokstr
        |  FROM ad, LATERAL (SELECT unnest(generate_series(1,
        |    CAST(n_tok AS INT))) AS i) ix(i)),
-       |kept AS (SELECT t.doc_id, t.tidx, t.tokstr FROM tk t
+       |kept AS (SELECT t.doc_id, t.seg, t.tidx, t.tokstr FROM tk t
        |  WHERE NOT EXISTS (SELECT 1 FROM sp
        |    WHERE sp.doc_id = t.doc_id AND t.tidx BETWEEN sp.s AND sp.e)),
        |scr AS (SELECT doc_id,
-       |    COALESCE(string_agg(tokstr, ' ' ORDER BY tidx), '') AS stext
+       |    COALESCE(CASE WHEN bool_or(seg)
+       |      THEN string_agg(tokstr, ' ' ORDER BY tidx)
+       |      ELSE string_agg(tokstr, '' ORDER BY tidx) END, '') AS stext
        |  FROM kept GROUP BY 1),
        |ns AS (SELECT doc_id, COUNT(*) AS n_spans,
        |    CAST(SUM(e - s + 1) AS BIGINT) AS rm_tokens
@@ -1226,7 +1229,7 @@ object Dedup {
     * is additive, and the first occurrence is an associative min). */
   private[graft] def passageOccurrencesOf(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), spanTokens(col("text")).as("ws"))
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0),
           ceil(size(col("ws")) / lit(PassageWords.toDouble)).cast("int") - 1),
@@ -1291,11 +1294,51 @@ object Dedup {
     * initialization-order reason as PassageWords. */
   final val ExactSpanTokens = PassageWords
 
+  /** Span-plane segmentation rule (r14 ask #4, SURVEY §4): a document
+    * containing at least one space tokenizes on single spaces (the
+    * word grain every oracle shares); a document with NO space is
+    * UNSEGMENTED (CJK/Thai/unspaced scripts) and falls back to
+    * CODEPOINT tokens, so span dedup / decontamination / scrubbing
+    * see a repeated CJK span instead of silently treating the whole
+    * document as one token. The fallback is the conservative
+    * per-codepoint grain (a K-codepoint repeat is a shorter repeated
+    * string than K words, so the mask is stricter, never looser);
+    * mixed-script documents WITH spaces stay at word grain —
+    * documented limitation, not detection failure. Both engines
+    * implement the same rule ([[SpanTokensSql]] mirrors this
+    * expression in DuckDB; regexp '(?s).' is codepoint-aware in
+    * both). Scope: the SPAN plane (d9/d14, d18–d23, t31/t32) — the
+    * term/shingle planes keep their kernel tokenizers. */
+  private[graft] def spanSegmented(c: Column): Column = c.contains(" ")
+
+  /** The span plane's tokenizer — see [[spanSegmented]]. */
+  private[graft] def spanTokens(c: Column): Column =
+    when(spanSegmented(c), split(c, " "))
+      .otherwise(regexp_extract_all(c, lit("(?s)."), lit(0)))
+
+  /** [[spanTokens]] as a DuckDB expression over a column named
+    * `text` — every span-plane oracle builder tokenizes through this
+    * ONE fragment so the rule cannot drift between engines. `final`
+    * without a type annotation = compile-time constant (the
+    * PassageWords initialization-order rule): the `staticOracles`
+    * val earlier in this object inlines the string instead of
+    * reading a not-yet-initialized field as null. */
+  private[graft] final val SpanTokensSql =
+    "CASE WHEN contains(text, ' ') THEN string_split(text, ' ') ELSE regexp_extract_all(text, '(?s).') END"
+
+  /** Scrub reassembly over the d21Scrub frame (kept, seg): segmented
+    * docs rejoin with single spaces, unsegmented docs with the empty
+    * string — the inverse of [[spanTokens]], shared by d21/d22/t32 so
+    * the three scrub surfaces cannot disagree on reconstruction. */
+  private[graft] def scrubbedTextCol: Column =
+    when(col("seg"), concat_ws(" ", col("kept")))
+      .otherwise(concat_ws("", col("kept")))
+
   /** Stride-1 K-token gram hashes with start index: (doc_id, tidx,
     * gh). Only full windows (docs shorter than K have none); only the
     * 64-bit hash ever leaves the row. */
   private[graft] def spanGramsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    docs.select(col("doc_id"), spanTokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= ExactSpanTokens)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("ws")) - lit(ExactSpanTokens)),
@@ -1322,7 +1365,7 @@ object Dedup {
   /** d18 core on an arbitrary (doc_id, text) frame — factored for the
     * planted-span and containment specs. */
   private[graft] def exactSpanMask(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val base = docs.select(col("doc_id"), spanTokens(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("n_tok"))
       .filter(col("n_tok") >= ExactSpanTokens)
     val grams = spanGramsOf(docs)
@@ -1368,7 +1411,7 @@ object Dedup {
       s"${graft.GraftSession.defaultStateDir}/span_index")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
-        s"span-v1;k=$ExactSpanTokens;kernel=stride1-xxh64"))
+        s"span-v2;k=$ExactSpanTokens;kernel=stride1-xxh64;seg=ws-or-codepoint"))
   }
 
   /** Publish the exact-span plane ONCE per corpus fingerprint: the
@@ -1425,7 +1468,7 @@ object Dedup {
     val dup = graft.sources.AtomicPublish.readOutput(s,
       ensureSpanIndex(s, dir), "dup")
     val base = Tables.documents(s, dir)
-      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      .select(col("doc_id"), size(spanTokens(col("text"))).as("n_tok"))
       .filter(col("n_tok") >= ExactSpanTokens)
     val dupPerDoc = dup.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_windows"))
@@ -1519,7 +1562,8 @@ object Dedup {
           col("span_start").as("s"), col("span_end").as("e")))).as("spans"),
         count(lit(1)).as("n_spans"),
         sum(col("span_end") - col("span_start") + 1).as("rm_tokens"))
-    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    docs.select(col("doc_id"), spanTokens(col("text")).as("ws"),
+        spanSegmented(col("text")).as("seg"))
       .join(perDoc, Seq("doc_id"), "left")
       .withColumn("kept", when(col("spans").isNull, col("ws")).otherwise(expr(
         """aggregate(spans,
@@ -1536,7 +1580,7 @@ object Dedup {
         size(col("ws")).cast("long").as("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans_removed"),
         coalesce(col("rm_tokens"), lit(0L)).as("n_tokens_removed"),
-        col("kept"))
+        col("kept"), col("seg"))
   }
 
   /** d21: span REMOVAL — the destructive pass that makes the span
@@ -1569,7 +1613,7 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"), col("n_spans_removed"),
         col("n_tokens_removed"),
         size(col("kept")).cast("long").as("n_tokens_kept"),
-        md5(concat_ws(" ", col("kept"))).as("scrubbed_md5"))
+        md5(scrubbedTextCol).as("scrubbed_md5"))
       .orderBy("doc_id")
   }
 

@@ -79,7 +79,7 @@ object Incremental {
         // v4: the family grew the term plane (v2), the passage plane
         // (v3), and the applied-batch ledger (v4) — each recipe bump
         // forces stale-family rebuilds
-        s"incr-v5;split=mod$BatchMod;dfcap=${Dedup.ShingleDfCap};tau=0.5;" +
+        s"incr-v6;split=mod$BatchMod;dfcap=${Dedup.ShingleDfCap};tau=0.5;" +
           s"minhash=k${Dedup.MinhashK}-xxh64;simhash=64-seed42;kernel=word3gram-xxh64;" +
           s"term=doc-term-tf-space;passage=w${Dedup.PassageWords}-xxh64;" +
           s"span=k${Dedup.ExactSpanTokens}-stride1-xxh64"))
@@ -508,7 +508,7 @@ object Incremental {
       .select(col("doc_id"), col("n_tokens"), col("n_spans_removed"),
         col("n_tokens_removed"),
         size(col("kept")).cast("long").as("n_tokens_kept"),
-        md5(concat_ws(" ", col("kept"))).as("scrubbed_md5"))
+        md5(Dedup.scrubbedTextCol).as("scrubbed_md5"))
       .orderBy("doc_id")
   }
 
@@ -549,7 +549,7 @@ object Incremental {
     top
       .join(Tables.documents(s, dir)
         .select(col("doc_id").as("first_doc"),
-          split(col("text"), " ").as("ws")), Seq("first_doc"))
+          Dedup.spanTokens(col("text")).as("ws")), Seq("first_doc"))
       .select(col("n_occ"), col("first_doc"), col("first_tidx"),
         concat_ws(" ",
           slice(col("ws"), col("first_tidx") + 1, lit(k))).as("span_text"))

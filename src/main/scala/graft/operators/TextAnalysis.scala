@@ -580,7 +580,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("eval_id")).as("n_eval_docs"))
     val lens = docs.filter(!isEval)
-      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      .select(col("doc_id"), size(Dedup.spanTokens(col("text"))).as("n_tok"))
       .filter(col("n_tok") >= k)
     cov.join(evDocs, Seq("doc_id"))
       .join(lens, Seq("doc_id"))
@@ -647,7 +647,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("n_spans_removed"),
         col("n_tokens_removed"),
         size(col("kept")).cast("long").as("n_tokens_kept"),
-        md5(concat_ws(" ", col("kept"))).as("scrubbed_md5"))
+        md5(Dedup.scrubbedTextCol).as("scrubbed_md5"))
       .orderBy("doc_id")
 
   val TfidfTopK = 3 // characteristic terms per document
@@ -1311,7 +1311,7 @@ object TextAnalysis {
          |FROM scored WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
     "t31_span_decontaminate" -> {
       val k = Dedup.ExactSpanTokens
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, ${Dedup.SpanTokensSql} AS ws FROM documents),
          |tok AS (SELECT doc_id, ws, len(ws) AS n_tok FROM w
          |  WHERE len(ws) >= $k),
          |g AS (SELECT doc_id, i - 1 AS tidx,
@@ -1347,7 +1347,7 @@ object TextAnalysis {
       // the shared span-scrub excision tail (d21's builder) emitting
       // only the TRAIN docs
       Dedup.spanScrubOracleFrom(
-        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        s"""WITH w AS (SELECT doc_id, ${Dedup.SpanTokensSql} AS ws FROM documents),
            |tok AS (SELECT doc_id, ws, len(ws) AS n_tok FROM w
            |  WHERE len(ws) >= $k),
            |g AS (SELECT doc_id, i - 1 AS tidx,
