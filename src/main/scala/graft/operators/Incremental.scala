@@ -383,10 +383,14 @@ object Incremental {
     * Empty micro-batches (watermark-only triggers) are skipped — a
     * version bump with no data would only churn the vacuum horizon. */
   def streamingIndexMaintenance(docs: DataFrame, root: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
         applyBatch(batch.sparkSession, root, batch.toDF(), id)

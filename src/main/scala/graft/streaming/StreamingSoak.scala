@@ -62,6 +62,95 @@ object StreamingSoak {
       .select(col("w.start").as("w_start"), col("n_conversions"))
   }
 
+  case class IndexSoakResult(batches: Long, seconds: Double,
+      docsStreamed: Long, versions: Long, spanOccRows: Long,
+      indexRowsFinal: Long, matched: Boolean, missHead: String = "")
+
+  /** Index-maintenance soak (r14 ask #5): drive [[graft.operators
+    * .Incremental.applyBatch]] — the d13 family's transactional
+    * ingest endpoint — under a REAL file-source stream over
+    * `<docsDir>/documents.parquet`, instead of the chained
+    * MemoryStream the row-249 spec uses. v1 of a fresh index root is
+    * built over the `doc_id % BatchMod == 0` slice; the remaining
+    * ~80% of the corpus arrives as [[splitFiles]] parquet files
+    * replayed `filesPerTrigger` at a time (Trigger.AvailableNow), so
+    * every micro-batch publishes version N+1 through the exactly-once
+    * ledger. The verdict re-runs the FROM-SCRATCH family build over
+    * the full corpus and requires every published output (all 14
+    * non-ledger tables — postings, df, sizes, edges, clusters,
+    * signatures, term/passage/span planes) to be set-equal to the
+    * rebuild: increment ≡ rebuild, through the real streaming
+    * machinery, at sf0.1 volume. The foreachBatch pipeline itself is
+    * stateless (state lives in the committed snapshot), so the
+    * recorded "state" is the final snapshot's row mass. */
+  def indexSoak(s: SparkSession, docsDir: String, workDir: String,
+      splitFiles: Int = 16, filesPerTrigger: Int = 2): IndexSoakResult = {
+    import graft.operators.Incremental
+    val t0 = System.nanoTime()
+    val docs = graft.Tables.documents(s, docsDir)
+    val runToken = System.nanoTime()
+    val root = s"$workDir/incr_soak_root_$runToken"
+    val base = docs.filter(pmod(col("doc_id"), lit(Incremental.BatchMod)) === 0)
+    val streamed = docs.filter(pmod(col("doc_id"), lit(Incremental.BatchMod)) =!= 0)
+    graft.sources.AtomicPublish.publish(s, root,
+      Incremental.buildOutputs(s, base))
+    val srcDir = s"$workDir/incr_soak_src_$runToken"
+    streamed.repartitionByRange(splitFiles, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    stampArrivalOrder(srcDir) // deterministic replay sequence
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .parquet(srcDir)
+    val q = Incremental.streamingIndexMaintenance(stream, root,
+      s"$workDir/incr_soak_ckpt_$runToken", Trigger.AvailableNow())
+    q.awaitTermination()
+    val progress = q.recentProgress.toSeq
+    // increment ≡ rebuild: every committed output vs a from-scratch
+    // family build over the full corpus (set equality both ways)
+    val rebuilt = Incremental.buildOutputs(s, docs)
+    var missHead = ""
+    var indexRows = 0L
+    val matched = rebuilt.filter(_._1 != "ledger").forall { case (name, want) =>
+      val got = graft.sources.AtomicPublish.readOutput(s, root, name)
+      indexRows += got.count()
+      val extra = got.exceptAll(want).count()
+      val missing = want.exceptAll(got).count()
+      if ((extra > 0 || missing > 0) && missHead.isEmpty)
+        missHead = s"$name: +$extra/-$missing"
+      extra == 0 && missing == 0
+    }
+    IndexSoakResult(
+      batches = progress.count(_.numInputRows > 0).toLong,
+      seconds = (System.nanoTime() - t0) / 1e9,
+      docsStreamed = streamed.count(),
+      versions = graft.sources.AtomicPublish.currentVersion(s, root)
+        .map(_.stripPrefix("v").toLong).getOrElse(0L),
+      spanOccRows = graft.sources.AtomicPublish
+        .readOutput(s, root, "span_occ").count(),
+      indexRowsFinal = indexRows,
+      matched = matched, missHead = missHead)
+  }
+
+  /** Stamp strictly increasing mtimes in path order so the file
+    * source replays partitions as the intended arrival sequence
+    * (parallel write tasks finish in arbitrary order — see the
+    * events-soak commentary). */
+  private def stampArrivalOrder(srcDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(srcDir)
+    val st = java.nio.file.Files.list(dir)
+    val parts =
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally st.close()
+    val base = System.currentTimeMillis() - (parts.size + 10) * 1000L
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+    }
+  }
+
   /** Run the soak over `<eventsDir>/events.parquet`; `workDir` holds
     * the split source files and the checkpoint. Returns measured
     * counts + wall-clock; `matched` is the stream≡batch verdict. */
@@ -93,21 +182,7 @@ object StreamingSoak {
     // soak; at sf0.1 every file landed in the same second and path
     // order hid it). Stamp mtimes explicitly: range partition k holds
     // the k-th time slice, so path order IS arrival order.
-    locally {
-      import scala.jdk.CollectionConverters._
-      val dir = java.nio.file.Paths.get(srcDir)
-      val st = java.nio.file.Files.list(dir)
-      val parts =
-        try st.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("part-"))
-          .toSeq.sortBy(_.getFileName.toString)
-        finally st.close() // directory stream holds an fd until closed
-      val base = System.currentTimeMillis() - (parts.size + 10) * 1000L
-      parts.zipWithIndex.foreach { case (p, i) =>
-        java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
-      }
-    }
+    stampArrivalOrder(srcDir)
     // sentinel pair, written LAST (max mtime) so the watermark jump
     // happens after all real data
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
