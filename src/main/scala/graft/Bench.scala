@@ -155,7 +155,8 @@ object Bench {
       }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
       val ps = passSecs.map(p => math.rint(p * 10) / 10).mkString("[", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$smp,"errors":$errs,"n_errors":${results.count(_._3.isDefined)},"passes":$passes,"runs_requested":$runsReq,"pass_secs":$ps,"partial":$partial,"sf":"$sfDir"}"""
+      val nb = noiseBandJson(samples.view.mapValues(_.toSeq).toMap, passSecs.toSeq)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$smp,"errors":$errs,"n_errors":${results.count(_._3.isDefined)},"passes":$passes,"runs_requested":$runsReq,"pass_secs":$ps,"noise_band":$nb,"partial":$partial,"sf":"$sfDir"}"""
     }
     // Atomic rewrite (tmp + move) so a reader never sees a torn file;
     // subset runs don't clobber the durable full-suite evidence.
@@ -224,8 +225,37 @@ object Bench {
     // committed bench_last.json for per-query detail.
     val total = queries.flatMap { case (n, _) => best.get(n) }.sum
     println(compactLine(best, errs0, total, passesDone, runsReq, sfDir,
-      passSecs.toSeq))
+      passSecs.toSeq,
+      noiseBandJson(samples.view.mapValues(_.toSeq).toMap, passSecs.toSeq)))
     spark.stop()
+  }
+
+  /** The run's own noise band (r14 verdict ask #8) — cross-round
+    * deltas self-qualify from the artifact instead of needing a
+    * side-channel note about a degraded host. Two measures, both
+    * computable after the fact from `samples`/`pass_secs` but
+    * precomputed here so a reader (or the round judge) doesn't have
+    * to: `per_query_p50`/`p90` = percentiles over each query's
+    * (2nd-smallest ÷ smallest) sample ratio — 1.0x is a perfectly
+    * repeatable host, the r12 incident read ~1.6x; `pass_spread` =
+    * max÷min of the STEADY passes (pass 1 carries one-time index
+    * builds and is excluded). A cross-round per-query delta smaller
+    * than the band is host noise, not a regression. */
+  private[graft] def noiseBandJson(samples: collection.Map[String, Seq[Double]],
+      passSecs: Seq[Double]): String = {
+    val ratios = samples.valuesIterator.flatMap { ss0 =>
+      val ss = ss0.sorted
+      if (ss.size >= 2 && ss.head > 0) Some(ss(1) / ss.head) else None
+    }.toSeq.sorted
+    def pct(p: Double): Double =
+      if (ratios.isEmpty) 1.0
+      else ratios(math.min(ratios.size - 1, math.round(p * (ratios.size - 1)).toInt))
+    val steady = passSecs.drop(1)
+    val spread =
+      if (steady.size >= 2 && steady.min > 0) steady.max / steady.min else 1.0
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    s"""{"per_query_p50":${r3(pct(0.5))},"per_query_p90":${r3(pct(0.9))},""" +
+      s""""pass_spread":${r3(spread)},"n":${ratios.size}}"""
   }
 
   /** The reference scale factor the sealed bench_last.json holds
@@ -312,7 +342,8 @@ object Bench {
   private def compactLine(best: collection.Map[String, Double],
                           errs: collection.Map[String, String],
                           total: Double, passes: Int, runsReq: Int,
-                          sfDir: String, passSecs: Seq[Double] = Nil): String = {
+                          sfDir: String, passSecs: Seq[Double] = Nil,
+                          noiseBand: String = ""): String = {
     val gms = baselineCohorts(best)
     def gmPart(key: String, label: String, nLabel: String): String =
       gms.get(key).map { case (g, n) =>
@@ -323,7 +354,8 @@ object Bench {
       gmPart("queries_r14", "geomean_vs_r14", "shared_r14")
     val passJson = if (passSecs.isEmpty) "" else
       passSecs.map(p => math.rint(p * 10) / 10).mkString(""","pass_secs":[""", ",", "]")
-    val out = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"n_errors":${errs.size},"passes":$passes,"runs_requested":$runsReq,"partial":false$gmJson$passJson,"detail":"bench_last.json"}"""
+    val nbJson = if (noiseBand.isEmpty) "" else s""","noise_band":$noiseBand"""
+    val out = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","sf":"$sfDir","n_queries":${best.size},"n_errors":${errs.size},"passes":$passes,"runs_requested":$runsReq,"partial":false$gmJson$passJson$nbJson,"detail":"bench_last.json"}"""
     // Belt and braces: the whole point is fitting the driver's tail.
     if (out.length < 1900) out
     else s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","sf":"$sfDir","detail":"bench_last.json"}"""

@@ -50,4 +50,24 @@ class BenchGuardSpec extends AnyFunSuite {
       """{"queries":{"q1":1.0},"queries_r13":{"q1":0.9}}""").toMap
     assert(old.keySet == Set("baseline", "queries_r13"))
   }
+
+  test("noise_band: per-query repeatability ratios + steady-pass spread (r14 ask #8)") {
+    // q1 perfectly repeatable (ratio 1.0), q2 noisy (2nd-min/min =
+    // 1.5), q3 single-sample (excluded), q4 wild outlier in a LATER
+    // sample (min-of-N immune: ratio uses 2nd-smallest, = 1.2)
+    val samples = Map(
+      "q1" -> Seq(1.0, 1.0, 1.0),
+      "q2" -> Seq(3.0, 2.0, 5.0),
+      "q3" -> Seq(5.0),
+      "q4" -> Seq(1.0, 9.0, 1.2))
+    // pass 1 carries index builds and must be excluded from the spread
+    val nb = Bench.noiseBandJson(samples, Seq(200.0, 150.0, 165.0))
+    assert(nb.contains(""""per_query_p50":1.2"""), nb)
+    assert(nb.contains(""""per_query_p90":1.5"""), nb)
+    assert(nb.contains(""""pass_spread":1.1"""), nb) // 165/150, not 200/150
+    assert(nb.contains(""""n":3"""), nb)
+    // degenerate inputs stay well-formed
+    assert(Bench.noiseBandJson(Map.empty, Nil)
+      .contains(""""per_query_p50":1.0"""))
+  }
 }
