@@ -11,7 +11,10 @@ class SourcesSpec extends GraftSpec {
     val direct = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_orderkey")).as("sum_orderkey"),
+        // r15: src1's checksum folds in decimal(38,0) (overflow-proof
+        // at fact scale) — the direct recompute must match the TYPE
+        // too, or Row equality fails on Decimal vs Long
+        sum(col("l_orderkey").cast("decimal(38,0)")).as("sum_orderkey"),
         max(col("l_linenumber")).as("max_linenumber"))
       .orderBy("l_returnflag", "l_linestatus").collect()
     assert(viaCsv.toSeq == direct.toSeq)
