@@ -139,7 +139,11 @@ object ScaleCheck {
     "q8_cheapest_supplier", "q14_promo_revenue", "q21_waiting_suppliers",
     // round-14: span removal (the actionable span/contamination planes)
     "d21_span_scrub", "t32_decontaminate_scrub", "d22_incremental_scrub",
-    "d23_span_hotspots", "ts18_stl_anomalies")
+    "d23_span_hotspots", "ts18_stl_anomalies",
+    // round-15: index-eval + report newcomers (LSH retrieval eval /
+    // truncated-dim recall / eval-side leakage / padding waste)
+    "d24_lsh_pair_eval", "n18_truncation_eval", "t30_eval_leak_report",
+    "mix9_padding_waste")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

@@ -307,13 +307,33 @@ object Dedup {
       s"${graft.GraftSession.defaultStateDir}/sig_index")
     graft.sources.DurableIndex.root(base, dir,
       graft.sources.DurableIndex.fingerprint(s"$dir/documents.parquet",
-        s"sig-v1;minhash=k$MinhashK-xxh64;simhash=64-seed42"))
+        // v2: the index grew the BANDS table — banding is an
+        // ingest-time artifact now (d3 reads it, d24 evaluates it,
+        // the oracle replays it), not a per-query recompute
+        s"sig-v2;minhash=k$MinhashK-xxh64;simhash=64-seed42;" +
+          s"bands=b${MinhashK / BandSize}x$BandSize-xxh64"))
+  }
+
+  /** LSH band keys from the wide (doc_id, mh0..mh31) signature frame:
+    * MinhashK/BandSize keys per doc, the band index mixed into each
+    * key so cross-band collisions vanish and ONE equi-join on
+    * band_key yields candidates. Shared by the sig-index build (which
+    * publishes it) and nothing else — consumers read the committed
+    * table. */
+  private[graft] def bandsOf(wide: DataFrame): DataFrame = {
+    val bandKeys = array((0 until MinhashK / BandSize).map(b =>
+      xxhash64((lit(b) +: (0 until BandSize).map(r =>
+        col(s"mh${b * BandSize + r}"))): _*)): _*)
+    wide.select(col("doc_id"), explode(bandKeys).as("band_key"))
   }
 
   private[graft] def ensureSigIndex(s: SparkSession, dir: String): String =
     graft.sources.DurableIndex.ensure(s, sigIndexRoot(dir)) {
+      // one kernel scan feeds both the signature table and its bands
+      val mh = minhashBuild(s, dir).localCheckpoint()
       graft.sources.AtomicPublish.publish(s, sigIndexRoot(dir),
-        Seq("minhash" -> minhashBuild(s, dir),
+        Seq("minhash" -> mh,
+          "bands" -> bandsOf(mh),
           "simhash" -> simhashBuild(s, dir)))
     }
 
@@ -325,14 +345,20 @@ object Dedup {
   private[graft] val sigVersionDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** The wide (doc_id, mh0..mh31) signature frame, read from the
-    * published signature index. */
-  private def minhashWide(s: SparkSession, dir: String): DataFrame = {
+  /** Read one sig-index output, recording the version-resolved path
+    * for the oracle hooks. */
+  private def sigOutput(s: SparkSession, dir: String,
+      name: String): DataFrame = {
     val root = ensureSigIndex(s, dir)
     graft.sources.AtomicPublish.currentVersion(s, root)
       .foreach(v => sigVersionDirs.put(dir, s"$root/versions/$v"))
-    graft.sources.AtomicPublish.readOutput(s, root, "minhash")
+    graft.sources.AtomicPublish.readOutput(s, root, name)
   }
+
+  /** The wide (doc_id, mh0..mh31) signature frame, read from the
+    * published signature index. */
+  private def minhashWide(s: SparkSession, dir: String): DataFrame =
+    sigOutput(s, dir, "minhash")
 
   /** d3: MinHash + LSH banding. Signatures band into MinhashK/BandSize
     * buckets; docs colliding in ≥1 band become candidates; the
@@ -342,13 +368,13 @@ object Dedup {
     * rows-only check (hash-family specific); ScalaTest asserts the
     * candidates cover all true Jaccard≥0.8 pairs from d2. */
   def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // index-backed: banding + both verification sides re-read the
-    // published parquet (cheap, column-pruned) — the localCheckpoint
-    // that shared the kernel scan is no longer needed
+    // index-backed: candidates come from the COMMITTED bands table
+    // (published at sig-index build since sig-v2 — so d24's eval
+    // grades exactly the table d3 serves from) and both verification
+    // sides re-read the published signature parquet (cheap,
+    // column-pruned)
     val wide = minhashWide(s, dir)
-    val bandKeys = array((0 until MinhashK / BandSize).map(b =>
-      xxhash64((lit(b) +: (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))): _*)): _*)
-    val bands = wide.select(col("doc_id"), explode(bandKeys).as("band_key"))
+    val bands = sigOutput(s, dir, "bands")
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
@@ -364,6 +390,51 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The banding's design-point truth threshold for [[d24LshPairEval]]:
+    * with 8 bands × 4 rows, P(catch a J=0.8 pair) = 1−(1−0.8⁴)⁸ ≈
+    * 98.5% — the parameter choice d24 measures against. */
+  val LshTrueJaccard = 0.8
+
+  /** d24: LSH banding retrieval eval — d12 measures the SIGNATURE's
+    * estimation error; this measures the BANDING's retrieval quality,
+    * the number an operator actually tunes band counts against:
+    * candidates from the committed `bands` table (the SAME table d3
+    * serves from) scored against the exact d2 pair set at the
+    * banding's design threshold J ≥ [[LshTrueJaccard]]. One row:
+    * candidate count, true-pair count, caught count, recall (theory
+    * ≈ 98.5% at 8×4), corpus size, and candidate_frac — the fraction
+    * of all n·(n−1)/2 pairs the banding ever compares, i.e. the
+    * quadratic-work budget it spends to buy that recall. At 100 TB
+    * this runs on a sample BEFORE committing band parameters
+    * corpus-wide (d12's calibration discipline at the pair grain).
+    * All-integer counts, exact ratios, 1-row broadcast reductions. */
+  def d24LshPairEval(s: SparkSession, dir: String): DataFrame = {
+    val bands = sigOutput(s, dir, "bands")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val truth = d2NgramJaccard(s, dir)
+      .filter(col("jaccard") >= LshTrueJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nHit = truth.join(cand, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_caught"))
+    val nDocs = minhashWide(s, dir).agg(count(lit(1)).as("n_docs"))
+    nCand.crossJoin(broadcast(nTrue)).crossJoin(broadcast(nHit))
+      .crossJoin(broadcast(nDocs)) // 1-row bounded metadata
+      .select(col("n_candidates"), col("n_true"), col("n_caught"),
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(col("n_caught") / col("n_true").cast("double"))
+          .as("recall"),
+        col("n_docs"),
+        round(col("n_candidates") / (col("n_docs").cast("double") *
+          (col("n_docs") - 1) / 2.0), 6).as("candidate_frac"))
   }
 
   /** d4: 64-bit SimHash near-dup. Signature bit i is the sign of the
@@ -1068,15 +1139,44 @@ object Dedup {
        |FROM q""".stripMargin
   }
 
-  /** A `def` (qc2's discipline): the sig-index-backed d12 entry
-    * resolves the committed version path after the queries ran, and
+  /** DuckDB replay of d24 against the COMMITTED bands table: the
+    * exact side is d2's builder at the banding's design threshold;
+    * candidates are the same band-key self-join over the
+    * version-resolved parquet; the one-row report is all-integer
+    * counts plus exact ratios (same expression trees both sides). */
+  private def d24Oracle(verDir: String): String =
+    s"""$exactPairCtes,
+       |t8 AS (SELECT doc_a, doc_b FROM exact
+       |  WHERE jaccard >= $LshTrueJaccard),
+       |bands AS (SELECT doc_id, band_key
+       |  FROM read_parquet('$verDir/bands/*.parquet')),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |nc AS (SELECT COUNT(*) AS n_candidates FROM cand),
+       |nt AS (SELECT COUNT(*) AS n_true FROM t8),
+       |nh AS (SELECT COUNT(*) AS n_caught
+       |  FROM t8 JOIN cand USING (doc_a, doc_b)),
+       |nd AS (SELECT COUNT(*) AS n_docs
+       |  FROM read_parquet('$verDir/minhash/*.parquet'))
+       |SELECT nc.n_candidates, nt.n_true, nh.n_caught,
+       |  CASE WHEN nt.n_true = 0 THEN 1.0
+       |    ELSE nh.n_caught / CAST(nt.n_true AS DOUBLE) END AS recall,
+       |  nd.n_docs,
+       |  round(nc.n_candidates / (CAST(nd.n_docs AS DOUBLE)
+       |    * (nd.n_docs - 1) / 2.0), 6) AS candidate_frac
+       |FROM nc CROSS JOIN nt CROSS JOIN nh CROSS JOIN nd""".stripMargin
+
+  /** A `def` (qc2's discipline): the sig-index-backed d12/d24 entries
+    * resolve the committed version path after the queries ran, and
     * only when exactly ONE corpus ran in this JVM (ambiguity ⇒
     * rows-only, never a wrong-corpus oracle). */
   def oracles: Map[String, String] = staticOracles ++ (
-    if (sigVersionDirs.size == 1)
-      Map("d12_sketch_calibration" ->
-        d12Oracle(sigVersionDirs.values.iterator.next()))
-    else Map.empty)
+    if (sigVersionDirs.size == 1) {
+      val ver = sigVersionDirs.values.iterator.next()
+      Map("d12_sketch_calibration" -> d12Oracle(ver),
+        "d24_lsh_pair_eval" -> d24Oracle(ver))
+    } else Map.empty)
 
   private val staticOracles: Map[String, String] = Map(
     "d18_exact_spans" -> d18SpansOracle(),
@@ -1633,6 +1733,7 @@ object Dedup {
     "d10_canonical_pick" -> (d10CanonicalPick _),
     "d11_dup_histogram" -> (d11DupHistogram _),
     "d12_sketch_calibration" -> (d12SketchCalibration _),
+    "d24_lsh_pair_eval" -> (d24LshPairEval _),
     "d15_source_overlap" -> (d15SourceOverlap _),
     "d16_shingle_df_histogram" -> (d16ShingleDfHistogram _),
     "d17_cluster_histogram" -> (d17ClusterHistogram _))

@@ -427,6 +427,49 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Power-of-two padding buckets for [[mix9PaddingWaste]]: 16 … 2²⁰.
+    * Documents longer than the cap land in the last bucket (waste can
+    * go negative there, truthfully flagging the cap — absent from any
+    * real corpus this engine preps, where 2²⁰ tokens ≫ max doc). A
+    * generated CASE ladder (shared verbatim with the oracle via
+    * [[padLadderSql]]) — NOT pow/log2, whose libm rounding at exact
+    * powers of two differs across engines. */
+  private[graft] val PadBuckets: Seq[Int] = (4 to 20).map(1 << _)
+
+  private def padLadderSql: String =
+    PadBuckets.init.map(b => s"WHEN n_tok <= $b THEN $b").mkString(" ")
+
+  /** mix9: padding-waste report for length-bucketed batching — the
+    * training-efficiency number behind sequence bucketing
+    * (Tensor2Tensor-style bucket-by-length): batching pads every
+    * sequence to its batch's max, so the padding bill is decided by
+    * the bucketing policy. Per power-of-two length bucket: document
+    * count, true token mass, padded mass at the bucket boundary, and
+    * the waste fraction 1 − true/padded — the report a training run
+    * reads to justify bucketed batching over pad-to-global-max (and
+    * to pick boundaries where waste concentrates). Token grain is
+    * the span plane's segmentation rule ([[graft.operators.Dedup
+    * .spanTokens]] — a CJK doc counts codepoints, not 1). One scan,
+    * one ≤17-key aggregate (map-side partials), exact integer
+    * masses, waste an exact int/int ratio. */
+  def mix9PaddingWaste(s: SparkSession, dir: String): DataFrame = {
+    val bucket = PadBuckets.init.foldRight(
+      lit(PadBuckets.last): org.apache.spark.sql.Column) { (b, acc) =>
+      when(col("n_tok") <= b, lit(b)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(size(graft.operators.Dedup.spanTokens(col("text"))).as("n_tok"))
+      .select(bucket.as("bucket"), col("n_tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * col("bucket")).cast("long").as("padded_tokens"),
+        round(lit(1.0) - col("sum_tokens") /
+          (col("n_docs") * col("bucket")).cast("double"), 6).as("waste_frac"))
+      .orderBy("bucket")
+  }
+
   /** pipe4's oracle: the same five-row UNION over the COMPOSED
     * oracles — a12/psi1's static SQL as subqueries, qc2's ECE over
     * the committed scores artifact (pulled from Quality's dynamic
@@ -486,6 +529,17 @@ object Pipeline {
     } else Map.empty)
 
   private val staticOracles: Map[String, String] = Map(
+    "mix9_padding_waste" ->
+      s"""WITH n AS (SELECT len(${graft.operators.Dedup.SpanTokensSql})
+         |    AS n_tok FROM documents),
+         |b AS (SELECT n_tok, CASE $padLadderSql
+         |    ELSE ${PadBuckets.last} END AS bucket FROM n)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+         |  CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+         |  round(1.0 - CAST(SUM(n_tok) AS BIGINT)
+         |    / CAST(COUNT(*) * bucket AS DOUBLE), 6) AS waste_frac
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "mix8_temperature_mixture" ->
       s"""WITH t AS (SELECT source,
          |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -716,5 +770,6 @@ object Pipeline {
     "mix6_split_leakage" -> (mix6SplitLeakage _),
     "mix7_dedup_weights" -> (mix7DedupWeights _),
     "mix8_temperature_mixture" -> (mix8TemperatureMixture _),
+    "mix9_padding_waste" -> (mix9PaddingWaste _),
     "pipe4_monitor_report" -> (pipe4MonitorReport _))
 }

@@ -839,6 +839,56 @@ object Similarity {
       .orderBy("cell_id")
   }
 
+  val TruncDims = 32 // Matryoshka-style truncated serving dimension
+
+  /** n18: truncated-dimension retrieval eval — the MRL/Matryoshka
+    * serving decision (Kusupati et al. 2022): can the vector plane
+    * serve at [[TruncDims]] of the full 64 dims — half the index
+    * bytes, half the distance FLOPs — and keep enough recall? Per
+    * query: the exact top-[[TopK]] by FULL-dim cosine vs the
+    * top-[[TopK]] by cosine over the first-[[TruncDims]] slice (its
+    * own norms), reported as hits + recall@K. At 100 TB this is the
+    * measurement run on a sample before halving a billion-vector
+    * index. Plan shape: ONE broadcast-query × corpus-pass scoring
+    * computes BOTH cosines (the truncated dot is a second native
+    * kernel call on the sliced array — no second scan), then two
+    * bounded rank windows (query-set-sized) and a keyed recall join;
+    * ranks break ties on neighbor id, recall is an exact int/K
+    * ratio — deterministic end to end, full hash oracle. */
+  def n18TruncationEval(s: SparkSession, dir: String): DataFrame = {
+    val f = corpus(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        slice(col("v"), 1, TruncDims).as("tv"))
+      .withColumn("tnrm", VectorFunctions.l2normNative("tv"))
+    val q = f.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("tv").as("qtv"), col("tnrm").as("qtn"))
+    val scored = broadcast(q).join(f, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.cosineFromParts(
+          VectorFunctions.dotNative("qv", "v"), col("qn"), col("nrm"))
+          .as("fc"),
+        VectorFunctions.cosineFromParts(
+          VectorFunctions.dotNative("qtv", "tv"), col("qtn"), col("tnrm"))
+          .as("tc"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("fc").desc, col("vec_id").asc)
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(col("tc").desc, col("vec_id").asc)
+    val fullTop = scored.withColumn("rk", row_number().over(wF))
+      .filter(col("rk") <= TopK).select(col("query_id"), col("vec_id"))
+    val truncTop = scored.withColumn("rk", row_number().over(wT))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id").as("t_query"), col("vec_id").as("t_vec"))
+    fullTop
+      .join(truncTop, col("query_id") === col("t_query") &&
+        col("vec_id") === col("t_vec"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("t_vec")).as("n_hit"),
+        (count(col("t_vec")) / lit(TopK.toDouble)).as("recall"))
+      .orderBy("query_id")
+  }
+
   val PcaK = 4 // projected dimensions
 
   /** PCA model from ONE distributed pass: n, the mean vector, and the
@@ -1438,6 +1488,32 @@ object Similarity {
 
   private val staticOracles: Map[String, String] = Map(
     "n11_mmr_rerank" -> n11Oracle,
+    // n18 needs no committed artifact: both rankings re-derive from
+    // the raw embeddings with the same slice / dot fold / tie-break,
+    // and recall is an exact int/K ratio
+    "n18_truncation_eval" ->
+      s"""WITH f AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         |    (embedding::DOUBLE[])[1:$TruncDims] AS tv,
+         |    sqrt(list_dot_product((embedding::DOUBLE[])[1:$TruncDims],
+         |      (embedding::DOUBLE[])[1:$TruncDims])) AS tnrm
+         |  FROM embeddings),
+         |fp AS (SELECT q.vec_id AS query_id, e.vec_id AS nid,
+         |    list_dot_product(q.v, e.v) / (q.nrm * e.nrm) AS c
+         |  FROM f q JOIN f e ON q.vec_id < $NumQueries AND e.vec_id <> q.vec_id),
+         |ft AS (SELECT query_id, nid FROM (SELECT query_id, nid,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY c DESC, nid ASC) rk FROM fp) WHERE rk <= $TopK),
+         |tp AS (SELECT q.vec_id AS query_id, e.vec_id AS nid,
+         |    list_dot_product(q.tv, e.tv) / (q.tnrm * e.tnrm) AS c
+         |  FROM f q JOIN f e ON q.vec_id < $NumQueries AND e.vec_id <> q.vec_id),
+         |tt AS (SELECT query_id, nid FROM (SELECT query_id, nid,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY c DESC, nid ASC) rk FROM tp) WHERE rk <= $TopK)
+         |SELECT ft.query_id, CAST(COUNT(tt.nid) AS BIGINT) AS n_hit,
+         |  COUNT(tt.nid) / CAST($TopK AS DOUBLE) AS recall
+         |FROM ft LEFT JOIN tt ON ft.query_id = tt.query_id AND ft.nid = tt.nid
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // n8 needs no committed artifact: the int8 codes are pure
     // arithmetic (n7's proven half-away-from-zero mirror), the MAC is
     // an exact integer fold (every product < 2^53, so double sums are
@@ -1575,5 +1651,6 @@ object Similarity {
     "n12_pq_topk" -> (n12PqTopk _),
     "n15_ivf_pq" -> (n15IvfPq _),
     "n13_recall_eval" -> (n13RecallEval _),
-    "n16_corpus_diversity" -> (n16CorpusDiversity _))
+    "n16_corpus_diversity" -> (n16CorpusDiversity _),
+    "n18_truncation_eval" -> (n18TruncationEval _))
 }

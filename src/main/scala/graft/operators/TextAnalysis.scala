@@ -609,6 +609,59 @@ object TextAnalysis {
   def t31SpanDecontaminate(s: SparkSession, dir: String): DataFrame =
     spanDecontaminate(Tables.documents(s, dir))
 
+  /** t30 core on an arbitrary (doc_id, text) frame — factored for the
+    * planted-leak and duality specs. */
+  private[graft] def evalLeakReport(docs: DataFrame): DataFrame = {
+    val k = Dedup.ExactSpanTokens
+    val isEval = pmod(col("doc_id"), lit(EvalHoldoutMod)) === 0
+    // the EVAL side (positions included) broadcasts — small by
+    // construction; ONE train gram stream probes it, fan-out bounded
+    // by the eval set's occurrences per gram
+    val evalG = Dedup.spanGramsOf(docs.filter(isEval))
+      .select(col("doc_id").as("eval_id"), col("tidx"), col("gh"))
+    val hitsRaw = Dedup.spanGramsOf(docs.filter(!isEval))
+      .select(col("doc_id").as("train_id"), col("gh"))
+      .join(broadcast(evalG), Seq("gh"))
+    val hits = hitsRaw.select(col("eval_id"), col("tidx")).distinct()
+    val wD = Window.partitionBy(col("eval_id")).orderBy(col("tidx"))
+    val cov = hits.withColumn("nxt", lead(col("tidx"), 1).over(wD))
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_leaked_windows"),
+        sum(when(col("nxt").isNull, lit(k))
+          .otherwise(least(lit(k), col("nxt") - col("tidx"))))
+          .cast("long").as("n_leaked_tokens"))
+    val td = hitsRaw.groupBy(col("eval_id"))
+      .agg(countDistinct(col("train_id")).as("n_train_docs"))
+    val lens = docs.filter(isEval)
+      .select(col("doc_id").as("eval_id"),
+        size(Dedup.spanTokens(col("text"))).as("n_tok"))
+      .filter(col("n_tok") >= k)
+    cov.join(td, Seq("eval_id")).join(lens, Seq("eval_id"))
+      .select(col("eval_id"), col("n_tok").cast("long").as("n_tokens"),
+        col("n_leaked_windows"), col("n_leaked_tokens"),
+        round(col("n_leaked_tokens").cast("double") / col("n_tok"), 6)
+          .as("leaked_token_frac"),
+        col("n_train_docs"))
+      .orderBy("eval_id")
+  }
+
+  /** t30: eval-side leak report — t31's DUAL, the view the BENCHMARK
+    * OWNER reads ("is my eval compromised, and by how much"): per
+    * EVAL document, how many distinct train docs leak it, the leaked
+    * window count, exact leaked-token coverage WITHIN the eval doc
+    * (the d18 gap-capped interval union on the eval side), and the
+    * leaked fraction. An eval doc at frac ≈ 1 is dead (its entire
+    * text is in training data); a single-train-doc leak is
+    * salvageable by dropping that doc. Duality with t31 is
+    * spec-pinned: Σ over eval docs of n_train_docs equals Σ over
+    * train docs of t31's n_eval_docs — both count the same
+    * (train, eval) leak-pair set. Scale shape mirrors t31 with the
+    * sides swapped: eval gram POSITIONS broadcast, the corpus-sized
+    * train gram stream never shuffles, coverage is a per-eval-doc
+    * window pass (bounded by the holdout). */
+  def t30EvalLeakReport(s: SparkSession, dir: String): DataFrame =
+    evalLeakReport(Tables.documents(s, dir))
+
   /** t32 core on an arbitrary docs frame — factored for the planted
     * and re-check specs. Returns the d21Scrub frame over the TRAIN
     * side with contamination extents. */
@@ -1309,6 +1362,43 @@ object TextAnalysis {
          |  FROM tf JOIN df USING (term) CROSS JOIN n)
          |SELECT doc_id, rank, term, round(tfidf_raw, 6) AS tfidf
          |FROM scored WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
+    "t30_eval_leak_report" -> {
+      val k = Dedup.ExactSpanTokens
+      // t31's gram chain with the sides swapped: coverage + counts on
+      // the EVAL side, distinct-train-doc attribution per eval doc
+      s"""WITH w AS (SELECT doc_id, ${Dedup.SpanTokensSql} AS ws FROM documents),
+         |tok AS (SELECT doc_id, ws, len(ws) AS n_tok FROM w
+         |  WHERE len(ws) >= $k),
+         |g AS (SELECT doc_id, i - 1 AS tidx,
+         |    array_to_string(ws[i:i+${k - 1}], ' ') AS gram
+         |  FROM tok, LATERAL (SELECT unnest(generate_series(1,
+         |    CAST(n_tok - $k + 1 AS INT))) AS i) s(i)),
+         |ev AS (SELECT doc_id AS eval_id, tidx, gram FROM g
+         |  WHERE doc_id % $EvalHoldoutMod = 0),
+         |tr AS (SELECT DISTINCT doc_id AS train_id, gram FROM g
+         |  WHERE doc_id % $EvalHoldoutMod <> 0),
+         |hits AS (SELECT DISTINCT ev.eval_id, ev.tidx
+         |  FROM ev JOIN tr USING (gram)),
+         |cov AS (SELECT eval_id, tidx,
+         |    LEAD(tidx) OVER (PARTITION BY eval_id ORDER BY tidx) AS nxt
+         |  FROM hits),
+         |cv AS (SELECT eval_id, COUNT(*) AS n_leaked_windows,
+         |    CAST(SUM(CASE WHEN nxt IS NULL THEN $k
+         |      ELSE LEAST($k, nxt - tidx) END) AS BIGINT)
+         |      AS n_leaked_tokens
+         |  FROM cov GROUP BY 1),
+         |td AS (SELECT ev.eval_id, COUNT(DISTINCT tr.train_id)
+         |      AS n_train_docs
+         |  FROM ev JOIN tr USING (gram) GROUP BY 1)
+         |SELECT cv.eval_id, CAST(tok.n_tok AS BIGINT) AS n_tokens,
+         |  cv.n_leaked_windows, cv.n_leaked_tokens,
+         |  round(cv.n_leaked_tokens / CAST(tok.n_tok AS DOUBLE), 6)
+         |    AS leaked_token_frac,
+         |  td.n_train_docs
+         |FROM cv JOIN td USING (eval_id)
+         |JOIN tok ON tok.doc_id = cv.eval_id
+         |ORDER BY cv.eval_id""".stripMargin
+    },
     "t31_span_decontaminate" -> {
       val k = Dedup.ExactSpanTokens
       s"""WITH w AS (SELECT doc_id, ${Dedup.SpanTokensSql} AS ws FROM documents),
@@ -1475,6 +1565,7 @@ object TextAnalysis {
     "t14_repetition" -> (t14Repetition _),
     "t15_decontaminate" -> (t15Decontaminate _),
     "t31_span_decontaminate" -> (t31SpanDecontaminate _),
+    "t30_eval_leak_report" -> (t30EvalLeakReport _),
     "t32_decontaminate_scrub" -> (t32DecontaminateScrub _),
     "t16_tfidf" -> (t16TfIdf _),
     "t17_surprisal" -> (t17Surprisal _),

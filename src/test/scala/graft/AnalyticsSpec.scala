@@ -1167,6 +1167,35 @@ class AnalyticsSpec extends GraftSpec {
       "weights are monotone in token mass")
   }
 
+  test("mix9: padding buckets tile the corpus; masses conserve; waste bounded") {
+    import graft.operators.Pipeline
+    val rows = graft.operators.Pipeline.mix9PaddingWaste(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // tiling: every document lands in exactly one bucket
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == nDocs)
+    // conservation: true token mass equals a direct recompute, and the
+    // padded mass dominates it within every bucket
+    val total = Tables.documents(spark, sf)
+      .agg(sum(size(graft.operators.Dedup.spanTokens(col("text")))))
+      .head().getLong(0)
+    assert(rows.map(_._3).sum == total)
+    for ((bucket, n, sumTok, padded, waste) <- rows) {
+      assert(Pipeline.PadBuckets.contains(bucket))
+      assert(padded == n * bucket)
+      assert(sumTok <= padded, s"bucket $bucket: true mass exceeds padded")
+      assert(waste >= 0.0 && waste < 1.0, s"bucket $bucket waste=$waste")
+      assert(waste == BigDecimal(1.0 - sumTok.toDouble / padded)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // bucket membership: every doc here outgrows the next-smaller
+      // bucket (each n_tok ≥ prev+1), else it would have landed there
+      val idx = Pipeline.PadBuckets.indexOf(bucket)
+      if (idx > 0) assert(sumTok >= n * (Pipeline.PadBuckets(idx - 1) + 1L),
+        s"bucket $bucket holds docs that fit the smaller bucket")
+    }
+  }
+
   test("e13: bounce accounting matches e1's session table") {
     val sess = Analytics.e1Sessionize(spark, sf).collect()
       .map(r => (r.getAs[Long]("n_events"), r.getAs[String]("start_ts").take(10)))

@@ -632,4 +632,31 @@ class DedupSpec extends GraftSpec {
     assert(residual == 0L,
       s"scrubbed corpus still carries $residual masked tokens")
   }
+
+  test("d24: banding catches every J>=0.8 pair and spends a bounded candidate budget") {
+    val r = Dedup.d24LshPairEval(spark, sf).collect()(0)
+    val nCand = r.getAs[Long]("n_candidates")
+    val nTrue = r.getAs[Long]("n_true")
+    val nCaught = r.getAs[Long]("n_caught")
+    val nDocs = r.getAs[Long]("n_docs")
+    assert(nTrue > 0, "fixture must contain J>=0.8 near-dup pairs")
+    // the d3 coverage spec's guarantee, read off d24's report: at this
+    // corpus the 8x4 banding misses nothing above its design threshold
+    assert(nCaught == nTrue, s"recall: $nCaught/$nTrue")
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(nCaught <= nCand)
+    // the quadratic-work budget: candidates are a tiny fraction of all
+    // pairs — the whole point of banding
+    val allPairs = nDocs.toDouble * (nDocs - 1) / 2.0
+    assert(nCand < 0.1 * allPairs,
+      s"banding compared $nCand of ${allPairs.toLong} pairs")
+    assert(r.getAs[Double]("candidate_frac") ==
+      BigDecimal(nCand / allPairs).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // read-path consistency: d3 serves from the SAME committed bands
+    // table d24 evaluates, so every d3 pair is a d24 candidate
+    val d3Pairs = Dedup.d3MinhashLsh(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(d3Pairs.size <= nCand)
+  }
 }

@@ -273,4 +273,31 @@ class SimilaritySpec extends GraftSpec {
       assert(r.getAs[Double]("mean_own_cos") <= 1.0 + 1e-9)
     }
   }
+
+  test("n18 truncation eval matches a driver-side dual-ranking recompute") {
+    import graft.operators.Similarity.{NumQueries, TopK, TruncDims}
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top(q: Long, d: Int): Set[Long] =
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n), d)))
+        .sortBy { case (n, c) => (-c, n) }.take(TopK).map(_._1).toSet
+    val got = graft.operators.Similarity.n18TruncationEval(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == (0L until NumQueries).toSet)
+    for (q <- 0L until NumQueries) {
+      val hits = top(q, vecs(q).length).intersect(top(q, TruncDims)).size
+      val r = got(q)
+      assert(r.getAs[Long]("n_hit") == hits.toLong, s"query $q")
+      assert(r.getAs[Double]("recall") == hits.toDouble / TopK)
+    }
+  }
 }

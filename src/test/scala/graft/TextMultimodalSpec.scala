@@ -748,4 +748,39 @@ class TextMultimodalSpec extends GraftSpec {
       .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
     assert(rows.map(_.getAs[Long]("n_tokens")).sum == total)
   }
+
+  test("t30: eval-side leak report is t31's dual and pins a planted 2-train-doc leak") {
+    import spark.implicits._
+    val k = graft.operators.Dedup.ExactSpanTokens
+    // duality on the real corpus: both reports count the SAME
+    // (train, eval) leak-pair set from opposite ends
+    val t30Pairs = TextAnalysis.t30EvalLeakReport(spark, sf).collect()
+      .map(_.getAs[Long]("n_train_docs")).sum
+    val t31Pairs = TextAnalysis.t31SpanDecontaminate(spark, sf).collect()
+      .map(_.getAs[Long]("n_eval_docs")).sum
+    assert(t30Pairs == t31Pairs,
+      s"leak-pair mass must reconcile: t30=$t30Pairs t31=$t31Pairs")
+    // planted: eval doc 0 (0 % 50 == 0) leaks its e5..e29 span into
+    // TWO train docs at different offsets; train doc 3 is clean
+    val span = (5 to 29).map(i => s"e$i")
+    val evalDoc = (0 until 40).map(i => s"e$i")
+    val d1 = (0 until 7).map(i => s"a$i") ++ span ++ (7 until 40).map(i => s"a$i")
+    val d2 = (0 until 3).map(i => s"c$i") ++ span ++ (3 until 40).map(i => s"c$i")
+    val d3 = (0 until 50).map(i => s"b$i")
+    val docs = Seq(
+      (0L, evalDoc.mkString(" ")), (1L, d1.mkString(" ")),
+      (2L, d2.mkString(" ")), (3L, d3.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.evalLeakReport(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L), "exactly the leaked eval doc reports")
+    val r = out(0L)
+    assert(r.getLong(r.fieldIndex("n_tokens")) == 40L)
+    assert(r.getLong(r.fieldIndex("n_train_docs")) == 2L)
+    // the leaked region within the EVAL doc is exactly the 25-token
+    // span (positions 5..29): 25-K+1 windows, 25 tokens covered
+    assert(r.getLong(r.fieldIndex("n_leaked_windows")) == (25 - k + 1).toLong)
+    assert(r.getLong(r.fieldIndex("n_leaked_tokens")) == 25L)
+    assert(r.getDouble(r.fieldIndex("leaked_token_frac")) == 0.625)
+  }
 }
