@@ -616,9 +616,13 @@ object TextAnalysis {
     val isEval = pmod(col("doc_id"), lit(EvalHoldoutMod)) === 0
     // the EVAL side (positions included) broadcasts — small by
     // construction; ONE train gram stream probes it, fan-out bounded
-    // by the eval set's occurrences per gram
+    // by the eval set's occurrences per gram. The distinct is a
+    // semantic no-op (one row per gram position by construction) but
+    // collapses the broadcast subtree behind an aggregate — the
+    // broadcast-hint policy's bounded-frame marker (t31's shape)
     val evalG = Dedup.spanGramsOf(docs.filter(isEval))
       .select(col("doc_id").as("eval_id"), col("tidx"), col("gh"))
+      .distinct()
     val hitsRaw = Dedup.spanGramsOf(docs.filter(!isEval))
       .select(col("doc_id").as("train_id"), col("gh"))
       .join(broadcast(evalG), Seq("gh"))
