@@ -304,7 +304,8 @@ object Bench {
     * BASELINE_BENCH.json (the round-1 "queries" map precedes all of
     * them). Appending a new round's cohort = add its key here and its
     * map at the END of the file. */
-  private[graft] val CohortKeys = Seq("queries_r13", "queries_r14")
+  private[graft] val CohortKeys = Seq("queries_r13", "queries_r14",
+    "queries_r15")
 
   /** Slice BASELINE_BENCH text into (cohort, slice) pairs: the
     * round-1 baseline is everything before the first re-baseline key,
@@ -351,7 +352,8 @@ object Bench {
       }.getOrElse("")
     val gmJson = gmPart("baseline", "geomean_vs_baseline", "shared_queries") +
       gmPart("queries_r13", "geomean_vs_r13", "shared_r13") +
-      gmPart("queries_r14", "geomean_vs_r14", "shared_r14")
+      gmPart("queries_r14", "geomean_vs_r14", "shared_r14") +
+      gmPart("queries_r15", "geomean_vs_r15", "shared_r15")
     val passJson = if (passSecs.isEmpty) "" else
       passSecs.map(p => math.rint(p * 10) / 10).mkString(""","pass_secs":[""", ",", "]")
     val nbJson = if (noiseBand.isEmpty) "" else s""","noise_band":$noiseBand"""
