@@ -365,7 +365,10 @@ object Dedup {
     * estimated Jaccard is the fraction of agreeing signature slots.
     * The band index is mixed into each band key, so cross-band key
     * collisions are vanishing and one equi-join on band_key suffices.
-    * rows-only check (hash-family specific); ScalaTest asserts the
+    * FULL hash oracle since r15: both the bands and the signatures
+    * are committed sig_index parquet, so DuckDB replays candidate
+    * generation AND the agree-count estimate from the
+    * version-resolved tables; ScalaTest additionally asserts the
     * candidates cover all true Jaccard≥0.8 pairs from d2. */
   def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     // index-backed: candidates come from the COMMITTED bands table
@@ -441,8 +444,11 @@ object Dedup {
     * sum over tokens of ±1 from the token hash's bit i (bit_or
     * assembly avoids int64 overflow). Candidates share ≥1 of four
     * 16-bit chunks (pigeonhole: covers all pairs with hamming ≤ 3,
-    * and most up to the 12-bit output threshold); verified hamming =
-    * bit_count(xor). rows-only + ScalaTest. */
+    * and most up to the [[SimhashMaxHamming]] output threshold);
+    * verified hamming = bit_count(xor). FULL hash oracle since r15:
+    * the signatures are committed sig_index parquet and chunking /
+    * hamming are two's-complement BIGINT ops DuckDB shares with the
+    * JVM; ScalaTest on top. */
   def d4Simhash(s: SparkSession, dir: String): DataFrame = {
     val sig = simhashSignatures(s, dir)
     val chunks = sig.select(col("doc_id"), col("simhash"), explode(expr(
@@ -457,10 +463,16 @@ object Dedup {
         col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
       .distinct()
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
-      .filter(col("hamming") <= 12)
+      .filter(col("hamming") <= SimhashMaxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** d4's output threshold: pairs within this hamming distance are
+    * near-dups (the 4×16-bit chunk pigeonhole guarantees candidates
+    * to hamming ≤ 3 and covers most of the band up to here). Shared
+    * with the committed-signature oracle. */
+  val SimhashMaxHamming = 12
 
   /** 64-bit SimHash signature per document — ONE compiled call per
     * row via the native [[org.apache.spark.sql.graft.SimHash64]]
@@ -484,8 +496,7 @@ object Dedup {
   /** The (doc_id, simhash) frame, read from the published signature
     * index (see [[sigIndexRoot]]). */
   private[operators] def simhashSignatures(s: SparkSession, dir: String): DataFrame =
-    graft.sources.AtomicPublish.readOutput(s,
-      ensureSigIndex(s, dir), "simhash")
+    sigOutput(s, dir, "simhash")
 
   val NeardupTau = 0.4 // cosine threshold for d5 near-dup pairs
 
@@ -1167,15 +1178,59 @@ object Dedup {
        |    * (nd.n_docs - 1) / 2.0), 6) AS candidate_frac
        |FROM nc CROSS JOIN nt CROSS JOIN nh CROSS JOIN nd""".stripMargin
 
-  /** A `def` (qc2's discipline): the sig-index-backed d12/d24 entries
-    * resolve the committed version path after the queries ran, and
-    * only when exactly ONE corpus ran in this JVM (ambiguity ⇒
-    * rows-only, never a wrong-corpus oracle). */
+  /** DuckDB replay of d3 from the committed sig_index: candidates are
+    * the band-key self-join over the published bands parquet, the
+    * estimate the 32-slot agree count over the published signatures —
+    * "engine-specific" ended when the signatures COMMITTED (the r14
+    * conversion-wave rule finally applied to the operator that coined
+    * the excuse). */
+  private def d3Oracle(verDir: String): String = {
+    val agree = (0 until MinhashK)
+      .map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH mh AS (SELECT * FROM read_parquet('$verDir/minhash/*.parquet')),
+       |bands AS (SELECT doc_id, band_key
+       |  FROM read_parquet('$verDir/bands/*.parquet')),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST($agree AS DOUBLE) / $MinhashK AS est_jaccard
+       |FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id
+       |WHERE CAST($agree AS DOUBLE) / $MinhashK >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB replay of d4 from the committed simhash signatures:
+    * chunk extraction, the chunk equi-join, and the hamming verdict
+    * are all two's-complement BIGINT arithmetic DuckDB shares with
+    * the JVM (arithmetic >>, &, bit_count(xor) — verified on
+    * negative signatures). */
+  private def d4Oracle(verDir: String): String =
+    s"""WITH sig AS (SELECT doc_id, simhash
+       |    FROM read_parquet('$verDir/simhash/*.parquet')),
+       |ch AS (SELECT doc_id, simhash, c, (simhash >> (c * 16)) & 65535 AS v
+       |  FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS c) g(c)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sig_a, b.simhash AS sig_b
+       |  FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v
+       |    AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $SimhashMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** A `def` (qc2's discipline): the sig-index-backed d3/d4/d12/d24
+    * entries resolve the committed version path after the queries
+    * ran, and only when exactly ONE corpus ran in this JVM
+    * (ambiguity ⇒ rows-only, never a wrong-corpus oracle). */
   def oracles: Map[String, String] = staticOracles ++ (
     if (sigVersionDirs.size == 1) {
       val ver = sigVersionDirs.values.iterator.next()
       Map("d12_sketch_calibration" -> d12Oracle(ver),
-        "d24_lsh_pair_eval" -> d24Oracle(ver))
+        "d24_lsh_pair_eval" -> d24Oracle(ver),
+        "d3_minhash_lsh" -> d3Oracle(ver),
+        "d4_simhash" -> d4Oracle(ver))
     } else Map.empty)
 
   private val staticOracles: Map[String, String] = Map(

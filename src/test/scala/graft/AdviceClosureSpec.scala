@@ -241,7 +241,9 @@ class AdviceClosureSpec extends GraftSpec {
         assert(!Similarity.oracles.contains(k), s"$k must go rows-only")
       assert(!IncrementalAnn.oracles.contains("n17_incremental_ann"))
       assert(!Pipeline.oracles.contains("pipe4_monitor_report"))
-      assert(!Dedup.oracles.contains("d12_sketch_calibration"))
+      for (k <- Seq("d12_sketch_calibration", "d24_lsh_pair_eval",
+          "d3_minhash_lsh", "d4_simhash"))
+        assert(!Dedup.oracles.contains(k), s"$k must go rows-only")
     } finally {
       Similarity.annVersionDirs.remove("/fake/corpus")
       IncrementalAnn.incrVersionDirs.remove("/fake/corpus")
