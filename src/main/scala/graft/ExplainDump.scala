@@ -165,7 +165,15 @@ object ExplainDump {
       ("t29_incremental_novelty", "batch novelty: committed first-occurrence index + the batch text slice only (pushed modulo filter) — base corpus never rescanned",
         graft.operators.Incremental.t29IncrementalNovelty _),
       ("t28_source_divergence", "per-source JS divergence: one token shuffle, vocab-grain join, int64-quantized order-free folds, closed-form absent-word mass",
-        graft.operators.TextAnalysis.t28SourceDivergence _))
+        graft.operators.TextAnalysis.t28SourceDivergence _),
+      ("d24_lsh_pair_eval", "banding retrieval eval: committed-bands equi-join candidates vs d2's committed-overlaps exact pairs; 1-row broadcast count reductions",
+        Dedup.d24LshPairEval _),
+      ("n18_truncation_eval", "truncated-dim recall: ONE broadcast-query corpus pass scores both cosines; two query-set-bounded rank windows share the exchange",
+        Similarity.n18TruncationEval _),
+      ("t30_eval_leak_report", "eval-side leak report: eval gram positions broadcast behind a distinct aggregate; the train gram stream probes map-side and never shuffles",
+        TextAnalysis.t30EvalLeakReport _),
+      ("mix9_padding_waste", "padding-waste report: one documents scan, row-local CASE-ladder bucketing, one <=17-key aggregate with map-side partials",
+        (s: SparkSession, d: String) => graft.operators.Pipeline.mix9PaddingWaste(s, d)))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries (sf0.01, formatted explain)\n\n")
     sb.append("Generated by `sbt \"runMain graft.ExplainDump\"` from the live\n")
