@@ -173,7 +173,9 @@ object ExplainDump {
       ("t30_eval_leak_report", "eval-side leak report: eval gram positions broadcast behind a distinct aggregate; the train gram stream probes map-side and never shuffles",
         TextAnalysis.t30EvalLeakReport _),
       ("mix9_padding_waste", "padding-waste report: one documents scan, row-local CASE-ladder bucketing, one <=17-key aggregate with map-side partials",
-        (s: SparkSession, d: String) => graft.operators.Pipeline.mix9PaddingWaste(s, d)))
+        (s: SparkSession, d: String) => graft.operators.Pipeline.mix9PaddingWaste(s, d)),
+      ("n19_binary_recall", "binary-quantization recall: row-local sign-bit OR-pack to ONE int64 word, xor+popcount scoring, two query-set-bounded rank windows on one corpus pass",
+        Similarity.n19BinaryRecall _))
     val sb = new StringBuilder
     sb.append("# Physical plans of flagship queries (sf0.01, formatted explain)\n\n")
     sb.append("Generated by `sbt \"runMain graft.ExplainDump\"` from the live\n")

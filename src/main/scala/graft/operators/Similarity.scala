@@ -871,10 +871,22 @@ object Similarity {
         VectorFunctions.cosineFromParts(
           VectorFunctions.dotNative("qtv", "tv"), col("qtn"), col("tnrm"))
           .as("tc"))
+    recallOfApprox(scored, "tc")
+  }
+
+  /** Shared recall@[[TopK]] tail for the quantization-eval family
+    * (n18 truncation, n19 binary): given one scored frame carrying
+    * the exact cosine `fc` and an approximate score column, rank both
+    * over the SAME exchange (two query-set-bounded windows, AQE
+    * reuse), keyed-join the top-K sets, and emit per-query hits +
+    * the exact int/K recall ratio. Ties break on neighbor id in both
+    * rankings. */
+  private def recallOfApprox(scored: DataFrame,
+      approxCol: String): DataFrame = {
     val wF = Window.partitionBy(col("query_id"))
       .orderBy(col("fc").desc, col("vec_id").asc)
     val wT = Window.partitionBy(col("query_id"))
-      .orderBy(col("tc").desc, col("vec_id").asc)
+      .orderBy(col(approxCol).desc, col("vec_id").asc)
     val fullTop = scored.withColumn("rk", row_number().over(wF))
       .filter(col("rk") <= TopK).select(col("query_id"), col("vec_id"))
     val truncTop = scored.withColumn("rk", row_number().over(wT))
@@ -887,6 +899,39 @@ object Similarity {
       .agg(count(col("t_vec")).as("n_hit"),
         (count(col("t_vec")) / lit(TopK.toDouble)).as("recall"))
       .orderBy("query_id")
+  }
+
+  val BinDims = 64 // sign-bit signature width = the embedding dim
+
+  /** n19: binary-quantization retrieval eval — the 1-bit end of the
+    * quantization ladder this plane measures (float64 n1 → int8
+    * n7/n8 → 16-byte PQ n12 → ONE 8-byte word here): signature bit i
+    * is sign(vᵢ), similarity is [[BinDims]] − hamming, and the eval
+    * reports exact-top-K recall of the sign ranking per query. At
+    * 100 TB this is the binary-quantization serving decision every
+    * vector store now offers (64× fewer bytes than float64, one
+    * xor+popcount per candidate; survivors re-rank in float) — run
+    * on a sample before flipping a billion-vector index to BQ.
+    * Packing is an exact bitwise-OR fold (never an additive sum —
+    * the 2⁶³ bit would overflow int64); hamming is the d4-proven
+    * two's-complement bit_count(xor) both engines share; ranking and
+    * recall are n18's shared deterministic tail. */
+  def n19BinaryRecall(s: SparkSession, dir: String): DataFrame = {
+    val packed = (0 until BinDims).map(i =>
+      when(element_at(col("v"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val f = corpus(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"), packed.as("sig"))
+    val q = f.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("sig").as("qsig"))
+    val scored = broadcast(q).join(f, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.cosineFromParts(
+          VectorFunctions.dotNative("qv", "v"), col("qn"), col("nrm"))
+          .as("fc"),
+        (lit(BinDims) - expr("bit_count(qsig ^ sig)")).as("bs"))
+    recallOfApprox(scored, "bs")
   }
 
   val PcaK = 4 // projected dimensions
@@ -1488,6 +1533,34 @@ object Similarity {
 
   private val staticOracles: Map[String, String] = Map(
     "n11_mmr_rerank" -> n11Oracle,
+    // n19 needs no committed artifact: the sign-bit pack is an exact
+    // bitwise-OR fold and hamming is two's-complement bit_count(xor)
+    // — both engines share the integer semantics (the d4 proof)
+    "n19_binary_recall" -> {
+      val pack = (0 until BinDims).map(i =>
+        s"(CASE WHEN v[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" | ")
+      s"""WITH f AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |g AS (SELECT vec_id, v, nrm, $pack AS sig FROM f),
+         |fp AS (SELECT q.vec_id AS query_id, e.vec_id AS nid,
+         |    list_dot_product(q.v, e.v) / (q.nrm * e.nrm) AS c
+         |  FROM g q JOIN g e ON q.vec_id < $NumQueries AND e.vec_id <> q.vec_id),
+         |ft AS (SELECT query_id, nid FROM (SELECT query_id, nid,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY c DESC, nid ASC) rk FROM fp) WHERE rk <= $TopK),
+         |tp AS (SELECT q.vec_id AS query_id, e.vec_id AS nid,
+         |    $BinDims - bit_count(xor(q.sig, e.sig)) AS c
+         |  FROM g q JOIN g e ON q.vec_id < $NumQueries AND e.vec_id <> q.vec_id),
+         |tt AS (SELECT query_id, nid FROM (SELECT query_id, nid,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY c DESC, nid ASC) rk FROM tp) WHERE rk <= $TopK)
+         |SELECT ft.query_id, CAST(COUNT(tt.nid) AS BIGINT) AS n_hit,
+         |  COUNT(tt.nid) / CAST($TopK AS DOUBLE) AS recall
+         |FROM ft LEFT JOIN tt ON ft.query_id = tt.query_id AND ft.nid = tt.nid
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // n18 needs no committed artifact: both rankings re-derive from
     // the raw embeddings with the same slice / dot fold / tie-break,
     // and recall is an exact int/K ratio
@@ -1652,5 +1725,6 @@ object Similarity {
     "n15_ivf_pq" -> (n15IvfPq _),
     "n13_recall_eval" -> (n13RecallEval _),
     "n16_corpus_diversity" -> (n16CorpusDiversity _),
-    "n18_truncation_eval" -> (n18TruncationEval _))
+    "n18_truncation_eval" -> (n18TruncationEval _),
+    "n19_binary_recall" -> (n19BinaryRecall _))
 }

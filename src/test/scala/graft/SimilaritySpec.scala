@@ -300,4 +300,38 @@ class SimilaritySpec extends GraftSpec {
       assert(r.getAs[Double]("recall") == hits.toDouble / TopK)
     }
   }
+
+  test("n19 binary recall matches a driver-side sign-pack + hamming recompute") {
+    import graft.operators.Similarity.{BinDims, NumQueries, TopK}
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def pack(v: Array[Double]): Long =
+      (0 until BinDims).foldLeft(0L)((acc, i) =>
+        if (v(i) >= 0) acc | (1L << i) else acc)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def exactTop(q: Long): Set[Long] =
+      vecs.keys.filter(_ != q).toSeq.map(n => (n, cos(vecs(q), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(TopK).map(_._1).toSet
+    def binTop(q: Long): Set[Long] = {
+      val qs = pack(vecs(q))
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, BinDims - java.lang.Long.bitCount(qs ^ pack(vecs(n)))))
+        .sortBy { case (n, s) => (-s, n) }.take(TopK).map(_._1).toSet
+    }
+    val got = graft.operators.Similarity.n19BinaryRecall(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == (0L until NumQueries).toSet)
+    for (q <- 0L until NumQueries) {
+      val hits = exactTop(q).intersect(binTop(q)).size
+      assert(got(q).getAs[Long]("n_hit") == hits.toLong, s"query $q")
+      assert(got(q).getAs[Double]("recall") == hits.toDouble / TopK)
+    }
+  }
 }
