@@ -1366,6 +1366,25 @@ object TextAnalysis {
          |  FROM tf JOIN df USING (term) CROSS JOIN n)
          |SELECT doc_id, rank, term, round(tfidf_raw, 6) AS tfidf
          |FROM scored WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
+    "t33_code_profile" ->
+      s"""WITH d AS (SELECT source, length(text) AS n_chars,
+         |    length(text) - length(regexp_replace(text,
+         |      '$CodeSymbolClass', '', 'g')) AS n_sym
+         |  FROM documents WHERE length(text) > 0),
+         |p AS (SELECT source, CAST(n_sym AS DOUBLE) / n_chars AS sym_ratio
+         |  FROM d),
+         |q AS (SELECT source,
+         |    CAST(floor(sym_ratio * 1e9 + 0.5) AS BIGINT) AS q_ratio,
+         |    CASE WHEN sym_ratio >= $CodeSymbolTau THEN 1 ELSE 0 END
+         |      AS is_codelike
+         |  FROM p)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(is_codelike) AS BIGINT) AS n_codelike,
+         |  round(CAST(SUM(is_codelike) AS BIGINT)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS codelike_frac,
+         |  round((CAST(SUM(CAST(q_ratio AS DECIMAL(38,0))) AS DOUBLE)
+         |    / COUNT(*)) / 1e9, 6) AS mean_symbol_ratio
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     "t30_eval_leak_report" -> {
       val k = Dedup.ExactSpanTokens
       // t31's gram chain with the sides swapped: coverage + counts on
@@ -1521,6 +1540,59 @@ object TextAnalysis {
     * int64-quantized at 1e-9 BEFORE its per-source sum (the g2 rq
     * discipline — order-free folds), and the final assembly is one
     * fixed IEEE tree with [[Ln2]] host-interpolated. */
+  /** The character class counted as "code symbols" — brackets,
+    * operators, and sigils that dominate source code but are rare in
+    * prose (sentence punctuation .,!?:'" is deliberately EXCLUDED).
+    * `final` literal (compile-time constant — the SpanTokensSql
+    * initialization-order rule) shared verbatim with the oracle so
+    * the two engines count the identical class. */
+  private[graft] final val CodeSymbolClass =
+    """[\[\]{}();=<>#|&*+\-/%@!^~`$]"""
+
+  /** A document at or above this symbol ratio routes as code-like
+    * (prose with normal punctuation sits well under 2%). `final`
+    * without a type annotation = compile-time constant: the
+    * `oracles` val earlier in this object inlines 0.05 instead of
+    * reading a not-yet-initialized 0.0 (the SpanTokensSql rule). */
+  final val CodeSymbolTau = 0.05
+
+  /** t33 core on an arbitrary (source, text) frame — factored for the
+    * planted-code spec. */
+  private[graft] def codeProfile(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), length(col("text")).as("n_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), CodeSymbolClass, "")))
+          .as("n_sym"))
+      .filter(col("n_chars") > 0)
+      .withColumn("sym_ratio", col("n_sym").cast("double") / col("n_chars"))
+      .withColumn("q_ratio",
+        floor(col("sym_ratio") * lit(1e9) + lit(0.5)).cast("long"))
+      .withColumn("is_codelike",
+        (col("sym_ratio") >= CodeSymbolTau).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_codelike")).cast("long").as("n_codelike"),
+        round(sum(col("is_codelike")).cast("double") / count(lit(1)), 6)
+          .as("codelike_frac"),
+        round((sum(col("q_ratio").cast("decimal(38,0)")).cast("double") /
+          count(lit(1))) / lit(1e9), 6).as("mean_symbol_ratio"))
+      .orderBy("source")
+
+  /** t33: code-vs-prose routing profile — the per-source report
+    * behind the code/prose SPLIT every modern mix makes (code goes
+    * to a code tokenizer/mix weight, The Stack-style; prose goes to
+    * the text pipeline; a "prose" source suddenly reporting 30%
+    * code-like docs is an ingest bug): per source, the code-like doc
+    * count/fraction (symbol ratio ≥ [[CodeSymbolTau]] over
+    * [[CodeSymbolClass]] — brackets/operators/sigils, NOT sentence
+    * punctuation) and the mean symbol ratio. Row-local regex counts
+    * (one scan, codegen'd), exact integer counts, the mean folded as
+    * 1e-9-quantized decimal sums (order-free), ratios exact int/int
+    * — full hash oracle. */
+  def t33CodeProfile(s: SparkSession, dir: String): DataFrame =
+    codeProfile(Tables.documents(s, dir))
+
   def t28SourceDivergence(s: SparkSession, dir: String): DataFrame = {
     val sw = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
@@ -1570,6 +1642,7 @@ object TextAnalysis {
     "t15_decontaminate" -> (t15Decontaminate _),
     "t31_span_decontaminate" -> (t31SpanDecontaminate _),
     "t30_eval_leak_report" -> (t30EvalLeakReport _),
+    "t33_code_profile" -> (t33CodeProfile _),
     "t32_decontaminate_scrub" -> (t32DecontaminateScrub _),
     "t16_tfidf" -> (t16TfIdf _),
     "t17_surprisal" -> (t17Surprisal _),

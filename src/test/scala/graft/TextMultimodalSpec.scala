@@ -783,4 +783,36 @@ class TextMultimodalSpec extends GraftSpec {
     assert(r.getLong(r.fieldIndex("n_leaked_tokens")) == 25L)
     assert(r.getDouble(r.fieldIndex("leaked_token_frac")) == 0.625)
   }
+
+  test("t33: planted code routes as code-like; prose doesn't; ratios recompute exactly") {
+    import spark.implicits._
+    val code = "def f(x){ return x[0]+y*2; } // map(z=>z%3)"
+    val prose = "An ordinary English sentence, with commas and a period."
+    val docs = Seq(("src_a", code), ("src_a", prose), ("src_b", prose))
+      .toDF("source", "text")
+    val got = TextAnalysis.codeProfile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def symCount(s: String): Int =
+      s.length - s.replaceAll(TextAnalysis.CodeSymbolClass, "").length
+    assert(symCount(code).toDouble / code.length >= TextAnalysis.CodeSymbolTau,
+      "fixture code doc must clear the threshold")
+    assert(symCount(prose).toDouble / prose.length < TextAnalysis.CodeSymbolTau,
+      "sentence punctuation must not count as code symbols")
+    val a = got("src_a")
+    assert(a.getAs[Long]("n_docs") == 2L)
+    assert(a.getAs[Long]("n_codelike") == 1L)
+    assert(a.getAs[Double]("codelike_frac") == 0.5)
+    assert(got("src_b").getAs[Long]("n_codelike") == 0L)
+    // mean symbol ratio = the quantized-fold recompute
+    val want = Seq(code, prose)
+      .map(s => math.floor(symCount(s).toDouble / s.length * 1e9 + 0.5).toLong)
+      .sum.toDouble / 2 / 1e9
+    assert(a.getAs[Double]("mean_symbol_ratio") ==
+      BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // and the real corpus is prose: nothing routes as code
+    val corpus = TextAnalysis.t33CodeProfile(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.map(_.getAs[Long]("n_codelike")).sum == 0L,
+      "the synthetic prose corpus must not route anything as code")
+  }
 }
