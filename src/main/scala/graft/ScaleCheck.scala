@@ -143,7 +143,10 @@ object ScaleCheck {
     // round-15: index-eval + report newcomers (LSH retrieval eval /
     // truncated-dim recall / eval-side leakage / padding waste)
     "d24_lsh_pair_eval", "n18_truncation_eval", "t30_eval_leak_report",
-    "mix9_padding_waste", "n19_binary_recall", "t33_code_profile")
+    "mix9_padding_waste", "n19_binary_recall", "t33_code_profile",
+    // round-15 late additions (target-mixture spec, LTTB downsample,
+    // filtered ANN)
+    "mix10_target_mixture")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

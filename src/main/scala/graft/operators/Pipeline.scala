@@ -470,6 +470,80 @@ object Pipeline {
       .orderBy("bucket")
   }
 
+  /** mix10's target mixture spec in per-mille (sums to 1000): the
+    * EXPLICIT mixture every released pretraining recipe publishes
+    * (The Pile §2, Dolma — "this corpus is 40% web, 20% code, …"),
+    * as opposed to mix1/mix8's FORMULA-derived shares (n^α, √-mass).
+    * A generated CASE ladder shared verbatim with the oracle. */
+  private[graft] val Mix10TargetPm: Seq[(String, Int)] =
+    Seq("de" -> 100, "en" -> 400, "es" -> 150, "fr" -> 150, "zh" -> 200)
+
+  private def mix10TargetCaseSql: String =
+    Mix10TargetPm.map { case (l, t) => s"WHEN lang = '$l' THEN $t" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** mix10: rejection sampling to an EXPLICIT target distribution —
+    * the "mixture spec" step a pretraining run executes after the
+    * recipe fixes its language/domain weights: keep the LARGEST
+    * subcorpus whose expected shares equal [[Mix10TargetPm]], by
+    * downsampling every language except the binding one (the lang
+    * m minimizing n_docs/target — it keeps all its docs; upsampling
+    * is mix4/mix5's plane). Acceptance probabilities are EXACT
+    * RATIONALS p_l = (c_m·t_l)/(t_m·c_l), realized as integer-derived
+    * md5-prefix thresholds floor(p·2³²) (mix1's determinism
+    * discipline, salted to decorrelate from mix1/mix2/mix3's hashes):
+    * numerator/denominator fold through decimal(38,0) — at 100 TB
+    * c·t·2³² overflows int64, the obt2 lesson — so no double ever
+    * decides a keep. The binding-lang argmin compares c/t as exact
+    * int-ratio doubles (ints ≤ 2⁵³ are exact; IEEE division is
+    * identical cross-engine), tie on lang.
+    *
+    * Scale shape: one bounded per-lang count aggregate (≤ #langs
+    * rows) carries ALL the threshold arithmetic; the corpus pays one
+    * scan → broadcast-join → row-local md5 filter → per-lang count
+    * (map-side partials). ZERO corpus shuffles. The report row set
+    * is the bounded lang domain (left join keeps keep-nothing langs
+    * visible); `kept_docid_sum` pins the exact kept SET cross-engine,
+    * not just its size. */
+  def mix10TargetMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("target_pm", expr(mix10TargetCaseSql))
+    val binding = counts
+      .orderBy((col("n_docs").cast("double") / col("target_pm")).asc,
+        col("lang").asc)
+      .limit(1)
+      .select(col("n_docs").as("c_m"), col("target_pm").as("t_m"))
+    val rates = counts.crossJoin(binding) // both bounded: #langs × 1
+      .withColumn("thr_i", expr(
+        "(cast(c_m as decimal(38,0)) * target_pm * 4294967296) div " +
+          "(cast(t_m as decimal(38,0)) * n_docs)"))
+      .withColumn("thr", when(col("thr_i") >= 4294967296L, lit("g"))
+        .otherwise(lpad(lower(hex(col("thr_i").cast("long"))), 8, "0")))
+    val kept = docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(rates.select(col("lang"), col("thr"))), Seq("lang"))
+      .filter(substring(
+        md5(concat(lit("mix10:"), col("doc_id").cast("string"))), 1, 8)
+        < col("thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id").cast("decimal(38,0)")).as("kept_docid_sum"))
+    val tot = kept.agg(sum(col("n_kept")).cast("long").as("tk"))
+    rates.join(kept, Seq("lang"), "left")
+      .crossJoin(tot) // 1-row bounded metadata
+      .select(col("lang"), col("n_docs"), col("target_pm"),
+        round((col("c_m").cast("double") * col("target_pm")) /
+          (col("t_m").cast("double") * col("n_docs")), 6).as("keep_rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(coalesce(col("n_kept"), lit(0L)).cast("double") /
+          col("tk"), 6).as("kept_share"),
+        coalesce(col("kept_docid_sum"),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))
+          .as("kept_docid_sum"))
+      .orderBy("lang")
+  }
+
   /** pipe4's oracle: the same five-row UNION over the COMPOSED
     * oracles — a12/psi1's static SQL as subqueries, qc2's ECE over
     * the committed scores artifact (pulled from Quality's dynamic
@@ -529,6 +603,38 @@ object Pipeline {
     } else Map.empty)
 
   private val staticOracles: Map[String, String] = Map(
+    "mix10_target_mixture" ->
+      s"""WITH counts AS (SELECT lang, COUNT(*) AS n_docs,
+         |    $mix10TargetCaseSql AS target_pm
+         |  FROM documents GROUP BY lang),
+         |b AS (SELECT n_docs AS c_m, target_pm AS t_m FROM (
+         |    SELECT n_docs, target_pm, lang, ROW_NUMBER() OVER (
+         |      ORDER BY CAST(n_docs AS DOUBLE) / target_pm ASC, lang ASC)
+         |      AS rn FROM counts) WHERE rn = 1),
+         |rates AS (SELECT lang, n_docs, target_pm, c_m, t_m,
+         |    (CAST(c_m AS HUGEINT) * target_pm * 4294967296)
+         |      // (CAST(t_m AS HUGEINT) * n_docs) AS thr_i
+         |  FROM counts CROSS JOIN b),
+         |thr AS (SELECT *, CASE WHEN thr_i >= 4294967296 THEN 'g'
+         |    ELSE lpad(lower(to_hex(CAST(thr_i AS BIGINT))), 8, '0') END
+         |    AS thr FROM rates),
+         |k AS (SELECT d.lang, COUNT(*) AS n_kept,
+         |    CAST(SUM(CAST(d.doc_id AS HUGEINT)) AS DECIMAL(38,0))
+         |      AS kept_docid_sum
+         |  FROM documents d JOIN thr t USING (lang)
+         |  WHERE substring(md5('mix10:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+         |    < t.thr
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_kept) AS BIGINT) AS tk FROM k)
+         |SELECT t.lang, t.n_docs, t.target_pm,
+         |  round((CAST(c_m AS DOUBLE) * target_pm)
+         |    / (CAST(t_m AS DOUBLE) * n_docs), 6) AS keep_rate,
+         |  COALESCE(k.n_kept, 0) AS n_kept,
+         |  round(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / tk, 6) AS kept_share,
+         |  COALESCE(k.kept_docid_sum, CAST(0 AS DECIMAL(38,0)))
+         |    AS kept_docid_sum
+         |FROM thr t LEFT JOIN k USING (lang) CROSS JOIN tot
+         |ORDER BY t.lang""".stripMargin,
     "mix9_padding_waste" ->
       s"""WITH n AS (SELECT len(${graft.operators.Dedup.SpanTokensSql})
          |    AS n_tok FROM documents),
@@ -771,5 +877,6 @@ object Pipeline {
     "mix7_dedup_weights" -> (mix7DedupWeights _),
     "mix8_temperature_mixture" -> (mix8TemperatureMixture _),
     "mix9_padding_waste" -> (mix9PaddingWaste _),
+    "mix10_target_mixture" -> (mix10TargetMixture _),
     "pipe4_monitor_report" -> (pipe4MonitorReport _))
 }

@@ -1196,6 +1196,62 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("mix10: rejection sampling hits the target mixture; thresholds exact") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.mix10TargetMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDecimal(6)))
+    val targets = Pipeline.Mix10TargetPm.toMap
+    assert(rows.map(_._1).toSeq == targets.keys.toSeq.sorted,
+      "one report row per lang in the spec")
+    assert(targets.values.sum == 1000, "spec shares are per-mille")
+    // driver-side recompute of the whole construction: binding lang,
+    // exact rational thresholds, md5 acceptance, kept counts and sums
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val (bindLang, _) = counts.toSeq
+      .sortBy { case (l, c) => (c.toDouble / targets(l), l) }.head
+    val (cM, tM) = (counts(bindLang), targets(bindLang).toLong)
+    def thrHex(l: String): String = {
+      val thrI = (BigInt(cM) * targets(l) * BigInt(2).pow(32)) /
+        (BigInt(tM) * counts(l))
+      if (thrI >= BigInt(2).pow(32)) "g"
+      else { val h = thrI.toLong.toHexString; "0" * (8 - h.length) + h }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hk(id: Long): String = md.synchronized {
+      md.digest(s"mix10:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    }
+    val keptByLang = docs.filter { case (id, l) => hk(id) < thrHex(l) }
+      .groupBy(_._2)
+    for ((lang, nDocs, targetPm, keepRate, nKept, keptShare, idSum) <- rows) {
+      assert(targetPm == targets(lang))
+      assert(nDocs == counts(lang))
+      val exp = keptByLang.getOrElse(lang, Array.empty[(Long, String)])
+      assert(nKept == exp.length.toLong,
+        s"$lang: md5 acceptance recompute disagrees")
+      assert(BigInt(idSum.toBigInteger) == exp.map(d => BigInt(d._1)).sum,
+        s"$lang: kept-set digest disagrees")
+      val expRate = (cM.toDouble * targetPm) / (tM.toDouble * counts(lang))
+      assert(math.abs(keepRate - expRate) < 5e-7)
+      assert(nKept <= nDocs)
+      // realized share tracks the spec within multinomial noise
+      assert(math.abs(keptShare - targetPm / 1000.0) < 0.05,
+        s"$lang: share $keptShare far from target ${targetPm / 1000.0}")
+    }
+    // the binding lang is downsampled by nothing: it keeps every doc
+    val bind = rows.find(_._1 == bindLang).get
+    assert(bind._4 == 1.0 && bind._5 == bind._2)
+    // shares sum to 1 (rounding) and the report is deterministic
+    assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-5)
+    val again = Pipeline.mix10TargetMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+    assert(again.toSeq == rows.map(r => (r._1, r._5)).toSeq)
+  }
+
   test("e13: bounce accounting matches e1's session table") {
     val sess = Analytics.e1Sessionize(spark, sf).collect()
       .map(r => (r.getAs[Long]("n_events"), r.getAs[String]("start_ts").take(10)))
