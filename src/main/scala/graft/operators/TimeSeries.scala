@@ -699,6 +699,7 @@ object TimeSeries {
   }
 
   val oracles: Map[String, String] = Map(
+    "ts19_lttb" -> ts19Oracle,
     "ts16_stl_decompose" -> ts16Oracle,
     "ts18_stl_anomalies" -> {
       def q6s(e: String) = s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT) / 1e6"
@@ -1213,7 +1214,111 @@ object TimeSeries {
       .orderBy("event_type", "hr")
   }
 
+  /** ts19's output size: every series downsamples to ≤ this many
+    * points (the dashboard pixel budget LTTB was designed for).
+    * `final val` with no type annotation — a compile-time constant,
+    * so the `oracles` map (initialized BEFORE this line in object
+    * init order) interpolates 20, not an uninitialized 0 (the
+    * PassageWords/SpanTokensSql rule). */
+  final val LttbTarget = 20
+
+  /** ts19: LTTB downsampling (Steinarsson 2013 — the de-facto
+    * standard for plotting large series) — reduce each hourly series
+    * to [[LttbTarget]] visually-representative points: first/last
+    * always kept, each middle bucket contributes the point whose
+    * triangle with the previous pick and the next bucket's centroid
+    * has maximal area, so peaks/troughs survive where a naive
+    * every-Nth or per-bucket-mean sample flattens them — the
+    * downsampler behind every monitoring dashboard rendering months
+    * of metrics in one request.
+    *
+    * Scale shape: the corpus pays exactly the hourly keyed aggregate
+    * every ts operator pays; the greedy runs as ONE compiled O(n)
+    * fold per bounded series ([[org.apache.spark.sql.graft
+    * .LttbUtil]]), never a per-bucket pass over the corpus.
+    * Exactness: the inherently sequential argmax chain runs on the
+    * exact integer grid (x = rank, y = 1e-6-quantized v) with
+    * BigInt/HUGEINT cross-multiplied areas — no double ever decides
+    * a pick — so the full selection hash-replays in the unrolled
+    * greedy oracle (the n11 pattern on the time axis). */
+  def ts19LttbDownsample(s: SparkSession, dir: String): DataFrame =
+    lttbOf(hourly(s, dir))
+
+  /** ts19 core on an arbitrary (event_type, hr, v) frame — spec hook
+    * (planted spike fixture). */
+  private[graft] def lttbOf(h: DataFrame): DataFrame = {
+    val selAt = element_at(col("srt"), col("col").cast("int"))
+    h
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("hr"), col("v")))).as("srt"))
+      .withColumn("sel",
+        org.apache.spark.sql.graft.SeriesFoldExpr.lttbFold(col("srt"), LttbTarget))
+      .select(col("event_type"), col("srt"), posexplode(col("sel")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("sel_rank"),
+        date_format(selAt.getField("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        selAt.getField("v").as("v"))
+      .orderBy("event_type", "sel_rank")
+  }
+
+  /** ts19's oracle: the greedy unrolled at compile time (n11's
+    * committed pattern) — step k picks bucket k's max-area point
+    * against the step-(k−1) anchor and bucket (k+1)'s centroid, all
+    * in HUGEINT on the same quantized grid as the kernel; series
+    * with n ≤ target pass through whole. */
+  private def ts19Oracle: String = {
+    val t = LttbTarget
+    val t2 = t - 2
+    val head =
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*), 6) AS v
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (SELECT event_type, hr, v,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS i,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+         |    CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS y
+         |  FROM h),
+         |mid AS (SELECT event_type, i, y,
+         |    ((i - 2) * $t2) // (n - 2) + 1 AS bk
+         |  FROM idx WHERE n > $t AND i BETWEEN 2 AND n - 1),
+         |cent AS (SELECT event_type, bk, SUM(i) AS sx, SUM(y) AS sy,
+         |    COUNT(*) AS cnt FROM mid GROUP BY 1, 2),
+         |lastc AS (SELECT event_type, i AS sx, y AS sy, 1 AS cnt
+         |  FROM idx WHERE n > $t AND i = n),
+         |s0 AS (SELECT event_type, i AS ai, y AS ay FROM idx
+         |  WHERE n > $t AND i = 1)""".stripMargin
+    val steps = (1 to t2).map { k =>
+      val centSrc = if (k < t2) "cent" else "lastc"
+      val centCond = if (k < t2) s"ct.bk = ${k + 1} AND " else ""
+      s""",
+         |s$k AS (SELECT event_type, i AS ai, y AS ay FROM (
+         |    SELECT c.event_type, c.i, c.y, ROW_NUMBER() OVER (
+         |      PARTITION BY c.event_type ORDER BY
+         |      abs((CAST(a.ai AS HUGEINT) * ct.cnt - ct.sx) * (c.y - a.ay)
+         |        - (a.ai - c.i) * (ct.sy - CAST(a.ay AS HUGEINT) * ct.cnt))
+         |        DESC, c.i ASC) AS rn
+         |    FROM mid c
+         |    JOIN s${k - 1} a ON a.event_type = c.event_type
+         |    JOIN $centSrc ct ON ${centCond}ct.event_type = c.event_type
+         |    WHERE c.bk = $k) WHERE rn = 1)""".stripMargin
+    }.mkString
+    val selUnion = ((0 to t2).map(k =>
+      s"SELECT event_type, ai AS i, ${k + 1} AS sel_rank FROM s$k") ++ Seq(
+      s"SELECT event_type, i, $t AS sel_rank FROM idx WHERE n > $t AND i = n",
+      s"SELECT event_type, i, CAST(i AS BIGINT) AS sel_rank FROM idx WHERE n <= $t"))
+      .mkString("\n  UNION ALL ")
+    head + steps +
+      s""",
+         |sel AS (
+         |  $selUnion)
+         |SELECT s.event_type, CAST(s.sel_rank AS INT) AS sel_rank,
+         |  strftime(x.hr, '%Y-%m-%d %H:%M:%S') AS hr, x.v
+         |FROM sel s JOIN idx x ON x.event_type = s.event_type AND x.i = s.i
+         |ORDER BY s.event_type, s.sel_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts19_lttb" -> (ts19LttbDownsample _),
     "ts16_stl_decompose" -> (ts16StlDecompose _),
     "ts18_stl_anomalies" -> (ts18StlAnomalies _),
     "ts15_changepoint" -> (ts15Changepoint _),

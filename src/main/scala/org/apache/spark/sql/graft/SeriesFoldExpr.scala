@@ -99,6 +99,83 @@ object SeriesFoldUtil {
   }
 }
 
+object LttbUtil {
+
+  /** LTTB downsampling (Steinarsson 2013) on the exact integer grid:
+    * selects `nOut` of the series' points (1-based indices into the
+    * sorted array) — first and last always kept, each of the nOut−2
+    * middle buckets contributes the point maximizing the triangle
+    * area with the previously selected anchor and the NEXT bucket's
+    * centroid. Exactness: x = the point's 1-based rank, y = the
+    * 1e-6-quantized value (the hourly v is already 6-dp rounded, so
+    * floor(v·1e6+0.5) recovers its integer exactly); the area
+    * comparison runs in BigInt — cross-multiplied by the next
+    * bucket's count so the centroid never becomes a double — which
+    * the DuckDB oracle mirrors in HUGEINT (x·cnt·y products pass
+    * int64 around ~1e5-hour spines, so 128-bit is the safe grain on
+    * both sides). Ties break on the earliest index (strict >), the
+    * same ORDER BY area DESC, i ASC the oracle uses. Cost is O(n)
+    * per series + O(candidates) BigInt compares — the series is the
+    * BOUNDED hourly spine, never the raw corpus. */
+  def lttb(arr: ArrayData, vIdx: Int, nf: Int, nOut: Int): ArrayData = {
+    val n = arr.numElements()
+    val ys = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      ys(i) = math.floor(
+        arr.getStruct(i, nf).getDouble(vIdx) * 1e6 + 0.5).toLong
+      i += 1
+    }
+    if (n <= nOut) {
+      val out = new Array[Long](n)
+      var j = 0
+      while (j < n) { out(j) = j + 1; j += 1 }
+      return UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    val t2 = nOut - 2
+    // bucket of middle index i (2..n−1) is ((i−2)·t2)/(n−2)+1; the
+    // first index of bucket k is therefore ceil((k−1)(n−2)/t2)+2
+    def lo(k: Int): Int =
+      (((k - 1).toLong * (n - 2) + t2 - 1) / t2).toInt + 2
+    val sx = new Array[Long](t2 + 2)
+    val sy = new Array[Long](t2 + 2)
+    val cn = new Array[Long](t2 + 2)
+    i = 2
+    while (i <= n - 1) {
+      val b = (((i - 2).toLong * t2) / (n - 2)).toInt + 1
+      sx(b) += i; sy(b) += ys(i - 1); cn(b) += 1
+      i += 1
+    }
+    val out = new Array[Long](nOut)
+    out(0) = 1
+    var anchor = 1
+    var k = 1
+    while (k <= t2) {
+      val (csx, csy, ccnt) =
+        if (k < t2) (sx(k + 1), sy(k + 1), cn(k + 1))
+        else (n.toLong, ys(n - 1), 1L)
+      val xa = BigInt(anchor)
+      val ya = BigInt(ys(anchor - 1))
+      val p = xa * ccnt - csx
+      val q = BigInt(csy) - ya * ccnt
+      var best = BigInt(-1)
+      var besti = -1
+      var c = lo(k)
+      val hi = if (k < t2) lo(k + 1) - 1 else n - 1
+      while (c <= hi) {
+        val area = (p * (BigInt(ys(c - 1)) - ya) - (xa - c) * q).abs
+        if (area > best) { best = area; besti = c }
+        c += 1
+      }
+      out(k) = besti
+      anchor = besti
+      k += 1
+    }
+    out(nOut - 1) = n
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 sealed trait SeriesFoldInput { self: Expression =>
   def seriesChild: Expression
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -155,6 +232,24 @@ case class CusumFold(first: Expression, second: Expression, third: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** `graft_lttb_fold(srt)` with compile-time output size — returns the
+  * selected 1-based indices as `array<long>` (an index list, not a
+  * state trajectory, hence the LongType override). */
+case class LttbFold(child: Expression, nOut: Int)
+    extends UnaryExpression with SeriesFoldInput {
+  override def seriesChild: Expression = child
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_lttb_fold"
+  override protected def nullSafeEval(a: Any): Any =
+    LttbUtil.lttb(a.asInstanceOf[ArrayData], vIdx, numFields, nOut)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.spark.sql.graft.LttbUtil.lttb($a, $vIdx, $numFields, $nOut)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object SeriesFoldExpr {
   def ewmaFold(srt: Column, alpha: Double): Column =
@@ -165,4 +260,6 @@ object SeriesFoldExpr {
   def cusumFold(srt: Column, mu: Column, sigma: Column, k: Double): Column =
     ExpressionUtils.column(CusumFold(ExpressionUtils.expression(srt),
       ExpressionUtils.expression(mu), ExpressionUtils.expression(sigma), k))
+  def lttbFold(srt: Column, nOut: Int): Column =
+    ExpressionUtils.column(LttbFold(ExpressionUtils.expression(srt), nOut))
 }

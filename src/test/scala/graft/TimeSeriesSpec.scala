@@ -598,4 +598,85 @@ class TimeSeriesSpec extends GraftSpec {
       got.keys.map(_._1).toSet.exists(t =>
         got((t, "ewma"))._2 != got((t, "holt"))._2))
   }
+
+  /** Driver-side LTTB on the exact integer grid — the kernel's
+    * sequential semantics recomputed independently. */
+  private def lttbRef(vs: Seq[Double], t: Int): Seq[Int] = {
+    val n = vs.length
+    val ys = vs.map(v => math.floor(v * 1e6 + 0.5).toLong)
+    if (n <= t) return 1 to n
+    val t2 = t - 2
+    def bucket(i: Int) = (((i - 2).toLong * t2) / (n - 2)).toInt + 1
+    var sel = List(1)
+    var anchor = 1
+    for (k <- 1 to t2) {
+      val cand = (2 to n - 1).filter(bucket(_) == k)
+      val (sx, sy, cnt) =
+        if (k < t2) {
+          val nxt = (2 to n - 1).filter(bucket(_) == k + 1)
+          (nxt.map(_.toLong).sum, nxt.map(i => ys(i - 1)).sum, nxt.length.toLong)
+        } else (n.toLong, ys(n - 1), 1L)
+      val xa = BigInt(anchor); val ya = BigInt(ys(anchor - 1))
+      val best = cand.maxBy(i => (
+        ((xa * cnt - sx) * (BigInt(ys(i - 1)) - ya)
+          - (xa - i) * (BigInt(sy) - ya * cnt)).abs, BigInt(-i)))
+      sel = best :: sel
+      anchor = best
+    }
+    ((n :: sel).reverse)
+  }
+
+  test("ts19: corpus selection equals a driver-side LTTB recompute; endpoints kept") {
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("v"))
+      .orderBy("event_type", "hr")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    val series = hourly.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.getTime)).toMap
+    val got = TimeSeries.ts19LttbDownsample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    val exp = series.toSeq.sortBy(_._1).flatMap { case (et, pts) =>
+      lttbRef(pts.map(_._3).toSeq, TimeSeries.LttbTarget).zipWithIndex.map {
+        case (i, rank) =>
+          (et, rank + 1, fmt.format(pts(i - 1)._2), pts(i - 1)._3)
+      }
+    }
+    assert(got.toSeq == exp, "operator selection diverges from reference")
+    // structural invariants: per-series size, kept endpoints, time order
+    for ((et, pts) <- series) {
+      val mine = got.filter(_._1 == et)
+      assert(mine.length == math.min(pts.length, TimeSeries.LttbTarget))
+      assert(mine.head._3 == fmt.format(pts.head._2), "first point kept")
+      assert(mine.last._3 == fmt.format(pts.last._2), "last point kept")
+      assert(mine.map(_._3).toSeq == mine.map(_._3).sorted.toSeq,
+        "selection is time-ordered")
+    }
+  }
+
+  test("ts19 keeps a planted spike that every-Nth sampling would drop") {
+    import spark.implicits._
+    // 200 flat hours with one off-grid spike: the spike's triangle
+    // area dominates its bucket, so LTTB must select it
+    val spikeAt = 57
+    val dense = (0 until 200).map { i =>
+      ("a", java.sql.Timestamp.valueOf(
+        f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00"),
+        if (i == spikeAt) 500.0 else 1.0)
+    }.toDF("event_type", "hr", "v")
+    val rows = TimeSeries.lttbOf(dense).collect()
+    assert(rows.length == TimeSeries.LttbTarget)
+    assert(rows.exists(_.getAs[Double]("v") == 500.0),
+      "the spike must survive downsampling")
+    // every-Nth control: stride-10 sampling from hour 0 misses hour 57
+    assert((0 until 200 by 10).forall(_ != spikeAt))
+    // short series pass through whole
+    val short = (0 until 5).map { i =>
+      ("b", java.sql.Timestamp.valueOf(f"2024-01-01 0$i:00:00"), i.toDouble)
+    }.toDF("event_type", "hr", "v")
+    assert(TimeSeries.lttbOf(short).collect().length == 5)
+  }
 }
