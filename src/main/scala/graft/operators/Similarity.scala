@@ -934,6 +934,89 @@ object Similarity {
     recallOfApprox(scored, "bs")
   }
 
+  /** n20's candidate quota: probe cells (best-centroid-first) until at
+    * least this many SAME-LABEL candidates are reachable. Filtered
+    * search needs a DEEPER quota than unfiltered re-rank pools (n8's
+    * 4×K): the filtered subset's true top-k sits deeper in each
+    * cell's cosine ranking than the unfiltered top-k, so the quota
+    * is the recall/probe-cost dial —
+    * measured on this corpus: 4×K → 0.58, 6×K → 0.76, 8×K → 0.86
+    * mean recall vs the exact filtered scan (spec floor 0.8). */
+  val FilteredMinCand = 8 * TopK
+
+  /** n20: metadata-FILTERED ANN — same-label top-k over the committed
+    * IVF index (per-tenant / per-language retrieval, the filtered
+    * search every production vector store serves). The known failure
+    * mode is recall collapse: a fixed nprobe tuned for unfiltered
+    * search starves when the filter keeps ~1/#labels of each probed
+    * cell, and worse when the filter CORRELATES with cells (labels
+    * clustering into few cells). The production fix is ADAPTIVE
+    * probing to a candidate quota, which this implements exactly: a
+    * bounded (cell × label) histogram (index-metadata-sized, built
+    * once per query run from the committed assignments) joins onto
+    * the per-query centroid ranking, and a query keeps probing cells
+    * in ccos order until the running same-label candidate count
+    * reaches [[FilteredMinCand]] — probe depth scales with 1/
+    * selectivity PER QUERY, with rare labels automatically probing
+    * deeper (to the whole cell set when the label population itself
+    * is below quota — the correct degradation). Scale shape: probe
+    * selection runs on (query set × cells) rows, candidates stay
+    * cell-confined AND label-filtered (the filter pushes into the
+    * candidate join, not a post-filter over unfiltered top-k — a
+    * post-filter returns < k results, THE filtered-search bug), one
+    * corpus-keyed label attach join. Fully hash-replayable from the
+    * committed index + the embeddings label column. */
+  def n20FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureAnnIndex(s, dir)
+    val refined = indexCells(s, root)
+    val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val asg = graft.sources.AtomicPublish.readOutput(s, root, "assignments")
+      .join(labels, Seq("vec_id")) // co-keyed 1:1 label attach
+    val hist = asg.groupBy(col("cell_id"), col("label"))
+      .agg(count(lit(1)).as("cnt")) // bounded: #cells × #labels
+    val cellArr = array(refined.map { case (id, cv, cn) =>
+      struct(lit(id).as("cell_id"), typedlit(cv).as("cv"), lit(cn).as("cn"))
+    }: _*)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell_id").asc)
+    val scored = asg.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label"), explode(cellArr).as("cell"))
+      .select(col("query_id"), col("qv"), col("qn"), col("label"),
+        col("cell.cell_id").as("cell_id"),
+        VectorFunctions.cosineFromParts(
+          org.apache.spark.sql.graft.ArrayMathExpr.dotNative(
+            col("qv"), col("cell.cv")),
+          col("qn"), col("cell.cn")).as("ccos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .join(broadcast(hist), Seq("cell_id", "label"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val wCum = Window.partitionBy(col("query_id")).orderBy(col("prn"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val probes = scored
+      .withColumn("before", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .filter(col("before") < FilteredMinCand)
+      .select(col("query_id"), col("qv"), col("qn"), col("label"),
+        col("cell_id"))
+    val pairs = broadcast(probes)
+      .join(asg.select(col("vec_id"), col("cell_id"),
+        col("label").as("mlabel"), col("v"), col("nrm")),
+        Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id") &&
+        col("label") === col("mlabel"))
+      .withColumn("cos_raw", VectorFunctions.cosineFromParts(
+        VectorFunctions.dotNative("qv", "v"), col("qn"), col("nrm")))
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        col("cos_raw"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("label"), col("neighbor_id"), col("rank"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   val PcaK = 4 // projected dimensions
 
   /** PCA model from ONE distributed pass: n, the mean vector, and the
@@ -1200,6 +1283,7 @@ object Similarity {
       Map(
         "n2_ann_lsh" -> n2Oracle(ver),
         "n3_ivf_ann" -> ivfProbeOracle(ver),
+        "n20_filtered_ann" -> n20Oracle(ver),
         "n4_cell_audit" -> n4Oracle(ver),
         "n6_semantic_dedup" -> n6Oracle(ver),
         "n12_pq_topk" -> pqAdcOracle(ver, probed = false),
@@ -1357,6 +1441,46 @@ object Similarity {
        |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
        |  FROM pairs)
        |SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB replay of n20's adaptive filtered probe: label attach from
+    * the embeddings table, the bounded (cell × label) histogram, the
+    * quota-driven running-sum probe cut, and the label-filtered
+    * cell-confined candidate ranking — all from the committed index. */
+  private def n20Oracle(verDir: String): String =
+    s"""WITH c AS (SELECT cell_id, cv, cn
+       |    FROM read_parquet('$verDir/centroids/*.parquet')),
+       |a AS (SELECT vec_id, v, nrm, cell_id
+       |    FROM read_parquet('$verDir/assignments/*.parquet')),
+       |al AS (SELECT a.vec_id, a.v, a.nrm, a.cell_id, e.label
+       |  FROM a JOIN embeddings e USING (vec_id)),
+       |hist AS (SELECT cell_id, label, COUNT(*) AS cnt
+       |  FROM al GROUP BY 1, 2),
+       |scored AS (SELECT q.vec_id AS query_id, q.label, c.cell_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_dot_product(q.v, c.cv) / (q.nrm * c.cn) DESC,
+       |      c.cell_id ASC) AS prn
+       |  FROM al q CROSS JOIN c WHERE q.vec_id < $NumQueries),
+       |wc AS (SELECT s.*, COALESCE(h.cnt, 0) AS cnt
+       |  FROM scored s LEFT JOIN hist h
+       |    ON h.cell_id = s.cell_id AND h.label = s.label),
+       |probes AS (SELECT query_id, label, cell_id FROM (
+       |    SELECT *, COALESCE(SUM(cnt) OVER (PARTITION BY query_id
+       |      ORDER BY prn ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) AS bef FROM wc)
+       |  WHERE bef < $FilteredMinCand),
+       |pairs AS (SELECT p.query_id, p.label, m.vec_id AS neighbor_id,
+       |    list_dot_product(qv.v, m.v) / (qv.nrm * m.nrm) AS cos_raw
+       |  FROM probes p
+       |  JOIN al m ON m.cell_id = p.cell_id AND m.label = p.label
+       |  JOIN a qv ON qv.vec_id = p.query_id
+       |  WHERE p.query_id <> m.vec_id),
+       |ranked AS (SELECT query_id, label, neighbor_id, cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+       |  FROM pairs)
+       |SELECT query_id, label, neighbor_id, rank,
+       |  round(cos_raw, 6) AS cosine
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB replay of n6's SemDeDup over the committed assignments:
@@ -1713,6 +1837,7 @@ object Similarity {
     "n14_range_search" -> (n14RangeSearch _),
     "n2_ann_lsh" -> (n2AnnLsh _),
     "n3_ivf_ann" -> (n3IvfAnn _),
+    "n20_filtered_ann" -> (n20FilteredAnn _),
     "n4_cell_audit" -> (n4CellAudit _),
     "n5_centroids" -> (n5Centroids _),
     "n6_semantic_dedup" -> (n6SemanticDedup _),

@@ -172,6 +172,46 @@ class SimilaritySpec extends GraftSpec {
     Similarity.pcaModel(e)
   }
 
+  test("n20 filtered ANN: label invariant, full result sets, recall vs exact filtered") {
+    val rows = Similarity.n20FilteredAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val byId = emb.map(e => e._1 -> e).toMap
+    // every neighbor carries the query's own label — the filter is
+    // pushed into candidate generation, never applied after top-k
+    rows.foreach { case (q, l, nb, _) =>
+      assert(byId(q)._3 == l, s"query $q label mismatch")
+      assert(byId(nb)._3 == l, s"neighbor $nb of query $q breaks the filter")
+    }
+    // full result sets: the post-filter bug would return < TopK rows
+    val perQ = rows.groupBy(_._1)
+    assert(perQ.size == Similarity.NumQueries)
+    perQ.foreach { case (q, rs) =>
+      assert(rs.length == Similarity.TopK, s"query $q returned ${rs.length}")
+      assert(rs.map(_._4).sorted.toSeq == (1 to Similarity.TopK))
+    }
+    // recall vs the exact same-label brute force
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val recall = (0L until Similarity.NumQueries).map { q =>
+      val (_, qv, ql) = byId(q)
+      val ex = emb.filter(e => e._3 == ql && e._1 != q)
+        .map(e => (e._1, cos(qv, e._2)))
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.TopK).map(_._1).toSet
+      val got = perQ(q).map(_._3).toSet
+      (ex intersect got).size.toDouble / ex.size
+    }.sum / Similarity.NumQueries
+    assert(recall >= 0.8, s"n20 filtered recall=$recall")
+  }
+
   test("n9 PCA components are orthonormal with descending positive eigenvalues") {
     val (_, _, comps) = pca
     assert(comps.size == Similarity.PcaK)
