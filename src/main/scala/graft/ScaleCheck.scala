@@ -146,7 +146,8 @@ object ScaleCheck {
     "mix9_padding_waste", "n19_binary_recall", "t33_code_profile",
     // round-15 late additions (target-mixture spec, LTTB downsample,
     // filtered ANN)
-    "mix10_target_mixture", "ts19_lttb", "n20_filtered_ann")
+    "mix10_target_mixture", "ts19_lttb", "n20_filtered_ann",
+    "k19_layout_audit")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

@@ -1151,7 +1151,15 @@ object Sources {
       .orderBy("day", "event_type")
   }
 
-  val oracles: Map[String, String] = Map(
+  /** A `def` (qc2's discipline): k19's oracle interpolates the
+    * corpus dir recorded at query time, emitted only when exactly ONE
+    * corpus ran in this JVM. */
+  def oracles: Map[String, String] = staticOracles ++ (
+    if (k19Dirs.size == 1)
+      Map("k19_layout_audit" -> k19Oracle(k19Dirs.values.iterator.next()))
+    else Map.empty)
+
+  private val staticOracles: Map[String, String] = Map(
     "obt2_partitioned_obt" ->
       """SELECT cr.r_name AS cust_region, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
@@ -1385,7 +1393,114 @@ object Sources {
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Dir-keyed state for k19's oracle (the pipe4/n3 pattern: the
+    * oracle interpolates the exact corpus dir the query ran over,
+    * emitted only when ONE corpus ran in this JVM). */
+  private val k19Dirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** k19: parquet layout-health audit — the footer-level report that
+    * DRIVES the k6/k16 compaction/relayout decisions (Delta's OPTIMIZE
+    * and Iceberg's rewrite_data_files read exactly these numbers
+    * first): per table, file count, row-group count, exact row/byte
+    * masses straight from the footers (no data pages touched), and the
+    * min/max rows-per-row-group spread — a row group is the scan
+    * scheduling grain, so a table whose min_rg_rows is tiny schedules
+    * starved tasks and one whose file count explodes pays listing +
+    * open overhead per query (the small-files problem this report
+    * quantifies BEFORE it burns a cluster).
+    *
+    * Scale shape: the file LIST is driver-side (bounded metadata — the
+    * same listing every Spark scan performs anyway), but the footer
+    * READS distribute: one `mapPartitions` task per slice of the file
+    * list opens footers with the parquet-mr reader executor-side — at
+    * 100 TB (millions of files) the driver never deserializes a
+    * footer, which is exactly how table-format metadata sweeps run.
+    * Footer numbers are exact integers (thrift row counts and chunk
+    * byte totals), so the whole report hash-replays against DuckDB's
+    * parquet_metadata() over the same files. */
+  def k19LayoutAudit(s: SparkSession, dir: String): DataFrame = {
+    k19Dirs.put(dir, dir)
+    k19AuditOf(s, Tables.names.map(t => (t, s"$dir/$t.parquet")))
+  }
+
+  /** k19 core over any (label, parquet file-or-directory) list — spec
+    * hook (fragmented-layout fixture). */
+  private[graft] def k19AuditOf(s: SparkSession,
+      roots: Seq[(String, String)]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = s.sparkContext.hadoopConfiguration
+    val files: Seq[(String, String)] = roots.flatMap { case (t, root) =>
+      val p = new Path(root)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (t, f.getPath.toString))
+      else Seq((t, st.getPath.toString))
+    }
+    import s.implicits._
+    val slices = math.max(1, math.min(files.size, 32))
+    val rg = s.createDataset(files).repartition(slices)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { case (t, p) =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getFooter.getBlocks.asScala.map(b =>
+              (t, p, b.getRowCount, b.getCompressedSize,
+                b.getTotalByteSize)).toList
+          } finally r.close()
+        }
+      }.toDF("tbl", "path", "rg_rows", "rg_comp", "rg_unc")
+    rg.groupBy(col("tbl"))
+      .agg(countDistinct(col("path")).as("n_files"),
+        count(lit(1)).as("n_row_groups"),
+        sum(col("rg_rows")).as("n_rows"),
+        sum(col("rg_comp")).as("compressed_bytes"),
+        sum(col("rg_unc")).as("uncompressed_bytes"),
+        max(col("rg_rows")).as("max_rg_rows"),
+        min(col("rg_rows")).as("min_rg_rows"))
+      .select(col("tbl").as("table_name"), col("n_files"),
+        col("n_row_groups"), col("n_rows"), col("compressed_bytes"),
+        col("uncompressed_bytes"), col("max_rg_rows"), col("min_rg_rows"))
+      .orderBy("table_name")
+  }
+
+  /** k19's oracle: DuckDB's parquet_metadata() over the SAME files —
+    * one row per column chunk, collapsed to the row-group grain first
+    * (row_group_num_rows/row_group_bytes repeat per chunk; chunk
+    * total_compressed_size sums to parquet-mr's getCompressedSize). */
+  private def k19Oracle(dir: String): String = {
+    val per = Tables.names.map { t =>
+      val f = new java.io.File(s"$dir/$t.parquet")
+      val glob =
+        if (f.isDirectory) s"$dir/$t.parquet/*.parquet"
+        else s"$dir/$t.parquet"
+      s"""SELECT '$t' AS table_name, file_name, row_group_id,
+         |  MAX(row_group_num_rows) AS rg_rows,
+         |  SUM(total_compressed_size) AS rg_comp,
+         |  MAX(row_group_bytes) AS rg_unc
+         |FROM parquet_metadata('$glob') GROUP BY 1, 2, 3""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH rg AS (
+       |$per)
+       |SELECT table_name, COUNT(DISTINCT file_name) AS n_files,
+       |  COUNT(*) AS n_row_groups,
+       |  CAST(SUM(rg_rows) AS BIGINT) AS n_rows,
+       |  CAST(SUM(rg_comp) AS BIGINT) AS compressed_bytes,
+       |  CAST(SUM(rg_unc) AS BIGINT) AS uncompressed_bytes,
+       |  CAST(MAX(rg_rows) AS BIGINT) AS max_rg_rows,
+       |  CAST(MIN(rg_rows) AS BIGINT) AS min_rg_rows
+       |FROM rg GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k19_layout_audit" -> (k19LayoutAudit _),
     "src1_csv_roundtrip" -> (src1CsvRoundtrip _),
     "src2_json_roundtrip" -> (src2JsonRoundtrip _),
     "src4_orc_roundtrip" -> (src4OrcRoundtrip _),

@@ -461,4 +461,30 @@ class SourcesSpec extends GraftSpec {
       pruned.inputFiles.forall(_.contains(s"month=$m0")),
       s"one-month read must touch only month=$m0")
   }
+
+  test("k19: footer audit is exact on a fragmented layout and the corpus tables") {
+    import graft.sources.Sources
+    // fragmented fixture: 4 files, known row mass
+    val frag = s"${graft.TmpRoots.perProcess("graft_sources_spec")}/k19_frag"
+    val df = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    df.repartition(4).write.mode("overwrite").parquet(frag)
+    val audit = Sources.k19AuditOf(spark, Seq(("frag", frag))).collect()
+    assert(audit.length == 1)
+    val r = audit.head
+    assert(r.getString(0) == "frag")
+    assert(r.getLong(1) == 4L, s"expected 4 files, got ${r.getLong(1)}")
+    assert(r.getLong(3) == df.count(), "footer row mass equals the data")
+    assert(r.getLong(2) >= r.getLong(1), "each file has >= 1 row group")
+    assert(r.getLong(4) > 0 && r.getLong(5) >= r.getLong(4),
+      "compressed bytes positive and <= uncompressed")
+    assert(r.getLong(6) >= r.getLong(7) && r.getLong(7) > 0,
+      "row-group row spread is ordered and positive")
+    // corpus audit: per-table footer rows equal the table counts
+    val corpus = Sources.k19LayoutAudit(spark, sf).collect()
+      .map(r2 => r2.getString(0) -> r2.getLong(3)).toMap
+    assert(corpus.keySet == Tables.names.toSet)
+    for (t <- Seq("lineitem", "orders", "documents", "events"))
+      assert(corpus(t) == Tables.byName(spark, sf, t).count(),
+        s"$t footer rows diverge from count()")
+  }
 }
