@@ -147,7 +147,8 @@ object ScaleCheck {
     // round-15 late additions (target-mixture spec, LTTB downsample,
     // filtered ANN)
     "mix10_target_mixture", "ts19_lttb", "n20_filtered_ann",
-    "k19_layout_audit")
+    "k19_layout_audit", "d25_dedup_savings", "qc4_langid_confusion",
+    "src6_gzip_text")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

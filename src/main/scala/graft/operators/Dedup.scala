@@ -700,6 +700,37 @@ object Dedup {
     * b1's discipline, quadratic only in #distinct-sources-per-cluster
     * (≤ the source domain, a small constant), never in docs. One
     * cluster-keyed shuffle, one pair-keyed count. */
+  /** d25: dedup-savings accounting — per source, how much raw doc and
+    * token mass is near-dup REDUNDANCY (cluster members that are not
+    * their cluster's min-label canonical), read from the PUBLISHED
+    * cluster index: the number a data team tracks across ingests
+    * ("dedup saved 31% of src7's tokens this month") and the
+    * per-source complement of d11's corpus-wide dup histogram and
+    * d15's cross-source pair matrix. Token grain = the span plane's
+    * segmentation rule ([[spanTokens]] — CJK docs count codepoints).
+    * Scale shape: one corpus scan, doc-keyed left join against the
+    * published cluster table, source-keyed aggregate (map-side
+    * partials) — the read-path removal pattern; nothing re-scores
+    * pairs. */
+  def d25DedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.sources.AtomicPublish
+      .readOutput(s, ensureClusterIndex(s, dir), "clusters")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(spanTokens(col("text"))).cast("long").as("n_tok"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("dup", (col("cluster_id").isNotNull &&
+        col("cluster_id") =!= col("doc_id")).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dup")).cast("long").as("n_dup_docs"),
+        sum(col("n_tok")).as("raw_tokens"),
+        sum(col("n_tok") * col("dup")).as("dup_tokens"))
+      .withColumn("savings_frac",
+        round(col("dup_tokens").cast("double") / col("raw_tokens"), 6))
+      .orderBy("source")
+  }
+
   def d15SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val clusters = graft.sources.AtomicPublish
       .readOutput(s, ensureClusterIndex(s, dir), "clusters")
@@ -1326,6 +1357,20 @@ object Dedup {
         |SELECT df, COUNT(*) AS n_shingles,
         |  CAST(df * COUNT(*) AS BIGINT) AS n_postings
         |FROM f GROUP BY df ORDER BY df""".stripMargin,
+    "d25_dedup_savings" ->
+      s"""$ClusterOracleCte,
+        |d AS (SELECT doc_id, source,
+        |    CAST(len($SpanTokensSql) AS BIGINT) AS n_tok FROM documents),
+        |m AS (SELECT d.*, CASE WHEN cl.cluster_id IS NOT NULL
+        |    AND cl.cluster_id <> d.doc_id THEN 1 ELSE 0 END AS dup
+        |  FROM d LEFT JOIN cl USING (doc_id))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(dup) AS BIGINT) AS n_dup_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+        |  CAST(SUM(n_tok * dup) AS BIGINT) AS dup_tokens,
+        |  round(CAST(SUM(n_tok * dup) AS DOUBLE) / SUM(n_tok), 6)
+        |    AS savings_frac
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "d15_source_overlap" ->
       s"""$ClusterOracleCte,
         |cs AS (SELECT DISTINCT cl.cluster_id, d.source
@@ -1790,6 +1835,7 @@ object Dedup {
     "d12_sketch_calibration" -> (d12SketchCalibration _),
     "d24_lsh_pair_eval" -> (d24LshPairEval _),
     "d15_source_overlap" -> (d15SourceOverlap _),
+    "d25_dedup_savings" -> (d25DedupSavings _),
     "d16_shingle_df_histogram" -> (d16ShingleDfHistogram _),
     "d17_cluster_histogram" -> (d17ClusterHistogram _))
 }

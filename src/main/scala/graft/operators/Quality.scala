@@ -908,6 +908,18 @@ object Quality {
     } else Map.empty)
 
   private val staticOracles: Map[String, String] = Map(
+    "qc4_langid_confusion" ->
+      s"""WITH pred AS (
+         |${TextAnalysis.t1PredSql}),
+         |cells AS (SELECT lang_label AS true_lang, pred_lang,
+         |    COUNT(*) AS n FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT true_lang, CAST(SUM(n) AS BIGINT) AS true_total
+         |  FROM cells GROUP BY 1)
+         |SELECT c.true_lang, c.pred_lang, c.n, t.true_total,
+         |  round(CAST(c.n AS DOUBLE) / t.true_total, 6) AS share_of_true,
+         |  CAST(c.true_lang = c.pred_lang AS INT) AS correct
+         |FROM cells c JOIN tot t USING (true_lang)
+         |ORDER BY 1, 2""".stripMargin,
     "priv2_dp_release" ->
       s"""WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
          |u AS (SELECT event_type, n,
@@ -1184,7 +1196,40 @@ object Quality {
       when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
+  /** qc4: language-ID confusion matrix — t1's heuristic classifier
+    * graded against the corpus' GOLD lang labels (the documents table
+    * carries ground truth — the eval every classifier in the stack
+    * owes before its predictions route mixture weights): one row per
+    * (true_lang, pred_lang) cell with exact counts, the true-row
+    * total, the cell's share of its true row (per-class recall on
+    * the diagonal), and a correct flag. Two honest findings on this
+    * corpus, both exactly what the matrix exists to surface: (1) zh
+    * has no stoplist, so its row never scores correct — the
+    * classifier's blind spot; (2) the generator emits en-flavored
+    * tokens under EVERY lang label, so non-en rows concentrate on
+    * pred=en — the label/content-mismatch signature that flags
+    * either a broken classifier or mislabeled ingest before
+    * predictions route mixture weights (spec-pinned).
+    * Scale shape: rides t1's one corpus scan + doc-keyed
+    * aggregate, then collapses to a ≤ #langs² cell frame; the row
+    * totals attach from a bounded broadcast aggregate. */
+  def qc4LangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val cells = TextAnalysis.t1LangId(s, dir)
+      .groupBy(col("lang_label").as("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("true_lang"))
+      .agg(sum(col("n")).cast("long").as("true_total"))
+    cells.join(broadcast(totals), Seq("true_lang"))
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        col("true_total"),
+        round(col("n").cast("double") / col("true_total"), 6)
+          .as("share_of_true"),
+        (col("true_lang") === col("pred_lang")).cast("int").as("correct"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc4_langid_confusion" -> (qc4LangidConfusion _),
     "qc3_rater_agreement" -> (qc3RaterAgreement _),
     "imp5_capture_recapture" -> (imp5CaptureRecapture _),
     "priv1_k_anonymity" -> (priv1KAnonymity _),

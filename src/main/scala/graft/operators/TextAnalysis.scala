@@ -1070,6 +1070,26 @@ object TextAnalysis {
       .orderBy("bigram")
   }
 
+  /** t1's scored+argmax prediction as ONE reusable SQL block (ends in
+    * a relation with doc_id, lang_label, s_*, pred_lang) — shared by
+    * the t1 oracle and qc4's confusion matrix so the prediction rule
+    * cannot drift between the two (the ts18/ClusterOracleCte
+    * discipline). */
+  private[graft] def t1PredSql: String = {
+    val en = sqlStopCount(stoplists("en")); val es = sqlStopCount(stoplists("es"))
+    val de = sqlStopCount(stoplists("de")); val fr = sqlStopCount(stoplists("fr"))
+    s"""WITH scored AS (SELECT doc_id, lang AS lang_label,
+       |  $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr
+       |FROM documents)
+       |SELECT doc_id, lang_label, s_en, s_es, s_de, s_fr,
+       |  CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+       |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |    WHEN s_de >= s_fr THEN 'de'
+       |    ELSE 'fr' END AS pred_lang
+       |FROM scored""".stripMargin
+  }
+
   private[graft] def sqlStopCount(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter(string_split(text, ' '), x -> list_contains($arr, x)))"
@@ -1234,20 +1254,7 @@ object TextAnalysis {
         |  round(-SUM(lp) / COUNT(*), 6) AS avg_nll,
         |  round(exp(-SUM(lp) / COUNT(*)), 4) AS ppl
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "t1_lang_id" -> {
-      val en = sqlStopCount(stoplists("en")); val es = sqlStopCount(stoplists("es"))
-      val de = sqlStopCount(stoplists("de")); val fr = sqlStopCount(stoplists("fr"))
-      s"""WITH scored AS (SELECT doc_id, lang AS lang_label,
-         |  $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr
-         |FROM documents)
-         |SELECT doc_id, lang_label, s_en, s_es, s_de, s_fr,
-         |  CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
-         |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-         |    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-         |    WHEN s_de >= s_fr THEN 'de'
-         |    ELSE 'fr' END AS pred_lang
-         |FROM scored ORDER BY doc_id""".stripMargin
-    },
+    "t1_lang_id" -> s"$t1PredSql\nORDER BY doc_id",
     "t2_quality_score" -> {
       val en = sqlStopCount(stoplists("en"))
       s"""WITH base AS (SELECT doc_id,

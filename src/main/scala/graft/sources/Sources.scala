@@ -136,6 +136,50 @@ object Sources {
       .orderBy("lang")
   }
 
+  /** src6's write parallelism: the gzip file count IS the read-side
+    * task count (see below), so the writer chooses it explicitly. */
+  val GzipShards = 8
+
+  /** src6: gzip text ingest — the compressed-text path every web-scale
+    * corpus starts from (Common Crawl ships WET as .gz). The 100 TB
+    * lesson this operator encodes: gzip is NOT SPLITTABLE, so one
+    * .gz file = exactly one scan task forever — a single 50 GB .gz
+    * starves a 1000-executor cluster to one thread. The fix is on
+    * the WRITE side: shard count is chosen explicitly
+    * ([[GzipShards]] via repartition before the codec write), making
+    * read parallelism a layout decision, not an accident — the shard
+    * count is the read-parallelism CEILING (small shards may
+    * bin-pack into fewer tasks, but a .gz file never splits across
+    * tasks; the spec pins file-atomicity per partition). Round-trips
+    * the
+    * documents table through tab-separated gzip text and aggregates
+    * THROUGH the round-tripped copy — the oracle reads the original
+    * parquet, proving the compressed hop lossless. */
+  def src6GzipText(s: SparkSession, dir: String): DataFrame = {
+    val path = src6Path
+    Tables.documents(s, dir)
+      .select(concat_ws("\t", col("doc_id"), col("source"), col("text"))
+        .as("value"))
+      .repartition(GzipShards)
+      .write.mode(SaveMode.Overwrite).option("compression", "gzip")
+      .text(path)
+    s.read.text(path)
+      .select(split(col("value"), "\t", 3).as("p"))
+      .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+        element_at(col("p"), 2).as("source"),
+        element_at(col("p"), 3).as("text"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).as("sum_len"),
+        sum(col("doc_id").cast("decimal(38,0)")).as("sum_id"),
+        min(md5(col("text"))).as("min_md5"),
+        max(md5(col("text"))).as("max_md5"))
+      .orderBy("source")
+  }
+
+  /** src6's sink path — spec hook (file count / task count checks). */
+  private[graft] def src6Path: String = tmp("src6_gzip")
+
   def src4OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val path = tmp("src4_orc")
     Tables.orders(s, dir)
@@ -1239,6 +1283,13 @@ object Sources {
          |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
          |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src6_gzip_text" ->
+      """SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+        |  CAST(SUM(doc_id) AS DECIMAL(38,0)) AS sum_id,
+        |  MIN(md5(text)) AS min_md5,
+        |  MAX(md5(text)) AS max_md5
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "src5_text_roundtrip" ->
       """SELECT lang, COUNT(*) AS n,
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
@@ -1505,6 +1556,7 @@ object Sources {
     "src2_json_roundtrip" -> (src2JsonRoundtrip _),
     "src4_orc_roundtrip" -> (src4OrcRoundtrip _),
     "src5_text_roundtrip" -> (src5TextRoundtrip _),
+    "src6_gzip_text" -> (src6GzipText _),
     "k14_quarantine_sink" -> (k14QuarantineSink _),
     "src3_schema_evolution" -> (src3SchemaEvolution _),
     "k6_compaction" -> (k6Compaction _),

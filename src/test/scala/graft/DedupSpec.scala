@@ -409,6 +409,36 @@ class DedupSpec extends GraftSpec {
     assert(rows.keys.forall { case (a, b) => a < b }, "canonical pair order")
   }
 
+  test("d25: per-source savings == a driver recompute over the cluster table") {
+    val clusters = Dedup.d6DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(Dedup.spanTokens(col("text"))).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rows = Dedup.d25DedupSavings(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val bySrc = docs.groupBy(_._2)
+    assert(rows.map(_._1).toSeq == bySrc.keys.toSeq.sorted)
+    for ((src, nDocs, nDup, rawTok, dupTok, frac) <- rows) {
+      val mine = bySrc(src)
+      val dups = mine.filter { case (id, _, _) =>
+        clusters.get(id).exists(_ != id) }
+      assert(nDocs == mine.length.toLong)
+      assert(nDup == dups.length.toLong, s"$src dup-doc recompute")
+      assert(rawTok == mine.map(_._3).sum)
+      assert(dupTok == dups.map(_._3).sum, s"$src dup-token recompute")
+      assert(nDup <= nDocs && dupTok <= rawTok)
+      assert(frac == BigDecimal(dupTok.toDouble / rawTok)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // conservation across the report
+    assert(rows.map(_._2).sum == docs.length.toLong)
+    // the corpus genuinely contains near-dup redundancy to account for
+    assert(rows.map(_._3).sum > 0)
+  }
+
   test("d16: df histogram masses reconcile with the shingle plane") {
     val rows = Dedup.d16ShingleDfHistogram(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

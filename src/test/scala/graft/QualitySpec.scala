@@ -348,6 +348,46 @@ class QualitySpec extends GraftSpec {
     }
   }
 
+  test("qc4: confusion cells partition the corpus and expose the zh blind spot") {
+    val rows = Quality.qc4LangidConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    // cells == a direct recompute over t1's per-doc predictions
+    val preds = graft.operators.TextAnalysis.t1LangId(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang_label"), r.getAs[String]("pred_lang")))
+    val expected = preds.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    assert(rows.map(t => (t._1, t._2) -> t._3).toMap == expected)
+    // the cell grid partitions the corpus
+    assert(rows.map(_._3).sum == preds.length.toLong)
+    // per-true-row accounting: totals and shares
+    for ((trueLang, cells) <- rows.groupBy(_._1)) {
+      val tot = cells.head._4
+      assert(cells.forall(_._4 == tot))
+      assert(cells.map(_._3).sum == tot)
+      assert(math.abs(cells.map(_._5).sum - 1.0) < 1e-5,
+        s"$trueLang shares must sum to 1")
+    }
+    // correct flag is exactly the diagonal
+    rows.foreach { case (t, p, _, _, _, c) => assert((t == p) == (c == 1)) }
+    // the honest finding: zh has no stoplist, so its row never scores
+    // correct — the blind spot the matrix exists to surface
+    val zh = rows.filter(_._1 == "zh")
+    assert(zh.nonEmpty && zh.forall(_._6 == 0))
+    // en is the one label whose content matches its stoplist: its
+    // modal prediction is itself
+    assert(rows.filter(_._1 == "en").maxBy(_._3)._2 == "en")
+    // label/content mismatch surfaced: this corpus' generator emits
+    // en-flavored tokens under EVERY lang label, so no non-en row's
+    // correct mass reaches 0.5 — the ingest-bug signature a
+    // confusion matrix against gold labels exists to flag
+    for (l <- Seq("es", "de", "fr", "zh")) {
+      val correctShare = rows.filter(r => r._1 == l && r._6 == 1)
+        .map(_._5).sum
+      assert(correctShare < 0.5, s"$l correct share $correctShare")
+    }
+  }
+
   test("qc3: contingency partitions the corpus; kappa matches a direct fold") {
     val r = Quality.qc3RaterAgreement(spark, sf).head()
     val n = r.getAs[Long]("n_docs")

@@ -462,6 +462,40 @@ class SourcesSpec extends GraftSpec {
       s"one-month read must touch only month=$m0")
   }
 
+  test("src6: gzip shards are real, file-atomic to the scheduler, and lossless") {
+    import graft.sources.Sources
+    val out = Sources.src6GzipText(spark, sf).collect()
+    // layout: exactly GzipShards .gz files on disk
+    val files = new java.io.File(Sources.src6Path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".gz"))
+    assert(files.length == Sources.GzipShards,
+      s"expected ${Sources.GzipShards} gzip shards, got ${files.length}")
+    assert(files.forall(_.length > 20), "shards hold real gzip bytes")
+    // non-splittability: a .gz file is atomic to the scheduler — all
+    // of its rows land in ONE partition (small shards may bin-pack
+    // together, but a file never splits), so the write-side shard
+    // count is the read parallelism CEILING
+    val fileParts = spark.read.text(Sources.src6Path)
+      .select(input_file_name().as("f"), spark_partition_id().as("pid"))
+      .groupBy("f").agg(countDistinct(col("pid")).as("nparts"))
+      .collect()
+    assert(fileParts.length == files.length)
+    assert(fileParts.forall(_.getAs[Long]("nparts") == 1L),
+      "a gzip file must never split across tasks")
+    assert(spark.read.text(Sources.src6Path).rdd.getNumPartitions
+      <= files.length)
+    // losslessness: the round-tripped aggregate equals the direct one
+    val direct = Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("sum_len"),
+        min(md5(col("text"))).as("min_md5"), max(md5(col("text"))).as("max_md5"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getString(4), r.getString(5))).toSeq == direct.toSeq)
+  }
+
   test("k19: footer audit is exact on a fragmented layout and the corpus tables") {
     import graft.sources.Sources
     // fragmented fixture: 4 files, known row mass
