@@ -711,18 +711,70 @@ object Graph {
     * read-path join against committed parquet). The oracle recomputes
     * the full ladder from the raw tables, so a hash pass proves the
     * published artifact ≡ recompute every round. */
-  def g7LabelPropagation(s: SparkSession, dir: String): DataFrame = {
-    val root = graft.sources.DurableIndex.ensure(s, lpaRoot(dir)) {
+  def g7LabelPropagation(s: SparkSession, dir: String): DataFrame =
+    graft.sources.AtomicPublish.readOutput(s, ensureLpaIndex(s, dir), "labels")
+      .orderBy("node")
+
+  /** Build-once committed LPA label table — shared by g7 (the table
+    * itself) and g11 (modularity over it), so the two read one
+    * community definition. */
+  private[graft] def ensureLpaIndex(s: SparkSession, dir: String): String =
+    graft.sources.DurableIndex.ensure(s, lpaRoot(dir)) {
       graft.sources.AtomicPublish.publish(s, lpaRoot(dir),
         Seq("labels" -> lpaOn(edges(s, dir))))
     }
-    graft.sources.AtomicPublish.readOutput(s, root, "labels").orderBy("node")
+
+  /** g11: modularity (Newman–Girvan 2004) of g7's committed
+    * communities — THE quality score for a community assignment:
+    * Q = Σ_c [e_c/m − (d_c/2m)²], per-community contribution = the
+    * excess of its internal edge fraction over the random-graph
+    * expectation at the same degrees. A partition whose Q ≈ 0 is
+    * no better than chance — the number that says whether g7's
+    * labels mean anything before a pipeline conditions on them
+    * (community-stratified sampling, per-community caps). Reads the
+    * COMMITTED labels and co-order edge artifacts (read-path, no
+    * re-propagation); internal-edge and degree masses are exact
+    * integer aggregates (two label attaches per edge, edge- and
+    * node-keyed shuffles only), the contribution one fixed IEEE
+    * expression over exact ints shared verbatim with the oracle. */
+  def g11Modularity(s: SparkSession, dir: String): DataFrame =
+    modularityOf(edges(s, dir), graft.sources.AtomicPublish
+      .readOutput(s, ensureLpaIndex(s, dir), "labels"))
+
+  /** g11 core over any (src, dst) edge frame + (node, label)
+    * assignment — spec hook (planted two-clique fixture). */
+  private[graft] def modularityOf(e: DataFrame, lab: DataFrame): DataFrame = {
+    val eb = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val m = e.agg(count(lit(1)).as("m"))
+    val internal = e
+      .join(lab.select(col("node").as("src"), col("label")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("label").as("lb")),
+        Seq("dst"))
+      .filter(col("label") === col("lb"))
+      .groupBy(col("label")).agg(count(lit(1)).as("e_c"))
+    val deg = eb.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val dsum = lab.join(deg, Seq("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("d")).cast("long").as("degree_sum"))
+    dsum.join(internal, Seq("label"), "left")
+      .crossJoin(broadcast(m)) // 1-row bounded metadata
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_c"), lit(0L)).as("internal_edges"),
+        col("degree_sum"),
+        round(coalesce(col("e_c"), lit(0L)).cast("double") / col("m") -
+          (col("degree_sum").cast("double") * col("degree_sum")) /
+          (lit(4.0) * col("m") * col("m")), 6).as("contribution"))
+      .orderBy("label")
   }
 
   /** g7 oracle: the LPA recurrence unrolled as a CTE ladder (the
     * g2/g6 discipline) — per round, the (cnt desc, label asc) argmax
     * via row_number over the neighbor-label counts. All-integer. */
-  private def g7OracleSql: String = {
+  /** The shared WITH-block computing g7's labels in SQL (ends at the
+    * `l{LpaRounds}` CTE) — ONE community definition for the g7 and
+    * g11 oracles (the t1PredSql discipline). */
+  private def g7LabelsWithBlock: String = {
     val ladder = (1 to LpaRounds).map { k =>
       s"""l$k AS (SELECT node, label FROM (
          |  SELECT m.node, m.label,
@@ -737,9 +789,34 @@ object Graph {
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM eb),
-       |$ladder
-       |SELECT node, label FROM l$LpaRounds ORDER BY node""".stripMargin
+       |$ladder""".stripMargin
   }
+
+  private def g7OracleSql: String =
+    s"""$g7LabelsWithBlock
+       |SELECT node, label FROM l$LpaRounds ORDER BY node""".stripMargin
+
+  /** g11's oracle: the g7 label block + exact integer edge/degree
+    * masses + the identical IEEE contribution expression. */
+  private def g11OracleSql: String =
+    s"""$g7LabelsWithBlock,
+       |lab AS (SELECT node, label FROM l$LpaRounds),
+       |mm AS (SELECT COUNT(*) AS m FROM e),
+       |internal AS (SELECT la.label, COUNT(*) AS e_c
+       |  FROM e JOIN lab la ON la.node = e.src
+       |  JOIN lab lb ON lb.node = e.dst AND lb.label = la.label
+       |  GROUP BY 1),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM eb GROUP BY 1),
+       |dsum AS (SELECT l.label, COUNT(*) AS n_nodes,
+       |    CAST(SUM(d) AS BIGINT) AS degree_sum
+       |  FROM lab l JOIN deg USING (node) GROUP BY 1)
+       |SELECT d.label, d.n_nodes,
+       |  COALESCE(i.e_c, 0) AS internal_edges, d.degree_sum,
+       |  round(CAST(COALESCE(i.e_c, 0) AS DOUBLE) / m
+       |    - (CAST(d.degree_sum AS DOUBLE) * d.degree_sum)
+       |      / (4.0 * m * m), 6) AS contribution
+       |FROM dsum d LEFT JOIN internal i USING (label) CROSS JOIN mm
+       |ORDER BY d.label""".stripMargin
 
   /** g9: degree assortativity (Newman 2002) of the co-order graph —
     * the Pearson correlation of endpoint degrees across edges: do
@@ -948,6 +1025,7 @@ object Graph {
          |FROM cs WHERE c IN (SELECT c FROM bc)
          |GROUP BY c ORDER BY c""".stripMargin,
     "g7_label_propagation" -> g7OracleSql,
+    "g11_modularity" -> g11OracleSql,
     "g2_pagerank" -> g2OracleSql,
     "g6_bfs_hops" -> g6OracleSql,
     "g5_degree_profile" ->
@@ -1008,6 +1086,7 @@ object Graph {
     "g5_degree_profile" -> (g5DegreeProfile _),
     "g6_bfs_hops" -> (g6BfsHops _),
     "g7_label_propagation" -> (g7LabelPropagation _),
+    "g11_modularity" -> (g11Modularity _),
     "g8_incremental_edges" -> (g8IncrementalEdges _),
     "g9_assortativity" -> (g9Assortativity _),
     "g10_kcore" -> (g10KCore _))

@@ -907,7 +907,74 @@ object Quality {
              |ORDER BY doc_id""".stripMargin)
     } else Map.empty)
 
+  /** g1's full rule-set SQL as ONE reusable block (ends in a
+    * relation with doc_id, stats, n_rules_failed, keep) — shared by
+    * the g1 oracle and qc5's filter-bias report so the keep rule
+    * cannot drift between the two (the t1PredSql discipline). */
+  private[graft] def g1StatsSql: String =
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words,
+         |    string_split(text, chr(10)) AS lines FROM documents),
+         |st AS (SELECT doc_id,
+         |  len(words) AS n_words,
+         |  round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words), 6) AS mean_word_len,
+         |  round(CAST((length(text) - length(replace(text, '#', ''))) +
+         |    (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE) / len(words), 6) AS symbol_ratio,
+         |  round(CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS DOUBLE) / len(lines), 6) AS bullet_frac,
+         |  round(CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE) / len(lines), 6) AS ellipsis_frac,
+         |  round(CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(words), 6) AS alpha_frac,
+         |  (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END) AS stop_hits
+         | FROM w),
+         |fl AS (SELECT *,
+         |  (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+         |   + CASE WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 1 ELSE 0 END
+         |   + CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END
+         |   + CASE WHEN bullet_frac > 0.9 THEN 1 ELSE 0 END
+         |   + CASE WHEN ellipsis_frac > 0.3 THEN 1 ELSE 0 END
+         |   + CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END
+         |   + CASE WHEN stop_hits < $StopHitsMin THEN 1 ELSE 0 END) AS n_rules_failed
+         | FROM st)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+         |  ellipsis_frac, alpha_frac, stop_hits, n_rules_failed,
+         |  CASE WHEN n_rules_failed = 0 THEN 1 ELSE 0 END AS keep
+         |FROM fl""".stripMargin
+
   private val staticOracles: Map[String, String] = Map(
+    "qc5_filter_bias" ->
+      s"""WITH g1 AS (
+         |$g1StatsSql),
+         |dv AS (
+         |  SELECT g1.keep, 'lang' AS dim, d.lang AS value
+         |    FROM g1 JOIN documents d USING (doc_id)
+         |  UNION ALL
+         |  SELECT g1.keep, 'source', d.source
+         |    FROM g1 JOIN documents d USING (doc_id)
+         |  UNION ALL
+         |  SELECT g1.keep, 'len_bucket',
+         |      CAST(CAST(floor(d.n_chars / 100) * 100 AS BIGINT) AS VARCHAR)
+         |    FROM g1 JOIN documents d USING (doc_id)),
+         |cells AS (SELECT dim, value,
+         |    CAST(SUM(keep) AS BIGINT) AS n_kept,
+         |    CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
+         |  FROM dv GROUP BY 1, 2),
+         |tot AS (SELECT dim, CAST(SUM(n_kept) AS BIGINT) AS tk,
+         |    CAST(SUM(n_dropped) AS BIGINT) AS td
+         |  FROM cells GROUP BY 1)
+         |SELECT c.dim, c.value, c.n_kept, c.n_dropped,
+         |  round(CAST(c.n_kept AS DOUBLE) / nullif(t.tk, 0), 6)
+         |    AS kept_share,
+         |  round(CAST(c.n_dropped AS DOUBLE) / nullif(t.td, 0), 6)
+         |    AS dropped_share,
+         |  round(CAST(c.n_kept AS DOUBLE) / nullif(t.tk, 0)
+         |    - CAST(c.n_dropped AS DOUBLE) / nullif(t.td, 0), 6) AS bias
+         |FROM cells c JOIN tot t USING (dim)
+         |ORDER BY c.dim, c.value""".stripMargin,
     "qc4_langid_confusion" ->
       s"""WITH pred AS (
          |${TextAnalysis.t1PredSql}),
@@ -1103,39 +1170,7 @@ object Quality {
          |  round(p_base, 6) AS p_base, round(p_cur, 6) AS p_cur, psi
          |FROM sm CROSS JOIN psi ORDER BY bucket""".stripMargin
     },
-    "g1_gopher_quality" ->
-      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words,
-         |    string_split(text, chr(10)) AS lines FROM documents),
-         |st AS (SELECT doc_id,
-         |  len(words) AS n_words,
-         |  round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words), 6) AS mean_word_len,
-         |  round(CAST((length(text) - length(replace(text, '#', ''))) +
-         |    (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE) / len(words), 6) AS symbol_ratio,
-         |  round(CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS DOUBLE) / len(lines), 6) AS bullet_frac,
-         |  round(CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE) / len(lines), 6) AS ellipsis_frac,
-         |  round(CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(words), 6) AS alpha_frac,
-         |  (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
-         |   + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
-         |   + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
-         |   + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
-         |   + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
-         |   + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
-         |   + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
-         |   + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END) AS stop_hits
-         | FROM w),
-         |fl AS (SELECT *,
-         |  (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
-         |   + CASE WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 1 ELSE 0 END
-         |   + CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END
-         |   + CASE WHEN bullet_frac > 0.9 THEN 1 ELSE 0 END
-         |   + CASE WHEN ellipsis_frac > 0.3 THEN 1 ELSE 0 END
-         |   + CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END
-         |   + CASE WHEN stop_hits < $StopHitsMin THEN 1 ELSE 0 END) AS n_rules_failed
-         | FROM st)
-         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
-         |  ellipsis_frac, alpha_frac, stop_hits, n_rules_failed,
-         |  CASE WHEN n_rules_failed = 0 THEN 1 ELSE 0 END AS keep
-         |FROM fl ORDER BY doc_id""".stripMargin,
+    "g1_gopher_quality" -> s"$g1StatsSql\nORDER BY doc_id",
     "imp1_importance_sample" ->
       """WITH w AS (SELECT doc_id,
         |    len(string_split(text, ' ')) AS n_words,
@@ -1228,7 +1263,56 @@ object Quality {
       .orderBy("true_lang", "pred_lang")
   }
 
+  /** qc5: filter-bias audit — what did the quality filter THROW AWAY?
+    * g1's keep decision joined back to the document dimensions, then
+    * kept-vs-dropped composition compared per dimension value: for
+    * each (dim, value) — lang, source, and 100-char length bucket —
+    * the kept/dropped counts, each side's share of its own mass, and
+    * the signed bias (kept_share − dropped_share): the
+    * selection-bias report a curation pipeline owes before shipping
+    * a filtered corpus (a quality rule that silently halves one
+    * language is an incident, not a filter — the audit
+    * Gopher/RefinedWeb describe running on every rule change).
+    * Scale shape: ONE corpus pass — the keep flag rides g1's
+    * row-local rule-set, the three dims explode in-row (bounded ×3),
+    * one (dim, value) count aggregate (map-side partials); per-dim
+    * totals attach from a bounded broadcast aggregate; shares are
+    * exact int/int ratios, NULL (nullif) when a side is empty rather
+    * than a cross-engine NaN. */
+  def qc5FilterBias(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.documents(s, dir).select(col("doc_id"),
+      col("lang"), col("source"),
+      (floor(col("n_chars") / 100) * 100).cast("long").as("lb"))
+    val keep = gopherStats(Tables.documents(s, dir))
+      .select(col("doc_id"), col("keep"))
+    val cells = keep.join(dims, Seq("doc_id"))
+      .select(col("keep"), explode(array(
+        struct(lit("lang").as("dim"), col("lang").as("value")),
+        struct(lit("source").as("dim"), col("source").as("value")),
+        struct(lit("len_bucket").as("dim"),
+          col("lb").cast("string").as("value")))).as("dv"))
+      .select(col("keep"), col("dv.dim").as("dim"),
+        col("dv.value").as("value"))
+      .groupBy(col("dim"), col("value"))
+      .agg(sum(col("keep")).cast("long").as("n_kept"),
+        sum(lit(1) - col("keep")).cast("long").as("n_dropped"))
+    val tot = cells.groupBy(col("dim"))
+      .agg(sum(col("n_kept")).cast("long").as("tk"),
+        sum(col("n_dropped")).cast("long").as("td"))
+    cells.join(broadcast(tot), Seq("dim"))
+      .select(col("dim"), col("value"), col("n_kept"), col("n_dropped"),
+        round(col("n_kept").cast("double") / expr("nullif(tk, 0)"), 6)
+          .as("kept_share"),
+        round(col("n_dropped").cast("double") / expr("nullif(td, 0)"), 6)
+          .as("dropped_share"),
+        round(col("n_kept").cast("double") / expr("nullif(tk, 0)") -
+          col("n_dropped").cast("double") / expr("nullif(td, 0)"), 6)
+          .as("bias"))
+      .orderBy("dim", "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc5_filter_bias" -> (qc5FilterBias _),
     "qc4_langid_confusion" -> (qc4LangidConfusion _),
     "qc3_rater_agreement" -> (qc3RaterAgreement _),
     "imp5_capture_recapture" -> (imp5CaptureRecapture _),

@@ -396,4 +396,51 @@ class GraphSpec extends GraftSpec {
     assert(got2 == driverCores(merged), "v2 cores == driver peel on merged edges")
     assert(got2.contains(8L), "customer 4 (node 8) joins the core after the bump")
   }
+
+  test("g11: corpus modularity == driver recompute; planted cliques score high") {
+    import spark.implicits._
+    // corpus: contributions recompute exactly from g7's labels + edges
+    val lab = Graph.g7LabelPropagation(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = Graph.edges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = es.length.toDouble
+    val deg = (es.map(_._1) ++ es.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byLabel = lab.groupBy(_._2)
+    val rows = Graph.g11Modularity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSet == byLabel.keySet)
+    var q = 0.0
+    for ((label, nNodes, eC, dSum, contrib) <- rows) {
+      val members = byLabel(label).map(_._1).toSet
+      assert(nNodes == members.size.toLong)
+      assert(eC == es.count { case (a, b) =>
+        members.contains(a) && members.contains(b) }.toLong)
+      assert(dSum == members.toSeq.map(deg).sum)
+      val exp = eC / m - (dSum.toDouble * dSum) / (4.0 * m * m)
+      assert(math.abs(contrib - exp) < 1e-9, s"label $label contribution")
+      q += contrib
+    }
+    assert(q >= -1.0 && q <= 1.0, s"modularity Q=$q out of range")
+    // planted fixture: two 4-cliques joined by one bridge edge under
+    // their natural partition — strong community structure, Q well
+    // above 0; the all-in-one-community partition scores ~0
+    def clique(ids: Seq[Long]) =
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield (ids(i), ids(j))
+    val e2 = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) ++
+      Seq((4L, 5L))).toDF("src", "dst")
+    val goodLab = (1L to 8L).map(n => (n, if (n <= 4) 1L else 5L))
+      .toDF("node", "label")
+    val qGood = Graph.modularityOf(e2, goodLab).collect()
+      .map(_.getDouble(4)).sum
+    assert(qGood > 0.3, s"two-clique partition Q=$qGood")
+    val oneLab = (1L to 8L).map(n => (n, 1L)).toDF("node", "label")
+    val qOne = Graph.modularityOf(e2, oneLab).collect()
+      .map(_.getDouble(4)).sum
+    assert(math.abs(qOne) < 1e-9, s"trivial partition Q=$qOne")
+    assert(qGood > qOne)
+  }
 }

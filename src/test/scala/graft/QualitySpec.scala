@@ -348,6 +348,46 @@ class QualitySpec extends GraftSpec {
     }
   }
 
+  test("qc5: bias cells reconcile with g1's keep flags across all three dims") {
+    val rows = Quality.qc5FilterBias(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val keep = Quality.g1GopherQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("keep")).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val nKept = keep.values.count(_ == 1).toLong
+    val nDropped = keep.size - nKept
+    def cellsOf(f: ((Long, String, String, Long)) => String) =
+      docs.groupBy(f).view.mapValues { ds =>
+        (ds.count(d => keep(d._1) == 1).toLong,
+          ds.count(d => keep(d._1) == 0).toLong)
+      }.toMap
+    val expected = Map(
+      "lang" -> cellsOf(_._2), "source" -> cellsOf(_._3),
+      "len_bucket" -> cellsOf(d => (d._4 / 100 * 100).toString))
+    for ((dim, value, k, d, ks, ds, bias) <- rows) {
+      val (ek, ed) = expected(dim)(value)
+      assert(k == ek && d == ed, s"($dim, $value) cell recompute")
+      assert(math.abs(ks - k.toDouble / nKept) < 1e-6)
+      assert(math.abs(ds - d.toDouble / nDropped) < 1e-6)
+      assert(math.abs(bias - (k.toDouble / nKept - d.toDouble / nDropped))
+        < 2e-6)
+    }
+    // each dim's cells partition both masses
+    for ((dim, cells) <- rows.groupBy(_._1)) {
+      assert(cells.map(_._3).sum == nKept, s"$dim kept mass")
+      assert(cells.map(_._4).sum == nDropped, s"$dim dropped mass")
+      assert(math.abs(cells.map(_._7).sum) < 1e-4,
+        s"$dim biases sum to ~0 (shares each sum to 1)")
+    }
+    // the report has genuine signal: the length dimension must show
+    // bias (g1's n_words >= 50 rule correlates directly with length)
+    assert(rows.filter(_._1 == "len_bucket").exists(r => math.abs(r._7) > 0.2),
+      "length buckets should show strong selection bias")
+  }
+
   test("qc4: confusion cells partition the corpus and expose the zh blind spot") {
     val rows = Quality.qc4LangidConfusion(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
