@@ -305,7 +305,7 @@ object Bench {
     * them). Appending a new round's cohort = add its key here and its
     * map at the END of the file. */
   private[graft] val CohortKeys = Seq("queries_r13", "queries_r14",
-    "queries_r15")
+    "queries_r15", "queries_r15b")
 
   /** Slice BASELINE_BENCH text into (cohort, slice) pairs: the
     * round-1 baseline is everything before the first re-baseline key,
@@ -353,7 +353,8 @@ object Bench {
     val gmJson = gmPart("baseline", "geomean_vs_baseline", "shared_queries") +
       gmPart("queries_r13", "geomean_vs_r13", "shared_r13") +
       gmPart("queries_r14", "geomean_vs_r14", "shared_r14") +
-      gmPart("queries_r15", "geomean_vs_r15", "shared_r15")
+      gmPart("queries_r15", "geomean_vs_r15", "shared_r15") +
+      gmPart("queries_r15b", "geomean_vs_r15b", "shared_r15b")
     val passJson = if (passSecs.isEmpty) "" else
       passSecs.map(p => math.rint(p * 10) / 10).mkString(""","pass_secs":[""", ",", "]")
     val nbJson = if (noiseBand.isEmpty) "" else s""","noise_band":$noiseBand"""
