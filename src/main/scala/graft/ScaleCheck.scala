@@ -148,7 +148,8 @@ object ScaleCheck {
     // filtered ANN)
     "mix10_target_mixture", "ts19_lttb", "n20_filtered_ann",
     "k19_layout_audit", "d25_dedup_savings", "qc4_langid_confusion",
-    "src6_gzip_text", "g11_modularity", "qc5_filter_bias")
+    "src6_gzip_text", "g11_modularity", "qc5_filter_bias",
+    "n21_rrf_fusion", "ix6_snippets")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

@@ -1017,6 +1017,68 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** n21's fusion constants — `final val` (compile-time constants, the
+    * PassageWords rule: staticOracles interpolates them during object
+    * init). Pool = how deep each ranker's candidate list goes before
+    * fusion; k = the standard RRF dampener (Cormack et al. 2009). */
+  final val FusePool = 50
+  final val RrfK = 60
+  final val FuseTopK = 10
+
+  /** n21: hybrid search — BM25 ⊕ vector fused by Reciprocal Rank
+    * Fusion (Cormack et al. 2009), the retrieval stack every modern
+    * RAG system serves: lexical relevance to ix5's term query and
+    * semantic similarity to a query embedding (vec 0, the n-plane's
+    * query-set convention; the query doc itself is held out of both
+    * pools) each produce a top-[[FusePool]] candidate list, and a
+    * document's fused score is Σ 1/([[RrfK]]+rank) over the lists it
+    * appears in — rank-space fusion, immune to the two scorers'
+    * incomparable scales (the reason RRF beat score-normalization
+    * fusions in practice).
+    *
+    * Scale shape: THE production hybrid pattern — each ranker
+    * retrieves its own bounded pool first (BM25 rides ix5's committed
+    * index read; the vector side is one corpus pass with a 1-row
+    * broadcast query, compiling to TakeOrderedAndProject), and
+    * fusion touches only the ≤ 2·pool union: rank windows sit ABOVE
+    * LocalLimits (bounded by construction — the unpartitioned-window
+    * sweep's rule), never over the corpus. Exactness: pool cuts
+    * break ties on doc_id; 1/(k+rank) on integer ranks is the same
+    * IEEE double in both engines; the fused order breaks ties on
+    * doc_id. */
+  def n21RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val lexPool = graft.operators.TextIndex.ix5Bm25Search(s, dir)
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(FusePool)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+    val e = corpus(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val semPool = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q)) // 1-row scalar attach
+      .select(col("vec_id").as("doc_id"),
+        VectorFunctions.cosineFromParts(
+          VectorFunctions.dotNative("v", "qv"), col("nrm"), col("qn"))
+          .as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("doc_id").asc).limit(FusePool)
+      .withColumn("r_sem", row_number().over(
+        Window.orderBy(col("cos_raw").desc, col("doc_id").asc)))
+    val fused = lexPool.select(col("doc_id"), col("r_lex"), col("bm25"))
+      .join(semPool.select(col("doc_id"), col("r_sem"), col("cos_raw")),
+        Seq("doc_id"), "outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_sem")), lit(0.0)), 9))
+    fused.orderBy(col("rrf").desc, col("doc_id").asc).limit(FuseTopK)
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+      .select(col("fused_rank"), col("doc_id"), col("r_lex"), col("r_sem"),
+        col("rrf"), round(col("bm25"), 6).as("bm25"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy("fused_rank")
+  }
+
   val PcaK = 4 // projected dimensions
 
   /** PCA model from ONE distributed pass: n, the mean vector, and the
@@ -1656,6 +1718,33 @@ object Similarity {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    "n21_rrf_fusion" ->
+      s"""WITH lexbase AS (SELECT * FROM (
+         |${graft.operators.TextIndex.ix5BmSql}) b WHERE doc_id <> 0),
+         |lexp AS (SELECT doc_id, bm25, ROW_NUMBER() OVER (
+         |    ORDER BY bm25 DESC, doc_id) AS r_lex FROM lexbase
+         |  QUALIFY r_lex <= $FusePool),
+         |q AS (SELECT embedding::DOUBLE[] AS qv,
+         |    sqrt(list_dot_product(embedding::DOUBLE[],
+         |      embedding::DOUBLE[])) AS qn
+         |  FROM embeddings WHERE vec_id = 0),
+         |semp AS (SELECT doc_id, cos_raw, ROW_NUMBER() OVER (
+         |    ORDER BY cos_raw DESC, doc_id) AS r_sem FROM (
+         |    SELECT e.vec_id AS doc_id,
+         |      list_dot_product(e.embedding::DOUBLE[], q.qv)
+         |        / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+         |            e.embedding::DOUBLE[])) * q.qn) AS cos_raw
+         |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0) s
+         |  QUALIFY r_sem <= $FusePool),
+         |f AS (SELECT doc_id, l.r_lex, s.r_sem, l.bm25, s.cos_raw,
+         |    round(COALESCE(1.0 / ($RrfK + l.r_lex), 0)
+         |      + COALESCE(1.0 / ($RrfK + s.r_sem), 0), 9) AS rrf
+         |  FROM lexp l FULL OUTER JOIN semp s USING (doc_id))
+         |SELECT * FROM (SELECT ROW_NUMBER() OVER (
+         |    ORDER BY rrf DESC, doc_id) AS fused_rank,
+         |  doc_id, r_lex, r_sem, rrf, round(bm25, 6) AS bm25,
+         |  round(cos_raw, 6) AS cosine FROM f)
+         |WHERE fused_rank <= $FuseTopK ORDER BY fused_rank""".stripMargin,
     "n11_mmr_rerank" -> n11Oracle,
     // n19 needs no committed artifact: the sign-bit pack is an exact
     // bitwise-OR fold and hamming is two's-complement bit_count(xor)
@@ -1838,6 +1927,7 @@ object Similarity {
     "n2_ann_lsh" -> (n2AnnLsh _),
     "n3_ivf_ann" -> (n3IvfAnn _),
     "n20_filtered_ann" -> (n20FilteredAnn _),
+    "n21_rrf_fusion" -> (n21RrfFusion _),
     "n4_cell_audit" -> (n4CellAudit _),
     "n5_centroids" -> (n5Centroids _),
     "n6_semantic_dedup" -> (n6SemanticDedup _),

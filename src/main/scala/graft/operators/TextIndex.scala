@@ -307,29 +307,104 @@ object TextIndex {
       .orderBy("doc_id")
   }
 
+  /** ix6's snippet geometry — `final val` compile-time constants (the
+    * PassageWords rule). */
+  final val SnippetWindow = 15
+  final val SnippetDocs = 20
+
+  /** ix6: result snippets — the best [[SnippetWindow]]-token window
+    * of each top-[[SnippetDocs]] BM25 hit, chosen as the window
+    * anchored at a query-term occurrence containing the MOST
+    * query-term occurrences (ties to the earliest start): the
+    * search-result highlight every retrieval UI renders next to
+    * ix5's ranking. Scale shape: candidate selection is ix5's
+    * committed-index read + a TakeOrderedAndProject pool cut; the
+    * per-doc window argmax runs HOF-row-local over ONLY the bounded
+    * pool (≤ [[SnippetDocs]] docs — interpreted lambdas are fine at
+    * pool grain; the imp2 kernel rule applies to corpus-per-row HOFs,
+    * not to 20 rows), with cost O(k²) in a doc's query-term hit
+    * count. Exactness: integer positions and counts, two-pass
+    * argmax (max count, then min qualifying start) instead of a
+    * struct compare so both engines run the identical rule. */
+  def ix6Snippets(s: SparkSession, dir: String): DataFrame = {
+    val termsSql = QueryTerms.map(t => s"'$t'").mkString(", ")
+    val top = ix5Bm25Search(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(SnippetDocs)
+    top.join(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("pos", expr(
+        s"""filter(transform(toks, (t, i) ->
+           |  IF(t IN ($termsSql), i, -1)), x -> x >= 0)""".stripMargin))
+      .withColumn("cnts", expr(
+        s"transform(pos, p -> size(filter(pos, q -> q >= p AND q < p + $SnippetWindow)))"))
+      .withColumn("best_cnt", expr("array_max(cnts)"))
+      .withColumn("best_start", expr(
+        s"""array_min(filter(pos, p -> size(filter(pos, q ->
+           |  q >= p AND q < p + $SnippetWindow)) = best_cnt))""".stripMargin))
+      .select(col("doc_id"), round(col("bm25"), 6).as("bm25"),
+        col("best_start").cast("int").as("snippet_start"),
+        col("best_cnt").cast("int").as("n_hits"),
+        expr(s"array_join(slice(toks, best_start + 1, $SnippetWindow), ' ')")
+          .as("snippet"))
+      .orderBy("doc_id")
+  }
+
+  /** ix5's full BM25 scoring SQL as ONE reusable block (ends in a
+    * relation with doc_id, n_terms_hit, bm25) — shared by the ix5
+    * oracle and n21's hybrid-search fusion so the lexical scoring
+    * rule cannot drift between the two (the t1PredSql discipline). */
+  private[graft] def ix5BmSql: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents),
+       |dls AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls),
+       |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+       |  WHERE term IN ($terms) GROUP BY 1, 2),
+       |dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       |  WHERE term IN ($terms) GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_terms_hit,
+       |  CAST(sum(CAST(floor(
+       |    ln((CAST(n_docs - df AS DOUBLE) + 0.5) /
+       |        (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+       |    ((CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0}) /
+       |     (CAST(tf AS DOUBLE) + $Bm25K1 *
+       |      (${1.0 - Bm25B} + $Bm25B * (CAST(dl AS DOUBLE) / avgdl))))
+       |    * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS bm25
+       |FROM tf JOIN dfr USING (term) JOIN dls USING (doc_id)
+       |CROSS JOIN stats
+       |GROUP BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "ix5_bm25_search" -> {
+    "ix5_bm25_search" -> s"$ix5BmSql\nORDER BY doc_id",
+    "ix6_snippets" -> {
       val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |    FROM documents),
-         |dls AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-         |stats AS (SELECT count(*) AS n_docs,
-         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls),
-         |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
-         |  WHERE term IN ($terms) GROUP BY 1, 2),
-         |dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
-         |  WHERE term IN ($terms) GROUP BY 1)
-         |SELECT doc_id, count(*) AS n_terms_hit,
-         |  CAST(sum(CAST(floor(
-         |    ln((CAST(n_docs - df AS DOUBLE) + 0.5) /
-         |        (CAST(df AS DOUBLE) + 0.5) + 1.0) *
-         |    ((CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0}) /
-         |     (CAST(tf AS DOUBLE) + $Bm25K1 *
-         |      (${1.0 - Bm25B} + $Bm25B * (CAST(dl AS DOUBLE) / avgdl))))
-         |    * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS bm25
-         |FROM tf JOIN dfr USING (term) JOIN dls USING (doc_id)
-         |CROSS JOIN stats
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      s"""WITH b AS (SELECT * FROM (
+         |$ix5BmSql) t),
+         |top AS (SELECT doc_id, bm25, ROW_NUMBER() OVER (
+         |    ORDER BY bm25 DESC, doc_id) AS rn
+         |  FROM b QUALIFY rn <= $SnippetDocs),
+         |d AS (SELECT t.doc_id, t.bm25, string_split(doc.text, ' ') AS toks
+         |  FROM top t JOIN documents doc USING (doc_id)),
+         |p AS (SELECT doc_id, bm25, toks,
+         |    list_filter(list_transform(generate_series(1, len(toks)),
+         |      i -> CASE WHEN toks[i] IN ($terms) THEN i - 1 ELSE -1 END),
+         |      x -> x >= 0) AS pos FROM d),
+         |m AS (SELECT *, list_max(list_transform(pos,
+         |    p1 -> len(list_filter(pos, q -> q >= p1 AND q < p1 + $SnippetWindow))))
+         |    AS best_cnt FROM p),
+         |s AS (SELECT *, list_min(list_filter(pos, p1 -> len(list_filter(pos,
+         |    q -> q >= p1 AND q < p1 + $SnippetWindow)) = best_cnt))
+         |    AS best_start FROM m)
+         |SELECT doc_id, round(bm25, 6) AS bm25,
+         |  CAST(best_start AS INT) AS snippet_start,
+         |  CAST(best_cnt AS INT) AS n_hits,
+         |  array_to_string(toks[best_start + 1 : best_start + $SnippetWindow], ' ')
+         |    AS snippet
+         |FROM s ORDER BY doc_id""".stripMargin
     },
     "ix4_incremental_postings" ->
       s"""WITH tok AS (SELECT DISTINCT doc_id,
@@ -374,5 +449,6 @@ object TextIndex {
     "ix2_boolean_search" -> (ix2BooleanSearch _),
     "ix3_phrase_search" -> (ix3PhraseSearch _),
     "ix4_incremental_postings" -> (ix4IncrementalPostings _),
-    "ix5_bm25_search" -> (ix5Bm25Search _))
+    "ix5_bm25_search" -> (ix5Bm25Search _),
+    "ix6_snippets" -> (ix6Snippets _))
 }

@@ -212,6 +212,55 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.8, s"n20 filtered recall=$recall")
   }
 
+  test("n21 RRF fusion equals a driver recompute and genuinely mixes both rankers") {
+    val rows = Similarity.n21RrfFusion(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.get(3)).map(_.asInstanceOf[Int]), r.getDouble(4)))
+    // driver recompute: both pools + fusion from the component ops
+    val bm = graft.operators.TextIndex.ix5Bm25Search(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("bm25")))
+      .filter(_._1 != 0L)
+    val lexPool = bm.sortBy { case (id, s) => (-s, id) }
+      .take(Similarity.FusePool).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qv = emb(0L)
+    val semPool = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(Similarity.FusePool).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    def rrf(id: Long): Double =
+      lexPool.get(id).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0) +
+        semPool.get(id).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0)
+    val expTop = (lexPool.keySet ++ semPool.keySet).toSeq
+      .sortBy(id => (-rrf(id), id)).take(Similarity.FuseTopK)
+    assert(rows.map(_._2).toSeq == expTop, "fused order recompute")
+    for ((rank, id, rl, rs, score) <- rows) {
+      assert(rl == lexPool.get(id) && rs == semPool.get(id))
+      assert(math.abs(score - BigDecimal(rrf(id))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      assert(rl.isDefined || rs.isDefined, "every result came from a pool")
+    }
+    assert(rows.map(_._1).toSeq == (1 to Similarity.FuseTopK))
+    // fusion genuinely mixes: the winner sits in BOTH pools and beats
+    // each ranker's own #1 (the RRF consensus property on this data),
+    // and each ranker contributes at least one exclusive result
+    val top = rows.head
+    assert(top._3.isDefined && top._4.isDefined, "top hit is a consensus doc")
+    assert(rows.exists(r => r._3.isDefined && r._4.isEmpty), "lex-only result")
+    assert(rows.exists(r => r._3.isEmpty && r._4.isDefined), "sem-only result")
+  }
+
   test("n9 PCA components are orthonormal with descending positive eigenvalues") {
     val (_, _, comps) = pca
     assert(comps.size == Similarity.PcaK)

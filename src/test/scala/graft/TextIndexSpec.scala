@@ -189,4 +189,40 @@ class TextIndexSpec extends GraftSpec {
     }
     assert(got == want, s"$got vs $want")
   }
+
+  test("ix6: snippets are optimal query-term windows over the top BM25 pool") {
+    import graft.operators.TextIndex
+    val rows = TextIndex.ix6Snippets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    assert(rows.length == TextIndex.SnippetDocs)
+    // the candidate set is exactly the BM25 top pool
+    val pool = TextIndex.ix5Bm25Search(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("bm25")))
+      .sortBy { case (id, s) => (-s, id) }.take(TextIndex.SnippetDocs)
+      .map(_._1).toSet
+    assert(rows.map(_._1).toSet == pool)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val terms = TextIndex.QueryTerms.toSet
+    val W = TextIndex.SnippetWindow
+    for ((id, _, start, nHits, snippet) <- rows) {
+      val toks = texts(id).split(" ")
+      val pos = toks.indices.filter(i => terms.contains(toks(i)))
+      def hits(p: Int) = pos.count(q => q >= p && q < p + W)
+      // recompute the two-pass argmax: max hits, then earliest start
+      val bestCnt = pos.map(hits).max
+      assert(nHits == bestCnt, s"doc $id window density")
+      assert(start == pos.filter(p => hits(p) == bestCnt).min,
+        s"doc $id earliest optimal start")
+      // the rendered snippet is the exact slice and contains its hits
+      assert(snippet == toks.slice(start, start + W).mkString(" "))
+      assert(toks.slice(start, start + W).count(terms.contains) == nHits)
+      assert(nHits >= 1 && snippet.nonEmpty)
+      // optimality against EVERY possible start, not just anchors:
+      // a window not anchored at a hit is dominated by the anchored
+      // one starting at its first interior hit
+      assert((0 until toks.length).forall(p => hits(p) <= bestCnt))
+    }
+  }
 }
