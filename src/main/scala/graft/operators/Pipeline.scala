@@ -544,6 +544,43 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** pipe6: the hybrid-search ENDPOINT — one call from raw corpus to
+    * rendered results: n21's RRF-fused ranking (BM25 pool off the
+    * committed text index ⊕ vector pool off the embeddings) with an
+    * ix6-style snippet attached to every fused hit — the complete
+    * response a retrieval service returns, and the capstone
+    * composition proof on the serving side (pipe1–3 prove the prep
+    * side composes; pipe6 proves the indexes those pipelines publish
+    * serve a real query end-to-end). Semantic-only hits (no lexical
+    * term in the doc) fall back to the document HEAD as their
+    * snippet with n_hits = 0 — the convention every search UI uses
+    * when a result matched by meaning, not keywords. Scale shape:
+    * n21's bounded-pool fusion + a [[Similarity.FuseTopK]]-row join
+    * back to the corpus for snippet text; the window argmax is
+    * HOF-row-local over ten rows. */
+  def pipe6HybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val w = TextIndex.SnippetWindow
+    val termsSql = TextIndex.QueryTerms.map(t => s"'$t'").mkString(", ")
+    Similarity.n21RrfFusion(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("pos", expr(
+        s"""filter(transform(toks, (t, i) ->
+           |  IF(t IN ($termsSql), i, -1)), x -> x >= 0)""".stripMargin))
+      .withColumn("best_cnt", expr(
+        s"""IF(size(pos) = 0, 0, array_max(transform(pos, p ->
+           |  size(filter(pos, q -> q >= p AND q < p + $w)))))""".stripMargin))
+      .withColumn("best_start", expr(
+        s"""IF(size(pos) = 0, 0, array_min(filter(pos, p ->
+           |  size(filter(pos, q -> q >= p AND q < p + $w)) = best_cnt)))""".stripMargin))
+      .select(col("fused_rank"), col("doc_id"), col("rrf"),
+        col("best_cnt").cast("int").as("n_hits"),
+        expr(s"array_join(slice(toks, best_start + 1, $w), ' ')")
+          .as("snippet"))
+      .orderBy("fused_rank")
+  }
+
   /** pipe4's oracle: the same five-row UNION over the COMPOSED
     * oracles — a12/psi1's static SQL as subqueries, qc2's ECE over
     * the committed scores artifact (pulled from Quality's dynamic
@@ -602,7 +639,34 @@ object Pipeline {
         pipe4Oracle(qcMeta, bpeMeta, Quality.oracles("qc2_calibration")))
     } else Map.empty)
 
+  private def pipe6Oracle: String = {
+    val w = TextIndex.SnippetWindow
+    val terms = TextIndex.QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH fused AS (SELECT * FROM (
+       |${Similarity.n21OracleSql}) f),
+       |d AS (SELECT fused.fused_rank, fused.doc_id, fused.rrf,
+       |    string_split(doc.text, ' ') AS toks
+       |  FROM fused JOIN documents doc USING (doc_id)),
+       |p AS (SELECT *, list_filter(list_transform(
+       |    generate_series(1, len(toks)),
+       |    i -> CASE WHEN toks[i] IN ($terms) THEN i - 1 ELSE -1 END),
+       |    x -> x >= 0) AS pos FROM d),
+       |m AS (SELECT *, CASE WHEN len(pos) = 0 THEN 0
+       |    ELSE list_max(list_transform(pos, p1 ->
+       |      len(list_filter(pos, q -> q >= p1 AND q < p1 + $w)))) END
+       |    AS best_cnt FROM p),
+       |s AS (SELECT *, CASE WHEN len(pos) = 0 THEN 0
+       |    ELSE list_min(list_filter(pos, p1 -> len(list_filter(pos,
+       |      q -> q >= p1 AND q < p1 + $w)) = best_cnt)) END
+       |    AS best_start FROM m)
+       |SELECT fused_rank, doc_id, rrf, CAST(best_cnt AS INT) AS n_hits,
+       |  array_to_string(toks[best_start + 1 : best_start + $w], ' ')
+       |    AS snippet
+       |FROM s ORDER BY fused_rank""".stripMargin
+  }
+
   private val staticOracles: Map[String, String] = Map(
+    "pipe6_hybrid_search" -> pipe6Oracle,
     "mix10_target_mixture" ->
       s"""WITH counts AS (SELECT lang, COUNT(*) AS n_docs,
          |    $mix10TargetCaseSql AS target_pm
@@ -878,5 +942,6 @@ object Pipeline {
     "mix8_temperature_mixture" -> (mix8TemperatureMixture _),
     "mix9_padding_waste" -> (mix9PaddingWaste _),
     "mix10_target_mixture" -> (mix10TargetMixture _),
-    "pipe4_monitor_report" -> (pipe4MonitorReport _))
+    "pipe4_monitor_report" -> (pipe4MonitorReport _),
+    "pipe6_hybrid_search" -> (pipe6HybridSearch _))
 }

@@ -1717,9 +1717,11 @@ object Similarity {
              |ORDER BY query_id, mmr_rank""".stripMargin
   }
 
-  private val staticOracles: Map[String, String] = Map(
-    "n21_rrf_fusion" ->
-      s"""WITH lexbase AS (SELECT * FROM (
+  /** n21's full fusion SQL — shared with pipe6's hybrid-search
+    * composition so the fused ranking cannot drift (the t1PredSql
+    * discipline). */
+  private[graft] def n21OracleSql: String =
+    s"""WITH lexbase AS (SELECT * FROM (
          |${graft.operators.TextIndex.ix5BmSql}) b WHERE doc_id <> 0),
          |lexp AS (SELECT doc_id, bm25, ROW_NUMBER() OVER (
          |    ORDER BY bm25 DESC, doc_id) AS r_lex FROM lexbase
@@ -1744,7 +1746,10 @@ object Similarity {
          |    ORDER BY rrf DESC, doc_id) AS fused_rank,
          |  doc_id, r_lex, r_sem, rrf, round(bm25, 6) AS bm25,
          |  round(cos_raw, 6) AS cosine FROM f)
-         |WHERE fused_rank <= $FuseTopK ORDER BY fused_rank""".stripMargin,
+         |WHERE fused_rank <= $FuseTopK ORDER BY fused_rank""".stripMargin
+
+  private val staticOracles: Map[String, String] = Map(
+    "n21_rrf_fusion" -> n21OracleSql,
     "n11_mmr_rerank" -> n11Oracle,
     // n19 needs no committed artifact: the sign-bit pack is an exact
     // bitwise-OR fold and hamming is two's-complement bit_count(xor)

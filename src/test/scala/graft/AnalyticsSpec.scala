@@ -1252,6 +1252,47 @@ class AnalyticsSpec extends GraftSpec {
     assert(again.toSeq == rows.map(r => (r._1, r._5)).toSeq)
   }
 
+  test("pipe6: endpoint rows = n21's fusion + per-result snippets with head fallback") {
+    import graft.operators.{Pipeline, Similarity, TextIndex}
+    val rows = Pipeline.pipe6HybridSearch(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getString(4)))
+    val fused = Similarity.n21RrfFusion(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(4),
+        Option(r.get(2)).isDefined))
+    // the endpoint preserves the fused ranking exactly
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq ==
+      fused.map(t => (t._1, t._2, t._3)).toSeq)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val terms = TextIndex.QueryTerms.toSet
+    val W = TextIndex.SnippetWindow
+    val hadLex = fused.map(t => t._2 -> t._4).toMap
+    for ((_, id, _, nHits, snippet) <- rows) {
+      val toks = texts(id).split(" ")
+      val pos = toks.indices.filter(i => terms.contains(toks(i)))
+      if (pos.isEmpty) {
+        // semantic-only hit: head-of-document fallback
+        assert(nHits == 0 && snippet == toks.take(W).mkString(" "))
+        assert(!hadLex(id), "a lexical-pool doc cannot be term-free")
+      } else {
+        def hits(p: Int) = pos.count(q => q >= p && q < p + W)
+        val bestCnt = pos.map(hits).max
+        val bestStart = pos.filter(p => hits(p) == bestCnt).min
+        assert(nHits == bestCnt && nHits >= 1)
+        assert(snippet == toks.slice(bestStart, bestStart + W).mkString(" "))
+      }
+    }
+    // every result renders a real snippet; semantic-only results
+    // (absent from the lexical pool) still snippet correctly — on
+    // this corpus the query terms are common enough that even
+    // sem-only docs contain one, so the head fallback stays a
+    // spec-verified branch rule rather than a corpus occurrence
+    assert(rows.forall(_._5.nonEmpty))
+    assert(rows.exists(r => !hadLex(r._2) && r._4 > 0),
+      "a sem-only result with a windowed snippet exists")
+  }
+
   test("e13: bounce accounting matches e1's session table") {
     val sess = Analytics.e1Sessionize(spark, sf).collect()
       .map(r => (r.getAs[Long]("n_events"), r.getAs[String]("start_ts").take(10)))
