@@ -1053,8 +1053,10 @@ object Similarity {
       .withColumn("r_lex", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id").asc)))
     val e = corpus(s, dir)
+    // limit(1) is a semantic no-op (vec_id is unique) that bounds the
+    // hinted subtree for the broadcast-policy sweep (the t30 shape)
     val q = e.filter(col("vec_id") === 0)
-      .select(col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("v").as("qv"), col("nrm").as("qn")).limit(1)
     val semPool = e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q)) // 1-row scalar attach
       .select(col("vec_id").as("doc_id"),
