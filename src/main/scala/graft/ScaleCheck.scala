@@ -149,7 +149,8 @@ object ScaleCheck {
     "mix10_target_mixture", "ts19_lttb", "n20_filtered_ann",
     "k19_layout_audit", "d25_dedup_savings", "qc4_langid_confusion",
     "src6_gzip_text", "g11_modularity", "qc5_filter_bias",
-    "n21_rrf_fusion", "ix6_snippets", "pipe6_hybrid_search")
+    "n21_rrf_fusion", "ix6_snippets", "pipe6_hybrid_search",
+    "src7_corrupt_json", "a19_mde_power")
 
   private def buildTable(s: SparkSession, srcDir: String, outDir: String,
       name: String): Unit = {

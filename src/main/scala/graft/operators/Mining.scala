@@ -539,6 +539,47 @@ object Mining {
       when(abs(z) > AbZCrit, 1).otherwise(0).as("significant"))
   }
 
+  /** Standard normal quantiles for a 5% two-sided test at 80% power —
+    * fixed literals, parsed to identical doubles by both engines. */
+  final val MdeZalpha = 1.959964
+  final val MdeZbeta = 0.841621
+
+  /** a19: minimum-detectable-effect / power sizing — a13's
+    * PROSPECTIVE dual: a13 answers "was this difference significant",
+    * a19 answers the question asked BEFORE the experiment — "if this
+    * event type's traffic split 50/50, what's the smallest mean shift
+    * the test could detect at 80% power?" (the sizing table every
+    * experimentation platform shows before launch; running an A/B on
+    * a segment whose MDE exceeds any plausible effect is the classic
+    * wasted experiment). mde = (z_{α/2}+z_β)·√(2σ²/m) with m = n/2
+    * per arm. Determinism: σ² comes from EXACT integer moments — the
+    * value quantizes to int64 at 1e-6 and Σy/Σy² fold as
+    * decimal(38,0) (the prof8 order-free discipline; a plain
+    * var_samp(double) is partial-merge-order dependent) — then one
+    * fixed IEEE tree shared verbatim with the oracle. ONE scan-level
+    * keyed aggregate; the report is #event_types rows. */
+  def a19MdePower(s: SparkSession, dir: String): DataFrame = {
+    val y = floor(col("value") * lit(1e6) + lit(0.5)).cast("decimal(38,0)")
+    val n = col("n").cast("double")
+    val sy = col("sy").cast("double")
+    val syy = col("syy").cast("double")
+    val mean = (sy / lit(1e6)) / n
+    val varv = ((n * syy - sy * sy) / (n * (n - lit(1.0)))) / lit(1e12)
+    val m = expr("n div 2")
+    val mde = lit(MdeZalpha + MdeZbeta) *
+      sqrt(lit(2.0) * varv / m.cast("double"))
+    Tables.events(s, dir)
+      .select(col("event_type"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n"), m.as("m_per_arm"),
+        round(mean, 6).as("mean"), round(sqrt(varv), 6).as("sd"),
+        round(mde, 6).as("mde_abs"),
+        round(mde / mean, 6).as("mde_rel"))
+      .orderBy("event_type")
+  }
+
   /** f2: feature standardization — z-score and min-max scaling of a
     * measure column, the row-local transform in front of every
     * distance-based model (k-means, kNN, regularized regression). The
@@ -846,6 +887,32 @@ object Mining {
         |    AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
         |ORDER BY p_brand, p_retailprice, p_partkey""".stripMargin,
+    "a19_mde_power" ->
+      s"""WITH q AS (SELECT event_type,
+         |    CAST(floor(value * 1e6 + 0.5) AS HUGEINT) AS y
+         |  FROM events),
+         |a AS (SELECT event_type, COUNT(*) AS n,
+         |    SUM(y) AS sy, SUM(y * y) AS syy
+         |  FROM q GROUP BY 1)
+         |SELECT event_type, n, n // 2 AS m_per_arm,
+         |  round((CAST(sy AS DOUBLE) / 1e6) / CAST(n AS DOUBLE), 6) AS mean,
+         |  round(sqrt(((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 1e12), 6)
+         |    AS sd,
+         |  round(${MdeZalpha + MdeZbeta} * sqrt(2.0 *
+         |    (((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 1e12)
+         |    / CAST(n // 2 AS DOUBLE)), 6) AS mde_abs,
+         |  round((${MdeZalpha + MdeZbeta} * sqrt(2.0 *
+         |    (((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 1e12)
+         |    / CAST(n // 2 AS DOUBLE)))
+         |    / ((CAST(sy AS DOUBLE) / 1e6) / CAST(n AS DOUBLE)), 6)
+         |    AS mde_rel
+         |FROM a ORDER BY event_type""".stripMargin,
     "a13_ab_test" ->
       s"""WITH agg AS (SELECT
          |    CAST(SUM(CASE WHEN event_type = '$AbCohortA' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -957,5 +1024,6 @@ object Mining {
     "f3_winsorize" -> (f3Winsorize _),
     "f4_target_encode" -> (f4TargetEncode _),
     "f5_feature_hashing" -> (f5FeatureHashing _),
-    "a13_ab_test" -> (a13AbTest _))
+    "a13_ab_test" -> (a13AbTest _),
+    "a19_mde_power" -> (a19MdePower _))
 }

@@ -180,6 +180,59 @@ object Sources {
   /** src6's sink path — spec hook (file count / task count checks). */
   private[graft] def src6Path: String = tmp("src6_gzip")
 
+  /** Every [[CorruptMod]]-th line of src7's JSONL fixture is broken
+    * mid-object — a deterministic corruption rule, so the oracle can
+    * reconstruct both routing sides from the clean table. */
+  val CorruptMod = 37
+
+  /** src7: corrupt-record ingest routing — the PERMISSIVE-parse
+    * pattern every production JSON ingest runs: malformed lines must
+    * not kill the job OR silently vanish; they route to a quarantine
+    * tally while clean rows parse on. Implemented in the form that
+    * actually scales: ONE text scan + row-local `from_json` (a failed
+    * parse yields a NULL struct — the routing predicate), NOT the
+    * `_corrupt_record` pseudo-column, whose filter requires caching
+    * the parsed frame (the documented Spark caveat — a non-starter at
+    * corpus scale). Writes documents as JSONL with every
+    * [[CorruptMod]]-th line truncated mid-object, reads back, routes:
+    * per-lang clean digests + one leading `_corrupt` quarantine row
+    * carrying the raw-line digests. The corruption is deterministic,
+    * so the oracle reconstructs BOTH sides from the original table —
+    * proving no row was lost or double-routed. */
+  def src7CorruptJson(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("src7_jsonl")
+    Tables.documents(s, dir)
+      .select(when(col("doc_id") % CorruptMod === 0,
+        concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+          lit(",BROKEN")))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars")))).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    val parsed = s.read.text(path)
+      .select(col("value"), from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, n_chars BIGINT")).as("j"))
+    val clean = parsed.filter(col("j.doc_id").isNotNull)
+      .groupBy(col("j.lang").as("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("j.doc_id").cast("decimal(38,0)")).as("sum_id"),
+        sum(col("j.n_chars")).as("sum_chars"),
+        min(md5(col("value"))).as("min_md5"),
+        max(md5(col("value"))).as("max_md5"))
+    val quarantine = parsed.filter(col("j.doc_id").isNull)
+      .agg(count(lit(1)).as("n"),
+        lit(null).cast("decimal(38,0)").as("sum_id"),
+        lit(null).cast("long").as("sum_chars"),
+        min(md5(col("value"))).as("min_md5"),
+        max(md5(col("value"))).as("max_md5"))
+      .select(lit("_corrupt").as("lang"), col("n"), col("sum_id"),
+        col("sum_chars"), col("min_md5"), col("max_md5"))
+    quarantine.unionAll(clean).orderBy("lang")
+  }
+
+  /** src7's sink path — spec hook. */
+  private[graft] def src7Path: String = tmp("src7_jsonl")
+
   def src4OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val path = tmp("src4_orc")
     Tables.orders(s, dir)
@@ -1283,6 +1336,25 @@ object Sources {
          |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
          |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src7_corrupt_json" ->
+      s"""WITH c AS (SELECT * FROM documents WHERE doc_id % $CorruptMod = 0),
+         |k AS (SELECT * FROM documents WHERE doc_id % $CorruptMod <> 0),
+         |q AS (SELECT '_corrupt' AS lang, COUNT(*) AS n,
+         |    CAST(NULL AS DECIMAL(38,0)) AS sum_id,
+         |    CAST(NULL AS BIGINT) AS sum_chars,
+         |    MIN(md5('{"doc_id":' || doc_id || ',BROKEN')) AS min_md5,
+         |    MAX(md5('{"doc_id":' || doc_id || ',BROKEN')) AS max_md5
+         |  FROM c),
+         |cl AS (SELECT lang, COUNT(*) AS n,
+         |    CAST(SUM(CAST(doc_id AS HUGEINT)) AS DECIMAL(38,0)) AS sum_id,
+         |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |    MIN(md5('{"doc_id":' || doc_id || ',"lang":"' || lang
+         |      || '","n_chars":' || n_chars || '}')) AS min_md5,
+         |    MAX(md5('{"doc_id":' || doc_id || ',"lang":"' || lang
+         |      || '","n_chars":' || n_chars || '}')) AS max_md5
+         |  FROM k GROUP BY 1)
+         |SELECT * FROM q UNION ALL SELECT * FROM cl
+         |ORDER BY lang""".stripMargin,
     "src6_gzip_text" ->
       """SELECT source, COUNT(*) AS n,
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
@@ -1557,6 +1629,7 @@ object Sources {
     "src4_orc_roundtrip" -> (src4OrcRoundtrip _),
     "src5_text_roundtrip" -> (src5TextRoundtrip _),
     "src6_gzip_text" -> (src6GzipText _),
+    "src7_corrupt_json" -> (src7CorruptJson _),
     "k14_quarantine_sink" -> (k14QuarantineSink _),
     "src3_schema_evolution" -> (src3SchemaEvolution _),
     "k6_compaction" -> (k6Compaction _),

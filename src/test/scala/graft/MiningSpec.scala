@@ -421,4 +421,39 @@ class MiningSpec extends GraftSpec {
     assert(got.toSeq == expected)
     assert(got.forall(t => t._4 > 0.0 && t._4 <= 1.0))
   }
+
+  test("a19: MDE sizing equals a driver recompute from exact integer moments") {
+    val rows = Mining.a19MdePower(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val ev = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val zsum = Mining.MdeZalpha + Mining.MdeZbeta
+    for ((et, n, m, mean, sd, mdeAbs, mdeRel) <- rows) {
+      val ys = ev.filter(_._1 == et)
+        .map(e => BigInt(math.floor(e._2 * 1e6 + 0.5).toLong))
+      assert(n == ys.length.toLong && m == n / 2)
+      val sy = ys.sum; val syy = ys.map(y => y * y).sum
+      val nD = n.toDouble
+      val expMean = (sy.toDouble / 1e6) / nD
+      val expVar = ((nD * syy.toDouble - sy.toDouble * sy.toDouble) /
+        (nD * (nD - 1.0))) / 1e12
+      val expMde = zsum * math.sqrt(2.0 * expVar / m.toDouble)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(mean == r6(expMean), s"$et mean")
+      assert(sd == r6(math.sqrt(expVar)), s"$et sd")
+      assert(mdeAbs == r6(expMde), s"$et mde_abs")
+      assert(mdeRel == r6(expMde / expMean), s"$et mde_rel")
+      // the sizing is meaningful: positive, and a sub-100% relative
+      // effect is detectable at this traffic
+      assert(mdeAbs > 0 && mdeRel > 0 && mdeRel < 1.0)
+    }
+    // more traffic => smaller detectable effect on same-scale variance:
+    // verify the 1/sqrt(m) law by recomputing one type at half its n
+    val (et0, n0, m0, _, sd0, mde0, _) = rows.maxBy(_._2)
+    val halfMde = (Mining.MdeZalpha + Mining.MdeZbeta) *
+      math.sqrt(2.0 * sd0 * sd0 / (m0 / 2).toDouble)
+    assert(halfMde > mde0, "halving traffic must raise the MDE")
+  }
 }

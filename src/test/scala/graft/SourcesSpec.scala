@@ -496,6 +496,35 @@ class SourcesSpec extends GraftSpec {
       r.getString(4), r.getString(5))).toSeq == direct.toSeq)
   }
 
+  test("src7: corrupt lines quarantine exactly; clean rows parse and partition the corpus") {
+    import graft.sources.Sources
+    val rows = Sources.src7CorruptJson(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getDecimal(2)), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (corrupt, clean) = docs.partition(_._1 % Sources.CorruptMod == 0)
+    assert(corrupt.nonEmpty, "fixture must exercise the quarantine path")
+    val qRow = rows.find(_._1 == "_corrupt").get
+    assert(qRow._2 == corrupt.length.toLong)
+    assert(qRow._3.isEmpty && qRow._4.isEmpty,
+      "quarantine row carries no parsed sums")
+    // clean side: per-lang counts and sums equal the direct recompute
+    val byLang = clean.groupBy(_._2)
+    for ((lang, n, sumId, sumChars) <- rows if lang != "_corrupt") {
+      val mine = byLang(lang)
+      assert(n == mine.length.toLong, s"$lang clean count")
+      assert(BigInt(sumId.get.toBigInteger) == mine.map(d => BigInt(d._1)).sum)
+      assert(sumChars.get == mine.map(_._3).sum)
+    }
+    // routing partitions the corpus: nothing lost, nothing doubled
+    assert(rows.map(_._2).sum == docs.length.toLong)
+    // the sink genuinely holds unparseable lines
+    val raw = spark.read.text(Sources.src7Path)
+    assert(raw.count() == docs.length.toLong)
+  }
+
   test("k19: footer audit is exact on a fragmented layout and the corpus tables") {
     import graft.sources.Sources
     // fragmented fixture: 4 files, known row mass
