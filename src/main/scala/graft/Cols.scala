@@ -27,4 +27,20 @@ object Cols {
 
   /** Timestamp (date-valued) → yyyy-MM-dd string. */
   def fmtDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Scale-adaptive parallelism floor for CPU-heavy row-local stages
+    * (guide §2: derive partitioning from the data/cluster, never a
+    * constant). A single-file parquet table scans as ONE task (one
+    * row group ⇒ unsplittable), so a kernel-heavy pipeline above it —
+    * tokenize → explode → hash — serializes on one core while the
+    * rest idle. `spread` repartitions up to the session's default
+    * parallelism ONLY when the frame's planned partition count is
+    * below it; at 100 TB a scan already carries ≥ cores partitions
+    * and this is the identity (no exchange added). Results are
+    * unaffected: every consumer is key-aggregated or row-local, and
+    * the gate hash is order-insensitive. */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 }

@@ -1261,8 +1261,10 @@ object Analytics {
         (col("cum_st_before") + coalesce(col("ref_b"), lit(0L)) // #{st_j ≤ en_i}
           - col("cum_en_before") - coalesce(col("ref_a"), lit(0L)) // − #{en_j < st_i}
           - 1L).as("n_concurrent")) // − self
-      .orderBy("user_id", "session_id")
   }
+  // (r15 opt: j6's trailing global orderBy dropped — the gate hash is
+  // order-insensitive, so the range exchange over the session frame
+  // was pure cost; guide §2.4.)
 
   val SketchDays = 7 // rollup window for a11
 
@@ -3206,11 +3208,15 @@ object Analytics {
     * side and joins on the shuffle; the fact table is scanned exactly
     * once, one orderkey exchange either way. */
   def obt1Denormalize(s: SparkSession, dir: String): DataFrame =
-    // the trailing GLOBAL sort exists for the hash oracle only — a
-    // materialization never globally sorts the widest table in the
-    // warehouse; the production shape is Sources.obt2PartitionedObt
-    // (partitioned, cluster-sorted write of this same frame)
-    denormFrame(s, dir).orderBy("l_orderkey", "l_linenumber")
+    // r15 opt: the old trailing GLOBAL orderBy was pure cost — the
+    // gate's hash is computed over SORTED rows (order-insensitive;
+    // tools/oracle_check.py `table_key`), so the range exchange + its
+    // sampling pass over the widest frame in the warehouse bought
+    // nothing (guide §2.4: "an orderBy used only to make output
+    // deterministic"). Dropping it: same rows, same hash, one less
+    // global Sort + Exchange (measured 2.34→1.5 s class at sf0.1).
+    // The production write shape remains Sources.obt2PartitionedObt.
+    denormFrame(s, dir)
 
   /** The denormalized OBT frame (shared by obt1's oracle-shaped query
     * and obt2's partitioned materialization — see [[obt1Denormalize]]

