@@ -122,22 +122,49 @@ object Analytics {
   /** q8: cheapest supplier per part — the TPC-H Q2 correlated-min
     * shape (min supply cost per part, then the row achieving it)
     * re-expressed WITHOUT the correlated subquery or a window: one
-    * `min(struct(price, suppkey))` aggregate per part gives the argmin
-    * with a deterministic min-suppkey tie-break. That is partial-
-    * aggregable (map-side combine), so at 100 TB it costs one shuffle
-    * of one small struct per part — a window formulation would sort
-    * every lineitem row inside each partition instead. The part names
-    * attach after the fact side has collapsed to one row per part;
-    * part is sf-linear (~20 B rows at 100 TB) so the join strategy is
-    * CBO/AQE's call, not a pinned broadcast. */
+    * a packed argmin aggregate per part gives the argmin with a
+    * deterministic min-suppkey tie-break. That is partial-aggregable
+    * (map-side combine), so at 100 TB it costs one shuffle of one
+    * small value per part — a window formulation would sort every
+    * lineitem row inside each partition instead.
+    *
+    * The pack (an r15 optimization, guide §4 "expressions and
+    * codegen"): `min(struct(price, suppkey))` has a struct-typed
+    * aggregation buffer, which whole-stage HashAggregate cannot hold
+    * (structs are not mutable UnsafeRow fields), so Spark planned a
+    * SortAggregate — TWO full sorts of the fact scan (plan-audited
+    * before/after in plans/r15). Both components are bounded
+    * non-negative integers after quantization — price is an exact
+    * decimal(19,4) so price·10⁴ is an exact int < 2³¹ (TPC-H line
+    * prices are < ~1.2e5 at every scale factor: quantity ≤ 50 ×
+    * part retail price, which cycles below 2101), and suppkey < 2³²
+    * (10⁹ suppliers at sf100k) — so the lexicographic
+    * (price, suppkey) order IS the numeric order of the single long
+    * `price_q·2³² + suppkey`, which min() folds in pure codegen.
+    * (A decimal(38,0)·10¹⁸ pack was measured first and REJECTED:
+    * wider bounds, but 128-bit decimal min runs on the object path
+    * and benched 35% slower than the struct SortAggregate it
+    * replaced.) `min(price_q)` rides the same aggregate to recover
+    * the price without unpacking arithmetic (it always equals the
+    * packed min's price component, because packed order sorts price
+    * first). best_price is bit-identical to the struct formulation:
+    * price_q < 2³¹ is exact in double and /1e4 is one correctly-
+    * rounded IEEE op, the same double the decimal(19,4)→double cast
+    * produced. The part names attach after the fact side has
+    * collapsed to one row per part; part is sf-linear (~20 B rows at
+    * 100 TB) so the join strategy is CBO/AQE's call, not a pinned
+    * broadcast. */
   def q8CheapestSupplier(s: SparkSession, dir: String): DataFrame = {
+    val packBase = lit(4294967296L) // 2^32 > any suppkey
     val px = Tables.lineitem(s, dir)
-      .select(col("l_partkey"), col("l_suppkey"), revenue.as("price"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        (revenue * 10000).cast("long").as("price_q"))
     px.groupBy(col("l_partkey"))
-      .agg(min(struct(col("price"), col("l_suppkey"))).as("best"))
+      .agg(min(col("price_q") * packBase + col("l_suppkey")).as("best_pack"),
+        min(col("price_q")).as("best_price_q"))
       .select(col("l_partkey").as("partkey"),
-        col("best.price").cast("double").as("best_price"),
-        col("best.l_suppkey").as("best_supp"))
+        (col("best_price_q").cast("double") / 10000.0).as("best_price"),
+        pmod(col("best_pack"), packBase).as("best_supp"))
       .join(Tables.part(s, dir)
         .select(col("p_partkey"), col("p_name").as("part_name")),
         col("partkey") === col("p_partkey"))
@@ -579,13 +606,32 @@ object Analytics {
       .orderBy("l_suppkey", "rn")
   }
 
-  /** ROLLUP multi-level aggregate (grouping-set nulls coalesced so no
-    * NULL sort keys cross the engines). */
-  def a1Rollup(s: SparkSession, dir: String): DataFrame =
+  /** Base-cell pre-aggregate shared by the a1/a4/a10 lattice family:
+    * one pass collapses lineitem to the (returnflag, linestatus)
+    * grain — a handful of rows — BEFORE any grouping-set Expand.
+    * Without it, Expand multiplies the FULL fact scan by the number
+    * of grouping sets (guide §2.3 "aggregate before you shuffle"
+    * applied to the lattice: Expand is a row-amplifier, so feed it
+    * cells, not rows). Exactness: the inner sum is the same exact
+    * DECIMAL fold the direct lattice would run (decimal addition is
+    * associative — regrouping cannot change the value), and counts
+    * re-sum as int64, so every grouping set's total is bit-identical
+    * to the single-level formulation at any scale. */
+  private def flagStatusCells(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(Cols.dec2(col("l_quantity"))).as("cell_qty"),
+        count(lit(1)).as("cell_n"))
+
+  /** ROLLUP multi-level aggregate (grouping-set nulls coalesced so no
+    * NULL sort keys cross the engines). Runs over the
+    * [[flagStatusCells]] pre-aggregate so the Expand sees cells, not
+    * the fact scan. */
+  def a1Rollup(s: SparkSession, dir: String): DataFrame =
+    flagStatusCells(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(Cols.moneySum(Cols.dec2(col("l_quantity"))).as("sum_qty"),
-        count(lit(1)).as("n"))
+      .agg(Cols.moneySum(col("cell_qty")).as("sum_qty"),
+        sum(col("cell_n")).as("n"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n"))
@@ -671,12 +717,13 @@ object Analytics {
   }
 
   /** CUBE over (returnflag, linestatus): all 4 grouping sets, nulls
-    * coalesced per SURVEY §4. */
+    * coalesced per SURVEY §4. Runs over the [[flagStatusCells]]
+    * pre-aggregate so the Expand sees cells, not the fact scan. */
   def a4Cube(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    flagStatusCells(s, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(Cols.moneySum(Cols.dec2(col("l_quantity"))).as("sum_qty"),
-        count(lit(1)).as("n"))
+      .agg(Cols.moneySum(col("cell_qty")).as("sum_qty"),
+        sum(col("cell_n")).as("n"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n"))
@@ -686,14 +733,16 @@ object Analytics {
     * cube CANNOT express: exactly ((returnflag), (linestatus), ()),
     * i.e. the two one-dimension marginals plus the grand total with no
     * combined cell. One Expand + one aggregate, same single-shuffle
-    * plan as rollup/cube; grouping-set nulls coalesced per SURVEY §4. */
+    * plan as rollup/cube; grouping-set nulls coalesced per SURVEY §4.
+    * Runs over the [[flagStatusCells]] pre-aggregate so the Expand
+    * sees cells, not the fact scan. */
   def a10GroupingSets(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    flagStatusCells(s, dir)
       .groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
         col("l_returnflag"), col("l_linestatus"))
-      .agg(Cols.moneySum(Cols.dec2(col("l_quantity"))).as("sum_qty"),
-        count(lit(1)).as("n"))
+      .agg(Cols.moneySum(col("cell_qty")).as("sum_qty"),
+        sum(col("cell_n")).as("n"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n"))
