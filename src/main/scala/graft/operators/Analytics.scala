@@ -637,14 +637,28 @@ object Analytics {
         col("sum_qty"), col("n"))
       .orderBy("returnflag", "linestatus")
 
-  /** COUNT(DISTINCT) per group (expand + two-phase agg in Spark). */
-  def a2DistinctAgg(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        count(lit(1)).as("n_rows"))
+  /** COUNT(DISTINCT) per group. r15 opt (guide §2.3 — aggregate
+    * before you shuffle): Spark plans MULTIPLE distinct aggregates in
+    * one groupBy as an Expand that multiplies the fact scan by the
+    * distinct-column count (3× here) before the first partial
+    * aggregate. Decomposing into one dedup-then-count branch per
+    * distinct column keeps every branch 1× the scan with map-side
+    * partials, and the per-flag frames (≤ #flags rows) join back
+    * broadcast-cheap. Counts are exact either way — bit-identical
+    * output. */
+  def a2DistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def distinctPerFlag(c: String, as: String) =
+      li.select(col("l_returnflag"), col(c)).distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as(as))
+    val rows = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+    rows.join(distinctPerFlag("l_orderkey", "n_orders"), Seq("l_returnflag"))
+      .join(distinctPerFlag("l_suppkey", "n_supp"), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_orders"), col("n_supp"),
+        col("n_rows"))
       .orderBy("l_returnflag")
+  }
 
   /** HyperLogLog++ approximate distinct (sketch-based; the 100 TB path
     * where exact distinct would shuffle every key). rows-only check —
@@ -966,16 +980,26 @@ object Analytics {
       .orderBy("event_type")
   }
 
-  /** s4: nested-data round-trip — lineitems nested per order as a
-    * sorted array of structs (the denormalized document layout), then
+  /** s4: nested-data round-trip — lineitems nested per order as an
+    * array of structs (the denormalized document layout), then
     * exploded back and aggregated. Proves the nest/unnest path
     * (collect_list(struct) ↔ explode) is lossless; the oracle
-    * aggregates the flat table directly. */
+    * aggregates the flat table directly.
+    *
+    * r15 opt (guide §2.3 — project before the exchange): the nested
+    * struct carries only the fields the downstream aggregate reads
+    * (l_linenumber for identity, l_quantity for the sum) — the old
+    * l_extendedprice field was dead weight through the collect_list
+    * shuffle. The old trailing sort_array was pure cost of the same
+    * class as obt1's dropped orderBy: the explode→aggregate consumer
+    * is order-insensitive, so sorting the arrays bought nothing
+    * observable (same rows, same hash). The nest/unnest round trip —
+    * the operator's point — is untouched. */
   def s4NestedRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val nested = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_list(struct(
-        col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))).as("items"))
+      .agg(collect_list(struct(
+        col("l_linenumber"), col("l_quantity"))).as("items"))
     nested
       .select(col("l_orderkey"), explode(col("items")).as("it"))
       .groupBy(col("l_orderkey"))

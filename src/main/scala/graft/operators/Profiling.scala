@@ -230,16 +230,17 @@ object Profiling {
     val bucketed = x.crossJoin(broadcast(bounds)) // 1-row bounded metadata
       .withColumn("bkt", searchSorted(col("bs"), col("v")))
       .drop("bs")
+    // bucket mass + offsets, localCheckpoint-pinned like the cuts: the
+    // tiny (fanout-row) frame is consumed by BOTH the needed-bucket
+    // prune and the global-rank join below, and materializing it keeps
+    // the second consumer from re-running the bucket-count aggregate
+    // over the fact scan.
     val offs = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
       .withColumn("off", coalesce(sum(col("m")).over(
         Window.orderBy(col("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bkt"), col("off"))
-    val wb = Window.partitionBy(col("bkt"))
-      .orderBy(col("v"), col("tb1"), col("tb2"))
-    val ranked = bucketed.withColumn("k", row_number().over(wb))
-      .join(broadcast(offs), Seq("bkt"))
-      .select(col("v"), (col("off") + col("k")).as("i"))
+      .select(col("bkt"), col("off"), col("m"))
+      .localCheckpoint()
     // the 9 decile positions: p·(n−1) 0-based ⇒ bracketing 1-based
     // ranks lo0+1 and lo0+2, interpolation weight frac = pos − lo0
     // (9 rows of constants from the exact count — bounded metadata)
@@ -250,6 +251,27 @@ object Profiling {
       val lo0 = math.floor(pos)
       (p, pos - lo0, lo0.toLong + 1L, math.min(lo0.toLong + 2L, n))
     }.toDF("p", "frac", "r_lo", "r_hi")
+    // r15 opt (guide §2.3 — shuffle fewer bytes): only the ≤ 2·9
+    // buckets whose [off+1, off+m] rank range brackets a decile mark
+    // can contribute a picked row, so the per-bucket row_number sort
+    // runs over JUST those buckets instead of the whole column. The
+    // prune drops whole window partitions, which cannot change the
+    // within-bucket rank of any surviving row, and every r_lo/r_hi
+    // rank lands in a kept bucket by construction — output
+    // bit-identical (oracle + ProfilingSpec fan-out sweep re-verified).
+    // At the 100 TB grain this bounds the ranked sort at ~18 buckets ×
+    // ~2M rows regardless of column size.
+    def inBkt(r: org.apache.spark.sql.Column) =
+      r > col("off") && r <= col("off") + col("m")
+    val needed = offs.join(broadcast(marks),
+        inBkt(col("r_lo")) || inBkt(col("r_hi")))
+      .select(col("bkt")).distinct()
+    val wb = Window.partitionBy(col("bkt"))
+      .orderBy(col("v"), col("tb1"), col("tb2"))
+    val ranked = bucketed.join(broadcast(needed), Seq("bkt"))
+      .withColumn("k", row_number().over(wb))
+      .join(broadcast(offs.select(col("bkt"), col("off"))), Seq("bkt"))
+      .select(col("v"), (col("off") + col("k")).as("i"))
     val picked = ranked.join(broadcast(marks),
         col("i") === col("r_lo") || col("i") === col("r_hi"))
       .groupBy(col("p"), col("frac"))
@@ -321,21 +343,25 @@ object Profiling {
     * join, and the companion to prof3's per-side skew stats (prof3
     * profiles one side's key distribution; prof4 crosses both sides).
     * Per join: two keyed count aggregates (map-side partials) met by
-    * ONE key-domain-sized equi-join of aggregates — never a row-grain
-    * join — then a 1-row reduction; table totals attach by broadcast.
-    * All-integer arithmetic ⇒ bit-exact across engines. */
+    * ONE key-domain-sized FULL OUTER equi-join of aggregates — never
+    * a row-grain join — then a 1-row reduction. r15 opt (guide §2.4):
+    * the table totals used to attach via two extra full scans + two
+    * 1-row cross joins per audited join; the full-outer join already
+    * holds every key's count on each side, so left_rows = Σ nl and
+    * right_rows = Σ nr fall out of the SAME 1-row reduction — six
+    * fact scans and six BroadcastNestedLoop attaches dropped across
+    * the three audited joins, same exact integers. */
   def prof4JoinCardinality(s: SparkSession, dir: String): DataFrame = {
     val frames = CardJoins.map { case (ln, lk, rn, rk) =>
       val left = Tables.byName(s, dir, ln)
       val right = Tables.byName(s, dir, rn)
       val l = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("nl"))
       val r = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("nr"))
-      val j = l.join(r, "k")
-        .agg(count(lit(1)).as("n_join_keys"),
+      l.join(r, Seq("k"), "full_outer")
+        .agg(count(col("nl") * col("nr")).as("n_join_keys"),
           sum(col("nl") * col("nr")).as("join_rows"),
-          max(col("nl") * col("nr")).as("max_key_pairs"))
-      j.crossJoin(broadcast(left.agg(count(lit(1)).as("left_rows"))))
-        .crossJoin(broadcast(right.agg(count(lit(1)).as("right_rows"))))
+          max(col("nl") * col("nr")).as("max_key_pairs"),
+          sum(col("nl")).as("left_rows"), sum(col("nr")).as("right_rows"))
         .select(lit(s"${ln}_$rn").as("join_name"),
           col("left_rows"), col("right_rows"), col("n_join_keys"),
           col("join_rows"), col("max_key_pairs"),
