@@ -1312,23 +1312,31 @@ object Analytics {
       .agg(count(lit(1)).as("c"))
     val base = sess.select(col("user_id"), col("session_id"),
       col("st"), col("en"), minuteSt.as("stm"), minuteEn.as("enm"))
-    val refA = base // #{en_j in minute(st_i) with en_j < st_i}
+    // r15 opt (guide §2.4 — two operations keyed the same way share
+    // one exchange): the two sub-minute refine legs both aggregate to
+    // (user_id, session_id), so they union into ONE keyed aggregate
+    // and ONE left join instead of two of each. Sums over the
+    // disjoint union equal the separate sums exactly (the other leg
+    // contributes literal 0s), and a session absent from both legs is
+    // absent from the union too — the same coalesce(·, 0) covers it.
+    val refs = base // ca: #{en_j in minute(st_i), en_j < st_i}; cb: #{st_j in minute(en_i), st_j ≤ en_i}
       .join(enVals.withColumnRenamed("m", "stm"), Seq("stm"))
       .filter(col("v") < col("st"))
+      .select(col("user_id"), col("session_id"),
+        col("c").as("ca"), lit(0L).as("cb"))
+      .unionAll(base
+        .join(stVals.withColumnRenamed("m", "enm"), Seq("enm"))
+        .filter(col("v") <= col("en"))
+        .select(col("user_id"), col("session_id"),
+          lit(0L).as("ca"), col("c").as("cb")))
       .groupBy(col("user_id"), col("session_id"))
-      .agg(sum(col("c")).as("ref_a"))
-    val refB = base // #{st_j in minute(en_i) with st_j ≤ en_i}
-      .join(stVals.withColumnRenamed("m", "enm"), Seq("enm"))
-      .filter(col("v") <= col("en"))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(sum(col("c")).as("ref_b"))
+      .agg(sum(col("ca")).as("ref_a"), sum(col("cb")).as("ref_b"))
     base
       .join(broadcast(bounds.select(col("m").as("stm"),
         col("cum_en_before"))), Seq("stm"))
       .join(broadcast(bounds.select(col("m").as("enm"),
         col("cum_st_before"))), Seq("enm"))
-      .join(refA, Seq("user_id", "session_id"), "left")
-      .join(refB, Seq("user_id", "session_id"), "left")
+      .join(refs, Seq("user_id", "session_id"), "left")
       .select(col("user_id"), col("session_id"),
         Cols.fmtTs(col("st")).as("start_ts"), Cols.fmtTs(col("en")).as("end_ts"),
         (col("cum_st_before") + coalesce(col("ref_b"), lit(0L)) // #{st_j ≤ en_i}
