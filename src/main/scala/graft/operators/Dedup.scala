@@ -56,8 +56,11 @@ object Dedup {
     // per-doc dedup is ROW-LOCAL: the kernel dedups inside each
     // document and the explode is a pure projection — the old
     // explode + corpus-wide DISTINCT paid a full (doc, shingle)
-    // shuffle for the same per-row set (doc_id was in every key)
-    docs
+    // shuffle for the same per-row set (doc_id was in every key).
+    // Cols.spread (r15, the spanGramsOf treatment): a one-row-group
+    // parquet scan plans as a single task, so the kernel+explode ran
+    // one-core; identity at scale, and every consumer key-aggregates.
+    graft.Cols.spread(docs)
       .select(col("doc_id"), explode(
         org.apache.spark.sql.graft.WordNgramsExpr.distinctWordNgrams(col("text"), 3))
         .as("sh"))

@@ -286,7 +286,10 @@ object Quality {
     * frequencies (one row per distinct term, not per token), hashed
     * onto [[QcDim]] buckets with xxhash64. */
   private def qcFeatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("label"),
+    // Cols.spread (r15): the term-frequency kernel + explode otherwise
+    // run inside the single scan task of a one-row-group parquet table;
+    // identity at scale, and the feature frame is keyed-aggregated.
+    graft.Cols.spread(docs).select(col("doc_id"), col("label"),
       size(split(col("text"), " ")).cast("double").as("n_tokens"),
       explode(org.apache.spark.sql.graft.TermFreqsExpr.termFreqs(col("text"))).as("p"))
       .select(col("doc_id"), col("label"),
