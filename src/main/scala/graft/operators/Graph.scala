@@ -452,7 +452,12 @@ object Graph {
       cs.groupBy(col(keyCol)).agg(count(lit(1)).as("deg"))
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
         .select(lit(side).as("side"), col("deg"), col("n_nodes"))
+    // r15 opt: h is consumed by BOTH the slope fit and the final join;
+    // without a pin Catalyst re-derives the two-level histogram per
+    // branch and scans the pair artifact twice. h is bounded metadata
+    // (distinct degrees × 2 sides), so materializing it is free.
     val h = hist("c", "customer").unionAll(hist("sk", "supplier"))
+      .localCheckpoint()
     val fit = h
       .select(col("side"), round(log(col("deg").cast("double")), 9).as("x"),
         round(log(col("n_nodes").cast("double")), 9).as("y"))
