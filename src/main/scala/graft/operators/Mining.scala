@@ -406,7 +406,12 @@ object Mining {
         least(floor((col("x") - col("glo")) / col("gw")), lit(B - 1))
           .cast("int").as("b"),
         col("x"))
-      .localCheckpoint() // counts + needed-bucket fetch read it
+      // r15: NOT localCheckpoint-pinned — the two consumers (bucket
+      // counts, needed-bucket fetch) re-derive a cheap scan+broadcast
+      // plan, which measured faster than materializing the fact-width
+      // frame to the block store. The bucketing inputs (widths) come
+      // from an already-collected stats map, so both consumers see
+      // identical bucket assignments by construction.
     val cnts = bucketed.groupBy(col("g"), col("b"))
       .agg(count(lit(1)).as("c")).collect()
       .groupBy(_.getString(0))
