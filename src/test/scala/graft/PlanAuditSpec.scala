@@ -536,7 +536,14 @@ class PlanAuditSpec extends GraftSpec {
     val plan = planOf(Dedup.shingles(spark, sf))
     assert(plan.contains("graft_distinct_ngrams"),
       s"native distinct-ngrams kernel missing:\n$plan")
-    assert(!plan.contains("HashAggregate") && !plan.contains("Exchange"),
+    // The invariant is that no (doc, shingle) rows are HASH-shuffled
+    // for a corpus-wide DISTINCT (the kernel dedups in-row). The r15
+    // Cols.spread in shinglesOf adds one ROUND-ROBIN exchange of the
+    // (doc_id, text) rows BELOW the kernel — an engine-parallelism
+    // aid that moves documents, never shingle rows — so the audit
+    // distinguishes partitioning kinds instead of counting exchanges.
+    assert(!plan.contains("HashAggregate") &&
+        !plan.contains("Exchange hashpartitioning"),
       s"per-doc dedup must not shuffle (doc, shingle) rows:\n$plan")
   }
 
