@@ -105,7 +105,9 @@ object Relational {
   /** updates.content JSON payloads (db.mjs:41, server.mjs:218-229) —
     * JSON field extraction + predicate. */
   def r9JsonExtract(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    // Cols.spread: per-row JSON parsing over the one-row-group events
+    // scan otherwise runs on a single task
+    graft.Cols.spread(Tables.events(s, dir))
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k"))
       .filter(col("k") > 50)

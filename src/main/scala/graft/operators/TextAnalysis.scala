@@ -245,7 +245,10 @@ object TextAnalysis {
     * (units concatenate back to the exact word). */
   def t10BpeTokens(s: SparkSession, dir: String): DataFrame = {
     val units = org.apache.spark.sql.graft.BpeTokensExpr.bpeTokens(col("text"))
-    Tables.documents(s, dir).select(
+    // Cols.spread: the per-doc BPE encode loop is the heaviest
+    // row-local kernel in the text plane; parallelize it off the
+    // one-row-group scan's single task
+    graft.Cols.spread(Tables.documents(s, dir)).select(
       col("doc_id"),
       size(tokens).as("ws_tokens"),
       size(units).as("bpe_tokens"),
@@ -450,7 +453,9 @@ object TextAnalysis {
     * corpus run proves the no-op path; pattern behavior is covered by
     * ScalaTest on synthetic strings. */
   def t13Redact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+    // Cols.spread (the spanGramsOf treatment): four regex passes per
+    // doc otherwise serialize on the one-row-group scan's single task
+    graft.Cols.spread(Tables.documents(s, dir)).select(
       col("doc_id"),
       regexp_replace(regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
         LongNumPattern, "<NUM>").as("redacted"),
