@@ -284,7 +284,11 @@ object Profiling {
     val cuts = picked.agg(expr(
       "transform(array_sort(collect_list(struct(p, cut))), s -> s.cut)")
       .as("cs"))
-    x.select(col("v")).crossJoin(broadcast(cuts)) // 1-row bounded metadata
+    // Cols.spread (wave 4): the histogram pass's countDistinct
+    // partials otherwise hash 600k values on the one-row-group scan's
+    // single task; the spread shuffle carries ONE double per row
+    graft.Cols.spread(x.select(col("v")))
+      .crossJoin(broadcast(cuts)) // 1-row bounded metadata
       .withColumn("bucket", searchSorted(col("cs"), col("v")))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
