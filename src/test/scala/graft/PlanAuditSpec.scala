@@ -1319,4 +1319,36 @@ class PlanAuditSpec extends GraftSpec {
     assert(nGlobalWindows >= 20,
       s"sweep saw only $nGlobalWindows global windows — harness broken?")
   }
+
+  test("wave-4 kernel spreads: round-robin below the kernel, identity at scale") {
+    // The r15 wave-4 spreads (t10 BPE encode, t13 regex redaction, r9
+    // JSON extraction, prof11's histogram pass) parallelize a heavy
+    // row-local stage off the ONE task a single-row-group scan plans.
+    // Each plan must carry the round-robin exchange BELOW the kernel —
+    // and no new hash exchange (results stay key-aggregated or behind
+    // the trailing output sort).
+    val spreadQueries: Seq[(String, DataFrame)] = Seq(
+      ("t10", TextAnalysis.t10BpeTokens(spark, sf)),
+      ("t13", TextAnalysis.t13Redact(spark, sf)),
+      ("r9", Relational.r9JsonExtract(spark, sf)),
+      ("prof11", graft.operators.Profiling.prof11DepthHistogram(spark, sf)))
+    for ((name, df) <- spreadQueries) {
+      val plan = planOf(df)
+      assert(plan.contains("RoundRobinPartitioning"),
+        s"$name: wave-4 spread exchange missing:\n$plan")
+    }
+    // Cols.spread's scale contract: on a frame already at (or above)
+    // session parallelism it is the IDENTITY — same reference, no
+    // exchange added — so a 100 TB scan (>= cores partitions) pays
+    // nothing. This is what keeps the spreads out of the
+    // local-only-config category.
+    val cores = spark.sparkContext.defaultParallelism
+    val wide = spark.range(1000).toDF("v").repartition(cores)
+    assert(graft.Cols.spread(wide) eq wide,
+      "spread must be the identity on an already-parallel frame")
+    val narrow = spark.range(1000).toDF("v").coalesce(1)
+    assert(graft.Cols.spread(narrow).queryExecution.explainString(
+        ExplainMode.fromString("formatted")).contains("RoundRobinPartitioning"),
+      "spread must round-robin a single-partition frame")
+  }
 }
